@@ -1,0 +1,21 @@
+"""Sources & sinks (SURVEY §2.1, S1-S9)."""
+
+from .ingest import (
+    normalize_raw,
+    read_raw_auctions,
+    read_silver_ndjson,
+    read_table,
+    read_text_lines,
+)
+from .sinks import merge_write_partitioned, write_json_debug, write_text_queue
+
+__all__ = [
+    "normalize_raw",
+    "read_raw_auctions",
+    "read_silver_ndjson",
+    "read_table",
+    "read_text_lines",
+    "merge_write_partitioned",
+    "write_json_debug",
+    "write_text_queue",
+]
