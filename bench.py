@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md §3).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is forced with the noop sink (computes every column, writes
+nothing) so projection pruning can't fake the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the shuffle/join/window-heavy queries plus one scan-bound
+# expression query — the shapes whose cost scales with data volume.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_order_priority_counts",
+    "q10_keep_latest_order_per_customer",
+    "q28_bid_cleaning_and_features",
+    "q40_hourly_event_windows",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+    from cars_bids_data_pipeline_v0__spark.session import get_session
+
+    spark = get_session(app_name="bench")
+    # warm the JVM/codegen path once (not timed)
+    force(Q.REGISTRY["q02_revenue_by_nation"].builder(spark, SF_DIR).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = Q.REGISTRY[name]
+        t0 = time.time()
+        force(spec.builder(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,8 +44,10 @@ def to_timestamp_utc(c: Column | str) -> Column:
 
 def epoch_millis_encode(c: Column | str) -> Column:
     """Timestamp → epoch-milliseconds, the reference's NDJSON wire format
-    (``to_json`` serialization, transform_lambda/main.py:368)."""
-    return F.unix_millis(_col(c))
+    (``to_json`` serialization, transform_lambda/main.py:368).  Accepts
+    TIMESTAMP_NTZ too (parquet default) — interpreted in the session TZ
+    (pinned UTC)."""
+    return F.unix_millis(_col(c).cast("timestamp"))
 
 
 def epoch_millis_decode(c: Column | str) -> Column:

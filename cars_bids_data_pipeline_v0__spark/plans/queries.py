@@ -1,0 +1,767 @@
+"""The engine's analytics/operator query surface with DuckDB oracles.
+
+Every SQL-expressible operator from SURVEY §2 gets a named query here: a
+PySpark builder ``(spark, sf_dir) -> DataFrame`` plus an equivalent ANSI-SQL
+string the driver runs on DuckDB over the same parquet tables
+(``__spark_entry__.queries()`` / ``oracle_sql()`` contract).
+
+Cross-engine determinism rules (learned the hard way, keep following them):
+
+* alias every computed column identically on both sides;
+* round every order-dependent double aggregate (sums/avgs of non-integral
+  doubles) to a fixed scale on BOTH sides;
+* never try_cast decimal strings to integers in a checked query — DuckDB
+  rounds ('12.5'→13) where Spark nulls;
+* integer-valued doubles (quantities, counts) sum exactly — no rounding
+  needed;
+* synthesize string/array inputs with identical CASE/concat logic on both
+  sides (the test tables have no dirty strings, so we manufacture the
+  reference's dirt deterministically).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scalar as S
+from ..operators.dedup import keep_latest
+from ..operators.split import validity_mask
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs rows-only check
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.ingest import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Aggregations / joins (the analytics surface the gold layer feeds;
+# SURVEY §2.7 note: groupBy().agg() queries declared as engine queries)
+# ===========================================================================
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           sum(l_quantity) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="hash-agg with partial aggregation; filter pushed to parquet scan",
+)
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="flagship: 4-way join chain, small dims broadcast, one shuffle agg",
+)
+def q02(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q03_order_priority_counts",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="left-semi join (EXISTS) — M1's membership probe shape",
+)
+def q03(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.alias("l").join(
+        o.alias("o"), F.col("l.l_orderkey") == F.col("o.o_orderkey")
+    ).filter(F.col("l.l_shipdate") > F.col("o.o_orderdate")).select(
+        F.col("l.l_orderkey").alias("k")
+    )
+    return (
+        o.join(late.distinct(), o.o_orderkey == F.col("k"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q04_customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="left-anti join (NOT EXISTS) — M1 insert-if-absent emulation",
+)
+def q04(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q05_union_dedup",
+    """
+    SELECT o_orderstatus, count(*) AS n
+    FROM (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000
+        UNION
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY o_orderstatus
+    """,
+    doc="U1/U2 — overlapping-slice union + dedup",
+)
+def q05(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return (
+        a.unionByName(b).distinct()
+        .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q06_monthly_partition_counts",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS month_value
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="A1 — per-date-partition grouping (the S5 writer's layout)",
+)
+def q06(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_value"),
+        )
+    )
+
+
+# ===========================================================================
+# D1 / D2 / M4 — windowed dedup, keep-latest, surrogate keys
+# ===========================================================================
+
+
+@register(
+    "q10_keep_latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    """,
+    doc="D1 — keep-latest window dedup (the pipeline's signature operator)",
+)
+def q10(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return keep_latest(
+        o, "o_custkey", order_by="o_orderdate",
+        tiebreakers=[F.col("o_orderkey").desc()],
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "q11_surrogate_keys",
+    """
+    SELECT row_number() OVER (ORDER BY c_mktsegment ASC) AS id,
+           c_mktsegment AS segment
+    FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL)
+    """,
+    doc="M4 + D3 — deterministic surrogate ids over a distinct dimension",
+)
+def q11(spark, sf_dir):
+    from ..operators.keys import with_surrogate_key
+
+    c = _t(spark, sf_dir, "customer")
+    dim = (
+        c.filter(F.col("c_mktsegment").isNotNull())
+        .select(F.col("c_mktsegment").alias("segment")).distinct()
+    )
+    return with_surrogate_key(dim, order_by=["segment"]).select("id", "segment")
+
+
+@register(
+    "q12_or_predicate_join",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_matches
+    FROM customer c
+    LEFT JOIN nation n
+      ON c.c_nationkey = n.n_nationkey OR c.c_nationkey = n.n_regionkey
+    GROUP BY n.n_name
+    """,
+    doc="J1 — OR-of-equi theta join (broadcast nested-loop on a small dim)",
+)
+def q12(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(
+            F.broadcast(n),
+            (c.c_nationkey == n.n_nationkey) | (c.c_nationkey == n.n_regionkey),
+            "left",
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+# ===========================================================================
+# C-ops — the scalar library exercised over synthesized dirty strings.
+# Both sides manufacture IDENTICAL inputs with the same CASE logic.
+# ===========================================================================
+
+_URL_SQL = (
+    "concat('https://carsandbids.com/auctions/', CAST(o_orderkey AS VARCHAR), "
+    "'/', CAST(year(o_orderdate) AS VARCHAR), '-', lower(o_orderpriority))"
+)
+
+
+def _url_col():
+    return F.concat(
+        F.lit("https://carsandbids.com/auctions/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("/"),
+        F.year("o_orderdate").cast("string"),
+        F.lit("-"),
+        F.lower("o_orderpriority"),
+    )
+
+
+@register(
+    "q20_url_id_and_year",
+    f"""
+    SELECT o_orderkey,
+           str_split(url, '/')[5] AS auction_id,
+           TRY_CAST(str_split(str_split(url, '/')[6], '-')[1] AS INT)
+               AS manufacture_year
+    FROM (SELECT o_orderkey, {_URL_SQL} AS url FROM orders)
+    """,
+    doc="C2 + C20 — URL path-segment extraction",
+)
+def q20(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        S.extract_auction_id(_url_col()).alias("auction_id"),
+        S.extract_manufacture_year(_url_col()).alias("manufacture_year"),
+    )
+
+
+@register(
+    "q21_mileage_extraction",
+    """
+    SELECT p_partkey,
+           TRY_CAST(nullif(replace(regexp_extract(m, '[0-9,]+', 0), ',', ''), '')
+                    AS BIGINT) AS mileage
+    FROM (
+        SELECT p_partkey,
+               CASE WHEN p_size % 7 = 0 THEN 'TMU'
+                    WHEN p_size % 7 = 1 THEN NULL
+                    ELSE concat(CAST(p_size AS VARCHAR), ',400 miles') END AS m
+        FROM part
+    )
+    """,
+    doc="C4 — first digit-run extraction with coerce-to-null",
+)
+def q21(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    m = (
+        F.when(F.col("p_size") % 7 == 0, F.lit("TMU"))
+        .when(F.col("p_size") % 7 == 1, F.lit(None))
+        .otherwise(F.concat(F.col("p_size").cast("string"), F.lit(",400 miles")))
+    )
+    return p.select("p_partkey", S.extract_mileage(m).alias("mileage"))
+
+
+@register(
+    "q22_money_and_counts",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(replace(replace(money, '$', ''), ',', '') AS DOUBLE)
+               AS high_bid,
+           coalesce(TRY_CAST(replace(vc, ',', '') AS BIGINT), 0) AS view_count
+    FROM (
+        SELECT o_orderkey,
+               concat('$', CAST(o_orderkey % 90000 AS VARCHAR), '.25') AS money,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'n/a'
+                    WHEN o_orderkey % 5 = 1 THEN NULL
+                    ELSE concat(CAST(o_orderkey % 13 AS VARCHAR), ',000') END AS vc
+        FROM orders
+    )
+    """,
+    doc="C5 + C7 — money parse and coerce-default-0",
+)
+def q22(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    money = F.concat(
+        F.lit("$"), (F.col("o_orderkey") % 90000).cast("string"), F.lit(".25")
+    )
+    vc = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("n/a"))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit(None))
+        .otherwise(F.concat((F.col("o_orderkey") % 13).cast("string"), F.lit(",000")))
+    )
+    return o.select(
+        "o_orderkey",
+        S.parse_money(money).alias("high_bid"),
+        S.to_int_coerce_default0(vc).alias("view_count"),
+    )
+
+
+_STATUS_SQL = """
+    CASE WHEN o_orderkey % 5 = 0 THEN 'Sold to buyer_7'
+         WHEN o_orderkey % 5 = 1 THEN 'Sold to'
+         WHEN o_orderkey % 5 = 2 THEN 'Reserve not met, bid to'
+         WHEN o_orderkey % 5 = 3 THEN 'Reserve not met, bid to $5,000'
+         ELSE 'Withdrawn' END
+"""
+
+
+def _status_col():
+    k = F.col("o_orderkey")
+    return (
+        F.when(k % 5 == 0, F.lit("Sold to buyer_7"))
+        .when(k % 5 == 1, F.lit("Sold to"))
+        .when(k % 5 == 2, F.lit("Reserve not met, bid to"))
+        .when(k % 5 == 3, F.lit("Reserve not met, bid to $5,000"))
+        .otherwise(F.lit("Withdrawn"))
+    )
+
+
+@register(
+    "q23_status_canon",
+    f"""
+    SELECT canon_status, reserve_met, count(*) AS n
+    FROM (
+        SELECT
+          CASE WHEN s = 'Reserve not met, bid to' THEN 'Reserve not met'
+               ELSE replace(s, 'Sold to', 'Sold') END AS canon_status,
+          coalesce(lower(CASE WHEN s = 'Reserve not met, bid to' THEN 'Reserve not met'
+               ELSE replace(s, 'Sold to', 'Sold') END) = 'sold', false) AS reserve_met
+        FROM (SELECT {_STATUS_SQL} AS s FROM orders)
+    )
+    GROUP BY canon_status, reserve_met
+    """,
+    doc="C8 + C9 — substring-vs-full-value status replace quirk",
+)
+def q23(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    canon = S.canon_status(_status_col())
+    return (
+        o.select(
+            canon.alias("canon_status"), S.reserve_met(canon).alias("reserve_met")
+        )
+        .groupBy("canon_status", "reserve_met")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q24_validity_split",
+    f"""
+    SELECT o_orderkey, s AS auction_status
+    FROM (SELECT o_orderkey, {_STATUS_SQL} AS s FROM orders)
+    WHERE coalesce(regexp_matches(lower(s),
+          'sold|reserve not met|canceled|cancelled'), false)
+    """,
+    doc="F1 — validity mask (the valid half of the two-output split)",
+)
+def q24(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    df = o.select("o_orderkey", _status_col().alias("auction_status"))
+    return df.filter(validity_mask("auction_status"))
+
+
+@register(
+    "q25_title_regex_groups",
+    """
+    SELECT p_partkey,
+           nullif(regexp_extract(t, '^(.*?) \\(', 1), '') AS title_status_cleaned,
+           nullif(regexp_extract(t, '\\((.*?)\\)', 1), '') AS title_state
+    FROM (
+        SELECT p_partkey,
+               CASE WHEN p_size % 3 = 0 THEN concat(p_brand, ' (', p_type, ')')
+                    WHEN p_size % 3 = 1 THEN p_brand
+                    ELSE NULL END AS t
+        FROM part
+    )
+    """,
+    doc="C12 + C13 — lazy regex group extraction with ''→null",
+)
+def q25(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    t = (
+        F.when(F.col("p_size") % 3 == 0,
+               F.concat(F.col("p_brand"), F.lit(" ("), F.col("p_type"), F.lit(")")))
+        .when(F.col("p_size") % 3 == 1, F.col("p_brand"))
+        .otherwise(F.lit(None))
+    )
+    return p.select(
+        "p_partkey",
+        S.title_status_cleaned(t).alias("title_status_cleaned"),
+        S.title_state(t).alias("title_state"),
+    )
+
+
+@register(
+    "q26_city_state_split",
+    """
+    SELECT c_custkey,
+           CASE WHEN contains(loc, ',')
+                THEN trim(regexp_extract(loc, '^(.*),[^,]*$', 1))
+                ELSE trim(loc) END AS city,
+           CASE WHEN contains(loc, ',')
+                THEN str_split(trim(regexp_extract(loc, ',([^,]*)$', 1)), ' ')[1]
+                END AS state
+    FROM (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 4 = 0 THEN concat(c_name, ', ', c_mktsegment, ' 98101')
+                    WHEN c_custkey % 4 = 1 THEN concat(c_name, ', ON, Canada')
+                    WHEN c_custkey % 4 = 2 THEN c_name
+                    ELSE NULL END AS loc
+        FROM customer
+    )
+    """,
+    doc="C14 — rsplit-on-last-comma city/state extraction",
+)
+def q26(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    loc = (
+        F.when(k % 4 == 0, F.concat(F.col("c_name"), F.lit(", "),
+                                    F.col("c_mktsegment"), F.lit(" 98101")))
+        .when(k % 4 == 1, F.concat(F.col("c_name"), F.lit(", ON, Canada")))
+        .when(k % 4 == 2, F.col("c_name"))
+        .otherwise(F.lit(None))
+    )
+    return c.select(
+        "c_custkey",
+        S.extract_city(loc).alias("city"),
+        S.extract_state(loc).alias("state"),
+    )
+
+
+_TRANS_SQL = """
+    CASE WHEN s_suppkey % 5 = 0 THEN 'Automatic (8-Speed)'
+         WHEN s_suppkey % 5 = 1 THEN '6-Speed Manual'
+         WHEN s_suppkey % 5 = 2 THEN 'CVT'
+         WHEN s_suppkey % 5 = 3 THEN '' ELSE NULL END
+"""
+
+_DRIVE_SQL = """
+    CASE WHEN s_suppkey % 6 = 0 THEN '4WD/AWD switchable'
+         WHEN s_suppkey % 6 = 1 THEN '4WD with front bias'
+         WHEN s_suppkey % 6 = 2 THEN 'Rear-wheel drive'
+         WHEN s_suppkey % 6 = 3 THEN 'All-wheel drive'
+         WHEN s_suppkey % 6 = 4 THEN 'four-wheel drive' ELSE 'FWD' END
+"""
+
+
+@register(
+    "q27_transmission_drivetrain",
+    f"""
+    SELECT s_suppkey,
+        CASE WHEN t IS NULL OR t = '' THEN NULL
+             WHEN contains(lower(t), 'manual') THEN 'Manual'
+             WHEN contains(lower(t), 'auto') THEN 'Automatic'
+             ELSE 'Other' END AS transmission_type,
+        CASE WHEN t IS NULL OR t = '' THEN NULL
+             ELSE TRY_CAST(nullif(regexp_extract(lower(t), '(\\d+)-speed', 1), '')
+                           AS INT) END AS gears,
+        CASE WHEN d IS NULL OR d = '' THEN 'Other'
+             WHEN contains(lower(d), '4wd') AND contains(lower(d), 'awd') THEN '4WD/AWD'
+             WHEN contains(lower(d), 'front') THEN 'FWD'
+             WHEN contains(lower(d), 'rear') THEN 'RWD'
+             WHEN contains(lower(d), 'awd') OR contains(lower(d), 'all-wheel') THEN 'AWD'
+             WHEN contains(lower(d), '4wd') OR contains(lower(d), 'four-wheel') THEN '4WD'
+             ELSE 'Other' END AS drivetrain
+    FROM (SELECT s_suppkey, {_TRANS_SQL} AS t, {_DRIVE_SQL} AS d FROM supplier)
+    """,
+    doc="C15-C17 — precedence-sensitive when-chains",
+)
+def q27(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    t = (
+        F.when(k % 5 == 0, F.lit("Automatic (8-Speed)"))
+        .when(k % 5 == 1, F.lit("6-Speed Manual"))
+        .when(k % 5 == 2, F.lit("CVT"))
+        .when(k % 5 == 3, F.lit(""))
+        .otherwise(F.lit(None))
+    )
+    d = (
+        F.when(k % 6 == 0, F.lit("4WD/AWD switchable"))
+        .when(k % 6 == 1, F.lit("4WD with front bias"))
+        .when(k % 6 == 2, F.lit("Rear-wheel drive"))
+        .when(k % 6 == 3, F.lit("All-wheel drive"))
+        .when(k % 6 == 4, F.lit("four-wheel drive"))
+        .otherwise(F.lit("FWD"))
+    )
+    return s.select(
+        "s_suppkey",
+        S.transmission_type(t).alias("transmission_type"),
+        S.extract_gears(t).alias("gears"),
+        S.canon_drivetrain(d).alias("drivetrain"),
+    )
+
+
+@register(
+    "q28_bid_cleaning_and_features",
+    """
+    WITH bids AS (
+        SELECT l_orderkey,
+               CASE WHEN l_linenumber = 7 THEN 'bad'
+                    ELSE concat('$', CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                          AS VARCHAR)) END AS bid,
+        FROM lineitem
+    ), parsed AS (
+        SELECT l_orderkey,
+               TRY_CAST(replace(replace(bid, '$', ''), ',', '') AS BIGINT) AS v
+        FROM bids
+    ), per_order AS (
+        SELECT l_orderkey,
+               bool_and(v IS NOT NULL) AS ok,
+               count(*) AS n_raw,
+               max(v) AS mx, min(v) AS mn,
+               CAST(sum(v) AS DOUBLE) / count(*) AS avg_v,
+               median(v) AS med
+        FROM parsed GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CASE WHEN ok THEN n_raw ELSE 0 END AS n_bids,
+           CASE WHEN ok AND n_raw >= 2 THEN mx END AS max_bid,
+           CASE WHEN ok AND n_raw >= 2 THEN mn END AS min_bid,
+           CASE WHEN ok AND n_raw >= 2 THEN avg_v END AS mean_bid,
+           CASE WHEN ok AND n_raw >= 2 THEN med END AS median_bid,
+           CASE WHEN ok AND n_raw >= 2 THEN mx - mn END AS bid_range
+    FROM per_order
+    """,
+    doc="C11 + C18 — all-or-nothing list cleaning and NumPy-exact stats",
+)
+def q28(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bid = F.when(F.col("l_linenumber") == 7, F.lit("bad")).otherwise(
+        F.concat(
+            F.lit("$"),
+            F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+        )
+    )
+    grouped = li.groupBy("l_orderkey").agg(F.collect_list(bid).alias("raw_bids"))
+    clean = S.clean_bids("raw_bids")
+    feats = S.bid_features(F.col("bids"))
+    return (
+        grouped.withColumn("bids", clean)
+        .select(
+            "l_orderkey",
+            F.size("bids").alias("n_bids"),
+            *[c.alias(n) for n, c in feats.items()],
+        )
+    )
+
+
+@register(
+    "q29_token_counts",
+    """
+    SELECT p_partkey,
+           len(str_split(p_name, ' ')) AS n_tokens,
+           trim(lower(p_brand)) AS brand_key,
+           trim(upper(p_type)) AS type_key
+    FROM part
+    """,
+    doc="C19 + C21 — list length and dim-key normalization",
+)
+def q29(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        S.count_list(F.split(F.col("p_name"), " ")).alias("n_tokens"),
+        S.norm_key_lower("p_brand").alias("brand_key"),
+        S.norm_key_upper("p_type").alias("type_key"),
+    )
+
+
+@register(
+    "q30_timestamp_roundtrip",
+    """
+    SELECT o_orderkey,
+           epoch_ms(o_orderdate) AS order_ms,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(to_timestamp(epoch_ms(o_orderdate) / 1000) AS TIMESTAMP) AS decoded
+    FROM orders
+    """,
+    doc="C1/C22/C23 — epoch-millis encode/decode and date partition key",
+)
+def q30(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        S.epoch_millis_encode("o_orderdate").alias("order_ms"),
+        S.auction_saving_date("o_orderdate").alias("order_date"),
+        S.epoch_millis_decode(S.epoch_millis_encode("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("decoded"),
+    )
+
+
+# ===========================================================================
+# Events — windowed aggregation (SURVEY §2.10 extension)
+# ===========================================================================
+
+
+@register(
+    "q40_hourly_event_windows",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 1h window over the event stream (batch form of the "
+        "streaming window aggregation)",
+)
+def q40(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+@register(
+    "q41_event_type_filter",
+    """
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type IS NOT NULL
+      AND regexp_matches(lower(event_type), 'click|view|purchase')
+      AND value IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="F1/F3 — regex validity predicate + NOT NULL filters on the stream "
+        "table",
+)
+def q41(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            F.col("event_type").isNotNull()
+            & F.lower(F.col("event_type")).rlike("click|view|purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }

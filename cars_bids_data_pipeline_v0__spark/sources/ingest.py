@@ -188,5 +188,24 @@ def read_silver_lake(
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet table loader for the driver's test corpus (TESTDATA.md)."""
+    """Parquet table loader for the driver's test corpus (TESTDATA.md).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which vanilla Spark rejects
+    (PARQUET_TYPE_ILLEGAL); read nanos as long and convert to µs — the same
+    truncation DuckDB applies when it reads ns into its µs timestamps.
+
+    The session TZ is pinned UTC here (runtime-settable) so NTZ↔epoch
+    conversions are identical under any caller's session — external driver
+    sessions may not come up UTC.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, column names/order-insensitive schema, and an order-insensitive
+value comparison (exact for ints/strings/timestamps, exact-after-float() for
+doubles).  Stricter than any reasonable hash — if this passes, the driver's
+hash passes.
+
+Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only q01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, normalize(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def frame_to_rows(cols, rows):
+    """Sort columns by name, then rows lexicographically."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((str(type(x)), str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from cars_bids_data_pipeline_v0__spark.session import get_session
+
+    spark = get_session(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, skipped = [], []
+    for name, fn in qs.items():
+        if args.only and args.only not in name:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, args.sf)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        spark_s = time.time() - t0
+        if name not in oracles:
+            skipped.append(name)
+            print(f"~ {name:42s} rows-only ({len(srows)} rows, {spark_s:.1f}s)")
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        duck_s = time.time() - t0
+        ok = True
+        msgs = []
+        if sorted(scols) != sorted(dcols):
+            ok = False
+            msgs.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+        elif len(srows) != len(drows):
+            ok = False
+            msgs.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
+        else:
+            _, s_norm = frame_to_rows(scols, srows)
+            _, d_norm = frame_to_rows(dcols, drows)
+            if s_norm != d_norm:
+                ok = False
+                for i, (a, b) in enumerate(zip(s_norm, d_norm)):
+                    if a != b:
+                        msgs.append(f"first diff at sorted row {i}:")
+                        msgs.append(f"  spark: {a}")
+                        msgs.append(f"  duck : {b}")
+                        break
+        status = "✓" if ok else "✗"
+        print(f"{status} {name:42s} {len(srows):>7} rows  "
+              f"spark {spark_s:5.1f}s  duck {duck_s:5.1f}s")
+        if not ok:
+            failures.append(name)
+            for m in msgs:
+                print(f"    {m}")
+    print(f"\n{len(qs) - len(failures) - len(skipped)} ok, "
+          f"{len(failures)} failed, {len(skipped)} rows-only")
+    if failures:
+        print("FAILED:", ", ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
