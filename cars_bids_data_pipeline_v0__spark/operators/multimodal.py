@@ -1,0 +1,169 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas functions.
+
+The Spark-side architecture here is the real deliverable — schema contract,
+Arrow batch shape, partition-size control — while the codec step is stubbed
+(this container ships no image/audio libraries): `decode_image` raises
+``NotImplementedError`` unless ``fake=True``, in which case a clearly-marked
+deterministic fake decoder parses our own header format so the plumbing is
+testable end-to-end.
+
+Scale notes:
+* binary payloads ride in the same parquet row groups as their metadata —
+  co-partitioned by construction, no extra shuffle to join bytes to labels;
+* ``mapInPandas`` streams Arrow record batches — set
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (or repartition by target
+  payload bytes) so a batch of decoded frames fits executor memory;
+* feature extraction emits fixed-size vectors → downstream joins/ANN reuse
+  the similarity operators.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# metadata struct carried next to every binary payload
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+_MAGIC = b"FAKEIMG1"
+
+
+def synthesize_media(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Manufacture a deterministic binary 'image' per row: an 8-byte magic,
+    a packed (width, height) header derived from the id, then the utf-8
+    text as payload.  Stands in for reading real bytes from
+    ``spark.read.format('binaryFile')`` or a parquet binary column."""
+    k = F.col(id_col)
+    width = (k % 64 + 16).cast("int")
+    height = (k % 48 + 16).cast("int")
+    header = F.concat(
+        F.lit(_MAGIC),
+        _int_be(width), _int_be(height),
+    )
+    payload = F.encode(F.col(text_col), "utf-8")
+    data = F.concat(header, payload)
+    return df.select(
+        k.alias(id_col),
+        data.alias("media"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.length(data).cast("long").alias("n_bytes"),
+            width.alias("width"),
+            height.alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("media_meta"),
+    )
+
+
+def _int_be(c: F.Column) -> F.Column:
+    """4-byte big-endian encoding of a non-negative int column (expression-
+    level; keeps synthesis JVM-side): unhex of the zero-padded hex form."""
+    return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+
+def decode_image(df: DataFrame, media_col: str = "media",
+                 id_col: str = "doc_id", fake: bool = False) -> DataFrame:
+    """Decode binary images to (width, height, n_pixels, mean_byte) rows via
+    ``mapInPandas`` (Arrow-batched — the correct shape for a real codec).
+
+    With ``fake=False`` this raises NotImplementedError from the executors:
+    real decoding needs an image library this container doesn't ship.  With
+    ``fake=True`` the deterministic stub parses the `synthesize_media`
+    header — STUB, clearly marked, not a real codec.
+    """
+    sel = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decoding requires an image library "
+                    "(PIL/opencv) not present in this environment; "
+                    "pass fake=True for the deterministic stub"
+                )
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                if not b.startswith(_MAGIC):
+                    out.append((doc_id, None, None, None, None))
+                    continue
+                w, h = struct.unpack(">ii", b[8:16])
+                payload = b[16:]
+                mean = (sum(payload) / len(payload)) if payload else 0.0
+                out.append((doc_id, w, h, w * h, round(mean, 6)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "n_pixels", "mean_byte"]
+            )
+
+    return sel.mapInPandas(decode_batches, schema=DECODED_IMAGE_SCHEMA)
+
+
+def byte_histogram_features(df: DataFrame, media_col: str = "media",
+                            id_col: str = "doc_id", buckets: int = 16) -> DataFrame:
+    """Real (non-stub) feature extraction: a ``buckets``-bin byte histogram
+    per payload as ``array<double>`` — Arrow-batched Pandas, no external
+    libs.  Output feeds the ANN/similarity operators directly."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    sel = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+
+    def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, feats = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                hist = np.bincount(arr >> (8 - buckets.bit_length() + 1),
+                                   minlength=buckets)[:buckets]
+                total = hist.sum() or 1
+                ids.append(doc_id)
+                feats.append((hist / total).round(6).tolist())
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return sel.mapInPandas(hist_batches, schema=schema)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    computed from metadata only (no decode) — ``(doc_id, frame_idx)``.
+    Pairs with `decode_image` over a per-frame payload column in a real
+    deployment; here it demonstrates the explode-by-expression shape that
+    keeps sampling JVM-side."""
+    n_frames = (F.col("media_meta.n_bytes") / 1024).cast("int") + 1
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

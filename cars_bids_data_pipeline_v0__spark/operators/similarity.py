@@ -1,0 +1,224 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN is deployed on real clusters:
+
+* **brute-force cosine top-k** — exact; a broadcast of the (small) query
+  set against the full corpus: one scan, no shuffle until the final
+  per-query top-k window.  The correctness baseline.
+* **random-hyperplane LSH** — the scale path: sign-bit signatures bucket
+  the corpus; candidates come from equality joins on (table, bucket);
+  exact cosine re-ranks the candidates.  Probes = extra signatures per
+  query trade recall for fan-out.  An IVF variant would swap the bucket
+  function for nearest-centroid assignment; the plumbing is identical.
+
+All expressions are native (`zip_with`/`aggregate`); embeddings are cast to
+double before any arithmetic so results are bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column | str) -> Column:
+    col = F.col(v) if isinstance(v, str) else v
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus is
+    scanned once.  Ties broken by corpus id for determinism.  Returns
+    ``(q_id, vec_id, cosine_sim, rank)``.
+    """
+    q = queries.select(F.col(q_id).alias("__qid"), as_double(q_vec).alias("__qv"))
+    c = corpus.select(F.col(c_id).alias("__cid"), as_double(c_vec).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            F.col("__qid").alias(q_id),
+            F.col("__cid").alias(c_id),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(c_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(dim: int, plane: int, salt: str) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j is a
+    signed value derived from a 64-bit mix of (salt, plane, j).  Stable
+    across sessions — no RNG state."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.sha256(f"{salt}:{plane}:{j}".encode()).digest()
+        v = int.from_bytes(h[:8], "big", signed=True) / 2**63
+        comps.append(v)
+    return comps
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, num_planes: int = 16, salt: str = "rhp"
+) -> Column:
+    """``num_planes`` sign bits packed into a long: bit p = 1 iff
+    vec · plane_p ≥ 0."""
+    v = as_double(vec)
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, salt)])
+        bit = F.when(dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, p))
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates from ``num_tables`` independent
+    hyperplane-LSH bucketings, re-ranked by exact cosine.
+
+    Per table the corpus groups by a ``num_planes``-bit bucket (expected
+    bucket size = N / 2^planes); only matching buckets join.  Recall grows
+    with num_tables at linear cost.  Same output schema as `cosine_topk`.
+
+    Tuning: P[two vectors agree on one plane] = 1 - θ/π.  For *near-dup*
+    targets (cos ≥ 0.95, θ ≤ 18°) many planes are fine; for general top-k
+    where the true neighbors may only reach cos ≈ 0.5 (θ ≈ 60°, p ≈ 0.66),
+    use FEW planes and MANY tables (e.g. 4 planes × 16 tables → per-pair
+    recall ≈ 1-(1-0.19)^16 ≈ 0.97) — otherwise buckets are precise but the
+    neighbors you want never collide.
+    """
+    q = queries.select(F.col(q_id).alias("__qid"), as_double(q_vec).alias("__qv"))
+    c = corpus.select(F.col(c_id).alias("__cid"), as_double(c_vec).alias("__cv"))
+
+    def with_buckets(df, vec_col):
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            hyperplane_signature(
+                                F.col(vec_col), dim, num_planes, salt=f"t{t}"
+                            ).alias("bucket"),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(*df.columns, "tb.table", "tb.bucket")
+
+    cq = with_buckets(q, "__qv")
+    cc = with_buckets(c, "__cv")
+    cands = (
+        cc.join(F.broadcast(cq), on=["table", "bucket"])
+        .select("__qid", "__cid", "__qv", "__cv")
+        .dropDuplicates(["__qid", "__cid"])
+    )
+    scored = cands.select(
+        F.col("__qid").alias(q_id),
+        F.col("__cid").alias(c_id),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(c_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 10,
+    num_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) via hyperplane-LSH blocking + exact verify — the semantic
+    sibling of `minhash_lsh_dedup`."""
+    c = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    buckets = c.select(
+        "id", "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        hyperplane_signature(
+                            F.col("v"), dim, num_planes, salt=f"nd{t}"
+                        ).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "tb.table", "tb.bucket")
+    return (
+        buckets.alias("x")
+        .join(buckets.alias("y"), on=["table", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

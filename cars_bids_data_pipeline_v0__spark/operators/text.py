@@ -1,0 +1,158 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north_star): language-ID,
+quality scoring, token counting, and document fingerprinting over a
+``documents(doc_id, text, …)`` table.  Everything is native Column
+expressions — at 100 TB these run inside WholeStageCodegen with zero Python
+in the loop; the only shuffles are whatever aggregation the caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / counting
+# ---------------------------------------------------------------------------
+
+
+def tokenize(c: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text: ``\\s+`` split.
+    Empty text → single empty token (Python/Java split parity)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokenize(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """A BPE-flavored proxy count: word pieces of ≤4 chars — splits on
+    whitespace/punctuation, then ceil(len/4) pieces per word.  Deterministic
+    and cheap; a stand-in for real tokenizer cost models."""
+    col = F.col(c) if isinstance(c, str) else c
+    words = F.split(F.trim(F.lower(col)), r"[^a-z0-9]+")
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+# tiny function-word lists per language; ties broken by list order
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "y", "es", "que", "un"],
+    "fr": ["le", "la", "de", "et", "est", "que", "un"],
+    "de": ["der", "die", "das", "und", "ist", "zu", "ein"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def _marker_hits(tokens: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    toks = F.transform(tokenize(c), lambda t: F.lower(t))
+    return {lang: _marker_hits(toks, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def lang_id(c: Column | str, default: str = "und") -> Column:
+    """n-gram/stopword language guess: argmax of marker hits; all-zero →
+    ``default``.  Deterministic tie-break by LANG_MARKERS order."""
+    scores = lang_scores(c)
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_features(c: Column | str) -> dict[str, Column]:
+    """Length/punctuation/stopword-ratio features used by web-scale corpus
+    filters.  All doubles in [0, 1]-ish ranges, null-safe."""
+    col = F.col(c) if isinstance(c, str) else c
+    toks = tokenize(col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(col).cast("double")
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(col, r"[^\.,;:!\?'\"]", "")).cast("double")
+    stop_arr = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_hits = F.size(
+        F.filter(F.transform(toks, lambda t: F.lower(t)),
+                 lambda t: F.array_contains(stop_arr, t))
+    ).cast("double")
+    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_tok,
+        "mean_token_len": safe(n_chars - (n_tok - 1), n_tok),
+        "alpha_ratio": safe(alpha, n_chars),
+        "punct_ratio": safe(punct, n_chars),
+        "stopword_ratio": safe(stop_hits, n_tok),
+    }
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite [0,1] quality score: rewards alphabetic, stopword-bearing,
+    mid-length documents; penalizes punctuation soup.  Fixed weights so the
+    score is reproducible across engines."""
+    f = quality_features(c)
+    length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        0.3 * f["alpha_ratio"]
+        + 0.3 * F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+        + 0.3 * length_term
+        + 0.1 * (1.0 - F.least(f["punct_ratio"] * 10.0, F.lit(1.0))),
+        6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(c: Column | str) -> Column:
+    """lowercase + collapse all whitespace runs to single spaces + trim."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_md5(c: Column | str) -> Column:
+    """Cross-engine content fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(c))
+
+
+def fingerprint_xxh64(c: Column | str) -> Column:
+    """64-bit engine-native fingerprint (xxhash64) — the scale path: 8-byte
+    keys shuffle ~4× cheaper than md5 hex strings.  No SQL oracle (hash
+    function is Spark-specific)."""
+    return F.xxhash64(normalize_text(c))
+
+
+def rolling_fingerprint(c: Column | str, window: int = 8) -> Column:
+    """Winnowing-style robust fingerprint: min xxhash64 over character
+    ``window``-grams of the normalized text — stable under small edits at
+    either end of the document."""
+    norm = normalize_text(c)
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+        lambda i: F.substring(norm, i, window),
+    )
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))

@@ -757,11 +757,17 @@ def q41(spark, sf_dir):
     )
 
 
+def _load_extensions() -> None:
+    from . import queries_ext  # noqa: F401  (registers into REGISTRY)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: spec.builder for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
     }

@@ -1,0 +1,16 @@
+"""Structured Streaming: incremental variants of the batch plans
+(SURVEY §2.10)."""
+
+from .incremental import (
+    hourly_event_windows_stream,
+    silver_ingest_stream,
+    stateful_latest_per_key,
+    stream_events,
+)
+
+__all__ = [
+    "hourly_event_windows_stream",
+    "silver_ingest_stream",
+    "stateful_latest_per_key",
+    "stream_events",
+]

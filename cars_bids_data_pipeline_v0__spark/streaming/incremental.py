@@ -1,0 +1,188 @@
+"""Structured Streaming incremental pipeline (SURVEY §2.10).
+
+The reference is event-driven micro-batching: S3 put → Step Functions → one
+Lambda run per file (trigger_statemachine_lambda/main.py:12-21).  The Spark
+analogue is a file streaming source with ``trigger(availableNow=True)``:
+each arriving raw file becomes part of a micro-batch, ``foreachBatch``
+applies the SAME silver transform used in batch mode, and the merge sink
+gives the reference's update-wins-by-recency semantics (D1 inside M5).
+Checkpointing replaces the Step Functions execution log: exactly-once per
+file, resumable.
+
+Late/updated data: a re-arriving ``auction_id`` wins if its
+``auction_date`` is newer — unbounded keyed state in pure-streaming terms,
+which the reference also accepts (transform_lambda/main.py:378-386); the
+merge sink keeps that state in the table itself instead of executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def silver_ingest_stream(
+    spark: SparkSession,
+    raw_dir: str,
+    lake_path: str,
+    checkpoint_dir: str,
+    rescrape_path: str | None = None,
+):
+    """Raw-JSON directory → silver lake, incrementally.
+
+    One ``foreachBatch`` per micro-batch runs the shared batch plan
+    (`plans.silver.transform_records`) and the S5 merge — path A and the
+    streaming path share one implementation, the engine's fix for the
+    reference's copy-paste divergence (SURVEY §3.3).
+    Returns the started query (``availableNow`` — drains pending files then
+    stops).
+    """
+    from ..plans.silver import transform_records
+    from ..sources.sinks import merge_write_partitioned, write_text_queue
+
+    raw = spark.readStream.option("wholetext", True).text(raw_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        parsed = batch_df.select(
+            F.try_parse_json(F.col("value")).alias("v")
+        ).filter(F.col("v").isNotNull())
+        view = f"__stream_raw_{batch_id}"
+        parsed.createOrReplaceTempView(view)
+        records = session.sql(
+            f"SELECT ve.key AS url_key, ve.value AS rec "
+            f"FROM {view}, LATERAL variant_explode(v) AS ve"
+        )
+        silver, rescrape = transform_records(records)
+        merge_write_partitioned(session, silver, lake_path)
+        if rescrape_path is not None:
+            write_text_queue(rescrape, f"{rescrape_path}/batch={batch_id}")
+
+    return (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_events(spark: SparkSession, events_dir: str,
+                  schema: T.StructType | None = None) -> DataFrame:
+    """File stream over event parquet (ns timestamps handled as in batch)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = schema or T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos-as-long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    df = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP (not NTZ): watermarks require it; session TZ is UTC
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+        )
+    return df
+
+
+def hourly_event_windows_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of batch
+    query q40 (same expressions, same output schema).  The watermark bounds
+    state: windows older than max(event time) − watermark are finalized and
+    evicted; later-than-watermark events are dropped (the reference has no
+    such bound — its per-day files keep state implicitly bounded)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+# output schema for stateful_latest_per_key
+_LATEST_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("latest_ts", T.TimestampType()),
+        T.StructField("latest_value", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("latest_ts", T.TimestampType()),
+        T.StructField("latest_value", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def stateful_latest_per_key(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    keep-latest per key across micro-batches — the D1 semantic as true
+    streaming state (update-wins-by-recency, plus a seen-counter).
+
+    This is the engine's pattern slot for operators Spark lacks built-in:
+    per-key arbitrary state with timeout control, Arrow-batched.
+    """
+    sel = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            latest_ts, latest_value, n_seen = state.get
+        else:
+            latest_ts, latest_value, n_seen = None, None, 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            idx = pdf["ts"].idxmax()
+            if latest_ts is None or pdf["ts"][idx] >= pd.Timestamp(latest_ts):
+                latest_ts = pdf["ts"][idx]
+                latest_value = float(pdf["value"][idx])
+        state.update((latest_ts, latest_value, n_seen))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "latest_ts": [latest_ts],
+                "latest_value": [latest_value],
+                "n_seen": [n_seen],
+            }
+        )
+
+    return sel.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_LATEST_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,142 @@
+"""Semantics tests for the large-scale extension operators: the LSH paths
+must be sound (never emit a below-threshold pair) and achieve full recall on
+planted duplicates; signatures must be deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.operators import dedup_docs as DD
+from cars_bids_data_pipeline_v0__spark.operators import similarity as SIM
+from cars_bids_data_pipeline_v0__spark.operators import text as TXT
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def planted(docs, every=5, shift=10**6):
+    extra = docs.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + shift).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+def test_exact_dedup_removes_planted(docs):
+    d = planted(docs)
+    total = d.count()
+    n_planted = total - docs.count()
+    deduped = DD.dedup_exact(d)
+    assert deduped.count() == total - n_planted
+    # survivor is the min id — none of the shifted clones survive
+    assert deduped.filter(F.col("doc_id") >= 10**6).count() == 0
+
+
+def test_minhash_lsh_subset_of_exact_and_full_recall_on_dups(docs):
+    d = planted(docs)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_dedup(
+            d, num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    # soundness: the exact-verify stage guarantees no false positives
+    assert lsh <= exact
+    # identical docs have jaccard 1.0 → every planted pair must be found
+    planted_pairs = {
+        (r["doc_id"], r["doc_id"] + 10**6)
+        for r in docs.filter(F.col("doc_id") % 5 == 0).collect()
+    }
+    assert planted_pairs <= lsh
+
+
+def test_simhash_identical_docs_hamming_zero(docs):
+    d = planted(docs)
+    sigs = {r["id"]: r["sig"] for r in DD.simhash_signatures(d).collect()}
+    for base in [0, 5, 10]:
+        assert sigs[base] == sigs[base + 10**6]
+    pairs = DD.simhash_near_dup_pairs(d, max_hamming=0, blocks=4)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted_pairs = {
+        (r["doc_id"], r["doc_id"] + 10**6)
+        for r in docs.filter(F.col("doc_id") % 5 == 0).collect()
+    }
+    assert planted_pairs <= found
+
+
+def test_cosine_topk_self_is_rank1(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = SIM.cosine_topk(q, embeddings, k=5)
+    r1 = {r["q_id"]: (r["vec_id"], r["cosine_sim"]) for r in
+          top.filter(F.col("rank") == 1).collect()}
+    for qid, (vid, sim) in r1.items():
+        assert vid == qid  # self-similarity wins
+        assert sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_recall_vs_exact(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = SIM.cosine_topk(q, embeddings, k=5)
+    # weakly-similar neighbors (cos≈0.5 → P[plane agree]≈0.66): few planes,
+    # many tables is the right recall regime (0.66^4 × 16 tables ≈ 0.97)
+    approx = SIM.lsh_topk(q, embeddings, dim=64, k=5, num_planes=4, num_tables=16)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"LSH recall {recall}"
+    # self-match always lands in its own bucket → rank 1 survives
+    for r in approx.filter(F.col("rank") == 1).collect():
+        assert r["vec_id"] == r["q_id"]
+
+
+def test_text_ops_deterministic_and_sane(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog."),
+            (2, "el rápido zorro marrón salta sobre el perro"),
+            (3, ""),
+            (4, "der hund und die katze, das ist gut."),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        TXT.token_count("text").alias("n"),
+        TXT.lang_id("text").alias("lang"),
+        TXT.quality_score("text").alias("q"),
+        TXT.fingerprint_md5("text").alias("fp"),
+        TXT.rolling_fingerprint("text").alias("rfp"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["n"] == 9 and rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "es"
+    assert rows[4]["lang"] == "de"
+    assert rows[3]["lang"] == "und"
+    assert 0.0 <= rows[1]["q"] <= 1.0
+    assert rows[1]["fp"] != rows[2]["fp"]
+    # rolling fingerprint is stable under trailing-edit
+    df2 = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog. EXTRA")],
+        "doc_id long, text string",
+    )
+    rfp2 = df2.select(TXT.rolling_fingerprint("text").alias("r")).collect()[0]["r"]
+    # min-gram fingerprint usually survives an append (not guaranteed;
+    # pinned here as a regression canary on these exact strings)
+    assert rfp2 == rows[1]["rfp"]

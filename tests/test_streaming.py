@@ -1,0 +1,110 @@
+"""Streaming tests: availableNow silver ingest equals the batch plan;
+watermarked windows equal batch q40; stateful keep-latest across batches."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.sources.ingest import (
+    read_raw_auctions,
+    read_silver_lake,
+    read_table,
+)
+from cars_bids_data_pipeline_v0__spark.plans.silver import transform_records
+from cars_bids_data_pipeline_v0__spark.streaming import (
+    hourly_event_windows_stream,
+    silver_ingest_stream,
+    stateful_latest_per_key,
+    stream_events,
+)
+
+from .fixtures import write_raw_files
+
+
+def test_streaming_silver_ingest_matches_batch(spark, tmp_path):
+    rawdir = tmp_path / "raw"
+    write_raw_files(str(rawdir))
+    lake = str(tmp_path / "lake")
+    rescrape = str(tmp_path / "rescrape")
+    q = silver_ingest_stream(
+        spark, str(rawdir), lake, str(tmp_path / "ckpt"), rescrape
+    )
+    q.awaitTermination(120)
+    got = read_silver_lake(spark, lake)
+    batch_silver, _ = transform_records(read_raw_auctions(spark, str(rawdir)))
+    s = sorted(str(r) for r in got.drop("auction_saving_date").collect())
+    b = sorted(str(r) for r in batch_silver.collect())
+    assert s == b and len(s) == 3
+    # restart with no new files → no-op (checkpoint replays nothing)
+    q2 = silver_ingest_stream(
+        spark, str(rawdir), lake, str(tmp_path / "ckpt"), rescrape
+    )
+    q2.awaitTermination(120)
+    assert read_silver_lake(spark, lake).count() == 3
+
+
+def test_streaming_windows_match_batch_q40(spark, tmp_path):
+    sf = "/root/testdata/sf0.001"
+    # stream source needs a directory of its own
+    srcdir = tmp_path / "events_src"
+    srcdir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", srcdir / "events.parquet")
+    events = stream_events(spark, str(srcdir))
+    agg = hourly_event_windows_stream(events)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(
+        str(r) for r in spark.table("win_test").collect()
+    )
+    from cars_bids_data_pipeline_v0__spark.plans.queries import REGISTRY
+
+    batch_rows = sorted(
+        str(r) for r in REGISTRY["q40_hourly_event_windows"].builder(spark, sf).collect()
+    )
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_stateful_latest_per_key(spark, tmp_path):
+    sf = "/root/testdata/sf0.001"
+    srcdir = tmp_path / "events_src"
+    srcdir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", srcdir / "events.parquet")
+    events = stream_events(spark, str(srcdir))
+    latest = stateful_latest_per_key(events)
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("latest_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["key"]: r for r in spark.table("latest_test").collect()}
+    # oracle: batch keep-latest over the same file
+    batch = read_table(spark, sf, "events")
+    expect = {
+        r["event_type"]: r
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.max_by("value", "ts").alias("latest_value"),
+            F.max("ts").alias("latest_ts"),
+            F.count("*").alias("n_seen"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k, e in expect.items():
+        assert got[k]["n_seen"] == e["n_seen"]
+        assert got[k]["latest_ts"] == e["latest_ts"]
+        assert got[k]["latest_value"] == pytest.approx(e["latest_value"])
