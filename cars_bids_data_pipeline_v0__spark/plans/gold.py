@@ -50,11 +50,18 @@ class GoldStore:
         self._cache.pop(name, None)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
-        # materialize before overwriting the files being read
-        pdf = df.toPandas()
+        """Overwrite a table whose current files may feed ``df``'s plan:
+        write distributed to a temp path first, then swap directories —
+        never a driver-side collect, so table size is unbounded."""
+        import shutil
+
+        final = self.path(name)
+        tmp = final + ".__tmp__"
+        df.write.mode("overwrite").parquet(tmp)
         self._cache.pop(name, None)
-        out = self.spark.createDataFrame(pdf, schema=df.schema)
-        out.write.mode("overwrite").parquet(self.path(name))
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
 
 
 def _merge_dim(

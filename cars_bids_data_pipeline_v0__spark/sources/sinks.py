@@ -99,3 +99,30 @@ def write_text_queue(df: DataFrame, path: str, column: str = "auction_url") -> N
 def write_json_debug(df: DataFrame, path: str) -> None:
     """S8 — single-file JSON debug artifact (src/rescrape/main.py:117)."""
     df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def write_jdbc_staging(
+    df: DataFrame,
+    url: str,
+    table: str = "staging",
+    properties: dict | None = None,
+    batchsize: int = 150,
+    truncate_and_load: bool = True,
+) -> None:
+    """S6 + S7 — warehouse staging load over JDBC.
+
+    Reference: tuple-ize + ``TRUNCATE TABLE staging`` + paged
+    ``execute_values(page_size=150)`` (load_lambda/main.py:83-113).  Spark
+    ships rows from executors in parallel JDBC connections instead of one
+    driver-side cursor; ``overwrite`` + ``truncate`` reproduces the
+    truncate-and-load semantics.  The engine-native path skips Postgres and
+    writes gold parquet directly (plans.gold); this sink exists for
+    capability parity.  Untested in this environment (no JDBC database or
+    driver jar available) — exercised only through its plan construction.
+    """
+    (
+        df.write.mode("overwrite" if truncate_and_load else "append")
+        .option("truncate", truncate_and_load)
+        .option("batchsize", batchsize)
+        .jdbc(url, table, properties=properties or {})
+    )

@@ -1,0 +1,157 @@
+"""Property-based spot checks (SURVEY §5): random auction-ish records →
+transform → invariants.  Hypothesis drives the value space; Spark runs one
+batch per test (not per example) to keep JVM round-trips bounded."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.functions import scalar as S
+
+# --- pure-python reference implementations of the reference's pandas ops ---
+
+
+def ref_clean_bids(bids):
+    try:
+        return [int(b.replace("$", "").replace(",", "")) for b in bids]
+    except Exception:
+        return []
+
+
+def ref_bid_features(bids):
+    if not bids or len(bids) < 2:
+        return (None, None, None, None, None)
+    srt = sorted(bids)
+    n = len(srt)
+    med = (
+        float(srt[n // 2])
+        if n % 2 == 1
+        else (srt[n // 2 - 1] + srt[n // 2]) / 2.0
+    )
+    return (max(bids), min(bids), sum(bids) / n, med, max(bids) - min(bids))
+
+
+money_like = st.one_of(
+    st.integers(0, 10**7).map(lambda n: f"${n:,}"),
+    st.integers(0, 10**7).map(str),
+    st.sampled_from(["bad", "", "$", "$1,2,3", "12.5", None]),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(money_like, max_size=8), min_size=1, max_size=20))
+def test_clean_bids_and_features_match_reference(spark, bid_lists):
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bid_lists)], "i long, bids array<string>"
+    )
+    feats = S.bid_features(F.col("clean"))
+    out = (
+        df.withColumn("clean", S.clean_bids("bids"))
+        .select("i", "clean", *[c.alias(n) for n, c in feats.items()])
+        .collect()
+    )
+    for row in out:
+        expected_clean = ref_clean_bids(bid_lists[row["i"]])
+        assert row["clean"] == expected_clean
+        mx, mn, mean, med, rng = ref_bid_features(expected_clean)
+        assert row["max_bid"] == mx and row["min_bid"] == mn
+        assert row["bid_range"] == rng
+        if mean is None:
+            assert row["mean_bid"] is None and row["median_bid"] is None
+        else:
+            assert math.isclose(row["mean_bid"], mean, rel_tol=1e-12)
+            assert math.isclose(row["median_bid"], med, rel_tol=1e-12)
+
+
+location_like = st.one_of(
+    st.tuples(
+        st.text(st.characters(blacklist_characters=",\n", min_codepoint=32,
+                              max_codepoint=126), max_size=20),
+        st.text(st.characters(blacklist_characters=",\n", min_codepoint=32,
+                              max_codepoint=126), max_size=15),
+    ).map(lambda t: f"{t[0]},{t[1]}"),
+    st.text(st.characters(blacklist_characters="\n", min_codepoint=32,
+                          max_codepoint=126), max_size=30),
+    st.none(),
+)
+
+
+def ref_city_state(location):
+    if location is None:
+        return None, None
+    parts = location.rsplit(",", 1)
+    if len(parts) == 2:
+        return parts[0].strip(), parts[1].strip().split(" ")[0]
+    return parts[0].strip(), None
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(location_like, min_size=1, max_size=30))
+def test_city_state_matches_reference(spark, locations):
+    df = spark.createDataFrame(
+        [(i, loc) for i, loc in enumerate(locations)], "i long, loc string"
+    )
+    out = df.select(
+        "i",
+        S.extract_city("loc").alias("city"),
+        S.extract_state("loc").alias("state"),
+    ).collect()
+    for row in out:
+        city, state = ref_city_state(locations[row["i"]])
+        # engine nulls empty-string extracts where pandas keeps '' — accept
+        # both as "no value"
+        assert (row["city"] or "") == (city or ""), locations[row["i"]]
+        assert (row["state"] or "") == (state or ""), locations[row["i"]]
+
+
+status_like = st.one_of(
+    st.sampled_from(
+        ["Sold to x", "Sold", "Reserve not met, bid to", "Cancelled",
+         "canceled early", "Withdrawn", "", None]
+    ),
+    st.text(max_size=25),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(status_like, min_size=1, max_size=40))
+def test_reserve_met_iff_status_sold(spark, statuses):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(statuses)], "i long, s string"
+    )
+    canon = S.canon_status("s")
+    out = df.select(
+        "i", canon.alias("c"), S.reserve_met(canon).alias("m")
+    ).collect()
+    for row in out:
+        expect = (row["c"] or "").lower() == "sold"
+        assert row["m"] == expect
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10**6)),
+        min_size=1, max_size=50,
+    )
+)
+def test_keep_latest_keeps_max_date_per_key(spark, rows):
+    from cars_bids_data_pipeline_v0__spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v long, idx long"
+    )
+    out = keep_latest(df, "k", order_by="v",
+                      tiebreakers=[F.col("idx").asc()]).collect()
+    best: dict[int, tuple] = {}
+    for i, (k, v) in enumerate(rows):
+        cur = best.get(k)
+        # survivor: max v; tie → smallest idx
+        if cur is None or v > cur[0] or (v == cur[0] and i < cur[1]):
+            best[k] = (v, i)
+    assert {(r["k"], r["v"], r["idx"]) for r in out} == {
+        (k, v, i) for k, (v, i) in best.items()
+    }
