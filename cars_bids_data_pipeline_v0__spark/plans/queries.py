@@ -382,6 +382,105 @@ def q12(spark, sf_dir):
     )
 
 
+@register(
+    "q13_star_fact_assembly",
+    """
+    WITH seg_dim AS (
+        SELECT row_number() OVER (ORDER BY segment ASC) AS id, segment
+        FROM (SELECT DISTINCT trim(c_mktsegment) AS segment
+              FROM customer WHERE c_mktsegment IS NOT NULL)
+    ), pri_dim AS (
+        SELECT row_number() OVER (ORDER BY priority ASC) AS id, priority
+        FROM (SELECT DISTINCT trim(o_orderpriority) AS priority
+              FROM orders WHERE o_orderpriority IS NOT NULL)
+    ), market_dim AS (
+        SELECT row_number() OVER (ORDER BY nation ASC, segment_id ASC) AS id,
+               nation, segment_id
+        FROM (SELECT DISTINCT n.n_name AS nation, s.id AS segment_id
+              FROM customer c
+              LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+              LEFT JOIN seg_dim s ON trim(c.c_mktsegment) = s.segment)
+    )
+    SELECT o.o_orderkey AS order_id,
+           p.id AS priority_id,
+           s.id AS segment_id,
+           m.id AS market_id,
+           o.o_totalprice AS total_price
+    FROM orders o
+    LEFT JOIN customer c  ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN pri_dim p   ON trim(o.o_orderpriority) = p.priority
+    LEFT JOIN seg_dim s   ON trim(c.c_mktsegment) = s.segment
+    LEFT JOIN market_dim m ON n.n_name = m.nation AND s.id = m.segment_id
+    """,
+    doc="M1/M4/M3/M6 end-to-end on testdata: distinct dims → surrogate keys "
+        "→ dependent-key dim (J7: market key references the just-joined "
+        "segment id) → fact assembly via broadcast left-join chain — the "
+        "same shape gold.build_star_schema runs on auction data",
+)
+def q13(spark, sf_dir):
+    from ..operators.keys import with_surrogate_key
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    seg_dim = with_surrogate_key(
+        c.filter(F.col("c_mktsegment").isNotNull())
+        .select(F.trim("c_mktsegment").alias("segment")).distinct(),
+        order_by=["segment"],
+    )
+    pri_dim = with_surrogate_key(
+        o.filter(F.col("o_orderpriority").isNotNull())
+        .select(F.trim("o_orderpriority").alias("priority")).distinct(),
+        order_by=["priority"],
+    )
+    market_src = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(
+            F.broadcast(seg_dim.select(F.col("id").alias("__sid"), "segment")),
+            F.trim(F.col("c_mktsegment")) == F.col("segment"), "left",
+        )
+        .select(F.col("n_name").alias("nation"), F.col("__sid").alias("segment_id"))
+        .distinct()
+    )
+    market_dim = with_surrogate_key(market_src, order_by=["nation", "segment_id"])
+
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(
+            F.broadcast(
+                pri_dim.select(F.col("id").alias("priority_id"), "priority")
+            ),
+            F.trim(F.col("o_orderpriority")) == F.col("priority"), "left",
+        )
+        .join(
+            F.broadcast(
+                seg_dim.select(F.col("id").alias("segment_id"), "segment")
+            ),
+            F.trim(F.col("c_mktsegment")) == F.col("segment"), "left",
+        )
+        .join(
+            F.broadcast(
+                market_dim.select(
+                    F.col("id").alias("market_id"),
+                    F.col("nation").alias("__mn"),
+                    F.col("segment_id").alias("__ms"),
+                )
+            ),
+            (F.col("n_name") == F.col("__mn"))
+            & (F.col("segment_id") == F.col("__ms")),  # J7: dependent key
+            "left",
+        )
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            "priority_id", "segment_id", "market_id",
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
 # ===========================================================================
 # C-ops — the scalar library exercised over synthesized dirty strings.
 # Both sides manufacture IDENTICAL inputs with the same CASE logic.

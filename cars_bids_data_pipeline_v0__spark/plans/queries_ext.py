@@ -238,6 +238,40 @@ def q54(spark, sf_dir):
 
 
 @register(
+    "q58_ivf_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id >= 5 AND vec_id < 10
+    ), scored AS (
+        SELECT q.q_id, c.vec_id,
+               round(list_dot_product(qv, CAST(c.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])))),
+                     6) AS cosine_sim
+        FROM embeddings c, q
+    )
+    SELECT q_id, vec_id, cosine_sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 8
+    """,
+    doc="IVF-flat ANN (k-means cells + probe join + exact re-rank) run at "
+        "nprobe = nlist, which is exact by construction — the oracle checks "
+        "the whole IVF plumbing; recall at nprobe < nlist is pinned in "
+        "tests/test_extensions.py",
+)
+def q58(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return SIM.ivf_topk(q, e, k=8, nlist=8, nprobe=8, iters=1)
+
+
+@register(
     "q55_embedding_near_dup",
     None,  # hyperplane-LSH blocking → rows-only (recall tested vs exact)
     doc="embedding-cosine near-dup pairs via random-hyperplane LSH blocking "

@@ -106,6 +106,35 @@ def test_lsh_topk_recall_vs_exact(embeddings):
         assert r["vec_id"] == r["q_id"]
 
 
+def test_ivf_exact_when_probing_all_cells(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = SIM.cosine_topk(q, embeddings, k=5)
+    ivf = SIM.ivf_topk(q, embeddings, k=5, nlist=8, nprobe=8, iters=1)
+    e = sorted((r["q_id"], r["vec_id"], r["rank"]) for r in exact.collect())
+    a = sorted((r["q_id"], r["vec_id"], r["rank"]) for r in ivf.collect())
+    assert e == a  # nprobe == nlist → brute force, bit-identical ranking
+
+
+def test_ivf_recall_and_centroid_determinism(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c1 = SIM.kmeans_centroids(embeddings, nlist=8, iters=2)
+    c2 = SIM.kmeans_centroids(embeddings, nlist=8, iters=2)
+    assert c1 == c2  # seeded by xxhash64(id): no RNG state anywhere
+    exact = SIM.cosine_topk(q, embeddings, k=5)
+    approx = SIM.ivf_topk(q, embeddings, k=5, nlist=8, nprobe=4, centroids=c1)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"IVF recall {recall}"
+    # a query's own cell is always probed → self-match survives at rank 1
+    for r in approx.filter(F.col("rank") == 1).collect():
+        assert r["vec_id"] == r["q_id"]
+
+
 def test_text_ops_deterministic_and_sane(spark):
     df = spark.createDataFrame(
         [
