@@ -114,11 +114,18 @@ def ngram_jaccard_pairs(
     Jaccard against the per-doc set sizes.  At scale, feed this CANDIDATE
     pairs (from LSH) instead of the raw corpus — see `minhash_lsh_dedup`.
 
-    The shingle table is persisted (it feeds the self-join twice plus both
-    size lookups; Catalyst does not reuse non-identical exchanges) and the
-    self-join is hinted shuffle-hash — a broadcast of the inverted index
-    would both duplicate the shingle computation and ship the whole index
-    to every task.  Measured 4× on the sf0.1 corpus.
+    The shingle table is persisted (it feeds the self-join twice; Catalyst
+    does not reuse non-identical exchanges) and the self-join is hinted
+    shuffle-hash — a broadcast of the inverted index would both duplicate
+    the shingle computation and ship the whole index to every task.
+    Measured 4× on the sf0.1 corpus.
+
+    Two shuffle-size choices that matter at corpus scale: the inverted
+    index shuffles 64-bit ``xxhash64(shingle)`` keys instead of shingle
+    strings (8 bytes vs tens; intersection counts are unchanged short of a
+    2^-64 collision), and each doc's set size rides along in the index row
+    so Jaccard needs no post-hoc size joins — the per-pair aggregate is
+    the last shuffle in the plan.
     """
     sh = (
         fan_out(df)
@@ -126,22 +133,24 @@ def ngram_jaccard_pairs(
         .withColumn("sh_size", F.size("sh"))
         .persist()
     )
-    sizes = sh.select("id", "sh_size")
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    inv = sh.select(
+        "id", "sh_size", F.explode("sh").alias("__s")
+    ).select("id", "sh_size", F.xxhash64("__s").alias("shingle"))
     pairs = (
         inv.alias("a")
         .hint("shuffle_hash")
         .join(inv.alias("b"), on="shingle")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh_size").alias("size_a"),
+            F.col("b.sh_size").alias("size_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
     return (
-        pairs.join(sizes.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("sh_size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("sh_size", "size_b"), "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("inter")
