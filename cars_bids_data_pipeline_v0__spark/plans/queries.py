@@ -938,6 +938,143 @@ def q41(spark, sf_dir):
     )
 
 
+@register(
+    "q42_session_windows",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events WHERE user_id IS NOT NULL
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    doc="session windows (30 min inactivity gap) per user — Spark "
+        "session_window vs the SQL gaps-and-islands construction; the "
+        "streaming form is the same expression under a watermark",
+)
+def q42(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q43_sliding_windows",
+    """
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+               - k * INTERVAL 30 MINUTE AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(k)
+    GROUP BY 1, 2
+    """,
+    doc="sliding window (1 h length, 30 min slide): each event lands in two "
+        "overlapping windows — Spark window(ts, '1 hour', '30 minutes') vs "
+        "an explicit two-grid union in SQL",
+)
+def q43(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+# ===========================================================================
+# Skew mitigation (100 TB concern; operators/skew.py)
+# ===========================================================================
+
+
+@register(
+    "q14_salted_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="salted two-phase aggregation over a low-cardinality (hot) key — "
+        "exact algebraic decomposition; result hash-matches the direct "
+        "group-by the oracle runs",
+)
+def q14(spark, sf_dir):
+    from ..operators.skew import salted_two_phase_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_two_phase_agg(
+        e,
+        keys=["event_type"],
+        metrics={
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_from="event_id",
+        num_salts=32,
+    )
+    return out.withColumn("total_value", F.round("total_value", 2))
+
+
+@register(
+    "q15_salted_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="replicated salted join: fact side salted on event_id, dimension "
+        "replicated across all salts — a hot user's events spread over "
+        "num_salts reducers; rows identical to the plain equi-join",
+)
+def q15(spark, sf_dir):
+    from ..operators.skew import replicate_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = replicate_join(e, c, on=["user_id"], salt_from="event_id", num_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def _load_extensions() -> None:
     from . import queries_ext  # noqa: F401  (registers into REGISTRY)
 
