@@ -29,12 +29,15 @@ HEADLINE = [
     "q02_revenue_by_nation",
     "q03_order_priority_counts",
     "q10_keep_latest_order_per_customer",
+    "q13_star_fact_assembly",
     "q28_bid_cleaning_and_features",
     "q40_hourly_event_windows",
+    "q42_session_windows",
     "q52_exact_dup_groups",
     "q53_ngram_jaccard_pairs",
     "q56_minhash_lsh_near_dup",
     "q54_cosine_topk",
+    "q59_corpus_quality_gate",
 ]
 
 

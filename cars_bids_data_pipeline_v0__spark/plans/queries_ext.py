@@ -201,6 +201,71 @@ def q57(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# corpus preprocessing (plans/corpus.py)
+# ---------------------------------------------------------------------------
+
+_FEATS_SQL = f"""
+    SELECT doc_id, text,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS DOUBLE) / length(text)
+                ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                THEN CAST(len(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> list_contains({_STOP_EN_SQL}, t)))
+                     AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\\s+'))
+                ELSE 0.0 END AS stopword_ratio
+    FROM ({_DUPED_SQL})
+"""
+
+
+@register(
+    "q59_corpus_quality_gate",
+    f"""
+    WITH feats AS ({_FEATS_SQL}),
+    gated AS (
+        SELECT doc_id, text FROM feats
+        WHERE text IS NOT NULL AND n_tokens >= 5
+          AND alpha_ratio >= 0.5 AND stopword_ratio <= 0.7
+    )
+    SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id ASC) AS rn
+        FROM gated
+    ) WHERE rn = 1
+    """,
+    doc="training-corpus preprocessing prefix: quality gate (token count, "
+        "alpha ratio, stopword ratio) → exact dedup keeping min doc_id — "
+        "the SQL-expressible prefix of plans/corpus.py::preprocess_corpus",
+)
+def q59(spark, sf_dir):
+    from .corpus import preprocess_corpus
+
+    return preprocess_corpus(
+        _duped_docs(spark, sf_dir),
+        min_tokens=5, min_alpha_ratio=0.5, max_stopword_ratio=0.7,
+        near_dup_threshold=None,
+    ).select("doc_id")
+
+
+@register(
+    "q60_near_dup_clusters",
+    None,  # iterative connected components → rows-only; semantics pinned
+           # by tests/test_corpus.py (chain merging, representative choice)
+    doc="MinHash-LSH verified pairs → connected components (iterative "
+        "min-label propagation) → (id, component) duplicate clusters",
+)
+def q60(spark, sf_dir):
+    from .corpus import near_dup_clusters
+
+    return near_dup_clusters(_duped_docs(spark, sf_dir), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
 

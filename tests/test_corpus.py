@@ -1,0 +1,73 @@
+"""Corpus-preprocessing semantics: connected components must merge
+transitive near-dup chains; the pipeline must keep exactly one
+representative per cluster and drop gated junk."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.operators.graph import (
+    connected_components,
+    dedup_by_components,
+)
+from cars_bids_data_pipeline_v0__spark.plans.corpus import (
+    preprocess_corpus,
+    quality_gate,
+)
+
+
+def test_connected_components_merges_chains(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-hop chain exercises multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(cc.values()) == {0}
+    assert len(cc) == 13
+
+
+def test_dedup_by_components_keeps_min_and_untouched(spark):
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 7, 8, 9]], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"] for r in dedup_by_components(df, pairs).collect()
+    )
+    assert kept == [1, 7, 9]  # 9 has no edges → untouched
+
+
+def _corpus(spark):
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    near = good + " tail"          # high-Jaccard neighbor of `good`
+    rows = [
+        (1, good),
+        (2, good),                  # exact dup of 1
+        (3, near),                  # near dup of 1 (transitive cluster)
+        (4, "12345 67890 !!! ### $$$ %%%"),           # fails alpha ratio
+        (5, "too short"),                              # fails token count
+        (6, "completely different well formed text about spark engines"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_quality_gate_drops_junk(spark):
+    kept = sorted(r["doc_id"] for r in quality_gate(_corpus(spark)).collect())
+    assert kept == [1, 2, 3, 6]
+
+
+def test_preprocess_corpus_end_to_end(spark):
+    out = preprocess_corpus(
+        _corpus(spark), near_dup_threshold=0.5, num_hashes=32, bands=16
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 2 exact-duped into 1; 3 near-duped into 1's cluster; 4,5 gated out
+    assert kept == [1, 6]
