@@ -31,16 +31,19 @@ from .text import normalize_text, tokenize
 
 def fan_out(df: DataFrame) -> DataFrame:
     """Repartition to the session's parallelism before expression-heavy
-    stages.  Test corpora arrive as a single parquet row-group → one input
-    partition → shingling/hashing runs on one core without this.  On a real
-    cluster the reader already splits by row-group/file, so this is a no-op
-    cost-wise (one round-robin shuffle of the small doc table)."""
+    stages — but ONLY when the input is under-partitioned.  Test corpora
+    arrive as a single parquet row-group → one input partition →
+    shingling/hashing runs on one core without this.  On a real cluster the
+    reader already splits by row-group/file and the partition count clears
+    the threshold, so no extra shuffle is ever added at scale."""
     n = int(
         df.sparkSession.conf.get(
             "spark.sql.shuffle.partitions",
             os.environ.get("SPARK_GRAFT_CPUS", "32"),
         )
     )
+    if df.rdd.getNumPartitions() >= max(2, n // 2):
+        return df
     return df.repartition(n)
 
 # ---------------------------------------------------------------------------

@@ -1075,6 +1075,69 @@ def q15(spark, sf_dir):
     )
 
 
+@register(
+    "q16_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="exact percentiles (continuous interpolation) per group — Spark "
+        "percentile() vs DuckDB quantile_cont; approx_percentile is the "
+        "documented 100 TB swap-in (single-pass sketch)",
+)
+def q16(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "q17_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (all 4 combinations) — partial aggregation "
+        "expands grouping ids map-side, single shuffle",
+)
+def q17(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q18_set_ops",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT user_id FROM events
+    """,
+    doc="INTERSECT/EXCEPT set semantics (SURVEY §2.8 notes the reference "
+        "has none; free in Spark)",
+)
+def q18(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("custkey"))
+    return c.intersect(o).subtract(e)
+
+
 def _load_extensions() -> None:
     from . import queries_ext  # noqa: F401  (registers into REGISTRY)
 
