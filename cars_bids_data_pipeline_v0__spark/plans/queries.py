@@ -1138,6 +1138,34 @@ def q18(spark, sf_dir):
     return c.intersect(o).subtract(e)
 
 
+@register(
+    "q44_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE props IS NOT NULL
+      AND json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="semi-structured JSON column extraction (the reference's whole "
+        "ingest is JSON) — get_json_object stays JVM-side; at scale prefer "
+        "from_json with an explicit schema so the parse happens once",
+)
+def q44(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.filter(F.col("props").isNotNull() & k.isNotNull())
+        .groupBy(F.pmod(k, F.lit(10)).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def _load_extensions() -> None:
     from . import queries_ext  # noqa: F401  (registers into REGISTRY)
 

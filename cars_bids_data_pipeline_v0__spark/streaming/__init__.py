@@ -3,6 +3,7 @@
 
 from .incremental import (
     hourly_event_windows_stream,
+    corpus_dedup_stream,
     silver_ingest_stream,
     stateful_latest_per_key,
     stream_events,
@@ -10,6 +11,7 @@ from .incremental import (
 
 __all__ = [
     "hourly_event_windows_stream",
+    "corpus_dedup_stream",
     "silver_ingest_stream",
     "stateful_latest_per_key",
     "stream_events",

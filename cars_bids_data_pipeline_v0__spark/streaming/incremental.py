@@ -117,6 +117,65 @@ def hourly_event_windows_stream(
     )
 
 
+def corpus_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_path: str,
+    fingerprint_store: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+):
+    """Incremental exact dedup: the streaming face of
+    ``plans.corpus.preprocess_corpus``'s exact stage.
+
+    Each micro-batch is deduped within itself (keep min ``doc_id``), then
+    anti-joined against the persistent fingerprint store — a document whose
+    normalized text has EVER been seen is dropped.  Survivors append to the
+    output table and their fingerprints to the store, so the state lives in
+    a table (unbounded-safe, shared with batch jobs) instead of executor
+    memory — the same choice the merge sink makes for D1 state.
+
+    At scale the store is the big side: the anti-join shuffles only the
+    micro-batch's fingerprints (AQE broadcasts the batch side when small),
+    and a Delta/iceberg store would add compaction; parquet-append is the
+    container-friendly stand-in.
+    """
+    import os
+
+    from ..operators.dedup_docs import dedup_exact
+    from ..operators.text import fingerprint_md5
+
+    schema = schema or T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(docs_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        batch = dedup_exact(batch_df).withColumn(
+            "fingerprint", fingerprint_md5("text")
+        )
+        if os.path.exists(fingerprint_store):
+            seen = session.read.parquet(fingerprint_store)
+            batch = batch.join(seen, on="fingerprint", how="left_anti")
+        batch = batch.persist()
+        batch.drop("fingerprint").write.mode("append").parquet(out_path)
+        batch.select("fingerprint").write.mode("append").parquet(
+            fingerprint_store
+        )
+        batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # output schema for stateful_latest_per_key
 _LATEST_SCHEMA = T.StructType(
     [

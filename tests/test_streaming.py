@@ -15,6 +15,7 @@ from cars_bids_data_pipeline_v0__spark.sources.ingest import (
 )
 from cars_bids_data_pipeline_v0__spark.plans.silver import transform_records
 from cars_bids_data_pipeline_v0__spark.streaming import (
+    corpus_dedup_stream,
     hourly_event_windows_stream,
     silver_ingest_stream,
     stateful_latest_per_key,
@@ -108,3 +109,36 @@ def test_stateful_latest_per_key(spark, tmp_path):
         assert got[k]["n_seen"] == e["n_seen"]
         assert got[k]["latest_ts"] == e["latest_ts"]
         assert got[k]["latest_value"] == pytest.approx(e["latest_value"])
+
+
+def test_corpus_dedup_stream_across_arrivals(spark, tmp_path):
+    import json
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "fps")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_wave(name, rows):
+        with open(docs_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # wave 1: A, B, and an in-wave exact dup of A
+    write_wave("w1.json", [
+        {"doc_id": 1, "text": "alpha document"},
+        {"doc_id": 2, "text": "beta document"},
+        {"doc_id": 3, "text": "alpha document"},
+    ])
+    corpus_dedup_stream(spark, str(docs_dir), out, store, ckpt).awaitTermination()
+
+    # wave 2: a cross-wave dup of B (new id) and a fresh doc C
+    write_wave("w2.json", [
+        {"doc_id": 10, "text": "beta document"},
+        {"doc_id": 11, "text": "gamma document"},
+    ])
+    corpus_dedup_stream(spark, str(docs_dir), out, store, ckpt).awaitTermination()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 11]  # 3 deduped in-wave, 10 deduped cross-wave
