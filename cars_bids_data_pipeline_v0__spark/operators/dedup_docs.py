@@ -171,12 +171,27 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """``(id, sh)`` — each document's distinct shingle set, computed once.
+    Callers that need both signatures and exact verification share this
+    frame (persist it) so the corpus is shingled a single time."""
+    return fan_out(df).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k min-hashes per document as ``(id, mh0..mh{k-1})``.
 
@@ -187,10 +202,8 @@ def minhash_signatures(
     into every downstream reference and recomputes the whole signature per
     band: measured 16× slower.)
     """
-    exploded = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
-    )
+    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, n)
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
     return exploded.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.concat(F.lit(f"mh{k}:"), F.col("shingle")))).alias(
@@ -208,6 +221,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -218,7 +232,8 @@ def minhash_lsh_candidates(
     candidates.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes,
+                             shingles=shingles)
     banded = sig.select(
         "id",
         F.explode(
@@ -262,10 +277,13 @@ def minhash_lsh_dedup(
     """LSH candidates → exact-Jaccard verify → pairs ≥ threshold.
     Output schema matches `ngram_jaccard_pairs` (its sparse superset's
     subset): LSH may miss pairs (probabilistic recall), never emits a
-    below-threshold pair (the verify step is exact)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, bands)
-    sh = fan_out(df).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    below-threshold pair (the verify step is exact).
+
+    The corpus is shingled ONCE: the persisted shingle table feeds both the
+    signature aggregation and the exact-verify joins."""
+    sh = shingle_table(df, text_col, id_col, n).persist()
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, n, num_hashes, bands, shingles=sh
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

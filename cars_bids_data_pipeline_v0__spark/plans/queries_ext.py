@@ -265,6 +265,38 @@ def q60(spark, sf_dir):
     return near_dup_clusters(_duped_docs(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    "q61_doc_embedding_profile",
+    """
+    SELECT d.lang,
+           count(*) AS n_docs,
+           round(sum(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])))), 3)
+               AS total_norm,
+           sum(len(regexp_split_to_array(trim(d.text), '\\s+'))) AS total_tokens
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    """,
+    doc="cross-modal profile: text table ⋈ embedding table on doc id, "
+        "vector-norm + token aggregates per language — the join shape of a "
+        "multimodal training-data pipeline",
+)
+def q61(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    v = SIM.as_double(F.col("embedding"))
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum(F.sqrt(SIM.dot(v, v))), 3).alias("total_norm"),
+            F.sum(TXT.token_count("text").cast("long")).alias("total_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -165,3 +165,27 @@ def test_gold_star_schema_and_idempotence(spark, pipeline_out, tmp_path):
     assert v3["engine"] == "SWAPPED V8"
     assert v3["vehicle_id"] == v["vehicle_id"]  # surrogate id stable
     assert gold3["auction_fact"].count() == 3  # fact insert-ignore
+
+
+def test_malformed_and_empty_raw_files_do_not_fail(spark, tmp_path):
+    """PERMISSIVE ingest (SURVEY §1.3): unparseable files drop out; the
+    valid file's records survive untouched."""
+    import os
+
+    from cars_bids_data_pipeline_v0__spark.plans.silver import transform_records
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import read_raw_auctions
+
+    from .fixtures import write_raw_files
+
+    rawdir = str(tmp_path / "raw")
+    write_raw_files(rawdir)
+    with open(os.path.join(rawdir, "broken.json"), "w") as f:
+        f.write("{this is not json")
+    with open(os.path.join(rawdir, "empty.json"), "w") as f:
+        f.write("")
+    records = read_raw_auctions(spark, rawdir)
+    silver, rescrape = transform_records(records)
+    # same outcome as without the junk files: 4 distinct auctions,
+    # 3 valid post-dedup, 1 rescrape
+    assert silver.count() == 3
+    assert rescrape.count() == 1
