@@ -3,14 +3,20 @@ set ops, and the large-scale extension operators (near-dup detection,
 similarity search, text analysis)."""
 
 from .dedup import keep_latest
+from .graph import connected_components, dedup_by_components
 from .keys import with_surrogate_key
 from .merge import insert_if_absent, upsert_overwrite
+from .skew import replicate_join, salted_two_phase_agg
 from .split import validity_split
 
 __all__ = [
     "keep_latest",
+    "connected_components",
+    "dedup_by_components",
     "with_surrogate_key",
     "insert_if_absent",
     "upsert_overwrite",
+    "replicate_join",
+    "salted_two_phase_agg",
     "validity_split",
 ]

@@ -2,6 +2,7 @@
 (SURVEY §2.10)."""
 
 from .incremental import (
+    enrich_stream,
     hourly_event_windows_stream,
     corpus_dedup_stream,
     silver_ingest_stream,
@@ -10,6 +11,7 @@ from .incremental import (
 )
 
 __all__ = [
+    "enrich_stream",
     "hourly_event_windows_stream",
     "corpus_dedup_stream",
     "silver_ingest_stream",

@@ -117,6 +117,22 @@ def hourly_event_windows_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the static
+    dimension snapshot (re-read per batch for file sources, broadcast when
+    small — the hot-path enrichment shape).  No watermark needed: only the
+    stream side is unbounded."""
+    return events.join(
+        F.broadcast(dim), events[stream_key] == dim[dim_key], how
+    )
+
+
 def corpus_dedup_stream(
     spark: SparkSession,
     docs_dir: str,

@@ -142,3 +142,42 @@ def test_corpus_dedup_stream_across_arrivals(spark, tmp_path):
 
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1, 2, 11]  # 3 deduped in-wave, 10 deduped cross-wave
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    import shutil
+
+    from cars_bids_data_pipeline_v0__spark.streaming import enrich_stream
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", events_dir / "part0.parquet"
+    )
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+
+    stream = stream_events(spark, str(events_dir))
+    enriched = enrich_stream(stream, customer, "user_id", "c_custkey")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enriched_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["c_mktsegment"]: (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM enriched_agg").collect()
+    }
+
+    batch = read_table(spark, "/root/testdata/sf0.001", "events").join(
+        customer, F.col("user_id") == F.col("c_custkey"), "left"
+    ).groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    expect = {r["c_mktsegment"]: (r["n"], r["total"]) for r in batch.collect()}
+    assert got == expect
