@@ -52,3 +52,32 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partition_pruned_scan_on_silver_lake(spark, tmp_path):
+    """A date-filtered read of the partitioned lake must prune at the scan:
+    PartitionFilters carries the predicate and untouched dates never load."""
+    from pyspark.sql import Row
+
+    from cars_bids_data_pipeline_v0__spark.sources.sinks import (
+        merge_write_partitioned,
+    )
+
+    lake = str(tmp_path / "lake")
+    rows = [
+        Row(auction_id=f"a{i}", auction_date=f"2024-03-0{1 + i % 3}T10:00:00",
+            price=float(i))
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "auction_date", F.to_timestamp("auction_date")
+    )
+    touched = merge_write_partitioned(spark, df, lake)
+    assert touched == ["2024-03-01", "2024-03-02", "2024-03-03"]
+
+    pruned = spark.read.parquet(lake).filter(
+        F.col("auction_saving_date") == "2024-03-02"
+    )
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan and "2024-03-02" in plan
+    assert pruned.count() == 3
