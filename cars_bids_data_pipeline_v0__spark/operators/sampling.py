@@ -1,0 +1,75 @@
+"""Deterministic sampling and dataset splits for training-data pipelines.
+
+Random sampling is useless at 100 TB if it isn't reproducible: re-runs must
+select the SAME rows (splits must never leak between train and eval across
+pipeline versions).  Everything here derives from a hash of the row id —
+no RNG state, no seed plumbing, stable under repartitioning and re-runs:
+
+* ``hash_bucket`` — uniform bucket in [0, n) from ``xxhash64`` (8-byte,
+  JVM-native: the scale path).
+* ``md5_bucket`` — the same idea over two md5 hex chars (256 buckets);
+  slower, but md5 is bit-identical across engines, so md5-based sampling
+  and splits are DuckDB-oracle-checkable (q19/q45).
+* ``deterministic_sample`` — keep rows whose bucket < frac·n; a fixed,
+  re-runnable systematic sample (no sampleBy variance).
+* ``train_val_test_split`` — label each row train/val/test by bucket
+  range; disjoint and exhaustive by construction.
+
+``df.sample``/``sampleBy`` remain the right tool for quick approximate
+sampling; these operators are for pipeline lineage, where membership must
+be a pure function of the row id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(c: Column | str, num_buckets: int) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+
+
+def md5_bucket(c: Column | str) -> Column:
+    """Bucket in [0, 256) from the first two md5 hex chars of the value's
+    string form — engine-portable (md5 is md5 everywhere)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, portable: bool = True
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, membership a pure function of the id."""
+    n = 256 if portable else 1 << 16
+    bucket = (
+        md5_bucket(id_col) if portable else hash_bucket(id_col, 1 << 16)
+    )
+    return df.filter(bucket < int(round(fraction * n)))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+    portable: bool = True,
+) -> DataFrame:
+    """Add ``split`` ∈ {train, val, test} by hash-bucket range — disjoint,
+    exhaustive, stable across runs and repartitioning."""
+    n = 256 if portable else 1 << 16
+    bucket = (
+        md5_bucket(id_col) if portable else hash_bucket(id_col, 1 << 16)
+    )
+    t_hi = int(round(train * n))
+    v_hi = t_hi + int(round(val * n))
+    return df.withColumn(
+        split_col,
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

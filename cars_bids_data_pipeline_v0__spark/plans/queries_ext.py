@@ -266,6 +266,55 @@ def q60(spark, sf_dir):
 
 
 @register(
+    "q19_deterministic_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 64
+    """,
+    doc="deterministic hash sampling (~25%): membership is a pure function "
+        "of the id — reproducible under re-runs and repartitioning, unlike "
+        "RNG sampling; xxhash64 variant is the non-portable fast path",
+)
+def q19(spark, sf_dir):
+    from ..operators.sampling import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", 0.25).select("doc_id", "lang")
+
+
+@register(
+    "q45_train_val_test_split",
+    """
+    SELECT CASE
+             WHEN b < 205 THEN 'train'
+             WHEN b < 230 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           count(*) AS n_docs,
+           min(doc_id) AS min_id
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS b
+        FROM documents
+    )
+    GROUP BY 1
+    """,
+    doc="train/val/test split (80/10/10) by hash-bucket range — disjoint, "
+        "exhaustive, leak-free across pipeline re-runs",
+)
+def q45(spark, sf_dir):
+    from ..operators.sampling import train_val_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(d, "doc_id", train=0.8, val=0.1)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@register(
     "q61_doc_embedding_profile",
     """
     SELECT d.lang,

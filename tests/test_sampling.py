@@ -1,0 +1,57 @@
+"""Deterministic sampling/split semantics: stability under re-run and
+repartitioning, disjoint-exhaustive splits, sane fractions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    train_val_test_split,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sample_stable_under_rerun_and_repartition(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = sorted(r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.25).collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(d.repartition(7), "doc_id", 0.25).collect()
+    )
+    assert s1 == s2 and len(s1) > 0
+    # roughly the requested fraction (md5 buckets are uniform)
+    assert 0.1 < len(s1) / d.count() < 0.4
+
+
+def test_split_disjoint_exhaustive_stable(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = train_val_test_split(d, "doc_id", train=0.8, val=0.1)
+    n = d.count()
+    by_split = {r["split"]: r["n"] for r in
+                out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by_split.values()) == n  # exhaustive
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"]
+    # stability: same membership on re-run
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in train_val_test_split(
+            d.repartition(5), "doc_id", train=0.8, val=0.1
+        ).collect()
+    }
+    assert a == b
+
+
+def test_fast_path_bucket_is_uniform_ish(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    counts = [
+        r["n"]
+        for r in d.select(hash_bucket("doc_id", 8).alias("b"))
+        .groupBy("b").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) < 3 * min(counts)
