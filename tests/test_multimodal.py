@@ -60,3 +60,20 @@ def test_frame_sample_plan(media):
     assert all(r["count"] >= 1 for r in pdf)
     idx = [r["frame_idx"] for r in plan.filter(F.col("doc_id") == 3).collect()]
     assert idx[0] == 0 and all(b - a == 30 for a, b in zip(idx, idx[1:]))
+
+
+def test_media_features_feed_ann(media):
+    """End-to-end multimodal story: binary media → Arrow-batched byte
+    histograms → cosine top-k over the feature vectors.  Every payload's
+    nearest neighbor must be itself."""
+    from cars_bids_data_pipeline_v0__spark.operators import similarity as SIM
+
+    feats = MM.byte_histogram_features(media)
+    q = feats.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"), F.col("features").alias("q_vec")
+    )
+    top = SIM.cosine_topk(
+        q, feats, k=3, c_id="doc_id", c_vec="features"
+    )
+    for r in top.filter(F.col("rank") == 1).collect():
+        assert r["doc_id"] == r["q_id"]

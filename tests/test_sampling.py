@@ -55,3 +55,25 @@ def test_fast_path_bucket_is_uniform_ish(spark):
     ]
     assert len(counts) == 8
     assert max(counts) < 3 * min(counts)
+
+
+def test_sketch_aggregates_within_error_bounds(spark):
+    """approx_count_distinct (HLL) and approx percentile — the documented
+    100 TB swap-ins for q16/q18-style exact aggregates — must land within
+    their advertised error."""
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import read_table
+
+    e = read_table(spark, SF, "events")
+    exact_users = e.select("user_id").distinct().count()
+    approx = e.select(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact_users) / exact_users < 0.15
+
+    exact_p50 = e.select(
+        F.percentile("value", F.lit(0.5)).alias("p")
+    ).collect()[0]["p"]
+    approx_p50 = e.select(
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("p")
+    ).collect()[0]["p"]
+    assert abs(approx_p50 - exact_p50) <= 1.0
