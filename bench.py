@@ -45,6 +45,53 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_pipeline(spark) -> float:
+    """End-to-end ETL (the reference's actual workload): 2000 raw auctions
+    in 20 mixed-vintage JSON files → variant ingest → silver transform +
+    validity split → partitioned merge sink → full star-schema build.
+    Generation is untimed; the timed span is ingest-to-gold."""
+    import shutil
+    import tempfile
+
+    from cars_bids_data_pipeline_v0__spark.plans.gold import (
+        GoldStore,
+        build_star_schema,
+        seed_state_dim,
+    )
+    from cars_bids_data_pipeline_v0__spark.plans.silver import transform_records
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import (
+        read_raw_auctions,
+        read_silver_lake,
+    )
+    from cars_bids_data_pipeline_v0__spark.sources.sinks import (
+        merge_write_partitioned,
+        write_text_queue,
+    )
+    from tests.fixtures import write_raw_corpus
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        write_raw_corpus(f"{tmp}/raw", n=2000, files=20)
+        t0 = time.time()
+        records = read_raw_auctions(spark, f"{tmp}/raw")
+        silver, rescrape = transform_records(records)
+        merge_write_partitioned(spark, silver, f"{tmp}/lake")
+        write_text_queue(rescrape, f"{tmp}/rescrape")
+        store = GoldStore(spark, f"{tmp}/gold")
+        seed_state_dim(
+            store,
+            spark.createDataFrame(
+                [(1, "Washington", "WA"), (2, "Florida", "FL")],
+                "id long, state string, state_abbr string",
+            ),
+        )
+        gold = build_star_schema(store, read_silver_lake(spark, f"{tmp}/lake"))
+        gold["auction_fact"].write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     from cars_bids_data_pipeline_v0__spark.plans import queries as Q
     from cars_bids_data_pipeline_v0__spark.session import get_session
@@ -60,6 +107,7 @@ def main() -> None:
         t0 = time.time()
         force(spec.builder(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+    timings["pipeline_e2e_2k_auctions"] = bench_pipeline(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -72,6 +72,41 @@ def auction(
     return url, rec
 
 
+def write_raw_corpus(dirpath: str, n: int = 2000, files: int = 20) -> int:
+    """A larger synthetic raw corpus for end-to-end pipeline benchmarking:
+    ``n`` auctions spread over ``files`` files, alternating vintages, with
+    duplicates (every 13th slug re-listed under a newer date → D1 work),
+    invalid statuses (every 7th → rescrape split), and varied dims."""
+    os.makedirs(dirpath, exist_ok=True)
+    makes = ["BMW", "Audi", "Ford", "Porsche", "Toyota"]
+    recs = []
+    for i in range(n):
+        dup = i % 13 == 0 and i > 0
+        slug = f"car{(i - 1 if dup else i):05d}"
+        day = 1 + i % 27 + (1 if dup else 0)
+        u, a = auction(
+            slug,
+            year=2000 + i % 25,
+            status="Withdrawn" if i % 7 == 3 else
+                   ("Sold to bidder" if i % 2 else "Reserve not met, bid to"),
+            date=f"2024-03-{day:02d}T10:{i % 60:02d}:00Z",
+            make=makes[i % 5],
+            model=f"Model-{i % 9}\nSave",
+            bids=[f"${(j + 1) * 1000 + i:,}" for j in range(i % 6)],
+            highlights_vintage="struct" if i % 3 == 0 else "list",
+        )
+        recs.append((u, a))
+    for f_idx in range(files):
+        chunk = recs[f_idx::files]
+        path = os.path.join(dirpath, f"raw{f_idx:03d}.json")
+        with open(path, "w") as f:
+            if f_idx % 4 == 0:  # early dict vintage
+                json.dump({u: a for u, a in chunk}, f)
+            else:
+                json.dump([a for _, a in chunk], f)
+    return n
+
+
 def write_raw_files(dirpath: str) -> dict:
     """Two files: one dict-form (early vintage), one list-form. Includes a
     duplicate auction_id with a newer date (D1) and an invalid-status row
