@@ -99,6 +99,10 @@ def transform_records(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     from ..sources.ingest import normalize_raw
 
-    bronze = normalize_raw(records)
+    # Both outputs (silver write + rescrape write) hang off this frame;
+    # persist so the raw read + variant explode runs ONCE, not per action
+    # (SURVEY §4.1 caching row).  MEMORY_AND_DISK default: evictable, safe
+    # for arbitrarily large batches.
+    bronze = normalize_raw(records).persist()
     valid, rescrape = validity_split(bronze)  # F1 before cleaning (:436)
     return clean_and_transform(valid), rescrape
