@@ -1166,6 +1166,59 @@ def q44(spark, sf_dir):
     )
 
 
+@register(
+    "q46_global_topn",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+    doc="global ORDER BY + LIMIT — plans as TakeOrderedAndProject (per-"
+        "partition top-N + driver merge of N·partitions rows), never a "
+        "full sort; tie-broken on the key for cross-engine determinism",
+)
+def q46(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q47_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           lag(o_orderkey) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_orderkey
+    FROM orders
+    """,
+    doc="frame-based running aggregate + lag per customer — one shuffle on "
+        "the partition key, sorted within partitions",
+)
+def q47(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            2,
+        ).alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
 def _load_extensions() -> None:
     from . import queries_ext  # noqa: F401  (registers into REGISTRY)
 
