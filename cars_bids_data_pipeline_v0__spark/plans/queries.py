@@ -1219,6 +1219,82 @@ def q47(spark, sf_dir):
     )
 
 
+@register(
+    "q48_profile_orders",
+    """
+    SELECT 'o_orderkey' AS "column",
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR),
+           CAST(max(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+    doc="table profiling: per-column null/distinct/min/max computed in ONE "
+        "aggregation pass (the oracle spells it as per-column unions; the "
+        "engine never rescans)",
+)
+def q48(spark, sf_dir):
+    from ..operators.profile import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile(o, ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
+@register(
+    "q49_expectations_quarantine",
+    """
+    SELECT CASE
+             WHEN o_totalprice IS NULL OR NOT (o_totalprice > 0)
+               THEN 'positive_price'
+             ELSE 'ok'
+           END AS first_failure,
+           count(*) AS n_rows
+    FROM (
+        SELECT o_totalprice FROM orders
+        UNION ALL
+        SELECT -1.0
+    )
+    GROUP BY 1
+    """,
+    doc="declarative data-quality expectations with quarantine (F1 "
+        "generalized): named rules evaluated in one projection, failures "
+        "tagged with the rules they broke",
+)
+def q49(spark, sf_dir):
+    from ..operators.expectations import check
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    bad = spark.createDataFrame([(-1.0,)], ["o_totalprice"])
+    src = o.unionByName(bad)
+    good, quarantined = check(
+        src, {"positive_price": F.col("o_totalprice") > 0}
+    )
+    return (
+        good.select(F.lit("ok").alias("first_failure"))
+        .unionByName(
+            quarantined.select(
+                F.element_at("failed_expectations", 1).alias("first_failure")
+            )
+        )
+        .groupBy("first_failure")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
 def _load_extensions() -> None:
     from . import queries_ext  # noqa: F401  (registers into REGISTRY)
 
