@@ -1,0 +1,111 @@
+"""As-of (point-in-time) join — the canonical operator Spark lacks built-in.
+
+For every left row, attach the right row with the greatest timestamp ≤ the
+left timestamp within the same key (``direction="backward"``; strict `<`
+when ``allow_exact_matches=False``).  The naive formulation — a range
+theta-join then keep-latest — explodes to |L|·|R| pairs per key before
+pruning.  This implementation is the scalable union trick instead:
+
+    tag sides → union → one window sorted by (ts, side) per key →
+    ``last(right_payload, ignorenulls=True)`` carries the most recent
+    right values forward onto each left row
+
+One shuffle total (the window partitionBy), work O(|L|+|R|) — the same
+shape a backfill over years of 100 TB event data needs.  Rows-identical to
+DuckDB's native ``ASOF JOIN`` (oracle-checked, q62).
+
+``tolerance`` (seconds) nulls out matches older than the bound — the
+pandas ``merge_asof`` contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    allow_exact_matches: bool = True,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left rows enriched with the latest at-or-before right row per key.
+
+    Right payload columns arrive as ``<name><suffix>`` plus
+    ``<right_ts><suffix>`` (the matched timestamp); unmatched left rows
+    keep nulls — LEFT-join semantics."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    l_payload = [c for c in left.columns if c not in on]
+
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *l_payload,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(
+            f"{right_ts}{suffix}"
+        ),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in l_payload],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    # at equal ts the right row sorts first (side 0) iff exact matches
+    # count; otherwise the left row sorts first and cannot see it
+    side_order = (
+        [F.col("__ts").asc(), F.col("__side").asc()]
+        if allow_exact_matches
+        else [F.col("__ts").asc(), F.col("__side").desc()]
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        *on, "__ts", "__side", *l_payload,
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.last(f"{right_ts}{suffix}", ignorenulls=True).over(w).alias(
+            f"{right_ts}{suffix}"
+        ),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.col("__ts").cast("double")
+            - F.col(f"{right_ts}{suffix}").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        out = out.select(
+            *on, "__ts", *l_payload,
+            *[
+                F.when(within, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+            F.when(within, F.col(f"{right_ts}{suffix}")).alias(
+                f"{right_ts}{suffix}"
+            ),
+        )
+    else:
+        out = out.drop("__side")
+    return out.withColumnRenamed("__ts", left_ts)

@@ -1295,6 +1295,40 @@ def q49(spark, sf_dir):
     )
 
 
+@register(
+    "q62_asof_join",
+    """
+    WITH c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, p.purchase_id AS purchase_id_asof
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="as-of (point-in-time) join — each click attached to the user's "
+        "latest at-or-before purchase.  Engine side is the union+window "
+        "formulation (O(L+R), one shuffle, no range explosion); oracle is "
+        "DuckDB's native ASOF JOIN",
+)
+def q62(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["purchase_id"],
+    )
+    return out.select("event_id", "user_id", "purchase_id_asof")
+
+
 def _load_extensions() -> None:
     from . import queries_ext  # noqa: F401  (registers into REGISTRY)
 
