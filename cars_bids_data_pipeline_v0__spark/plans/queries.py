@@ -1329,6 +1329,41 @@ def q62(spark, sf_dir):
     return out.select("event_id", "user_id", "purchase_id_asof")
 
 
+@register(
+    "q63_range_join",
+    """
+    SELECT b.band_id,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN (SELECT i AS band_id, i * 10.0 AS lo, i * 10.0 + 15.0 AS hi
+          FROM range(10) t(i)) b
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+    doc="range (point-in-interval) join against overlapping value bands — "
+        "engine side is bucket-indexed equi-join + exact filter (no "
+        "BroadcastNestedLoopJoin blowup); oracle is the plain theta join",
+)
+def q63(spark, sf_dir):
+    from ..operators.rangejoin import range_join
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 15.0).alias("hi"),
+    )
+    return (
+        range_join(e, bands, "value", "lo", "hi", bucket_width=5.0)
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def _load_extensions() -> None:
     from . import queries_ext  # noqa: F401  (registers into REGISTRY)
 
