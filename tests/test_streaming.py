@@ -181,3 +181,55 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     )
     expect = {r["c_mktsegment"]: (r["n"], r["total"]) for r in batch.collect()}
     assert got == expect
+
+
+def test_incremental_rollup_equals_batch(spark, tmp_path):
+    """Two arrival waves folded into the rollup must equal the one-shot
+    aggregate of the union — the mergeable-partials invariant."""
+    from cars_bids_data_pipeline_v0__spark.streaming.rollup import (
+        merge_rollup,
+        read_rollup,
+    )
+
+    e = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    wave1 = e.filter(F.col("event_id") % 2 == 0)
+    wave2 = e.filter(F.col("event_id") % 2 == 1)
+    rollup = str(tmp_path / "rollup")
+    merge_rollup(spark, wave1, rollup)
+    merge_rollup(spark, wave2, rollup)
+
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in read_rollup(spark, rollup).collect()
+    }
+    expect = {
+        (r["bucket_start"], r["event_type"]): (r["n"], round(r["s"], 6))
+        for r in e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("s")).collect()
+    }
+    assert got == expect
+
+
+def test_rollup_stream_availablenow(spark, tmp_path):
+    import shutil
+
+    from cars_bids_data_pipeline_v0__spark.streaming.rollup import (
+        read_rollup,
+        rollup_stream,
+    )
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", events_dir / "p0.parquet"
+    )
+    rollup = str(tmp_path / "rollup")
+    stream = stream_events(spark, str(events_dir))
+    rollup_stream(
+        spark, stream, rollup, str(tmp_path / "ckpt")
+    ).awaitTermination()
+    total = read_rollup(spark, rollup).agg(F.sum("n_events")).collect()[0][0]
+    assert total == read_table(spark, "/root/testdata/sf0.001", "events").count()
