@@ -1,0 +1,451 @@
+"""Second extension batch: subquery shapes, ranking/distribution windows,
+conditional aggregation, higher-order array math, ordered string aggregation,
+calendar bucketing, and Gopher-style document-repetition signals.
+
+These widen the SQL-oracled surface beyond SURVEY §2 with the relational
+shapes any analytics user of the reference would expect (correlated scalar
+subqueries, [NOT] EXISTS / [NOT] IN, FILTERed aggregates, NTILE/PERCENT_RANK)
+plus training-data quality signals (word-repetition ratios per document,
+Gopher-rule style).
+
+Scale notes (100 TB):
+* q31 decorrelates the scalar subquery into a per-key aggregate + equi-join —
+  the same rewrite Catalyst applies to correlated scalar subqueries — so it
+  runs as two shuffles on l_partkey, no per-row re-scan.
+* q32/q39 express EXISTS / IN as LEFT SEMI / LEFT ANTI hash joins (no
+  row-multiplying join then distinct).
+* q33 partitions its window by o_orderpriority — no single-partition global
+  sort.  q38's decile NTILE is intentionally global (that is what a decile
+  is); at cluster scale swap for approx_percentile bucketing (documented).
+* q35/q64 are pure higher-order expressions (TRANSFORM/AGGREGATE/FILTER) —
+  whole-stage-codegen'd JVM loops, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+# ---------------------------------------------------------------------------
+# subquery shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q31_small_qty_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+      AND l.l_quantity < (
+            SELECT 0.2 * (sum(l2.l_quantity) / count(*))
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc=(
+        "correlated scalar subquery (TPC-H Q17 shape), decorrelated into a "
+        "per-part aggregate + equi-join: two shuffles on l_partkey, no "
+        "re-scan per outer row"
+    ),
+)
+def q31(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # sum/count (not avg) so the threshold is bit-identical to the oracle:
+    # quantities are integral doubles, so the sum is exact in any order.
+    per_part = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count("*"))).alias("qty_thresh")
+    )
+    small_parts = part.filter(F.col("p_size") <= 5).select("p_partkey")
+    return (
+        li.join(
+            F.broadcast(small_parts), li.l_partkey == small_parts.p_partkey
+        )
+        .join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q32_idle_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS acctbal
+    FROM supplier s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey
+          AND l.l_shipdate >= TIMESTAMP '2001-11-01 00:00:00')
+    """,
+    doc="NOT EXISTS as a LEFT ANTI hash join (no row multiplication)",
+)
+def q32(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    recent = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate")
+            >= F.lit("2001-11-01 00:00:00").cast("timestamp")
+        )
+        .select("l_suppkey")
+    )
+    return s.join(
+        recent, s.s_suppkey == recent.l_suppkey, "left_anti"
+    ).select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+
+
+@register(
+    "q39_segment_orders",
+    """
+    SELECT o.o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_value
+    FROM orders o
+    WHERE o.o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o.o_custkey NOT IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o.o_orderstatus
+    """,
+    doc="IN / NOT IN subqueries as LEFT SEMI + LEFT ANTI joins",
+)
+def q39(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        o.join(
+            F.broadcast(building),
+            o.o_custkey == building.c_custkey,
+            "left_semi",
+        )
+        .join(
+            F.broadcast(negative),
+            o.o_custkey == negative.c_custkey,
+            "left_anti",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranking / distribution windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q33_price_rank_functions",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4)       OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc=(
+        "NTILE / PERCENT_RANK / CUME_DIST over a partitioned, total-ordered "
+        "window (tie-break on the unique key keeps every rank deterministic)"
+    ),
+)
+def q33(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "q38_acctbal_deciles",
+    """
+    WITH d AS (
+        SELECT c_acctbal,
+               ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer)
+    SELECT decile,
+           count(*) AS n_customers,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi,
+           round(avg(c_acctbal), 4) AS mean_bal
+    FROM d
+    GROUP BY decile
+    """,
+    doc=(
+        "global decile assignment + per-decile stats.  NTILE over a global "
+        "order is inherently single-partition; at cluster scale replace with "
+        "approx_percentile(c_acctbal, array(0.1..0.9)) cut-points and a "
+        "broadcast range join (same output, fully parallel)"
+    ),
+)
+def q38(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_acctbal", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+            F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# conditional aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q34_conditional_agg",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           round(coalesce(
+               sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'),
+               0.0), 2) AS open_value,
+           round(avg(CASE WHEN o_orderstatus = 'F'
+                          THEN o_totalprice END), 4) AS avg_finished_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "FILTERed / conditional aggregates — one scan, one shuffle, the "
+        "CASE routing happens map-side inside the partial aggregate"
+    ),
+)
+def q34(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(is_f, True)).alias("n_finished"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(is_o, F.col("o_totalprice"))), F.lit(0.0)
+            ),
+            2,
+        ).alias("open_value"),
+        F.round(F.avg(F.when(is_f, F.col("o_totalprice"))), 4).alias(
+            "avg_finished_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# higher-order array math (embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q35_vector_stats",
+    """
+    SELECT vec_id, label,
+           len(embedding) AS n_dims,
+           round(sqrt(list_aggregate(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')), 4) AS l2_norm,
+           round(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+               / len(embedding), 4) AS mean_val,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val
+    FROM embeddings
+    """,
+    doc=(
+        "higher-order array expressions (TRANSFORM + AGGREGATE): in-order "
+        "left fold in both engines, whole-stage codegen, no UDF, no explode "
+        "shuffle"
+    ),
+)
+def q35(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    val_sum = F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(val_sum / F.size("embedding"), 4).alias("mean_val"),
+        F.round(F.array_max(as_double), 4).alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q36_nation_rosters",
+    """
+    SELECT n.n_name AS nation,
+           count(*) AS n_customers,
+           string_agg(c.c_name, '|' ORDER BY c.c_name) AS roster
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc=(
+        "deterministic LISTAGG: collect_list is order-nondeterministic "
+        "under parallelism, so sort the array before joining — same string "
+        "on every run and every partitioning.  Bounded by group size (a "
+        "roster op), not table size"
+    ),
+)
+def q36(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.array_join(
+                F.array_sort(F.collect_list("c_name")), "|"
+            ).alias("roster"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# calendar bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q37_weekday_traffic",
+    """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           isodow(ts) AS dow,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "calendar bucketing: ISO week start + ISO day-of-week (Mon=1..Sun=7; "
+        "Spark's dayofweek is Sun=1, remapped with (d+5)%7+1)"
+    ),
+)
+def q37(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    isodow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    return (
+        e.groupBy(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start"),
+            isodow.alias("dow"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# document repetition signals (Gopher-rule style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q64_word_repetition",
+    """
+    SELECT doc_id,
+           len(words) AS n_words,
+           len(list_distinct(words)) AS n_unique_words,
+           round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                       / len(words), 4) AS dup_word_ratio,
+           round(CAST(list_aggregate(
+                    list_transform(words, w -> length(w)), 'sum') AS DOUBLE)
+                 / len(words), 4) AS mean_word_len,
+           round(CAST(list_aggregate(
+                    list_transform(list_distinct(words),
+                        w -> len(list_filter(words, x -> x = w))),
+                    'max') AS DOUBLE)
+                 / len(words), 4) AS top_word_ratio
+    FROM (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+        WHERE length(trim(text)) > 0)
+    """,
+    doc=(
+        "Gopher-style repetition signals per document: duplicate-word "
+        "fraction, mean word length, most-frequent-word share — all "
+        "higher-order array expressions, no explode shuffle, no UDF"
+    ),
+)
+def q64(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    d = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    n_words = F.size("words")
+    n_unique = F.size(F.array_distinct(F.col("words")))
+    word_lens = F.transform("words", F.length)
+    len_sum = F.aggregate(
+        word_lens, F.lit(0), lambda a, x: a + x
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("words")),
+            lambda w: F.size(
+                F.filter(F.col("words"), lambda x: x == w)
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_unique.cast("long").alias("n_unique_words"),
+        F.round(
+            F.lit(1.0) - n_unique.cast("double") / n_words, 4
+        ).alias("dup_word_ratio"),
+        F.round(len_sum.cast("double") / n_words, 4).alias(
+            "mean_word_len"
+        ),
+        F.round(top_count.cast("double") / n_words, 4).alias(
+            "top_word_ratio"
+        ),
+    )
