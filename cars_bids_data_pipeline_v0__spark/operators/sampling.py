@@ -51,6 +51,35 @@ def deterministic_sample(
     return df.filter(bucket < int(round(fraction * n)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep ≈``fractions[stratum]`` of
+    each stratum's rows, membership a pure function of the row id.
+
+    The reproducible analogue of ``df.sampleBy`` — rebalancing a training
+    mix (e.g. downsample 'en' to 30%, keep 'fr' at 100%) must select the
+    same rows on every run and every partitioning.  One scan, no shuffle:
+    the per-stratum threshold is a CASE expression on the stratum column
+    compared against the row-id hash bucket.
+    """
+    n = 256 if portable else 1 << 16
+    bucket = (
+        md5_bucket(id_col) if portable else hash_bucket(id_col, 1 << 16)
+    )
+    thresh = F.lit(int(round(default_fraction * n)))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * n)))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

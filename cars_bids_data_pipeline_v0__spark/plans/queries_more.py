@@ -388,6 +388,159 @@ def q37(spark, sf_dir):
 
 
 @register(
+    "q65_scd2_user_status",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id,
+           event_type,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc=(
+        "SCD2 (type-2 slowly changing dimension) history: collapse the "
+        "event log into [valid_from, valid_to) intervals per user — both "
+        "windows share one hash partitioning on user_id, so the whole "
+        "history build is a single shuffle"
+    ),
+)
+def q65(spark, sf_dir):
+    from ..operators.scd2 import scd2_snapshot
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_snapshot(
+        e, key="user_id", tracked="event_type", order_col="ts",
+        tie_col="event_id",
+    )
+
+
+@register(
+    "q66_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+          < CASE lang WHEN 'en' THEN 77
+                      WHEN 'fr' THEN 256
+                      WHEN 'de' THEN 128
+                      ELSE 26 END
+    """,
+    doc=(
+        "deterministic stratified sampling (training-mix rebalancing): "
+        "downsample 'en' to 30%, keep 'fr', halve 'de', 10% for the rest — "
+        "membership a pure md5 function of doc_id, one scan, no shuffle, "
+        "identical row set on every run/partitioning (vs sampleBy's RNG)"
+    ),
+)
+def q66(spark, sf_dir):
+    from ..operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "doc_id", "lang",
+        {"en": 0.3, "fr": 1.0, "de": 0.5},
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
+@register(
+    "q67_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    doc=(
+        "explicit GROUPING SETS (beyond rollup q07 / cube q17) with "
+        "GROUPING() disambiguation of placeholder NULLs — one Expand + "
+        "one hash agg, not three scans"
+    ),
+)
+def q67(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "q68_top_bigrams",
+    """
+    WITH w AS (
+        SELECT regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+        WHERE length(trim(text)) > 0),
+    b AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(words) - 1),
+                   i -> words[i] || ' ' || words[i + 1])) AS bigram
+        FROM w
+        WHERE len(words) >= 2)
+    SELECT bigram, count(*) AS n
+    FROM b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+    doc=(
+        "corpus n-gram frequency (contamination / repetition analysis): "
+        "bigrams built as a higher-order array expression (no self-join), "
+        "one explode, partial-agg count, TakeOrderedAndProject top-50 with "
+        "deterministic (count, bigram) tie-break"
+    ),
+)
+def q68(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.split(F.trim(F.col("text")), r"\s+").alias("words"))
+        .filter(F.size("words") >= 2)
+    )
+    # sequence() flips to a descending range when start > stop, so the
+    # size>=2 filter above is load-bearing, not just an optimization
+    bigrams = d.select(
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 1),
+            lambda i: F.concat_ws(
+                " ", F.get("words", i - 1), F.get("words", i)
+            ),
+        ).alias("bigrams")
+    )
+    return (
+        bigrams.select(F.explode("bigrams").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@register(
     "q64_word_repetition",
     """
     SELECT doc_id,

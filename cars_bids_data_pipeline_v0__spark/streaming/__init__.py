@@ -8,6 +8,7 @@ from .incremental import (
     silver_ingest_stream,
     stateful_latest_per_key,
     stream_events,
+    stream_stream_join,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "silver_ingest_stream",
     "stateful_latest_per_key",
     "stream_events",
+    "stream_stream_join",
 ]

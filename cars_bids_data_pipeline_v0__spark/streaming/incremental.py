@@ -133,6 +133,38 @@ def enrich_stream(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match right-side events to
+    left-side events on ``key`` arriving within ``(left_ts, left_ts +
+    max_lag]`` (attribution / funnel shape: click → purchase).
+
+    Both sides carry a watermark and the join has a two-sided event-time
+    bound, so Spark can evict buffered state: a left row is held only
+    until ``watermark + max_lag`` past its event time — state stays
+    proportional to the lag window, never to the stream length.  Without
+    BOTH the watermarks and the time-range predicate, a stream-stream
+    join is unbounded and will OOM at scale — this function makes the
+    bound impossible to forget.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lcol, rcol = lw[left_ts], rw[right_ts]
+    cond = (
+        (lw[key] == rw[key])
+        & (rcol > lcol)
+        & (rcol <= lcol + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def corpus_dedup_stream(
     spark: SparkSession,
     docs_dir: str,

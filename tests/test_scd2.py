@@ -1,0 +1,101 @@
+"""SCD2 history operator: snapshot semantics on a known log, incremental
+apply ≡ full rebuild, and stratified-sampling determinism."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.operators.sampling import (
+    stratified_sample,
+)
+from cars_bids_data_pipeline_v0__spark.operators.scd2 import (
+    scd2_apply,
+    scd2_snapshot,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, _ts(t), i) for i, (k, v, t) in enumerate(rows)],
+        "k long, v string, ts timestamp, tie long",
+    )
+
+
+def test_scd2_snapshot_collapses_runs_and_marks_current(spark):
+    log = _log(spark, [
+        (1, "a", "2024-01-01T00:00:00"),
+        (1, "a", "2024-01-02T00:00:00"),   # no change → collapsed
+        (1, "b", "2024-01-03T00:00:00"),
+        (1, "a", "2024-01-04T00:00:00"),   # back to a → NEW interval
+        (2, "x", "2024-01-01T00:00:00"),
+    ])
+    out = scd2_snapshot(log, "k", "v", "ts", "tie")
+    rows = {(r["k"], r["valid_from"]): r for r in out.collect()}
+    assert len(rows) == 4  # 3 intervals for k=1, 1 for k=2
+    r1 = rows[(1, _ts("2024-01-01T00:00:00"))]
+    assert (r1["v"], r1["valid_to"], r1["is_current"]) == (
+        "a", _ts("2024-01-03T00:00:00"), False)
+    r3 = rows[(1, _ts("2024-01-04T00:00:00"))]
+    assert (r3["v"], r3["valid_to"], r3["is_current"]) == ("a", None, True)
+    assert rows[(2, _ts("2024-01-01T00:00:00"))]["is_current"] is True
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    base_rows = [
+        (1, "a", "2024-01-01T00:00:00"),
+        (1, "b", "2024-01-03T00:00:00"),
+        (2, "x", "2024-01-01T00:00:00"),
+        (3, "q", "2024-01-02T00:00:00"),
+    ]
+    upd_rows = [
+        (1, "c", "2024-01-05T00:00:00"),   # new value for existing key
+        (2, "x", "2024-01-06T00:00:00"),   # no-op update (same value)
+        (4, "n", "2024-01-04T00:00:00"),   # brand-new key
+    ]
+    current = scd2_snapshot(_log(spark, base_rows), "k", "v", "ts", "tie")
+    updates = _log(spark, upd_rows)
+    incr = scd2_apply(current, updates, "k", "v", "ts", "tie")
+    full = scd2_snapshot(
+        _log(spark, base_rows + upd_rows), "k", "v", "ts", "tie"
+    )
+    a = sorted(map(str, incr.select("k", "v", "valid_from", "valid_to",
+                                    "is_current").collect()))
+    b = sorted(map(str, full.select("k", "v", "valid_from", "valid_to",
+                                    "is_current").collect()))
+    assert a == b
+    # untouched key 3 passes through, key 2's no-op adds no interval
+    per_key = {r["k"]: 0 for r in incr.collect()}
+    for r in incr.collect():
+        per_key[r["k"]] += 1
+    assert per_key == {1: 3, 2: 1, 3: 1, 4: 1}
+
+
+def test_stratified_sample_deterministic_and_per_stratum(spark):
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "fr")
+        .otherwise("zz")
+        .alias("lang"),
+    )
+    frac = {"en": 0.25, "fr": 1.0}
+    s1 = stratified_sample(df, "id", "lang", frac, default_fraction=0.0)
+    s2 = stratified_sample(
+        df.repartition(7), "id", "lang", frac, default_fraction=0.0
+    )
+    ids1 = sorted(r["id"] for r in s1.collect())
+    ids2 = sorted(r["id"] for r in s2.collect())
+    assert ids1 == ids2  # pure function of id — partitioning-independent
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("zz") is None          # default 0.0 → dropped
+    assert by_lang["fr"] == 667               # fraction 1.0 keeps all
+    assert 100 < by_lang["en"] < 233          # ~25% of 667, md5-uniform-ish

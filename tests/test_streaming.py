@@ -233,3 +233,70 @@ def test_rollup_stream_availablenow(spark, tmp_path):
     ).awaitTermination()
     total = read_rollup(spark, rollup).agg(F.sum("n_events")).collect()[0][0]
     assert total == read_table(spark, "/root/testdata/sf0.001", "events").count()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.streaming import stream_stream_join
+
+    sf = "/root/testdata/sf0.001"
+    srcdir = tmp_path / "events_src"
+    srcdir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", srcdir / "events.parquet")
+
+    def side(event_type, ts_name, id_name):
+        # separate readStream lineages avoid self-join column ambiguity
+        return (
+            stream_events(spark, str(srcdir))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                "user_id",
+                F.col("ts").alias(ts_name),
+                F.col("event_id").alias(id_name),
+            )
+        )
+
+    types = [
+        r["event_type"]
+        for r in read_table(spark, sf, "events")
+        .select("event_type").distinct().collect()
+    ]
+    t_left, t_right = sorted(types)[:2]
+    joined = stream_stream_join(
+        side(t_left, "l_ts", "l_id"),
+        side(t_right, "r_ts", "r_id"),
+        key="user_id",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        watermark="1 hour",
+        max_lag="30 minutes",
+    ).select("l_id", "r_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in spark.table("ss_join_test").collect()
+    )
+    # batch oracle: same predicate over the static table
+    e = read_table(spark, sf, "events")
+    l = e.filter(F.col("event_type") == t_left).select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id"))
+    r = e.filter(F.col("event_type") == t_right).select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"))
+    expect = sorted(
+        (row["l_id"], row["r_id"])
+        for row in l.join(
+            r,
+            (l.user_id == r.r_user)
+            & (r.r_ts > l.l_ts)
+            & (r.r_ts <= l.l_ts + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
