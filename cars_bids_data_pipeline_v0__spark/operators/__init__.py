@@ -6,6 +6,8 @@ from .dedup import keep_latest
 from .graph import connected_components, dedup_by_components
 from .keys import with_surrogate_key
 from .merge import insert_if_absent, upsert_overwrite
+from .scd2 import scd2_apply, scd2_snapshot
+from .sketch import approx_quantiles, hll_partials, hll_rollup
 from .skew import replicate_join, salted_two_phase_agg
 from .split import validity_split
 
@@ -16,6 +18,11 @@ __all__ = [
     "with_surrogate_key",
     "insert_if_absent",
     "upsert_overwrite",
+    "scd2_apply",
+    "scd2_snapshot",
+    "approx_quantiles",
+    "hll_partials",
+    "hll_rollup",
     "replicate_join",
     "salted_two_phase_agg",
     "validity_split",

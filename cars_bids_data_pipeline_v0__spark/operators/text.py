@@ -156,3 +156,52 @@ def rolling_fingerprint(c: Column | str, window: int = 8) -> Column:
         lambda i: F.substring(norm, i, window),
     )
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction)
+# ---------------------------------------------------------------------------
+
+# Deliberately conservative patterns: a corpus scrubber must prefer false
+# positives (over-redaction) to leaking identifiers into training data.
+PII_PATTERNS: dict[str, str] = {
+    # local-part@domain.tld (no lookarounds: portable across regex engines)
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # 13-16 digit card numbers with optional space/dash groups
+    "CARD": r"\b(?:\d[ -]?){13,16}\b",
+    # international-ish phone numbers: +1 555-123-4567 / (555) 123 4567
+    "PHONE": r"(?:\+?\d{1,3}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b",
+    # IPv4
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# CARD before PHONE: a 13+-digit run must become [CARD], not a partial
+# phone match; EMAIL first so usernames with digits survive as one token.
+PII_ORDER = ("EMAIL", "CARD", "PHONE", "IP")
+
+
+def redact_pii(c: Column | str, kinds: tuple[str, ...] = PII_ORDER) -> Column:
+    """Replace each PII match with its ``[KIND]`` placeholder.
+
+    Pure ``regexp_replace`` chain — JVM-side, whole-stage codegen, no UDF;
+    at corpus scale this is scan-bound, exactly as cheap as reading the
+    text column."""
+    col = F.col(c) if isinstance(c, str) else c
+    for kind in kinds:
+        col = F.regexp_replace(col, PII_PATTERNS[kind], f"[{kind}]")
+    return col
+
+
+def pii_counts(c: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (audit / before-after accounting)."""
+    col = F.col(c) if isinstance(c, str) else c
+    out: dict[str, Column] = {}
+    masked = col
+    for kind in PII_ORDER:
+        # count on the progressively-masked text so kinds don't double
+        # count each other's spans (mirrors redact_pii's order)
+        out[kind] = F.size(
+            F.regexp_extract_all(masked, F.lit(PII_PATTERNS[kind]), F.lit(0))
+        )
+        masked = F.regexp_replace(masked, PII_PATTERNS[kind], f"[{kind}]")
+    return out

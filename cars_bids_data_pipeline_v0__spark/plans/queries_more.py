@@ -602,3 +602,320 @@ def q64(spark, sf_dir):
             "top_word_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# reshaping, cohorts, funnels, tf-idf
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q69_unpivot_metrics",
+    """
+    SELECT metric,
+           round(sum(value), 2) AS total,
+           count(*) AS n
+    FROM (
+        SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem)
+    GROUP BY metric
+    """,
+    doc=(
+        "wide→long UNPIVOT (melt) + per-metric aggregate: Spark's unpivot "
+        "is one Expand over one scan — the oracle's UNION-ALL spelling "
+        "would be four scans; same result, 4× the IO"
+    ),
+)
+def q69(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("metric").agg(
+        F.round(F.sum("value"), 2).alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q70_retention_cohorts",
+    """
+    WITH firstseen AS (
+        SELECT user_id,
+               min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7
+                AS BIGINT) AS week_n,
+           count(*) AS n_active
+    FROM firstseen f
+    JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "retention cohort matrix: first-seen week per user, distinct "
+        "(user, week) activity, weeks-since-cohort offset.  Both "
+        "aggregations and the join hash-partition on user_id — one "
+        "logical shuffle chain, no window needed"
+    ),
+)
+def q70(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    firstseen = e.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", week.alias("active_week")
+    ).distinct()
+    return (
+        firstseen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_n"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "q71_funnel_stages",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+        SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT '2_click', count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*) FROM p)
+    """,
+    doc=(
+        "ordered funnel (view → click → purchase): each stage is a "
+        "min-aggregate + join on user_id, strictly-after semantics.  All "
+        "stages co-partition on user_id; at scale this is the "
+        "sessionization-free funnel shape (no per-user sort)"
+    ),
+)
+def q71(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+
+    def first_after(prev, etype, tcol, prev_t):
+        step = e.filter(F.col("event_type") == etype)
+        if prev is None:
+            return step.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        return (
+            step.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = first_after(None, "view", "t1", None)
+    c = first_after(v, "click", "t2", "t1")
+    p = first_after(c, "purchase", "t3", "t2")
+    spark_counts = None
+    for stage, frame in (("1_view", v), ("2_click", c), ("3_purchase", p)):
+        one = frame.agg(
+            F.lit(stage).alias("stage"), F.count("*").alias("n_users")
+        )
+        spark_counts = one if spark_counts is None else spark_counts.unionByName(one)
+    return spark_counts
+
+
+@register(
+    "q72_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+        FROM documents WHERE length(trim(text)) > 0),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, any_value(n_tokens) AS n_tokens
+        FROM (SELECT doc_id, unnest(words) AS term,
+                     len(words) AS n_tokens FROM toks)
+        GROUP BY doc_id, term),
+    idf AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM toks),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round((CAST(tf.tf AS DOUBLE) / tf.n_tokens)
+                     * ln((n.n_docs + 1.0) / (idf.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN idf USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf
+    FROM (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    doc=(
+        "per-document top-3 TF-IDF terms (corpus keyword extraction): "
+        "token explode → (doc,term) counts → document-frequency join → "
+        "smoothed-idf score, ranked inside a per-doc window.  Ranking on "
+        "the ROUNDED score (then term) keeps the top-3 deterministic "
+        "across engines — never rank on raw float expressions"
+    ),
+)
+def q72(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("words"),
+        )
+    )
+    toks = d.select(
+        "doc_id", F.size("words").alias("n_tokens"),
+        F.explode("words").alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.any_value("n_tokens").alias("n_tokens")
+    )
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()  # scalar: one job, broadcast as a literal
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            (F.col("tf").cast("double") / F.col("n_tokens"))
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "q73_hll_weekly_rollup",
+    None,  # DataSketches estimates are engine-specific → rows-only check
+    doc=(
+        "mergeable distinct-count store: per-(week, event_type) HLL "
+        "partials rolled up to event_type WITHOUT re-scanning raw events — "
+        "the 100 TB dashboard pattern (work ∝ buckets, not rows).  "
+        "Estimates are approximate; the merge itself is union-exact "
+        "(tests/test_sketch.py pins rollup == direct-from-raw)"
+    ),
+)
+def q73(spark, sf_dir):
+    from ..operators.sketch import hll_partials, hll_rollup
+
+    e = _t(spark, sf_dir, "events")
+    week = F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    partials = hll_partials(
+        e.select(week, "event_type", "user_id"),
+        ["week", "event_type"],
+        "user_id",
+    )
+    return hll_rollup(partials, ["event_type"]).select(
+        "event_type",
+        F.col("approx_distinct").cast("long").alias("approx_users"),
+        "n_rows",
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"(?:\+?\d{1,3}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"
+
+
+@register(
+    "q74_pii_redaction",
+    f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN
+                        text || ' contact user' || doc_id || '@example.com'
+                    WHEN doc_id % 7 = 0 THEN
+                        text || ' call 555-123-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents),
+    em AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+               regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g') AS t1
+        FROM dirty)
+    SELECT doc_id, n_email,
+           len(regexp_extract_all(t1, '{_PHONE_RE}')) AS n_phone,
+           regexp_replace(t1, '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM em
+    """,
+    doc=(
+        "PII scrubbing for training corpora: email/phone redaction with "
+        "per-kind audit counts — a pure regexp_replace chain (JVM-side, "
+        "codegen, scan-bound; no UDF).  The PII is manufactured "
+        "deterministically from doc_id (the corpus has none), per the "
+        "standard synthetic-dirt rule"
+    ),
+)
+def q74(spark, sf_dir):
+    from ..operators.text import PII_PATTERNS
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" call 555-123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    email, phone = PII_PATTERNS["EMAIL"], PII_PATTERNS["PHONE"]
+    em = dirty.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0))
+        ).alias("n_email"),
+        F.regexp_replace("text", email, "[EMAIL]").alias("t1"),
+    )
+    return em.select(
+        "doc_id",
+        "n_email",
+        F.size(
+            F.regexp_extract_all(F.col("t1"), F.lit(phone), F.lit(0))
+        ).alias("n_phone"),
+        F.regexp_replace("t1", phone, "[PHONE]").alias("redacted"),
+    )

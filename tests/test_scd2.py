@@ -99,3 +99,35 @@ def test_stratified_sample_deterministic_and_per_stratum(spark):
     assert by_lang.get("zz") is None          # default 0.0 → dropped
     assert by_lang["fr"] == 667               # fraction 1.0 keeps all
     assert 100 < by_lang["en"] < 233          # ~25% of 667, md5-uniform-ish
+
+
+def test_pii_redaction_kinds_and_order(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or +1 555-123-4567"),
+            (2, "card 4111 1111 1111 1111 from 192.168.0.1"),
+            (3, "clean text no pii"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            *[v.alias(k) for k, v in pii_counts("text").items()],
+        ).collect()
+    }
+    assert "[EMAIL]" in out[1]["red"] and "[PHONE]" in out[1]["red"]
+    assert "@" not in out[1]["red"]
+    # CARD-before-PHONE ordering: the 16-digit run is one [CARD], not a
+    # phone fragment; the IP is matched as [IP], not a phone
+    assert out[2]["CARD"] == 1 and out[2]["PHONE"] == 0
+    assert "[CARD]" in out[2]["red"] and "[IP]" in out[2]["red"]
+    assert out[3]["red"] == "clean text no pii"
+    assert all(out[3][k] == 0 for k in ("EMAIL", "CARD", "PHONE", "IP"))

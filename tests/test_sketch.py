@@ -1,0 +1,83 @@
+"""Mergeable HLL sketches: error bounds vs exact, and the algebraic
+mergeability law (rollup of partials == direct sketch of raw)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.operators.sketch import (
+    SKETCH_COL,
+    approx_quantiles,
+    hll_partials,
+    hll_rollup,
+)
+from cars_bids_data_pipeline_v0__spark.sources.ingest import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_estimate_within_error_bound(spark):
+    e = read_table(spark, SF, "events")
+    partials = hll_partials(e, ["event_type"], "user_id")
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup(partials, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2.0, 0.05 * n), (k, est[k], n)
+
+
+def test_rollup_estimate_equals_direct_estimate(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) — the property that
+    makes per-day partials valid forever: rolling up fine buckets gives
+    the IDENTICAL estimate to a from-raw rebuild, not merely a close one."""
+    e = read_table(spark, SF, "events")
+    fine = hll_partials(
+        e, ["event_type"], "user_id"
+    )  # fine grain: per type
+    rolled = hll_rollup(fine, []).collect()[0]["approx_distinct"]
+    direct = (
+        e.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+            ).alias("d")
+        ).collect()[0]["d"]
+    )
+    assert rolled == direct
+
+
+def test_partials_are_small_and_appendable(spark):
+    e = read_table(spark, SF, "events")
+    partials = hll_partials(e, ["event_type"], "user_id")
+    row = partials.limit(1).collect()[0]
+    assert isinstance(row[SKETCH_COL], (bytes, bytearray))
+    assert len(row[SKETCH_COL]) < (1 << 13) + 1024  # ~2^lgk bytes + header
+    # appending a new batch = unionByName of partial frames, then rollup
+    two_batches = partials.unionByName(partials)
+    merged = hll_rollup(two_batches, ["event_type"])
+    one = hll_rollup(partials, ["event_type"])
+    a = {r["event_type"]: r["approx_distinct"] for r in merged.collect()}
+    b = {r["event_type"]: r["approx_distinct"] for r in one.collect()}
+    assert a == b  # self-union is a no-op on the sketch lattice
+
+
+def test_approx_quantiles_bracket_exact(spark):
+    c = read_table(spark, SF, "customer")
+    got = approx_quantiles(c, "c_acctbal", [0.25, 0.5, 0.75]).collect()[0][
+        "quantiles"
+    ]
+    exact = c.selectExpr(
+        "percentile(c_acctbal, array(0.25, 0.5, 0.75)) AS q"
+    ).collect()[0]["q"]
+    n = c.count()
+    # rank error ≤ n/accuracy → with accuracy 10k and n≪10k it's exact-ish;
+    # allow a loose value tolerance anyway
+    for g, x in zip(got, exact):
+        assert abs(g - x) <= max(50.0, 0.05 * abs(x) + 1e-9), (g, x, n)
