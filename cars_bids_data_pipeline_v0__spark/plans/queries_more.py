@@ -1,12 +1,12 @@
-"""Second extension batch: subquery shapes, ranking/distribution windows,
-conditional aggregation, higher-order array math, ordered string aggregation,
-calendar bucketing, and Gopher-style document-repetition signals.
+"""Second extension batch: relational breadth + training-data analytics.
 
-These widen the SQL-oracled surface beyond SURVEY §2 with the relational
-shapes any analytics user of the reference would expect (correlated scalar
-subqueries, [NOT] EXISTS / [NOT] IN, FILTERed aggregates, NTILE/PERCENT_RANK)
-plus training-data quality signals (word-repetition ratios per document,
-Gopher-rule style).
+Relational: subquery shapes (correlated scalar, [NOT] EXISTS / [NOT] IN),
+ranking/distribution windows (NTILE / PERCENT_RANK / CUME_DIST / deciles),
+conditional (FILTERed) aggregation, GROUPING SETS, UNPIVOT, deterministic
+LISTAGG, calendar bucketing, retention cohorts, ordered funnels, SCD2
+history.  Training-data: Gopher-style repetition signals, corpus bigram
+frequencies, per-document TF-IDF, deterministic stratified sampling, PII
+redaction, mergeable HLL distinct-count rollups.
 
 Scale notes (100 TB):
 * q31 decorrelates the scalar subquery into a per-key aggregate + equi-join —

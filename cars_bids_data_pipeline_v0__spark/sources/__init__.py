@@ -7,6 +7,7 @@ from .ingest import (
     read_table,
     read_text_lines,
 )
+from .compaction import compact_partitions, compacted_copy, partition_stats
 from .sinks import merge_write_partitioned, write_json_debug, write_text_queue
 
 __all__ = [
@@ -15,6 +16,9 @@ __all__ = [
     "read_silver_ndjson",
     "read_table",
     "read_text_lines",
+    "compact_partitions",
+    "compacted_copy",
+    "partition_stats",
     "merge_write_partitioned",
     "write_json_debug",
     "write_text_queue",
