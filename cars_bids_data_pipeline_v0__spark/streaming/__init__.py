@@ -5,6 +5,7 @@ from .incremental import (
     enrich_stream,
     hourly_event_windows_stream,
     corpus_dedup_stream,
+    scd2_dim_stream,
     silver_ingest_stream,
     stateful_latest_per_key,
     stream_events,
@@ -15,6 +16,7 @@ __all__ = [
     "enrich_stream",
     "hourly_event_windows_stream",
     "corpus_dedup_stream",
+    "scd2_dim_stream",
     "silver_ingest_stream",
     "stateful_latest_per_key",
     "stream_events",

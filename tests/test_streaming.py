@@ -300,3 +300,24 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_scd2_dim_stream_matches_batch_snapshot(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.operators.scd2 import scd2_snapshot
+    from cars_bids_data_pipeline_v0__spark.streaming import scd2_dim_stream
+
+    sf = "/root/testdata/sf0.001"
+    srcdir = tmp_path / "events_src"
+    srcdir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", srcdir / "events.parquet")
+    dim = str(tmp_path / "scd2_dim")
+    q = scd2_dim_stream(spark, str(srcdir), dim, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = sorted(map(str, spark.read.parquet(dim).collect()))
+    batch = scd2_snapshot(
+        read_table(spark, sf, "events"),
+        key="user_id", tracked="event_type", order_col="ts",
+        tie_col="event_id",
+    )
+    expect = sorted(map(str, batch.collect()))
+    assert got == expect and len(got) > 0
