@@ -10,6 +10,7 @@ from .scd2 import scd2_apply, scd2_snapshot
 from .sketch import approx_quantiles, hll_partials, hll_rollup
 from .skew import replicate_join, salted_two_phase_agg
 from .split import validity_split
+from .zorder import morton_interleave, zorder_key, zorder_write
 
 __all__ = [
     "keep_latest",
@@ -26,4 +27,7 @@ __all__ = [
     "replicate_join",
     "salted_two_phase_agg",
     "validity_split",
+    "morton_interleave",
+    "zorder_key",
+    "zorder_write",
 ]
