@@ -919,3 +919,213 @@ def q74(spark, sf_dir):
         ).alias("n_phone"),
         F.regexp_replace("t1", phone, "[PHONE]").alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window frames, positions, moments, sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q75_rolling_hour_sum",
+    """
+    SELECT event_id,
+           event_type,
+           round(sum(value) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+               AS hour_sum
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+    doc=(
+        "time-RANGE window frame (value-based, not row-based): rolling "
+        "1-hour sum per event type — frame membership is defined by the "
+        "timestamp value, so ties enter together and the result is "
+        "deterministic without a tie-break"
+    ),
+)
+def q75(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+    )
+
+
+@register(
+    "q76_leading_terms",
+    """
+    SELECT doc_id, pos, term FROM (
+        SELECT doc_id, 0 AS pos, words[1] AS term FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents WHERE length(trim(text)) > 0) WHERE len(words) >= 1
+        UNION ALL
+        SELECT doc_id, 1, words[2] FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents WHERE length(trim(text)) > 0) WHERE len(words) >= 2
+        UNION ALL
+        SELECT doc_id, 2, words[3] FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents WHERE length(trim(text)) > 0) WHERE len(words) >= 3)
+    """,
+    doc=(
+        "positional explode (POSEXPLODE): term + ordinal position in one "
+        "generator pass — the oracle's UNION-ALL spelling re-scans per "
+        "position; Spark emits (pos, term) pairs in a single Generate"
+    ),
+)
+def q76(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+        )
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode("words").alias("pos", "term")
+    )
+    return exploded.filter(F.col("pos") < 3).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "term"
+    )
+
+
+@register(
+    "q77_first_last_events",
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           round(first_value(value) OVER w, 2) AS first_value,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+    doc=(
+        "FIRST_VALUE / LAST_VALUE / NTH_VALUE over an explicit full-frame "
+        "window (the default frame stops at CURRENT ROW — last_value "
+        "without the explicit frame is the classic silent bug)"
+    ),
+)
+def q77(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.round(F.first("value").over(w), 2).alias("first_value"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    ).distinct()
+
+
+@register(
+    "q78_value_moments",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS variance,
+           round(covar_samp(value,
+                 CAST(floor(epoch(ts)) AS DOUBLE) - 1704067200), 2)
+               AS cov_with_time,
+           round(corr(value,
+                 CAST(floor(epoch(ts)) AS DOUBLE) - 1704067200), 4)
+               AS corr_with_time
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc=(
+        "second-moment statistics (stddev/variance/covariance/"
+        "correlation) as single-pass partial aggregates — Spark merges "
+        "per-partition moment sketches, no two-pass mean-then-deviation"
+    ),
+)
+def q78(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # center the epoch on a fixed baseline: covariance is shift-invariant,
+    # and ~1e9-magnitude seconds would hit catastrophic cancellation that
+    # makes the last digits engine-dependent
+    t = F.unix_timestamp("ts").cast("double") - 1704067200
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("variance"),
+        F.round(F.covar_samp(F.col("value"), t), 2).alias("cov_with_time"),
+        F.round(F.corr(F.col("value"), t), 4).alias("corr_with_time"),
+    )
+
+
+@register(
+    "q79_sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_n
+        FROM flagged)
+    SELECT user_id, session_n,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+               AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_n
+    """,
+    doc=(
+        "sessionization with per-event session ids (gap > 30 min starts a "
+        "new session): lag-flag + running sum, both windows and the final "
+        "aggregate share ONE hash partitioning on user_id — complements "
+        "q42's session_window aggregate, which cannot label rows"
+    ),
+)
+def q79(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > 1800), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_n"),
+    )
+    return numbered.groupBy("user_id", "session_n").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("duration_s"),
+    )
