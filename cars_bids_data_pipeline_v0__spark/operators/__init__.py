@@ -5,7 +5,7 @@ similarity search, text analysis)."""
 from .dedup import keep_latest
 from .graph import connected_components, dedup_by_components
 from .keys import with_surrogate_key
-from .merge import insert_if_absent, upsert_overwrite
+from .merge import insert_if_absent, merge_into, upsert_overwrite
 from .scd2 import scd2_apply, scd2_snapshot
 from .sketch import approx_quantiles, hll_partials, hll_rollup
 from .skew import replicate_join, salted_two_phase_agg
@@ -18,6 +18,7 @@ __all__ = [
     "dedup_by_components",
     "with_surrogate_key",
     "insert_if_absent",
+    "merge_into",
     "upsert_overwrite",
     "scd2_apply",
     "scd2_snapshot",

@@ -60,3 +60,71 @@ def upsert_overwrite(
     from .dedup import keep_latest
 
     return keep_latest(unioned, key, order_by=F.col("__is_new")).drop("__is_new")
+
+
+def merge_into(
+    target: DataFrame | None,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, "F.Column | str"] | None = None,
+    when_matched_delete: "F.Column | None" = None,
+    when_not_matched_insert: bool = True,
+) -> DataFrame:
+    """General ``MERGE INTO`` emulation over plain DataFrames.
+
+    Semantics (mirrors Delta/Iceberg/ANSI MERGE, single-writer):
+
+    * matched + ``when_matched_delete`` condition true → row dropped;
+    * matched otherwise → ``when_matched_update`` assignments applied
+      (``{col: Column-or-source-column-name}``); ``None`` means replace
+      the whole row with the source payload;
+    * unmatched source rows → inserted when ``when_not_matched_insert``;
+    * unmatched target rows → kept as-is.
+
+    Executes as ONE full-outer join on the merge key — every clause is a
+    projection over the join result, so the whole merge is one shuffle
+    (plus whatever the sink needs).  Returns the merged table; write it
+    with dynamic partition overwrite (or a real MERGE on a transactional
+    format — the signature is deliberately compatible).
+
+    ``source`` is pre-deduped on the key: ANSI MERGE raises on duplicate
+    source matches; keeping an arbitrary one of N identical keys would be
+    nondeterministic, so we keep the first by sorted payload.
+    """
+    src = source.dropDuplicates(on)
+    if target is None:
+        return src if when_not_matched_insert else source.limit(0)
+
+    # presence markers (null payloads are legal, so isNotNull on payload
+    # columns can't detect the side): tag each side before the join
+    t = target.withColumn("__in_t", F.lit(1)).alias("__t")
+    s = src.withColumn("__in_s", F.lit(1)).alias("__s")
+    joined = t.join(s, on=on, how="full_outer")
+    in_t = F.col("__in_t").isNotNull()
+    in_s = F.col("__in_s").isNotNull()
+
+    payload_cols = [c for c in target.columns if c not in on]
+    out_cols: list[F.Column] = [F.col(c) for c in on]
+    for c in payload_cols:
+        tc = F.col(f"__t.{c}")
+        sc = F.col(f"__s.{c}") if c in src.columns else F.lit(None)
+        if when_matched_update is None:
+            updated = sc
+        elif c in when_matched_update:
+            v = when_matched_update[c]
+            updated = F.col(f"__s.{v}") if isinstance(v, str) else v
+        else:
+            updated = tc
+        out_cols.append(
+            F.when(in_t & in_s, updated)
+            .when(in_t, tc)
+            .otherwise(sc)
+            .alias(c)
+        )
+
+    keep = F.lit(True)
+    if when_matched_delete is not None:
+        keep = ~(in_t & in_s & when_matched_delete)
+    if not when_not_matched_insert:
+        keep = keep & ~(in_s & ~in_t)
+    return joined.filter(keep).select(*out_cols)

@@ -131,3 +131,47 @@ def test_pii_redaction_kinds_and_order(spark):
     assert "[CARD]" in out[2]["red"] and "[IP]" in out[2]["red"]
     assert out[3]["red"] == "clean text no pii"
     assert all(out[3][k] == 0 for k in ("EMAIL", "CARD", "PHONE", "IP"))
+
+
+def test_merge_into_full_semantics(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, amount double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200.0),     # matched → update
+         (3, "c", 30.0),      # matched → delete (flagged below)
+         (4, "d", 40.0),      # unmatched → insert
+         (4, "d-dup", 41.0)], # duplicate source key → deduped
+        "k long, name string, amount double",
+    )
+    out = merge_into(
+        target, source, on=["k"],
+        when_matched_update={"name": "name"},        # take source name only
+        when_matched_delete=F.col("__s.name") == "c",
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 4}            # 3 deleted
+    assert rows[1]["name"] == "a" and rows[1]["amount"] == 10.0   # untouched
+    assert rows[2]["name"] == "B" and rows[2]["amount"] == 20.0   # update keeps unlisted cols
+    assert rows[4]["amount"] in (40.0, 41.0)  # inserted (one of the dups)
+
+
+def test_merge_into_replace_row_and_no_insert(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0)], "k long, name string, amount double")
+    source = spark.createDataFrame(
+        [(1, "A", 100.0), (9, "z", 9.0)],
+        "k long, name string, amount double")
+    out = merge_into(
+        target, source, on=["k"],
+        when_matched_update=None,            # replace whole row
+        when_not_matched_insert=False,       # update-only merge
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["name"] == "A" and rows[1]["amount"] == 100.0
