@@ -167,3 +167,51 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30,
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Symmetric int8 quantization of an ``array<float>`` column.
+
+    The storage/transfer workhorse of large embedding corpora: 4×
+    smaller vectors, dot products within ~0.5% for unit-norm inputs.
+    Per-vector scale = max(|x|)/127, codes = round(x/scale) ∈ [-127,127]
+    as ``array<tinyint>`` (1 logical byte/dim) + a float scale — all pure
+    Spark expressions (higher-order TRANSFORM), no Python in the row
+    path.
+    """
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    ) / F.lit(127.0)
+    codes = F.transform(
+        v,
+        lambda x: F.round(x.cast("double") / scale)
+        .cast("int")
+        .cast("byte"),
+    )
+    return df.withColumn(scale_col, scale.cast("float")).withColumn(
+        out_col, codes
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q8",
+    scale_col: str = "q8_scale",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings`` (codes × scale), for on-the-fly
+    rescoring after a quantized first pass."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col),
+            lambda c: (c.cast("double") * F.col(scale_col)).cast("float"),
+        ),
+    )

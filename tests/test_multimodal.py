@@ -77,3 +77,58 @@ def test_media_features_feed_ann(media):
     )
     for r in top.filter(F.col("rank") == 1).collect():
         assert r["doc_id"] == r["q_id"]
+
+
+def test_int8_quantization_roundtrip_error_bound(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.multimodal import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = quantize_embeddings(e)
+    dq = dequantize_embeddings(q)
+    err = dq.select(
+        F.array_max(
+            F.zip_with(
+                "embedding", "embedding_dq",
+                lambda a, b: F.abs(a.cast("double") - b.cast("double")),
+            )
+        ).alias("max_abs_err"),
+        (F.array_max(F.transform("embedding",
+                                 lambda x: F.abs(x.cast("double"))))
+         ).alias("max_abs"),
+    )
+    rows = err.collect()
+    # per-vector error ≤ scale/2 = max|x|/254
+    for r in rows:
+        assert r["max_abs_err"] <= r["max_abs"] / 254 + 1e-9
+    # codes stay in int8 range
+    lim = q.select(
+        F.array_max(F.transform("q8", lambda c: F.abs(c.cast("int"))))
+        .alias("m")
+    ).agg(F.max("m").alias("m")).collect()[0]["m"]
+    assert lim <= 127
+
+
+def test_quantized_topk_preserves_rank1(spark):
+    from cars_bids_data_pipeline_v0__spark.operators import similarity as SIM
+    from cars_bids_data_pipeline_v0__spark.operators.multimodal import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dq = dequantize_embeddings(quantize_embeddings(e)).select(
+        "vec_id", F.col("embedding_dq").alias("embedding")
+    )
+    qset = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = SIM.cosine_topk(qset, e, k=1)
+    quant = SIM.cosine_topk(qset, dq, k=1)
+    a = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    b = {(r["q_id"], r["vec_id"]) for r in quant.collect()}
+    assert a == b  # self-match survives 8-bit quantization
