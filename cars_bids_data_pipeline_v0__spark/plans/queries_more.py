@@ -1129,3 +1129,66 @@ def q79(spark, sf_dir):
             F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
         ).cast("long").alias("duration_s"),
     )
+
+
+@register(
+    "q80_merge_into",
+    """
+    WITH src AS (
+        SELECT c_custkey, c_name, round(c_acctbal + 1000, 2) AS new_bal
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2)
+        FROM customer WHERE c_custkey <= 5)
+    SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+           CASE WHEN t.c_custkey IS NOT NULL THEN t.c_name
+                ELSE s.c_name END AS c_name,
+           CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                     THEN s.new_bal
+                WHEN t.c_custkey IS NOT NULL THEN round(t.c_acctbal, 2)
+                ELSE s.new_bal END AS acctbal
+    FROM customer t
+    FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+               AND t.c_acctbal < 0)
+    """,
+    doc=(
+        "MERGE INTO under the hash gate: matched-update (acctbal refresh), "
+        "matched-delete (negative balances), not-matched-insert (new "
+        "keys) — the operator runs ONE full-outer join; the oracle spells "
+        "the same semantics as FULL OUTER JOIN + CASE"
+    ),
+)
+def q80(spark, sf_dir):
+    from ..operators.merge import merge_into
+
+    c = _t(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            "c_custkey", "c_name",
+            F.round(F.col("c_acctbal") + 1000, 2).alias("new_bal"),
+        )
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") <= 5)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "c_name",
+            F.round("c_acctbal", 2).alias("new_bal"),
+        )
+    )
+    src = updates.unionByName(inserts)
+    target = c.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("new_bal")
+    )
+    merged = merge_into(
+        target,
+        src,
+        on=["c_custkey"],
+        when_matched_update={"new_bal": F.col("__s.new_bal")},
+        when_matched_delete=F.col("__t.new_bal") < 0,
+    )
+    return merged.select(
+        "c_custkey", "c_name", F.col("new_bal").alias("acctbal")
+    )

@@ -5,6 +5,7 @@ from .incremental import (
     enrich_stream,
     hourly_event_windows_stream,
     corpus_dedup_stream,
+    dedup_stream_within_watermark,
     scd2_dim_stream,
     silver_ingest_stream,
     stateful_latest_per_key,
@@ -16,6 +17,7 @@ __all__ = [
     "enrich_stream",
     "hourly_event_windows_stream",
     "corpus_dedup_stream",
+    "dedup_stream_within_watermark",
     "scd2_dim_stream",
     "silver_ingest_stream",
     "stateful_latest_per_key",

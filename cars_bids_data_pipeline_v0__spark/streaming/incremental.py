@@ -347,3 +347,23 @@ def scd2_dim_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop duplicate keys arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The plain streaming ``dropDuplicates`` keeps EVERY key ever seen —
+    unbounded state.  The within-watermark variant evicts a key's state
+    once the watermark passes it, so state is bounded by the horizon's
+    key arrival rate: the right tool when duplicates come from retries /
+    redelivery (seconds apart), not from genuine re-appearance (for that,
+    use the fingerprint-store pattern of ``corpus_dedup_stream``)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -321,3 +321,34 @@ def test_scd2_dim_stream_matches_batch_snapshot(spark, tmp_path):
     )
     expect = sorted(map(str, batch.collect()))
     assert got == expect and len(got) > 0
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.streaming import (
+        dedup_stream_within_watermark,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    srcdir = tmp_path / "events_src"
+    srcdir.mkdir()
+    # duplicate delivery: the same file twice = every event redelivered
+    shutil.copy(f"{sf}/events.parquet", srcdir / "a.parquet")
+    shutil.copy(f"{sf}/events.parquet", srcdir / "b.parquet")
+    events = stream_events(spark, str(srcdir))
+    deduped = dedup_stream_within_watermark(events, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_wm_test").count()
+    distinct_ids = (
+        spark.table("dedup_wm_test").select("event_id").distinct().count()
+    )
+    expect = read_table(spark, sf, "events").count()
+    assert got == distinct_ids == expect  # every redelivery dropped
