@@ -1192,3 +1192,68 @@ def q80(spark, sf_dir):
     return merged.select(
         "c_custkey", "c_name", F.col("new_bal").alias("acctbal")
     )
+
+
+@register(
+    "q81_benchmark_decontamination",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+        FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(words) - 2),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                   AS shingle
+        FROM toks WHERE len(words) >= 3),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
+    FROM sh s JOIN bench b USING (shingle)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+    doc=(
+        "test-set decontamination (cross-set, unlike the within-corpus "
+        "dedup family): flag training docs sharing any 3-gram with the "
+        "benchmark split.  The benchmark shingle set is the small side — "
+        "broadcast hash join, so the corpus scan never shuffles until the "
+        "tiny flagged aggregate; at 100 TB this is one pass over the "
+        "corpus + a KB-to-MB broadcast"
+    ),
+)
+def q81(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("words"),
+        )
+        .filter(F.size("words") >= 3)
+    )
+    # persisted: feeds both the benchmark-set branch and the corpus branch
+    # (Catalyst will not reuse non-identical exchanges across the two)
+    shingled = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.get("words", i - 1), F.get("words", i),
+                F.get("words", i + 1),
+            ),
+        ).alias("shingles"),
+    ).select("doc_id", F.explode("shingles").alias("shingle")).persist()
+    bench = (
+        shingled.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        shingled.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
