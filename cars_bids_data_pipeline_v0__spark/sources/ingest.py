@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import SILVER
 
@@ -209,3 +210,42 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: "T.StructType | str | None" = None,
+    **options,
+) -> DataFrame:
+    """CSV ingest with engine semantics: explicit schema (inference is a
+    second full scan — never on by default), PERMISSIVE parse with a
+    ``_corrupt_record`` audit column (matching the JSON path's
+    try_parse_json policy: bad rows are routed, not fatal), header on.
+
+    Caveat (Spark rule): cache the result before filtering ONLY on
+    ``_corrupt_record`` — raw-scan queries touching just that column are
+    disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    """
+    opts = {"header": "true", "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_corrupt_record"}
+    opts.update(options)
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        # corrupt-record column must exist in the schema to be populated
+        if "_corrupt_record" not in [f.name for f in schema.fields]:
+            schema = schema.add("_corrupt_record", T.StringType())
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_read_orc(df: DataFrame, path: str) -> DataFrame:
+    """ORC round-trip (columnar alternative when the downstream stack is
+    Hive/ORC-native): same writer API, same predicate-pushdown and
+    column-pruning behavior as parquet in this engine."""
+    df.write.mode("overwrite").orc(path)
+    return df.sparkSession.read.orc(path)

@@ -90,3 +90,35 @@ def test_compacted_copy_bounds_files_per_partition(spark, tmp_path):
     ).partitionBy("dt").parquet(table)
     for part in ("dt=0", "dt=1", "dt=2"):
         assert 1 <= len(_files(table, part)) <= 2
+
+
+def test_csv_permissive_roundtrip_and_corrupt_audit(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import (
+        read_csv_table,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,amount\n1,a,10.5\n2,b,20.0\nbad-row-no-commas\n")
+    # cache: Spark disallows querying only the corrupt-record column of a
+    # raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    df = read_csv_table(
+        spark, str(p), schema="id long, name string, amount double"
+    ).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert "bad-row-no-commas" in bad.collect()[0]["_corrupt_record"]
+
+
+def test_orc_roundtrip_preserves_rows(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import (
+        read_table,
+        write_read_orc,
+    )
+
+    nation = read_table(spark, "/root/testdata/sf0.001", "nation")
+    back = write_read_orc(nation, str(tmp_path / "nation_orc"))
+    assert sorted(map(str, back.collect())) == sorted(
+        map(str, nation.collect())
+    )
