@@ -1257,3 +1257,34 @@ def q81(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_shared"))
     )
+
+
+@register(
+    "q82_group_median",
+    """
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 4) AS med_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           round(quantile_disc(o_totalprice, 0.5), 2) AS med_disc
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "exact per-group median / continuous p90 / discrete median — "
+        "single aggregate pass (Spark's exact percentile aggregates "
+        "partial-merge; the approx_quantiles sketch in operators/sketch.py "
+        "is the documented 100 TB alternative)"
+    ),
+)
+def q82(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias(
+            "p90_price"
+        ),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"),
+            2,
+        ).alias("med_disc"),
+    )
