@@ -1288,3 +1288,57 @@ def q82(spark, sf_dir):
             2,
         ).alias("med_disc"),
     )
+
+
+_STOPLIST_SQL = "['the','a','of','and','is','to','in','value','row','key']"
+
+
+@register(
+    "q83_vocab_set_ops",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+')) AS vocab
+        FROM documents WHERE length(trim(text)) > 0)
+    SELECT doc_id,
+           list_sort(list_filter(vocab,
+               t -> list_contains({_STOPLIST_SQL}, t))) AS stop_hits,
+           len(list_filter(vocab,
+               t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
+           len(list_filter(vocab,
+               t -> NOT list_contains({_STOPLIST_SQL}, t))) AS n_content
+    FROM w
+    """,
+    doc=(
+        "array set algebra (ARRAY_INTERSECT / ARRAY_EXCEPT against a "
+        "literal vocabulary): per-document stopword overlap as pure "
+        "higher-order expressions; arrays are sorted before comparison — "
+        "set-valued columns must never rely on engine-internal element "
+        "order"
+    ),
+)
+def q83(spark, sf_dir):
+    stop = F.array(
+        *[F.lit(t) for t in
+          ["the", "a", "of", "and", "is", "to", "in", "value", "row", "key"]]
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("vocab"),
+        )
+    )
+    hits = F.array_intersect(F.col("vocab"), stop)
+    return d.select(
+        "doc_id",
+        F.array_sort(hits).alias("stop_hits"),
+        F.size(hits).cast("long").alias("n_stop"),
+        F.size(F.array_except(F.col("vocab"), stop)).cast("long").alias(
+            "n_content"
+        ),
+    )
