@@ -62,6 +62,40 @@ def upsert_overwrite(
     return keep_latest(unioned, key, order_by=F.col("__is_new")).drop("__is_new")
 
 
+def _dedup_source(source: DataFrame, on: list[str]) -> DataFrame:
+    """Deterministic key-dedup: first row by the payload's total order.
+
+    ``dropDuplicates`` keeps whichever duplicate a partition happens to
+    deliver first — run-to-run nondeterministic.  Ordering the window by
+    every non-key column (sorted by name, NULLs first) makes the survivor
+    a pure function of the data.  Complex-typed columns (array/map/struct)
+    are not orderable in Spark; they are skipped from the sort — if two
+    duplicates differ ONLY in complex columns the choice is still
+    arbitrary, which callers needing stronger guarantees should resolve
+    with an explicit order column upstream.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    orderable = [
+        f.name for f in source.schema.fields
+        if f.name not in on
+        and not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        )
+    ]
+    if not orderable:
+        return source.dropDuplicates(on)
+    w = Window.partitionBy(*on).orderBy(
+        *[F.col(c).asc_nulls_first() for c in sorted(orderable)]
+    )
+    return (
+        source.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def merge_into(
     target: DataFrame | None,
     source: DataFrame,
@@ -89,9 +123,12 @@ def merge_into(
 
     ``source`` is pre-deduped on the key: ANSI MERGE raises on duplicate
     source matches; keeping an arbitrary one of N identical keys would be
-    nondeterministic, so we keep the first by sorted payload.
+    nondeterministic, so we keep the first by sorted payload — a
+    ``row_number`` window ordered by every non-key column (name order,
+    NULLs first), which is a total order on the payload and therefore
+    stable across runs and partitionings.
     """
-    src = source.dropDuplicates(on)
+    src = _dedup_source(source, on)
     if target is None:
         return src if when_not_matched_insert else source.limit(0)
 

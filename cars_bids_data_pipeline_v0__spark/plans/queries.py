@@ -1223,21 +1223,21 @@ def q47(spark, sf_dir):
     "q48_profile_orders",
     """
     SELECT 'o_orderkey' AS "column",
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            count(DISTINCT o_orderkey) AS n_distinct,
            CAST(min(o_orderkey) AS VARCHAR) AS min_value,
            CAST(max(o_orderkey) AS VARCHAR) AS max_value
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus',
-           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderstatus),
            CAST(min(o_orderstatus) AS VARCHAR),
            CAST(max(o_orderstatus) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice',
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_totalprice),
            CAST(min(o_totalprice) AS VARCHAR),
            CAST(max(o_totalprice) AS VARCHAR)

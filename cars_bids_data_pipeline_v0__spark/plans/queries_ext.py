@@ -322,7 +322,8 @@ def q45(spark, sf_dir):
            round(sum(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                            CAST(e.embedding AS DOUBLE[])))), 3)
                AS total_norm,
-           sum(len(regexp_split_to_array(trim(d.text), '\\s+'))) AS total_tokens
+           CAST(sum(len(regexp_split_to_array(trim(d.text), '\\s+'))) AS BIGINT)
+               AS total_tokens
     FROM documents d
     JOIN embeddings e ON d.doc_id = e.vec_id
     GROUP BY d.lang

@@ -1087,9 +1087,9 @@ def q78(spark, sf_dir):
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     numbered AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (
+               CAST(sum(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_n
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
         FROM flagged)
     SELECT user_id, session_n,
            count(*) AS n_events,

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -187,6 +188,16 @@ def corpus_dedup_stream(
     micro-batch's fingerprints (AQE broadcasts the batch side when small),
     and a Delta/iceberg store would add compaction; parquet-append is the
     container-friendly stand-in.
+
+    Exactly-once across failures: both outputs land under a
+    ``batch_id=<id>`` partition directory in OVERWRITE mode, so a
+    checkpoint replay of a half-written batch overwrites its own
+    partitions instead of appending duplicates (the two writes are not
+    atomic together, but each is idempotent per batch).  The replayed
+    batch excludes its own ``batch_id`` partition from the seen-store
+    anti-join — otherwise the first attempt's fingerprints would dedupe
+    the replay against itself and the docs overwrite would come up
+    empty.  On Delta/Iceberg this is a single transactional MERGE.
     """
     import os
 
@@ -207,12 +218,24 @@ def corpus_dedup_stream(
             "fingerprint", fingerprint_md5("text")
         )
         if os.path.exists(fingerprint_store):
-            seen = session.read.parquet(fingerprint_store)
-            batch = batch.join(seen, on="fingerprint", how="left_anti")
+            try:
+                seen = session.read.parquet(fingerprint_store)
+            except AnalysisException:  # store dir exists but holds no data
+                seen = None
+            if seen is not None:
+                if "batch_id" in seen.columns:  # partition-pruned exclusion
+                    seen = seen.filter(F.col("batch_id") != batch_id)
+                batch = batch.join(
+                    seen.select("fingerprint"),
+                    on="fingerprint",
+                    how="left_anti",
+                )
         batch = batch.persist()
-        batch.drop("fingerprint").write.mode("append").parquet(out_path)
-        batch.select("fingerprint").write.mode("append").parquet(
-            fingerprint_store
+        batch.drop("fingerprint").write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+        batch.select("fingerprint").write.mode("overwrite").parquet(
+            f"{fingerprint_store}/batch_id={batch_id}"
         )
         batch.unpersist()
 
@@ -330,7 +353,9 @@ def scd2_dim_stream(
                 current, updates, key, tracked, order_col, tie_col
             )
         else:
-            merged = scd2_snapshot(updates, key, tracked, order_col, tie_col)
+            merged = scd2_snapshot(
+                updates, key, tracked, order_col, tie_col, keep_tie=True
+            )
         # parquet has no MERGE: stage the new snapshot, then swap.  On a
         # transactional format this is a single MERGE INTO.
         staged = merged.persist()

@@ -76,6 +76,69 @@ def test_scd2_apply_equals_full_rebuild(spark):
     assert per_key == {1: 3, 2: 1, 3: 1, 4: 1}
 
 
+def test_scd2_snapshot_null_transitions(spark):
+    # value→NULL and NULL→value transitions are real interval boundaries;
+    # a key whose FIRST tracked value is NULL still opens an interval.
+    log = _log(spark, [
+        (1, "a", "2024-01-01T00:00:00"),
+        (1, None, "2024-01-02T00:00:00"),  # a → NULL: new interval
+        (1, None, "2024-01-03T00:00:00"),  # NULL run collapses
+        (1, "b", "2024-01-04T00:00:00"),   # NULL → b: new interval
+        (2, None, "2024-01-01T00:00:00"),  # first row NULL-valued
+        (2, "x", "2024-01-02T00:00:00"),
+    ])
+    out = scd2_snapshot(log, "k", "v", "ts", "tie")
+    rows = {(r["k"], r["valid_from"]): r for r in out.collect()}
+    assert len(rows) == 5
+    null_iv = rows[(1, _ts("2024-01-02T00:00:00"))]
+    assert null_iv["v"] is None
+    assert null_iv["valid_to"] == _ts("2024-01-04T00:00:00")
+    assert null_iv["is_current"] is False
+    assert rows[(1, _ts("2024-01-04T00:00:00"))]["is_current"] is True
+    first_null = rows[(2, _ts("2024-01-01T00:00:00"))]
+    assert first_null["v"] is None and first_null["is_current"] is False
+    # incremental apply agrees on nullable tracked columns too
+    upd = _log(spark, [(1, None, "2024-01-05T00:00:00")])
+    incr = scd2_apply(out, upd, "k", "v", "ts", "tie")
+    full = scd2_snapshot(
+        log.unionByName(upd), "k", "v", "ts", "tie"
+    )
+    assert sorted(map(str, incr.collect())) == sorted(
+        map(str, full.collect())
+    )
+
+
+def test_scd2_apply_replays_real_tie_values(spark):
+    # two updates share order_col within a key; only the tie column orders
+    # them.  A keep_tie snapshot lets scd2_apply replay history with the
+    # real tiebreakers, so incremental == full rebuild deterministically.
+    base = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01T00:00:00"), 0),
+         (1, "b", _ts("2024-01-01T00:00:00"), 1),
+         (2, "x", _ts("2024-01-01T00:00:00"), 0)],
+        "k long, v string, ts timestamp, tie long",
+    )
+    upd = spark.createDataFrame(
+        [(1, "c", _ts("2024-01-02T00:00:00"), 2)],
+        "k long, v string, ts timestamp, tie long",
+    )
+    current = scd2_snapshot(base, "k", "v", "ts", "tie", keep_tie=True)
+    assert "tie" in current.columns
+    incr = scd2_apply(current, upd, "k", "v", "ts", "tie")
+    full = scd2_snapshot(
+        base.unionByName(upd), "k", "v", "ts", "tie", keep_tie=True
+    )
+    cols = ["k", "v", "valid_from", "valid_to", "is_current", "tie"]
+    assert sorted(map(str, incr.select(*cols).collect())) == sorted(
+        map(str, full.select(*cols).collect())
+    )
+    # the b-interval opens at the SAME ts as a's but after it (tie order)
+    b_row = {r["v"]: r for r in incr.filter("k = 1").collect()}
+    assert b_row["a"]["valid_to"] == _ts("2024-01-01T00:00:00")
+    assert b_row["b"]["valid_to"] == _ts("2024-01-02T00:00:00")
+    assert b_row["c"]["is_current"] is True
+
+
 def test_stratified_sample_deterministic_and_per_stratum(spark):
     df = spark.range(2000).select(
         F.col("id"),
@@ -156,7 +219,8 @@ def test_merge_into_full_semantics(spark):
     assert set(rows) == {1, 2, 4}            # 3 deleted
     assert rows[1]["name"] == "a" and rows[1]["amount"] == 10.0   # untouched
     assert rows[2]["name"] == "B" and rows[2]["amount"] == 20.0   # update keeps unlisted cols
-    assert rows[4]["amount"] in (40.0, 41.0)  # inserted (one of the dups)
+    # deterministic dedup: first by sorted payload (amount asc) — always 40.0
+    assert rows[4]["amount"] == 40.0 and rows[4]["name"] == "d"
 
 
 def test_merge_into_replace_row_and_no_insert(spark):

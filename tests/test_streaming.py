@@ -144,6 +144,40 @@ def test_corpus_dedup_stream_across_arrivals(spark, tmp_path):
     assert kept == [1, 2, 11]  # 3 deduped in-wave, 10 deduped cross-wave
 
 
+def test_corpus_dedup_stream_replay_is_idempotent(spark, tmp_path):
+    import json
+    import shutil
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "fps")
+
+    with open(docs_dir / "w1.json", "w") as f:
+        for r in [{"doc_id": 1, "text": "alpha document"},
+                  {"doc_id": 2, "text": "beta document"}]:
+            f.write(json.dumps(r) + "\n")
+    corpus_dedup_stream(
+        spark, str(docs_dir), out, store, str(tmp_path / "ckpt1")
+    ).awaitTermination()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+
+    # simulate a crash between the two writes: docs landed, fingerprints
+    # lost.  A checkpoint replay re-runs the same files as batch 0 — the
+    # overwrite-per-batch_id write must NOT duplicate the docs, and must
+    # heal the store.
+    shutil.rmtree(f"{store}/batch_id=0")
+    corpus_dedup_stream(
+        spark, str(docs_dir), out, store, str(tmp_path / "ckpt2")
+    ).awaitTermination()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+    assert spark.read.parquet(store).count() == 2
+
+
 def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     import shutil
 
@@ -317,7 +351,7 @@ def test_scd2_dim_stream_matches_batch_snapshot(spark, tmp_path):
     batch = scd2_snapshot(
         read_table(spark, sf, "events"),
         key="user_id", tracked="event_type", order_col="ts",
-        tie_col="event_id",
+        tie_col="event_id", keep_tie=True,
     )
     expect = sorted(map(str, batch.collect()))
     assert got == expect and len(got) > 0

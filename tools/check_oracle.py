@@ -48,6 +48,89 @@ def normalize(v):
     return v
 
 
+def _spark_kind(dt_obj):
+    """Canonical physical-type kind for a Spark DataType (for Arrow parity)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt_obj, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt_obj, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt_obj, T.DecimalType):
+        return "decimal"
+    if isinstance(dt_obj, T.BooleanType):
+        return "bool"
+    if isinstance(dt_obj, T.StringType):
+        return "str"
+    if isinstance(dt_obj, T.BinaryType):
+        return "bytes"
+    if isinstance(dt_obj, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt_obj, T.DateType):
+        return "date"
+    if isinstance(dt_obj, T.ArrayType):
+        return ("list", _spark_kind(dt_obj.elementType))
+    if isinstance(dt_obj, T.MapType):
+        return ("map", _spark_kind(dt_obj.keyType), _spark_kind(dt_obj.valueType))
+    if isinstance(dt_obj, T.StructType):
+        return ("struct",) + tuple(
+            (f.name, _spark_kind(f.dataType)) for f in dt_obj.fields
+        )
+    return str(dt_obj)
+
+
+def _arrow_kind(t):
+    """Canonical physical-type kind for a pyarrow DataType."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", _arrow_kind(t.value_type))
+    if pa.types.is_map(t):
+        return ("map", _arrow_kind(t.key_type), _arrow_kind(t.item_type))
+    if pa.types.is_struct(t):
+        return ("struct",) + tuple(
+            (t.field(i).name, _arrow_kind(t.field(i).type))
+            for i in range(t.num_fields)
+        )
+    return str(t)
+
+
+def arrow_type_mismatches(con, sql, sdf):
+    """Compare DuckDB's Arrow output types with Spark's schema per column.
+
+    The driver's hash serializes both results through Arrow, so a value-equal
+    pair can still hash-differently if the physical types diverge — e.g.
+    DuckDB sum() returning HUGEINT (Arrow decimal128) vs Spark BIGINT
+    (Arrow int64).  fetchall() comparison is blind to this class.
+    """
+    arrow_schema = con.execute(
+        f"SELECT * FROM ({sql}) __q LIMIT 0"
+    ).arrow().schema
+    duck = {f.name: _arrow_kind(f.type) for f in arrow_schema}
+    spark = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+    out = []
+    for name in sorted(set(duck) & set(spark)):
+        if duck[name] != spark[name]:
+            out.append(f"type[{name}]: spark={spark[name]} duck={duck[name]}")
+    return out
+
+
 def frame_to_rows(cols, rows):
     """Sort columns by name, then rows lexicographically."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -94,6 +177,10 @@ def main():
         duck_s = time.time() - t0
         ok = True
         msgs = []
+        type_diffs = arrow_type_mismatches(con, oracles[name], sdf)
+        if type_diffs:
+            ok = False
+            msgs.extend(type_diffs)
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
