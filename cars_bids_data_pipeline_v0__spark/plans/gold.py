@@ -89,9 +89,22 @@ def seed_state_dim(store: GoldStore, states: DataFrame) -> None:
 
 
 def build_star_schema(store: GoldStore, staging: DataFrame) -> dict[str, DataFrame]:
-    """M6 — run the 11 merges in the reference's dependency order
-    (load_lambda/main.py:16-28).  ``staging`` is a silver frame."""
+    """M6 — run the 11 merges respecting the reference's dependency order
+    (load_lambda/main.py:16-28).  ``staging`` is a silver frame.
+
+    The reference executes all 11 statements sequentially; the only REAL
+    dependencies are make→model→vehicle→fact and {enum dims, city}→fact.
+    The 8 independent merges (6 enum dims, city, make) run as concurrent
+    Spark jobs from a thread pool — on a cluster each is a small job, and
+    concurrent submission overlaps their scheduling + IO instead of
+    serializing 8 round-trips.  The staging cache is materialized ONCE
+    before the fan-out so the parallel jobs read the cache rather than
+    racing to compute it.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     staging = staging.cache()
+    staging.count()  # materialize before concurrent consumers
     dims: dict[str, DataFrame] = {}
 
     def distinct_notnull(expr: F.Column, alias: str) -> DataFrame:
@@ -101,34 +114,7 @@ def build_star_schema(store: GoldStore, staging: DataFrame) -> dict[str, DataFra
             .distinct()
         )
 
-    # -- 6 independent dims (update_dims.sql:8-69) --------------------------
-    dims["auction_status_dim"] = _merge_dim(
-        store, "auction_status_dim",
-        distinct_notnull(norm_key_lower("auction_status"), "status"), ["status"],
-    )
-    dims["reserve_status_dim"] = _merge_dim(
-        store, "reserve_status_dim",
-        distinct_notnull(norm_key_lower("reserve_status"), "status"), ["status"],
-    )
-    dims["body_style_dim"] = _merge_dim(
-        store, "body_style_dim",
-        distinct_notnull(norm_key_lower("body_style"), "body_style"), ["body_style"],
-    )
-    dims["seller_type_dim"] = _merge_dim(
-        store, "seller_type_dim",
-        distinct_notnull(norm_key_lower("seller_type"), "seller_type"), ["seller_type"],
-    )
-    dims["drivetrain_dim"] = _merge_dim(
-        store, "drivetrain_dim",
-        distinct_notnull(norm_key_upper("drivetrain"), "drivetrain"), ["drivetrain"],
-    )
-    dims["transmission_dim"] = _merge_dim(
-        store, "transmission_dim",
-        distinct_notnull(norm_key_lower("transmission_type"), "transmission"),
-        ["transmission"],
-    )
-
-    # -- city_dim: J1 OR-predicate state join (update_dims.sql:79-86) -------
+    # city_dim source: J1 OR-predicate state join (update_dims.sql:79-86)
     state_dim = store.read("state_dim")
     if state_dim is None:
         raise ValueError("state_dim must be seeded first (seed_state_dim)")
@@ -149,16 +135,48 @@ def build_star_schema(store: GoldStore, staging: DataFrame) -> dict[str, DataFra
         .select(F.trim(F.col("city")).alias("city_name"), "state_id")
         .distinct()
     )
-    dims["city_dim"] = _merge_dim(
-        store, "city_dim", city_src, ["city_name", "state_id"]
-    )
 
-    # -- make, then model (composite key referencing make ids;
-    #    update_dims.sql:95-114) ------------------------------------------
-    dims["vehicle_make_dim"] = _merge_dim(
-        store, "vehicle_make_dim",
-        distinct_notnull(F.trim(F.col("make")), "make"), ["make"],
-    )
+    # -- phase 1: the 8 independent merges, concurrent ---------------------
+    # (6 enum dims update_dims.sql:8-69, city :79-86, make :95-101)
+    phase1: dict[str, tuple[DataFrame, list[str]]] = {
+        "auction_status_dim": (
+            distinct_notnull(norm_key_lower("auction_status"), "status"),
+            ["status"],
+        ),
+        "reserve_status_dim": (
+            distinct_notnull(norm_key_lower("reserve_status"), "status"),
+            ["status"],
+        ),
+        "body_style_dim": (
+            distinct_notnull(norm_key_lower("body_style"), "body_style"),
+            ["body_style"],
+        ),
+        "seller_type_dim": (
+            distinct_notnull(norm_key_lower("seller_type"), "seller_type"),
+            ["seller_type"],
+        ),
+        "drivetrain_dim": (
+            distinct_notnull(norm_key_upper("drivetrain"), "drivetrain"),
+            ["drivetrain"],
+        ),
+        "transmission_dim": (
+            distinct_notnull(norm_key_lower("transmission_type"), "transmission"),
+            ["transmission"],
+        ),
+        "city_dim": (city_src, ["city_name", "state_id"]),
+        "vehicle_make_dim": (
+            distinct_notnull(F.trim(F.col("make")), "make"), ["make"],
+        ),
+    }
+    with ThreadPoolExecutor(max_workers=len(phase1)) as ex:
+        futures = {
+            name: ex.submit(_merge_dim, store, name, src, key)
+            for name, (src, key) in phase1.items()
+        }
+        for name, fut in futures.items():
+            dims[name] = fut.result()
+
+    # -- model (composite key referencing make ids; update_dims.sql:104-114)
     model_src = (
         staging.filter(F.col("model").isNotNull())
         .join(

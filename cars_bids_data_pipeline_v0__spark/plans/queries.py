@@ -1367,6 +1367,7 @@ def q63(spark, sf_dir):
 def _load_extensions() -> None:
     from . import queries_ext  # noqa: F401  (registers into REGISTRY)
     from . import queries_more  # noqa: F401
+    from . import queries_r2  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,337 @@
+"""Third extension batch (round 2): multimodal binary profiling, dynamic
+pivot, fuzzy string matching, re-aggregable rollups, multi-hop star joins,
+calendar spines.
+
+Scale notes (100 TB):
+* q84 profiles an opaque binary ``media`` column with pure JVM expressions
+  (substring/hex/sha2 on BinaryType) — the oracle recomputes the same
+  bytes from first principles, so the engine's binary plumbing (header
+  slicing, payload digests) is value-verified, not just shape-verified.
+* q85 discovers pivot keys with one tiny distinct scan (driver-side list
+  of ~3 values), then pivots with EXPLICIT values — never the implicit
+  two-pass pivot on a 100 TB fact.
+* q86 blocks the fuzzy self-join on p_brand (equi-join shuffle, then
+  per-block levenshtein) — the all-pairs comparison never materializes
+  across blocks.  At extreme block skew, sub-block on name length bands.
+* q87 is the partial-aggregate pattern: daily partials (sum/count/min/max
+  are all re-aggregable) merge into weekly rollups without touching raw
+  events twice — the shape of incremental warehouse maintenance.
+* q88 (TPC-H Q7 shape) joins the fact once against each broadcast dim;
+  only the orders⋈lineitem join shuffles.
+* q89 generates the calendar spine with ``sequence`` + ``explode`` from a
+  1-row aggregate — no driver-side date loop, and the anti-join against
+  distinct order dates is a broadcast at any scale (dates are bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+# ---------------------------------------------------------------------------
+# q84 — multimodal: binary payload profiling with JVM expressions
+# ---------------------------------------------------------------------------
+
+# hex of the 8-byte magic written by operators.multimodal.synthesize_media
+_MAGIC_HEX = "46414b45494d4731"  # b"FAKEIMG1"
+
+
+@register(
+    "q84_binary_media_profile",
+    f"""
+    SELECT doc_id,
+           CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower('{_MAGIC_HEX}'
+                 || lpad(hex(doc_id % 64 + 16), 8, '0')
+                 || lpad(hex(doc_id % 48 + 16), 8, '0')) AS header_hex,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+    doc=(
+        "opaque-binary media profiling: the engine synthesizes a binary "
+        "column (magic + packed header + utf-8 payload, operators."
+        "multimodal.synthesize_media) and profiles it by slicing REAL "
+        "bytes — substring/hex/sha2 on BinaryType, whole-stage codegen, "
+        "no Python.  The oracle recomputes header and digest from first "
+        "principles, so a byte-offset bug anywhere in the plumbing "
+        "hash-fails"
+    ),
+)
+def q84(spark, sf_dir):
+    from ..operators.multimodal import synthesize_media
+
+    d = _t(spark, sf_dir, "documents")
+    m = synthesize_media(d, text_col="text", id_col="doc_id")
+    return m.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.lower(F.hex(F.expr("substring(media, 1, 16)"))).alias("header_hex"),
+        F.sha2(F.expr("substring(media, 17, 2147483647)"), 256).alias(
+            "payload_sha256"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85 — dynamic pivot (runtime-discovered pivot keys)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q85_dynamic_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_F,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_O,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "dynamic pivot: pivot keys discovered at plan time from a tiny "
+        "distinct scan (sorted for determinism), then a single-shuffle "
+        "pivot with EXPLICIT values — the implicit value-discovery pass "
+        "Spark would otherwise run over the full fact is avoided.  The "
+        "oracle hardcodes the same keys"
+    ),
+)
+def q85(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    statuses = sorted(
+        r[0] for r in o.select("o_orderstatus").distinct().collect()
+    )
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}")
+            for s in statuses
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86 — fuzzy (edit-distance) matching, blocked self-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q86_fuzzy_name_pairs",
+    """
+    SELECT p1.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_close_pairs,
+           round(avg(levenshtein(p1.p_name, p2.p_name)), 3) AS avg_dist
+    FROM part p1
+    JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_partkey < p2.p_partkey
+    WHERE levenshtein(p1.p_name, p2.p_name) <= 3
+    GROUP BY p1.p_brand
+    """,
+    doc=(
+        "fuzzy duplicate detection by edit distance, blocked on p_brand: "
+        "the self-join is a hash equi-join on the block key, and "
+        "levenshtein runs only within blocks — never the unblocked "
+        "all-pairs cross product.  Both engines share identical "
+        "levenshtein semantics"
+    ),
+)
+def q86(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    p1 = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("name1"),
+    )
+    p2 = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("name2"),
+    )
+    dist = F.levenshtein("name1", "name2")
+    return (
+        p1.join(p2, "brand")
+        .filter((F.col("k1") < F.col("k2")) & (dist <= 3))
+        .groupBy("brand")
+        .agg(
+            F.count("*").alias("n_close_pairs"),
+            F.round(F.avg(dist), 3).alias("avg_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — re-aggregable rollup: daily partials merged into weekly
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q87_partial_rollup_merge",
+    """
+    SELECT event_type,
+           CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "incremental-rollup pattern: per-day partial aggregates "
+        "(count/sum/min/max — all mergeable) roll up into weekly finals "
+        "by RE-aggregating the partials, never rescanning raw events.  "
+        "The oracle computes weekly directly from raw — the hash match "
+        "proves partial-merge ≡ direct aggregation, the invariant that "
+        "lets a warehouse maintain rollups incrementally at 100 TB"
+    ),
+)
+def q87(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("psum"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    return (
+        daily.groupBy(
+            "event_type",
+            F.date_trunc("week", "day").cast("date").alias("week_start"),
+        )
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum"), 2).alias("total_value"),
+            F.min("pmin").alias("min_value"),
+            F.max("pmax").alias("max_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q88 — TPC-H Q7 shape: bilateral trade volume between nations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q88_bilateral_trade",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                          * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s  ON s.s_suppkey  = l.l_suppkey
+    JOIN customer c  ON c.c_custkey  = o.o_custkey
+    JOIN nation n1   ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2   ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "TPC-H Q7 shape: cross-nation trade matrix.  supplier/customer/"
+        "nation are broadcast (dims), so the only shuffle is "
+        "lineitem⋈orders on orderkey plus the final aggregate — the "
+        "multi-hop star join never repartitions the fact more than once"
+    ),
+)
+def q88(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            # sum in scaled integers: the volume has exactly 4 decimal
+            # digits, so the int sum is associative — immune to the
+            # partition-order float drift that a double sum shows at this
+            # magnitude.  No final rounding: identical ints divided by
+            # the same constant give bit-identical IEEE doubles on both
+            # engines, while round(x, 2) itself diverges at half-cent
+            # boundaries (engines disagree on the tie rule)
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000,
+                        0,
+                    ).cast("long")
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — calendar spine + anti-join: days with no orders
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q89_calendar_gaps",
+    """
+    WITH b AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+               CAST(max(o_orderdate) AS DATE) AS d1
+        FROM orders),
+    spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM b)
+    SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_gap_days
+    FROM spine
+    WHERE d NOT IN (SELECT CAST(o_orderdate AS DATE) FROM orders)
+    GROUP BY 1
+    """,
+    doc=(
+        "calendar-spine gap detection: the spine comes from sequence() "
+        "over a 1-row min/max aggregate (exploded distributed — no "
+        "driver-side date loop), anti-joined against distinct order "
+        "dates.  Distinct-date sides are bounded (days, not rows), so "
+        "the anti-join broadcasts at any fact size"
+    ),
+)
+def q89(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    spine = (
+        o.agg(
+            F.min(F.to_date("o_orderdate")).alias("d0"),
+            F.max(F.to_date("o_orderdate")).alias("d1"),
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    order_days = o.select(F.to_date("o_orderdate").alias("d")).distinct()
+    return (
+        spine.join(F.broadcast(order_days), "d", "left_anti")
+        .groupBy(F.trunc("d", "month").alias("month"))
+        .agg(F.count("*").alias("n_gap_days"))
+    )

@@ -23,48 +23,52 @@ def clean_and_transform(df: DataFrame) -> DataFrame:
     """C1-C20 + D1, in the reference's step order
     (transform_lambda/main.py:136-316).  Input: normalized bronze frame
     (sources.ingest.normalize_raw).  Output: typed silver frame."""
+    # Each ``withColumns`` call is ONE Project node; a per-step
+    # ``withColumn`` chain would stack ~30 fifty-column Projects and make
+    # Catalyst analysis itself a bottleneck (analysis cost grows with
+    # chain depth × width — measurable at 2k rows, worse per-microbatch).
     # C1 — parse timestamps first; D1's recency ordering needs it (:139-140)
-    df = df.withColumn("auction_date", S.to_timestamp_utc("auction_date"))
     # C2 + D1 — id extraction then keep-latest (:143-150); deterministic
     # tiebreak on auction_url (pandas relies on implicit prior order)
-    df = df.withColumn("auction_id", S.extract_auction_id("auction_url"))
+    df = df.withColumns({
+        "auction_date": S.to_timestamp_utc("auction_date"),
+        "auction_id": S.extract_auction_id("auction_url"),
+    })
     df = keep_latest(
         df, "auction_id", order_by="auction_date",
         tiebreakers=[F.col("auction_url").asc_nulls_last()],
     )
-    cleaned_bids = S.clean_bids("bids")
-    feats = S.bid_features(F.col("bids"))  # over the *cleaned* array (:289)
-    df = (
-        df.withColumn("model", S.clean_first_line("model"))            # C3
-        .withColumn("mileage", S.extract_mileage("mileage"))           # C4
-        .withColumn("highest_bid_value", S.parse_money("highest_bid_value"))  # C5
-        .withColumn("bid_count", S.to_int_coerce("bid_count"))         # C6
-        .withColumn("view_count", S.to_int_coerce_default0("view_count"))     # C7
-        .withColumn("watcher_count", S.to_int_coerce_default0("watcher_count"))
-        .withColumn("auction_status", S.canon_status("auction_status"))  # C8
-        .withColumn("reserve_met", S.reserve_met("auction_status"))    # C9
-        .withColumn("seller", S.clean_first_line("seller"))            # C10
-        .withColumn("bids", cleaned_bids)                              # C11
-        .withColumn("title_status_cleaned", S.title_status_cleaned("title_status"))  # C12
-        .withColumn("title_state", S.title_state("title_status"))      # C13
-        .withColumn("city", S.extract_city("location"))                # C14
-        .withColumn("state", S.extract_state("location"))
-        .withColumn("transmission_type", S.transmission_type("transmission"))  # C15
-        .withColumn("gears", S.extract_gears("transmission"))          # C16
-        .withColumn("drivetrain", S.canon_drivetrain("drivetrain"))    # C17
-    )
-    for name, expr in feats.items():                                   # C18
-        df = df.withColumn(name, expr)
-    df = (
-        df.withColumn("highlight_count", S.count_list("auction_highlights"))  # C19
-        .withColumn("equipment_count", S.count_list("auction_equipment"))
-        .withColumn("mod_count", S.count_list("modifications"))
-        .withColumn("flaw_count", S.count_list("known_flaws"))
-        .withColumn("service_count", S.count_list("services"))
-        .withColumn("included_items_count", S.count_list("included_items"))
-        .withColumn("video_count", S.count_list("auction_videos"))
-        .withColumn("manufacture_year", S.extract_manufacture_year("auction_url"))  # C20
-    )
+    canon = S.canon_status("auction_status")
+    df = df.withColumns({
+        "model": S.clean_first_line("model"),                      # C3
+        "mileage": S.extract_mileage("mileage"),                   # C4
+        "highest_bid_value": S.parse_money("highest_bid_value"),   # C5
+        "bid_count": S.to_int_coerce("bid_count"),                 # C6
+        "view_count": S.to_int_coerce_default0("view_count"),      # C7
+        "watcher_count": S.to_int_coerce_default0("watcher_count"),
+        "auction_status": canon,                                   # C8
+        "reserve_met": S.reserve_met(canon),  # C9 — over the CANON value
+        "seller": S.clean_first_line("seller"),                    # C10
+        "bids": S.clean_bids("bids"),                              # C11
+        "title_status_cleaned": S.title_status_cleaned("title_status"),  # C12
+        "title_state": S.title_state("title_status"),              # C13
+        "city": S.extract_city("location"),                        # C14
+        "state": S.extract_state("location"),
+        "transmission_type": S.transmission_type("transmission"),  # C15
+        "gears": S.extract_gears("transmission"),                  # C16
+        "drivetrain": S.canon_drivetrain("drivetrain"),            # C17
+        "highlight_count": S.count_list("auction_highlights"),     # C19
+        "equipment_count": S.count_list("auction_equipment"),
+        "mod_count": S.count_list("modifications"),
+        "flaw_count": S.count_list("known_flaws"),
+        "service_count": S.count_list("services"),
+        "included_items_count": S.count_list("included_items"),
+        "video_count": S.count_list("auction_videos"),
+        "manufacture_year": S.extract_manufacture_year("auction_url"),  # C20
+    })
+    # C18 — bid features read the *cleaned* array (:289), so they go in a
+    # second projection over the C11 output column
+    df = df.withColumns(S.bid_features(F.col("bids")))
     return enforce_silver_types(df)
 
 
