@@ -185,6 +185,19 @@ def shingle_table(
     )
 
 
+def portable_hash60(c: Column | str, salt: str) -> Column:
+    """60-bit salted hash computable identically in any engine with md5:
+    the first 15 hex chars of ``md5(salt || value)`` as a non-negative
+    BIGINT.  ~4× slower than xxhash64 (md5 + string slicing) — use for
+    cross-engine-verifiable runs; keep xxhash64 for production throughput.
+    DuckDB twin: ``CAST(('0x' || substr(md5(salt || v), 1, 15)) AS BIGINT)``.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -192,6 +205,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     shingles: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """k min-hashes per document as ``(id, mh0..mh{k-1})``.
 
@@ -201,16 +215,20 @@ def minhash_signatures(
     ``array_min(transform(...))`` columns — gets inlined by CollapseProject
     into every downstream reference and recomputes the whole signature per
     band: measured 16× slower.)
+
+    ``portable=True`` swaps xxhash64 for :func:`portable_hash60` so the
+    whole signature is reproducible in other engines (oracle-verifiable).
     """
     sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, n)
     exploded = sh.select("id", F.explode("sh").alias("shingle"))
+
+    def h(k: int) -> Column:
+        if portable:
+            return portable_hash60("shingle", f"mh{k}:")
+        return F.xxhash64(F.concat(F.lit(f"mh{k}:"), F.col("shingle")))
+
     return exploded.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.concat(F.lit(f"mh{k}:"), F.col("shingle")))).alias(
-                f"mh{k}"
-            )
-            for k in range(num_hashes)
-        ]
+        *[F.min(h(k)).alias(f"mh{k}") for k in range(num_hashes)]
     )
 
 
@@ -222,6 +240,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingles: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -230,10 +249,22 @@ def minhash_lsh_candidates(
     the groupBy on band signature; bucket sizes stay small because a band
     signature is rows×64 bits of hash.  Returns distinct (id_a < id_b)
     candidates.
+
+    ``portable=True`` uses md5-derived signature hashes and keeps the
+    band bucket as the raw comma-joined signature string (decimal
+    rendering is engine-independent; xxhash64 of it is not) — the whole
+    candidate set is then bit-reproducible in any md5-capable engine.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes,
-                             shingles=shingles)
+                             shingles=shingles, portable=portable)
+
+    def bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+        )
+        return joined if portable else F.xxhash64(joined)
+
     banded = sig.select(
         "id",
         F.explode(
@@ -241,15 +272,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{b * rows + r}")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        bucket(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -273,6 +296,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verify → pairs ≥ threshold.
     Output schema matches `ngram_jaccard_pairs` (its sparse superset's
@@ -283,7 +307,8 @@ def minhash_lsh_dedup(
     signature aggregation and the exact-verify joins."""
     sh = shingle_table(df, text_col, id_col, n).persist()
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, n, num_hashes, bands, shingles=sh
+        df, text_col, id_col, n, num_hashes, bands, shingles=sh,
+        portable=portable,
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -337,25 +362,37 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """``(id, sig)`` SimHash signatures via explode→aggregate: tokens are
-    hashed ONCE, the 64 per-bit ±1 sums are one grouped aggregation (single
+    hashed ONCE, the per-bit ±1 sums are one grouped aggregation (single
     shuffle on the doc id), and the packing references each sum exactly once
     — immune to the CollapseProject recompute blow-up of the pure-expression
-    form (see `minhash_signatures`)."""
+    form (see `minhash_signatures`).
+
+    ``portable=True`` uses the 60-bit md5-derived token hash
+    (:func:`portable_hash60`) so the signature is reproducible in other
+    engines; the production path keeps 64-bit xxhash64."""
+    bits = 60 if portable else 64
     tok = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(normalize_text(text_col))).alias("t"),
-    ).select("id", F.xxhash64(F.col("t")).alias("h"))
+    )
+    tok = tok.select(
+        "id",
+        (
+            portable_hash60("t", "sh:") if portable else F.xxhash64(F.col("t"))
+        ).alias("h"),
+    )
     agg = tok.groupBy("id").agg(
         *[
             F.sum(F.getbit(F.col("h"), F.lit(i)).cast("long") * 2 - 1).alias(f"b{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -369,16 +406,17 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via the
-    block-permutation trick: split the 64-bit signature into ``blocks``
-    chunks; any pair within the hamming ball shares ≥1 exact chunk
-    (pigeonhole, needs blocks > max_hamming), so candidates come from
-    equality joins on (block_idx, chunk) — no all-pairs scan."""
+    block-permutation trick: split the signature into ``blocks`` chunks;
+    any pair within the hamming ball shares ≥1 exact chunk (pigeonhole,
+    needs blocks > max_hamming), so candidates come from equality joins
+    on (block_idx, chunk) — no all-pairs scan."""
     assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
-    width = 64 // blocks
+    width = (60 if portable else 64) // blocks
     mask = (1 << width) - 1
-    sig = simhash_signatures(df, text_col, id_col)
+    sig = simhash_signatures(df, text_col, id_col, portable=portable)
     chunks = sig.select(
         "id", "sig",
         F.explode(

@@ -335,3 +335,330 @@ def q89(spark, sf_dir):
         .groupBy(F.trunc("d", "month").alias("month"))
         .agg(F.count("*").alias("n_gap_days"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — portable MinHash+LSH: the FULL near-dup pipeline, oracle-verified
+# ---------------------------------------------------------------------------
+
+_Q90_K = 16      # minhash functions
+_Q90_BANDS = 4   # LSH bands (4 rows per band)
+_Q90_ROWS = _Q90_K // _Q90_BANDS
+
+_Q90_MH = ",\n               ".join(
+    f"min(CAST(('0x' || substr(md5('mh{k}:' || shingle), 1, 15)) AS BIGINT))"
+    f" AS mh{k}"
+    for k in range(_Q90_K)
+)
+_Q90_BAND_CASE = "\n                 ".join(
+    "WHEN {b} THEN concat_ws(',', {cols})".format(
+        b=b,
+        cols=", ".join(
+            f"mh{b * _Q90_ROWS + r}" for r in range(_Q90_ROWS)
+        ),
+    )
+    for b in range(_Q90_BANDS)
+)
+
+_Q90_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       '\\s+') AS t
+            FROM documents
+        )
+    ), inv AS (
+        SELECT id, unnest(s) AS shingle FROM sh
+    ), sig AS (
+        SELECT id,
+               {_Q90_MH}
+        FROM inv GROUP BY id
+    ), banded AS (
+        SELECT id, bt.band,
+               CASE bt.band
+                 {_Q90_BAND_CASE}
+               END AS bucket
+        FROM sig, (SELECT unnest(range({_Q90_BANDS})) AS band) bt
+    ), cands AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y USING (band, bucket)
+        WHERE x.id < y.id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+    FROM cands
+    JOIN sh sa ON sa.id = id_a
+    JOIN sh sb ON sb.id = id_b
+    WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.s, sb.s))), 6) >= 0.25
+"""
+
+
+@register(
+    "q90_minhash_lsh_portable",
+    _Q90_ORACLE,
+    doc=(
+        "the FULL MinHash+LSH near-dup pipeline under the value-hash "
+        "oracle gate: 60-bit md5-derived signature hashes "
+        "(operators.dedup_docs.portable_hash60) and raw band-signature "
+        "buckets make every stage — shingling, signatures, banding, "
+        "candidate join, exact-Jaccard verify — bit-reproducible in "
+        "DuckDB.  Complements q56, which keeps the xxhash64 production "
+        "path (rows-only check)"
+    ),
+)
+def q90(spark, sf_dir):
+    from ..operators import dedup_docs as DD
+
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_dedup(
+        d, n=3, num_hashes=_Q90_K, bands=_Q90_BANDS, threshold=0.25,
+        portable=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91 — portable SimHash near-dup, oracle-verified
+# ---------------------------------------------------------------------------
+
+_Q91_BITS = 60
+_Q91_BLOCKS = 4
+_Q91_WIDTH = _Q91_BITS // _Q91_BLOCKS
+_Q91_MASK = (1 << _Q91_WIDTH) - 1
+_Q91_MAXH = 3
+
+_Q91_BITSUMS = ",\n               ".join(
+    f"sum(((h >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(_Q91_BITS)
+)
+_Q91_PACK = "\n               + ".join(
+    f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+    for i in range(_Q91_BITS)
+)
+
+_Q91_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\s+')) AS t
+        FROM documents
+    ), h AS (
+        SELECT id,
+               CAST(('0x' || substr(md5('sh:' || t), 1, 15)) AS BIGINT) AS h
+        FROM tok
+    ), bitsums AS (
+        SELECT id,
+               {_Q91_BITSUMS}
+        FROM h GROUP BY id
+    ), sig AS (
+        SELECT id,
+               {_Q91_PACK} AS sig
+        FROM bitsums
+    ), chunks AS (
+        SELECT id, sig, bt.blk,
+               (sig >> (bt.blk * {_Q91_WIDTH})) & {_Q91_MASK} AS chunk
+        FROM sig, (SELECT unnest(range({_Q91_BLOCKS})) AS blk) bt
+    ), cands AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+               bit_count(xor(x.sig, y.sig)) AS hamming
+        FROM chunks x JOIN chunks y USING (blk, chunk)
+        WHERE x.id < y.id
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM cands WHERE hamming <= {_Q91_MAXH}
+"""
+
+
+@register(
+    "q91_simhash_portable",
+    _Q91_ORACLE,
+    doc=(
+        "SimHash near-dup under the value-hash oracle gate: 60-bit "
+        "md5-derived token hashes, per-bit majority aggregation, block-"
+        "permutation candidate join (pigeonhole: hamming ≤ 3 ⇒ one of 4 "
+        "15-bit chunks equal), bit_count(xor) verify — every stage "
+        "reproduced in DuckDB SQL.  Complements q57's xxhash64 "
+        "production path (rows-only check)"
+    ),
+)
+def q91(spark, sf_dir):
+    from ..operators import dedup_docs as DD
+
+    d = _t(spark, sf_dir, "documents")
+    out = DD.simhash_near_dup_pairs(
+        d, max_hamming=_Q91_MAXH, blocks=_Q91_BLOCKS, portable=True
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# q92 — duplicate clusters: connected components, oracle-verified
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q92_dup_clusters_portable",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       '\\s+') AS t
+            FROM documents
+        )
+    ), inv AS (
+        SELECT id, unnest(s) AS shingle FROM sh
+    ), raw_pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM inv a JOIN inv b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM raw_pairs
+        JOIN (SELECT id, len(s) AS sz FROM sh) sa ON sa.id = id_a
+        JOIN (SELECT id, len(s) AS sz FROM sh) sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.25
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS id, min(dst) AS component
+    FROM reach GROUP BY src
+    """,
+    doc=(
+        "near-dup clusters under the value-hash oracle gate: exact-Jaccard "
+        "pairs (the q53 edge set) → iterative min-label propagation "
+        "(operators.graph.connected_components).  The oracle computes the "
+        "same components via a recursive transitive-closure CTE — safe on "
+        "bounded dup-cluster sizes, while the engine's label-propagation "
+        "loop is the unbounded-scale path (state per vertex, not per "
+        "reachable pair)"
+    ),
+)
+def q92(spark, sf_dir):
+    from ..operators import dedup_docs as DD
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, n=3, threshold=0.25)
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# q93 — embedding near-dup via hyperplane LSH, oracle-verified
+# ---------------------------------------------------------------------------
+
+_Q93_DIM = 64
+_Q93_PLANES = 8
+_Q93_TABLES = 2
+_Q93_THRESHOLD = 0.99
+
+
+def _q93_oracle() -> str:
+    """The hyperplanes are deterministic sha256-derived constants
+    (operators.similarity._hyperplane) — inline the exact same floats
+    into the oracle so DuckDB recomputes signature bits, buckets,
+    candidate pairs, and the cosine verify independently."""
+    from ..operators.similarity import _hyperplane
+
+    def bucket_expr(salt: str) -> str:
+        cases = []
+        for p in range(_Q93_PLANES):
+            comps = ", ".join(
+                repr(x) for x in _hyperplane(_Q93_DIM, p, salt)
+            )
+            cases.append(
+                f"(CASE WHEN list_dot_product(v, [{comps}]) >= 0 "
+                f"THEN CAST(1 AS BIGINT) << {p} ELSE 0 END)"
+            )
+        return "\n                 + ".join(cases)
+
+    tables = "\n            UNION ALL\n".join(
+        f"""            SELECT id, v, {t} AS tbl,
+                   {bucket_expr(f'nd{t}')} AS bucket
+            FROM base"""
+        for t in range(_Q93_TABLES)
+    )
+    # planting mirrors q55: every 20th vector re-added slightly perturbed
+    # (cos ≈ 0.9997); the double→FLOAT→double round-trip matches Spark's
+    # ``.cast("float")`` bit-for-bit (IEEE round-to-nearest both engines)
+    return f"""
+    WITH base AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               [CAST(CAST(CAST(embedding[i] AS DOUBLE)
+                          * (1.0 + 0.005 * (((i - 1) % 7) - 3.0))
+                          AS FLOAT) AS DOUBLE)
+                for i in generate_series(1, len(embedding))]
+        FROM embeddings WHERE vec_id % 20 = 0
+    ), buckets AS (
+{tables}
+    ), cands AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM buckets x JOIN buckets y USING (tbl, bucket)
+        WHERE x.id < y.id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+    FROM cands
+    JOIN base a ON a.id = id_a
+    JOIN base b ON b.id = id_b
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6)
+          >= {_Q93_THRESHOLD}
+    """
+
+
+@register(
+    "q93_embedding_near_dup_portable",
+    _q93_oracle(),
+    doc=(
+        "embedding-cosine near-dup via hyperplane-LSH blocking + exact "
+        "cosine verify, under the value-hash oracle gate: the "
+        "deterministic sha256-derived hyperplanes are inlined into the "
+        "oracle, so DuckDB independently recomputes sign bits, buckets, "
+        "the candidate join, and the verify.  Same pipeline as q55 at "
+        "smaller table/plane counts (oracle SQL stays readable)"
+    ),
+)
+def q93(spark, sf_dir):
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # plant near-dups exactly as q55 does (cos ≈ 0.9997 per planted pair)
+    perturbed = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double") * (1.0 + 0.005 * ((i % 7) - 3.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        e.unionByName(perturbed), dim=_Q93_DIM, threshold=_Q93_THRESHOLD,
+        num_planes=_Q93_PLANES, num_tables=_Q93_TABLES,
+    )
