@@ -3,6 +3,7 @@ set ops, and the large-scale extension operators (near-dup detection,
 similarity search, text analysis)."""
 
 from .dedup import keep_latest
+from .diff import diff_summary, table_diff
 from .graph import connected_components, dedup_by_components
 from .keys import with_surrogate_key
 from .merge import insert_if_absent, merge_into, upsert_overwrite
@@ -14,6 +15,8 @@ from .zorder import morton_interleave, zorder_key, zorder_write
 
 __all__ = [
     "keep_latest",
+    "table_diff",
+    "diff_summary",
     "connected_components",
     "dedup_by_components",
     "with_surrogate_key",

@@ -662,3 +662,85 @@ def q93(spark, sf_dir):
         e.unionByName(perturbed), dim=_Q93_DIM, threshold=_Q93_THRESHOLD,
         num_planes=_Q93_PLANES, num_tables=_Q93_TABLES,
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — table diff / reconciliation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q94_table_diff",
+    """
+    WITH old AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ), new AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 13 = 0
+                    THEN round(c_acctbal + 10.5, 2) ELSE c_acctbal END
+                   AS c_acctbal,
+               CASE WHEN c_custkey % 31 = 0 THEN NULL ELSE c_mktsegment END
+                   AS c_mktsegment
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN []
+                ELSE list_filter(
+                    [CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                          THEN 'c_acctbal' END,
+                     CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                          THEN 'c_mktsegment' END,
+                     CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+                          THEN 'c_name' END],
+                    x -> x IS NOT NULL) END AS changed_cols
+    FROM old o FULL OUTER JOIN new n USING (c_custkey)
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+       OR o.c_name IS DISTINCT FROM n.c_name
+    """,
+    doc=(
+        "table reconciliation (operators.diff.table_diff): two snapshots "
+        "full-outer-joined once on the key; added/removed/changed rows "
+        "with the null-safe list of differing columns.  The 'new' "
+        "snapshot is derived deterministically (drops, value changes, "
+        "NULL-outs, inserts) so both engines reconstruct it identically"
+    ),
+)
+def q94(spark, sf_dir):
+    from ..operators.diff import table_diff
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    new = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 13 == 0,
+                F.round(F.col("c_acctbal") + 10.5, 2),
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(F.col("c_custkey") % 31 == 0, F.lit(None))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_name",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    return table_diff(c, new, keys=["c_custkey"])

@@ -132,3 +132,70 @@ def test_quantized_topk_preserves_rank1(spark):
     a = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
     b = {(r["q_id"], r["vec_id"]) for r in quant.collect()}
     assert a == b  # self-match survives 8-bit quantization
+
+
+def test_binary_file_source_roundtrip_and_glob(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.binary import (
+        read_binary_files,
+        to_media_frame,
+    )
+
+    payloads = {
+        "a.bin": b"\x00\x01\x02hello",
+        "b.bin": b"\xff" * 100,
+        "skip.txt": b"not media",
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "c.bin").write_bytes(b"nested")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    got = {r["path"].split("/")[-1]: bytes(r["content"])
+           for r in files.collect()}
+    assert got == {"a.bin": payloads["a.bin"], "b.bin": payloads["b.bin"]}
+
+    rec = read_binary_files(spark, str(tmp_path), glob="*.bin",
+                            recursive=True)
+    assert rec.count() == 3  # nested c.bin included
+
+    media = to_media_frame(files, media_type="image/fake")
+    rows = {r["path"].split("/")[-1]: r for r in media.collect()}
+    assert rows["b.bin"]["media_meta"]["n_bytes"] == 100
+    assert rows["b.bin"]["media_meta"]["media_type"] == "image/fake"
+    assert bytes(rows["a.bin"]["media"]) == payloads["a.bin"]
+    # stable ids: re-read yields the same doc_ids
+    again = {r["doc_id"] for r in to_media_frame(
+        read_binary_files(spark, str(tmp_path), glob="*.bin")).collect()}
+    assert again == {r["doc_id"] for r in media.collect()}
+
+
+def test_table_diff_semantics(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.diff import (
+        diff_summary,
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, amount double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b", 20.0),        # NULL -> value: changed
+         (3, None, 30.0),       # value -> NULL: changed
+         (5, "e", 50.0)],       # added (4 removed)
+        "k long, name string, amount double",
+    )
+    d = {r["k"]: r for r in table_diff(old, new, keys=["k"]).collect()}
+    assert set(d) == {2, 3, 4, 5}  # 1 unchanged -> excluded
+    assert d[2]["change_type"] == "changed"
+    assert d[2]["changed_cols"] == ["amount"]
+    assert d[3]["change_type"] == "changed"
+    assert d[3]["changed_cols"] == ["name"]
+    assert d[4]["change_type"] == "removed" and d[4]["changed_cols"] == []
+    assert d[5]["change_type"] == "added" and d[5]["changed_cols"] == []
+
+    full = table_diff(old, new, keys=["k"], include_unchanged=True)
+    s = {r["change_type"]: r["n_rows"] for r in diff_summary(full).collect()}
+    assert s == {"unchanged": 1, "changed": 2, "removed": 1, "added": 1}
