@@ -73,7 +73,10 @@ def _merge_dim(
     existing_keys = existing.drop("id") if existing is not None else None
     fresh = insert_if_absent(existing_keys, new_rows, key)
     fresh = with_surrogate_key(
-        fresh, order_by=order_by or key, start_at=next_id_start(existing)
+        fresh,
+        order_by=order_by or key,
+        start_at=next_id_start(existing),
+        num_partitions=1,  # dims are bounded-cardinality (SURVEY §2.3)
     ).select("id", *new_rows.columns)
     if existing is None:
         store.overwrite(name, fresh)
@@ -279,6 +282,7 @@ def build_star_schema(store: GoldStore, staging: DataFrame) -> dict[str, DataFra
             order_by=["vin", "auction_id"],
             id_col="vehicle_id",
             start_at=next_id_start(existing_vehicle, "vehicle_id"),
+            num_partitions=1,  # fresh keys per batch are batch-bounded
         )
         vehicle_dim = has_id.unionByName(needs_id)
     else:

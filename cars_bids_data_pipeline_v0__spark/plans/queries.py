@@ -354,7 +354,9 @@ def q11(spark, sf_dir):
         c.filter(F.col("c_mktsegment").isNotNull())
         .select(F.col("c_mktsegment").alias("segment")).distinct()
     )
-    return with_surrogate_key(dim, order_by=["segment"]).select("id", "segment")
+    return with_surrogate_key(
+        dim, order_by=["segment"], num_partitions=1
+    ).select("id", "segment")
 
 
 @register(
@@ -429,11 +431,13 @@ def q13(spark, sf_dir):
         c.filter(F.col("c_mktsegment").isNotNull())
         .select(F.trim("c_mktsegment").alias("segment")).distinct(),
         order_by=["segment"],
+        num_partitions=1,
     )
     pri_dim = with_surrogate_key(
         o.filter(F.col("o_orderpriority").isNotNull())
         .select(F.trim("o_orderpriority").alias("priority")).distinct(),
         order_by=["priority"],
+        num_partitions=1,
     )
     market_src = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
@@ -444,7 +448,9 @@ def q13(spark, sf_dir):
         .select(F.col("n_name").alias("nation"), F.col("__sid").alias("segment_id"))
         .distinct()
     )
-    market_dim = with_surrogate_key(market_src, order_by=["nation", "segment_id"])
+    market_dim = with_surrogate_key(
+        market_src, order_by=["nation", "segment_id"], num_partitions=1
+    )
 
     return (
         o.join(c, o.o_custkey == c.c_custkey, "left")
