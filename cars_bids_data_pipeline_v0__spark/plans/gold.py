@@ -286,12 +286,20 @@ def build_star_schema(store: GoldStore, staging: DataFrame) -> dict[str, DataFra
         )
         vehicle_dim = has_id.unionByName(needs_id)
     else:
+        # Persist the deduped source before keying: the distributed key
+        # assignment's range-boundary sampling re-reads its input, and
+        # without this the whole 5-broadcast-join chain would run twice.
+        vehicle_keyed_src = vehicle_src.dropDuplicates(
+            ["vin", "auction_id"]
+        ).persist()
         vehicle_dim = with_surrogate_key(
-            vehicle_src.dropDuplicates(["vin", "auction_id"]),
+            vehicle_keyed_src,
             order_by=["vin", "auction_id"],
             id_col="vehicle_id",
         )
     store.overwrite("vehicle_dim", vehicle_dim)
+    if existing_vehicle is None:
+        vehicle_keyed_src.unpersist()
     dims["vehicle_dim"] = store.read("vehicle_dim")
 
     # -- auction_fact (M3; update_dims.sql:185-223) --------------------------
