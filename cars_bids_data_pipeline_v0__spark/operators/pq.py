@@ -1,0 +1,271 @@
+"""Product quantization (PQ) for embedding columns — the compression tier
+of the similarity-search stack (operators/similarity.py).
+
+The reference has no vector path at all; at training-data scale the corpus
+embedding table is often too large to scan as raw floats.  PQ splits each
+D-dim vector into M subvectors, snaps each subvector to its nearest entry
+in a per-subspace codebook of K codewords, and stores only the M small
+codes (M bytes at K ≤ 256 vs 4·D bytes of float32 — 32× for D=64, M=8).
+Search uses asymmetric distance computation (ADC): per query, one
+O(M·K·D/M) table of subspace dot products is built ONCE, then every
+corpus row is scored with M table lookups instead of a D-length dot.
+
+Scale shape: encoding is a narrow map over the corpus scan (no shuffle);
+codebooks travel as broadcast literals; ADC scoring is a broadcast join of
+the (small) query set against the code table, with the per-row work O(M).
+Only the final per-query top-k ranks shuffle.  Jégou et al., "Product
+Quantization for Nearest Neighbor Search", IEEE TPAMI 2011.
+
+Two codebook sources:
+
+* :func:`pq_codebooks_random` — deterministic sha256-derived codewords
+  (no RNG state, no data dependence).  Lower recall than trained
+  codebooks but exactly reproducible anywhere — the oracle-checked query
+  (q95) inlines these very floats into its DuckDB twin.
+* :func:`pq_train` — distributed per-subspace Lloyd iterations; all M
+  subspaces train in the same Spark jobs (explode → assign → per-cell
+  mean), so job count is independent of M.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import as_double, dot, l2_norm
+
+Codebooks = list[list[list[float]]]  # [m][k][component]
+
+
+def _unit_interval(salt: str, *idx: int) -> float:
+    """Deterministic float in [-1, 1) from a sha256 of (salt, *idx)."""
+    h = hashlib.sha256(
+        (salt + ":" + ":".join(str(i) for i in idx)).encode()
+    ).digest()
+    (u,) = struct.unpack(">Q", h[:8])
+    return (u / 2**63) - 1.0
+
+
+def pq_codebooks_random(
+    dim: int, m: int, k: int, salt: str = "pq"
+) -> Codebooks:
+    """Data-independent codebooks: K unit-scaled pseudo-random codewords
+    per subspace.  Same floats on every machine and engine."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    return [
+        [
+            [_unit_interval(salt, mi, ki, d) for d in range(ds)]
+            for ki in range(k)
+        ]
+        for mi in range(m)
+    ]
+
+
+def _codebook_lit(codebooks: Codebooks) -> Column:
+    """[m][k][component] as one nested literal array column."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in code])
+                    for code in sub
+                ]
+            )
+            for sub in codebooks
+        ]
+    )
+
+
+def _subvectors(v: Column, m: int, ds: int) -> Column:
+    """Split a vector column into the array of its m subvectors."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mi: F.slice(v, mi * ds + 1, ds),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Append ``code_col``: array<int> of length M, ``codes[m]`` = index of
+    the codeword nearest (squared L2) to subvector m, ties to the lowest
+    index.  Pure expression work — a narrow map over the scan."""
+    m, k, ds = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    cb = _codebook_lit(codebooks)
+    v = as_double(vec_col)
+
+    def nearest(sub_and_cb: Column) -> Column:
+        sub = sub_and_cb["sub"]
+        # (dist², k) structs sort ascending: nearest first, ties → low k
+        scored = F.transform(
+            sub_and_cb["cb"],
+            lambda code, ki: F.struct(
+                dot(
+                    F.zip_with(sub, code, lambda a, b: a - b),
+                    F.zip_with(sub, code, lambda a, b: a - b),
+                ).alias("d2"),
+                ki.alias("k"),
+            ),
+        )
+        return F.array_sort(scored)[0]["k"]
+
+    pairs = F.zip_with(
+        _subvectors(v, m, ds),
+        cb,
+        lambda sub, sub_cb: F.struct(sub.alias("sub"), sub_cb.alias("cb")),
+    )
+    return df.withColumn(code_col, F.transform(pairs, nearest))
+
+
+def pq_decode(codes: Column, codebooks: Codebooks) -> Column:
+    """Reconstruct the (lossy) vector from its codes — flatten of the
+    selected codeword per subspace."""
+    cb = _codebook_lit(codebooks)
+    return F.flatten(
+        F.zip_with(codes, cb, lambda c, sub: F.element_at(sub, c + 1))
+    )
+
+
+def pq_topk_adc(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: Codebooks,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Approximate cosine top-k via ADC over PQ codes.
+
+    Per query: ``qtab[m][k] = dot(q_m, codeword_mk)`` built once (narrow
+    map over the small query frame, broadcast).  Per corpus row:
+    ``approx_cos = Σ_m qtab[m][codes[m]] / (|q| · ‖decode(codes)‖)`` — M
+    array lookups, never a D-length dot.  The codeword-norm table is a
+    literal, so the corpus side needs only its code column.  Output:
+    ``(q_id, c_id, adc_sim, rank)``, rank 1..k per query (ties on the
+    rounded score break by ``c_id`` — deterministic).
+    """
+    m, _, ds = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    cb = _codebook_lit(codebooks)
+    # ‖codeword‖² table, [m][k] literal
+    ntab = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(float(sum(x * x for x in code)))
+                    for code in sub
+                ]
+            )
+            for sub in codebooks
+        ]
+    )
+
+    qv = as_double(q_vec)
+    q = queries.select(
+        F.col(q_id).alias("__qid"),
+        F.zip_with(
+            _subvectors(qv, m, ds),
+            cb,
+            lambda sub, sub_cb: F.transform(
+                sub_cb, lambda code: dot(sub, code)
+            ),
+        ).alias("__qtab"),
+        l2_norm(qv).alias("__qnorm"),
+    )
+
+    codes = F.col(code_col)
+    num = F.aggregate(
+        F.zip_with(codes, F.col("__qtab"), lambda c, tab: F.element_at(tab, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rnorm2 = F.aggregate(
+        F.zip_with(codes, ntab, lambda c, tab: F.element_at(tab, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus_codes.join(F.broadcast(q)).select(
+        F.col("__qid").alias(q_id),
+        F.col(c_id),
+        F.round(num / (F.col("__qnorm") * F.sqrt(rnorm2)), 6).alias("adc_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("adc_sim").desc(), F.col(c_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "pq",
+) -> Codebooks:
+    """Per-subspace Lloyd refinement of the deterministic random seeds.
+
+    One explode puts every (row, subspace) pair in a single frame; each
+    iteration is assign (fold over the codebook literal) → per-(m, cell,
+    component) mean — ALL subspaces share the same two shuffles, so cost
+    does not grow with M.  Empty cells keep their previous codeword.
+    Only m·k·(dim/m) scalars reach the driver per iteration.
+    """
+    ds = dim // m
+    codebooks = pq_codebooks_random(dim, m, k, salt=salt)
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_subvectors(as_double(vec_col), m, ds)).alias(
+            "m", "sub"
+        ),
+    )
+    for _ in range(iters):
+        cb = _codebook_lit(codebooks)
+        assigned = base.select(
+            "m",
+            "sub",
+            F.array_sort(
+                F.transform(
+                    F.element_at(cb, F.col("m") + 1),
+                    lambda code, ki: F.struct(
+                        dot(
+                            F.zip_with(F.col("sub"), code, lambda a, b: a - b),
+                            F.zip_with(F.col("sub"), code, lambda a, b: a - b),
+                        ).alias("d2"),
+                        ki.alias("k"),
+                    ),
+                )
+            )[0]["k"].alias("cell"),
+        )
+        rows = (
+            assigned.select("m", "cell", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("m", "cell", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("m", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("code")
+            )
+            .collect()
+        )
+        new = {(r["m"], r["cell"]): list(r["code"]) for r in rows}
+        codebooks = [
+            [new.get((mi, ki), codebooks[mi][ki]) for ki in range(k)]
+            for mi in range(m)
+        ]
+    return codebooks

@@ -744,3 +744,128 @@ def q94(spark, sf_dir):
         )
     )
     return table_diff(c, new, keys=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# q95 — product-quantization ADC top-k (codebook inlined into the oracle)
+# ---------------------------------------------------------------------------
+
+_Q95_DIM, _Q95_M, _Q95_K = 64, 4, 8
+_Q95_TOPK = 10
+
+
+def _q95_codebooks():
+    from ..operators.pq import pq_codebooks_random
+
+    return pq_codebooks_random(_Q95_DIM, _Q95_M, _Q95_K, salt="q95")
+
+
+def _q95_oracle() -> str:
+    """DuckDB re-derives PQ codes and ADC scores from the SAME deterministic
+    codebook floats (operators.pq.pq_codebooks_random, sha256-based), so
+    encoding (per-subspace argmin of squared L2), the code→codeword
+    lookups, and the cosine-ADC arithmetic are all independently
+    recomputed and value-hashed.  Float ops are sequenced identically to
+    the Spark folds (leading 0.0, left-assoc) for bit-equal ties."""
+    cbs = _q95_codebooks()
+    ds = _Q95_DIM // _Q95_M
+
+    def dlist(floats):
+        return "CAST([" + ", ".join(repr(float(x)) for x in floats) + "] AS DOUBLE[])"
+
+    def dmat(mat):
+        return (
+            "CAST(["
+            + ", ".join("[" + ", ".join(repr(float(x)) for x in row) + "]" for row in mat)
+            + "] AS DOUBLE[][])"
+        )
+
+    sub_cols = ", ".join(
+        f"v[{m * ds + 1}:{(m + 1) * ds}] AS s{m}" for m in range(_Q95_M)
+    )
+    diff_cols = ",\n               ".join(
+        f"[s{m}[i] - ({dlist(cbs[m][k])})[i] for i in generate_series(1, {ds})] AS f_{m}_{k}"
+        for m in range(_Q95_M)
+        for k in range(_Q95_K)
+    )
+    d2_cols = ",\n               ".join(
+        f"list_dot_product(f_{m}_{k}, f_{m}_{k}) AS d_{m}_{k}"
+        for m in range(_Q95_M)
+        for k in range(_Q95_K)
+    )
+
+    def code_col(m):
+        ds_list = "[" + ", ".join(f"d_{m}_{k}" for k in range(_Q95_K)) + "]"
+        return (
+            f"list_position({ds_list}, list_min({ds_list})) - 1 AS c{m}"
+        )
+
+    code_cols = ",\n               ".join(code_col(m) for m in range(_Q95_M))
+    num = " + ".join(
+        f"list_dot_product(q.s{m}, ({dmat(cbs[m])})[c.c{m} + 1])"
+        for m in range(_Q95_M)
+    )
+    norm_consts = [
+        [sum(x * x for x in code) for code in cbs[m]] for m in range(_Q95_M)
+    ]
+    rnorm = " + ".join(
+        f"({dlist(norm_consts[m])})[c.c{m} + 1]" for m in range(_Q95_M)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), subs AS (
+        SELECT vec_id, v, {sub_cols} FROM base
+    ), diffs AS (
+        SELECT vec_id,
+               {diff_cols}
+        FROM subs
+    ), d2 AS (
+        SELECT vec_id,
+               {d2_cols}
+        FROM diffs
+    ), codes AS (
+        SELECT vec_id,
+               {code_cols}
+        FROM d2
+    ), scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               round((CAST(0.0 AS DOUBLE) + {num})
+                     / ((sqrt(list_dot_product(q.v, q.v)))
+                        * sqrt(CAST(0.0 AS DOUBLE) + {rnorm})), 6)
+                   AS adc_sim
+        FROM codes c
+        CROSS JOIN (SELECT * FROM subs WHERE vec_id % 100 = 0) q
+    )
+    SELECT q_id, vec_id, adc_sim, rank FROM (
+        SELECT q_id, vec_id, adc_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY adc_sim DESC, vec_id ASC
+               ) AS INT) AS rank
+        FROM scored)
+    WHERE rank <= {_Q95_TOPK}
+    """
+
+
+@register(
+    "q95_pq_adc_topk",
+    _q95_oracle(),
+    doc=(
+        "similarity search under 16x compression: product-quantization "
+        "codes (4 subspaces x 8 codewords over 64-dim embeddings) scored "
+        "by asymmetric distance computation — per query ONE subspace "
+        "dot-product table, then M array lookups per corpus row instead "
+        "of a 64-length dot.  operators/pq.py; codebook floats are "
+        "deterministic (sha256), inlined into both engines"
+    ),
+)
+def q95(spark, sf_dir):
+    from ..operators.pq import pq_encode, pq_topk_adc
+
+    cbs = _q95_codebooks()
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, cbs).select("vec_id", "pq_codes")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_topk_adc(queries, codes, cbs, k=_Q95_TOPK)
