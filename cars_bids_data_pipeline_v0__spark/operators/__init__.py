@@ -2,11 +2,15 @@
 set ops, and the large-scale extension operators (near-dup detection,
 similarity search, text analysis)."""
 
+from .bloom import bloom_might_contain, bloom_semi_join, build_bloom
+from .chunking import chunk_documents
 from .dedup import keep_latest
 from .diff import diff_summary, table_diff
 from .graph import connected_components, dedup_by_components
 from .keys import with_surrogate_key
+from .matview import matview_finalize, matview_merge, matview_partials
 from .merge import insert_if_absent, merge_into, upsert_overwrite
+from .pq import pq_encode, pq_topk_adc, pq_train
 from .scd2 import scd2_apply, scd2_snapshot
 from .sketch import approx_quantiles, hll_partials, hll_rollup
 from .skew import replicate_join, salted_two_phase_agg
@@ -14,9 +18,19 @@ from .split import validity_split
 from .zorder import morton_interleave, zorder_key, zorder_write
 
 __all__ = [
+    "build_bloom",
+    "bloom_might_contain",
+    "bloom_semi_join",
+    "chunk_documents",
     "keep_latest",
     "table_diff",
     "diff_summary",
+    "matview_partials",
+    "matview_merge",
+    "matview_finalize",
+    "pq_encode",
+    "pq_topk_adc",
+    "pq_train",
     "connected_components",
     "dedup_by_components",
     "with_surrogate_key",

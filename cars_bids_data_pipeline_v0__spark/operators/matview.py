@@ -1,0 +1,85 @@
+"""Incremental materialized-view maintenance — partial aggregates that
+merge.
+
+The reference recomputes its warehouse aggregates from scratch on every
+load; at 100 TB a grouped aggregate over the full fact is a full-scan +
+full-shuffle every batch.  The standard fix: store the view as MERGEABLE
+PARTIALS (count / sum / min / max — every algebraic aggregate), fold each
+delta batch into partials of its own (delta-sized work), and merge — the
+historical data is never re-scanned.  Averages and other derived measures
+are finalized from the partials at read time.
+
+Generalizes q87's daily→weekly rollup into a reusable operator; pairs
+with sketch.py's mergeable HLL partials for approx-distinct measures.
+
+Shapes: ``matview_partials`` is one grouped aggregate over its input
+(map-side combine applies — partial rows per group per partition merge
+before the shuffle).  ``matview_merge`` shuffles only |groups| rows per
+side.  ``matview_finalize`` is a projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_COUNT = "n_rows"
+_MERGEABLE = ("sum", "min", "max")
+
+
+def matview_partials(
+    df: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, ...]],
+) -> DataFrame:
+    """Grouped partials: ``n_rows`` plus ``{fn}_{col}`` for every
+    requested mergeable function.  ``avg`` is accepted and recorded as
+    its ``sum`` partial (finalized later)."""
+    aggs = [F.count(F.lit(1)).alias(_COUNT)]
+    for col, fns in measures.items():
+        wanted = set(fns)
+        if "avg" in wanted:
+            wanted.discard("avg")
+            wanted.add("sum")
+        unknown = wanted - set(_MERGEABLE)
+        if unknown:
+            raise ValueError(f"non-mergeable aggregate(s) {sorted(unknown)}")
+        for fn in sorted(wanted):
+            aggs.append(getattr(F, fn)(col).alias(f"{fn}_{col}"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def matview_merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two partial tables with identical schemas: counts and sums
+    add, mins/maxes fold.  Associative and commutative — any number of
+    delta batches, in any order, yield the same view."""
+    if set(existing.columns) != set(delta.columns):
+        raise ValueError(
+            f"partial schemas differ: {existing.columns} vs {delta.columns}"
+        )
+    partial_cols = [
+        c
+        for c in existing.columns
+        if c == _COUNT or c.split("_", 1)[0] in _MERGEABLE
+    ]
+    keys = [c for c in existing.columns if c not in partial_cols]
+    aggs = []
+    for c in partial_cols:
+        fn = "sum" if c == _COUNT else c.split("_", 1)[0]
+        aggs.append(getattr(F, fn)(c).alias(c))
+    return (
+        existing.unionByName(delta).groupBy(*keys).agg(*aggs)
+    )
+
+
+def matview_finalize(
+    partials: DataFrame, avg_of: list[str] | None = None
+) -> DataFrame:
+    """Append ``avg_{col} = sum_{col} / n_rows`` for each requested
+    measure — the read-time face of the view."""
+    out = partials
+    for col in avg_of or []:
+        out = out.withColumn(
+            f"avg_{col}", F.col(f"sum_{col}") / F.col(_COUNT)
+        )
+    return out

@@ -102,3 +102,49 @@ def train_val_test_split(
         .when(bucket < v_hi, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def md5_unit(c: Column | str) -> Column:
+    """Uniform double in [0, 1) from four md5 hex chars of the value's
+    string form (65536 grains) — engine-portable like :func:`md5_bucket`
+    but fine-grained enough for mixture rates."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        / F.lit(65536.0)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic multi-corpus mixture: sample each source so the output
+    proportions match ``weights``, keeping as many rows as possible.
+
+    With source sizes ``n_s`` the binding source is the one with the
+    smallest ``n_s / w_s``; every source keeps ``rate_s = w_s·C / n_s``
+    of its rows (``C = min_s n_s/w_s``), so the binding source keeps 100%
+    and the output mixture is ∝ ``weights``.  Membership is a pure
+    function of the row id (md5 thresholding) — stable across runs,
+    partitionings, and engines.  Sources absent from ``weights`` are
+    dropped.  One count aggregation (bounded: one row per source) plus
+    one filtered scan; no shuffle of the kept rows.
+    """
+    counts = {
+        r[source_col]: r["__n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    present = {s: w for s, w in weights.items() if w > 0 and counts.get(s)}
+    if not present:
+        return df.filter(F.lit(False))
+    c = min(counts[s] / w for s, w in present.items())
+    thresh = F.lit(None).cast("double")
+    for s in sorted(present):
+        rate = (present[s] * c) / counts[s]
+        thresh = F.when(F.col(source_col) == s, F.lit(rate)).otherwise(thresh)
+    return df.filter(md5_unit(id_col) < thresh)

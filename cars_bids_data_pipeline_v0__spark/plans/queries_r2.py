@@ -869,3 +869,199 @@ def q95(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return pq_topk_adc(queries, codes, cbs, k=_Q95_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q96 — bloom-prefiltered semi-join (exact result, pruned shuffle)
+# ---------------------------------------------------------------------------
+
+_Q96_PRICE = 450000.0
+
+
+@register(
+    "q96_bloom_semi_join",
+    f"""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_orderkey = l_orderkey AND o_totalprice > {_Q96_PRICE}
+    )
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "selective fact semi-join with a Bloom prefilter "
+        "(operators/bloom.py): the high-value order keys fold into a "
+        "64 Kbit sketch (one bounded agg), bit_get against the literal "
+        "words prunes the lineitem scan BEFORE any shuffle, and the "
+        "broadcast semi-join removes false positives — result is exact "
+        "(oracle: plain EXISTS), only the shuffle volume changes"
+    ),
+)
+def q96(spark, sf_dir):
+    from ..operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    hot = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _Q96_PRICE)
+        .select("o_orderkey")
+    )
+    return (
+        bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — document chunking (pretraining shard prep)
+# ---------------------------------------------------------------------------
+
+_Q97_SIZE, _Q97_OVERLAP = 32, 8
+_Q97_STRIDE = _Q97_SIZE - _Q97_OVERLAP
+
+
+@register(
+    "q97_chunk_documents",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, t, unnest(
+            [i for i in generate_series(1, greatest(len(t), 1), {_Q97_STRIDE})]
+        ) AS chunk_start
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) / {_Q97_STRIDE} AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(len(t[chunk_start:chunk_start + {_Q97_SIZE} - 1]) AS INT)
+               AS chunk_tokens,
+           array_to_string(t[chunk_start:chunk_start + {_Q97_SIZE} - 1], ' ')
+               AS chunk_text
+    FROM chunks
+    """,
+    doc=(
+        "fixed-token-window chunking with overlap "
+        "(operators/chunking.py): tokenize once, `sequence` generates "
+        "chunk starts, posexplode fans out — all native generators, a "
+        "narrow map with no shuffle; trailing partial chunks kept"
+    ),
+)
+def q97(spark, sf_dir):
+    from ..operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_size=_Q97_SIZE,
+        overlap=_Q97_OVERLAP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — deterministic training-mixture sampling
+# ---------------------------------------------------------------------------
+
+_Q98_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+@register(
+    "q98_mixture_sample",
+    f"""
+    WITH w(source, wt) AS (
+        VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)
+    ), counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), binding AS (
+        SELECT min(n / wt) AS c FROM counts JOIN w USING (source)
+    ), rates AS (
+        SELECT source, (wt * c) / n AS rate
+        FROM counts JOIN w USING (source) CROSS JOIN binding
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+           / 65536.0) < r.rate
+    """,
+    doc=(
+        "corpus mixture rebalancing (operators/sampling.py::"
+        "mixture_sample): per-source keep-rates derived from target "
+        "weights and source sizes (binding source keeps 100%), "
+        "membership a pure md5 function of the doc id — the same rows "
+        "are selected on every run, partitioning, and engine"
+    ),
+)
+def q98(spark, sf_dir):
+    from ..operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), _Q98_WEIGHTS
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# q99 — incremental materialized view: partials merged across delta batches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q99_incremental_matview",
+    """
+    WITH batched AS (
+        SELECT o_orderpriority, o_totalprice, o_orderkey % 3 AS b
+        FROM orders
+    ), partials AS (
+        SELECT o_orderpriority, b,
+               count(*) AS n_rows,
+               sum(o_totalprice) AS sum_p,
+               min(o_totalprice) AS min_p,
+               max(o_totalprice) AS max_p
+        FROM batched GROUP BY o_orderpriority, b
+    )
+    SELECT o_orderpriority,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           round(sum(sum_p), 2) AS sum_price,
+           round(min(min_p), 2) AS min_price,
+           round(max(max_p), 2) AS max_price,
+           round(sum(sum_p) / sum(n_rows), 4) AS avg_price
+    FROM partials GROUP BY o_orderpriority
+    """,
+    doc=(
+        "incremental view maintenance (operators/matview.py): the fact "
+        "arrives as three delta batches; each folds into count/sum/min/"
+        "max partials (delta-sized work, map-side combine) and merges "
+        "into the running view — history is never re-scanned.  The "
+        "oracle recomputes the same partial→merge shape in SQL"
+    ),
+)
+def q99(spark, sf_dir):
+    from ..operators.matview import (
+        matview_finalize,
+        matview_merge,
+        matview_partials,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    measures = {"o_totalprice": ("sum", "min", "max", "avg")}
+    view = None
+    for b in range(3):  # three delta arrivals
+        delta = o.filter(F.col("o_orderkey") % 3 == b)
+        part = matview_partials(delta, keys, measures)
+        view = part if view is None else matview_merge(view, part)
+    final = matview_finalize(view, avg_of=["o_totalprice"])
+    return final.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sum_o_totalprice", 2).alias("sum_price"),
+        F.round("min_o_totalprice", 2).alias("min_price"),
+        F.round("max_o_totalprice", 2).alias("max_price"),
+        F.round("avg_o_totalprice", 4).alias("avg_price"),
+    )

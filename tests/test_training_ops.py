@@ -1,0 +1,98 @@
+"""Training-data pipeline operators added in round 2: document chunking,
+mixture sampling, incremental materialized views."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.operators.chunking import chunk_documents
+from cars_bids_data_pipeline_v0__spark.operators.matview import (
+    matview_finalize,
+    matview_merge,
+    matview_partials,
+)
+from cars_bids_data_pipeline_v0__spark.operators.sampling import mixture_sample
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, "x")], "doc_id long, text string"
+    )
+    chunks = chunk_documents(docs, chunk_size=32, overlap=8)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk_tokens"])
+        for r in chunks.collect()
+    )
+    # doc 1: starts 1, 25, 49, 73, 97 -> sizes 32,32,32,28,4
+    assert [(s, n) for d, i, s, n in rows if d == 1] == [
+        (1, 32), (25, 32), (49, 32), (73, 28), (97, 4)
+    ]
+    # short docs yield exactly one chunk of their full length
+    assert [(s, n) for d, i, s, n in rows if d == 2] == [(1, 2)]
+    assert [(s, n) for d, i, s, n in rows if d == 3] == [(1, 1)]
+    # chunk text reassembles: consecutive doc-1 chunks share 8 tokens
+    c1 = {r["chunk_idx"]: r["chunk_text"].split(" ")
+          for r in chunks.filter("doc_id = 1").collect()}
+    assert c1[0][-8:] == c1[1][:8]
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    rows = [(i, f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"s0": 0.6, "s1": 0.3, "s2": 0.1}  # s3 dropped
+    out = mixture_sample(df, weights)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"s0", "s1", "s2"}
+    assert counts["s0"] == 1000  # binding source keeps 100%
+    # mixture ratios within hash-sampling tolerance
+    assert abs(counts["s1"] / counts["s0"] - 0.5) < 0.1
+    assert abs(counts["s2"] / counts["s0"] - 1 / 6) < 0.07
+    again = {r["doc_id"] for r in mixture_sample(df, weights).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
+
+
+def test_matview_merge_matches_full_recompute(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i % 17)) for i in range(3000)],
+        "id long, g string, x double",
+    )
+    keys, measures = ["g"], {"x": ("sum", "min", "max", "avg")}
+    view = None
+    for b in range(4):  # four out-of-order delta batches
+        delta = df.filter(F.col("id") % 4 == (3 - b))
+        part = matview_partials(delta, keys, measures)
+        view = part if view is None else matview_merge(view, part)
+    got = {
+        r["g"]: (r["n_rows"], r["sum_x"], r["min_x"], r["max_x"], r["avg_x"])
+        for r in matview_finalize(view, avg_of=["x"]).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"], r["lo"], r["hi"], r["m"])
+        for r in df.groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.avg("x").alias("m"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in got:
+        gn, gs, glo, ghi, gm = got[g]
+        wn, ws, wlo, whi, wm = want[g]
+        assert (gn, glo, ghi) == (wn, wlo, whi)
+        assert gs == pytest.approx(ws, rel=1e-12)
+        assert gm == pytest.approx(wm, rel=1e-12)
+
+
+def test_matview_rejects_non_mergeable(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, g string, x double")
+    with pytest.raises(ValueError):
+        matview_partials(df, ["g"], {"x": ("median",)})
