@@ -49,27 +49,31 @@ def matview_partials(
     return df.groupBy(*keys).agg(*aggs)
 
 
-def matview_merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
-    """Merge two partial tables with identical schemas: counts and sums
-    add, mins/maxes fold.  Associative and commutative — any number of
-    delta batches, in any order, yield the same view."""
-    if set(existing.columns) != set(delta.columns):
-        raise ValueError(
-            f"partial schemas differ: {existing.columns} vs {delta.columns}"
-        )
+def matview_compact(partials: DataFrame) -> DataFrame:
+    """Re-merge a frame holding MANY partial rows per group (e.g. one set
+    per delta batch) into one row per group: counts and sums add,
+    mins/maxes fold.  Associative and commutative — any number of delta
+    batches, in any order, yield the same view."""
     partial_cols = [
         c
-        for c in existing.columns
+        for c in partials.columns
         if c == _COUNT or c.split("_", 1)[0] in _MERGEABLE
     ]
-    keys = [c for c in existing.columns if c not in partial_cols]
+    keys = [c for c in partials.columns if c not in partial_cols]
     aggs = []
     for c in partial_cols:
         fn = "sum" if c == _COUNT else c.split("_", 1)[0]
         aggs.append(getattr(F, fn)(c).alias(c))
-    return (
-        existing.unionByName(delta).groupBy(*keys).agg(*aggs)
-    )
+    return partials.groupBy(*keys).agg(*aggs)
+
+
+def matview_merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two partial tables with identical schemas."""
+    if set(existing.columns) != set(delta.columns):
+        raise ValueError(
+            f"partial schemas differ: {existing.columns} vs {delta.columns}"
+        )
+    return matview_compact(existing.unionByName(delta))
 
 
 def matview_finalize(

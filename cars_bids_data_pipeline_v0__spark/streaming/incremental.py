@@ -392,3 +392,74 @@ def dedup_stream_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def matview_stream(
+    spark: SparkSession,
+    source_dir: str,
+    partials_store: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, ...]],
+    schema: T.StructType,
+):
+    """Streaming materialized view: each micro-batch folds into mergeable
+    count/sum/min/max partials (operators/matview.py) written under a
+    ``batch_id=<id>`` partition — delta-sized work per batch; history is
+    never re-scanned.
+
+    Exactly-once across checkpoint replays: a replayed batch OVERWRITES
+    its own ``batch_id`` partition instead of double-counting (same
+    contract as corpus_dedup_stream).  The store accumulates one partial
+    set per batch; :func:`read_matview` merges on read, and
+    :func:`compact_matview_store` folds old batches into one when the
+    partial count grows — the parquet stand-in for what a Delta MERGE
+    would do transactionally.
+    """
+    from ..operators.matview import matview_partials
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matview_partials(batch_df, keys, measures).write.mode(
+            "overwrite"
+        ).parquet(f"{partials_store}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_matview(
+    spark: SparkSession,
+    partials_store: str,
+    avg_of: list[str] | None = None,
+) -> DataFrame:
+    """Merge-on-read face of a :func:`matview_stream` store: one grouped
+    fold over |groups|·|batches| partial rows (never the raw data)."""
+    from ..operators.matview import matview_compact, matview_finalize
+
+    parts = spark.read.parquet(partials_store).drop("batch_id")
+    return matview_finalize(matview_compact(parts), avg_of=avg_of)
+
+
+def compact_matview_store(spark: SparkSession, partials_store: str) -> None:
+    """Fold every per-batch partial set into a single ``batch_id=-1``
+    partition, bounding merge-on-read cost; safe to run between stream
+    triggers.  Distributed write to a temp path + directory swap (the
+    GoldStore.overwrite pattern) — group cardinality is unbounded, so
+    nothing is collected to the driver."""
+    import os
+    import shutil
+
+    from ..operators.matview import matview_compact
+
+    tmp = partials_store.rstrip("/") + ".__compact__"
+    matview_compact(
+        spark.read.parquet(partials_store).drop("batch_id")
+    ).write.mode("overwrite").parquet(f"{tmp}/batch_id=-1")
+    shutil.rmtree(partials_store)
+    os.rename(tmp, partials_store)

@@ -1,0 +1,97 @@
+"""Physical-plan audits: the properties that decide 100 TB behavior.
+
+Correctness gates (oracle, unit tests) don't notice when a filter stops
+reaching the parquet scan or a dimension join silently becomes a
+sort-merge shuffle — these tests pin the plan shapes themselves.
+`.explain` only analyzes/optimizes (nothing executes), so they're cheap.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    Q._load_extensions()
+    return Q.REGISTRY
+
+
+def test_q01_pushes_filter_and_prunes_columns(spark, registry):
+    plan = plan_of(registry["q01_pricing_summary"].builder(spark, SF))
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    # the scan must not read the whole 11-column lineitem row
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read
+
+
+def test_small_dimensions_broadcast_not_shuffle(spark, registry):
+    for name in ["q02_revenue_by_nation", "q13_star_fact_assembly"]:
+        plan = plan_of(registry[name].builder(spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+    # q02's only joins are dim joins — no sort-merge exchange at all
+    assert "SortMergeJoin" not in plan_of(
+        registry["q02_revenue_by_nation"].builder(spark, SF)
+    )
+
+
+def test_headline_queries_stay_jvm_side_no_cartesian(spark, registry):
+    # (WholeStageCodegen ids only appear in post-execution AQE plans, so
+    # the pinnable invariants are: no row-at-a-time Python eval in the
+    # hot path, no cartesian products.)
+    for name in [
+        "q01_pricing_summary",
+        "q02_revenue_by_nation",
+        "q03_order_priority_counts",
+        "q10_keep_latest_order_per_customer",
+        "q52_exact_dup_groups",
+        "q59_corpus_quality_gate",
+    ]:
+        plan = plan_of(registry[name].builder(spark, SF))
+        assert "BatchEvalPython" not in plan, name  # no row-wise Python UDF
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bloom_prefilter_sits_on_the_scan_side(spark, registry):
+    plan = plan_of(registry["q96_bloom_semi_join"].builder(spark, SF))
+    assert "bit_get" in plan  # sketch probe survived optimization
+    assert "LeftSemi" in plan  # exactness join still present
+    # the semi-join is a broadcast, so lineitem is never shuffle-exchanged
+    assert "SortMergeJoin" not in plan
+
+
+def test_surrogate_keys_never_use_a_global_window(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.keys import (
+        with_surrogate_key,
+    )
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    for np in (None, 1):
+        out = with_surrogate_key(df, ["k", "v"], num_partitions=np)
+        plan = plan_of(out)
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "__sk_pid" in line, line  # always partitioned
+
+
+def test_chunking_is_a_narrow_map(spark, registry):
+    plan = plan_of(registry["q97_chunk_documents"].builder(spark, SF))
+    assert "Exchange" not in plan  # generator fan-out, zero shuffles

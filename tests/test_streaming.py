@@ -386,3 +386,63 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     )
     expect = read_table(spark, sf, "events").count()
     assert got == distinct_ids == expect  # every redelivery dropped
+
+
+def test_matview_stream_incremental_and_compaction(spark, tmp_path):
+    import json
+
+    from pyspark.sql import types as T
+    from cars_bids_data_pipeline_v0__spark.streaming.incremental import (
+        compact_matview_store,
+        matview_stream,
+        read_matview,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    kw = dict(
+        keys=["g"], measures={"x": ("sum", "min", "max", "avg")}, schema=schema
+    )
+
+    def write_wave(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_wave("w1.json", [{"g": "a", "x": 1.0}, {"g": "a", "x": 3.0},
+                           {"g": "b", "x": 10.0}])
+    matview_stream(spark, str(src), store, ckpt, **kw).awaitTermination()
+    v1 = {r["g"]: (r["n_rows"], r["sum_x"], r["avg_x"])
+          for r in read_matview(spark, store, avg_of=["x"]).collect()}
+    assert v1 == {"a": (2, 4.0, 2.0), "b": (1, 10.0, 10.0)}
+
+    # second arrival only processes the new file (delta-sized work)
+    write_wave("w2.json", [{"g": "a", "x": 5.0}, {"g": "c", "x": 7.0}])
+    matview_stream(spark, str(src), store, ckpt, **kw).awaitTermination()
+    v2 = {r["g"]: (r["n_rows"], r["sum_x"], r["min_x"], r["max_x"])
+          for r in read_matview(spark, store).collect()}
+    assert v2 == {"a": (3, 9.0, 1.0, 5.0), "b": (1, 10.0, 10.0, 10.0),
+                  "c": (1, 7.0, 7.0, 7.0)}
+
+    # compaction folds per-batch partials into one set; view unchanged
+    compact_matview_store(spark, store)
+    per_batch = spark.read.parquet(store)
+    assert per_batch.count() == 3  # one row per group, single batch dir
+    v3 = {r["g"]: (r["n_rows"], r["sum_x"], r["min_x"], r["max_x"])
+          for r in read_matview(spark, store).collect()}
+    assert v3 == v2
+
+    # further deltas after compaction keep merging correctly
+    write_wave("w3.json", [{"g": "b", "x": 2.0}])
+    matview_stream(spark, str(src), store, ckpt, **kw).awaitTermination()
+    v4 = {r["g"]: (r["n_rows"], r["sum_x"], r["min_x"])
+          for r in read_matview(spark, store).collect()}
+    assert v4["b"] == (2, 12.0, 2.0)
