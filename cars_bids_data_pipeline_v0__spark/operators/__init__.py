@@ -8,8 +8,14 @@ from .dedup import keep_latest
 from .diff import diff_summary, table_diff
 from .graph import connected_components, dedup_by_components
 from .keys import with_surrogate_key
-from .matview import matview_finalize, matview_merge, matview_partials
+from .matview import (
+    matview_compact,
+    matview_finalize,
+    matview_merge,
+    matview_partials,
+)
 from .merge import insert_if_absent, merge_into, upsert_overwrite
+from .packing import pack_chunks, pack_manifest
 from .pq import pq_encode, pq_topk_adc, pq_train
 from .scd2 import scd2_apply, scd2_snapshot
 from .sketch import approx_quantiles, hll_partials, hll_rollup
@@ -27,7 +33,10 @@ __all__ = [
     "diff_summary",
     "matview_partials",
     "matview_merge",
+    "matview_compact",
     "matview_finalize",
+    "pack_chunks",
+    "pack_manifest",
     "pq_encode",
     "pq_topk_adc",
     "pq_train",

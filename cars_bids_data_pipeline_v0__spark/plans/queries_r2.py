@@ -1065,3 +1065,66 @@ def q99(spark, sf_dir):
         F.round("max_o_totalprice", 2).alias("max_price"),
         F.round("avg_o_totalprice", 4).alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — sequence packing over chunked documents
+# ---------------------------------------------------------------------------
+
+_Q100_BUDGET, _Q100_SHARDS = 256, 8
+
+
+@register(
+    "q100_pack_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, t, unnest(
+            [i for i in generate_series(1, greatest(len(t), 1), {_Q97_STRIDE})]
+        ) AS chunk_start
+        FROM toks
+    ), sized AS (
+        SELECT doc_id,
+               CAST((chunk_start - 1) / {_Q97_STRIDE} AS INT) AS chunk_idx,
+               CAST(len(t[chunk_start:chunk_start + {_Q97_SIZE} - 1]) AS INT)
+                   AS chunk_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+                   % {_Q100_SHARDS} AS shard
+        FROM chunks
+    ), packed AS (
+        SELECT shard,
+               CAST(floor(coalesce(sum(chunk_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_Q100_BUDGET}) AS BIGINT) AS pack_id,
+               chunk_tokens
+        FROM sized
+    )
+    SELECT shard, pack_id,
+           count(*) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY shard, pack_id
+    """,
+    doc=(
+        "training-batch assembly (operators/packing.py): chunks pack "
+        "into {budget}-token sequences within md5-hash shards — one "
+        "window exchange, no driver loop; packs overflow by at most one "
+        "chunk (trainer truncates).  Oracle replays chunking + the "
+        "cumulative-sum bucket assignment + the manifest rollup"
+    ),
+)
+def q100(spark, sf_dir):
+    from ..operators.chunking import chunk_documents
+    from ..operators.packing import pack_chunks, pack_manifest
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_size=_Q97_SIZE,
+        overlap=_Q97_OVERLAP,
+    )
+    packed = pack_chunks(
+        chunks, budget=_Q100_BUDGET, num_shards=_Q100_SHARDS
+    )
+    return pack_manifest(packed)

@@ -96,3 +96,42 @@ def test_matview_rejects_non_mergeable(spark):
     df = spark.createDataFrame([(1, "a", 1.0)], "id long, g string, x double")
     with pytest.raises(ValueError):
         matview_partials(df, ["g"], {"x": ("median",)})
+
+
+def test_pack_chunks_budget_invariants(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.chunking import (
+        chunk_documents,
+    )
+    from cars_bids_data_pipeline_v0__spark.operators.packing import (
+        pack_chunks,
+        pack_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(20 + i % 50))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_size=16, overlap=4)
+    packed = pack_chunks(chunks, budget=64, num_shards=4)
+    # every chunk assigned exactly once
+    assert packed.count() == chunks.count()
+    man = pack_manifest(packed).collect()
+    # max chunk is 16 tokens: every non-final pack is within one chunk of
+    # the 64-token budget (short by a predecessor's overflow, over by at
+    # most one chunk); no pack ever exceeds budget + chunk
+    by_shard = {}
+    for r in man:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["pack_id"])
+        # pack ids are dense 0..n-1 (no bucket ever skipped)
+        assert [r["pack_id"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert 64 - 15 <= r["n_tokens"] < 64 + 16, (shard, dict(r.asDict()))
+        assert rows[-1]["n_tokens"] < 64 + 16
+    # deterministic across recomputation
+    again = {(r["shard"], r["pack_id"], r["n_chunks"], r["n_tokens"])
+             for r in pack_manifest(
+                 pack_chunks(chunks, budget=64, num_shards=4)).collect()}
+    assert again == {(r["shard"], r["pack_id"], r["n_chunks"], r["n_tokens"])
+                     for r in man}
