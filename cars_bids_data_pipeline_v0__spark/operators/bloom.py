@@ -72,7 +72,12 @@ def bloom_might_contain(
     num_hashes: int = 5,
 ) -> Column:
     """Membership predicate over a :func:`build_bloom` sketch — pure
-    expression (usable in ``.filter`` / ``.where`` on any frame)."""
+    expression (usable in ``.filter`` / ``.where`` on any frame).
+
+    The probed column must have EXACTLY the type the sketch was built
+    from: xxhash64 hashes INT and BIGINT (etc.) differently, so a type
+    mismatch yields false negatives.  :func:`bloom_semi_join` normalizes
+    this automatically."""
     col = F.col(key_col) if isinstance(key_col, str) else key_col
     n_bits = len(words) * 64
     words_lit = F.array(*[F.lit(int(w)).cast("long") for w in words])
@@ -100,12 +105,20 @@ def bloom_semi_join(
     aggregation) prunes big rows before the shuffle; the broadcast
     semi-join then removes Bloom false positives."""
     small_key = small_key or big_key
-    words = build_bloom(small, small_key, n_bits=n_bits, num_hashes=num_hashes)
+    # xxhash64 hashes e.g. INT and BIGINT differently, so a type mismatch
+    # between the two key columns would produce FALSE NEGATIVES (members
+    # failing the prefilter before the corrective join).  Normalize the
+    # build side to the probe side's exact type.
+    big_type = big.schema[big_key].dataType
+    keyed_small = small.select(
+        F.col(small_key).cast(big_type).alias(big_key)
+    )
+    words = build_bloom(keyed_small, big_key, n_bits=n_bits, num_hashes=num_hashes)
     pruned = big.filter(
         bloom_might_contain(big_key, words, num_hashes=num_hashes)
     )
     return pruned.join(
-        F.broadcast(small.select(F.col(small_key).alias(big_key)).distinct()),
+        F.broadcast(keyed_small.distinct()),
         on=big_key,
         how="left_semi",
     )

@@ -9,8 +9,11 @@ chunk starts and ``posexplode`` fans out to one row per chunk — all
 native generators, no UDF, no shuffle (a narrow map; row amplification
 is ``ceil(n_tokens / stride)``, the physics of the operation).  The
 trailing chunk may be shorter than ``chunk_size`` (kept — losing
-document tails would bias the corpus); a document shorter than one
-stride yields exactly one chunk.
+document tails would bias the corpus), but chunk starts stop at
+``n_tokens - overlap``: a start past that point would emit a pure
+suffix of the previous chunk (every token already covered), duplicating
+text into the corpus.  A document shorter than one stride yields exactly
+one chunk; empty / whitespace-only documents yield none.
 """
 
 from __future__ import annotations
@@ -32,16 +35,24 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split('\s+') leaves an empty token before a leading separator (and
+    # IS the whole result for an empty string) — filter them so token
+    # counts are honest and empty docs vanish
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
     exploded = (
         docs.select(
             F.col(id_col),
             toks.alias("__toks"),
         )
+        .filter(F.size("__toks") > 0)
         .withColumn(
             "__starts",
             F.sequence(
-                F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(stride)
+                F.lit(1),
+                F.greatest(F.size("__toks") - overlap, F.lit(1)),
+                F.lit(stride),
             ),
         )
         .select(

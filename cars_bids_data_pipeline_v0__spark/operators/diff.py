@@ -40,16 +40,32 @@ def table_diff(
         raise ValueError(f"compare_cols missing from new side: {missing}")
 
     o = old.select(
-        *[F.col(k) for k in keys],
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in cols],
         F.lit(1).alias("__in_o"),
     )
     n = new.select(
-        *[F.col(k) for k in keys],
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in cols],
         F.lit(1).alias("__in_n"),
     )
-    j = o.join(n, on=keys, how="full_outer")
+    # Null-safe key equality: a NULL-keyed row present in both snapshots
+    # must COMPARE, not split into a spurious removed+added pair.  (<=>
+    # still hash-partitions like a plain equi-join — no plan downgrade.)
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = c if cond is None else cond & c
+    j = o.join(n, on=cond, how="full_outer").select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in keys
+        ],
+        *[F.col(f"__o_{c}") for c in cols],
+        *[F.col(f"__n_{c}") for c in cols],
+        "__in_o",
+        "__in_n",
+    )
     in_o = F.col("__in_o").isNotNull()
     in_n = F.col("__in_n").isNotNull()
     changed_cols = F.array_compact(

@@ -16,6 +16,13 @@ Shapes: ``matview_partials`` is one grouped aggregate over its input
 (map-side combine applies — partial rows per group per partition merge
 before the shuffle).  ``matview_merge`` shuffles only |groups| rows per
 side.  ``matview_finalize`` is a projection.
+
+Column contract: partial columns are ``n_rows`` and ``{sum,min,max,cnt}_
+{col}``; ``matview_partials`` REJECTS grouping keys whose names collide
+with those prefixes, so downstream merges can classify columns from the
+schema alone.  ``cnt_{col}`` is the per-measure NON-NULL count — ``avg``
+finalizes as ``sum/cnt``, not ``sum/n_rows`` (``F.sum`` skips NULLs, so
+dividing by the all-rows count would be wrong on nullable measures).
 """
 
 from __future__ import annotations
@@ -24,7 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _COUNT = "n_rows"
-_MERGEABLE = ("sum", "min", "max")
+_MERGEABLE = ("sum", "min", "max", "cnt")
+_RESERVED_PREFIXES = tuple(f"{fn}_" for fn in _MERGEABLE)
 
 
 def matview_partials(
@@ -34,18 +42,25 @@ def matview_partials(
 ) -> DataFrame:
     """Grouped partials: ``n_rows`` plus ``{fn}_{col}`` for every
     requested mergeable function.  ``avg`` is accepted and recorded as
-    its ``sum`` partial (finalized later)."""
+    its ``sum`` + non-null ``cnt`` partials (finalized later)."""
+    for k in keys:
+        if k == _COUNT or k.startswith(_RESERVED_PREFIXES):
+            raise ValueError(
+                f"grouping key {k!r} collides with the partial-column "
+                f"naming contract ({_COUNT}, {'/'.join(_RESERVED_PREFIXES)}*)"
+            )
     aggs = [F.count(F.lit(1)).alias(_COUNT)]
     for col, fns in measures.items():
         wanted = set(fns)
         if "avg" in wanted:
             wanted.discard("avg")
-            wanted.add("sum")
+            wanted.update({"sum", "cnt"})
         unknown = wanted - set(_MERGEABLE)
         if unknown:
             raise ValueError(f"non-mergeable aggregate(s) {sorted(unknown)}")
         for fn in sorted(wanted):
-            aggs.append(getattr(F, fn)(col).alias(f"{fn}_{col}"))
+            agg = F.count(col) if fn == "cnt" else getattr(F, fn)(col)
+            aggs.append(agg.alias(f"{fn}_{col}"))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -53,16 +68,17 @@ def matview_compact(partials: DataFrame) -> DataFrame:
     """Re-merge a frame holding MANY partial rows per group (e.g. one set
     per delta batch) into one row per group: counts and sums add,
     mins/maxes fold.  Associative and commutative — any number of delta
-    batches, in any order, yield the same view."""
+    batches, in any order, yield the same view.  Columns are classified
+    by the naming contract ``matview_partials`` enforces."""
     partial_cols = [
         c
         for c in partials.columns
-        if c == _COUNT or c.split("_", 1)[0] in _MERGEABLE
+        if c == _COUNT or c.startswith(_RESERVED_PREFIXES)
     ]
     keys = [c for c in partials.columns if c not in partial_cols]
     aggs = []
     for c in partial_cols:
-        fn = "sum" if c == _COUNT else c.split("_", 1)[0]
+        fn = "sum" if c == _COUNT or c.startswith("cnt_") else c.split("_", 1)[0]
         aggs.append(getattr(F, fn)(c).alias(c))
     return partials.groupBy(*keys).agg(*aggs)
 
@@ -79,11 +95,16 @@ def matview_merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
 def matview_finalize(
     partials: DataFrame, avg_of: list[str] | None = None
 ) -> DataFrame:
-    """Append ``avg_{col} = sum_{col} / n_rows`` for each requested
-    measure — the read-time face of the view."""
+    """Append ``avg_{col} = sum_{col} / cnt_{col}`` for each requested
+    measure — the read-time face of the view.  NULL when the group holds
+    no non-null values (cnt = 0), matching ``F.avg``."""
     out = partials
     for col in avg_of or []:
         out = out.withColumn(
-            f"avg_{col}", F.col(f"sum_{col}") / F.col(_COUNT)
+            f"avg_{col}",
+            F.when(
+                F.col(f"cnt_{col}") > 0,
+                F.col(f"sum_{col}") / F.col(f"cnt_{col}"),
+            ),
         )
     return out

@@ -68,21 +68,27 @@ def _dedup_source(source: DataFrame, on: list[str]) -> DataFrame:
     ``dropDuplicates`` keeps whichever duplicate a partition happens to
     deliver first — run-to-run nondeterministic.  Ordering the window by
     every non-key column (sorted by name, NULLs first) makes the survivor
-    a pure function of the data.  Complex-typed columns (array/map/struct)
-    are not orderable in Spark; they are skipped from the sort — if two
-    duplicates differ ONLY in complex columns the choice is still
-    arbitrary, which callers needing stronger guarantees should resolve
-    with an explicit order column upstream.
+    a pure function of the data.  Arrays and structs ARE orderable in
+    Spark (lexicographic / field-wise) and participate in the sort; only
+    map-typed columns — at any nesting depth — are unorderable and
+    skipped, so duplicates differing ONLY in a map column remain an
+    arbitrary (documented) choice.
     """
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    def has_map(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
     orderable = [
         f.name for f in source.schema.fields
-        if f.name not in on
-        and not isinstance(
-            f.dataType, (T.ArrayType, T.MapType, T.StructType)
-        )
+        if f.name not in on and not has_map(f.dataType)
     ]
     if not orderable:
         return source.dropDuplicates(on)

@@ -263,7 +263,14 @@ def pq_train(
             )
             .collect()
         )
-        new = {(r["m"], r["cell"]): list(r["code"]) for r in rows}
+        # F.avg merges double partials in shuffle-arrival order, which can
+        # drift by an ulp between runs; rounding the collected means far
+        # above that noise floor keeps the trained codebook bit-identical
+        # across runs (the determinism every other operator here promises)
+        new = {
+            (r["m"], r["cell"]): [round(v, 12) for v in r["code"]]
+            for r in rows
+        }
         codebooks = [
             [new.get((mi, ki), codebooks[mi][ki]) for ki in range(k)]
             for mi in range(m)

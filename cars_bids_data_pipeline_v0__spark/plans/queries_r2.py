@@ -931,13 +931,16 @@ _Q97_STRIDE = _Q97_SIZE - _Q97_OVERLAP
     "q97_chunk_documents",
     f"""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
         FROM documents
     ), chunks AS (
         SELECT doc_id, t, unnest(
-            [i for i in generate_series(1, greatest(len(t), 1), {_Q97_STRIDE})]
+            [i for i in generate_series(
+                1, greatest(len(t) - {_Q97_OVERLAP}, 1), {_Q97_STRIDE})]
         ) AS chunk_start
-        FROM toks
+        FROM toks WHERE len(t) > 0
     )
     SELECT doc_id,
            CAST((chunk_start - 1) / {_Q97_STRIDE} AS INT) AS chunk_idx,
@@ -1078,13 +1081,16 @@ _Q100_BUDGET, _Q100_SHARDS = 256, 8
     "q100_pack_chunks",
     f"""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
         FROM documents
     ), chunks AS (
         SELECT doc_id, t, unnest(
-            [i for i in generate_series(1, greatest(len(t), 1), {_Q97_STRIDE})]
+            [i for i in generate_series(
+                1, greatest(len(t) - {_Q97_OVERLAP}, 1), {_Q97_STRIDE})]
         ) AS chunk_start
-        FROM toks
+        FROM toks WHERE len(t) > 0
     ), sized AS (
         SELECT doc_id,
                CAST((chunk_start - 1) / {_Q97_STRIDE} AS INT) AS chunk_idx,
@@ -1109,7 +1115,7 @@ _Q100_BUDGET, _Q100_SHARDS = 256, 8
     """,
     doc=(
         "training-batch assembly (operators/packing.py): chunks pack "
-        "into {budget}-token sequences within md5-hash shards — one "
+        f"into {_Q100_BUDGET}-token sequences within md5-hash shards — one "
         "window exchange, no driver loop; packs overflow by at most one "
         "chunk (trainer truncates).  Oracle replays chunking + the "
         "cumulative-sum bucket assignment + the manifest rollup"

@@ -433,16 +433,38 @@ def matview_stream(
     )
 
 
+_COMPACT_MARKER = "_compacted_through"
+
+
+def _compacted_through(partials_store: str) -> int:
+    import os
+
+    marker = os.path.join(partials_store, _COMPACT_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    return -1
+
+
 def read_matview(
     spark: SparkSession,
     partials_store: str,
     avg_of: list[str] | None = None,
 ) -> DataFrame:
     """Merge-on-read face of a :func:`matview_stream` store: one grouped
-    fold over |groups|·|batches| partial rows (never the raw data)."""
+    fold over |groups|·|batches| partial rows (never the raw data).
+
+    Batches at or below the compaction fence are excluded — they are
+    already folded into the ``batch_id=-1`` partition, and a checkpoint
+    replay may lawfully re-write one of them (see
+    :func:`compact_matview_store`)."""
     from ..operators.matview import matview_compact, matview_finalize
 
-    parts = spark.read.parquet(partials_store).drop("batch_id")
+    fence = _compacted_through(partials_store)
+    parts = spark.read.parquet(partials_store)
+    parts = parts.filter(
+        (F.col("batch_id") == -1) | (F.col("batch_id") > fence)
+    ).drop("batch_id")
     return matview_finalize(matview_compact(parts), avg_of=avg_of)
 
 
@@ -451,15 +473,33 @@ def compact_matview_store(spark: SparkSession, partials_store: str) -> None:
     partition, bounding merge-on-read cost; safe to run between stream
     triggers.  Distributed write to a temp path + directory swap (the
     GoldStore.overwrite pattern) — group cardinality is unbounded, so
-    nothing is collected to the driver."""
+    nothing is collected to the driver.
+
+    Replay safety: a batch whose partials landed but whose checkpoint
+    commit didn't will be REPLAYED by the restarted stream after its
+    partition was folded in here — without a fence it would then count
+    twice.  Compaction therefore records the highest real batch_id it
+    folded (``_compacted_through``); :func:`read_matview` ignores any
+    ``batch_id`` ≤ that fence, so the replayed partition is inert."""
     import os
     import shutil
 
     from ..operators.matview import matview_compact
 
+    prior_fence = _compacted_through(partials_store)
+    hi = spark.read.parquet(partials_store).agg(
+        F.max("batch_id").alias("hi")
+    ).collect()[0]["hi"]
+    fence = prior_fence if hi is None else max(prior_fence, int(hi))
+
     tmp = partials_store.rstrip("/") + ".__compact__"
+    parts = spark.read.parquet(partials_store)
     matview_compact(
-        spark.read.parquet(partials_store).drop("batch_id")
+        parts.filter(
+            (F.col("batch_id") == -1) | (F.col("batch_id") > prior_fence)
+        ).drop("batch_id")
     ).write.mode("overwrite").parquet(f"{tmp}/batch_id=-1")
+    with open(os.path.join(tmp, _COMPACT_MARKER), "w") as f:
+        f.write(str(fence))
     shutil.rmtree(partials_store)
     os.rename(tmp, partials_store)

@@ -40,3 +40,12 @@ def test_bloom_semi_join_exact(spark):
         r["k"] for r in exact.collect()
     ) == [3, 7]
     assert out.columns == big.columns
+
+
+def test_bloom_semi_join_exact_across_key_types(spark):
+    # xxhash64(INT) != xxhash64(BIGINT) for the same value; without type
+    # normalization true members would be pruned before the exact join
+    small = spark.range(0, 50).select(F.col("id").cast("int").alias("sk"))
+    big = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = bloom_semi_join(big, small, "k", "sk")
+    assert sorted(r["k"] for r in out.collect()) == list(range(50))

@@ -199,3 +199,21 @@ def test_table_diff_semantics(spark):
     full = table_diff(old, new, keys=["k"], include_unchanged=True)
     s = {r["change_type"]: r["n_rows"] for r in diff_summary(full).collect()}
     assert s == {"unchanged": 1, "changed": 2, "removed": 1, "added": 1}
+
+
+def test_table_diff_null_keys_compare_not_split(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(None, "a", 1.0), (1, "b", 2.0)], "k long, name string, x double"
+    )
+    new = spark.createDataFrame(
+        [(None, "a", 9.0), (1, "b", 2.0)], "k long, name string, x double"
+    )
+    rows = table_diff(old, new, keys=["k"]).collect()
+    # the NULL-keyed row matches itself and reports as changed (not as a
+    # spurious removed+added pair); row 1 is unchanged and excluded
+    assert len(rows) == 1
+    assert rows[0]["k"] is None
+    assert rows[0]["change_type"] == "changed"
+    assert rows[0]["changed_cols"] == ["x"]

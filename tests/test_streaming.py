@@ -446,3 +446,51 @@ def test_matview_stream_incremental_and_compaction(spark, tmp_path):
     v4 = {r["g"]: (r["n_rows"], r["sum_x"], r["min_x"])
           for r in read_matview(spark, store).collect()}
     assert v4["b"] == (2, 12.0, 2.0)
+
+
+def test_matview_compaction_fences_out_replayed_batches(spark, tmp_path):
+    import json
+
+    from pyspark.sql import types as T
+    from cars_bids_data_pipeline_v0__spark.operators.matview import (
+        matview_partials,
+    )
+    from cars_bids_data_pipeline_v0__spark.streaming.incremental import (
+        compact_matview_store,
+        matview_stream,
+        read_matview,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("x", T.DoubleType())]
+    )
+    kw = dict(keys=["g"], measures={"x": ("sum",)}, schema=schema)
+
+    with open(src / "w1.json", "w") as f:
+        for r in [{"g": "a", "x": 1.0}, {"g": "b", "x": 2.0}]:
+            f.write(json.dumps(r) + "\n")
+    matview_stream(spark, str(src), store, ckpt, **kw).awaitTermination()
+    compact_matview_store(spark, store)
+
+    # simulate: batch 0's partials landed, checkpoint commit was lost, the
+    # restarted stream REPLAYS batch 0 and re-writes its partition
+    replay = spark.createDataFrame([("a", 1.0), ("b", 2.0)], schema)
+    matview_partials(replay, ["g"], {"x": ("sum",)}).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/batch_id=0")
+
+    v = {r["g"]: (r["n_rows"], r["sum_x"])
+         for r in read_matview(spark, store).collect()}
+    assert v == {"a": (1, 1.0), "b": (1, 2.0)}  # NOT double-counted
+
+    # genuinely new batches after the fence still merge in
+    with open(src / "w2.json", "w") as f:
+        f.write(json.dumps({"g": "a", "x": 5.0}) + "\n")
+    matview_stream(spark, str(src), store, ckpt, **kw).awaitTermination()
+    v2 = {r["g"]: (r["n_rows"], r["sum_x"])
+          for r in read_matview(spark, store).collect()}
+    assert v2 == {"a": (2, 6.0), "b": (1, 2.0)}

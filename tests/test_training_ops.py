@@ -18,24 +18,32 @@ from cars_bids_data_pipeline_v0__spark.operators.sampling import mixture_sample
 def test_chunking_covers_every_token_with_overlap(spark):
     text = " ".join(f"t{i}" for i in range(100))
     docs = spark.createDataFrame(
-        [(1, text), (2, "short doc"), (3, "x")], "doc_id long, text string"
+        [(1, text), (2, "short doc"), (3, "x"),
+         (4, ""), (5, " \t\n ")],  # empty / whitespace-only -> no chunks
+        "doc_id long, text string",
     )
     chunks = chunk_documents(docs, chunk_size=32, overlap=8)
     rows = sorted(
         (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk_tokens"])
         for r in chunks.collect()
     )
-    # doc 1: starts 1, 25, 49, 73, 97 -> sizes 32,32,32,28,4
+    # doc 1: starts stop at n-overlap=92, so 1, 25, 49, 73 — the would-be
+    # chunk@97 is a pure suffix of chunk@73 and must NOT be emitted
     assert [(s, n) for d, i, s, n in rows if d == 1] == [
-        (1, 32), (25, 32), (49, 32), (73, 28), (97, 4)
+        (1, 32), (25, 32), (49, 32), (73, 28)
     ]
     # short docs yield exactly one chunk of their full length
     assert [(s, n) for d, i, s, n in rows if d == 2] == [(1, 2)]
     assert [(s, n) for d, i, s, n in rows if d == 3] == [(1, 1)]
-    # chunk text reassembles: consecutive doc-1 chunks share 8 tokens
+    assert not [r for r in rows if r[0] in (4, 5)]
+    # every token appears: union of chunk texts covers the whole doc
     c1 = {r["chunk_idx"]: r["chunk_text"].split(" ")
           for r in chunks.filter("doc_id = 1").collect()}
-    assert c1[0][-8:] == c1[1][:8]
+    assert c1[0][-8:] == c1[1][:8]  # consecutive chunks share the overlap
+    covered = set()
+    for toks in c1.values():
+        covered.update(toks)
+    assert covered == {f"t{i}" for i in range(100)}
 
 
 def test_mixture_sample_proportions_and_determinism(spark):
@@ -135,3 +143,24 @@ def test_pack_chunks_budget_invariants(spark):
                  pack_chunks(chunks, budget=64, num_shards=4)).collect()}
     assert again == {(r["shard"], r["pack_id"], r["n_chunks"], r["n_tokens"])
                      for r in man}
+
+
+def test_matview_avg_correct_with_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 10.0), (2, "g", None), (3, "g", 20.0), (4, "h", None)],
+        "id long, g string, x double",
+    )
+    part = matview_partials(df, ["g"], {"x": ("avg",)})
+    out = {r["g"]: (r["n_rows"], r["avg_x"])
+           for r in matview_finalize(part, avg_of=["x"]).collect()}
+    assert out["g"] == (3, 15.0)  # NULL excluded from avg, counted in rows
+    assert out["h"] == (1, None)  # all-NULL group -> NULL avg, like F.avg
+
+
+def test_matview_rejects_colliding_key_names(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], "n_rows long, g string, x double")
+    with pytest.raises(ValueError):
+        matview_partials(df, ["n_rows"], {"x": ("sum",)})
+    df2 = spark.createDataFrame([(1, "a", 1.0)], "sum_region long, g string, x double")
+    with pytest.raises(ValueError):
+        matview_partials(df2, ["sum_region"], {"x": ("sum",)})
