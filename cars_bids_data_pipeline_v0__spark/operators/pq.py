@@ -276,3 +276,91 @@ def pq_train(
             for mi in range(m)
         ]
     return codebooks
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: Codebooks,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse centroid cells prune the candidate set, PQ-ADC
+    scores the survivors — the standard billion-scale ANN shape (one
+    scan assigns cells + codes; the probe join moves only
+    |corpus|·nprobe/nlist rows of M-byte codes, never raw floats).
+
+    This is the no-residual variant (codes quantize the raw vectors, not
+    cell residuals): recall equals plain ADC restricted to the probed
+    cells, and ``nprobe == nlist`` is EXACTLY :func:`pq_topk_adc` —
+    pinned in tests, so the cell plumbing sits under the same contract.
+    Output schema matches ``pq_topk_adc``.
+    """
+    from .similarity import kmeans_centroids, nearest_centroid_ids
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, nlist=nlist, id_col=c_id, vec_col=c_vec
+        )
+    coded = pq_encode(corpus, codebooks, vec_col=c_vec).select(
+        c_id,
+        "pq_codes",
+        nearest_centroid_ids(as_double(c_vec), centroids, 1)[0].alias("cell"),
+    )
+    probed_q = queries.withColumn(
+        "cell",
+        F.explode(nearest_centroid_ids(as_double(q_vec), centroids, nprobe)),
+    )
+    m, _, ds = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    cb = _codebook_lit(codebooks)
+    ntab = F.array(
+        *[
+            F.array(*[F.lit(float(sum(x * x for x in code))) for code in sub])
+            for sub in codebooks
+        ]
+    )
+    qv = as_double(q_vec)
+    q = probed_q.select(
+        F.col(q_id).alias("__qid"),
+        "cell",
+        F.zip_with(
+            _subvectors(qv, m, ds),
+            cb,
+            lambda sub, sub_cb: F.transform(sub_cb, lambda code: dot(sub, code)),
+        ).alias("__qtab"),
+        l2_norm(qv).alias("__qnorm"),
+    )
+    codes = F.col("pq_codes")
+    num = F.aggregate(
+        F.zip_with(codes, F.col("__qtab"), lambda c, tab: F.element_at(tab, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rnorm2 = F.aggregate(
+        F.zip_with(codes, ntab, lambda c, tab: F.element_at(tab, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        coded.join(F.broadcast(q), on="cell")
+        .select(
+            F.col("__qid").alias(q_id),
+            F.col(c_id),
+            F.round(num / (F.col("__qnorm") * F.sqrt(rnorm2)), 6).alias(
+                "adc_sim"
+            ),
+        )
+        .dropDuplicates([q_id, c_id])
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("adc_sim").desc(), F.col(c_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -84,3 +84,28 @@ def test_pq_adc_topk_recall_and_self_match(spark, emb):
     for r in approx.collect():
         per_q.setdefault(r["q_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_ivf_pq_exact_when_probing_all_cells(spark, emb):
+    from cars_bids_data_pipeline_v0__spark.operators.pq import ivf_pq_topk
+
+    cbs = pq_codebooks_random(D, M, K)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    full = pq_topk_adc(
+        q, pq_encode(emb, cbs).select("vec_id", "pq_codes"), cbs, k=5
+    )
+    ivf_all = ivf_pq_topk(q, emb, cbs, k=5, nlist=8, nprobe=8)
+    a = {(r["q_id"], r["vec_id"], r["adc_sim"], r["rank"])
+         for r in full.collect()}
+    b = {(r["q_id"], r["vec_id"], r["adc_sim"], r["rank"])
+         for r in ivf_all.collect()}
+    assert a == b  # nprobe == nlist degenerates to plain ADC
+
+    # pruned probing returns valid dense ranks and a subset of the cells
+    pruned = ivf_pq_topk(q, emb, cbs, k=5, nlist=8, nprobe=2)
+    per_q = {}
+    for r in pruned.collect():
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
