@@ -205,3 +205,69 @@ def pii_counts(c: Column | str) -> dict[str, Column]:
         )
         masked = F.regexp_replace(masked, PII_PATTERNS[kind], f"[{kind}]")
     return out
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — the retrieval primitive behind quality-targeted corpus
+    curation (find documents about X to up/down-sample).
+
+    ``score(d) = Σ_t idf(t) · tf/(tf + k1·(1-b+b·dl/avgdl))`` with the
+    Lucene idf ``ln(1 + (N-df+0.5)/(df+0.5))``.  One explode →
+    grouped-count pass restricted to the query terms (the per-term
+    postings, shuffled at |matching terms| not corpus size), document
+    lengths as a sibling aggregate, corpus stats (N, avgdl) as a 1-row
+    broadcast.  Output: ``(id_col, bm25)`` for docs matching ≥1 term.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = docs.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, "__toks", F.size("__toks").alias("__dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    terms = (
+        base.select(id_col, "__dl", F.explode("__toks").alias("__term"))
+        .filter(F.col("__term").isin([t.lower() for t in query_terms]))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_t = terms.groupBy("__term").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    scored = (
+        terms.join(F.broadcast(df_t), "__term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__contrib",
+            F.col("__idf")
+            * F.col("__tf")
+            / (
+                F.col("__tf")
+                + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("__contrib"), 6).alias("bm25")
+    )

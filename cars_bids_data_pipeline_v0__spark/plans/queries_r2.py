@@ -1134,3 +1134,59 @@ def q100(spark, sf_dir):
         chunks, budget=_Q100_BUDGET, num_shards=_Q100_SHARDS
     )
     return pack_manifest(packed)
+
+
+# ---------------------------------------------------------------------------
+# q101 — BM25 relevance scoring (corpus curation retrieval)
+# ---------------------------------------------------------------------------
+
+_Q101_TERMS = ("spark", "table", "window")
+_Q101_K1, _Q101_B = 1.2, 0.75
+
+
+@register(
+    "q101_bm25_scores",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, t, len(t) AS dl FROM base
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sized
+    ), terms AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM sized, unnest(t) AS u(term)
+        WHERE term IN ('spark', 'table', 'window')
+        GROUP BY doc_id, dl, term
+    ), dfs AS (
+        SELECT term, count(*) AS df FROM terms GROUP BY term
+    )
+    SELECT doc_id,
+           round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf / (tf + {_Q101_K1} * (1 - {_Q101_B}
+                                          + {_Q101_B} * dl / avgdl))
+           ), 6) AS bm25
+    FROM terms JOIN dfs USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Okapi BM25 scoring against a fixed term bag "
+        "(operators/text.py::bm25_scores): postings restricted to query "
+        "terms before any shuffle, corpus stats as a 1-row broadcast — "
+        "the retrieval face of corpus curation.  Scores ranked on "
+        "ROUNDED values (float-sum order differs across engines)"
+    ),
+)
+def q101(spark, sf_dir):
+    from ..operators.text import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"),
+        list(_Q101_TERMS),
+        k1=_Q101_K1,
+        b=_Q101_B,
+    )

@@ -164,3 +164,23 @@ def test_matview_rejects_colliding_key_names(spark):
     df2 = spark.createDataFrame([(1, "a", 1.0)], "sum_region long, g string, x double")
     with pytest.raises(ValueError):
         matview_partials(df2, ["sum_region"], {"x": ("sum",)})
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),      # heavy on the query term
+            (2, "spark appears once here today"),
+            (3, "completely unrelated words only"),
+            (4, "common common common common"),    # term in every other doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(out) == {1, 2}              # only matching docs scored
+    assert out[1] > out[2] > 0             # higher tf -> higher score
+    # repeated-everywhere terms score low idf but still positive (Lucene ln(1+x))
+    out2 = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["common"]).collect()}
+    assert set(out2) == {4} and out2[4] > 0
