@@ -1190,3 +1190,193 @@ def q101(spark, sf_dir):
         k1=_Q101_K1,
         b=_Q101_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+_Q102_CUTOFF = 3.0 * 1.4826  # 3 sigma-equivalents under normality
+
+
+@register(
+    "q102_mad_outliers",
+    f"""
+    WITH med AS (
+        SELECT o_orderpriority, median(o_totalprice) AS med_price
+        FROM orders GROUP BY o_orderpriority
+    ), mad AS (
+        SELECT o.o_orderpriority,
+               median(abs(o.o_totalprice - m.med_price)) AS mad_price
+        FROM orders o JOIN med m USING (o_orderpriority)
+        GROUP BY o.o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(any_value(m.med_price), 4) AS med_price,
+           round(any_value(d.mad_price), 4) AS mad_price,
+           CAST(count(*) FILTER (
+               abs(o.o_totalprice - m.med_price)
+               > {_Q102_CUTOFF} * d.mad_price
+           ) AS BIGINT) AS n_outliers
+    FROM orders o
+    JOIN med m USING (o_orderpriority)
+    JOIN mad d USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+    doc=(
+        "robust per-group outlier detection: median + MAD (median "
+        "absolute deviation) instead of mean/stddev, so the detector "
+        "itself is not dragged by the outliers it hunts.  Two grouped "
+        "exact-median passes + one flagging pass; group stats broadcast "
+        "back.  Cutoff 3·1.4826·MAD ≈ 3σ under normality"
+    ),
+)
+def q102(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med_price")
+    )
+    mad = (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.median(F.abs(F.col("o_totalprice") - F.col("med_price"))).alias(
+                "mad_price"
+            )
+        )
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.any_value("med_price"), 4).alias("med_price"),
+            F.round(F.any_value("mad_price"), 4).alias("mad_price"),
+            F.count_if(
+                F.abs(F.col("o_totalprice") - F.col("med_price"))
+                > _Q102_CUTOFF * F.col("mad_price")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — time-series gap filling with linear interpolation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q103_gap_interpolation",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(h) AS lo, max(h) AS hi FROM hourly
+    ), spine AS (
+        SELECT et.event_type, s.h
+        FROM (SELECT DISTINCT event_type FROM hourly) et
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds) s
+    ), joined AS (
+        SELECT sp.event_type, sp.h, hv.v
+        FROM spine sp LEFT JOIN hourly hv USING (event_type, h)
+    ), ctx AS (
+        SELECT event_type, h, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER w_prev AS pt,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER w_next AS nt
+        FROM joined
+        WINDOW w_prev AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv)
+                    * (floor(epoch(h)) - floor(epoch(pt)))
+                    / (floor(epoch(nt)) - floor(epoch(pt)))
+           END, 4) AS value_filled,
+           v IS NULL AS was_gap
+    FROM ctx
+    """,
+    doc=(
+        "time-series gap fill: hourly rollup left-joined onto a "
+        "generated hour spine (sequence+explode — no driver loop), "
+        "missing hours linearly interpolated between the nearest "
+        "non-null neighbors via IGNORE NULLS window lookups (two frames "
+        "sharing one partitioning); edges carry the nearest value.  "
+        "Interpolation runs on hour-aligned epoch integers (exact in "
+        "both engines) over ROUNDED hourly sums"
+    ),
+)
+def q103(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = hourly.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .join(
+            F.broadcast(
+                bounds.select(
+                    F.explode(
+                        F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+                    ).alias("h")
+                )
+            )
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(marked, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(marked, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    frac = (
+        F.unix_timestamp("h") - F.unix_timestamp("pt")
+    ) / (F.unix_timestamp("nt") - F.unix_timestamp("pt"))
+    return ctx.select(
+        "event_type",
+        "h",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("pv").isNull(), F.col("nv"))
+            .when(F.col("nv").isNull(), F.col("pv"))
+            .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac),
+            4,
+        ).alias("value_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )

@@ -155,3 +155,79 @@ def test_keep_latest_keeps_max_date_per_key(spark, rows):
     assert {(r["k"], r["v"], r["idx"]) for r in out} == {
         (k, v, i) for k, (v, i) in best.items()
     }
+
+
+# --- chunking / packing invariants over random corpora --------------------
+
+
+@given(
+    st.lists(
+        st.integers(0, 90),  # token counts per doc, including empties
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([(16, 4), (32, 8), (8, 0)]),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunking_partition_property(spark, doc_lens, size_overlap):
+    from cars_bids_data_pipeline_v0__spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    chunk_size, overlap = size_overlap
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(n)))
+         for i, n in enumerate(doc_lens)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(
+        docs, chunk_size=chunk_size, overlap=overlap
+    ).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(doc_lens):
+        got = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if n == 0:
+            assert not got  # empty docs vanish
+            continue
+        # every token covered exactly: union of [start, start+len) == [1, n]
+        covered = set()
+        for r in got:
+            assert 1 <= r["chunk_tokens"] <= chunk_size
+            assert len(r["chunk_text"].split(" ")) == r["chunk_tokens"]
+            covered.update(
+                range(r["chunk_start"], r["chunk_start"] + r["chunk_tokens"])
+            )
+        assert covered == set(range(1, n + 1)), (i, n)
+        # no chunk is a pure suffix of its predecessor
+        for a, b in zip(got, got[1:]):
+            assert (
+                b["chunk_start"] + b["chunk_tokens"]
+                > a["chunk_start"] + a["chunk_tokens"]
+            )
+
+
+@given(st.lists(st.integers(1, 60), min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_packing_partition_property(spark, doc_lens):
+    from cars_bids_data_pipeline_v0__spark.operators.chunking import (
+        chunk_documents,
+    )
+    from cars_bids_data_pipeline_v0__spark.operators.packing import (
+        pack_chunks,
+        pack_manifest,
+    )
+
+    budget, chunk_size = 48, 16
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(n)))
+         for i, n in enumerate(doc_lens)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_size=chunk_size, overlap=4)
+    packed = pack_chunks(chunks, budget=budget, num_shards=3)
+    assert packed.count() == chunks.count()  # a partition, nothing dropped
+    for r in pack_manifest(packed).collect():
+        # never exceeds budget by a full chunk
+        assert r["n_tokens"] < budget + chunk_size
