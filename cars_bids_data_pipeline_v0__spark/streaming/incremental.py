@@ -503,3 +503,31 @@ def compact_matview_store(spark: SparkSession, partials_store: str) -> None:
         f.write(str(fence))
     shutil.rmtree(partials_store)
     os.rename(tmp, partials_store)
+
+
+def session_windows_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked streaming session windows — the streaming twin of
+    batch q42 (same ``session_window`` expression, same output schema).
+
+    Sessions close when no event arrives within ``gap``; the watermark
+    bounds state (an open session is finalized once event time passes
+    its end + watermark) and drops later stragglers — without it,
+    per-user session state grows with the stream.  Use with
+    ``outputMode("append")``: only FINALIZED sessions emit.
+    """
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -494,3 +494,63 @@ def test_matview_compaction_fences_out_replayed_batches(spark, tmp_path):
     v2 = {r["g"]: (r["n_rows"], r["sum_x"])
           for r in read_matview(spark, store).collect()}
     assert v2 == {"a": (2, 6.0), "b": (1, 2.0)}
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import read_table
+    from cars_bids_data_pipeline_v0__spark.streaming.incremental import (
+        session_windows_stream,
+        stream_events,
+    )
+
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    srcdir = tmp_path / "events"
+    srcdir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", srcdir / "part-0.parquet")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_events(spark, str(srcdir))
+    q = (
+        session_windows_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = (
+        read_table(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    # append mode emits only FINALIZED sessions: everything whose end has
+    # passed the 2h watermark at end-of-input must appear, nothing that
+    # the batch plan doesn't produce may appear, and the only misses are
+    # tail sessions still inside the watermark horizon
+    import datetime as dt
+
+    max_ts = max(s[2] for s in want)
+    horizon = max_ts - dt.timedelta(hours=2)
+    want_final = {s for s in want if s[2] < horizon}
+    assert want_final and want_final <= got <= want
+    assert all(s[2] >= horizon for s in want - got)
