@@ -148,3 +148,58 @@ def mixture_sample(
         rate = (present[s] * c) / counts[s]
         thresh = F.when(F.col(source_col) == s, F.lit(rate)).otherwise(thresh)
     return df.filter(md5_unit(id_col) < thresh)
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    target: int,
+    id_col: str = "doc_id",
+    num_shards: int = 1,
+) -> DataFrame:
+    """Exact-count weighted sampling without RNG or floating point.
+
+    Systematic (grid) sampling over the integer cumulative-weight line:
+    order rows deterministically by id, take every ``step =
+    total_weight // target``-th weight unit — a row is selected iff a
+    grid point lands inside its weight interval, i.e. ``floor(cum/step)
+    > floor((cum - w)/step)``.  Selection probability is proportional to
+    weight, heavy rows (w ≥ step) are always selected, and everything is
+    integer arithmetic — bit-identical on every engine and run.
+
+    The cumulative sum is one window over the id order; at cluster scale
+    partition the grid per hash shard (``num_shards``) so no global
+    window exists — each shard samples ``target/num_shards`` rows from
+    its own weight line (the same two-phase shape as
+    ``operators/keys.py``).
+    """
+    from pyspark.sql import Window
+
+    # the shard key stays a hash expression even at num_shards=1 (always
+    # 0) — a literal would be constant-folded out of the window partition
+    # spec, leaving an unpartitioned-window plan
+    shard = F.pmod(md5_bucket(id_col), F.lit(num_shards))
+    target = max(1, target // num_shards)
+    base = df.withColumn("__shard", shard).withColumn(
+        "__w", F.col(weight_col).cast("long")
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("__w").over(w)
+    totals = base.groupBy("__shard").agg(F.sum("__w").alias("__total"))
+    return (
+        base.withColumn("__cum", cum)
+        .join(F.broadcast(totals), "__shard")
+        # `div` keeps everything in exact integer arithmetic — long `/`
+        # would be double division (and DuckDB's bigint cast ROUNDS)
+        .withColumn(
+            "__step", F.greatest(F.expr(f"__total div {target}"), F.lit(1))
+        )
+        .filter(
+            F.expr("(__cum div __step) > ((__cum - __w) div __step)")
+        )
+        .drop("__shard", "__w", "__cum", "__total", "__step")
+    )

@@ -1380,3 +1380,107 @@ def q103(spark, sf_dir):
         ).alias("value_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — event-sequence Markov transition matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q104_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events WHERE user_id IS NOT NULL
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+    """,
+    doc=(
+        "first-order Markov transition matrix over per-user event "
+        "sequences: one lead() window (ordered by ts with event_id "
+        "tiebreak — deterministic), one grouped count, probabilities "
+        "normalized per source state with a partitioned window over the "
+        "TINY transition matrix, never the raw events"
+    ),
+)
+def q104(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wn = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wn), 6
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105 — systematic weighted sampling (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+_Q105_TARGET = 60
+
+
+@register(
+    "q105_weighted_sample",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, source, w,
+               sum(w) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER () AS total
+        FROM base
+    )
+    SELECT doc_id, source, w AS weight
+    FROM cum
+    WHERE (c // greatest(total // {_Q105_TARGET}, 1))
+        > ((c - w) // greatest(total // {_Q105_TARGET}, 1))
+    """,
+    doc=(
+        "weighted sampling without RNG or floats (operators/sampling.py"
+        "::systematic_weighted_sample): grid points every total/target "
+        "weight units along the integer cumulative-weight line select "
+        "rows with probability proportional to n_chars — pure integer "
+        "div, bit-identical on every engine/run.  The single-shard query "
+        "form uses one global cumsum over 500 rows; the operator's "
+        "num_shards path runs the same math per hash shard with no "
+        "global window"
+    ),
+)
+def q105(spark, sf_dir):
+    from ..operators.sampling import systematic_weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("weight")
+    )
+    return systematic_weighted_sample(
+        d, "weight", target=_Q105_TARGET, id_col="doc_id"
+    )

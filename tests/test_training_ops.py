@@ -184,3 +184,41 @@ def test_bm25_ranks_relevant_docs_first(spark):
     # repeated-everywhere terms score low idf but still positive (Lucene ln(1+x))
     out2 = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["common"]).collect()}
     assert set(out2) == {4} and out2[4] > 0
+
+
+def test_systematic_weighted_sample_properties(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    # 1000 light rows (w=1) + 10 heavy rows (w=500): heavy rows dominate
+    rows = [(i, 1) for i in range(1000)] + [(1000 + i, 500) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = systematic_weighted_sample(df, "w", target=100, id_col="doc_id")
+    got = {r["doc_id"] for r in out.collect()}
+    # total weight 6000, step 60: every heavy row (w=500 >= step) selected
+    assert {1000 + i for i in range(10)} <= got
+    # exact replication of the grid math in pure Python
+    step = 6000 // 100
+    cum, expect = 0, set()
+    for doc_id, w in sorted(rows):
+        prev = cum
+        cum += w
+        if cum // step > prev // step:
+            expect.add(doc_id)
+    assert got == expect
+    # deterministic
+    again = {r["doc_id"]
+             for r in systematic_weighted_sample(
+                 df, "w", target=100, id_col="doc_id").collect()}
+    assert again == got
+    # sharded path: no global window, same row-hit semantics per shard —
+    # count lands near the unsharded count (heavy rows absorb multiple
+    # grid points, so both are well under the raw target)
+    sharded = systematic_weighted_sample(
+        df, "w", target=100, id_col="doc_id", num_shards=4
+    )
+    hit = {r["doc_id"] for r in sharded.collect()}
+    assert len(got) / 2 <= len(hit) <= len(got) * 2
+    assert {1000 + i for i in range(10)} <= hit  # heavies survive sharding
+    assert "doc_id" in sharded.columns and "w" in sharded.columns
