@@ -1,0 +1,79 @@
+"""Distribution drift between corpus slices — the monitoring face of the
+training-data operators.
+
+A training mix goes stale silently: a source changes its crawler, a
+filter starts eating a language, a dedup pass skews the topic balance.
+The standard detector compares CATEGORICAL DISTRIBUTIONS (tokens, labels,
+languages, length buckets) between a reference slice and each candidate
+slice with a symmetric, bounded divergence.
+
+Jensen-Shannon divergence: ``JSD(P,Q) = (KL(P‖M) + KL(Q‖M))/2`` with
+``M = (P+Q)/2`` — symmetric, finite even when supports differ (unlike raw
+KL), bounded by ln 2.  Spark-first shape: one grouped count per slice
+builds the distributions (map-side combine), a full-outer join on the
+category aligns supports, and the divergence is a per-group SUM — at any
+scale the only shuffles are the two distribution builds over (slice,
+category), never row-level data past that point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def categorical_distribution(
+    df: DataFrame, slice_col: str, category_col: str
+) -> DataFrame:
+    """``(slice, category, p)`` — per-slice relative frequencies."""
+    counts = df.groupBy(slice_col, category_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    totals = counts.groupBy(slice_col).agg(F.sum("__n").alias("__t"))
+    return counts.join(totals, slice_col).select(
+        slice_col,
+        category_col,
+        (F.col("__n") / F.col("__t")).alias("p"),
+    )
+
+
+def js_divergence(
+    dist: DataFrame,
+    reference_slice: str,
+    slice_col: str = "source",
+    category_col: str = "category",
+) -> DataFrame:
+    """``(slice, jsd)`` for every non-reference slice vs the reference.
+
+    Missing categories contribute their one-sided terms (``0·ln`` terms
+    vanish), so disjoint support is handled without smoothing.  Output is
+    rounded to 6 decimals — the per-category term order differs between
+    engines/runs, and ranking on raw float sums is the anti-pattern the
+    oracle gate exists to catch.
+    """
+    ref = dist.filter(F.col(slice_col) == reference_slice).select(
+        F.col(category_col).alias("__cat"), F.col("p").alias("__p_ref")
+    )
+    oth = dist.filter(F.col(slice_col) != reference_slice).select(
+        slice_col, F.col(category_col).alias("__cat"), F.col("p").alias("__p")
+    )
+    # align supports per (slice, category); either side may be absent
+    slices = oth.select(slice_col).distinct()
+    aligned = (
+        slices.join(ref, how="cross")
+        .join(oth, [slice_col, "__cat"], "full_outer")
+        .select(
+            slice_col,
+            F.coalesce("__p_ref", F.lit(0.0)).alias("pr"),
+            F.coalesce("__p", F.lit(0.0)).alias("pq"),
+        )
+    )
+    m = (F.col("pr") + F.col("pq")) / 2
+    term = F.when(
+        F.col("pr") > 0, F.col("pr") * F.log(F.col("pr") / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("pq") > 0, F.col("pq") * F.log(F.col("pq") / m)
+    ).otherwise(F.lit(0.0))
+    return aligned.groupBy(slice_col).agg(
+        F.round(F.sum(term) / 2, 6).alias("jsd")
+    )

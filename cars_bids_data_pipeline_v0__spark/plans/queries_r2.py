@@ -1484,3 +1484,75 @@ def q105(spark, sf_dir):
     return systematic_weighted_sample(
         d, "weight", target=_Q105_TARGET, id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — corpus drift: Jensen-Shannon divergence of token distributions
+# ---------------------------------------------------------------------------
+
+_Q106_REF = "src0"
+
+
+@register(
+    "q106_token_drift",
+    f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2
+    ), totals AS (
+        SELECT source, sum(n) AS t FROM counts GROUP BY 1
+    ), dist AS (
+        SELECT source, tok, n / t AS p
+        FROM counts JOIN totals USING (source)
+    ), ref AS (
+        SELECT tok, p AS pr FROM dist WHERE source = '{_Q106_REF}'
+    ), oth AS (
+        SELECT source, tok, p FROM dist WHERE source <> '{_Q106_REF}'
+    ), grid AS (
+        SELECT s.source, r.tok, r.pr
+        FROM (SELECT DISTINCT source FROM oth) s CROSS JOIN ref r
+    ), aligned AS (
+        SELECT source,
+               coalesce(pr, 0.0) AS pr,
+               coalesce(p, 0.0) AS pq
+        FROM grid FULL OUTER JOIN oth USING (source, tok)
+    )
+    SELECT source,
+           round(sum(
+               CASE WHEN pr > 0 THEN pr * ln(pr / ((pr + pq) / 2))
+                    ELSE 0.0 END
+             + CASE WHEN pq > 0 THEN pq * ln(pq / ((pr + pq) / 2))
+                    ELSE 0.0 END
+           ) / 2, 6) AS jsd
+    FROM aligned GROUP BY source
+    """,
+    doc=(
+        "training-mix drift monitor (operators/drift.py): per-source "
+        "token distributions compared to a reference source by "
+        "Jensen-Shannon divergence — symmetric, finite on disjoint "
+        "support, bounded by ln 2.  After the two (slice, category) "
+        "count shuffles everything operates on distribution-sized "
+        "frames; divergences are rounded (float-sum order differs "
+        "across engines)"
+    ),
+)
+def q106(spark, sf_dir):
+    from ..operators.drift import categorical_distribution, js_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+            )
+        ).alias("tok"),
+    )
+    dist = categorical_distribution(toks, "source", "tok")
+    return js_divergence(
+        dist, _Q106_REF, slice_col="source", category_col="tok"
+    )

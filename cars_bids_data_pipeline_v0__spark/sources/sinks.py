@@ -126,3 +126,38 @@ def write_jdbc_staging(
         .option("batchsize", batchsize)
         .jdbc(url, table, properties=properties or {})
     )
+
+
+def write_training_shards(
+    packed: DataFrame,
+    out_dir: str,
+    rows_per_file: int = 100_000,
+) -> DataFrame:
+    """Materialize packed training sequences (operators/packing.py) as a
+    shard-partitioned parquet layout a training loader can consume:
+    ``out_dir/shard=N/part-*.parquet``, files capped at
+    ``rows_per_file`` rows, rows clustered by ``(shard, pack_id)`` so a
+    pack never straddles a row-group boundary by more than one file.
+
+    Returns the per-shard manifest ``(shard, n_files, n_rows,
+    n_packs)`` read back from the written data — what the loader uses to
+    schedule workers.  One shuffle (the shard repartition); file sizing
+    is the writer's ``maxRecordsPerFile``, not a driver loop.
+    """
+    (
+        packed.repartition("shard")
+        .sortWithinPartitions("shard", "pack_id")
+        .write.partitionBy("shard")
+        .option("maxRecordsPerFile", rows_per_file)
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    spark = packed.sparkSession
+    written = spark.read.parquet(out_dir).select(
+        "shard", "pack_id", F.input_file_name().alias("__file")
+    )
+    return written.groupBy("shard").agg(
+        F.count_distinct("__file").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("pack_id").alias("n_packs"),
+    )

@@ -222,3 +222,56 @@ def test_systematic_weighted_sample_properties(spark):
     assert len(got) / 2 <= len(hit) <= len(got) * 2
     assert {1000 + i for i in range(10)} <= hit  # heavies survive sharding
     assert "doc_id" in sharded.columns and "w" in sharded.columns
+
+
+def test_drift_detects_shifted_distribution(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.drift import (
+        categorical_distribution,
+        js_divergence,
+    )
+
+    rows = (
+        [("ref", "a")] * 50 + [("ref", "b")] * 30 + [("ref", "c")] * 20
+        + [("same", "a")] * 50 + [("same", "b")] * 30 + [("same", "c")] * 20
+        + [("shifted", "a")] * 5 + [("shifted", "b")] * 5
+        + [("shifted", "z")] * 90   # mostly a category ref never saw
+    )
+    df = spark.createDataFrame(rows, "source string, category string")
+    dist = categorical_distribution(df, "source", "category")
+    out = {r["source"]: r["jsd"]
+           for r in js_divergence(dist, "ref", "source", "category").collect()}
+    assert out["same"] == 0.0                 # identical distribution
+    assert 0.3 < out["shifted"] <= 0.693148   # large but bounded by ln 2
+    assert set(out) == {"same", "shifted"}    # reference itself excluded
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.operators.chunking import (
+        chunk_documents,
+    )
+    from cars_bids_data_pipeline_v0__spark.operators.packing import pack_chunks
+    from cars_bids_data_pipeline_v0__spark.sources.sinks import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(30))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    packed = pack_chunks(
+        chunk_documents(docs, chunk_size=16, overlap=4), budget=64,
+        num_shards=3,
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, out, rows_per_file=50)
+    man = {r["shard"]: (r["n_files"], r["n_rows"], r["n_packs"])
+           for r in manifest.collect()}
+    assert set(man) == {0, 1, 2}
+    assert sum(m[1] for m in man.values()) == packed.count()
+    # maxRecordsPerFile respected -> multiple files where rows > 50
+    for shard, (n_files, n_rows, _) in man.items():
+        assert n_files >= (n_rows + 49) // 50
+    # written data round-trips with the shard partition column
+    back = spark.read.parquet(out)
+    assert back.count() == packed.count()
+    assert "shard" in back.columns and "pack_id" in back.columns
