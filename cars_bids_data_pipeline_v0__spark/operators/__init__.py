@@ -6,6 +6,7 @@ from .bloom import bloom_might_contain, bloom_semi_join, build_bloom
 from .chunking import chunk_documents
 from .dedup import keep_latest
 from .diff import diff_summary, table_diff
+from .drift import categorical_distribution, js_divergence
 from .graph import connected_components, dedup_by_components
 from .keys import with_surrogate_key
 from .matview import (
@@ -16,7 +17,8 @@ from .matview import (
 )
 from .merge import insert_if_absent, merge_into, upsert_overwrite
 from .packing import pack_chunks, pack_manifest
-from .pq import pq_encode, pq_topk_adc, pq_train
+from .pq import ivf_pq_topk, pq_encode, pq_topk_adc, pq_train
+from .sampling import mixture_sample, systematic_weighted_sample
 from .scd2 import scd2_apply, scd2_snapshot
 from .sketch import approx_quantiles, hll_partials, hll_rollup
 from .skew import replicate_join, salted_two_phase_agg
@@ -40,6 +42,11 @@ __all__ = [
     "pq_encode",
     "pq_topk_adc",
     "pq_train",
+    "ivf_pq_topk",
+    "categorical_distribution",
+    "js_divergence",
+    "mixture_sample",
+    "systematic_weighted_sample",
     "connected_components",
     "dedup_by_components",
     "with_surrogate_key",
