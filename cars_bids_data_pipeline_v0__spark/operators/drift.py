@@ -51,6 +51,11 @@ def js_divergence(
     engines/runs, and ranking on raw float sums is the anti-pattern the
     oracle gate exists to catch.
     """
+    # the distribution frame feeds three subtrees (reference split, other
+    # split, slice list) whose differing filters defeat exchange reuse —
+    # persist it so the upstream counts build runs once.  Bounded:
+    # |slices|·|categories| rows (vocabulary-sized, never corpus-sized).
+    dist = dist.persist()
     ref = dist.filter(F.col(slice_col) == reference_slice).select(
         F.col(category_col).alias("__cat"), F.col("p").alias("__p_ref")
     )
