@@ -1556,3 +1556,209 @@ def q106(spark, sf_dir):
     return js_divergence(
         dist, _Q106_REF, slice_col="source", category_col="tok"
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — sweep-line interval concurrency (peak overlap per event type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q107_peak_concurrency",
+    """
+    WITH intervals AS (
+        SELECT event_type, ts AS s, ts + INTERVAL 30 MINUTE AS e
+        FROM events
+    ), points AS (
+        SELECT event_type, s AS t, 1 AS delta FROM intervals
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta FROM intervals
+    ), swept AS (
+        SELECT event_type, t,
+               sum(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY t, delta DESC
+                   ROWS UNBOUNDED PRECEDING) AS live
+        FROM points
+    )
+    SELECT event_type,
+           CAST(max(live) AS BIGINT) AS peak_concurrency,
+           min(t) FILTER (live = (SELECT max(live) FROM swept s2
+                                  WHERE s2.event_type = swept.event_type))
+               AS first_peak_at
+    FROM swept
+    GROUP BY event_type
+    """,
+    doc=(
+        "interval-overlap analytics without a self-join: each interval "
+        "emits +1/-1 boundary points, one partitioned running sum sweeps "
+        "the timeline (starts before ends on ties -> inclusive overlap), "
+        "max of the sweep is the peak concurrency.  O(n log n) per "
+        "partition vs the O(n^2) interval self-join; the window is "
+        "partitioned by event_type, never global"
+    ),
+)
+def q107(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    points = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = points.withColumn("live", F.sum("delta").over(w))
+    wmax = Window.partitionBy("event_type")
+    return (
+        swept.withColumn("peak", F.max("live").over(wmax))
+        .groupBy("event_type")
+        .agg(
+            F.max("live").cast("long").alias("peak_concurrency"),
+            F.min(F.when(F.col("live") == F.col("peak"), F.col("t"))).alias(
+                "first_peak_at"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108 — deterministic per-group mode (most frequent value)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q108_group_mode",
+    """
+    WITH counted AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer WHERE c_mktsegment IS NOT NULL
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT c_nationkey, c_mktsegment, n,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY n DESC, c_mktsegment ASC) AS rn
+        FROM counted
+    )
+    SELECT c_nationkey,
+           c_mktsegment AS mode_segment,
+           CAST(n AS BIGINT) AS n_customers
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "per-group mode with a DETERMINISTIC tie-break (count desc, then "
+        "value asc) — Spark's mode() and DuckDB's mode() both break ties "
+        "arbitrarily, so the portable form is count + row_number; the "
+        "count shuffle is the only data-sized exchange, the ranking "
+        "window runs over |groups x values|"
+    ),
+)
+def q108(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isNotNull()
+    )
+    counted = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("n").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — ratio-to-report + Pareto cumulative share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q109_pareto_share",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    )
+    SELECT nation, revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share,
+           round(sum(revenue) OVER (ORDER BY revenue DESC, nation ASC
+                                    ROWS UNBOUNDED PRECEDING)
+                 / sum(revenue) OVER (), 6) AS cum_share,
+           (round(sum(revenue) OVER (ORDER BY revenue DESC, nation ASC
+                                     ROWS UNBOUNDED PRECEDING)
+                  / sum(revenue) OVER (), 6) <= 0.8) AS in_pareto_head
+    FROM rev
+    """,
+    doc=(
+        "ratio-to-report + Pareto analysis: revenue rolls up per nation "
+        "(data-sized shuffles end there), then share / cumulative share "
+        "/ 80%-head flag are windows over the BOUNDED nation frame.  "
+        "The cumulative window partitions on a non-foldable constant "
+        "hash so the plan keeps an explicit partition spec (dim-bounded, "
+        "one task) — shares computed on ROUNDED revenue"
+    ),
+)
+def q109(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    # bounded frame (one row per nation): pseudo-partition on a
+    # column-derived always-zero hash — a literal would be constant-
+    # folded out of the window partition spec
+    bucket = F.pmod(F.xxhash64(F.col("nation")), F.lit(1))
+    w_tot = Window.partitionBy(bucket)
+    w_cum = Window.partitionBy(bucket).orderBy(
+        F.col("revenue").desc(), F.col("nation").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum_share = F.round(
+        F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_tot), 6
+    )
+    return rev.select(
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_tot), 6).alias(
+            "share"
+        ),
+        cum_share.alias("cum_share"),
+        (cum_share <= 0.8).alias("in_pareto_head"),
+    )
