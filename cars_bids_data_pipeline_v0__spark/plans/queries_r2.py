@@ -1762,3 +1762,107 @@ def q109(spark, sf_dir):
         cum_share.alias("cum_share"),
         (cum_share <= 0.8).alias("in_pareto_head"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — equi-width histogram (explicit bin arithmetic, both engines)
+# ---------------------------------------------------------------------------
+
+_Q110_LO, _Q110_HI, _Q110_BINS = 0.0, 600000.0, 24
+
+
+@register(
+    "q110_price_histogram",
+    f"""
+    SELECT CAST(least(floor((o_totalprice - {_Q110_LO})
+                      / (({_Q110_HI} - {_Q110_LO}) / {_Q110_BINS})),
+                      {_Q110_BINS} - 1) AS INT) AS bin,
+           round({_Q110_LO} + least(floor((o_totalprice - {_Q110_LO})
+                      / (({_Q110_HI} - {_Q110_LO}) / {_Q110_BINS})),
+                      {_Q110_BINS} - 1)
+                 * (({_Q110_HI} - {_Q110_LO}) / {_Q110_BINS}), 2) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS bin_revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "equi-width histogram with EXPLICIT bin arithmetic (floor + "
+        "least clamp) — width_bucket isn't portable (absent in DuckDB), "
+        "and floor avoids DuckDB's round-on-bigint-cast.  One grouped "
+        "pass; bin count bounded so the result is always tiny"
+    ),
+)
+def q110(spark, sf_dir):
+    width = (_Q110_HI - _Q110_LO) / _Q110_BINS
+    bin_expr = F.least(
+        F.floor((F.col("o_totalprice") - _Q110_LO) / width),
+        F.lit(_Q110_BINS - 1),
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            bin_expr.cast("int").alias("bin"),
+            F.round(_Q110_LO + bin_expr * width, 2).alias("bin_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bin_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — decile stats via cut-points (the scale path q38 documents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q111_decile_cutpoints",
+    """
+    WITH cuts AS (
+        SELECT quantile_cont(c_acctbal,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                   AS qs
+        FROM customer
+    )
+    SELECT CAST(1 + len(list_filter(qs, q -> q < c_acctbal)) AS INT)
+               AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM customer CROSS JOIN cuts
+    GROUP BY 1
+    """,
+    doc=(
+        "the documented cluster-scale replacement for q38's global NTILE: "
+        "nine exact percentile cut-points from ONE aggregate (partial-"
+        "merging, no global sort), broadcast back as a 1-row frame, "
+        "bucket = count of cut-points strictly below the value.  Unlike "
+        "NTILE this never funnels the table through one reducer; "
+        "boundary semantics (ties land in the lower bucket) are explicit "
+        "and identical in both engines"
+    ),
+)
+def q111(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    cuts = c.agg(
+        F.percentile(
+            "c_acctbal", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+        ).alias("qs")
+    )
+    bucket = 1 + F.size(
+        F.filter(F.col("qs"), lambda q: q < F.col("c_acctbal"))
+    )
+    return (
+        c.join(F.broadcast(cuts))
+        .select(bucket.cast("int").alias("decile"), "c_acctbal")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
