@@ -1866,3 +1866,170 @@ def q111(spark, sf_dir):
             F.round(F.max("c_acctbal"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — cumulative distinct users (running COUNT DISTINCT, exactly)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q112_cumulative_distinct_users",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ), per_day AS (
+        SELECT d, count(*) AS n_new FROM first_seen GROUP BY d
+    ), days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT days.d AS day,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(sum(coalesce(n_new, 0)) OVER (
+               ORDER BY days.d ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_distinct_users
+    FROM days LEFT JOIN per_day ON per_day.d = days.d
+    """,
+    doc=(
+        "running COUNT DISTINCT without running-distinct state: each "
+        "user collapses to a first-seen date (one grouped min), daily "
+        "first-seen counts cumsum into the exact cumulative distinct "
+        "curve.  The naive windowed count(distinct) is not even "
+        "supported over a running frame and would hold per-day user "
+        "sets as state; this is two bounded aggregates and a window "
+        "over |days| rows (partitioned on the bounded date frame)"
+    ),
+)
+def q112(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("d").alias("d"))
+    per_day = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    days = e.select("d").distinct()
+    joined = days.join(per_day, "d", "left").select(
+        F.col("d").alias("day"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new_users"),
+    )
+    # |days| is bounded; column-derived zero hash keeps the partition spec
+    w = (
+        Window.partitionBy(F.pmod(F.xxhash64(F.col("day")), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "day",
+        F.col("n_new_users").cast("long").alias("n_new_users"),
+        F.sum("n_new_users").over(w).cast("long").alias(
+            "cum_distinct_users"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — trigram-cosine string similarity join (blocked)
+# ---------------------------------------------------------------------------
+
+_Q113_THRESHOLD = 0.7
+
+
+@register(
+    "q113_trigram_cosine_pairs",
+    f"""
+    WITH grams AS (
+        SELECT p_brand AS brand, p_partkey AS k,
+               unnest([substring(p_name, i, 3)
+                       for i in generate_series(1, length(p_name) - 2)])
+                   AS g
+        FROM part
+    ), tf AS (
+        SELECT brand, k, g, count(*) AS n FROM grams GROUP BY 1, 2, 3
+    ), norms AS (
+        SELECT brand, k, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm
+        FROM tf GROUP BY 1, 2
+    ), dots AS (
+        SELECT a.brand, a.k AS k1, b.k AS k2,
+               CAST(sum(a.n * b.n) AS DOUBLE) AS dp
+        FROM tf a JOIN tf b ON a.brand = b.brand AND a.g = b.g
+                            AND a.k < b.k
+        GROUP BY 1, 2, 3
+    )
+    SELECT d.brand,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(d.dp / (na.nrm * nb.nrm)), 6) AS avg_cosine
+    FROM dots d
+    JOIN norms na ON na.brand = d.brand AND na.k = d.k1
+    JOIN norms nb ON nb.brand = d.brand AND nb.k = d.k2
+    WHERE d.dp / (na.nrm * nb.nrm) >= {_Q113_THRESHOLD}
+    GROUP BY d.brand
+    """,
+    doc=(
+        "third string-similarity metric (after jaccard q53 and "
+        "levenshtein q86): cosine over character-trigram count vectors, "
+        "blocked on p_brand.  The inner products come from an inverted "
+        "trigram index equi-join (integer-exact sums; floats only at "
+        "the final normalize), so the all-pairs comparison never "
+        "materializes across blocks — the same posting-list shape as "
+        "the n-gram jaccard operator"
+    ),
+)
+def q113(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("name"),
+    )
+    grams = p.select(
+        "brand",
+        "k",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("name") - 2),
+                lambda i: F.col("name").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    tf = grams.groupBy("brand", "k", "g").agg(F.count(F.lit(1)).alias("n"))
+    norms = tf.groupBy("brand", "k").agg(
+        F.sqrt(F.sum(F.col("n") * F.col("n")).cast("double")).alias("nrm")
+    )
+    a = tf.select(
+        "brand", F.col("k").alias("k1"), "g", F.col("n").alias("na")
+    )
+    b = tf.select(
+        "brand", F.col("k").alias("k2"), "g", F.col("n").alias("nb")
+    )
+    dots = (
+        a.join(b, ["brand", "g"])
+        .filter(F.col("k1") < F.col("k2"))
+        .groupBy("brand", "k1", "k2")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("double").alias("dp"))
+    )
+    cos = F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        dots.join(
+            norms.select(
+                "brand", F.col("k").alias("k1"), F.col("nrm").alias("nrm_a")
+            ),
+            ["brand", "k1"],
+        )
+        .join(
+            norms.select(
+                "brand", F.col("k").alias("k2"), F.col("nrm").alias("nrm_b")
+            ),
+            ["brand", "k2"],
+        )
+        .filter(cos >= _Q113_THRESHOLD)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(cos), 6).alias("avg_cosine"),
+        )
+    )
