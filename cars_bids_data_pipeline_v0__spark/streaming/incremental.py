@@ -531,3 +531,82 @@ def session_windows_stream(
             "n_events",
         )
     )
+
+
+# output schema for running_stats_stream (transformWithState API)
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def running_stats_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running count/sum/max via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (successor to
+    ``applyInPandasWithState``): typed state handles, RocksDB-backed
+    state store, Arrow-batched input.
+
+    Each micro-batch emits the UPDATED running stats for every key it
+    touched; state persists across batches through the checkpoint.
+    Requires the RocksDB state store provider (set by the caller's
+    session or the writeStream conf) and a working ``google.protobuf``
+    (the transformWithState driver worker speaks protobuf to the JVM
+    state server; environments without it should use
+    :func:`stateful_latest_per_key`'s ``applyInPandasWithState`` shape
+    instead — the test for this operator skips when protobuf is absent).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    sel = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, s, mx = self._agg.get()
+            else:
+                n, s, mx = 0, 0.0, None
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                n += len(pdf)
+                if len(vals):
+                    s += float(vals.sum())
+                    batch_max = float(vals.max())
+                    mx = batch_max if mx is None else max(mx, batch_max)
+            self._agg.update((n, s, mx))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_seen": [n], "total": [s], "peak": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return sel.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -554,3 +554,76 @@ def test_session_windows_stream_matches_batch(spark, tmp_path):
     want_final = {s for s in want if s[2] < horizon}
     assert want_final and want_final <= got <= want
     assert all(s[2] >= horizon for s in want - got)
+
+
+def test_running_stats_stream_accumulates_across_batches(spark, tmp_path):
+    import json
+
+    # transformWithState's driver worker speaks protobuf to the JVM; gate
+    # on a USABLE protobuf (this container ships a broken stub)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "needs it for its state-server protocol")
+
+    from pyspark.sql import types as T
+    from cars_bids_data_pipeline_v0__spark.streaming.incremental import (
+        running_stats_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+
+        def run_wave(name, rows):
+            with open(src / name, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            stream = spark.readStream.schema(schema).json(str(src))
+            (
+                running_stats_stream(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        run_wave("w1.json", [
+            {"event_type": "a", "value": 1.0},
+            {"event_type": "a", "value": 5.0},
+            {"event_type": "b", "value": 2.0},
+        ])
+        run_wave("w2.json", [
+            {"event_type": "a", "value": 3.0},
+            {"event_type": "c", "value": 7.0},
+        ])
+
+        rows = spark.read.parquet(out).collect()
+        latest = {}
+        for r in rows:  # keep the row with the highest n_seen per key
+            cur = latest.get(r["key"])
+            if cur is None or r["n_seen"] > cur["n_seen"]:
+                latest[r["key"]] = r
+        assert (latest["a"]["n_seen"], latest["a"]["total"],
+                latest["a"]["peak"]) == (3, 9.0, 5.0)  # state crossed batches
+        assert (latest["b"]["n_seen"], latest["b"]["total"]) == (1, 2.0)
+        assert (latest["c"]["n_seen"], latest["c"]["peak"]) == (1, 7.0)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
