@@ -2033,3 +2033,193 @@ def q113(spark, sf_dir):
             F.round(F.avg(cos), 6).alias("avg_cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — weighted median (cumulative-weight crossing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q114_weighted_median",
+    """
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ), ranked AS (
+        SELECT flag, price, wt,
+               sum(wt) OVER (PARTITION BY flag
+                             ORDER BY price, wt
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(wt) OVER (PARTITION BY flag) AS total
+        FROM w
+    )
+    SELECT flag,
+           round(min(price), 2) AS weighted_median_price,
+           CAST(any_value(total) AS BIGINT) AS total_weight
+    FROM ranked
+    WHERE 2 * cw >= total
+    GROUP BY flag
+    """,
+    doc=(
+        "weighted median (quantity-weighted price): the first value "
+        "whose cumulative weight reaches half the total, found with one "
+        "partitioned cumulative sum over integer weights — the crossing "
+        "test (2*cw >= total) is pure integer arithmetic, so the "
+        "selected row is identical in both engines; no sort-to-driver, "
+        "no percentile approximation"
+    ),
+)
+def q114(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("flag")
+    ranked = li.select(
+        "flag",
+        "price",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_tot).alias("total"),
+    )
+    return (
+        ranked.filter(2 * F.col("cw") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median_price"),
+            F.any_value("total").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115 — top-k tokens per language (partitioned ranking over counts)
+# ---------------------------------------------------------------------------
+
+_Q115_K = 5
+
+
+@register(
+    "q115_top_tokens_per_lang",
+    f"""
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2
+    )
+    SELECT lang, tok, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT lang, tok, n,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n DESC, tok ASC) AS rnk
+        FROM counts)
+    WHERE rnk <= {_Q115_K}
+    """,
+    doc=(
+        "per-language vocabulary heads: one (lang, token) count shuffle, "
+        "then ranking windows over the distribution-sized frame with a "
+        "deterministic (count desc, token asc) tie-break — the top-k "
+        "never sorts row-level data, only the grouped counts"
+    ),
+)
+def q115(spark, sf_dir):
+    from pyspark.sql import Window
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _Q115_K)
+        .select("lang", "tok", F.col("n").cast("long").alias("n"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116 — Welch's t statistic between customer segments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q116_welch_t",
+    """
+    WITH stats AS (
+        SELECT c_mktsegment AS seg,
+               count(*) AS n,
+               avg(c_acctbal) AS mu,
+               var_samp(c_acctbal) AS v
+        FROM customer WHERE c_mktsegment IS NOT NULL
+        GROUP BY 1
+    ), ref AS (
+        SELECT n AS n0, mu AS mu0, v AS v0 FROM stats
+        WHERE seg = 'AUTOMOBILE'
+    )
+    SELECT seg,
+           CAST(n AS BIGINT) AS n,
+           round(mu, 4) AS mean_bal,
+           round((mu - mu0) / sqrt(v / n + v0 / n0), 4) AS welch_t
+    FROM stats CROSS JOIN ref
+    WHERE seg <> 'AUTOMOBILE'
+    """,
+    doc=(
+        "two-sample Welch's t statistic of every segment against a "
+        "reference segment: per-group count/mean/variance from ONE "
+        "grouped pass (var_samp partial-merges), the reference as a "
+        "1-row broadcast, the statistic a projection — experiment "
+        "analysis with zero row-level recomputation.  Rounded (variance "
+        "accumulation order differs across engines)"
+    ),
+)
+def q116(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isNotNull()
+    )
+    stats = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("c_acctbal").alias("mu"),
+        F.var_samp("c_acctbal").alias("v"),
+    )
+    ref = (
+        stats.filter(F.col("seg") == "AUTOMOBILE")
+        .select(
+            F.col("n").alias("n0"),
+            F.col("mu").alias("mu0"),
+            F.col("v").alias("v0"),
+        )
+    )
+    return (
+        stats.filter(F.col("seg") != "AUTOMOBILE")
+        .join(F.broadcast(ref))
+        .select(
+            "seg",
+            F.col("n").cast("long").alias("n"),
+            F.round("mu", 4).alias("mean_bal"),
+            F.round(
+                (F.col("mu") - F.col("mu0"))
+                / F.sqrt(F.col("v") / F.col("n") + F.col("v0") / F.col("n0")),
+                4,
+            ).alias("welch_t"),
+        )
+    )
