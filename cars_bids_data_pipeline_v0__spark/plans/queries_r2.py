@@ -2223,3 +2223,190 @@ def q116(spark, sf_dir):
             ).alias("welch_t"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — header/detail reconciliation audit (order totals vs line sums)
+# ---------------------------------------------------------------------------
+
+_Q117_TOL = 0.01
+
+
+@register(
+    "q117_totals_reconciliation",
+    f"""
+    WITH line_sums AS (
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS line_total
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (line_total IS NULL) AS BIGINT)
+               AS n_no_lines,
+           CAST(count(*) FILTER (
+               line_total IS NOT NULL
+               AND abs(o_totalprice - line_total) > {_Q117_TOL}
+           ) AS BIGINT) AS n_mismatched,
+           round(avg(abs(o_totalprice - line_total)) FILTER (
+               line_total IS NOT NULL), 2) AS avg_abs_delta
+    FROM orders LEFT JOIN line_sums ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "header/detail reconciliation — the audit the reference's loads "
+        "never run: per-order line totals (one grouped pass) left-joined "
+        "to headers, mismatches and orphan headers counted per status.  "
+        "Line totals are ROUNDED before comparison so the tolerance "
+        "test is on identical doubles in both engines"
+    ),
+)
+def q117(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("line_total")
+    )
+    j = o.join(line_sums, o.o_orderkey == line_sums.l_orderkey, "left")
+    delta = F.abs(F.col("o_totalprice") - F.col("line_total"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("line_total").isNull()).alias("n_no_lines"),
+        F.count_if(
+            F.col("line_total").isNotNull() & (delta > _Q117_TOL)
+        ).alias("n_mismatched"),
+        F.round(
+            F.avg(F.when(F.col("line_total").isNotNull(), delta)), 2
+        ).alias("avg_abs_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — numeric-proximity duplicate candidates (same payer, close dates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q118_proximity_dup_orders",
+    """
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS k1, b.o_orderkey AS k2,
+           round(abs(a.o_totalprice - b.o_totalprice), 2) AS price_gap,
+           CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE)) AS INT) AS day_gap
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND floor(a.o_totalprice / 1000) = floor(b.o_totalprice / 1000)
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(a.o_totalprice - b.o_totalprice) <= 500
+      AND abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                        CAST(b.o_orderdate AS DATE))) <= 90
+    """,
+    doc=(
+        "duplicate-payment-style detection: candidate pairs block on "
+        "(customer, 1000-unit amount bucket) — an equi-join — then pass "
+        "amount- and date-proximity filters; the all-pairs comparison "
+        "never leaves the block (pairs straddling a bucket boundary are "
+        "missed — the standard blocking recall tradeoff, same as the "
+        "text near-dup family; run twice with offset buckets for full "
+        "recall)"
+    ),
+)
+def q118(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    bucket = F.floor(F.col("o_totalprice") / 1000)
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_totalprice").alias("p1"),
+        bucket.alias("bkt"),
+        F.col("d").alias("d1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("p2"),
+        bucket.alias("bkt"),
+        F.col("d").alias("d2"),
+    )
+    gap = F.datediff(F.col("d2"), F.col("d1"))
+    return (
+        a.join(b, ["custkey", "bkt"])
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.col("p1") - F.col("p2")) <= 500)
+            & (F.abs(gap) <= 90)
+        )
+        .select(
+            "custkey", "k1", "k2",
+            F.round(F.abs(F.col("p1") - F.col("p2")), 2).alias("price_gap"),
+            gap.cast("int").alias("day_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — month-over-month growth (lag over the bounded month frame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q119_mom_growth",
+    """
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2)
+               AS delta,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) * 100, 4)
+               AS pct_change
+    FROM monthly
+    """,
+    doc=(
+        "month-over-month revenue growth: the data-sized work ends at "
+        "the monthly rollup; lag/delta/percent run over the bounded "
+        "month frame (pseudo-partitioned on a column-derived constant "
+        "hash so the plan keeps an explicit partition spec).  Growth "
+        "computed on ROUNDED monthly sums"
+    ),
+)
+def q119(spark, sf_dir):
+    from pyspark.sql import Window
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("month")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col("month")), F.lit(1))
+    ).orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
+            "pct_change"
+        ),
+    )
