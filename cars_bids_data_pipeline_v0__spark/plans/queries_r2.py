@@ -2410,3 +2410,109 @@ def q119(spark, sf_dir):
             "pct_change"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — capstone: gate → dedup → chunk → pack, one composed pipeline
+# ---------------------------------------------------------------------------
+
+
+def _q120_oracle() -> str:
+    from .queries_ext import _STOP_EN_SQL
+
+    return f"""
+    WITH feats AS (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                              AS DOUBLE) / length(text)
+                    ELSE 0.0 END AS alpha_ratio,
+               CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                    THEN CAST(len(list_filter(
+                             regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> list_contains({_STOP_EN_SQL}, t)))
+                         AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\\s+'))
+                    ELSE 0.0 END AS stopword_ratio
+        FROM documents
+    ), gated AS (
+        SELECT doc_id, text FROM feats
+        WHERE text IS NOT NULL AND n_tokens >= 5
+          AND alpha_ratio >= 0.5 AND stopword_ratio <= 0.7
+    ), deduped AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (
+                PARTITION BY
+                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                ORDER BY doc_id ASC) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ), toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM deduped
+    ), chunks AS (
+        SELECT doc_id, t, unnest(
+            [i for i in generate_series(
+                1, greatest(len(t) - {_Q97_OVERLAP}, 1), {_Q97_STRIDE})]
+        ) AS chunk_start
+        FROM toks WHERE len(t) > 0
+    ), sized AS (
+        SELECT doc_id,
+               CAST((chunk_start - 1) / {_Q97_STRIDE} AS INT) AS chunk_idx,
+               CAST(len(t[chunk_start:chunk_start + {_Q97_SIZE} - 1]) AS INT)
+                   AS chunk_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+                   % {_Q100_SHARDS} AS shard
+        FROM chunks
+    ), packed AS (
+        SELECT shard,
+               CAST(floor(coalesce(sum(chunk_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_Q100_BUDGET}) AS BIGINT) AS pack_id,
+               chunk_tokens
+        FROM sized
+    )
+    SELECT shard, pack_id,
+           count(*) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY shard, pack_id
+    """
+
+
+@register(
+    "q120_corpus_prep_pipeline",
+    _q120_oracle(),
+    doc=(
+        "the composed training-corpus preparation pipeline under ONE "
+        "value-hash gate: quality gate (token/alpha/stopword thresholds) "
+        "-> exact dedup (min-id per md5 fingerprint) -> overlapping "
+        "token-window chunking -> budget packing -> shard manifest.  "
+        "Every stage is an operator verified on its own (q59/q97/q100); "
+        "this query pins their COMPOSITION — the handoff columns, "
+        "ordering assumptions, and determinism of the whole chain"
+    ),
+)
+def q120(spark, sf_dir):
+    from ..operators.chunking import chunk_documents
+    from ..operators.packing import pack_chunks, pack_manifest
+    from .corpus import preprocess_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = preprocess_corpus(
+        docs,
+        min_tokens=5,
+        min_alpha_ratio=0.5,
+        max_stopword_ratio=0.7,
+        near_dup_threshold=None,
+    ).select("doc_id", "text")
+    chunks = chunk_documents(
+        clean, chunk_size=_Q97_SIZE, overlap=_Q97_OVERLAP
+    )
+    packed = pack_chunks(
+        chunks, budget=_Q100_BUDGET, num_shards=_Q100_SHARDS
+    )
+    return pack_manifest(packed)
