@@ -21,6 +21,7 @@ from .pq import ivf_pq_topk, pq_encode, pq_topk_adc, pq_train
 from .sampling import mixture_sample, systematic_weighted_sample
 from .scd2 import scd2_apply, scd2_snapshot
 from .sketch import approx_quantiles, hll_partials, hll_rollup
+from .text import bm25_scores
 from .skew import replicate_join, salted_two_phase_agg
 from .split import validity_split
 from .zorder import morton_interleave, zorder_key, zorder_write
@@ -47,6 +48,7 @@ __all__ = [
     "js_divergence",
     "mixture_sample",
     "systematic_weighted_sample",
+    "bm25_scores",
     "connected_components",
     "dedup_by_components",
     "with_surrogate_key",

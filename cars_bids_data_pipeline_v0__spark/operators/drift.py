@@ -50,6 +50,11 @@ def js_divergence(
     rounded to 6 decimals — the per-category term order differs between
     engines/runs, and ranking on raw float sums is the anti-pattern the
     oracle gate exists to catch.
+
+    Raises if ``reference_slice`` matches no rows: an empty reference
+    would silently score EVERY slice at ln(2)/2 ≈ 0.346574 — a
+    plausible-looking mid-range drift value — instead of surfacing the
+    typo'd source name.
     """
     # the distribution frame feeds three subtrees (reference split, other
     # split, slice list) whose differing filters defeat exchange reuse —
@@ -59,6 +64,12 @@ def js_divergence(
     ref = dist.filter(F.col(slice_col) == reference_slice).select(
         F.col(category_col).alias("__cat"), F.col("p").alias("__p_ref")
     )
+    if ref.limit(1).isEmpty():
+        dist.unpersist()
+        raise ValueError(
+            f"reference slice {reference_slice!r} matches no rows in "
+            f"{slice_col!r}"
+        )
     oth = dist.filter(F.col(slice_col) != reference_slice).select(
         slice_col, F.col(category_col).alias("__cat"), F.col("p").alias("__p")
     )
@@ -79,6 +90,13 @@ def js_divergence(
     ).otherwise(F.lit(0.0)) + F.when(
         F.col("pq") > 0, F.col("pq") * F.log(F.col("pq") / m)
     ).otherwise(F.lit(0.0))
-    return aligned.groupBy(slice_col).agg(
+    out = aligned.groupBy(slice_col).agg(
         F.round(F.sum(term) / 2, 6).alias("jsd")
     )
+    # monitoring verdicts are tiny (one row per slice): evaluate eagerly
+    # so the persisted distribution can be RELEASED before returning —
+    # a long-lived monitoring loop must not accumulate cached frames.
+    spark = dist.sparkSession
+    rows = out.collect()
+    dist.unpersist()
+    return spark.createDataFrame(rows, out.schema)

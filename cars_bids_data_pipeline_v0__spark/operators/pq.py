@@ -134,6 +134,73 @@ def pq_decode(codes: Column, codebooks: Codebooks) -> Column:
     )
 
 
+def _codeword_norm2_lit(codebooks: Codebooks) -> Column:
+    """``‖codeword‖²`` table, [m][k] literal."""
+    return F.array(
+        *[
+            F.array(
+                *[F.lit(float(sum(x * x for x in code))) for code in sub]
+            )
+            for sub in codebooks
+        ]
+    )
+
+
+def _query_side(queries: DataFrame, codebooks: Codebooks,
+                q_id: str, q_vec: str) -> DataFrame:
+    """Per-query ADC lookup table + norm: ``(__qid, __qtab, __qnorm)``."""
+    m, _, ds = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    cb = _codebook_lit(codebooks)
+    qv = as_double(q_vec)
+    return queries.select(
+        F.col(q_id).alias("__qid"),
+        F.zip_with(
+            _subvectors(qv, m, ds),
+            cb,
+            lambda sub, sub_cb: F.transform(
+                sub_cb, lambda code: dot(sub, code)
+            ),
+        ).alias("__qtab"),
+        l2_norm(qv).alias("__qnorm"),
+        "*",
+    ).drop(q_id, q_vec)
+
+
+def _adc_rank(joined: DataFrame, codebooks: Codebooks, k: int,
+              q_id: str, c_id: str, code_col: str) -> DataFrame:
+    """Shared ADC scoring + per-query top-k over a frame holding
+    ``(__qid, __qtab, __qnorm, c_id, code_col)`` rows.  The single place
+    the scoring math lives — pq_topk_adc and ivf_pq_topk must stay in
+    lockstep."""
+    ntab = _codeword_norm2_lit(codebooks)
+    codes = F.col(code_col)
+    num = F.aggregate(
+        F.zip_with(
+            codes, F.col("__qtab"), lambda c, tab: F.element_at(tab, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rnorm2 = F.aggregate(
+        F.zip_with(codes, ntab, lambda c, tab: F.element_at(tab, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        F.col("__qid").alias(q_id),
+        F.col(c_id),
+        F.round(num / (F.col("__qnorm") * F.sqrt(rnorm2)), 6).alias(
+            "adc_sim"
+        ),
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("adc_sim").desc(), F.col(c_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_topk_adc(
     queries: DataFrame,
     corpus_codes: DataFrame,
@@ -154,56 +221,11 @@ def pq_topk_adc(
     ``(q_id, c_id, adc_sim, rank)``, rank 1..k per query (ties on the
     rounded score break by ``c_id`` — deterministic).
     """
-    m, _, ds = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
-    cb = _codebook_lit(codebooks)
-    # ‖codeword‖² table, [m][k] literal
-    ntab = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(float(sum(x * x for x in code)))
-                    for code in sub
-                ]
-            )
-            for sub in codebooks
-        ]
+    q = _query_side(
+        queries.select(q_id, q_vec), codebooks, q_id, q_vec
     )
-
-    qv = as_double(q_vec)
-    q = queries.select(
-        F.col(q_id).alias("__qid"),
-        F.zip_with(
-            _subvectors(qv, m, ds),
-            cb,
-            lambda sub, sub_cb: F.transform(
-                sub_cb, lambda code: dot(sub, code)
-            ),
-        ).alias("__qtab"),
-        l2_norm(qv).alias("__qnorm"),
-    )
-
-    codes = F.col(code_col)
-    num = F.aggregate(
-        F.zip_with(codes, F.col("__qtab"), lambda c, tab: F.element_at(tab, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    rnorm2 = F.aggregate(
-        F.zip_with(codes, ntab, lambda c, tab: F.element_at(tab, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = corpus_codes.join(F.broadcast(q)).select(
-        F.col("__qid").alias(q_id),
-        F.col(c_id),
-        F.round(num / (F.col("__qnorm") * F.sqrt(rnorm2)), 6).alias("adc_sim"),
-    )
-    w = Window.partitionBy(q_id).orderBy(
-        F.col("adc_sim").desc(), F.col(c_id).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    joined = corpus_codes.join(F.broadcast(q))
+    return _adc_rank(joined, codebooks, k, q_id, c_id, code_col)
 
 
 def pq_train(
@@ -313,54 +335,17 @@ def ivf_pq_topk(
         "pq_codes",
         nearest_centroid_ids(as_double(c_vec), centroids, 1)[0].alias("cell"),
     )
-    probed_q = queries.withColumn(
-        "cell",
-        F.explode(nearest_centroid_ids(as_double(q_vec), centroids, nprobe)),
-    )
-    m, _, ds = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
-    cb = _codebook_lit(codebooks)
-    ntab = F.array(
-        *[
-            F.array(*[F.lit(float(sum(x * x for x in code))) for code in sub])
-            for sub in codebooks
-        ]
-    )
-    qv = as_double(q_vec)
-    q = probed_q.select(
-        F.col(q_id).alias("__qid"),
-        "cell",
-        F.zip_with(
-            _subvectors(qv, m, ds),
-            cb,
-            lambda sub, sub_cb: F.transform(sub_cb, lambda code: dot(sub, code)),
-        ).alias("__qtab"),
-        l2_norm(qv).alias("__qnorm"),
-    )
-    codes = F.col("pq_codes")
-    num = F.aggregate(
-        F.zip_with(codes, F.col("__qtab"), lambda c, tab: F.element_at(tab, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    rnorm2 = F.aggregate(
-        F.zip_with(codes, ntab, lambda c, tab: F.element_at(tab, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        coded.join(F.broadcast(q), on="cell")
-        .select(
-            F.col("__qid").alias(q_id),
-            F.col(c_id),
-            F.round(num / (F.col("__qnorm") * F.sqrt(rnorm2)), 6).alias(
-                "adc_sim"
-            ),
-        )
-        .dropDuplicates([q_id, c_id])
-    )
-    w = Window.partitionBy(q_id).orderBy(
-        F.col("adc_sim").desc(), F.col(c_id).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    # per-query ADC table once, THEN fan out over probed cells — and no
+    # dedup after the join: each corpus row lives in exactly one cell and
+    # a query's probed cells are distinct, so (q, c) pairs are already
+    # unique (a dropDuplicates here would add a full extra shuffle of the
+    # candidate set for no behavioral effect)
+    q = _query_side(queries.select(q_id, q_vec), codebooks, q_id, q_vec)
+    probed_q = queries.select(
+        F.col(q_id).alias("__jqid"),
+        F.explode(
+            nearest_centroid_ids(as_double(q_vec), centroids, nprobe)
+        ).alias("cell"),
+    ).join(q, F.col("__jqid") == F.col("__qid")).drop("__jqid")
+    joined = coded.join(F.broadcast(probed_q), on="cell")
+    return _adc_rank(joined, codebooks, k, q_id, c_id, "pq_codes")

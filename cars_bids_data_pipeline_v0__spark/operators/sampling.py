@@ -157,7 +157,7 @@ def systematic_weighted_sample(
     id_col: str = "doc_id",
     num_shards: int = 1,
 ) -> DataFrame:
-    """Exact-count weighted sampling without RNG or floating point.
+    """Deterministic weighted sampling without RNG or floating point.
 
     Systematic (grid) sampling over the integer cumulative-weight line:
     order rows deterministically by id, take every ``step =
@@ -166,6 +166,14 @@ def systematic_weighted_sample(
     > floor((cum - w)/step)``.  Selection probability is proportional to
     weight, heavy rows (w ≥ step) are always selected, and everything is
     integer arithmetic — bit-identical on every engine and run.
+
+    Count contract: at most ``floor(total/step)`` rows are selected; the
+    count lands at ≈``target`` only while ``total_weight ≫ target``
+    (grid points then rarely share a row).  When ``total_weight ≤
+    target`` the step clamps to 1 and EVERY positive-weight row is
+    selected, and a row heavier than ``step`` absorbs several grid
+    points into one selection — callers sizing downstream budgets must
+    budget on the returned rows, not on ``target``.
 
     The cumulative sum is one window over the id order; at cluster scale
     partition the grid per hash shard (``num_shards``) so no global

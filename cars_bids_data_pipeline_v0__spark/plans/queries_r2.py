@@ -1990,10 +1990,16 @@ def q113(spark, sf_dir):
         "brand",
         "k",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("name") - 2),
-                lambda i: F.col("name").substr(i, F.lit(3)),
-            )
+            # sequence(1, n) runs DESCENDING when n < 1 (names shorter
+            # than 3 chars would emit spurious grams the oracle's empty
+            # generate_series never sees) — guard with an empty array
+            F.when(
+                F.length("name") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name") - 2),
+                    lambda i: F.col("name").substr(i, F.lit(3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
     tf = grams.groupBy("brand", "k", "g").agg(F.count(F.lit(1)).alias("n"))

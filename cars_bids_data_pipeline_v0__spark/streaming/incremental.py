@@ -590,8 +590,11 @@ def running_stats_stream(
             else:
                 n, s, mx = 0, 0.0, None
             for pdf in rows:
+                # n_seen counts the same rows total/peak aggregate over
+                # (non-null values) — a consumer computing total/n_seen
+                # must never divide by null-padded counts
                 vals = pdf["value"].dropna()
-                n += len(pdf)
+                n += len(vals)
                 if len(vals):
                     s += float(vals.sum())
                     batch_max = float(vals.max())

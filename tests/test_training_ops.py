@@ -275,3 +275,17 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == packed.count()
     assert "shard" in back.columns and "pack_id" in back.columns
+
+
+def test_drift_raises_on_missing_reference(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.drift import (
+        categorical_distribution,
+        js_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "source string, category string"
+    )
+    dist = categorical_distribution(df, "source", "category")
+    with pytest.raises(ValueError, match="matches no rows"):
+        js_divergence(dist, "typo_source", "source", "category")
