@@ -2522,3 +2522,99 @@ def q120(spark, sf_dir):
         chunks, budget=_Q100_BUDGET, num_shards=_Q100_SHARDS
     )
     return pack_manifest(packed)
+
+
+# ---------------------------------------------------------------------------
+# q121 — shuffle-key skew diagnosis report
+# ---------------------------------------------------------------------------
+
+_Q121_TOPN = 3
+
+
+@register(
+    "q121_skew_report",
+    f"""
+    WITH keyed AS (
+        SELECT 'lineitem.l_orderkey' AS table_key,
+               CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ), counts AS (
+        SELECT table_key, k, count(*) AS n FROM keyed GROUP BY 1, 2
+    ), stats AS (
+        SELECT table_key,
+               count(*) AS n_keys,
+               sum(n) AS n_rows,
+               max(n) AS max_key_rows,
+               round(avg(n), 4) AS avg_key_rows,
+               round(max(n) / avg(n), 4) AS skew_factor
+        FROM counts GROUP BY table_key
+    ), heavy AS (
+        SELECT table_key, k, n FROM (
+            SELECT table_key, k, n, row_number() OVER (
+                PARTITION BY table_key ORDER BY n DESC, k ASC) AS rn
+            FROM counts) WHERE rn <= {_Q121_TOPN}
+    )
+    SELECT s.table_key,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(s.n_rows AS BIGINT) AS n_rows,
+           CAST(s.max_key_rows AS BIGINT) AS max_key_rows,
+           s.avg_key_rows, s.skew_factor,
+           list_sort(list(h.k || ':' || h.n)) AS heavy_keys
+    FROM stats s JOIN heavy h USING (table_key)
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+    doc=(
+        "shuffle-key skew diagnosis — the measurement half of "
+        "operators/skew.py: per join-key cardinality, max/avg skew "
+        "factor, and the top heavy keys for each audited (table, key) "
+        "pair, all from one grouped count per key.  The number that "
+        "decides whether a join needs salting/AQE-skew-split BEFORE the "
+        "job runs, not after it straggles"
+    ),
+)
+def q121(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_orderkey").alias("table_key"),
+        F.col("l_orderkey").cast("string").alias("k"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("orders.o_custkey").alias("table_key"),
+        F.col("o_custkey").cast("string").alias("k"),
+    )
+    counts = (
+        li.unionByName(o)
+        .groupBy("table_key", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = counts.groupBy("table_key").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.avg("n"), 4).alias("avg_key_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+    )
+    w = Window.partitionBy("table_key").orderBy(
+        F.col("n").desc(), F.col("k").asc()
+    )
+    heavy = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _Q121_TOPN)
+        .groupBy("table_key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.concat_ws(":", "k", "n"))
+            ).alias("heavy_keys")
+        )
+    )
+    return stats.join(heavy, "table_key").select(
+        "table_key",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("max_key_rows").cast("long").alias("max_key_rows"),
+        "avg_key_rows",
+        "skew_factor",
+        "heavy_keys",
+    )
