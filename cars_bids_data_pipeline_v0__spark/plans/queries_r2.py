@@ -2618,3 +2618,116 @@ def q121(spark, sf_dir):
         "skew_factor",
         "heavy_keys",
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — fulfillment-latency percentiles (date-diff distributions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q122_ship_latency",
+    """
+    WITH lat AS (
+        SELECT o_orderpriority AS priority,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) AS days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(days) AS BIGINT) AS min_days,
+           round(quantile_cont(days, 0.5), 2) AS p50_days,
+           round(quantile_cont(days, 0.9), 2) AS p90_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY priority
+    """,
+    doc=(
+        "SLA/latency distribution: order→ship day gaps per priority with "
+        "exact interpolated percentiles — the date-diff happens once at "
+        "the (broadcast-joined) scan, then one partial-merging aggregate "
+        "per group; integer day gaps make the percentile interpolation "
+        "identical in both engines"
+    ),
+)
+def q122(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate").isNotNull() & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("days"),
+        )
+    )
+    return lat.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("days").cast("long").alias("min_days"),
+        F.round(F.percentile("days", F.lit(0.5)), 2).alias("p50_days"),
+        F.round(F.percentile("days", F.lit(0.9)), 2).alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123 — event debounce (drop repeats within a quiet window)
+# ---------------------------------------------------------------------------
+
+_Q123_QUIET_MIN = 10
+
+
+@register(
+    "q123_event_debounce",
+    f"""
+    WITH seq AS (
+        SELECT user_id, event_type, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM seq
+    WHERE prev_ts IS NULL
+       OR ts - prev_ts >= INTERVAL {_Q123_QUIET_MIN} MINUTE
+    GROUP BY user_id, event_type
+    """,
+    doc=(
+        "event debounce: within each (user, event_type) stream, a repeat "
+        "arriving less than {qm} minutes after its predecessor is noise "
+        "and dropped — one lag window over the keyed order (ts with "
+        "event_id tiebreak — deterministic), no self-join.  NOTE the "
+        "lag chains off RAW predecessors (true debounce would chain off "
+        "KEPT rows — inherently sequential; this is the standard "
+        "window-parallel approximation, exact whenever bursts are "
+        "shorter than the quiet window)".format(qm=_Q123_QUIET_MIN)
+    ),
+)
+def q123(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = e.select(
+        "user_id", "event_type", "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    kept = seq.filter(
+        F.col("prev_ts").isNull()
+        | (
+            F.col("ts") - F.col("prev_ts")
+            >= F.expr(f"INTERVAL {_Q123_QUIET_MIN} MINUTES")
+        )
+    )
+    return kept.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
