@@ -2731,3 +2731,111 @@ def q123(spark, sf_dir):
     return kept.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — chi-square test of independence from the contingency table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q124_chi_square_independence",
+    """
+    WITH cont AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), totals AS (
+        SELECT sum(n) AS total FROM cont
+    ), margins AS (
+        SELECT c.pri, c.st, c.n,
+               rp.n_pri, cs.n_st, t.total
+        FROM cont c
+        JOIN (SELECT pri, sum(n) AS n_pri FROM cont GROUP BY pri) rp
+          USING (pri)
+        JOIN (SELECT st, sum(n) AS n_st FROM cont GROUP BY st) cs
+          USING (st)
+        CROSS JOIN totals t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(any_value(total) AS BIGINT) AS n_rows,
+           round(sum(
+               power(n - (n_pri * n_st / CAST(total AS DOUBLE)), 2)
+               / (n_pri * n_st / CAST(total AS DOUBLE))
+           ), 4) AS chi_square
+    FROM margins
+    """,
+    doc=(
+        "chi-square independence statistic (priority x status) computed "
+        "entirely from the contingency counts: one grouped count over "
+        "the fact, then marginals and the statistic over the tiny "
+        "|priorities x statuses| frame — the categorical complement to "
+        "q116's Welch t.  Rounded: the per-cell term order differs "
+        "across engines"
+    ),
+)
+def q124(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cont = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rp = cont.groupBy("pri").agg(F.sum("n").alias("n_pri"))
+    cs = cont.groupBy("st").agg(F.sum("n").alias("n_st"))
+    tot = cont.agg(F.sum("n").alias("total"))
+    m = (
+        cont.join(F.broadcast(rp), "pri")
+        .join(F.broadcast(cs), "st")
+        .join(F.broadcast(tot))
+    )
+    expected = F.col("n_pri") * F.col("n_st") / F.col("total").cast("double")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.any_value("total").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.pow(F.col("n") - expected, 2) / expected), 4
+        ).alias("chi_square"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125 — top-k per group WITH ties (rank, not row_number)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q125_topk_with_ties",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               rank() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY round(c_acctbal, 0) DESC) AS rnk
+        FROM customer)
+    WHERE rnk <= 3
+    """,
+    doc=(
+        "top-k per group with TIES KEPT: rank() over a coarsened "
+        "(rounded-to-unit) balance admits every row sharing a podium "
+        "value, unlike q08's row_number which arbitrarily cuts ties — "
+        "the distinction between 'exactly k rows' and 'the top k "
+        "VALUES'.  Ranking on the rounded key keeps the tie structure "
+        "identical across engines"
+    ),
+)
+def q125(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.round("c_acctbal", 0).desc()
+    )
+    return (
+        c.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_nationkey", "c_custkey", "c_acctbal",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
