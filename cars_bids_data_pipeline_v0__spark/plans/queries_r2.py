@@ -2839,3 +2839,104 @@ def q125(spark, sf_dir):
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — grouped linear trend (regr_slope / regr_intercept)
+# ---------------------------------------------------------------------------
+
+_Q126_EPOCH = "1995-01-01"
+
+
+@register(
+    "q126_revenue_trend",
+    f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               date_diff('day', DATE '{_Q126_EPOCH}',
+                         CAST(o_orderdate AS DATE)) AS x,
+               round(sum(o_totalprice), 2) AS y
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT pri,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(regr_slope(y, x), 4) AS slope_per_day,
+           round(regr_intercept(y, x), 2) AS intercept,
+           round(corr(y, x), 6) AS r
+    FROM daily GROUP BY pri
+    """,
+    doc=(
+        "per-group least-squares trend of daily revenue: regr_slope / "
+        "regr_intercept / corr partial-merge in ONE aggregate pass over "
+        "the daily rollup.  x is days since a fixed epoch (small "
+        "integers) — regressing against raw epoch seconds ~1e9 loses "
+        "the 2nd decimal to catastrophic cancellation (the round-1 "
+        "covariance gotcha); y is the ROUNDED daily sum"
+    ),
+)
+def q126(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_Q126_EPOCH).cast("date")
+        ).alias("x"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    return daily.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("y", "x"), 4).alias("slope_per_day"),
+        F.round(F.regr_intercept("y", "x"), 2).alias("intercept"),
+        F.round(F.corr("y", "x"), 6).alias("r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127 — relational division (customers active in EVERY month)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q127_relational_division",
+    """
+    WITH months AS (
+        SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+    ), activity AS (
+        SELECT DISTINCT o_custkey,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+    )
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_active_months
+    FROM activity
+    GROUP BY o_custkey
+    HAVING count(*) = (SELECT count(*) FROM months)
+    """,
+    doc=(
+        "relational division (the 'for all' join): customers with "
+        "activity in EVERY month of the window — distinct (customer, "
+        "month) pairs, grouped counts, kept where the count equals the "
+        "divisor cardinality (a 1-row broadcast scalar).  No NOT EXISTS "
+        "double negation, no month-by-month self-joins; one shuffle of "
+        "the deduped pairs regardless of divisor size"
+    ),
+)
+def q127(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1995-04-01"))
+    )
+    activity = o.select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+    ).distinct()
+    n_months = activity.select("m").distinct().count()
+    return (
+        activity.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_active_months"))
+        .filter(F.col("n_active_months") == n_months)
+    )
