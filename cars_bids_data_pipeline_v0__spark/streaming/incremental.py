@@ -75,24 +75,25 @@ def silver_ingest_stream(
 
 def stream_events(spark: SparkSession, events_dir: str,
                   schema: T.StructType | None = None) -> DataFrame:
-    """File stream over event parquet (ns timestamps handled as in batch)."""
+    """File stream over event parquet, mirroring the batch loader's layout
+    handling (sources/ingest.read_table): streams need an explicit schema,
+    so infer it from a one-footer batch read of the directory instead of
+    hard-coding a layout — the corpus has shipped ``ts`` both as
+    TIMESTAMP(NANOS) (read as long under nanosAsLong) and as plain
+    TIMESTAMP(MICROS); forcing LongType on a µs file silently yields
+    µs-as-long and a 1000× time-scale error."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = schema or T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos-as-long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
     df = spark.readStream.schema(schema).parquet(events_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP (not NTZ): watermarks require it; session TZ is UTC
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # nanos-as-long → µs, same truncation as DuckDB
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
         )
+    elif ts_type == "timestamp_ntz":
+        # watermarks want TIMESTAMP; session TZ is UTC so values are equal
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
