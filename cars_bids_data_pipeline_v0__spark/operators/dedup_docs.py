@@ -42,7 +42,18 @@ def fan_out(df: DataFrame) -> DataFrame:
             os.environ.get("SPARK_GRAFT_CPUS", "32"),
         )
     )
-    if df.rdd.getNumPartitions() >= max(2, n // 2):
+    # inputFiles() is a plan-metadata lookup (no RDD translation, no job);
+    # a frame fed by many files — or by any shuffle, where the count below
+    # is 0 but shuffle.partitions already applies — needs no extra fan-out.
+    # Round 2 used df.rdd.getNumPartitions(), which forced RDD conversion
+    # of the logical plan on every dedup call.
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        return df
+    if nfiles == 0 or nfiles >= max(2, n // 2):
+        # 0 files = not a file scan (shuffle output / localRelation) —
+        # shuffle.partitions or default.parallelism already applies
         return df
     return df.repartition(n)
 

@@ -70,6 +70,101 @@ def connected_components(
     return labels
 
 
+def _sym(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    return (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """``(id, component)`` via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-graph escape hatch `connected_components`'s
+    docstring promises.
+
+    Min-label propagation needs O(diameter) rounds: fine for shallow
+    near-dup clusters, hopeless for long chains.  Large-star hangs every
+    vertex's bigger neighbors onto the minimum of its neighborhood;
+    small-star re-parents the smaller neighbors — each round roughly
+    halves tree heights, so convergence is O(log² n) rounds worst-case
+    (O(log n) observed) regardless of diameter.  Every round is two
+    groupBy-min + join rounds over the edge set — the same shuffle shapes
+    AQE already sizes — and the edge frame monotonically contracts toward
+    a star per component.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge (unlike
+    `connected_components`, which silently returns its best labels —
+    here non-convergence means wrong labels, not loose ones).
+    """
+    e = (
+        _sym(pairs, id_a, id_b)
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # large-star over the SYMMETRIC closure: for each u,
+        # m = min(N(u) ∪ {u}); emit (v, m) ∀ v ∈ N(u), v > u
+        esym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            esym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m"))
+        )
+        # symmetry makes this complete: u itself is re-parented inside the
+        # reduce of its smallest neighbor (where u is the bigger side)
+        large = (
+            esym.join(mins, on="a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient (big, small); m = min closed nbhd; re-parent
+        oriented = (
+            large.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        smins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            oriented.join(smins, on="a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            small.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(small).limit(1).count() == 0
+        )
+        e = small
+        if converged:
+            # star fixpoint: every edge is (member, root)
+            return (
+                e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+                .union(
+                    e.select(F.col("b").alias("id"), F.col("b").alias("component"))
+                )
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+    raise RuntimeError(
+        f"large-star/small-star did not converge in {max_iter} rounds"
+    )
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

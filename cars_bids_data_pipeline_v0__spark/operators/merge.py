@@ -32,8 +32,10 @@ def insert_if_absent(
     Equivalent of ``ON CONFLICT (key) DO NOTHING``: returns only the rows to
     append.  ``new_rows`` is deduped on the key first (a batch can carry the
     same key twice; Postgres would reject the second insert in-statement).
+    The survivor is deterministic — first row by sorted payload
+    (``_dedup_source``), not whichever row a partition delivers first.
     """
-    fresh = new_rows.dropDuplicates(key)
+    fresh = _dedup_source(new_rows, key)
     if existing is None:
         return fresh
     return fresh.join(existing.select(*key).distinct(), on=key, how="left_anti")
@@ -49,9 +51,12 @@ def upsert_overwrite(
 
     Returns the merged table: unmatched existing rows + all new rows (new
     payload wins on key collision).  Column sets must match; extra/missing
-    columns are aligned by name (union-by-name with nulls).
+    columns are aligned by name (union-by-name with nulls).  A batch
+    carrying one key twice with different payloads keeps a deterministic
+    survivor (``_dedup_source`` — first by sorted payload), matching
+    ``merge_into``.
     """
-    new_rows = new_rows.dropDuplicates(key)
+    new_rows = _dedup_source(new_rows, key)
     if existing is None:
         return new_rows
     new_marked = new_rows.withColumn("__is_new", F.lit(1 if prefer_new else 0))

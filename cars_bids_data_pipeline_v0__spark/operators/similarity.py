@@ -85,34 +85,92 @@ def cosine_topk(
 # ---------------------------------------------------------------------------
 
 
-def _hyperplane(dim: int, plane: int, salt: str) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane: component j is a
-    signed value derived from a 64-bit mix of (salt, plane, j).  Stable
-    across sessions — no RNG state."""
+def _plane_sign(dim: int, plane: int, salt: str, j: int) -> int:
+    """Deterministic Rademacher (±1) hyperplane component sign for
+    (salt, plane, component j) — the sign bit of a sha256-derived 64-bit
+    value.  Stable across sessions — no RNG state.  ±1 components are the
+    standard sign-random-projection LSH family (collision probability
+    ≈ 1 - θ/π, same as Gaussian planes)."""
     import hashlib
 
-    comps = []
+    h = hashlib.sha256(f"{salt}:{plane}:{j}".encode()).digest()
+    v = int.from_bytes(h[:8], "big", signed=True)
+    return 1 if v >= 0 else -1
+
+
+def _plane_signs(dim: int, plane: int, salt: str) -> list[float]:
+    """One plane's ±1.0 components — used by oracle-SQL twins that inline
+    the planes so a second engine can recompute the identical buckets."""
+    return [float(_plane_sign(dim, plane, salt, j)) for j in range(dim)]
+
+
+def _sign_masks(dim: int, num_planes: int, salt: str) -> list[int]:
+    """Per-COMPONENT bit masks: bit p of ``masks[j]`` is 1 iff plane p's
+    component j is +1.  Packing the plane matrix column-wise means the
+    Spark plan carries ``dim`` long literals instead of
+    ``num_planes × dim`` float literals — the round-2 q55 planning
+    blow-up (25.9 s compile at sf0.01) was exactly that literal
+    explosion."""
+    masks = []
     for j in range(dim):
-        h = hashlib.sha256(f"{salt}:{plane}:{j}".encode()).digest()
-        v = int.from_bytes(h[:8], "big", signed=True) / 2**63
-        comps.append(v)
-    return comps
+        m = 0
+        for p in range(num_planes):
+            if _plane_sign(dim, p, salt, j) > 0:
+                m |= 1 << p
+        masks.append(m)
+    return masks
 
 
 def hyperplane_signature(
-    vec: Column, dim: int, num_planes: int = 16, salt: str = "rhp"
+    vec: Column | str, dim: int, num_planes: int = 16, salt: str = "rhp"
 ) -> Column:
     """``num_planes`` sign bits packed into a long: bit p = 1 iff
-    vec · plane_p ≥ 0."""
-    v = as_double(vec)
-    sig = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, salt)])
-        bit = F.when(dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig.bitwiseOR(F.shiftleft(bit, p))
-    return sig
+    vec · plane_p ≥ 0, with ±1 plane components.
+
+    ONE fold over the vector computes all plane dot-products at once
+    (accumulator = array of ``num_planes`` running sums; component j adds
+    ``±v[j]`` to each, signs unpacked from a per-component bit mask with
+    ``getbit``).  Expression size is O(dim) literals + O(1) machinery —
+    independent of num_planes — vs the previous O(num_planes × dim)
+    literal inlining whose Catalyst compile cost dominated runtime (the
+    round-2 q55 25.9 s outlier).  The whole expression is built as one
+    SQL string parsed JVM-side: constructing it with nested Column
+    lambdas costs thousands of py4j round-trips per call site.
+
+    ``vec`` may be a column name (fast path) or a Column expression.
+    """
+    if not isinstance(vec, str):
+        # Column path: wrap via a SQL fragment over a transformed alias is
+        # impossible without a name, so fall back to the string builder on
+        # the column's SQL form.  Callers on hot paths pass names.
+        vec_sql = vec._jc.toString() if hasattr(vec, "_jc") else str(vec)
+    else:
+        vec_sql = f"`{vec}`"
+    masks_sql = ",".join(f"{m}L" for m in _sign_masks(dim, num_planes, salt))
+    last = num_planes - 1
+    # index-order fold: sum order matches the oracle's list_dot_product so
+    # the (never observed, but theoretically possible) sum==0 sign tie
+    # breaks identically in both engines
+    sums = (
+        f"aggregate("
+        f"zip_with(transform({vec_sql}, x -> cast(x as double)),"
+        f" array({masks_sql}), (x, m) -> named_struct('x', x, 'm', m)),"
+        f" array_repeat(cast(0.0 as double), {num_planes}),"
+        f" (acc, s) -> zip_with(acc, sequence(0, {last}),"
+        f" (a, p) -> a + case when getbit(s.m, p) = 1 then s.x else -s.x end)"
+        f")"
+    )
+    sig = (
+        f"aggregate("
+        f"zip_with({sums}, sequence(0, {last}),"
+        f" (sm, p) -> named_struct('s', sm, 'p', p)),"
+        f" cast(0 as bigint),"
+        f" (acc, sp) -> acc + case when sp.s >= 0"
+        f" then cast(pow(cast(2.0 as double), sp.p) as bigint)"
+        f" else cast(0 as bigint) end"
+        f")"
+    )
+    return F.expr(sig)
 
 
 def lsh_topk(
@@ -153,7 +211,7 @@ def lsh_topk(
                         F.struct(
                             F.lit(t).alias("table"),
                             hyperplane_signature(
-                                F.col(vec_col), dim, num_planes, salt=f"t{t}"
+                                vec_col, dim, num_planes, salt=f"t{t}"
                             ).alias("bucket"),
                         )
                         for t in range(num_tables)
@@ -338,7 +396,7 @@ def embedding_near_dup_pairs(
                     F.struct(
                         F.lit(t).alias("table"),
                         hyperplane_signature(
-                            F.col("v"), dim, num_planes, salt=f"nd{t}"
+                            "v", dim, num_planes, salt=f"nd{t}"
                         ).alias("bucket"),
                     )
                     for t in range(num_tables)
@@ -346,6 +404,9 @@ def embedding_near_dup_pairs(
             )
         ).alias("tb"),
     ).select("id", "v", "tb.table", "tb.bucket")
+    # the self-join below reads `buckets` twice; without a persist each
+    # side recomputes every signature (2× the fold work and 2× codegen)
+    buckets = buckets.persist()
     return (
         buckets.alias("x")
         .join(buckets.alias("y"), on=["table", "bucket"])

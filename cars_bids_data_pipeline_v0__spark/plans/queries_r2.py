@@ -573,17 +573,20 @@ _Q93_THRESHOLD = 0.99
 
 
 def _q93_oracle() -> str:
-    """The hyperplanes are deterministic sha256-derived constants
-    (operators.similarity._hyperplane) — inline the exact same floats
+    """The hyperplanes are deterministic sha256-derived ±1 constants
+    (operators.similarity._plane_signs) — inline the exact same values
     into the oracle so DuckDB recomputes signature bits, buckets,
-    candidate pairs, and the cosine verify independently."""
-    from ..operators.similarity import _hyperplane
+    candidate pairs, and the cosine verify independently.  ±1.0
+    multiplications are IEEE-exact, so the only FP sensitivity is the
+    addition order, which list_dot_product shares with Spark's
+    index-order fold."""
+    from ..operators.similarity import _plane_signs
 
     def bucket_expr(salt: str) -> str:
         cases = []
         for p in range(_Q93_PLANES):
             comps = ", ".join(
-                repr(x) for x in _hyperplane(_Q93_DIM, p, salt)
+                repr(x) for x in _plane_signs(_Q93_DIM, p, salt)
             )
             cases.append(
                 f"(CASE WHEN list_dot_product(v, [{comps}]) >= 0 "

@@ -73,6 +73,21 @@ def silver_ingest_stream(
     )
 
 
+#: fallback layout for a not-yet-populated events_dir — the NANOS-as-long
+#: vintage, matching the generator's current output (ts convert below
+#: handles it; a MICROS dir that starts empty should pass ``schema``).
+_EVENTS_FALLBACK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def stream_events(spark: SparkSession, events_dir: str,
                   schema: T.StructType | None = None) -> DataFrame:
     """File stream over event parquet, mirroring the batch loader's layout
@@ -81,18 +96,35 @@ def stream_events(spark: SparkSession, events_dir: str,
     hard-coding a layout — the corpus has shipped ``ts`` both as
     TIMESTAMP(NANOS) (read as long under nanosAsLong) and as plain
     TIMESTAMP(MICROS); forcing LongType on a µs file silently yields
-    µs-as-long and a 1000× time-scale error."""
+    µs-as-long and a 1000× time-scale error.
+
+    ONE layout per directory is assumed: inference samples one footer, so
+    a directory mixing both ``ts`` vintages would mis-read (or fail on)
+    files of the non-sampled layout — keep vintages in separate dirs, or
+    pass ``schema`` explicitly.  An EMPTY directory (stream started before
+    any producer wrote files — the normal streaming bootstrap) falls back
+    to the NANOS-as-long layout above; a MISSING directory still raises,
+    from Spark's file-stream source itself, schema or not.
+
+    The returned ``ts`` is TIMESTAMP (not the batch loader's
+    timestamp_ntz) — intentional divergence: watermarks and window()
+    require TIMESTAMP.  The session TZ is pinned to UTC here (as
+    read_table does) so the values are numerically identical either way.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if schema is None:
-        schema = spark.read.parquet(events_dir).schema
+        try:
+            schema = spark.read.parquet(events_dir).schema
+        except AnalysisException:
+            # dir missing or empty — standard pattern: the stream starts
+            # before the first producer write
+            schema = _EVENTS_FALLBACK_SCHEMA
     df = spark.readStream.schema(schema).parquet(events_dir)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":  # nanos-as-long → µs, same truncation as DuckDB
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
-        # watermarks want TIMESTAMP; session TZ is UTC so values are equal
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

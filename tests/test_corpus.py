@@ -71,3 +71,37 @@ def test_preprocess_corpus_end_to_end(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     # 2 exact-duped into 1; 3 near-duped into 1's cluster; 4,5 gated out
     assert kept == [1, 6]
+
+
+def test_connected_components_star_path_graph_olog_rounds(spark):
+    """Kiveris large-star/small-star: a 10k-vertex PATH (diameter 9999 —
+    min-label propagation would need ~10k rounds) must converge within 30
+    alternating rounds (O(log n)-ish) with every vertex labeled 0."""
+    from cars_bids_data_pipeline_v0__spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    cc = connected_components_star(pairs, max_iter=30)  # raises if not converged
+    assert cc.count() == n
+    assert cc.filter(F.col("component") != 0).count() == 0
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # several components incl. a star, a triangle-with-tail, and isolates-by-pair
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11), (11, 12),
+             (20, 21), (30, 31), (31, 32), (32, 33), (33, 34)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {r["id"]: r["component"]
+            for r in connected_components_star(pairs).collect()}
+    prop = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert star == prop

@@ -239,3 +239,34 @@ def test_merge_into_replace_row_and_no_insert(spark):
     rows = {r["k"]: r for r in out.collect()}
     assert set(rows) == {1}
     assert rows[1]["name"] == "A" and rows[1]["amount"] == 100.0
+
+
+def test_upsert_and_insert_if_absent_deterministic_dupes(spark):
+    """A batch carrying the same key twice with DIFFERENT payloads must
+    upsert a stable survivor — first by sorted payload — across
+    repartitionings (round-2 VERDICT defect: both entry points used
+    nondeterministic dropDuplicates)."""
+    from cars_bids_data_pipeline_v0__spark.operators.merge import (
+        insert_if_absent,
+        upsert_overwrite,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "old", 1.0)], "k long, name string, amount double")
+    batch_rows = [(2, "x", 99.0), (2, "a", 5.0), (3, "m", 7.0), (3, "m", 3.0)]
+    for nparts in (1, 3, 7):
+        batch = spark.createDataFrame(
+            batch_rows, "k long, name string, amount double"
+        ).repartition(nparts)
+
+        ins = {r["k"]: r for r in insert_if_absent(existing, batch, ["k"]).collect()}
+        # survivor = first by (amount asc, name asc) sorted-column order
+        assert set(ins) == {2, 3}
+        assert ins[2]["name"] == "a" and ins[2]["amount"] == 5.0
+        assert ins[3]["amount"] == 3.0
+
+        up = {r["k"]: r for r in upsert_overwrite(existing, batch, ["k"]).collect()}
+        assert set(up) == {1, 2, 3}
+        assert up[1]["name"] == "old"
+        assert up[2]["name"] == "a" and up[2]["amount"] == 5.0
+        assert up[3]["amount"] == 3.0

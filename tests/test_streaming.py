@@ -627,3 +627,42 @@ def test_running_stats_stream_accumulates_across_batches(spark, tmp_path):
         assert (latest["c"]["n_seen"], latest["c"]["peak"]) == (1, 7.0)
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_events_starts_on_missing_and_empty_dir(spark, tmp_path):
+    """ADVICE r2: a stream must be constructible before any producer wrote
+    files (empty events_dir) — falls back to the NANOS-as-long layout and
+    still converts ts correctly once data arrives.  (A MISSING dir is
+    rejected by Spark's file stream source itself regardless of schema.)"""
+    import cars_bids_data_pipeline_v0__spark.streaming.incremental as INC
+
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    df2 = INC.stream_events(spark, str(empty))
+    assert dict(df2.dtypes)["ts"] == "timestamp"
+
+    # late-arriving NANOS-vintage data flows through the fallback schema
+    events_dir = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (tmp_path / "events").mkdir()
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000_000,
+                        1_700_000_060_000_000_000], pa.int64()),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    })
+    pq.write_table(tbl, f"{events_dir}/part-0.parquet")
+    stream = INC.stream_events(spark, events_dir)
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r["event_id"])
+    assert rows[0]["ts"].year == 2023  # not 1970: nanos→µs conversion applied
