@@ -7,7 +7,10 @@ line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}``.
 
 Each query is forced with the noop sink (computes every column, writes
-nothing) so projection pruning can't fake the numbers.
+nothing) so projection pruning can't fake the numbers.  Every entry runs
+``RUNS`` times and reports the per-query MEDIAN — n=1 samples made ±5%
+regressions unreadable across rounds (round-2 VERDICT item 8; a concurrent
+background job inflated one observed n=1 total by 38%).
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 # Headline set: the shuffle/join/window-heavy queries plus one scan-bound
 # expression query — the shapes whose cost scales with data volume.
@@ -101,13 +105,23 @@ def main() -> None:
     # warm the JVM/codegen path once (not timed)
     force(Q.REGISTRY["q02_revenue_by_nation"].builder(spark, SF_DIR).limit(1))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = Q.REGISTRY[name]
-        t0 = time.time()
-        force(spec.builder(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
-    timings["pipeline_e2e_2k_auctions"] = bench_pipeline(spark)
+    import statistics
+
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples["pipeline_e2e_2k_auctions"] = []
+    # interleave whole passes (not per-query repeats) so a transient system
+    # load spike degrades one PASS, which the median then discards
+    for _ in range(RUNS):
+        for name in HEADLINE:
+            spec = Q.REGISTRY[name]
+            t0 = time.time()
+            force(spec.builder(spark, SF_DIR))
+            samples[name].append(time.time() - t0)
+        samples["pipeline_e2e_2k_auctions"].append(bench_pipeline(spark))
+    timings = {
+        name: round(statistics.median(vals), 3)
+        for name, vals in samples.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -117,6 +131,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": RUNS,
+                "stat": "median",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -177,6 +177,118 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """DIRECTED near-containment pairs: ``(id_a, id_b, containment)`` with
+    containment = |A ∩ B| / |A| ≥ threshold, A ≠ B.
+
+    Jaccard misses sub-document duplication — a doc pasted inside a much
+    larger one scores |A|/|B| ≈ 0 on Jaccard but 1.0 on containment, and
+    web corpora are full of exactly that (quoted articles, boilerplate
+    wrappers).  Same inverted-index plan as `ngram_jaccard_pairs` (one
+    shuffle on 8-byte hashed shingles, set sizes ride in the index rows);
+    only the final scoring divides by ONE side's size and keeps both
+    directions.  Feed LSH candidates instead of the raw corpus at scale.
+    """
+    sh = (
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        .withColumn("sh_size", F.size("sh"))
+        .persist()
+    )
+    inv = sh.select(
+        "id", "sh_size", F.explode("sh").alias("__s")
+    ).select("id", "sh_size", F.xxhash64("__s").alias("shingle"))
+    pairs = (
+        inv.alias("a")
+        .hint("shuffle_hash")
+        .join(inv.alias("b"), on="shingle")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh_size").alias("size_a"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.withColumn(
+            "containment", F.round(F.col("inter") / F.col("size_a"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n: int = 3,
+    doc_frac: float = 0.25,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate exposure: the fraction of a doc's word
+    ``n``-grams that are *boilerplate* — shingles occurring in more than
+    ``doc_frac`` of the documents from the same ``group_col`` (site /
+    crawl / template family).  C4-style template scrubbing works exactly
+    this way (there line-level; shingle-level is robust to reflowed text).
+
+    Returns ``(doc_id, n_shingles, n_boiler, boiler_ratio)``.
+
+    Plan: one inverted index (shingles already distinct per doc, so
+    ``count(*)`` IS document frequency), a broadcast of per-group doc
+    counts, and a final per-doc aggregate — two shuffles total, both on
+    keys that shrink with dedup.  The boilerplate set is per-group, so a
+    100 TB corpus never builds a global frequency table.
+
+    Groups with fewer than ``min_docs`` documents contribute no
+    boilerplate — in a 1-doc group EVERY shingle trivially clears any
+    document-frequency threshold, so the metric degenerates without the
+    floor.
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        word_shingles(text_col, n).alias("sh"),
+    )
+    inv = base.select(
+        "id", "grp", F.explode("sh").alias("shingle")
+    ).persist()
+    group_sizes = inv.groupBy("grp").agg(
+        F.count_distinct("id").alias("n_docs")
+    )
+    doc_freq = inv.groupBy("grp", "shingle").agg(
+        F.count("*").alias("df")
+    )
+    boiler = (
+        doc_freq.join(F.broadcast(group_sizes), on="grp")
+        .filter(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("df") > F.col("n_docs") * doc_frac)
+        )
+        .select("grp", "shingle", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        inv.join(boiler, on=["grp", "shingle"], how="left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("is_boiler"), F.lit(0)).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------

@@ -91,31 +91,61 @@ def decode_image(df: DataFrame, media_col: str = "media",
     """Decode binary images to (width, height, n_pixels, mean_byte) rows via
     ``mapInPandas`` (Arrow-batched — the correct shape for a real codec).
 
-    With ``fake=False`` this raises NotImplementedError from the executors:
-    real decoding needs an image library this container doesn't ship.  With
-    ``fake=True`` the deterministic stub parses the `synthesize_media`
-    header — STUB, clearly marked, not a real codec.
+    ``fake=False`` (the real path) decodes per payload, on the executors:
+
+    * PNG bytes → Pillow when importable, else the pure-stdlib codec in
+      `operators.png` (zlib scanline inflate + unfilter) — REAL pixels
+      either way, no fake anywhere in this branch;
+    * other formats (JPEG/WebP/…) → Pillow when importable, else
+      ``NotImplementedError`` — the documented codec gate, now narrowed
+      to genuinely-unparseable formats.
+
+    ``fake=True`` keeps the deterministic stub that parses the
+    `synthesize_media` header — STUB, clearly marked, for plumbing tests
+    that don't care about pixel content.
     """
     sel = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        from .png import PNG_SIGNATURE, decode_png
+
+        try:
+            from PIL import Image  # optional; absent in this container
+        except ImportError:
+            Image = None
+
+        def real_decode(b: bytes):
+            if Image is not None:
+                import io
+
+                import numpy as np
+
+                arr = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+            elif b.startswith(PNG_SIGNATURE):
+                arr = decode_png(b)
+            else:
                 raise NotImplementedError(
-                    "real image decoding requires an image library "
-                    "(PIL/opencv) not present in this environment; "
-                    "pass fake=True for the deterministic stub"
+                    "non-PNG image decoding requires an image library "
+                    "(PIL/opencv) not present in this environment; PNG "
+                    "decodes natively, or pass fake=True for the stub"
                 )
+            h, w = arr.shape[0], arr.shape[1]
+            return w, h, w * h, round(float(arr.mean()), 6)
+
+        for pdf in batches:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
                 b = bytes(blob)
-                if not b.startswith(_MAGIC):
-                    out.append((doc_id, None, None, None, None))
-                    continue
-                w, h = struct.unpack(">ii", b[8:16])
-                payload = b[16:]
-                mean = (sum(payload) / len(payload)) if payload else 0.0
-                out.append((doc_id, w, h, w * h, round(mean, 6)))
+                if fake:
+                    if not b.startswith(_MAGIC):
+                        out.append((doc_id, None, None, None, None))
+                        continue
+                    w, h = struct.unpack(">ii", b[8:16])
+                    payload = b[16:]
+                    mean = (sum(payload) / len(payload)) if payload else 0.0
+                    out.append((doc_id, w, h, w * h, round(mean, 6)))
+                else:
+                    out.append((doc_id, *real_decode(b)))
             yield pd.DataFrame(
                 out, columns=["doc_id", "width", "height", "n_pixels", "mean_byte"]
             )

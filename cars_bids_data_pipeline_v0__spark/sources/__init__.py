@@ -9,6 +9,14 @@ from .ingest import (
 )
 from .compaction import compact_partitions, compacted_copy, partition_stats
 from .sinks import merge_write_partitioned, write_json_debug, write_text_queue
+from .txlog import (
+    TransactionLog,
+    tx_insert_if_absent,
+    tx_merge_partitioned,
+    tx_read,
+    tx_read_latest,
+    tx_upsert,
+)
 
 __all__ = [
     "normalize_raw",
@@ -22,4 +30,10 @@ __all__ = [
     "merge_write_partitioned",
     "write_json_debug",
     "write_text_queue",
+    "TransactionLog",
+    "tx_insert_if_absent",
+    "tx_merge_partitioned",
+    "tx_read",
+    "tx_read_latest",
+    "tx_upsert",
 ]

@@ -9,9 +9,10 @@ Spark-first (no Delta in this container): a date-partitioned parquet table
 with *dynamic partition overwrite* — only the partitions present in the new
 batch are read back, unioned, window-deduped (D1), and atomically swapped.
 Partition pruning makes the read-back proportional to the batch, not the
-table; with Delta/Iceberg this becomes a real ``MERGE INTO`` and the
-read-back disappears.  Single-writer assumption is inherited from the
-reference (:373-392).
+table.  Single-writer assumption is inherited from the reference
+(:373-392); for MULTI-writer deployments use `sources.txlog.
+tx_merge_partitioned` — the same merge semantics under a transactional
+commit log (optimistic concurrency, snapshot isolation, time travel).
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.dedup import keep_latest
 
@@ -108,6 +110,7 @@ def write_jdbc_staging(
     properties: dict | None = None,
     batchsize: int = 150,
     truncate_and_load: bool = True,
+    varchar_strings: int | None = None,
 ) -> None:
     """S6 + S7 — warehouse staging load over JDBC.
 
@@ -117,15 +120,40 @@ def write_jdbc_staging(
     driver-side cursor; ``overwrite`` + ``truncate`` reproduces the
     truncate-and-load semantics.  The engine-native path skips Postgres and
     writes gold parquet directly (plans.gold); this sink exists for
-    capability parity.  Untested in this environment (no JDBC database or
-    driver jar available) — exercised only through its plan construction.
+    capability parity.  Integration-tested against embedded Derby (the
+    derby jars ship with pyspark) in tests/test_jdbc.py: full silver
+    staging round-trip, truncate-and-load re-run stays duplicate-free.
+
+    Complex columns (array/struct/map — e.g. silver's ``bids``) have no
+    portable JDBC type, so they ship as JSON text — the engine-agnostic
+    twin of the reference's driver-side tuple-ization; a Postgres target
+    can cast back with ``::jsonb``.
+
+    ``varchar_strings=N`` declares every string column as ``VARCHAR(N)``
+    at table-create time; targets whose default string mapping is a
+    non-comparable LOB (Derby → CLOB) need this for predicates to work
+    against the staging table.  Postgres maps string → TEXT and doesn't.
     """
-    (
+    complex_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+    ]
+    for c in complex_cols:
+        df = df.withColumn(c, F.to_json(F.col(c)))
+    writer = (
         df.write.mode("overwrite" if truncate_and_load else "append")
         .option("truncate", truncate_and_load)
         .option("batchsize", batchsize)
-        .jdbc(url, table, properties=properties or {})
     )
+    if varchar_strings is not None:
+        ddl = ", ".join(
+            f"{f.name} VARCHAR({varchar_strings})"
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.StringType)
+        )
+        if ddl:
+            writer = writer.option("createTableColumnTypes", ddl)
+    writer.jdbc(url, table, properties=properties or {})
 
 
 def write_training_shards(

@@ -105,3 +105,45 @@ def test_connected_components_star_matches_label_propagation(spark):
     prop = {r["id"]: r["component"]
             for r in connected_components(pairs).collect()}
     assert star == prop
+
+
+def test_containment_catches_subdocument_dup(spark):
+    """A doc pasted inside a much larger one: Jaccard small, containment
+    of the small doc ≈ 1.0 — only the directed metric flags it."""
+    from cars_bids_data_pipeline_v0__spark.operators.dedup_docs import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} tok{i*7%13}" for i in range(60))
+    big = filler + " " + small + " " + filler[::-1].replace("w", "v")
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated text with other tokens here")],
+        "doc_id long, text string",
+    )
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(docs, n=3, threshold=0.9).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.9   # small ⊂ big
+    assert (2, 1) not in cont                        # big ⊄ small
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert not any(r["id_a"] == 1 and r["id_b"] == 2 for r in jac)
+
+
+def test_boilerplate_ngram_stats_flags_shared_template(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.dedup_docs import (
+        boilerplate_ngram_stats,
+    )
+
+    template = "click here to subscribe now"
+    rows = [
+        (i, f"{template} unique{i} body{i} content{i} text{i}", "siteA")
+        for i in range(8)
+    ] + [(100, "independent doc on siteB with no template", "siteB")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in
+           boilerplate_ngram_stats(docs, n=3, doc_frac=0.5).collect()}
+    # the template's 3-grams appear in 8/8 siteA docs → boilerplate
+    assert all(out[i]["n_boiler"] >= 3 for i in range(8))
+    assert all(out[i]["boiler_ratio"] > 0.3 for i in range(8))
+    assert out[100]["n_boiler"] == 0 and out[100]["boiler_ratio"] == 0.0

@@ -1,0 +1,158 @@
+"""Transactional commit-log sink (sources/txlog.py): the S5 merge under
+multi-writer ACID — snapshot isolation, optimistic commit conflict/retry,
+time travel, vacuum — plus parity with the parquet fallback's semantics
+(same tests as test_pipeline.test_merge_sink_and_idempotence)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+    TransactionLog,
+    tx_insert_if_absent,
+    tx_merge_partitioned,
+    tx_read,
+    tx_read_latest,
+    tx_upsert,
+)
+
+
+@pytest.fixture()
+def silver(spark, tmp_path_factory):
+    from cars_bids_data_pipeline_v0__spark.plans.silver import transform_records
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import read_raw_auctions
+    from tests.fixtures import write_raw_files
+
+    raw = tmp_path_factory.mktemp("tx_raw")
+    write_raw_files(str(raw))
+    out, _ = transform_records(read_raw_auctions(spark, str(raw)))
+    return out
+
+
+def test_tx_merge_matches_parquet_fallback_semantics(spark, silver, tmp_path):
+    table = str(tmp_path / "tx_lake")
+    touched = tx_merge_partitioned(spark, silver, table)
+    assert touched == ["2024-03-02", "2024-03-04", "2024-03-05"]
+    assert tx_read(spark, table).count() == 3
+
+    # M5 idempotence: same batch again → same rows, one more version
+    tx_merge_partitioned(spark, silver, table)
+    assert tx_read(spark, table).count() == 3
+    assert TransactionLog(table).version() == 1  # 0-based: two commits
+
+    # late re-arrival under a NEW date: stale row physically kept
+    # (reference parity), latest-only view shadows it
+    upd = silver.filter(F.col("auction_id") == "bbb222").withColumn(
+        "auction_date", F.to_timestamp(F.lit("2024-03-09 01:00:00"))
+    )
+    tx_merge_partitioned(spark, upd, table)
+    assert tx_read(spark, table).count() == 4
+    latest = tx_read_latest(spark, table)
+    assert latest.count() == 3
+    got = latest.filter(F.col("auction_id") == "bbb222").collect()
+    assert len(got) == 1 and str(got[0]["auction_date"]).startswith("2024-03-09")
+
+    # time travel: version 1 still shows the pre-update snapshot
+    assert tx_read(spark, table, version=1).count() == 3
+
+
+def test_tx_commit_conflict_detected_and_retried(spark, tmp_path):
+    """Force a commit race: stage the same version from two 'writers'; the
+    loser must detect FileExistsError and succeed on retry with no lost
+    update."""
+    table = str(tmp_path / "race")
+    log = TransactionLog(table)
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    a1 = log.stage_dataframe(df1)
+    a2 = log.stage_dataframe(df2)
+    assert log.try_commit(0, a1, [], op="append") is True
+    assert log.try_commit(0, a2, [], op="append") is False  # conflict seen
+    assert log.try_commit(1, a2, [], op="append") is True   # retry wins
+    rows = {r["k"]: r["v"] for r in tx_read(spark, table).collect()}
+    assert rows == {1: "a", 2: "b"}
+
+
+def test_tx_concurrent_merges_no_lost_update(spark, tmp_path):
+    """The actual round-2 gap: two concurrent merges into the SAME
+    partition.  The parquet fallback loses one batch (read-modify-write
+    race); the tx log must keep both."""
+    table = str(tmp_path / "concurrent")
+    base = [(f"id{i}", f"2024-03-0{1 + i % 3}T10:00:00Z", i) for i in range(6)]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "auction_id string, auction_date string, payload long"
+        ).withColumn("auction_date", F.to_timestamp("auction_date"))
+
+    tx_merge_partitioned(spark, mk(base), table)
+
+    batches = [
+        mk([(f"w{w}_{i}", "2024-03-02T12:00:00Z", 100 * w + i) for i in range(4)])
+        for w in range(3)
+    ]
+    barrier = threading.Barrier(3)
+    errors: list[Exception] = []
+
+    def writer(b):
+        try:
+            barrier.wait()  # maximize commit-window overlap
+            tx_merge_partitioned(spark, b, table)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    got = {r["auction_id"] for r in tx_read(spark, table).collect()}
+    expect = {f"id{i}" for i in range(6)} | {
+        f"w{w}_{i}" for w in range(3) for i in range(4)
+    }
+    assert got == expect  # nothing lost, nothing duplicated
+    assert tx_read(spark, table).count() == len(expect)
+
+
+def test_tx_insert_if_absent_and_upsert(spark, tmp_path):
+    table = str(tmp_path / "dim")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert tx_insert_if_absent(spark, table, d1, ["k"]) == 2
+    # re-insert same keys + one new → only the new row lands
+    d2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    assert tx_insert_if_absent(spark, table, d2, ["k"]) == 1
+    rows = {r["k"]: r["v"] for r in tx_read(spark, table).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}  # k=2 untouched (DO NOTHING)
+
+    tx_upsert(spark, table, d2, ["k"])
+    rows = {r["k"]: r["v"] for r in tx_read(spark, table).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}  # k=2 updated now
+
+
+def test_tx_vacuum_reaps_orphans_keeps_history(spark, tmp_path):
+    import os
+
+    table = str(tmp_path / "vac")
+    log = TransactionLog(table)
+    committed = log.stage_dataframe(
+        spark.createDataFrame([(1, "a")], "k long, v string"))
+    orphan = log.stage_dataframe(
+        spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert log.try_commit(0, committed, [], op="append")
+    # orphan simulates a crashed writer: staged, never committed
+    n_files = len(os.listdir(log.data_dir))
+    deleted = log.vacuum()
+    assert deleted == len(orphan)
+    assert len(os.listdir(log.data_dir)) == n_files - deleted
+    assert tx_read(spark, table).count() == 1
+
+    # replace-all commit, then full vacuum drops the old snapshot's files
+    repl = log.stage_dataframe(
+        spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert log.try_commit(1, repl, [a["path"] for a in committed], op="replace")
+    assert log.vacuum(keep_history=False) == len(committed)
+    assert {r["k"] for r in tx_read(spark, table).collect()} == {2}
