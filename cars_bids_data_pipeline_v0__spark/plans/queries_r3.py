@@ -9,13 +9,18 @@ Scale notes (100 TB):
   smallest of a union → partial-aggregable, one narrow shuffle, constant
   state per group: the shape that matters when counting distincts per
   group over 100 TB.
-* q129 scores每-doc token entropy with a two-level aggregate (H = log2 n −
+* q129 scores per-doc token entropy with a two-level aggregate (H = log2 n −
   Σc·log2 c / n) — no per-doc dictionaries leave the executors, no UDF.
 * q130 is template scrubbing: boilerplate = shingles present in >25% of a
   SOURCE's docs.  Frequency tables stay per-group (never a global
   dictionary), the group-size side is broadcast.
 * q131 catches what Jaccard can't: sub-document duplication (containment
   |A∩B|/|A|), same inverted-index single-shuffle plan as q53.
+* q132 is the Count-Min frequency sketch (md5 rows → engine-neutral like
+  q128): cell-wise-additive partial sketches, d×w cells per partition on
+  the wire — never a token dictionary.
+* q133 is mutual-nearest-neighbor mining (the bitext/translation-pair
+  shape): argmax cosine each way + an equi-join on the agreeing pairs.
 """
 
 from __future__ import annotations
@@ -269,3 +274,196 @@ def q131(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return containment_pairs(d, n=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# q132 — Count-Min sketch heavy hitters (mergeable, engine-neutral, oracled)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 256    # buckets per row
+_CMS_TOP = 20
+
+
+def _cms_bucket_sql(i: int, tok_expr: str) -> str:
+    return (
+        f"('0x' || substr(md5('cms{i}:' || {tok_expr}), 1, 8))::BIGINT "
+        f"% {_CMS_W}"
+    )
+
+
+@register(
+    "q132_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\s+')) AS tok
+        FROM documents
+    ), entries AS (
+        SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {i} AS i, {_cms_bucket_sql(i, 'tok')} AS bucket FROM toks"
+                for i in range(_CMS_D))}
+        ) GROUP BY 1, 2
+    ), top AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM toks GROUP BY tok
+        ORDER BY true_cnt DESC, tok ASC LIMIT {_CMS_TOP}
+    ), probes AS (
+        {" UNION ALL ".join(
+            f"SELECT tok, true_cnt, {i} AS i, "
+            f"{_cms_bucket_sql(i, 'tok')} AS bucket FROM top"
+            for i in range(_CMS_D))}
+    )
+    SELECT tok, any_value(true_cnt) AS true_cnt, min(c) AS cms_est
+    FROM probes JOIN entries USING (i, bucket)
+    GROUP BY tok
+    """,
+    doc=(
+        "Count-Min sketch over corpus tokens: d=4 md5-derived hash rows × "
+        "w=256 buckets, heavy-hitter estimates = min over rows.  md5 makes "
+        "the SKETCH engine-neutral (DuckDB recomputes identical buckets "
+        "and counts — the estimates are value-verified, unlike HLL's "
+        "engine-private hashes).  CMS is partial-aggregable: per-partition "
+        "sketches add cell-wise, so a 100 TB frequency pass shuffles d×w "
+        "cells per partition, never a token dictionary.  Estimates are "
+        "provably ≥ true counts (checked in tests) within ε·N with prob "
+        "1-δ (ε=e/w, δ=e^-d)"
+    ),
+)
+def q132(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                r"\s+",
+            )
+        ).alias("tok")
+    )
+
+    def bucket(i: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{i}:"), F.col("tok"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    entries = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"), bucket(i).alias("bucket")
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("ib")
+        )
+        .select("ib.i", "ib.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("tok").asc())
+        .limit(_CMS_TOP)
+    )
+    probes = top.select(
+        "tok",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("ib"),
+    ).select("tok", "true_cnt", "ib.i", "ib.bucket")
+    return (
+        probes.join(F.broadcast(entries), on=["i", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.first("true_cnt").alias("true_cnt"),
+            F.min("c").alias("cms_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133 — mutual nearest neighbors (bitext-mining shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q133_mutual_nearest_neighbors",
+    """
+    WITH src AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 2 = 0
+    ), tgt AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 2 = 1
+    ), scored AS (
+        SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+               round(list_dot_product(s.v, t.v)
+                     / (sqrt(list_dot_product(s.v, s.v))
+                        * sqrt(list_dot_product(t.v, t.v))), 6) AS cosine_sim
+        FROM src s, tgt t
+    ), fwd AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src_id ORDER BY cosine_sim DESC, tgt_id ASC) AS rn
+            FROM scored) WHERE rn = 1
+    ), bwd AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY tgt_id ORDER BY cosine_sim DESC, src_id ASC) AS rn
+            FROM scored) WHERE rn = 1
+    )
+    SELECT f.src_id, f.tgt_id, f.cosine_sim
+    FROM fwd f JOIN bwd b ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+    """,
+    doc=(
+        "mutual nearest neighbors between two embedding sets (the "
+        "bitext-mining / translation-pair shape): a pair survives only if "
+        "each side is the other's argmax cosine.  Exact brute-force here "
+        "(oracle-checkable); at corpus scale the per-side argmax comes "
+        "from the ANN operators (ivf_topk/lsh_topk k=1) and the mutual "
+        "join is unchanged — the composition, not the scorer, is what "
+        "this query pins"
+    ),
+)
+def q133(spark, sf_dir):
+    from ..operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    tgt = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    fwd = cosine_topk(
+        src.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
+        tgt, k=1,
+    ).select(
+        F.col("q_id").alias("src_id"),
+        F.col("vec_id").alias("tgt_id"),
+        "cosine_sim",
+    )
+    bwd = cosine_topk(
+        tgt.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
+        src, k=1,
+    ).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("q_id").alias("tgt_id"),
+    )
+    return fwd.join(bwd, on=["src_id", "tgt_id"])

@@ -84,14 +84,75 @@ class TransactionLog:
         return out
 
     def live_files(self, upto: int | None = None) -> dict[str, str | None]:
-        """``{relative file path: partition value or None}`` at a version."""
+        """``{relative file path: partition value or None}`` at a version.
+
+        Starts from the newest checkpoint at or below the target version
+        (one file read) and replays only the commits after it — replay
+        cost stays O(commits since checkpoint), not O(table age)."""
+        start = -1
         live: dict[str, str | None] = {}
+        ckpt = self._latest_checkpoint(upto)
+        if ckpt is not None:
+            start, live = ckpt
         for act in self.actions(upto):
+            if act["version"] <= start:
+                continue
             for a in act.get("add", []):
                 live[a["path"]] = a.get("partition")
             for r in act.get("remove", []):
                 live.pop(r, None)
         return live
+
+    # -- checkpoints (log compaction) --------------------------------------
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
+
+    def _latest_checkpoint(
+        self, upto: int | None = None
+    ) -> tuple[int, dict[str, str | None]] | None:
+        if not os.path.isdir(self.log_dir):
+            return None
+        versions = sorted(
+            (
+                int(n.split(".")[0])
+                for n in os.listdir(self.log_dir)
+                if n.endswith(".checkpoint.json") and n.split(".")[0].isdigit()
+            ),
+            reverse=True,
+        )
+        for v in versions:
+            if upto is not None and v > upto:
+                continue
+            try:
+                with open(self._checkpoint_path(v)) as f:
+                    body = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue  # torn checkpoint: fall back to older one / replay
+            return v, {
+                a["path"]: a.get("partition") for a in body.get("live", [])
+            }
+        return None
+
+    def checkpoint(self) -> int:
+        """Materialize the current live-file set as a checkpoint for the
+        latest committed version (Delta-style log compaction).  Safe
+        concurrently with writers: the checkpoint is derived from an
+        already-committed prefix and written via temp-file + atomic
+        rename; readers that don't see it yet just replay more commits.
+        Returns the checkpointed version."""
+        v = self.version()
+        if v < 0:
+            raise ValueError("cannot checkpoint an empty table")
+        live = [
+            {"path": p, "partition": part}
+            for p, part in sorted(self.live_files(upto=v).items())
+        ]
+        tmp = self._checkpoint_path(v) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "live": live}, f)
+        os.replace(tmp, self._checkpoint_path(v))
+        return v
 
     # -- write side --------------------------------------------------------
 

@@ -81,3 +81,19 @@ def test_approx_quantiles_bracket_exact(spark):
     # allow a loose value tolerance anyway
     for g, x in zip(got, exact):
         assert abs(g - x) <= max(50.0, 0.05 * abs(x) + 1e-9), (g, x, n)
+
+
+def test_cms_estimates_upper_bound_true_counts(spark):
+    """Count-Min invariant: every estimate ≥ its true count (hash
+    collisions only ever ADD), and exact for the corpus's clear heavy
+    hitters at this sketch width."""
+    from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+
+    Q._load_extensions()
+    rows = Q.REGISTRY["q132_cms_heavy_hitters"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
+    # relative error of the min-estimate stays modest for heavy hitters
+    assert all(r["cms_est"] <= r["true_cnt"] * 2 for r in rows)

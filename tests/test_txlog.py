@@ -156,3 +156,30 @@ def test_tx_vacuum_reaps_orphans_keeps_history(spark, tmp_path):
     assert log.try_commit(1, repl, [a["path"] for a in committed], op="replace")
     assert log.vacuum(keep_history=False) == len(committed)
     assert {r["k"] for r in tx_read(spark, table).collect()} == {2}
+
+
+def test_tx_checkpoint_compacts_log_replay(spark, tmp_path):
+    """Checkpoint = Delta-style log compaction: live_files starts from the
+    newest checkpoint ≤ target and replays only later commits; results
+    are identical with and without it, including time travel around it."""
+    table = str(tmp_path / "ckpt")
+    log = TransactionLog(table)
+    per_commit = []
+    for v in range(12):
+        adds = log.stage_dataframe(
+            spark.createDataFrame([(v, f"v{v}")], "k long, v string"))
+        per_commit.append({a["path"] for a in adds})
+        assert log.try_commit(v, adds, [], op="append")
+    before = log.live_files()
+    assert log.checkpoint() == 11
+    assert log.live_files() == before            # same answer via checkpoint
+    # time travel BELOW the checkpoint still replays correctly
+    assert set(log.live_files(upto=5)) == set().union(*per_commit[:6])
+    assert tx_read(spark, table).count() == 12
+
+    # commits after the checkpoint replay on top of it
+    adds = log.stage_dataframe(
+        spark.createDataFrame([(99, "z")], "k long, v string"))
+    assert log.try_commit(12, adds, [], op="append")
+    assert tx_read(spark, table).count() == 13
+    assert len(log.live_files()) == len(before) + len(adds)
