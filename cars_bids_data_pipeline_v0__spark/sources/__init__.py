@@ -11,10 +11,12 @@ from .compaction import compact_partitions, compacted_copy, partition_stats
 from .sinks import merge_write_partitioned, write_json_debug, write_text_queue
 from .txlog import (
     TransactionLog,
+    tx_compact,
     tx_insert_if_absent,
     tx_merge_partitioned,
     tx_read,
     tx_read_latest,
+    tx_stream_merge_sink,
     tx_upsert,
 )
 
@@ -31,9 +33,11 @@ __all__ = [
     "write_json_debug",
     "write_text_queue",
     "TransactionLog",
+    "tx_compact",
     "tx_insert_if_absent",
     "tx_merge_partitioned",
     "tx_read",
     "tx_read_latest",
+    "tx_stream_merge_sink",
     "tx_upsert",
 ]

@@ -202,12 +202,18 @@ class TransactionLog:
         add: list[dict],
         remove: list[str],
         op: str,
+        txn: dict | None = None,
     ) -> bool:
         """Atomically claim ``version``.  False = a concurrent writer won it
-        first (caller re-reads the snapshot and retries)."""
+        first (caller re-reads the snapshot and retries).  ``txn`` is an
+        optional idempotence token (e.g. ``{"app": stream_id, "batch":
+        N}``) recorded in the commit — `txn_seen` fences replays."""
         os.makedirs(self.log_dir, exist_ok=True)
         body = json.dumps(
-            {"version": version, "op": op, "add": add, "remove": remove}
+            {
+                "version": version, "op": op, "add": add, "remove": remove,
+                **({"txn": txn} if txn else {}),
+            }
         )
         try:
             fd = os.open(
@@ -219,6 +225,15 @@ class TransactionLog:
         with os.fdopen(fd, "w") as f:
             f.write(body)
         return True
+
+    def txn_seen(self, app: str, batch: int) -> bool:
+        """True if a committed version already carries this idempotence
+        token — the replayed micro-batch must be skipped, its work is
+        durable."""
+        return any(
+            act.get("txn") == {"app": app, "batch": batch}
+            for act in self.actions()
+        )
 
     def discard(self, adds: list[dict]) -> None:
         """Best-effort removal of staged-but-not-committed files."""
@@ -251,10 +266,19 @@ class TransactionLog:
 
 
 def tx_read(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """Snapshot read (optionally time travel).  ``None`` for a table with
-    no commits; a committed-but-empty table reads as an empty frame."""
+    no commits; a committed-but-empty table reads as an empty frame.
+
+    ``merge_schema=True`` unions the schemas of every live file (parquet
+    footers self-describe), so appends that ADDED columns read back with
+    the full schema and nulls for old files — schema evolution without a
+    table-level schema registry.  Off by default: merging reads every
+    footer up front, and a homogeneous table doesn't need it."""
     log = TransactionLog(table_path)
     if log.version() < 0:
         return None
@@ -268,7 +292,10 @@ def tx_read(
         return (
             spark.read.parquet(os.path.join(table_path, ever[0])).limit(0)
         )
-    return spark.read.parquet(*[os.path.join(table_path, f) for f in files])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(table_path, f) for f in files])
 
 
 def tx_read_latest(
@@ -292,6 +319,7 @@ def tx_merge_partitioned(
     order_by: str = "auction_date",
     partition_src: str = "auction_date",
     max_retries: int = 20,
+    txn: dict | None = None,
 ) -> list[str]:
     """S5/M5 under multi-writer ACID: same per-date merge semantics as
     `sinks.merge_write_partitioned` (keep-latest within each touched date,
@@ -302,8 +330,15 @@ def tx_merge_partitioned(
     A concurrent commit makes the claim fail → recompute from the NEW
     snapshot (no lost update, serializable).  Per retry the work is
     proportional to the batch's partitions, not the table.
+
+    ``txn`` makes the merge an exactly-once participant: if a committed
+    version already carries the token the call is a no-op (checked on
+    entry AND on every conflict retry), and the token rides in this
+    merge's commit — the streaming sink's replay fence.
     """
     log = TransactionLog(table_path)
+    if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
+        return []
     batch = new_df.withColumn(PARTITION_COL, F.to_date(F.col(partition_src)))
     batch = keep_latest(batch, key, order_by=order_by).persist()
     try:
@@ -336,9 +371,11 @@ def tx_merge_partitioned(
             else:
                 merged = batch
             adds = log.stage_dataframe(merged, partition_by=PARTITION_COL)
-            if log.try_commit(v + 1, adds, overlap_files, op="merge"):
+            if log.try_commit(v + 1, adds, overlap_files, op="merge", txn=txn):
                 return sorted(touched)
             log.discard(adds)  # lost the race: clean up, recompute
+            if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
+                return []  # the conflicting commit WAS this batch's replay
         raise RuntimeError(
             f"merge gave up after {max_retries} commit conflicts"
         )
@@ -398,3 +435,84 @@ def tx_upsert(
             return
         log.discard(adds)
     raise RuntimeError("upsert gave up after 20 commit conflicts")
+
+
+def tx_compact(
+    spark: SparkSession, table_path: str, max_retries: int = 5
+) -> int:
+    """OPTIMIZE: rewrite the current live file set into one file per
+    partition value (bin-packing small files), committed as a single
+    add+remove — readers never see a half-compacted table, and time
+    travel to pre-compaction versions still resolves (old files stay
+    until `vacuum(keep_history=False)`).
+
+    Content is untouched; only layout changes.  Optimistic like every
+    writer here: a concurrent append/merge fails the commit and the
+    compaction recomputes over the new snapshot.  The streaming-matview
+    compaction fence (streaming/incremental.py) solves replay-vs-compact
+    ordering; THIS solves reader-vs-compact atomicity.
+
+    Returns the number of files removed (0 = nothing to do).
+    """
+    log = TransactionLog(table_path)
+    for _ in range(max_retries):
+        v = log.version()
+        if v < 0:
+            return 0
+        live = log.live_files(upto=v)
+        partitioned = any(p is not None for p in live.values())
+        # already one file per partition value → nothing to gain
+        n_parts = len({p for p in live.values()}) if partitioned else 1
+        if len(live) <= n_parts:
+            return 0
+        df = spark.read.parquet(
+            *[os.path.join(table_path, f) for f in sorted(live)]
+        )
+        if partitioned:
+            adds = log.stage_dataframe(df, partition_by=PARTITION_COL)
+        else:
+            adds = log.stage_dataframe(df.coalesce(1))
+        if log.try_commit(v + 1, adds, sorted(live), op="compact"):
+            return len(live)
+        log.discard(adds)
+    raise RuntimeError(f"compaction gave up after {max_retries} conflicts")
+
+
+def tx_stream_merge_sink(
+    table_path: str,
+    key: str = "auction_id",
+    order_by: str = "auction_date",
+    partition_src: str = "auction_date",
+    stream_id: str = "default",
+):
+    """Exactly-once streaming merge sink: a ``foreachBatch`` function whose
+    every micro-batch is one fenced transactional merge.
+
+    The commit for batch N carries the token ``(stream_id, N)``; a
+    checkpoint replay of an already-committed batch finds its token in
+    the log and becomes a no-op — the single atomic primitive the
+    parquet-partition-overwrite streaming paths approximate with
+    per-batch OVERWRITE directories (streaming/incremental.py:225-234).
+    Output table stays transactional for concurrent batch writers and
+    readers.
+
+    Usage::
+
+        (stream.writeStream
+         .foreachBatch(tx_stream_merge_sink(path, stream_id="ingest"))
+         .option("checkpointLocation", ck).trigger(availableNow=True)
+         .start())
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        tx_merge_partitioned(
+            batch_df.sparkSession,
+            batch_df,
+            table_path,
+            key=key,
+            order_by=order_by,
+            partition_src=partition_src,
+            txn={"app": stream_id, "batch": int(batch_id)},
+        )
+
+    return process

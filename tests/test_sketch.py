@@ -97,3 +97,67 @@ def test_cms_estimates_upper_bound_true_counts(spark):
     assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
     # relative error of the min-estimate stays modest for heavy hitters
     assert all(r["cms_est"] <= r["true_cnt"] * 2 for r in rows)
+
+
+def test_kmv_sketch_merge_law(spark):
+    """The 'mergeable' claim behind q128: keeping the k smallest hashes of
+    a UNION equals merging two halves' k-smallest sets and re-taking the
+    k smallest — so per-partition partial sketches compose exactly."""
+    from pyspark.sql import functions as F
+
+    k = 16
+    base = spark.range(0, 600).select(
+        F.col("id"),
+        F.conv(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 13), 16, 10
+        ).cast("long").alias("hv"),
+    )
+    halves = [base.filter(F.col("id") % 2 == i) for i in (0, 1)]
+
+    def k_smallest(df):
+        return [r["hv"] for r in df.orderBy("hv", "id").limit(k).collect()]
+
+    merged_partials = sorted(k_smallest(halves[0]) + k_smallest(halves[1]))[:k]
+    direct = k_smallest(base)
+    assert merged_partials == direct
+
+
+def test_cms_sketch_merge_law(spark):
+    """CMS partial sketches add cell-wise: sketch(A ∪ B) = sketch(A) +
+    sketch(B) for every (row, bucket) cell — the property that lets a
+    100 TB frequency pass ship d×w cells per partition."""
+    from pyspark.sql import functions as F
+
+    def sketch(df):
+        def bucket(i):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"cms{i}:"), F.col("tok"))), 1, 8
+                    ), 16, 10,
+                ).cast("long") % 64
+            )
+
+        rows = df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                    for i in range(3)
+                ])
+            ).alias("ib")
+        ).groupBy("ib.i", "ib.b").agg(F.count("*").alias("c"))
+        return {(r["i"], r["b"]): r["c"] for r in rows.collect()}
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    )
+    full = sketch(toks)
+    a = sketch(toks.filter(F.col("doc_id") % 2 == 0))
+    b = sketch(toks.filter(F.col("doc_id") % 2 == 1))
+    summed = {}
+    for part in (a, b):
+        for cell, c in part.items():
+            summed[cell] = summed.get(cell, 0) + c
+    assert summed == full

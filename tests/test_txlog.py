@@ -183,3 +183,134 @@ def test_tx_checkpoint_compacts_log_replay(spark, tmp_path):
     assert log.try_commit(12, adds, [], op="append")
     assert tx_read(spark, table).count() == 13
     assert len(log.live_files()) == len(before) + len(adds)
+
+
+def test_tx_compact_one_file_per_partition_preserves_content(spark, tmp_path):
+    """Small files accumulate from append-style commits (loaders that
+    don't rewrite partitions); OPTIMIZE bin-packs them to one file per
+    partition value in a single atomic commit."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        PARTITION_COL,
+        tx_compact,
+    )
+
+    table = str(tmp_path / "opt")
+    log = TransactionLog(table)
+    n = 0
+    for w in range(3):  # 3 appends × 2 dates → 6 small files
+        df = spark.createDataFrame(
+            [(f"k{w}_{d}", f"2024-04-0{d}", w * 10 + d) for d in (1, 2)],
+            f"auction_id string, {PARTITION_COL} string, payload long",
+        )
+        adds = log.stage_dataframe(df, partition_by=PARTITION_COL)
+        assert log.try_commit(w, adds, [], op="append")
+        n += len(adds)
+    before_rows = {(r["auction_id"], r["payload"])
+                   for r in tx_read(spark, table).collect()}
+    assert len(log.live_files()) == n and n >= 6
+    removed = tx_compact(spark, table)
+    assert removed == n
+    live = log.live_files()
+    assert len(live) == 2                      # one file per date partition
+    assert set(live.values()) == {"2024-04-01", "2024-04-02"}
+    after_rows = {(r["auction_id"], r["payload"])
+                  for r in tx_read(spark, table).collect()}
+    assert after_rows == before_rows           # layout-only change
+    assert tx_compact(spark, table) == 0       # idempotent: nothing to do
+    # time travel to the pre-compaction snapshot still resolves
+    assert tx_read(spark, table, version=log.version() - 1).count() == 6
+
+
+def test_tx_stream_sink_replay_is_exactly_once(spark, tmp_path):
+    """The foreachBatch fence: re-delivering a committed batch_id is a
+    no-op; distinct batch_ids merge normally; a different stream_id is
+    NOT fenced by this stream's tokens."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_stream_merge_sink,
+    )
+
+    table = str(tmp_path / "stream_sink")
+    sink = tx_stream_merge_sink(table, stream_id="ingest")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "auction_id string, auction_date string, payload long"
+        ).withColumn("auction_date", F.to_timestamp("auction_date"))
+
+    b0 = mk([("a", "2024-05-01T10:00:00Z", 1), ("b", "2024-05-01T11:00:00Z", 2)])
+    sink(b0, 0)
+    assert tx_read(spark, table).count() == 2
+    sink(b0, 0)                                   # checkpoint replay
+    assert tx_read(spark, table).count() == 2     # fenced: no dup
+    assert TransactionLog(table).version() == 0   # replay committed NOTHING
+
+    sink(mk([("c", "2024-05-02T10:00:00Z", 3)]), 1)
+    assert tx_read(spark, table).count() == 3
+
+    # same batch_id from a DIFFERENT stream must not be fenced
+    other = tx_stream_merge_sink(table, stream_id="backfill")
+    other(mk([("d", "2024-05-03T10:00:00Z", 4)]), 0)
+    assert tx_read(spark, table).count() == 4
+
+
+def test_tx_stream_sink_through_real_stream_with_checkpoint_loss(spark, tmp_path):
+    """End-to-end: availableNow file stream → foreachBatch tx sink.  Losing
+    the CHECKPOINT (the classic duplicate-delivery failure) re-delivers
+    the same files as batch 0 — the commit token fences the replay and the
+    table stays exactly-once."""
+    import json as _json
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_stream_merge_sink,
+    )
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "f0.json", "w") as f:
+        for i in range(4):
+            f.write(_json.dumps({
+                "auction_id": f"s{i}",
+                "auction_date": f"2024-06-0{1 + i % 2}T10:00:00",
+                "payload": i,
+            }) + "\n")
+    schema = T.StructType([
+        T.StructField("auction_id", T.StringType()),
+        T.StructField("auction_date", T.TimestampType()),
+        T.StructField("payload", T.LongType()),
+    ])
+    table = str(tmp_path / "tx_out")
+
+    def run(ck):
+        q = (
+            spark.readStream.schema(schema).json(str(src))
+            .writeStream.foreachBatch(
+                tx_stream_merge_sink(table, stream_id="e2e"))
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert tx_read(spark, table).count() == 4
+    run("ck2")  # fresh checkpoint: everything re-delivered as batch 0
+    assert tx_read(spark, table).count() == 4   # fenced — no duplicates
+    assert TransactionLog(table).version() == 0  # replay committed nothing
+
+
+def test_tx_read_schema_evolution_via_merge_schema(spark, tmp_path):
+    """Appends that ADD a column read back with the union schema
+    (merge_schema=True): old rows null-fill, no registry needed."""
+    table = str(tmp_path / "evolve")
+    log = TransactionLog(table)
+    a1 = log.stage_dataframe(
+        spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert log.try_commit(0, a1, [], op="append")
+    a2 = log.stage_dataframe(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"))
+    assert log.try_commit(1, a2, [], op="append")
+
+    evolved = tx_read(spark, table, merge_schema=True)
+    assert set(evolved.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r for r in evolved.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
