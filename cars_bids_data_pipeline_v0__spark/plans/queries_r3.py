@@ -21,6 +21,12 @@ Scale notes (100 TB):
   the wire — never a token dictionary.
 * q133 is mutual-nearest-neighbor mining (the bitext/translation-pair
   shape): argmax cosine each way + an equi-join on the agreeing pairs.
+* q134 market-basket lift: the pair blow-up is per-basket quadratic in
+  basket size, never corpus size; marginals broadcast.
+* q135 runs SCD2 (build + point-in-time interval join) under the value
+  oracle end-to-end.
+* q136 PageRank: the iterative join+aggregate shape, rank vectors only
+  ever shuffled by key — intermediate rounding pins cross-engine floats.
 """
 
 from __future__ import annotations
@@ -467,3 +473,252 @@ def q133(spark, sf_dir):
         F.col("q_id").alias("tgt_id"),
     )
     return fwd.join(bwd, on=["src_id", "tgt_id"])
+
+
+# ---------------------------------------------------------------------------
+# q134 — market-basket co-occurrence with lift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q134_market_basket_lift",
+    """
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS orderkey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n_orders AS (
+        SELECT count(DISTINCT orderkey) AS n FROM b
+    ), brand_cnt AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY 1
+    ), pairs AS (
+        SELECT x.brand AS brand_a, y.brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM b x JOIN b y USING (orderkey)
+        WHERE x.brand < y.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * n / (ca.n_b * cb.n_b), 6) AS lift
+    FROM pairs
+    JOIN brand_cnt ca ON ca.brand = brand_a
+    JOIN brand_cnt cb ON cb.brand = brand_b
+    CROSS JOIN n_orders
+    ORDER BY n_ab DESC, brand_a, brand_b LIMIT 30
+    """,
+    doc=(
+        "market-basket analysis: brand co-occurrence within an order, "
+        "scored by lift = P(ab)/(P(a)P(b)).  The self-join shuffles on "
+        "orderkey (baskets are small, so the pair blow-up is per-basket "
+        "quadratic in BASKET size, never corpus size); brand marginals "
+        "and the order count broadcast"
+    ),
+)
+def q134(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("orderkey"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = b.select("orderkey").distinct().count()
+    brand_cnt = b.groupBy("brand").agg(F.count("*").alias("n_b"))
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), on="orderkey")
+        .filter(F.col("x.brand") < F.col("y.brand"))
+        .groupBy(
+            F.col("x.brand").alias("brand_a"),
+            F.col("y.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ca = brand_cnt.select(F.col("brand").alias("brand_a"),
+                          F.col("n_b").alias("na"))
+    cb = brand_cnt.select(F.col("brand").alias("brand_b"),
+                          F.col("n_b").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), on="brand_a")
+        .join(F.broadcast(cb), on="brand_b")
+        .select(
+            "brand_a", "brand_b", "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.lit(n)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "brand_a", "brand_b")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135 — SCD2 build + point-in-time join, fully oracled
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q135_scd2_point_in_time",
+    """
+    WITH log AS (
+        SELECT o_custkey AS k, o_orderpriority AS v,
+               o_orderdate AS ts, o_orderkey AS tie
+        FROM orders
+    ), runs AS (
+        SELECT * FROM (
+            SELECT k, v, ts, tie,
+                   lag(v) OVER (PARTITION BY k ORDER BY ts, tie) AS prev,
+                   row_number() OVER (PARTITION BY k ORDER BY ts, tie) AS rn
+            FROM log)
+        WHERE rn = 1 OR v IS DISTINCT FROM prev
+    ), dim AS (
+        SELECT k, v AS priority, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY k ORDER BY ts, tie) AS valid_to
+        FROM runs
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           d.priority AS priority_at_order
+    FROM orders o JOIN dim d
+      ON d.k = o.o_custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    WHERE o.o_orderkey % 13 = 0
+    """,
+    doc=(
+        "SCD2 under the value-hash gate end-to-end: collapse the order "
+        "log into [valid_from, valid_to) priority history per customer "
+        "(operators.scd2.scd2_snapshot — lag-change detection + lead "
+        "close-off, tie-total ordering) then point-in-time join a probe "
+        "set against the intervals.  Zero-length intervals from same-day "
+        "ties resolve identically in both engines (strict upper bound)"
+    ),
+)
+def q135(spark, sf_dir):
+    from ..operators.scd2 import scd2_snapshot
+
+    o = _t(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("v"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tie"),
+    )
+    dim = scd2_snapshot(log, key="k", tracked="v",
+                        order_col="ts", tie_col="tie")
+    probes = o.filter(F.col("o_orderkey") % 13 == 0)
+    return (
+        probes.join(
+            dim,
+            (dim.k == probes.o_custkey)
+            & (dim.valid_from <= probes.o_orderdate)
+            & (dim.valid_to.isNull()
+               | (probes.o_orderdate < dim.valid_to)),
+        )
+        .select(
+            "o_orderkey", "o_custkey", "o_orderdate",
+            F.col("v").alias("priority_at_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136 — PageRank, 3 synchronized iterations (iterative linear algebra)
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_ITERS = 3
+_PR_TOP = 20
+
+
+def _q136_oracle() -> str:
+    it = """
+        SELECT e.dst AS node,
+               round((1 - {d}) / n.n + {d} * sum(r.r / dg.deg), 9) AS r
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg dg ON dg.node = e.src
+        CROSS JOIN nn n
+        GROUP BY e.dst, n.n
+    """
+    iters = "".join(
+        f", r{i + 1} AS ({it.format(d=_PR_D, prev=f'r{i}')})"
+        for i in range(_PR_ITERS)
+    )
+    return f"""
+    WITH raw AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+               's' || CAST(l_suppkey AS VARCHAR) AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e0 AS (
+        SELECT DISTINCT a, b FROM raw
+    ), edges AS (
+        SELECT a AS src, b AS dst FROM e0
+        UNION ALL
+        SELECT b, a FROM e0
+    ), deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1
+    ), nn AS (
+        SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM edges
+    ), r0 AS (
+        SELECT src AS node, 1.0 / n.n AS r
+        FROM (SELECT DISTINCT src FROM edges) CROSS JOIN nn n
+    ){iters}
+    SELECT node, round(r, 5) AS rank
+    FROM r{_PR_ITERS}
+    ORDER BY round(r, 5) DESC, node LIMIT {_PR_TOP}
+    """
+
+
+@register(
+    "q136_pagerank3",
+    _q136_oracle(),
+    doc=(
+        "PageRank over the customer↔supplier purchase graph "
+        "(orders⋈lineitem), 3 synchronized iterations, d=0.85 "
+        "(symmetrized edges → no dangling-mass term).  Each iteration = "
+        "join(ranks, edges) + groupBy(dst) sum — the canonical "
+        "iterative-linear-algebra shape on DataFrames; the oracle "
+        "unrolls the same three iterations as CTEs.  Per-iteration "
+        "intermediate ranks round to 9 decimals so cross-engine "
+        "float-sum ordering cannot drift; output at 5"
+    ),
+)
+def q136(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select("src").distinct()
+    n = float(nodes.count())
+    r = nodes.select("src", (F.lit(1.0) / F.lit(n)).alias("r"))
+    for _ in range(_PR_ITERS):
+        r = (
+            edges.join(r, on="src")
+            .join(deg, on="src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(
+                F.round(
+                    F.lit((1 - _PR_D) / n)
+                    + F.lit(_PR_D) * F.sum(F.col("r") / F.col("deg")),
+                    9,
+                ).alias("r")
+            )
+        )
+    return (
+        r.select(F.col("src").alias("node"), F.round("r", 5).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(_PR_TOP)
+    )
