@@ -27,6 +27,10 @@ Scale notes (100 TB):
   oracle end-to-end.
 * q136 PageRank: the iterative join+aggregate shape, rank vectors only
   ever shuffled by key — intermediate rounding pins cross-engine floats.
+* q137 temperature-scaled mixing (rates ∝ n^α/n, md5 membership): the
+  pretraining data-mixing staple, RNG-free and reproducible.
+* q138 hard-negative mining: label-aware top-k similarity with the
+  inequality fused into the broadcast join.
 """
 
 from __future__ import annotations
@@ -721,4 +725,133 @@ def q136(spark, sf_dir):
         r.select(F.col("src").alias("node"), F.round("r", 5).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(_PR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — temperature-scaled mixture sampling (LLM data-mixing staple)
+# ---------------------------------------------------------------------------
+
+_Q137_ALPHA = 0.5
+_Q137_BUDGET = 200
+
+
+@register(
+    "q137_temperature_mixing",
+    f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT sum(power(n_s, {_Q137_ALPHA})) AS z FROM counts
+    ), rates AS (
+        SELECT source,
+               round(least(1.0,
+                   {_Q137_BUDGET} * power(n_s, {_Q137_ALPHA}) / t.z / n_s),
+                   6) AS rate
+        FROM counts CROSS JOIN tot t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+          / 65536.0 < r.rate
+    """,
+    doc=(
+        "temperature-scaled data mixing (the LLM-pretraining staple): "
+        "per-source sampling rates ∝ n^α / n (α=0.5 flattens the source "
+        "distribution), membership a pure md5 function of the doc id — "
+        "RNG-free, reproducible, and per-row work independent of source "
+        "count.  Rates round to 6 decimals before the threshold compare "
+        "so a 1-ulp cross-engine drift in the α-power sum cannot flip a "
+        "membership"
+    ),
+)
+def q137(spark, sf_dir):
+    from ..operators.sampling import md5_unit
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_s").cast("double"), _Q137_ALPHA)).alias("z")
+    )
+    rates = counts.crossJoin(tot).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(_Q137_BUDGET))
+                * F.pow(F.col("n_s").cast("double"), _Q137_ALPHA)
+                / F.col("z")
+                / F.col("n_s"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    return (
+        d.join(F.broadcast(rates), on="source")
+        .filter(md5_unit("doc_id") < F.col("rate"))
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — hard-negative mining (label-aware top-k similarity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q138_hard_negative_mining",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, label AS q_label, v AS qv
+        FROM e WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.q_id, c.vec_id,
+               round(list_dot_product(qv, c.v)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine_sim
+        FROM q JOIN e c ON c.label <> q.q_label
+    )
+    SELECT q_id, vec_id, cosine_sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc=(
+        "hard-negative mining for contrastive training: per query, the "
+        "top-5 most-similar vectors with a DIFFERENT label — the "
+        "highest-value negatives.  Broadcast queries × one corpus scan "
+        "with the label inequality fused into the join (no post-filter "
+        "pass); the ANN operators swap in for the scorer at corpus scale"
+    ),
+)
+def q138(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import as_double, cosine
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        e.join(F.broadcast(q), e.label != q.q_label)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
     )
