@@ -89,13 +89,20 @@ def train_val_test_split(
     portable: bool = True,
 ) -> DataFrame:
     """Add ``split`` ∈ {train, val, test} by hash-bucket range — disjoint,
-    exhaustive, stable across runs and repartitioning."""
+    exhaustive, stable across runs and repartitioning.
+
+    Boundaries round CUMULATIVE fractions (``round(train·n)``,
+    ``round((train+val)·n)``), not per-split widths — width-rounding
+    accumulates error into the later splits (caught by the sf0.1 oracle
+    sweep: bucket 230 of 256 flipped splits between engines; no sf0.01
+    doc happened to hash there).
+    """
     n = 256 if portable else 1 << 16
     bucket = (
         md5_bucket(id_col) if portable else hash_bucket(id_col, 1 << 16)
     )
     t_hi = int(round(train * n))
-    v_hi = t_hi + int(round(val * n))
+    v_hi = int(round((train + val) * n))
     return df.withColumn(
         split_col,
         F.when(bucket < t_hi, F.lit("train"))

@@ -6,7 +6,7 @@ single-writer race — two concurrent merges read-modify-write the same
 partition files and one update is silently lost.  The fix everywhere else in
 the ecosystem is a transactional table format (Delta/Iceberg); neither ships
 in this container, so this module implements the same commit PROTOCOL
-directly — it is ~the Delta log, minus checkpoints:
+directly — functionally the Delta log, including checkpoints:
 
 * Data files are written FIRST, under unique names in ``data/`` — invisible
   until committed (writers never overwrite data files, so readers need no
@@ -157,12 +157,20 @@ class TransactionLog:
     # -- write side --------------------------------------------------------
 
     def stage_dataframe(
-        self, df: DataFrame, partition_by: str | None = None
+        self,
+        df: DataFrame,
+        partition_by: str | None = None,
+        stats_cols: list[str] | None = None,
     ) -> list[dict]:
         """Write ``df``'s files into ``data/`` under unique names and return
         uncommitted add-actions.  With ``partition_by``, one file set per
         partition value (the column stays IN the data via a duplicate
-        grouping column, so readers of the bare file list still see it)."""
+        grouping column, so readers of the bare file list still see it).
+
+        ``stats_cols`` records per-file min/max for the named columns in
+        the add action (read from the parquet footer the file already
+        carries — no extra scan): the zone maps `tx_scan` prunes with.
+        """
         os.makedirs(self.data_dir, exist_ok=True)
         tmp = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}")
         try:
@@ -185,13 +193,14 @@ class TransactionLog:
                     if not name.endswith(".parquet"):
                         continue
                     unique = f"{uuid.uuid4().hex}.parquet"
-                    os.rename(
-                        os.path.join(root, name),
-                        os.path.join(self.data_dir, unique),
-                    )
-                    adds.append(
-                        {"path": f"{_DATA_DIR}/{unique}", "partition": part}
-                    )
+                    src = os.path.join(root, name)
+                    action = {"path": f"{_DATA_DIR}/{unique}", "partition": part}
+                    if stats_cols:
+                        stats = _footer_stats(src, stats_cols)
+                        if stats:
+                            action["stats"] = stats
+                    os.rename(src, os.path.join(self.data_dir, unique))
+                    adds.append(action)
             return adds
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -320,6 +329,7 @@ def tx_merge_partitioned(
     partition_src: str = "auction_date",
     max_retries: int = 20,
     txn: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> list[str]:
     """S5/M5 under multi-writer ACID: same per-date merge semantics as
     `sinks.merge_write_partitioned` (keep-latest within each touched date,
@@ -335,6 +345,10 @@ def tx_merge_partitioned(
     version already carries the token the call is a no-op (checked on
     entry AND on every conflict retry), and the token rides in this
     merge's commit — the streaming sink's replay fence.
+
+    Every committed file carries zone-map stats for ``stats_cols``
+    (default: the ``order_by`` column) so `tx_scan` time-range reads
+    skip files without opening them.
     """
     log = TransactionLog(table_path)
     if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
@@ -370,7 +384,10 @@ def tx_merge_partitioned(
                 ).drop("__src")
             else:
                 merged = batch
-            adds = log.stage_dataframe(merged, partition_by=PARTITION_COL)
+            adds = log.stage_dataframe(
+                merged, partition_by=PARTITION_COL,
+                stats_cols=stats_cols or [order_by],
+            )
             if log.try_commit(v + 1, adds, overlap_files, op="merge", txn=txn):
                 return sorted(touched)
             log.discard(adds)  # lost the race: clean up, recompute
@@ -516,3 +533,102 @@ def tx_stream_merge_sink(
         )
 
     return process
+
+
+def _footer_stats(parquet_path: str, cols: list[str]) -> dict:
+    """Per-file min/max from the parquet FOOTER (no data scan) for the
+    requested columns, JSON-serializable: numbers stay numbers, temporal
+    values become ISO strings (ISO order == chronological order, so
+    string comparison prunes correctly)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as _pq
+
+    def enc(v):
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    md = _pq.ParquetFile(parquet_path).metadata
+    out: dict = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if name not in cols:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = enc(st.min), enc(st.max)
+            if name in out:
+                out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+            else:
+                out[name] = [lo, hi]
+    return out
+
+
+def tx_prunable_files(
+    table_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Zone-map file pruning: live files whose recorded [min, max] for
+    ``col`` overlaps [lo, hi] (files with no recorded stats for the
+    column are always kept — pruning must never be lossy).  Returns
+    (files to read, number pruned)."""
+    log = TransactionLog(table_path)
+    stats_by_file: dict[str, dict] = {}
+    for act in log.actions(version):
+        for a in act.get("add", []):
+            stats_by_file[a["path"]] = a.get("stats") or {}
+    keep, pruned = [], 0
+    for f in sorted(log.live_files(upto=version)):
+        mm = stats_by_file.get(f, {}).get(col)
+        if mm is None:
+            keep.append(f)
+            continue
+        fmin, fmax = mm
+        if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+            pruned += 1
+            continue
+        keep.append(f)
+    return keep, pruned
+
+
+def tx_scan(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame | None:
+    """Range-predicate snapshot read with FILE-LEVEL data skipping: files
+    whose zone map can't contain the range never reach the Spark reader
+    (on top of whatever row-group pruning parquet does inside the files
+    that do).  The residual filter still applies — pruning is a superset
+    guarantee, the predicate is the truth.
+
+    At 100 TB this is the difference between 'scan the table' and 'open
+    the 0.1% of files whose key range overlaps': the same reason Delta
+    writes per-file stats into its log.
+    """
+    log = TransactionLog(table_path)
+    if log.version() < 0:
+        return None
+    files, _ = tx_prunable_files(table_path, col, lo, hi, version)
+    if not files:
+        base = tx_read(spark, table_path, version=version)
+        return base.limit(0) if base is not None else None
+    df = spark.read.parquet(*[os.path.join(table_path, f) for f in files])
+    if lo is not None:
+        df = df.filter(F.col(col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(col) <= hi)
+    return df

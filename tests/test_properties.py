@@ -231,3 +231,28 @@ def test_packing_partition_property(spark, doc_lens):
     for r in pack_manifest(packed).collect():
         # never exceeds budget by a full chunk
         assert r["n_tokens"] < budget + chunk_size
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),   # width
+    st.integers(min_value=1, max_value=24),   # height
+    st.sampled_from([1, 2, 3, 4]),            # channels
+    st.sampled_from([0, 1, 2]),               # scanline filter
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+)
+def test_png_codec_roundtrip_property(w, h, ch, ft, seed):
+    """encode→decode is identity for EVERY supported shape/filter — the
+    pure-stdlib codec behind the real multimodal decode path."""
+    import numpy as np
+
+    from cars_bids_data_pipeline_v0__spark.operators.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = decode_png(encode_png(arr, filter_type=ft))
+    assert out.shape == (h, w, ch)
+    assert np.array_equal(out, arr)

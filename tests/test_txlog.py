@@ -314,3 +314,42 @@ def test_tx_read_schema_evolution_via_merge_schema(spark, tmp_path):
     assert set(evolved.columns) == {"k", "v", "score"}
     rows = {r["k"]: r for r in evolved.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_tx_scan_zone_map_file_skipping(spark, tmp_path):
+    """Per-file min/max recorded at commit time prune files whose range
+    can't match — and the pruned read returns exactly the full-scan
+    answer (pruning is a superset guarantee)."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_prunable_files,
+        tx_scan,
+    )
+
+    table = str(tmp_path / "zones")
+    log = TransactionLog(table)
+    # 5 commits with disjoint key ranges → 5 single-range file sets
+    for w in range(5):
+        df = spark.createDataFrame(
+            [(w * 100 + i, f"p{w}") for i in range(100)], "k long, v string"
+        ).coalesce(1)
+        adds = log.stage_dataframe(df, stats_cols=["k"])
+        assert all("stats" in a and "k" in a["stats"] for a in adds)
+        assert log.try_commit(w, adds, [], op="append")
+
+    files, pruned = tx_prunable_files(table, "k", lo=250, hi=310)
+    assert pruned == 3 and len(files) == 2      # only ranges 200-299, 300-399
+    out = tx_scan(spark, table, "k", lo=250, hi=310)
+    assert out.count() == 61                     # 250..310 inclusive
+    assert {r["v"] for r in out.select("v").distinct().collect()} == {"p2", "p3"}
+
+    # point lookup prunes to one file; out-of-range prunes everything
+    _, pruned_pt = tx_prunable_files(table, "k", lo=123, hi=123)
+    assert pruned_pt == 4
+    assert tx_scan(spark, table, "k", lo=9999).count() == 0
+
+    # files without recorded stats are never pruned (lossless guarantee)
+    extra = log.stage_dataframe(
+        spark.createDataFrame([(10_000, "x")], "k long, v string"))
+    assert log.try_commit(5, extra, [], op="append")
+    files2, _ = tx_prunable_files(table, "k", lo=0, hi=1)
+    assert any(a["path"] in files2 for a in extra)
