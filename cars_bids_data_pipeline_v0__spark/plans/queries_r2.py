@@ -1275,7 +1275,7 @@ def q102(spark, sf_dir):
     """
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               round(sum(value), 2) AS v
+               floor(sum(value) * 100 + 0.5) / 100 AS v
         FROM events GROUP BY 1, 2
     ), bounds AS (
         SELECT min(h) AS lo, max(h) AS hi FROM hourly
@@ -1303,14 +1303,21 @@ def q102(spark, sf_dir):
                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_type, h,
-           round(CASE
+           -- floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): both engines
+           -- floor identical doubles identically, while their round()
+           -- implementations disagree by 1 ulp on exact .xxxx5 boundaries
+           -- (caught by the sf0.001 oracle sweep)
+           floor(CASE
                WHEN v IS NOT NULL THEN v
                WHEN pv IS NULL THEN nv
                WHEN nv IS NULL THEN pv
+               -- fraction divided FIRST to match the engine's
+               -- (nv-pv)*frac association: ((nv-pv)*dt1)/dt2 differs by
+               -- 1 ulp from (nv-pv)*(dt1/dt2) on the same inputs
                ELSE pv + (nv - pv)
-                    * (floor(epoch(h)) - floor(epoch(pt)))
-                    / (floor(epoch(nt)) - floor(epoch(pt)))
-           END, 4) AS value_filled,
+                    * ((floor(epoch(h)) - floor(epoch(pt)))
+                       / (floor(epoch(nt)) - floor(epoch(pt))))
+           END * 10000 + 0.5) / 10000 AS value_filled,
            v IS NULL AS was_gap
     FROM ctx
     """,
@@ -1330,7 +1337,7 @@ def q103(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg((F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("v"))
     bounds = hourly.agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")
     )
@@ -1371,16 +1378,17 @@ def q103(spark, sf_dir):
     frac = (
         F.unix_timestamp("h") - F.unix_timestamp("pt")
     ) / (F.unix_timestamp("nt") - F.unix_timestamp("pt"))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
     return ctx.select(
         "event_type",
         "h",
-        F.round(
-            F.when(F.col("v").isNotNull(), F.col("v"))
-            .when(F.col("pv").isNull(), F.col("nv"))
-            .when(F.col("nv").isNull(), F.col("pv"))
-            .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac),
-            4,
-        ).alias("value_filled"),
+        # floor-based 4-decimal quantize — see the oracle SQL comment
+        (F.floor(filled * 10000 + F.lit(0.5)) / 10000).alias("value_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
 

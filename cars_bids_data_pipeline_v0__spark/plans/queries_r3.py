@@ -31,6 +31,10 @@ Scale notes (100 TB):
   pretraining data-mixing staple, RNG-free and reproducible.
 * q138 hard-negative mining: label-aware top-k similarity with the
   inequality fused into the broadcast join.
+* q139 cluster survivorship by best payload (argmax length per
+  component) — the window runs over the clustered subset only.
+* q140 cross-source contamination matrix: directed shingle containment
+  per source pair over source-DISTINCT shingle sets (vocab-bounded).
 """
 
 from __future__ import annotations
@@ -854,4 +858,176 @@ def q138(spark, sf_dir):
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139 — near-dup cluster survivorship by best payload (not min-id)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q139_cluster_best_survivor",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       '\\s+') AS t
+            FROM documents
+        )
+    ), inv AS (
+        SELECT id, unnest(s) AS shingle FROM sh
+    ), raw_pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM inv a JOIN inv b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM raw_pairs
+        JOIN (SELECT id, len(s) AS sz FROM sh) sa ON sa.id = id_a
+        JOIN (SELECT id, len(s) AS sz FROM sh) sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.25
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ), comp AS (
+        SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT c.component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           any_value(s.keep) AS survivor_id
+    FROM comp c
+    JOIN (
+        SELECT component, id AS keep FROM (
+            SELECT c2.component, c2.id,
+                   row_number() OVER (
+                       PARTITION BY c2.component
+                       ORDER BY length(d.text) DESC, c2.id ASC) AS rn
+            FROM comp c2 JOIN documents d ON d.doc_id = c2.id
+        ) WHERE rn = 1
+    ) s USING (component)
+    GROUP BY c.component
+    """,
+    doc=(
+        "near-dup cluster survivorship by BEST PAYLOAD: min-id survivors "
+        "(dedup_by_components' default) throw away the most complete "
+        "copy; production dedup keeps the longest/highest-quality member "
+        "per cluster.  Clusters via the q92 components machinery, "
+        "survivor = argmax(text length, tie → min id) — one window over "
+        "the (small) clustered subset, never the corpus"
+    ),
+)
+def q139(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators import dedup_docs as DD
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, n=3, threshold=0.25)
+    comp = connected_components(pairs)
+    members = comp.join(
+        d.select(F.col("doc_id").alias("id"), F.length("text").alias("len")),
+        on="id",
+    )
+    w = W.partitionBy("component").orderBy(F.col("len").desc(), F.col("id"))
+    best = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("id").alias("survivor_id"))
+    )
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .join(best, on="component")
+        .select("component", "n_members", "survivor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q140 — cross-source contamination matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q140_source_overlap_matrix",
+    """
+    WITH src_sh AS (
+        SELECT DISTINCT source, shingle FROM (
+            SELECT source,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+            FROM (
+                SELECT source,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           '\\s+') AS t
+                FROM documents
+            )
+        )
+    ), sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+        FROM src_sh GROUP BY 1
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           round(CAST(count(*) AS DOUBLE) / any_value(sa.n_sh), 6)
+               AS containment_a_in_b
+    FROM src_sh a
+    JOIN src_sh b ON a.shingle = b.shingle AND a.source <> b.source
+    JOIN sizes sa ON sa.source = a.source
+    GROUP BY a.source, b.source
+    """,
+    doc=(
+        "cross-source contamination matrix: directed shingle containment "
+        "|sh(A) ∩ sh(B)| / |sh(A)| per source pair — the corpus-level "
+        "audit run before mixing sources into a training set (high "
+        "containment = one source republishes another → double-counted "
+        "text).  Source-distinct shingle sets keep the join input "
+        "|sources|·|vocab|-bounded, never corpus-length-bounded"
+    ),
+)
+def q140(spark, sf_dir):
+    from ..operators.dedup_docs import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    src_sh = (
+        d.select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
+        .distinct()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    return (
+        src_sh.alias("a")
+        .join(
+            src_sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n_sh"))),
+            on="source_a",
+        )
+        .select(
+            "source_a", "source_b", "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("n_sh"), 6)
+                .alias("containment_a_in_b"),
+        )
     )
