@@ -1375,6 +1375,7 @@ def _load_extensions() -> None:
     from . import queries_more  # noqa: F401
     from . import queries_r2  # noqa: F401
     from . import queries_r3  # noqa: F401
+    from . import queries_r3b  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,517 @@
+"""Fifth extension batch (round 3, cont.): conversion-window funnels,
+graph triangle counting, interval-weighted aggregates, rolling anomaly
+detection, and three ML-data-curation staples (out-of-fold target
+encoding, kNN label-error mining, per-dimension rank normalization).
+
+Scale notes (100 TB):
+* q141 funnel: three CHAINED WINDOW MINS over one ``user_id``
+  partitioning — Catalyst plans one Exchange and three Window operators
+  back-to-back, so the whole funnel costs a single shuffle where the
+  join-back-per-step plan (q71's shape) costs three.  Unlike q71 it also
+  applies per-step CONVERSION WINDOWS (1 day), the product-analytics
+  default.
+* q142 triangle count: canonical-orientation wedge-close joins; edge
+  explosion is bounded by order size, not corpus size.
+* q143 time-weighted average: lead() + conditional sum — one window
+  exchange per user, no self-join on adjacent rows.
+* q144 rolling z-score: bounded ROWS frame (5 preceding) keeps per-row
+  state O(frame), and the anomaly filter runs before anything wide.
+* q145 OOF target encoding: global-minus-own-fold arithmetic — two
+  narrow aggs + a broadcast join, never a per-row leave-one-out pass.
+* q146 kNN label disagreement: brute-force scorer as the correctness
+  baseline, IVF cells (q58) as the documented scale path.
+* q147 rank normalization: the window exchange keys on DIMENSION INDEX,
+  which is uniformly distributed by construction — skew-free at any
+  corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+
+@register(
+    "q141_event_funnel",
+    """
+    WITH t1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS ts_signup
+        FROM events
+    ), t2 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'click' AND ts >= ts_signup
+                        AND ts <= ts_signup + INTERVAL 1 DAY
+                        THEN ts END)
+                   OVER (PARTITION BY user_id) AS ts_click
+        FROM t1
+    ), t3 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'purchase' AND ts >= ts_click
+                        AND ts <= ts_click + INTERVAL 1 DAY
+                        THEN ts END)
+                   OVER (PARTITION BY user_id) AS ts_purchase
+        FROM t2
+    ), per_user AS (
+        SELECT user_id,
+               CASE WHEN any_value(ts_purchase) IS NOT NULL THEN 3
+                    WHEN any_value(ts_click) IS NOT NULL THEN 2
+                    WHEN any_value(ts_signup) IS NOT NULL THEN 1
+                    ELSE 0 END AS stage
+        FROM t3 GROUP BY user_id
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY stage
+    """,
+    doc=(
+        "first-occurrence event funnel (signup → click → purchase) with a "
+        "1-day conversion window per step: each step's anchor is the "
+        "earliest qualifying event at-or-after the previous step's anchor "
+        "and within its window.  All three anchors are chained window "
+        "mins over ONE user_id partitioning — a single shuffle end-to-end, "
+        "where the textbook join-back-per-step plan costs three"
+    ),
+)
+def q141(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = e.withColumn(
+        "ts_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    day = F.expr("INTERVAL 1 DAY")
+    t2 = t1.withColumn(
+        "ts_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("ts_signup"))
+                & (F.col("ts") <= F.col("ts_signup") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    t3 = t2.withColumn(
+        "ts_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("ts_click"))
+                & (F.col("ts") <= F.col("ts_click") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = t3.groupBy("user_id").agg(
+        F.when(F.any_value("ts_purchase").isNotNull(), F.lit(3))
+        .when(F.any_value("ts_click").isNotNull(), F.lit(2))
+        .when(F.any_value("ts_signup").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("stage")
+    )
+    return per_user.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+@register(
+    "q142_triangle_count",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS pa,
+                        greatest(a.l_partkey, b.l_partkey) AS pb
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT)
+            FROM pairs e1
+            JOIN pairs e2 ON e2.pa = e1.pb
+            JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+               AS n_triangles,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges
+    """,
+    doc=(
+        "triangle counting on the part co-purchase graph (parts sharing an "
+        "order are connected): canonical a<b edge orientation makes each "
+        "triangle countable exactly once via the two-join wedge-close "
+        "pattern — the standard distributed triangle plan.  Edge "
+        "generation is per-order quadratic in ORDER SIZE (bounded, ~4), "
+        "never corpus size; the closing joins shuffle on part keys.  At "
+        "100 TB the known refinement is degree-ordered orientation "
+        "(orient edges low-degree→high-degree) so wedge lists stay "
+        "bounded under power-law degree skew"
+    ),
+)
+def q142(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    n_edges = pairs.agg(F.count("*").cast("long").alias("n_edges"))
+    return tri.crossJoin(n_edges)
+
+
+@register(
+    "q143_time_weighted_avg",
+    """
+    WITH stepped AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dt_us) / sum(dt_us), 6) AS twa_value,
+           CAST(count(dt_us) AS BIGINT) AS n_intervals
+    FROM stepped
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(dt_us) > 0
+    """,
+    doc=(
+        "time-weighted average of a gauge value per user: each reading is "
+        "weighted by how long it was current (microseconds to the next "
+        "reading; the final reading carries no weight).  lead() over one "
+        "user-keyed window — no self-join on adjacent rows, which is the "
+        "trap translation from the SQL-Server LAG-less era.  Weights in "
+        "epoch MICROseconds so both engines do exact integer arithmetic "
+        "until the single final division"
+    ),
+)
+def q143(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twa_value"),
+            F.count("dt_us").cast("long").alias("n_intervals"),
+            F.sum("dt_us").alias("_tot"),
+        )
+        .filter(F.col("_tot") > 0)
+        .drop("_tot")
+    )
+
+
+@register(
+    "q144_rolling_zscore_anomalies",
+    """
+    WITH framed AS (
+        SELECT user_id, event_id, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sigma,
+               count(value) OVER w AS n_prior
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM framed
+    WHERE n_prior >= 3 AND sigma > 1e-12
+      AND abs((value - mu) / sigma) > 2.5
+    """,
+    doc=(
+        "rolling z-score anomaly detection: each reading scored against "
+        "the mean/stddev of its user's previous ≤5 readings (never its "
+        "own — the frame ends at 1 PRECEDING, so an outlier can't mask "
+        "itself).  Bounded ROWS frame = O(frame) state per row in one "
+        "user-keyed window exchange; the |z|>2.5 filter runs before "
+        "anything wide.  This is the batch twin of the streaming "
+        "per-key-state scorer (transformWithState family)"
+    ),
+)
+def q144(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, -1)
+    )
+    framed = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("value").over(w).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        framed.filter(
+            (F.col("n_prior") >= 3)
+            & (F.col("sigma") > 1e-12)
+            & (F.abs(z) > 2.5)
+        )
+        .select("user_id", "event_id", F.round(z, 4).alias("zscore"))
+    )
+
+
+@register(
+    "q145_oof_target_encoding",
+    """
+    WITH base AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(abs(hash_md5_long) % 5 AS INT) AS fold,
+               o.o_totalprice AS target
+        FROM (
+            SELECT o_custkey, o_totalprice,
+                   CAST(('0x' || substring(
+                       md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS hash_md5_long
+            FROM orders
+        ) o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    ), per_fold AS (
+        SELECT nationkey, fold,
+               sum(target) AS fold_sum,
+               CAST(count(*) AS BIGINT) AS fold_n
+        FROM base GROUP BY 1, 2
+    ), tot AS (
+        SELECT nationkey, sum(fold_sum) AS tot_sum,
+               sum(fold_n) AS tot_n
+        FROM per_fold GROUP BY 1
+    )
+    SELECT p.nationkey, p.fold,
+           round((t.tot_sum - p.fold_sum) / (t.tot_n - p.fold_n), 4)
+               AS oof_mean_target,
+           p.fold_n AS n_rows_in_fold
+    FROM per_fold p JOIN tot t USING (nationkey)
+    WHERE t.tot_n > p.fold_n
+    """,
+    doc=(
+        "out-of-fold target encoding (the leakage-free categorical "
+        "encoder): each (category, fold) cell gets the target mean "
+        "computed over every OTHER fold, so a row never sees its own "
+        "target.  Fold membership is md5-deterministic (RNG-free, "
+        "engine-neutral, reproducible across reruns — the q19/q137 "
+        "discipline).  The encode is two narrow aggs (per-fold, then "
+        "per-category) + a broadcast-size join: global-minus-own-fold "
+        "arithmetic, never a per-row leave-one-out scan.  At 100 TB the "
+        "per-fold partials combine map-side; category cardinality bounds "
+        "all shuffled state"
+    ),
+)
+def q145(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = (
+        o.withColumn(
+            "fold",
+            (
+                F.abs(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col("o_orderkey").cast("string")), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                )
+                % 5
+            ).cast("int"),
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "fold",
+            F.col("o_totalprice").alias("target"),
+        )
+    )
+    per_fold = base.groupBy("nationkey", "fold").agg(
+        F.sum("target").alias("fold_sum"),
+        F.count("*").cast("long").alias("fold_n"),
+    )
+    tot = per_fold.groupBy("nationkey").agg(
+        F.sum("fold_sum").alias("tot_sum"), F.sum("fold_n").alias("tot_n")
+    )
+    return (
+        per_fold.join(F.broadcast(tot), "nationkey")
+        .filter(F.col("tot_n") > F.col("fold_n"))
+        .select(
+            "nationkey",
+            "fold",
+            F.round(
+                (F.col("tot_sum") - F.col("fold_sum"))
+                / (F.col("tot_n") - F.col("fold_n")),
+                4,
+            ).alias("oof_mean_target"),
+            F.col("fold_n").alias("n_rows_in_fold"),
+        )
+    )
+
+
+@register(
+    "q146_knn_label_disagreement",
+    """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS q_id, q.label AS q_label,
+               c.vec_id AS c_id, c.label AS c_label,
+               round(list_dot_product(q.ev, c.ev)
+                     / (sqrt(list_dot_product(q.ev, q.ev))
+                        * sqrt(list_dot_product(c.ev, c.ev))), 6) AS sim
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+        FROM scored
+    )
+    SELECT q_id AS vec_id, any_value(q_label) AS label,
+           CAST(sum(CASE WHEN c_label <> q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disagree
+    FROM ranked WHERE rk <= 5
+    GROUP BY q_id
+    HAVING sum(CASE WHEN c_label <> q_label THEN 1 ELSE 0 END) >= 4
+    """,
+    doc=(
+        "label-error mining via kNN disagreement (confident-learning "
+        "shape): flag vectors whose 5 nearest cosine neighbors almost all "
+        "carry a different label — the standard candidate list for "
+        "mislabeled training examples.  Ranking is over ROUND(sim, 6) "
+        "with vec_id tiebreak (the q54 float discipline), so the neighbor "
+        "set is identical cross-engine.  Brute-force quadratic here as "
+        "the correctness baseline; the 100 TB path swaps the scorer for "
+        "the IVF cell-restricted kNN (q58) and keeps this exact "
+        "disagreement aggregate"
+    ),
+)
+def q146(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "ev"
+        ),
+    )
+    q, c = v.alias("q"), v.alias("c")
+    dot = F.aggregate(
+        F.zip_with("q.ev", "c.ev", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform("q.ev", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cn = F.sqrt(
+        F.aggregate(
+            F.transform("c.ev", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        q.join(F.broadcast(c), F.col("c.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("q_id"),
+            F.col("q.label").alias("q_label"),
+            F.col("c.vec_id").alias("c_id"),
+            F.col("c.label").alias("c_label"),
+            F.round(dot / (qn * cn), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("c_id").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+    disagree = F.sum(
+        F.when(F.col("c_label") != F.col("q_label"), 1).otherwise(0)
+    )
+    return (
+        ranked.groupBy(F.col("q_id").alias("vec_id"))
+        .agg(
+            F.any_value("q_label").alias("label"),
+            disagree.cast("long").alias("n_disagree"),
+        )
+        .filter(F.col("n_disagree") >= 4)
+    )
+
+
+@register(
+    "q147_rank_normalized_dims",
+    """
+    WITH unnested AS (
+        SELECT vec_id, u.pos, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS val,
+                             generate_subscripts(embedding, 1) AS pos) u
+    ), pr AS (
+        SELECT vec_id, pos,
+               percent_rank() OVER (PARTITION BY pos ORDER BY val) AS p
+        FROM unnested
+    )
+    SELECT vec_id, round(avg(p), 6) AS mean_quantile,
+           round(max(p), 6) AS max_quantile
+    FROM pr GROUP BY vec_id
+    """,
+    doc=(
+        "per-dimension rank normalization (quantile scaling): every "
+        "embedding coordinate is replaced by its percent-rank WITHIN that "
+        "dimension — the distribution-free feature scaling that survives "
+        "heavy-tailed dims where z-scoring breaks.  posexplode → one "
+        "window exchange keyed by dimension index (64 balanced "
+        "partitions regardless of row skew) → re-aggregate per vector.  "
+        "percent_rank assigns equal values equal ranks in both engines, "
+        "and the ranked values are bit-identical FLOAT inputs, so no "
+        "float-comparison hazard exists before the final rounding"
+    ),
+)
+def q147(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    unnested = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "valf")
+    ).select("vec_id", "pos", F.col("valf").cast("double").alias("val"))
+    w = Window.partitionBy("pos").orderBy("val")
+    pr = unnested.select(
+        "vec_id", F.percent_rank().over(w).alias("p")
+    )
+    return pr.groupBy("vec_id").agg(
+        F.round(F.avg("p"), 6).alias("mean_quantile"),
+        F.round(F.max("p"), 6).alias("max_quantile"),
+    )

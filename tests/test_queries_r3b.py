@@ -1,0 +1,181 @@
+"""Plan-shape + sharp-edge semantics for the fifth query batch
+(queries_r3b.py).  Values are pinned by the DuckDB oracle; these tests pin
+(a) the physical plans that decide 100 TB behavior and (b) the semantic
+edges the oracle can't distinguish because both engines run the same
+reading (e.g. the funnel's conversion-window bound, the z-score frame
+excluding the scored row itself)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import Row
+
+from cars_bids_data_pipeline_v0__spark.plans.queries import (
+    REGISTRY,
+    _load_extensions,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _q(spark, name, sf=SF):
+    _load_extensions()
+    return REGISTRY[name].builder(spark, sf)
+
+
+def _events_dir(spark, tmp_path, rows):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m),
+                user_id=u,
+                event_type=t,
+                value=float(v),
+                props="{}",
+            )
+            for i, (u, m, t, v) in enumerate(rows)
+        ]
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    return path
+
+
+def test_q141_funnel_is_single_window_shuffle(spark):
+    plan = plan_of(_q(spark, "q141_event_funnel"))
+    # three chained window mins over ONE user_id partitioning: the three
+    # Window operators must not each force their own exchange, and no
+    # global (SinglePartition) window may appear
+    assert plan.count("Window") >= 3
+    assert "SinglePartition" not in plan
+    # exactly 2 shuffles: one feeding all three Windows + the per-user
+    # agg, one for the final stage histogram ("hashpartitioning" appears
+    # once per Exchange node's detail block)
+    assert plan.count("hashpartitioning") == 2
+
+
+def test_q141_click_before_signup_does_not_convert(spark, tmp_path):
+    # user 1: click at t+0, signup at t+10 → click precedes the anchor so
+    # the funnel must stop at stage 1 (a naive min-click-per-user would
+    # wrongly advance it)
+    sf = _events_dir(
+        spark,
+        tmp_path,
+        [
+            (1, 0, "click", 1.0),
+            (1, 10, "signup", 1.0),
+            # user 2: proper ordering within the window → stage 3
+            (2, 0, "signup", 1.0),
+            (2, 5, "click", 1.0),
+            (2, 9, "purchase", 1.0),
+        ],
+    )
+    got = {
+        r["stage"]: r["n_users"]
+        for r in _q(spark, "q141_event_funnel", sf).collect()
+    }
+    assert got == {1: 1, 3: 1}
+
+
+def test_q141_conversion_window_bounds_each_step(spark, tmp_path):
+    # click arrives 25h after signup — outside the 1-day window → stage 1
+    sf = _events_dir(
+        spark,
+        tmp_path,
+        [(1, 0, "signup", 1.0), (1, 25 * 60, "click", 1.0)],
+    )
+    got = {
+        r["stage"]: r["n_users"]
+        for r in _q(spark, "q141_event_funnel", sf).collect()
+    }
+    assert got == {1: 1}
+
+
+def test_q142_triangle_count_on_known_graph(spark, tmp_path):
+    # orders as cliques: order 1 = {10,20,30} (1 triangle), order 2 =
+    # {10,20} (duplicate edge, no new triangle), order 3 = {40,50} (edge,
+    # no triangle) → 1 triangle, 4 distinct edges
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [
+            Row(l_orderkey=o, l_partkey=p)
+            for o, parts in [(1, [10, 20, 30]), (2, [10, 20]), (3, [40, 50])]
+            for p in parts
+        ]
+    ).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    row = _q(spark, "q142_triangle_count", path).collect()[0]
+    assert (row["n_triangles"], row["n_edges"]) == (1, 4)
+
+
+def test_q143_last_reading_carries_no_weight(spark, tmp_path):
+    # user 1: value 10 held for 60s, then value 99 (final — no weight);
+    # TWA must be exactly 10, not pulled toward 99.  Single-reading user 2
+    # has no interval at all and must not appear.
+    sf = _events_dir(
+        spark,
+        tmp_path,
+        [(1, 0, "view", 10.0), (1, 1, "view", 99.0), (2, 0, "view", 5.0)],
+    )
+    rows = _q(spark, "q143_time_weighted_avg", sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 1
+    assert rows[0]["twa_value"] == 10.0
+    assert rows[0]["n_intervals"] == 1
+
+
+def test_q144_outlier_cannot_mask_itself(spark, tmp_path):
+    # five flat readings then a spike: the spike is scored against the
+    # PRIOR frame only (ROWS ... 1 PRECEDING), so it must be flagged even
+    # though including it in its own frame would inflate sigma enough to
+    # hide it
+    base = [(1, m, "view", 10.0 + 0.1 * (m % 3)) for m in range(5)]
+    sf = _events_dir(spark, tmp_path, base + [(1, 5, "view", 1000.0)])
+    rows = _q(spark, "q144_rolling_zscore_anomalies", sf).collect()
+    assert [r["event_id"] for r in rows] == [5]
+    assert rows[0]["zscore"] > 2.5
+
+
+def test_q145_oof_mean_excludes_own_fold(spark, tmp_path):
+    # two synthetic folds via md5 parity is awkward to pin by hand, so
+    # assert the invariant instead: for every (category, fold) row the
+    # encoding differs from the category's global mean whenever the fold's
+    # own mean differs — i.e. the row's own fold was really left out
+    df = _q(spark, "q145_oof_target_encoding")
+    rows = df.collect()
+    assert rows, "encoder returned no cells"
+    by_cat: dict[int, list] = {}
+    for r in rows:
+        by_cat.setdefault(r["nationkey"], []).append(r)
+    for cat, cells in by_cat.items():
+        assert len({c["fold"] for c in cells}) == len(cells), cat
+        encodings = {c["oof_mean_target"] for c in cells}
+        # distinct folds leave out distinct slices → encodings vary
+        if len(cells) > 1:
+            assert len(encodings) > 1, cat
+
+
+def test_q146_disagreement_plan_is_broadcast_no_shuffle_blowup(spark):
+    plan = plan_of(_q(spark, "q146_knn_label_disagreement"))
+    # the corpus side is broadcast — the quadratic scorer must not
+    # sort-merge 250k scored rows
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q147_rank_window_keys_on_dimension(spark):
+    plan = plan_of(_q(spark, "q147_rank_normalized_dims"))
+    # the percent_rank window partitions by pos (the dimension index) —
+    # never a global single-partition sort
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
