@@ -23,6 +23,14 @@ Scale notes (100 TB):
 * q147 rank normalization: the window exchange keys on DIMENSION INDEX,
   which is uniformly distributed by construction — skew-free at any
   corpus size.
+* q148 rolling WAU: windowed COUNT DISTINCT via bounded 7-way fan-out +
+  one distinct-agg — never a range self-join that rescans a week per day.
+* q149 A/B z-test: md5 bucketing + two partial-aggregable reductions;
+  100 TB of events reduce map-side to two cells.
+* q150 streaks: gaps-and-islands (day − rank) — one window + aggs, all
+  sharing the user partitioning.
+* q151 seasonality: weekday origin pinned to ISO once (Spark weekday()+1
+  == DuckDB isodow) instead of leaking off-by-one per query.
 """
 
 from __future__ import annotations
@@ -514,4 +522,271 @@ def q147(spark, sf_dir):
     return pr.groupBy("vec_id").agg(
         F.round(F.avg("p"), 6).alias("mean_quantile"),
         F.round(F.max("p"), 6).alias("max_quantile"),
+    )
+
+
+@register(
+    "q148_rolling_wau",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), span AS (
+        SELECT min(day) AS lo, max(day) AS hi FROM active
+    ), contrib AS (
+        SELECT DISTINCT user_id,
+               CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM active
+    ), wau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS wau FROM contrib
+        GROUP BY day
+    ), dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM active
+        GROUP BY day
+    )
+    SELECT w.day, coalesce(d.dau, 0) AS dau, w.wau,
+           round(coalesce(d.dau, 0) / CAST(w.wau AS DOUBLE), 4)
+               AS stickiness
+    FROM wau w LEFT JOIN dau d USING (day), span
+    WHERE w.day <= span.hi
+    """,
+    doc=(
+        "rolling 7-day distinct users per day (WAU) + DAU + the "
+        "DAU/WAU stickiness ratio.  Windowed COUNT DISTINCT has no "
+        "streaming-friendly window form, so each (user, active-day) pair "
+        "is EXPLODED into the ≤7 window-end days it serves — a bounded "
+        "fan-out followed by one distinct-agg, instead of the range "
+        "self-join whose probe side rescans a week of data per day.  At "
+        "100 TB the fan-out factor stays exactly 7 regardless of data "
+        "volume, and the distinct shuffles once on (day, user)"
+    ),
+)
+def q148(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    hi = active.agg(F.max("day").alias("hi"))
+    contrib = (
+        active.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), 6),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    dau = active.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .crossJoin(F.broadcast(hi))
+        .filter(F.col("day") <= F.col("hi"))
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+            F.round(
+                F.coalesce("dau", F.lit(0)) / F.col("wau").cast("double"), 4
+            ).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "q149_ab_conversion_ztest",
+    """
+    WITH assigned AS (
+        SELECT user_id,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2 AS bucket,
+               max(CASE WHEN event_type = 'purchase' AND value > 80
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(converted) AS BIGINT) AS conv
+        FROM assigned GROUP BY bucket
+    ), wide AS (
+        SELECT
+            max(CASE WHEN bucket = 0 THEN n END) AS n0,
+            max(CASE WHEN bucket = 0 THEN conv END) AS c0,
+            max(CASE WHEN bucket = 1 THEN n END) AS n1,
+            max(CASE WHEN bucket = 1 THEN conv END) AS c1
+        FROM cells
+    )
+    SELECT n0, c0, n1, c1,
+           round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0)
+                 / nullif(sqrt((CAST(c0+c1 AS DOUBLE)/(n0+n1))
+                               * (1 - CAST(c0+c1 AS DOUBLE)/(n0+n1))
+                               * (1.0/n0 + 1.0/n1)), 0), 4) AS z_stat
+    FROM wide
+    """,
+    doc=(
+        "two-proportion z-test for an A/B conversion experiment: users "
+        "split 50/50 by md5 (deterministic, engine-neutral — the same "
+        "RNG-free assignment q19/q137/q145 use, and exactly how real "
+        "experiment frameworks bucket by hashed unit id), conversion = "
+        "any high-value purchase, pooled-variance z on the rate delta "
+        "(null-safe when a pooled rate degenerates to 0 or 1).  One "
+        "per-user agg + one 2-row agg; every moment is partial-aggregable "
+        "so 100 TB of events reduce map-side to two cells"
+    ),
+)
+def q149(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    assigned = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 80),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("bucket"),
+        "converted",
+    )
+    cells = assigned.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("bucket") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("bucket") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("bucket") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(
+            F.try_divide(
+                p1 - p0,
+                F.nullif(
+                    F.sqrt(
+                        pp
+                        * (1 - pp)
+                        * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            4,
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "q150_activity_streaks",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grouped AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        FROM active
+    ), streaks AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len
+        FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           max(streak_len) AS longest_streak,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+    doc=(
+        "longest consecutive-day activity streak per user — the "
+        "gaps-and-islands pattern: day minus its per-user rank is "
+        "constant exactly within a consecutive run, so streaks fall out "
+        "of one window + one agg, with no self-join on adjacent days.  "
+        "The window and both aggs share the user_id partitioning — a "
+        "single logical shuffle chain at any scale"
+    ),
+)
+def q150(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = active.withColumn(
+        "grp",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+    )
+
+
+@register(
+    "q151_dow_seasonality",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ), overall AS (
+        SELECT avg(rev) AS mean_daily FROM daily
+    )
+    SELECT CAST(isodow(d) AS INT) AS iso_dow,
+           round(avg(rev), 2) AS avg_daily_revenue,
+           round(avg(rev) / any_value(overall.mean_daily), 4)
+               AS seasonality_index
+    FROM daily, overall
+    GROUP BY 1
+    """,
+    doc=(
+        "day-of-week seasonality index: average daily revenue per ISO "
+        "weekday over the grand mean of daily revenue.  Two narrow aggs "
+        "(per-day, then per-weekday) + a broadcast scalar; the weekday "
+        "mapping is pinned to ISO (1=Monday) because the engines' default "
+        "dayofweek() origins differ — Spark's weekday()+1 equals DuckDB's "
+        "isodow(), an alignment chosen once here instead of leaking "
+        "off-by-one into every calendar query"
+    ),
+)
+def q151(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    overall = daily.agg(F.avg("rev").alias("mean_daily"))
+    return (
+        daily.crossJoin(F.broadcast(overall))
+        .groupBy((F.weekday("d") + 1).cast("int").alias("iso_dow"))
+        .agg(
+            F.round(F.avg("rev"), 2).alias("avg_daily_revenue"),
+            F.round(
+                F.avg("rev") / F.any_value("mean_daily"), 4
+            ).alias("seasonality_index"),
+        )
     )

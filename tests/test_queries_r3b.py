@@ -179,3 +179,70 @@ def test_q147_rank_window_keys_on_dimension(spark):
     # never a global single-partition sort
     assert "SinglePartition" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q148_wau_counts_each_user_once_per_window(spark, tmp_path):
+    # user 1 active on day 1 and day 3 (within one week) → WAU for days
+    # 3..7 must still count them ONCE; DAU day 3 = 2 (users 1 and 2)
+    sf = _events_dir(
+        spark,
+        tmp_path,
+        [
+            (1, 0, "view", 1.0),
+            (1, 2 * 24 * 60, "view", 1.0),
+            (2, 2 * 24 * 60, "view", 1.0),
+        ],
+    )
+    rows = {
+        str(r["day"]): (r["dau"], r["wau"], r["stickiness"])
+        for r in _q(spark, "q148_rolling_wau", sf).collect()
+    }
+    assert rows["2024-01-01"] == (1, 1, 1.0)
+    assert rows["2024-01-03"] == (2, 2, 1.0)
+    # trailing grid day after the last activity: dau 0, wau carries
+    assert "2024-01-04" not in rows or rows["2024-01-04"][0] == 0
+
+
+def test_q149_degenerate_rates_yield_null_not_crash(spark, tmp_path):
+    # every user converts → pooled rate 1 → variance 0; the z must be
+    # NULL (nullif/try_divide), not a DIVIDE_BY_ZERO under ANSI mode
+    sf = _events_dir(
+        spark,
+        tmp_path,
+        [(u, 0, "purchase", 99.0) for u in range(1, 9)],
+    )
+    rows = _q(spark, "q149_ab_conversion_ztest", sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["z_stat"] is None
+
+
+def test_q150_streak_breaks_on_gap(spark, tmp_path):
+    # user 1: days 1,2,3 then 5,6 → longest 3, active 5; a second event
+    # on day 2 must not inflate anything (distinct day collapse)
+    day = 24 * 60
+    sf = _events_dir(
+        spark,
+        tmp_path,
+        [
+            (1, 0 * day, "view", 1.0),
+            (1, 1 * day, "view", 1.0),
+            (1, 1 * day + 5, "click", 1.0),
+            (1, 2 * day, "view", 1.0),
+            (1, 4 * day, "view", 1.0),
+            (1, 5 * day, "view", 1.0),
+        ],
+    )
+    rows = _q(spark, "q150_activity_streaks", sf).collect()
+    assert len(rows) == 1
+    assert (rows[0]["longest_streak"], rows[0]["n_active_days"]) == (3, 5)
+
+
+def test_q151_weekday_origin_is_iso(spark):
+    rows = _q(spark, "q151_dow_seasonality").collect()
+    dows = sorted(r["iso_dow"] for r in rows)
+    assert dows == [1, 2, 3, 4, 5, 6, 7]
+    # index averages to ~1 across weekdays (weighted by day counts it
+    # need not be exact, but it must be centered, not offset by a
+    # dayofweek-origin mismatch)
+    mean_idx = sum(r["seasonality_index"] for r in rows) / 7
+    assert 0.9 < mean_idx < 1.1
