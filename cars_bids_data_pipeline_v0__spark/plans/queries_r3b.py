@@ -790,3 +790,215 @@ def q151(spark, sf_dir):
             ).alias("seasonality_index"),
         )
     )
+
+
+@register(
+    "q152_ewma",
+    """
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(any_value(n) AS BIGINT) AS n_readings,
+           round(sum(CASE WHEN rn = 1
+                          THEN value * power(0.8, n - 1)
+                          ELSE value * 0.2 * power(0.8, n - rn) END), 4)
+               AS ewma
+    FROM ordered GROUP BY user_id
+    """,
+    doc=(
+        "exponentially-weighted moving average (α=0.2) of each user's "
+        "gauge series, closed form: the recursion ewma_k = αv_k + "
+        "(1−α)ewma_{k−1} unrolls to per-row weights α(1−α)^{n−k} (seed "
+        "row carries (1−α)^{n−1}), so the whole series folds in ONE "
+        "window pass + one agg — no iterative loop, no UDAF.  Weights "
+        "are ≤1 by construction (computed as (1−α)^{n−k}, never the "
+        "overflowing (1−α)^{−k} form).  This is the batch twin of the "
+        "monitoring EWMA a stateful stream op would maintain"
+    ),
+)
+def q152(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    ordered = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    term = F.when(
+        F.col("rn") == 1,
+        F.col("value") * F.pow(F.lit(0.8), F.col("n") - 1),
+    ).otherwise(
+        F.col("value") * 0.2 * F.pow(F.lit(0.8), F.col("n") - F.col("rn"))
+    )
+    return ordered.groupBy("user_id").agg(
+        F.any_value("n").cast("long").alias("n_readings"),
+        F.round(F.sum(term), 4).alias("ewma"),
+    )
+
+
+@register(
+    "q153_bigram_perplexity",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        FROM documents WHERE length(trim(text)) > 0
+    ), doc_bigrams AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1))
+                     AS i
+              FROM toks)
+    ), bg AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM doc_bigrams GROUP BY w1, w2
+    ), ug AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM doc_bigrams
+        GROUP BY w1
+    ), vocab AS (
+        SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM doc_bigrams
+    ), scored AS (
+        SELECT d.doc_id,
+               -log2((bg.c12 + 0.5) / (ug.c1 + 0.5 * vocab.v)) AS bits
+        FROM doc_bigrams d
+        JOIN bg ON bg.w1 = d.w1 AND bg.w2 = d.w2
+        JOIN ug ON ug.w1 = d.w1
+        CROSS JOIN vocab
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(bits), 4) AS bits_per_bigram
+    FROM scored GROUP BY doc_id
+    """,
+    doc=(
+        "statistical-LM quality scoring (the CCNet/KenLM perplexity "
+        "filter shape, self-trained): an add-k-smoothed bigram model is "
+        "fit on the corpus itself, then every document is scored by its "
+        "average negative log2 bigram probability — boilerplate and "
+        "gibberish both surface as outliers.  The model IS two count "
+        "tables (vocab- and vocab²-bounded, partial-aggregable); scoring "
+        "is the postings-shape join of doc bigrams against them, "
+        "shuffling on bigram keys.  No LM binary, no UDF, fully "
+        "cross-engine-checkable"
+    ),
+)
+def q153(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("ws"),
+    )
+    doc_bigrams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (x, i) -> struct(x as w1, ws[i + 1] as w2))"
+            )
+        ).alias("_i", "bgr"),
+    ).select("doc_id", "bgr.w1", "bgr.w2")
+    bg = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c12")
+    )
+    ug = doc_bigrams.groupBy("w1").agg(
+        F.count("*").cast("long").alias("c1")
+    )
+    vocab = doc_bigrams.agg(
+        F.countDistinct("w2").cast("double").alias("v")
+    )
+    scored = (
+        doc_bigrams.join(bg, ["w1", "w2"])
+        .join(ug, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    (F.col("c12") + 0.5)
+                    / (F.col("c1") + 0.5 * F.col("v"))
+                )
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("bits"), 4).alias("bits_per_bigram"),
+    )
+
+
+@register(
+    "q154_class_centroid_similarity",
+    """
+    WITH unnested AS (
+        SELECT label, u.pos, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS val,
+                             generate_subscripts(embedding, 1) AS pos) u
+    ), centroids AS (
+        SELECT label, pos, avg(val) AS c FROM unnested GROUP BY 1, 2
+    ), norms AS (
+        SELECT label, sqrt(sum(c * c)) AS nrm FROM centroids GROUP BY 1
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sum(a.c * b.c) / (any_value(na.nrm) * any_value(nb.nrm)),
+                 4) AS centroid_cosine
+    FROM centroids a
+    JOIN centroids b ON a.pos = b.pos AND a.label < b.label
+    JOIN norms na ON na.label = a.label
+    JOIN norms nb ON nb.label = b.label
+    GROUP BY a.label, b.label
+    """,
+    doc=(
+        "class-centroid similarity matrix: per-label mean embedding, "
+        "then pairwise cosine between centroids — the confusable-class / "
+        "near-duplicate-class audit run before training a classifier or "
+        "stratifying a corpus by cluster.  100 TB of vectors reduce "
+        "map-side to |labels|×dim centroid cells; only the "
+        "|labels|²-bounded centroid table is ever joined.  Complements "
+        "q133 (instance-level mutual-NN) at the aggregate level"
+    ),
+)
+def q154(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    unnested = e.select(
+        "label", F.posexplode("embedding").alias("pos", "valf")
+    ).select("label", "pos", F.col("valf").cast("double").alias("val"))
+    centroids = unnested.groupBy("label", "pos").agg(
+        F.avg("val").alias("c")
+    )
+    norms = centroids.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a, b = centroids.alias("a"), centroids.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .join(
+            F.broadcast(norms.select(F.col("label").alias("la"),
+                                     F.col("nrm").alias("na"))),
+            F.col("la") == F.col("a.label"),
+        )
+        .join(
+            F.broadcast(norms.select(F.col("label").alias("lb"),
+                                     F.col("nrm").alias("nb"))),
+            F.col("lb") == F.col("b.label"),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("a.c") * F.col("b.c"))
+                / (F.any_value("na") * F.any_value("nb")),
+                4,
+            ).alias("centroid_cosine")
+        )
+    )

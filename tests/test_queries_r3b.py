@@ -246,3 +246,88 @@ def test_q151_weekday_origin_is_iso(spark):
     # dayofweek-origin mismatch)
     mean_idx = sum(r["seasonality_index"] for r in rows) / 7
     assert 0.9 < mean_idx < 1.1
+
+
+def test_q152_ewma_matches_recursion(spark, tmp_path):
+    # closed form must equal the textbook recursion ewma_k = 0.2 v_k +
+    # 0.8 ewma_{k-1} seeded with v_1
+    vals = [10.0, 20.0, 5.0, 40.0]
+    sf = _events_dir(
+        spark, tmp_path, [(1, m, "view", v) for m, v in enumerate(vals)]
+    )
+    expect = vals[0]
+    for v in vals[1:]:
+        expect = 0.2 * v + 0.8 * expect
+    rows = _q(spark, "q152_ewma", sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_readings"] == 4
+    assert abs(rows[0]["ewma"] - round(expect, 4)) < 1e-9
+
+
+def test_q153_rare_bigrams_score_higher(spark):
+    # a document whose bigrams are corpus-common must score (strictly)
+    # fewer bits than the corpus-wide max — sanity that the model orders
+    # documents, plus every doc with >=2 tokens is scored
+    df = _q(spark, "q153_bigram_perplexity")
+    rows = df.collect()
+    assert len(rows) == 500
+    bits = [r["bits_per_bigram"] for r in rows]
+    assert min(bits) < max(bits)
+    assert all(b > 0 for b in bits)
+
+
+def test_q154_identical_clusters_have_cosine_one(spark, tmp_path):
+    # two labels whose vectors are identical multiples of one direction →
+    # centroid cosine exactly 1; orthogonal third label → cosine 0
+    path = str(tmp_path / "tbl")
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[3.0, 0.0], label=0),
+        Row(vec_id=3, embedding=[2.0, 0.0], label=1),
+        Row(vec_id=4, embedding=[0.0, 5.0], label=2),
+    ]
+    spark.createDataFrame(rows).selectExpr(
+        "vec_id", "CAST(embedding AS array<float>) AS embedding", "label"
+    ).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    got = {
+        (r["label_a"], r["label_b"]): r["centroid_cosine"]
+        for r in _q(spark, "q154_class_centroid_similarity", path).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0
+    assert got[(1, 2)] == 0.0
+
+
+def test_fact_scan_is_dynamically_pruned_by_dim_filter(spark, tmp_path):
+    # dynamic partition pruning: a date-partitioned fact joined to a dim
+    # whose filter selects one date must push a runtime dynamicpruning
+    # subquery into the fact scan's PartitionFilters — the mechanism that
+    # keeps a 100 TB fact scan proportional to the dim filter, not the
+    # calendar
+    fact_path = str(tmp_path / "fact")
+    rows = [
+        Row(k=i, day=f"2024-03-0{1 + i % 3}", v=float(i)) for i in range(60)
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(fact_path)
+    dim = spark.createDataFrame(
+        [
+            Row(day="2024-03-01", kind="keep"),
+            Row(day="2024-03-02", kind="drop"),
+            Row(day="2024-03-03", kind="drop"),
+        ]
+    )
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(dim.filter(dim.kind == "keep"), "day").groupBy(
+        "day"
+    ).count()
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain(True)
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower()
+    assert [r["count"] for r in joined.collect()] == [20]
