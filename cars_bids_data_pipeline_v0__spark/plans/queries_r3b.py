@@ -168,6 +168,9 @@ def q142(spark, sf_dir):
             F.col("b.l_partkey").alias("pb"),
         )
         .distinct()
+        # persisted: the edge list feeds all three join legs and the edge
+        # count — without it the pair-generation shuffle runs 4×
+        .persist()
     )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
@@ -563,9 +566,12 @@ def q147(spark, sf_dir):
 )
 def q148(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    active = e.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    active = (
+        e.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        # persisted: feeds the WAU fan-out, the DAU agg, and the span max
+        .persist()
+    )
     hi = active.agg(F.max("day").alias("hi"))
     contrib = (
         active.select(
@@ -901,6 +907,10 @@ def q153(spark, sf_dir):
             )
         ).alias("_i", "bgr"),
     ).select("doc_id", "bgr.w1", "bgr.w2")
+    # persisted: tokenization feeds the bigram counts, the unigram
+    # counts, the vocab size, AND the scoring probe — one corpus pass
+    # instead of four
+    doc_bigrams = doc_bigrams.persist()
     bg = doc_bigrams.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("c12")
     )
