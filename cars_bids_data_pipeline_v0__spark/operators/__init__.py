@@ -16,6 +16,13 @@ from .matview import (
     matview_partials,
 )
 from .merge import insert_if_absent, merge_into, upsert_overwrite
+from .multimodal import (
+    audio_frame_energy,
+    byte_histogram_features,
+    decode_image,
+    silence_trim_stats,
+    synthesize_audio,
+)
 from .packing import pack_chunks, pack_manifest
 from .pq import ivf_pq_topk, pq_encode, pq_topk_adc, pq_train
 from .sampling import mixture_sample, systematic_weighted_sample
@@ -66,4 +73,9 @@ __all__ = [
     "morton_interleave",
     "zorder_key",
     "zorder_write",
+    "decode_image",
+    "byte_histogram_features",
+    "synthesize_audio",
+    "audio_frame_energy",
+    "silence_trim_stats",
 ]

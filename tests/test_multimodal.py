@@ -286,3 +286,52 @@ def test_decode_image_real_png_through_mapinpandas(spark):
         assert (r["width"], r["height"]) == (8 * doc_id, 6 * doc_id)
         assert r["n_pixels"] == 48 * doc_id * doc_id
         assert abs(r["mean_byte"] - round(mean, 6)) < 1e-6
+
+
+def test_audio_frame_energy_detects_gated_silence(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.multimodal import (
+        audio_frame_energy,
+        silence_trim_stats,
+        synthesize_audio,
+    )
+
+    base = spark.range(3).withColumnRenamed("id", "doc_id")
+    audio = synthesize_audio(base)  # 200 ms @ 16 kHz, voiced middle half
+    frames = audio_frame_energy(audio)
+    rows = frames.collect()
+    # 200 ms / 25 ms = 8 frames per clip
+    assert len(rows) == 3 * 8
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    for doc_id, fr in by_doc.items():
+        # first and last quarters gated to zero → silent; middle voiced
+        assert fr[0]["is_silence"] and fr[7]["is_silence"]
+        assert not fr[3]["is_silence"] and not fr[4]["is_silence"]
+        assert fr[3]["rms"] > 0.1
+    stats = {r["doc_id"]: r for r in silence_trim_stats(frames).collect()}
+    for doc_id, s in stats.items():
+        assert s["n_frames"] == 8
+        assert s["first_voiced"] == 2 and s["last_voiced"] == 5
+        assert abs(s["voiced_frac"] - 0.5) < 1e-9
+        assert not s["droppable"]
+
+
+def test_audio_pipeline_stays_arrow_batched(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.multimodal import (
+        audio_frame_energy,
+        synthesize_audio,
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    df = audio_frame_energy(synthesize_audio(
+        spark.range(2).withColumnRenamed("id", "doc_id")))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # mapInPandas = Arrow-batched MapInPandas node, never row-wise
+    # BatchEvalPython
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
