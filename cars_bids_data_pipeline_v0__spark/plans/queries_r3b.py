@@ -1012,3 +1012,54 @@ def q154(spark, sf_dir):
             ).alias("centroid_cosine")
         )
     )
+
+
+@register(
+    "q155_top_event_paths",
+    """
+    WITH stepped AS (
+        SELECT event_type || '>' || lead(event_type, 1) OVER w
+                          || '>' || lead(event_type, 2) OVER w AS path
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n FROM stepped
+        WHERE path IS NOT NULL GROUP BY path
+    )
+    SELECT path, n FROM (
+        SELECT *, row_number() OVER (ORDER BY n DESC, path ASC) AS rk
+        FROM counted
+    ) WHERE rk <= 10
+    """,
+    doc=(
+        "behavioral path mining: the 10 most common 3-step event "
+        "sequences across all user journeys (the funnel-DISCOVERY "
+        "counterpart to q141's fixed funnel — this finds which funnels "
+        "exist).  Two leads over one user-keyed window build the "
+        "sliding trigram; string concat makes the path a single "
+        "shuffle-friendly key.  The alphabet-bounded path table "
+        "(|event_types|³ ≤ 125 here) is what reaches the final top-k, so "
+        "100 TB of events reduce to a constant-size ranking problem"
+    ),
+)
+def q155(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("_l2"),
+    ).filter(F.col("_l2").isNotNull())
+    counted = stepped.groupBy("path").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rk = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 10)
+        .select("path", "n")
+    )

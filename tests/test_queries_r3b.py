@@ -331,3 +331,22 @@ def test_fact_scan_is_dynamically_pruned_by_dim_filter(spark, tmp_path):
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower()
     assert [r["count"] for r in joined.collect()] == [20]
+
+
+def test_q155_paths_respect_user_boundaries(spark, tmp_path):
+    # trigram paths must never straddle two users' streams: user 1 has
+    # exactly 3 events (1 path), user 2 has 2 (none) — a cross-user leak
+    # would invent a second path
+    sf = _events_dir(
+        spark,
+        tmp_path,
+        [
+            (1, 0, "view", 1.0),
+            (1, 1, "click", 1.0),
+            (1, 2, "purchase", 1.0),
+            (2, 3, "view", 1.0),
+            (2, 4, "error", 1.0),
+        ],
+    )
+    rows = _q(spark, "q155_top_event_paths", sf).collect()
+    assert [(r["path"], r["n"]) for r in rows] == [("view>click>purchase", 1)]
