@@ -12,6 +12,7 @@ from .sinks import merge_write_partitioned, write_json_debug, write_text_queue
 from .txlog import (
     TransactionLog,
     tx_compact,
+    tx_delete_where,
     tx_insert_if_absent,
     tx_merge_partitioned,
     tx_read,
@@ -34,6 +35,7 @@ __all__ = [
     "write_text_queue",
     "TransactionLog",
     "tx_compact",
+    "tx_delete_where",
     "tx_insert_if_absent",
     "tx_merge_partitioned",
     "tx_read",

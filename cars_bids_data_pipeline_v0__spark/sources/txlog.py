@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -632,3 +633,74 @@ def tx_scan(
     if hi is not None:
         df = df.filter(F.col(col) <= hi)
     return df
+
+
+def tx_delete_where(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    max_retries: int = 5,
+) -> int:
+    """Row-level DELETE, copy-on-write (the GDPR / right-to-be-forgotten
+    primitive the reference's append-only lake lacks): only files that
+    actually CONTAIN matching rows are rewritten without them; untouched
+    files keep their bytes and their zone-map stats.  Committed as one
+    atomic add+remove, so readers see either every matching row or none —
+    and time travel below the delete still resolves until
+    ``vacuum(keep_history=False)`` purges the old files (which is the
+    *actual* erasure step for compliance).
+
+    ``predicate`` is a SQL boolean expression over the table's columns
+    (e.g. ``"auction_id = 'x'"``).
+
+    Scale: the affected-file discovery is ONE scan with the predicate
+    pushed down (parquet stats skip clean files before rows are read);
+    the rewrite reads only affected files.  Returns rows deleted.
+    """
+    log = TransactionLog(table_path)
+    for _ in range(max_retries):
+        v = log.version()
+        if v < 0:
+            return 0
+        live = log.live_files(upto=v)
+        if not live:
+            return 0
+        paths = {
+            os.path.join(table_path, rel): rel for rel in sorted(live)
+        }
+        df = spark.read.parquet(*paths).withColumn(
+            "__file", F.input_file_name()
+        )
+        hits = (
+            df.filter(F.expr(predicate))
+            .groupBy("__file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        if not hits:
+            return 0
+        n_deleted = int(sum(r["n"] for r in hits))
+        # input_file_name returns a URI (file:///…); map back to relative
+        affected = []
+        for r in hits:
+            p = r["__file"]
+            if p.startswith("file:"):
+                p = urllib.parse.unquote(urllib.parse.urlparse(p).path)
+            affected.append(paths[p])
+        keep = (
+            spark.read.parquet(
+                *[os.path.join(table_path, rel) for rel in affected]
+            )
+            .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        )
+        partitioned = any(live[rel] is not None for rel in affected)
+        if keep.isEmpty():
+            adds: list[dict] = []
+        elif partitioned:
+            adds = log.stage_dataframe(keep, partition_by=PARTITION_COL)
+        else:
+            adds = log.stage_dataframe(keep)
+        if log.try_commit(v + 1, adds, sorted(affected), op="delete"):
+            return n_deleted
+        log.discard(adds)
+    raise RuntimeError(f"delete gave up after {max_retries} conflicts")

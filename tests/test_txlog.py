@@ -353,3 +353,59 @@ def test_tx_scan_zone_map_file_skipping(spark, tmp_path):
     assert log.try_commit(5, extra, [], op="append")
     files2, _ = tx_prunable_files(table, "k", lo=0, hi=1)
     assert any(a["path"] in files2 for a in extra)
+
+
+def test_tx_delete_where_is_copy_on_write_with_time_travel(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_delete_where
+
+    table = str(tmp_path / "del_lake")
+    log = TransactionLog(table)
+    a = spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(10)], "id long, user string"
+    )
+    adds = log.stage_dataframe(a.repartition(3))
+    assert log.try_commit(0, adds, [], op="append")
+    files_before = set(log.live_files())
+
+    n = tx_delete_where(spark, table, "user = 'u1'")
+    assert n == 3
+    latest = tx_read(spark, table)
+    assert latest.filter("user = 'u1'").count() == 0
+    assert latest.count() == 7
+    # time travel: the pre-delete version still has every row
+    assert tx_read(spark, table, version=0).count() == 10
+    # copy-on-write: files without matches keep their identity
+    files_after = set(log.live_files())
+    untouched = files_before & files_after
+    rewritten = files_before - files_after
+    assert rewritten, "at least one file must have been rewritten"
+    for rel in rewritten:
+        # every replaced file really contained a match
+        import os
+        df = spark.read.parquet(os.path.join(table, rel))
+        assert df.filter("user = 'u1'").count() > 0
+    for rel in untouched:
+        import os
+        df = spark.read.parquet(os.path.join(table, rel))
+        assert df.filter("user = 'u1'").count() == 0
+
+
+def test_tx_delete_where_erasure_completes_on_vacuum(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_delete_where
+
+    table = str(tmp_path / "gdpr_lake")
+    log = TransactionLog(table)
+    a = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(4)], "id long, user string"
+    )
+    adds = log.stage_dataframe(a.coalesce(1))
+    assert log.try_commit(0, adds, [], op="append")
+    assert tx_delete_where(spark, table, "user = 'u2'") == 1
+    # bytes persist for time travel until history is vacuumed
+    assert log.vacuum(keep_history=True) == 0
+    assert log.vacuum(keep_history=False) >= 1
+    assert tx_read(spark, table).count() == 3
+    # no-match delete is a no-op commit-wise
+    v = log.version()
+    assert tx_delete_where(spark, table, "user = 'nope'") == 0
+    assert log.version() == v
