@@ -9,6 +9,7 @@ from .incremental import (
     scd2_dim_stream,
     silver_ingest_stream,
     stateful_latest_per_key,
+    stateful_zscore_stream,
     stream_events,
     stream_stream_join,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "scd2_dim_stream",
     "silver_ingest_stream",
     "stateful_latest_per_key",
+    "stateful_zscore_stream",
     "stream_events",
     "stream_stream_join",
 ]

@@ -646,3 +646,87 @@ def running_stats_stream(
         outputMode="Update",
         timeMode="None",
     )
+
+
+_ZSCORE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+#: ring buffer of the last ≤5 readings per key (oldest→newest)
+_ZSCORE_STATE_SCHEMA = T.StructType(
+    [T.StructField("window_vals", T.ArrayType(T.DoubleType()))]
+)
+
+
+def stateful_zscore_stream(
+    events: DataFrame,
+    frame: int = 5,
+    min_prior: int = 3,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Streaming twin of batch q144 (rolling z-score anomaly detection):
+    per-user state holds only the last ``frame`` readings; each arriving
+    event is scored against the PRIOR window (never itself — the same
+    self-excluding frame the batch query pins), then pushed into the ring
+    buffer.  Emits only anomalies (|z| > threshold with ≥ min_prior
+    priors), so the output stream is a tiny alert feed regardless of input
+    volume.
+
+    State is O(frame) doubles per key — the bounded-state design that
+    keeps a 1000-executor deployment's state store constant-size per user
+    no matter how long the stream runs.  Events are scored in (ts,
+    event_id) order within each micro-batch; cross-batch order is the
+    arrival order, as for any stateful stream without a watermark sort.
+    """
+    sel = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        vals: list[float] = list(state.get[0]) if state.exists else []
+        out_ids, out_z = [], []
+        for pdf in pdfs:
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+                n = len(vals)
+                if n >= min_prior:
+                    mu = sum(vals) / n
+                    var = sum((v - mu) ** 2 for v in vals) / (n - 1)
+                    sigma = math.sqrt(var)
+                    if sigma > 1e-12:
+                        z = (row.value - mu) / sigma
+                        if abs(z) > threshold:
+                            out_ids.append(row.event_id)
+                            out_z.append(round(z, 4))
+                vals.append(float(row.value))
+                if len(vals) > frame:
+                    vals.pop(0)
+        state.update((vals,))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_ids),
+                    "event_id": out_ids,
+                    "zscore": out_z,
+                }
+            )
+
+    return sel.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ZSCORE_OUT_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

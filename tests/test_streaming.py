@@ -666,3 +666,102 @@ def test_stream_events_starts_on_missing_and_empty_dir(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r["event_id"])
     assert rows[0]["ts"].year == 2023  # not 1970: nanos→µs conversion applied
+
+
+def test_stateful_zscore_stream_matches_batch_q144(spark, tmp_path):
+    """The streaming anomaly scorer must reproduce batch q144 exactly when
+    the whole corpus arrives as one availableNow batch (same frame, same
+    self-excluding window, same rounding)."""
+    from cars_bids_data_pipeline_v0__spark.plans.queries import (
+        REGISTRY,
+        _load_extensions,
+    )
+    from cars_bids_data_pipeline_v0__spark.streaming import (
+        stateful_zscore_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    srcdir = tmp_path / "events_src"
+    srcdir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", srcdir / "events.parquet")
+    flagged = stateful_zscore_stream(stream_events(spark, str(srcdir)))
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("zscore_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_z"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"]): r["zscore"]
+        for r in spark.table("zscore_stream_test").collect()
+    }
+    _load_extensions()
+    expect = {
+        (r["user_id"], r["event_id"]): r["zscore"]
+        for r in REGISTRY["q144_rolling_zscore_anomalies"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_stateful_zscore_state_survives_across_micro_batches(spark, tmp_path):
+    """Priors accumulated in batch 1 must score events arriving in batch 2
+    (ring-buffer state checkpointed between availableNow runs)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cars_bids_data_pipeline_v0__spark.streaming import (
+        stateful_zscore_stream,
+    )
+
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=i,
+                    ts=dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m),
+                    user_id=1,
+                    event_type="view",
+                    value=float(v),
+                    props="{}",
+                )
+                for i, (m, v) in rows
+            ]
+        ).write.parquet(str(srcdir / name))
+
+    out = str(tmp_path / "alerts")
+
+    def run_once():
+        # file sink (not memory): supports restart-from-checkpoint, which
+        # is the whole point of this test
+        flagged = stateful_zscore_stream(
+            stream_events(spark, str(srcdir) + "/*")
+        )
+        q = (
+            flagged.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: five flat readings — no anomaly possible yet
+    write_batch("b1", [(i, (i, 10.0 + 0.1 * (i % 3))) for i in range(5)])
+    run_once()
+    assert spark.read.parquet(out).count() == 0
+    # batch 2: a single spike — only anomalous BECAUSE batch-1 state
+    write_batch("b2", [(99, (10, 500.0))])
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert [r["event_id"] for r in rows] == [99]
+    assert rows[0]["zscore"] > 2.5
