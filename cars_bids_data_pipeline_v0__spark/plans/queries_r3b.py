@@ -1063,3 +1063,207 @@ def q155(spark, sf_dir):
         .filter(F.col("rk") <= 10)
         .select("path", "n")
     )
+
+
+@register(
+    "q156_price_qty_correlation",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)
+               AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "grouped Pearson correlation + sample covariance between quantity "
+        "and extended price: both are single-pass co-moment aggregates "
+        "(partial-aggregable sums of x, y, xy, x², y²), so 100 TB reduces "
+        "map-side to five scalars per group — the same shape DuckDB and "
+        "Spark both implement, making the comparison engine-neutral "
+        "after one final rounding"
+    ),
+)
+def q156(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "q157_decayed_popularity",
+    """
+    WITH anchor AS (
+        SELECT max(l_shipdate) AS maxd FROM lineitem
+    ), scored AS (
+        SELECT l_partkey,
+               round(sum(exp(-date_diff('day', l_shipdate, anchor.maxd)
+                             / 30.0)), 4) AS decayed_score,
+               CAST(count(*) AS BIGINT) AS n_sales
+        FROM lineitem, anchor
+        GROUP BY l_partkey, anchor.maxd
+    )
+    SELECT l_partkey, decayed_score, n_sales FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY decayed_score DESC, l_partkey ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 20
+    """,
+    doc=(
+        "recency-decayed popularity ranking (the recommendation/trending "
+        "staple): each sale contributes exp(−age/30d), so popularity "
+        "decays smoothly instead of cliff-dropping at a window edge.  The "
+        "decay sum is partial-aggregable per part (one narrow shuffle); "
+        "ranking happens on the ROUNDED score with an id tiebreak (the "
+        "q54 float discipline) over the |parts|-bounded score table"
+    ),
+)
+def q157(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    anchor = li.agg(F.max("l_shipdate").alias("maxd"))
+    scored = (
+        li.crossJoin(F.broadcast(anchor))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.exp(
+                        -F.datediff(F.col("maxd"), F.col("l_shipdate"))
+                        / 30.0
+                    )
+                ),
+                4,
+            ).alias("decayed_score"),
+            F.count("*").cast("long").alias("n_sales"),
+        )
+    )
+    rk = Window.orderBy(
+        F.col("decayed_score").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 20)
+        .select("l_partkey", "decayed_score", "n_sales")
+    )
+
+
+@register(
+    "q158_benford_first_digit",
+    """
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                   AS VARCHAR),
+                              1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ), tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT d, n,
+           round(n / CAST(tot.total AS DOUBLE), 6) AS observed_frac,
+           round(log10(1 + 1.0 / d), 6) AS benford_frac,
+           round(pow(n / CAST(tot.total AS DOUBLE)
+                     - log10(1 + 1.0 / d), 2)
+                 / log10(1 + 1.0 / d) * tot.total, 4) AS chi2_term
+    FROM obs, tot
+    """,
+    doc=(
+        "Benford's-law first-digit audit (the classic fraud / synthetic- "
+        "data detector): observed first-significant-digit distribution of "
+        "order totals vs log10(1+1/d), with per-digit chi-square "
+        "contributions.  The digit extraction is integer/string only (no "
+        "float formatting ambiguity cross-engine); everything reduces to "
+        "a 9-row table regardless of scale"
+    ),
+)
+def q158(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # floor before the integer cast: DuckDB's double→BIGINT cast rounds
+    # half-even while Spark's truncates — floor() agrees everywhere
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.log10(1 + 1.0 / F.col("d"))
+    obs_frac = F.col("n") / F.col("total").cast("double")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(obs_frac, 6).alias("observed_frac"),
+        F.round(benford, 6).alias("benford_frac"),
+        F.round(
+            F.pow(obs_frac - benford, 2) / benford * F.col("total"), 4
+        ).alias("chi2_term"),
+    )
+
+
+@register(
+    "q159_gini_revenue",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS i,
+               count(*) OVER () AS n,
+               sum(rev) OVER () AS tot
+        FROM per_cust
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+           round(sum((2.0 * i - n - 1) * rev)
+                 / (any_value(n) * any_value(tot)), 6) AS gini
+    FROM ranked
+    """,
+    doc=(
+        "Gini coefficient of revenue concentration (the inequality "
+        "summary behind every 'top X% of customers drive Y%' claim — "
+        "complements q109's Pareto shares with a single comparable "
+        "scalar): G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over ascending revenues.  "
+        "The global sort runs over the |customers|-bounded aggregate, "
+        "not raw orders; ties are broken by key so the rank assignment "
+        "is deterministic cross-engine even though tied revenues "
+        "contribute symmetrically either way.  When even the aggregate "
+        "outgrows one partition, the distributed two-phase rank "
+        "assigner (operators/keys.py::with_surrogate_key, "
+        "range-partitioned) replaces the single-partition window — same "
+        "i, no 1-partition sort"
+    ),
+)
+def q159(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("rev").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.any_value("n").cast("long").alias("n_customers"),
+        F.round(
+            F.sum(
+                (2.0 * F.col("i") - F.col("n") - 1) * F.col("rev")
+            )
+            / (F.any_value("n") * F.any_value("tot")),
+            6,
+        ).alias("gini"),
+    )

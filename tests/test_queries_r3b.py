@@ -350,3 +350,37 @@ def test_q155_paths_respect_user_boundaries(spark, tmp_path):
     )
     rows = _q(spark, "q155_top_event_paths", sf).collect()
     assert [(r["path"], r["n"]) for r in rows] == [("view>click>purchase", 1)]
+
+
+def test_q157_ranking_is_on_rounded_score(spark):
+    # ties at 4 decimals must break by part key ascending — the float
+    # discipline that keeps the top-20 identical cross-engine
+    rows = _q(spark, "q157_decayed_popularity").collect()
+    assert len(rows) == 20
+    seen = [(r["decayed_score"], r["l_partkey"]) for r in rows]
+    assert seen == sorted(seen, key=lambda t: (-t[0], t[1]))
+
+
+def test_q158_benford_fractions_sum_to_one(spark):
+    rows = _q(spark, "q158_benford_first_digit").collect()
+    assert sorted(r["d"] for r in rows) == list(range(1, 10))
+    assert abs(sum(r["observed_frac"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_frac"] for r in rows) - 1.0) < 1e-4
+
+
+def test_q159_gini_bounds_and_known_case(spark, tmp_path):
+    # equal revenues → gini ~ 0; one customer owning everything → → 1
+    path = str(tmp_path / "tbl")
+    from pyspark.sql import Row as R
+
+    spark.createDataFrame(
+        [R(o_orderkey=i, o_custkey=i, o_totalprice=100.0) for i in range(10)]
+    ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    equal = _q(spark, "q159_gini_revenue", path).collect()[0]
+    assert equal["gini"] == 0.0
+    spark.createDataFrame(
+        [R(o_orderkey=0, o_custkey=0, o_totalprice=10000.0)]
+        + [R(o_orderkey=i, o_custkey=i, o_totalprice=0.01) for i in range(1, 10)]
+    ).write.mode("overwrite").parquet(f"{path}2/orders.parquet")
+    skew = _q(spark, "q159_gini_revenue", str(tmp_path / "tbl2")).collect()[0]
+    assert skew["gini"] > 0.85
