@@ -1267,3 +1267,226 @@ def q159(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q160_mutual_information",
+    """
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(count(*) AS BIGINT) AS nxy
+        FROM orders GROUP BY 1, 2
+    ), mx AS (
+        SELECT x, sum(nxy) AS nx FROM joint GROUP BY x
+    ), my AS (
+        SELECT y, sum(nxy) AS ny FROM joint GROUP BY y
+    ), tot AS (SELECT sum(nxy) AS n FROM joint)
+    SELECT round(sum((nxy / CAST(tot.n AS DOUBLE))
+                     * log2(nxy * CAST(tot.n AS DOUBLE)
+                            / (mx.nx * CAST(my.ny AS DOUBLE)))), 6)
+               AS mutual_information_bits,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    """,
+    doc=(
+        "mutual information between two categoricals (order priority × "
+        "status) in bits: I(X;Y) = Σ p(x,y)·log2(p(x,y)/(p(x)p(y))) — "
+        "the dependence measure that, unlike q124's chi-square, is "
+        "directly comparable across tables and feature pairs (feature- "
+        "selection staple).  One shuffle builds the joint table; "
+        "marginals derive from it without touching raw rows again; "
+        "everything after is |X|·|Y|-bounded"
+    ),
+)
+def q160(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    joint = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count("*").cast("long").alias("nxy"))
+        .persist()  # feeds marginals + total + the final sum
+    )
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    p_xy = F.col("nxy") / F.col("n").cast("double")
+    lift = (
+        F.col("nxy") * F.col("n").cast("double")
+        / (F.col("nx") * F.col("ny").cast("double"))
+    )
+    return (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(p_xy * F.log2(lift)), 6).alias(
+                "mutual_information_bits"
+            ),
+            F.count("*").cast("long").alias("n_cells"),
+        )
+    )
+
+
+@register(
+    "q161_pmi_word_pairs",
+    """
+    WITH doc_tokens AS (
+        SELECT DISTINCT doc_id, t AS w
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS t
+            FROM documents WHERE length(trim(text)) > 0
+        ) WHERE length(t) > 3
+    ), pairs AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c12
+        FROM doc_tokens a
+        JOIN doc_tokens b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY a.w, b.w HAVING count(*) >= 50
+    ), uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM doc_tokens GROUP BY w
+    ), nd AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM doc_tokens
+    ), scored AS (
+        SELECT w1, w2, c12,
+               round(log2(c12 * CAST(nd.n AS DOUBLE)
+                          / (u1.c * CAST(u2.c AS DOUBLE))), 4) AS pmi
+        FROM pairs
+        JOIN uni u1 ON u1.w = pairs.w1
+        JOIN uni u2 ON u2.w = pairs.w2
+        CROSS JOIN nd
+    )
+    SELECT w1, w2, c12, pmi FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 20
+    """,
+    doc=(
+        "pointwise mutual information over document-level co-occurrence "
+        "(not adjacency — the collocation/word-association complement to "
+        "q68's bigrams): PMI = log2(P(w1,w2)/(P(w1)P(w2))) on "
+        "per-document DISTINCT tokens.  The pair blow-up is per-document "
+        "quadratic in DISTINCT vocab per doc (bounded by doc length), "
+        "never corpus-wide; the ≥50-doc support filter runs inside the "
+        "pair aggregation before anything joins; ranking is on the "
+        "ROUNDED score (q54 discipline)"
+    ),
+)
+def q161(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    doc_tokens = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 3)
+        .distinct()
+        .persist()  # feeds pairs, unigram counts, and the doc total
+    )
+    a, b = doc_tokens.alias("a"), doc_tokens.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c12"))
+        .filter(F.col("c12") >= 50)
+    )
+    uni = doc_tokens.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    nd = doc_tokens.agg(
+        F.countDistinct("doc_id").cast("long").alias("n")
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log2(
+                    F.col("c12") * F.col("n").cast("double")
+                    / (F.col("c1") * F.col("c2").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    rk = Window.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 20)
+        .select("w1", "w2", "c12", "pmi")
+    )
+
+
+@register(
+    "q162_survival_curve",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+                   AS lifespan
+        FROM events GROUP BY user_id
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM spans),
+    offsets AS (
+        SELECT CAST(unnest(generate_series(0, lifespan)) AS INT) AS d
+        FROM spans
+    )
+    SELECT d, CAST(count(*) AS BIGINT) AS n_surviving,
+           round(count(*) / CAST(any_value(tot.n) AS DOUBLE), 6)
+               AS surviving_frac
+    FROM offsets, tot
+    GROUP BY d
+    """,
+    doc=(
+        "user survival curve: fraction of users whose observed lifespan "
+        "(first→last activity) reaches at least d days, for every d — "
+        "the churn/retention summary a subscription business reads "
+        "daily.  Each user explodes into lifespan+1 offset rows (bounded "
+        "by the observation window, 30 here), then one count per offset: "
+        "the same bounded-fan-out trick as q148, avoiding a per-day "
+        "rescan.  Monotone non-increasing by construction"
+    ),
+)
+def q162(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")),
+            F.min(F.col("ts").cast("date")),
+        ).alias("lifespan")
+    )
+    tot = spans.agg(F.count("*").cast("long").alias("n"))
+    offsets = spans.select(
+        F.explode(F.sequence(F.lit(0), F.col("lifespan"))).alias("d")
+    )
+    return (
+        offsets.crossJoin(F.broadcast(tot))
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("long").alias("n_surviving"),
+            F.round(
+                F.count("*") / F.any_value("n").cast("double"), 6
+            ).alias("surviving_frac"),
+        )
+    )

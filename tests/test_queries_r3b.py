@@ -384,3 +384,41 @@ def test_q159_gini_bounds_and_known_case(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}2/orders.parquet")
     skew = _q(spark, "q159_gini_revenue", str(tmp_path / "tbl2")).collect()[0]
     assert skew["gini"] > 0.85
+
+
+def test_q160_mi_zero_for_independent_and_positive_for_dependent(spark, tmp_path):
+    from pyspark.sql import Row as R
+
+    path = str(tmp_path / "ind")
+    # perfectly independent 2x2 grid, balanced — MI must be exactly 0
+    rows = [
+        R(o_orderkey=i, o_orderpriority=p, o_orderstatus=s)
+        for i, (p, s) in enumerate(
+            [(p, s) for p in ("a", "b") for s in ("x", "y")] * 5
+        )
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{path}/orders.parquet"
+    )
+    mi = _q(spark, "q160_mutual_information", path).collect()[0]
+    assert mi["mutual_information_bits"] == 0.0 and mi["n_cells"] == 4
+    # perfectly dependent (y = f(x)) — MI = H(X) = 1 bit for a fair split
+    path2 = str(tmp_path / "dep")
+    rows = [
+        R(o_orderkey=i, o_orderpriority=p, o_orderstatus="x" if p == "a" else "y")
+        for i, p in enumerate(["a", "b"] * 10)
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{path2}/orders.parquet"
+    )
+    mi = _q(spark, "q160_mutual_information", path2).collect()[0]
+    assert mi["mutual_information_bits"] == 1.0
+
+
+def test_q162_survival_curve_is_monotone_from_one(spark):
+    rows = sorted(
+        _q(spark, "q162_survival_curve").collect(), key=lambda r: r["d"]
+    )
+    assert rows[0]["d"] == 0 and rows[0]["surviving_frac"] == 1.0
+    fracs = [r["surviving_frac"] for r in rows]
+    assert all(a >= b for a, b in zip(fracs, fracs[1:]))
