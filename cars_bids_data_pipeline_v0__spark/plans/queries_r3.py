@@ -1006,6 +1006,9 @@ def q140(spark, sf_dir):
     src_sh = (
         d.select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
         .distinct()
+        # persisted: feeds both sides of the self-join AND the size agg —
+        # without it the shingle explode+distinct shuffle runs 3×
+        .persist()
     )
     sizes = src_sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     return (
