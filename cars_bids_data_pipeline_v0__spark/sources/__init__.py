@@ -8,6 +8,7 @@ from .ingest import (
     read_text_lines,
 )
 from .compaction import compact_partitions, compacted_copy, partition_stats
+from .ingest import register_views
 from .sinks import merge_write_partitioned, write_json_debug, write_text_queue
 from .txlog import (
     TransactionLog,
@@ -26,6 +27,7 @@ __all__ = [
     "read_raw_auctions",
     "read_silver_ndjson",
     "read_table",
+    "register_views",
     "read_text_lines",
     "compact_partitions",
     "compacted_copy",

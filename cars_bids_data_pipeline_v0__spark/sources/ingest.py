@@ -249,3 +249,19 @@ def write_read_orc(df: DataFrame, path: str) -> DataFrame:
     column-pruning behavior as parquet in this engine."""
     df.write.mode("overwrite").orc(path)
     return df.sparkSession.read.orc(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> list[str]:
+    """Register every test-corpus table as a temp view so users can drive
+    the engine through plain ``spark.sql`` — the catalog-level surface a
+    warehouse user expects next to the DataFrame API.  Reuses
+    `read_table`, so the events nanos→µs normalization and UTC pinning
+    apply identically in SQL-land.  Returns the registered names."""
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return names

@@ -122,3 +122,26 @@ def test_orc_roundtrip_preserves_rows(spark, tmp_path):
     assert sorted(map(str, back.collect())) == sorted(
         map(str, nation.collect())
     )
+
+
+def test_register_views_enables_plain_sql(spark):
+    from cars_bids_data_pipeline_v0__spark.sources import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert len(names) == 10
+    # cross-table SQL straight through the catalog surface
+    row = spark.sql(
+        """
+        SELECT n.n_name, round(sum(l.l_extendedprice), 2) AS rev
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY rev DESC LIMIT 1
+        """
+    ).collect()[0]
+    assert row["rev"] > 0
+    # the events normalization (nanos ts -> timestamp) carries into SQL
+    ts_type = dict(spark.table("events").dtypes)["ts"]
+    assert ts_type in ("timestamp", "timestamp_ntz")
+    assert spark.sql("SELECT max(ts) FROM events").collect()[0][0].year == 2024
