@@ -256,3 +256,39 @@ def test_png_codec_roundtrip_property(w, h, ch, ft, seed):
     out = decode_png(encode_png(arr, filter_type=ft))
     assert out.shape == (h, w, ch)
     assert np.array_equal(out, arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6), min_size=1,
+                max_size=40))
+def test_ewma_closed_form_equals_recursion_property(vals):
+    """q152 encodes ewma_n = Σ α(1−α)^{n−k} v_k + (1−α)^{n−1} v_1; the
+    textbook recursion must agree for every series length — pinning the
+    algebra the engine's single window pass relies on."""
+    a = 0.2
+    rec = vals[0]
+    for v in vals[1:]:
+        rec = a * v + (1 - a) * rec
+    n = len(vals)
+    closed = vals[0] * (1 - a) ** (n - 1) + sum(
+        v * a * (1 - a) ** (n - k) for k, v in enumerate(vals[1:], start=2)
+    )
+    assert abs(closed - rec) <= 1e-6 * max(1.0, abs(rec))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(min_value=0.01, max_value=1e6), min_size=2,
+                max_size=30))
+def test_gini_rank_form_equals_pairwise_form_property(xs):
+    """q159 uses the rank form G = Σ(2i−n−1)x₍ᵢ₎/(n·Σx); the definitional
+    mean-absolute-difference form G = Σᵢⱼ|xᵢ−xⱼ|/(2n²μ) must agree — and
+    the result must stay inside [0, 1)."""
+    n = len(xs)
+    s = sorted(xs)
+    tot = sum(xs)
+    rank_form = sum((2 * i - n - 1) * x for i, x in enumerate(s, start=1)) / (
+        n * tot
+    )
+    pairwise = sum(abs(a - b) for a in xs for b in xs) / (2 * n * n * (tot / n))
+    assert abs(rank_form - pairwise) <= 1e-9 * max(1.0, pairwise)
+    assert -1e-12 <= rank_form < 1.0
