@@ -1378,13 +1378,83 @@ def _load_extensions() -> None:
     from . import queries_r3b  # noqa: F401
 
 
+# Driver-sampling rotation.  The correctness driver hash-checks the FIRST 50
+# keys of ``queries()`` against DuckDB; rounds 1-3 all sampled registration
+# order, so only q01-q63 ever got driver-side evidence.  ``_DRIVER_FRONT``
+# rotates a different 50-query window to the front each round so the whole
+# 162-query surface accumulates driver-proven green over successive rounds
+# (round 4 window below: the r1.5/r2 surface q31-q101, all oracled; q55/q73
+# are rows-only so they yield to q101/q102 to keep the window hash-checkable).
+# All queries remain registered and runnable regardless of position.
+_DRIVER_FRONT: list[str] = [
+    "q61_doc_embedding_profile",
+    "q54_cosine_topk",
+    "q58_ivf_topk",
+    "q31_small_qty_revenue",
+    "q32_idle_suppliers",
+    "q39_segment_orders",
+    "q33_price_rank_functions",
+    "q38_acctbal_deciles",
+    "q34_conditional_agg",
+    "q35_vector_stats",
+    "q36_nation_rosters",
+    "q37_weekday_traffic",
+    "q65_scd2_user_status",
+    "q66_stratified_sample",
+    "q67_grouping_sets",
+    "q68_top_bigrams",
+    "q64_word_repetition",
+    "q69_unpivot_metrics",
+    "q70_retention_cohorts",
+    "q71_funnel_stages",
+    "q72_tfidf_top_terms",
+    "q74_pii_redaction",
+    "q75_rolling_hour_sum",
+    "q76_leading_terms",
+    "q77_first_last_events",
+    "q78_value_moments",
+    "q79_sessionize_events",
+    "q80_merge_into",
+    "q81_benchmark_decontamination",
+    "q82_group_median",
+    "q83_vocab_set_ops",
+    "q84_binary_media_profile",
+    "q85_dynamic_pivot",
+    "q86_fuzzy_name_pairs",
+    "q87_partial_rollup_merge",
+    "q88_bilateral_trade",
+    "q89_calendar_gaps",
+    "q90_minhash_lsh_portable",
+    "q91_simhash_portable",
+    "q92_dup_clusters_portable",
+    "q93_embedding_near_dup_portable",
+    "q94_table_diff",
+    "q95_pq_adc_topk",
+    "q96_bloom_semi_join",
+    "q97_chunk_documents",
+    "q98_mixture_sample",
+    "q99_incremental_matview",
+    "q100_pack_chunks",
+    "q101_bm25_scores",
+    "q102_mad_outliers",
+]
+
+
+def _driver_order() -> list[str]:
+    front = [n for n in _DRIVER_FRONT if n in REGISTRY]
+    in_front = set(front)
+    return front + [n for n in REGISTRY if n not in in_front]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
-    return {name: spec.builder for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].builder for name in _driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_extensions()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+        name: REGISTRY[name].oracle
+        for name in _driver_order()
+        if REGISTRY[name].oracle
     }

@@ -143,6 +143,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--first", type=int, default=None,
+                    help="check only the first N queries (driver window)")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -157,6 +159,8 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.first:
+        qs = dict(list(qs.items())[: args.first])
     failures, skipped = [], []
     for name, fn in qs.items():
         if args.only and args.only not in name:
