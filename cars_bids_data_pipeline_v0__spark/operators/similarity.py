@@ -334,6 +334,7 @@ def ivf_topk(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus rows live in their nearest-centroid
     cell; each query probes its ``nprobe`` nearest cells and exact cosine
@@ -345,29 +346,55 @@ def ivf_topk(
     narrow map over the scan and the candidate join shuffles only
     |corpus|·nprobe/nlist rows instead of |corpus|·|queries|.
     Same output schema as `cosine_topk`.
+
+    In the exact mode (``nprobe >= nlist``) every (query, corpus) pair is
+    scored regardless of which cell the corpus row lives in, so centroid
+    quality is irrelevant — the cell column exists purely to spread the
+    quadratic scoring across tasks.  That mode therefore skips k-means
+    entirely and assigns ``pmod(xxhash64(id), nlist)`` cells: perfectly
+    balanced, no driver-side codebook jobs, no centroid literals in the
+    plan.  Results are bit-identical either way.
     """
     from .dedup_docs import fan_out
 
-    if centroids is None:
+    exact = nprobe >= nlist
+    if not exact and centroids is None:
         centroids = kmeans_centroids(
             corpus, nlist=nlist, iters=iters, id_col=c_id, vec_col=c_vec
         )
     c = fan_out(corpus).select(
         F.col(c_id).alias("__cid"), as_double(c_vec).alias("__cv")
     )
-    c = c.withColumn("cell", nearest_centroid_ids(F.col("__cv"), centroids, 1)[0])
     q = queries.select(F.col(q_id).alias("__qid"), as_double(q_vec).alias("__qv"))
-    q = q.withColumn(
-        "cell", F.explode(nearest_centroid_ids(F.col("__qv"), centroids, nprobe))
-    )
-    scored = (
-        c.join(F.broadcast(q), on="cell")
-        .select(
-            F.col("__qid").alias(q_id),
-            F.col("__cid").alias(c_id),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
+    if exact:
+        c = c.withColumn(
+            "cell", F.pmod(F.xxhash64(F.col("__cid")), F.lit(nlist)).cast("int")
         )
-        .dropDuplicates([q_id, c_id])
+        q = q.withColumn(
+            "cell", F.explode(F.array(*[F.lit(i) for i in range(nlist)]))
+        )
+    else:
+        c = c.withColumn(
+            "cell", nearest_centroid_ids(F.col("__cv"), centroids, 1)[0]
+        )
+        q = q.withColumn(
+            "cell",
+            F.explode(nearest_centroid_ids(F.col("__qv"), centroids, nprobe)),
+        )
+    joined = c.join(F.broadcast(q), on="cell")
+    if exclude_self:
+        # kNN-of-the-corpus-itself mode (label-error mining): drop the
+        # q==c pair BEFORE the per-query window so top-k semantics match
+        # a "neighbors other than me" oracle exactly.
+        joined = joined.filter(F.col("__qid") != F.col("__cid"))
+    # No dedup needed: a corpus row lives in exactly one cell and
+    # nearest_centroid_ids returns distinct cells, so each (q, c) pair
+    # appears at most once — a dropDuplicates here would be a pure extra
+    # shuffle of the full scored pair set.
+    scored = joined.select(
+        F.col("__qid").alias(q_id),
+        F.col("__cid").alias(c_id),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(

@@ -420,13 +420,62 @@ def q145(spark, sf_dir):
         "carry a different label — the standard candidate list for "
         "mislabeled training examples.  Ranking is over ROUND(sim, 6) "
         "with vec_id tiebreak (the q54 float discipline), so the neighbor "
-        "set is identical cross-engine.  Brute-force quadratic here as "
-        "the correctness baseline; the 100 TB path swaps the scorer for "
-        "the IVF cell-restricted kNN (q58) and keeps this exact "
-        "disagreement aggregate"
+        "set is identical cross-engine.  The registered scorer is the IVF "
+        "cell-restricted kNN (similarity.ivf_topk) with nprobe == nlist, "
+        "which scores the identical pair set as brute force (so the "
+        "quadratic SQL oracle stays exact) but distributes the work "
+        "across centroid cells instead of one broadcast-NLJ task; "
+        "q146_bruteforce below is the test-only differential.  At corpus "
+        "scale the same call with nprobe < nlist is the approximate path"
     ),
 )
 def q146(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    knn = ivf_topk(
+        e.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        ),
+        e,
+        k=5,
+        nlist=16,
+        nprobe=16,  # == nlist: every cell probed → exact, still cell-parallel
+        exclude_self=True,
+    )
+    disagree = F.sum(
+        F.when(F.col("c_label") != F.col("q_label"), 1).otherwise(0)
+    )
+    return (
+        knn.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "q_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select("vec_id", F.col("label").alias("c_label"))
+            ),
+            "vec_id",
+        )
+        .groupBy(F.col("q_id").alias("vec_id"))
+        .agg(
+            F.any_value("q_label").alias("label"),
+            disagree.cast("long").alias("n_disagree"),
+        )
+        .filter(F.col("n_disagree") >= 4)
+    )
+
+
+def q146_bruteforce(spark, sf_dir):
+    """The original O(n²) broadcast-NLJ scorer, kept ONLY as the
+    differential baseline for tests/test_queries_r3b.py — the registered
+    q146 must produce identical rows via the cell-parallel IVF scorer."""
     e = _t(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",

@@ -166,11 +166,28 @@ def test_q145_oof_mean_excludes_own_fold(spark, tmp_path):
 
 def test_q146_disagreement_plan_is_broadcast_no_shuffle_blowup(spark):
     plan = plan_of(_q(spark, "q146_knn_label_disagreement"))
-    # the corpus side is broadcast — the quadratic scorer must not
-    # sort-merge 250k scored rows
+    # the query side is broadcast onto hash cells — the quadratic scorer
+    # must neither sort-merge 250k scored rows nor collapse into a
+    # single-task broadcast-NLJ stage (the round-3 smell)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q146_ivf_scorer_matches_bruteforce(spark):
+    # the registered cell-parallel scorer is bit-identical to the O(n²)
+    # broadcast-NLJ differential (nprobe == nlist scores every pair)
+    from cars_bids_data_pipeline_v0__spark.plans.queries_r3b import (
+        q146_bruteforce,
+    )
+
+    got = {
+        tuple(r)
+        for r in _q(spark, "q146_knn_label_disagreement").collect()
+    }
+    want = {tuple(r) for r in q146_bruteforce(spark, SF).collect()}
+    assert got == want and len(got) > 0
 
 
 def test_q147_rank_window_keys_on_dimension(spark):
