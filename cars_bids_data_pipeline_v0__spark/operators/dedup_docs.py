@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, tokenize
@@ -114,12 +114,39 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _drop_hot_shingles(inv: DataFrame, df_cap: int) -> DataFrame:
+    """Remove shingles whose document frequency exceeds ``df_cap`` from an
+    inverted index before a pair join.
+
+    A boilerplate shingle shared by k documents contributes k² rows to the
+    shingle self-join — one viral template can dominate the whole shuffle.
+    After the drop, per-doc set sizes are RECOMPUTED over the retained
+    shingles, so the scores downstream are Jaccard/containment over the
+    non-boilerplate shingle space (C4-style: scrub templates, then dedup).
+    Exact clones still score 1.0 however much boilerplate they carry;
+    docs sharing ONLY boilerplate produce no index rows at all and can
+    never pair.  The hot set is tiny by construction (heavy hitters), so
+    the anti-join is a broadcast; the size recompute is one window over
+    the doc id and only runs in capped mode."""
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > df_cap)
+        .select("shingle")
+    )
+    kept = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    return kept.withColumn(
+        "sh_size", F.count("*").over(Window.partitionBy("id")).cast("int")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
@@ -140,6 +167,14 @@ def ngram_jaccard_pairs(
     2^-64 collision), and each doc's set size rides along in the index row
     so Jaccard needs no post-hoc size joins — the per-pair aggregate is
     the last shuffle in the plan.
+
+    ``df_cap`` (document-frequency cap) drops shingles present in more
+    than that many documents before the self-join and rescores over the
+    retained shingle space — see :func:`_drop_hot_shingles` for the
+    boilerplate-scrubbed semantics and why this bounds the k² blow-up.
+    ``None`` (the default, used by the oracled q53) keeps exact
+    semantics; corpus-scale callers should set it
+    (``boilerplate_ngram_stats`` measures how much a corpus needs it).
     """
     sh = (
         fan_out(df)
@@ -150,6 +185,8 @@ def ngram_jaccard_pairs(
     inv = sh.select(
         "id", "sh_size", F.explode("sh").alias("__s")
     ).select("id", "sh_size", F.xxhash64("__s").alias("shingle"))
+    if df_cap is not None:
+        inv = _drop_hot_shingles(inv, df_cap)
     pairs = (
         inv.alias("a")
         .hint("shuffle_hash")
@@ -183,6 +220,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.9,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """DIRECTED near-containment pairs: ``(id_a, id_b, containment)`` with
     containment = |A ∩ B| / |A| ≥ threshold, A ≠ B.
@@ -204,6 +242,8 @@ def containment_pairs(
     inv = sh.select(
         "id", "sh_size", F.explode("sh").alias("__s")
     ).select("id", "sh_size", F.xxhash64("__s").alias("shingle"))
+    if df_cap is not None:
+        inv = _drop_hot_shingles(inv, df_cap)
     pairs = (
         inv.alias("a")
         .hint("shuffle_hash")
@@ -364,6 +404,8 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingles: DataFrame | None = None,
     portable: bool = False,
+    bucket_cap: int | None = None,
+    bucket_salts: int = 16,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -377,6 +419,19 @@ def minhash_lsh_candidates(
     band bucket as the raw comma-joined signature string (decimal
     rendering is engine-independent; xxhash64 of it is not) — the whole
     candidate set is then bit-reproducible in any md5-capable engine.
+
+    ``bucket_cap``: skew guard for the bucket self-join.  A bucket of k
+    documents emits k² join rows in ONE task; a boilerplate-driven mega
+    bucket (every doc sharing a viral template collides in some band) can
+    stall the stage.  When set, rows in buckets larger than ``bucket_cap``
+    are salted: the left side gets ``pmod(xxhash64(id), bucket_salts)``
+    and the right side is replicated across all ``bucket_salts`` salt
+    values, so the join key becomes (band, bucket, salt).  The candidate
+    PAIR SET IS IDENTICAL — each (a, b) still meets exactly once, at salt
+    = salt(a) — but the mega bucket's k² work is spread over
+    ``bucket_salts`` tasks (the right-side replication is k·salts extra
+    rows, negligible next to k²).  Small buckets keep salt 0 on both
+    sides and pay nothing.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes,
@@ -402,9 +457,33 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if bucket_cap is None:
+        return (
+            banded.alias("x")
+            .join(banded.alias("y"), on=["band", "bucket"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("__bsize")
+    )
+    hot = F.col("__bsize") > bucket_cap
+    sized = banded.join(sizes, ["band", "bucket"])
+    left = sized.withColumn(
+        "salt",
+        F.when(hot, F.pmod(F.xxhash64(F.col("id")), F.lit(bucket_salts)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    all_salts = F.array(*[F.lit(i) for i in range(bucket_salts)])
+    right = sized.withColumn(
+        "salt",
+        F.explode(F.when(hot, all_salts).otherwise(F.array(F.lit(0)))),
+    )
     return (
-        banded.alias("x")
-        .join(banded.alias("y"), on=["band", "bucket"])
+        left.alias("x")
+        .join(right.alias("y"), on=["band", "bucket", "salt"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
@@ -420,6 +499,8 @@ def minhash_lsh_dedup(
     bands: int = 8,
     threshold: float = 0.8,
     portable: bool = False,
+    bucket_cap: int | None = None,
+    bucket_salts: int = 16,
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verify → pairs ≥ threshold.
     Output schema matches `ngram_jaccard_pairs` (its sparse superset's
@@ -431,7 +512,7 @@ def minhash_lsh_dedup(
     sh = shingle_table(df, text_col, id_col, n).persist()
     cands = minhash_lsh_candidates(
         df, text_col, id_col, n, num_hashes, bands, shingles=sh,
-        portable=portable,
+        portable=portable, bucket_cap=bucket_cap, bucket_salts=bucket_salts,
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -169,3 +169,71 @@ def test_text_ops_deterministic_and_sane(spark):
     # min-gram fingerprint usually survives an append (not guaranteed;
     # pinned here as a regression canary on these exact strings)
     assert rfp2 == rows[1]["rfp"]
+
+
+# ---------------------------------------------------------------------------
+# skew guards: shingle document-frequency cap + LSH hot-bucket salting
+# ---------------------------------------------------------------------------
+
+
+def _with_viral_template(spark, docs, every=5, shift=10**6):
+    """Planted near-dups PLUS a viral boilerplate suffix appended to EVERY
+    doc — its shingles reach df == n_docs and, unguarded, contribute n²
+    join rows."""
+    boiler = " share this article subscribe to the newsletter follow us"
+    base = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(boiler)).alias("text")
+    )
+    extra = base.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + shift).alias("doc_id"), "text"
+    )
+    return base.unionByName(extra)
+
+
+def test_df_cap_bounds_hot_shingle_pairs_and_keeps_near_dups(spark, docs):
+    d = _with_viral_template(spark, docs).persist()
+    n_docs = d.count()
+    planted_pairs = {
+        (r["doc_id"], r["doc_id"] + 10**6)
+        for r in docs.filter(F.col("doc_id") % 5 == 0).collect()
+    }
+    # the boilerplate shingles alone link every doc pair: without a cap the
+    # candidate pair space is ~n² (we don't materialize it — just assert
+    # the capped path prunes the hot shingles out of the index)
+    sh = (
+        d.select("doc_id", DD.word_shingles("text", 3).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+    )
+    assert sh.filter(F.col("df") == n_docs).count() > 0  # viral shingles exist
+    capped = DD.ngram_jaccard_pairs(d, threshold=0.5, df_cap=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    # exact clones score jaccard 1.0 in the boilerplate-scrubbed space
+    # however much boilerplate they carry → all planted dups found
+    assert planted_pairs <= got
+    for r in capped:
+        if (r["id_a"], r["id_b"]) in planted_pairs:
+            assert r["jaccard"] == 1.0
+    # docs that share ONLY the viral template never pair: the guard bit —
+    # pair volume is far below the ~n² the unguarded hot shingle induces
+    assert len(got) < n_docs * (n_docs - 1) / 8
+    d.unpersist()
+
+
+def test_lsh_bucket_salting_same_pairs_bounded_fanout(spark, docs):
+    # identical texts collide in every band -> one mega bucket per band
+    d = planted(docs, every=1)  # every doc cloned: buckets of size >= 2
+    unsalted = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_candidates(d, bands=8).collect()
+    }
+    salted = DD.minhash_lsh_candidates(
+        d, bands=8, bucket_cap=1, bucket_salts=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in salted.collect()}
+    # the candidate PAIR SET is invariant under salting
+    assert got == unsalted and len(got) > 0
+    # the join key now includes salt: hot buckets are split across tasks
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan
