@@ -14,10 +14,12 @@ from .txlog import (
     TransactionLog,
     tx_compact,
     tx_delete_where,
+    tx_export_symlink_manifest,
     tx_insert_if_absent,
     tx_merge_partitioned,
     tx_read,
     tx_read_latest,
+    tx_read_manifest,
     tx_stream_merge_sink,
     tx_upsert,
 )
@@ -38,10 +40,12 @@ __all__ = [
     "TransactionLog",
     "tx_compact",
     "tx_delete_where",
+    "tx_export_symlink_manifest",
     "tx_insert_if_absent",
     "tx_merge_partitioned",
     "tx_read",
     "tx_read_latest",
+    "tx_read_manifest",
     "tx_stream_merge_sink",
     "tx_upsert",
 ]

@@ -665,12 +665,14 @@ def tx_delete_where(
         live = log.live_files(upto=v)
         if not live:
             return 0
-        paths = {
-            os.path.join(table_path, rel): rel for rel in sorted(live)
-        }
-        df = spark.read.parquet(*paths).withColumn(
-            "__file", F.input_file_name()
-        )
+        # staged data files carry unique uuid4 basenames, so basename is a
+        # safe join key between input_file_name() URIs (file:/hdfs:/s3a:,
+        # possibly percent-encoded or symlink-resolved) and log-relative
+        # paths — exact full-path string matching breaks on any of those.
+        rel_by_base = {os.path.basename(rel): rel for rel in sorted(live)}
+        df = spark.read.parquet(
+            *[os.path.join(table_path, rel) for rel in sorted(live)]
+        ).withColumn("__file", F.input_file_name())
         hits = (
             df.filter(F.expr(predicate))
             .groupBy("__file")
@@ -680,13 +682,10 @@ def tx_delete_where(
         if not hits:
             return 0
         n_deleted = int(sum(r["n"] for r in hits))
-        # input_file_name returns a URI (file:///…); map back to relative
         affected = []
         for r in hits:
-            p = r["__file"]
-            if p.startswith("file:"):
-                p = urllib.parse.unquote(urllib.parse.urlparse(p).path)
-            affected.append(paths[p])
+            p = urllib.parse.unquote(urllib.parse.urlparse(r["__file"]).path)
+            affected.append(rel_by_base[os.path.basename(p or r["__file"])])
         keep = (
             spark.read.parquet(
                 *[os.path.join(table_path, rel) for rel in affected]
@@ -704,3 +703,93 @@ def tx_delete_where(
             return n_deleted
         log.discard(adds)
     raise RuntimeError(f"delete gave up after {max_retries} conflicts")
+
+
+def tx_export_symlink_manifest(
+    table_path: str,
+    version: int | None = None,
+    out_dir: str | None = None,
+) -> str:
+    """Export a CONSISTENT snapshot of a txlog table in the Hive/Presto
+    ``SYMLINK_TEXT_INPUT_FORMAT`` manifest shape: text files containing
+    one absolute data-file URI per line, grouped per partition the way
+    Delta's ``GENERATE symlink_format_manifest`` lays them out
+    (``_symlink_format_manifest/<partition>/manifest``).
+
+    This is the open-format escape hatch for the bespoke commit log
+    (the reference's equivalent store is plain NDJSON any tool can read —
+    transform_lambda/main.py:363-366): an external engine that can read
+    parquet file lists (plain Spark, Trino/Presto+Hive, DuckDB
+    ``read_parquet([...])``) gets the exact live-file set of a committed
+    version without understanding the log.  The manifest is derived from
+    an already-committed prefix, so concurrent writers never produce a
+    torn export; each manifest file is written temp-then-rename so
+    readers of a previous export never see partial lists.
+
+    A ``manifest.json`` sidecar records {version, n_files, partitions} so
+    consumers can tell WHICH snapshot they are holding.  Returns the
+    manifest root directory.
+    """
+    log = TransactionLog(table_path)
+    v = log.version() if version is None else version
+    if v < 0:
+        raise ValueError(f"no committed version to export at {table_path}")
+    live = log.live_files(upto=v)
+    root = out_dir or os.path.join(table_path, "_symlink_format_manifest")
+    by_part: dict[str, list[str]] = {}
+    for rel, part in sorted(live.items()):
+        key = f"{PARTITION_COL}={part}" if part is not None else ""
+        by_part.setdefault(key, []).append(
+            "file://" + os.path.abspath(os.path.join(table_path, rel))
+        )
+    for key, uris in by_part.items():
+        d = os.path.join(root, key) if key else root
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".manifest.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write("\n".join(uris) + "\n")
+        os.replace(tmp, os.path.join(d, "manifest"))
+    # prune manifests of partitions that no longer exist in this snapshot
+    # (e.g. a DELETE emptied them) — same as Delta's GENERATE, which
+    # removes obsolete per-partition manifests on re-run
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            d = os.path.join(root, name)
+            if (
+                os.path.isdir(d)
+                and name not in by_part
+                and os.path.exists(os.path.join(d, "manifest"))
+            ):
+                os.remove(os.path.join(d, "manifest"))
+                if not os.listdir(d):
+                    os.rmdir(d)
+        if "" not in by_part and os.path.exists(os.path.join(root, "manifest")):
+            os.remove(os.path.join(root, "manifest"))
+    tmp = os.path.join(root, f".manifest.json.tmp-{uuid.uuid4().hex}")
+    os.makedirs(root, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": v,
+                "n_files": len(live),
+                "partitions": sorted(k for k in by_part if k),
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(root, "manifest.json"))
+    return root
+
+
+def tx_read_manifest(spark: SparkSession, manifest_root: str) -> DataFrame:
+    """Read a snapshot exported by :func:`tx_export_symlink_manifest` with
+    NOTHING but the manifest file lists + ``spark.read.parquet`` — the
+    same contract any symlink-manifest consumer implements.  Exists so
+    tests (and users) can validate an export without this engine's log."""
+    paths: list[str] = []
+    for dirpath, _dirs, files in os.walk(manifest_root):
+        if "manifest" in files:
+            with open(os.path.join(dirpath, "manifest")) as f:
+                paths.extend(line.strip() for line in f if line.strip())
+    if not paths:
+        raise ValueError(f"empty manifest export at {manifest_root}")
+    return spark.read.parquet(*paths)

@@ -409,3 +409,67 @@ def test_tx_delete_where_erasure_completes_on_vacuum(spark, tmp_path):
     v = log.version()
     assert tx_delete_where(spark, table, "user = 'nope'") == 0
     assert log.version() == v
+
+
+def test_tx_export_symlink_manifest_external_read(spark, silver, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_delete_where,
+        tx_export_symlink_manifest,
+        tx_read_manifest,
+    )
+
+    table = str(tmp_path / "tx_lake")
+    tx_merge_partitioned(spark, silver, table)
+    upd = silver.filter(F.col("auction_id") == "bbb222").withColumn(
+        "auction_date", F.to_timestamp(F.lit("2024-03-09 01:00:00"))
+    )
+    tx_merge_partitioned(spark, upd, table)  # multi-version table
+
+    root = tx_export_symlink_manifest(table)
+    # manifest consumers see exactly the live snapshot (plain
+    # spark.read.parquet over the file lists — no commit-log knowledge)
+    ext = tx_read_manifest(spark, root)
+    want = {
+        (r["auction_id"], str(r["auction_date"]))
+        for r in tx_read(spark, table).collect()
+    }
+    got = {(r["auction_id"], str(r["auction_date"])) for r in ext.collect()}
+    assert got == want and len(got) == 4
+
+    # sidecar pins the exported version; partitions are enumerated
+    import json as _json
+    import os as _os
+
+    meta = _json.load(open(_os.path.join(root, "manifest.json")))
+    assert meta["version"] == TransactionLog(table).version()
+    assert meta["n_files"] == len(TransactionLog(table).live_files())
+    assert meta["partitions"] and all("=" in p for p in meta["partitions"])
+
+    # a delete rewrites files; re-export reflects the new snapshot and the
+    # old manifest is atomically replaced, never torn
+    n = tx_delete_where(spark, table, "auction_id = 'bbb222'")
+    assert n == 2  # both the original and re-dated rows
+    tx_export_symlink_manifest(table)
+    ext2 = tx_read_manifest(spark, root)
+    assert ext2.filter(F.col("auction_id") == "bbb222").count() == 0
+    assert ext2.count() == 2
+
+
+def test_tx_export_time_travel_version(spark, silver, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_export_symlink_manifest,
+        tx_read_manifest,
+    )
+
+    table = str(tmp_path / "tx_lake")
+    tx_merge_partitioned(spark, silver, table)  # v0: 3 rows
+    upd = silver.filter(F.col("auction_id") == "bbb222").withColumn(
+        "auction_date", F.to_timestamp(F.lit("2024-03-09 01:00:00"))
+    )
+    tx_merge_partitioned(spark, upd, table)  # v1: 4 rows
+
+    old = tx_export_symlink_manifest(table, version=0,
+                                     out_dir=str(tmp_path / "m_v0"))
+    assert tx_read_manifest(spark, old).count() == 3
+    new = tx_export_symlink_manifest(table, out_dir=str(tmp_path / "m_new"))
+    assert tx_read_manifest(spark, new).count() == 4
