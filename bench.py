@@ -96,6 +96,51 @@ def bench_pipeline(spark) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_pipeline_txlog(spark) -> float:
+    """The same ingest-to-gold ETL as ``bench_pipeline`` but through the
+    ACID commit-log sink (``tx_merge_partitioned`` + ``tx_read_latest``)
+    instead of the single-writer parquet merge — records what the
+    transactional guarantees cost next to the parquet path."""
+    import shutil
+    import tempfile
+
+    from cars_bids_data_pipeline_v0__spark.plans.gold import (
+        GoldStore,
+        build_star_schema,
+        seed_state_dim,
+    )
+    from cars_bids_data_pipeline_v0__spark.plans.silver import transform_records
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import read_raw_auctions
+    from cars_bids_data_pipeline_v0__spark.sources.sinks import write_text_queue
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_merge_partitioned,
+        tx_read_latest,
+    )
+    from tests.fixtures import write_raw_corpus
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_tx_")
+    try:
+        write_raw_corpus(f"{tmp}/raw", n=2000, files=20)
+        t0 = time.time()
+        records = read_raw_auctions(spark, f"{tmp}/raw")
+        silver, rescrape = transform_records(records)
+        tx_merge_partitioned(spark, silver, f"{tmp}/lake")
+        write_text_queue(rescrape, f"{tmp}/rescrape")
+        store = GoldStore(spark, f"{tmp}/gold")
+        seed_state_dim(
+            store,
+            spark.createDataFrame(
+                [(1, "Washington", "WA"), (2, "Florida", "FL")],
+                "id long, state string, state_abbr string",
+            ),
+        )
+        gold = build_star_schema(store, tx_read_latest(spark, f"{tmp}/lake"))
+        gold["auction_fact"].write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     from cars_bids_data_pipeline_v0__spark.plans import queries as Q
     from cars_bids_data_pipeline_v0__spark.session import get_session
@@ -109,6 +154,7 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     samples["pipeline_e2e_2k_auctions"] = []
+    samples["pipeline_e2e_txlog"] = []
     # interleave whole passes (not per-query repeats) so a transient system
     # load spike degrades one PASS, which the median then discards
     for _ in range(RUNS):
@@ -117,7 +163,11 @@ def main() -> None:
             t0 = time.time()
             force(spec.builder(spark, SF_DIR))
             samples[name].append(time.time() - t0)
+            # builders persist() subframes for their own reuse; drop the
+            # blocks so one entry's cache doesn't distort the next
+            spark.catalog.clearCache()
         samples["pipeline_e2e_2k_auctions"].append(bench_pipeline(spark))
+        samples["pipeline_e2e_txlog"].append(bench_pipeline_txlog(spark))
     timings = {
         name: round(statistics.median(vals), 3)
         for name, vals in samples.items()

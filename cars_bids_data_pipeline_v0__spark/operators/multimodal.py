@@ -334,10 +334,13 @@ def audio_frame_energy(df: DataFrame, audio_col: str = "audio",
                 if n_frames == 0:
                     continue
                 fr = x[: n_frames * frame_len].reshape(n_frames, frame_len)
-                rms = np.sqrt((fr * fr).mean(axis=1))
+                rms = np.round(np.sqrt((fr * fr).mean(axis=1)), 6)
                 out_id.extend([doc_id] * n_frames)
                 out_fi.extend(range(n_frames))
-                out_rms.extend(np.round(rms, 6).tolist())
+                out_rms.extend(rms.tolist())
+                # flag derived from the SAME rounded value that is emitted,
+                # so consumers recomputing it from the rms column agree on
+                # boundary frames
                 out_sil.extend((rms < silence_rms).tolist())
             yield pd.DataFrame(
                 {

@@ -1106,10 +1106,11 @@ def q155(spark, sf_dir):
     counted = stepped.groupBy("path").agg(
         F.count("*").cast("long").alias("n")
     )
-    rk = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    # top-k via orderBy+limit → TakeOrderedAndProject, never a global
+    # rank window over the (unbounded) distinct-path table
     return (
-        counted.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") <= 10)
+        counted.orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
         .select("path", "n")
     )
 
@@ -1194,12 +1195,14 @@ def q157(spark, sf_dir):
             F.count("*").cast("long").alias("n_sales"),
         )
     )
-    rk = Window.orderBy(
-        F.col("decayed_score").desc(), F.col("l_partkey").asc()
-    )
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # top-20, tiny combine) instead of a row_number window that would
+    # single-partition the whole |parts|-sized score table
     return (
-        scored.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") <= 20)
+        scored.orderBy(
+            F.col("decayed_score").desc(), F.col("l_partkey").asc()
+        )
+        .limit(20)
         .select("l_partkey", "decayed_score", "n_sales")
     )
 
@@ -1478,12 +1481,14 @@ def q161(spark, sf_dir):
             ).alias("pmi"),
         )
     )
-    rk = Window.orderBy(
-        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
-    )
+    # top-k via orderBy+limit → TakeOrderedAndProject — the word-pair
+    # space is the one table here that can be huge, so it must never
+    # funnel through a single-partition rank window
     return (
-        scored.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") <= 20)
+        scored.orderBy(
+            F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(20)
         .select("w1", "w2", "c12", "pmi")
     )
 

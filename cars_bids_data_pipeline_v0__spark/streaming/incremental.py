@@ -694,7 +694,19 @@ def stateful_zscore_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import decimal
         import math
+
+        def round_half_up(x: float, scale: int = 4) -> float:
+            # match F.round (HALF_UP over the shortest decimal rendering)
+            # exactly — Python's round() is half-even and would break the
+            # claimed bit-parity with the batch twin q144 on .00005 ties
+            return float(
+                decimal.Decimal(repr(x)).quantize(
+                    decimal.Decimal(1).scaleb(-scale),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
 
         vals: list[float] = list(state.get[0]) if state.exists else []
         out_ids, out_z = [], []
@@ -709,7 +721,7 @@ def stateful_zscore_stream(
                         z = (row.value - mu) / sigma
                         if abs(z) > threshold:
                             out_ids.append(row.event_id)
-                            out_z.append(round(z, 4))
+                            out_z.append(round_half_up(z))
                 vals.append(float(row.value))
                 if len(vals) > frame:
                     vals.pop(0)

@@ -95,3 +95,49 @@ def test_surrogate_keys_never_use_a_global_window(spark):
 def test_chunking_is_a_narrow_map(spark, registry):
     plan = plan_of(registry["q97_chunk_documents"].builder(spark, SF))
     assert "Exchange" not in plan  # generator fan-out, zero shuffles
+
+
+def _global_window_specs(plan: str) -> list[str]:
+    """windowspecdefinition argument lists with NO partition columns.
+
+    In formatted plans a spec reads ``windowspecdefinition(part1, part2,
+    ord1 ASC ..., specifiedwindowframe(...))`` — partition columns come
+    first and carry no sort direction.  A spec whose every pre-frame
+    argument has ASC/DESC (or that starts directly with the frame) is a
+    GLOBAL window: Catalyst plans it as Exchange SinglePartition over its
+    whole input."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        args = m.group(1)
+        head = args.split("specifiedwindowframe")[0].strip().rstrip(",")
+        if not head:
+            out.append(args)  # frame-only spec (e.g. global count(*))
+            continue
+        parts = [a.strip() for a in head.split(",") if a.strip()]
+        if all(" ASC" in a or " DESC" in a for a in parts):
+            out.append(args)
+    return out
+
+
+# Global rank/ntile windows funnel their ENTIRE input through one task —
+# the one plan shape that cannot survive a 100× scale-up.  Only two
+# registered queries may carry one, each with a documented distributed
+# twin / escape hatch; anything else (e.g. a reintroduced global-window
+# top-k like q157/q161's old form) must fail here.
+_DOCUMENTED_GLOBAL_WINDOWS = {
+    "q38_acctbal_deciles",      # NTILE parity form; scale twin = q111 cutpoints
+    "q159_gini_revenue",        # rank form over per-customer aggregate;
+                                # distributed rank assigner documented
+}
+
+
+def test_no_undocumented_global_windows_anywhere(spark, registry):
+    offenders = []
+    for name, spec in sorted(registry.items()):
+        plan = plan_of(spec.builder(spark, SF))
+        if _global_window_specs(plan) and name not in _DOCUMENTED_GLOBAL_WINDOWS:
+            offenders.append(name)
+        spark.catalog.clearCache()
+    assert offenders == [], f"global (single-partition) windows in: {offenders}"

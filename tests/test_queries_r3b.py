@@ -166,10 +166,11 @@ def test_q145_oof_mean_excludes_own_fold(spark, tmp_path):
 
 def test_q146_disagreement_plan_is_broadcast_no_shuffle_blowup(spark):
     plan = plan_of(_q(spark, "q146_knn_label_disagreement"))
-    # the query side is broadcast onto hash cells — the quadratic scorer
-    # must neither sort-merge 250k scored rows nor collapse into a
-    # single-task broadcast-NLJ stage (the round-3 smell)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the query side is broadcast onto hash cells (equi-join) — the
+    # quadratic scorer must neither sort-merge 250k scored rows nor
+    # collapse into the round-3 single-task broadcast-NLJ stage
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "SinglePartition" not in plan

@@ -170,6 +170,10 @@ def main():
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         spark_s = time.time() - t0
+        # builders persist() reused subframes for their own build; drop the
+        # blocks between queries so a full 162-query sweep doesn't
+        # accumulate cache/disk pressure across the session
+        spark.catalog.clearCache()
         if name not in oracles:
             skipped.append(name)
             print(f"~ {name:42s} rows-only ({len(srows)} rows, {spark_s:.1f}s)")
