@@ -194,19 +194,40 @@ def q33(spark, sf_dir):
     GROUP BY decile
     """,
     doc=(
-        "global decile assignment + per-decile stats.  NTILE over a global "
-        "order is inherently single-partition; at cluster scale replace with "
-        "approx_percentile(c_acctbal, array(0.1..0.9)) cut-points and a "
-        "broadcast range join (same output, fully parallel)"
+        "global decile assignment + per-decile stats.  A literal NTILE "
+        "window is inherently single-partition, so the builder instead "
+        "computes exact global row numbers with the range-partitioned "
+        "two-phase assigner (operators/keys.py, the M4 machinery) and "
+        "applies NTILE's bucket formula — first n%%k buckets get "
+        "floor(n/k)+1 rows — as a plain expression against the broadcast "
+        "row count.  Bit-identical to NTILE over (acctbal, custkey) "
+        "because that order is total; every stage parallel"
     ),
 )
 def q38(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        c.select(
-            "c_acctbal", F.ntile(10).over(w).alias("decile")
+    from ..operators.keys import with_surrogate_key
+
+    c = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked = with_surrogate_key(
+        c, ["c_acctbal", "c_custkey"], id_col="__i"
+    )
+    tot = c.agg(F.count("*").cast("long").alias("__n"))
+    base = F.floor(F.col("__n") / 10).cast("long")
+    rem = (F.col("__n") % 10).cast("long")
+    boundary = rem * (base + 1)
+    i = F.col("__i")
+    decile = (
+        F.when(i <= boundary, F.floor((i - 1) / (base + 1)) + 1)
+        # greatest(base, 1): when n < k the otherwise branch is dead
+        # (boundary == n) but ANSI mode would still reject the /0
+        .otherwise(
+            rem + F.floor((i - boundary - 1) / F.greatest(base, F.lit(1))) + 1
         )
+        .cast("int")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("c_acctbal", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

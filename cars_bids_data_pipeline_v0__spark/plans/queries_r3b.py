@@ -1295,19 +1295,25 @@ def q158(spark, sf_dir):
     ),
 )
 def q159(spark, sf_dir):
+    from ..operators.keys import with_surrogate_key
+
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("rev")
     )
-    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
-    wall = Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = per_cust.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("rev").over(wall).alias("tot"),
+    # rank i via the range-partitioned two-phase assigner (keys.py) —
+    # identical to row_number() OVER (ORDER BY rev, o_custkey) because
+    # the order is total, but no single-partition sort; n and Σx arrive
+    # as a broadcast one-row aggregate instead of whole-frame windows
+    ranked = with_surrogate_key(
+        per_cust, ["rev", "o_custkey"], id_col="i"
+    ).crossJoin(
+        F.broadcast(
+            per_cust.agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("rev").alias("tot"),
+            )
+        )
     )
     return ranked.agg(
         F.any_value("n").cast("long").alias("n_customers"),

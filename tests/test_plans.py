@@ -122,15 +122,12 @@ def _global_window_specs(plan: str) -> list[str]:
 
 
 # Global rank/ntile windows funnel their ENTIRE input through one task —
-# the one plan shape that cannot survive a 100× scale-up.  Only two
-# registered queries may carry one, each with a documented distributed
-# twin / escape hatch; anything else (e.g. a reintroduced global-window
-# top-k like q157/q161's old form) must fail here.
-_DOCUMENTED_GLOBAL_WINDOWS = {
-    "q38_acctbal_deciles",      # NTILE parity form; scale twin = q111 cutpoints
-    "q159_gini_revenue",        # rank form over per-customer aggregate;
-                                # distributed rank assigner documented
-}
+# the one plan shape that cannot survive a 100× scale-up.  As of round 4
+# NO registered query carries one (q38 and q159 were rewritten onto the
+# range-partitioned two-phase rank assigner; q155/q157/q161's top-k
+# windows became orderBy+limit); additions here need a documented
+# distributed twin or escape hatch.
+_DOCUMENTED_GLOBAL_WINDOWS: set[str] = set()
 
 
 def test_no_undocumented_global_windows_anywhere(spark, registry):
