@@ -271,3 +271,27 @@ def bm25_scores(
     return scored.groupBy(id_col).agg(
         F.round(F.sum("__contrib"), 6).alias("bm25")
     )
+
+
+# ---------------------------------------------------------------------------
+# blocklist screening (toxicity/NSFW-style word-list filter)
+# ---------------------------------------------------------------------------
+
+
+def blocklist_stats(
+    c: Column | str, blocklist: list[str]
+) -> tuple[Column, Column]:
+    """``(n_blocked_tokens, blocked_fraction)`` of the lower-cased
+    whitespace tokens that appear in ``blocklist``.
+
+    The word-list screen is the standard first-pass toxicity/NSFW gate of
+    web-corpus pipelines (C4 dropped pages on the 'bad words' list the
+    same way): cheap, deterministic, explainable — ML classifiers come
+    later in the funnel and cost 1000× more per doc.  Pure Column
+    expressions: the list rides as an array literal, membership is a
+    codegen'd array_contains, nothing leaves the JVM."""
+    toks = F.transform(tokenize(c), lambda t: F.lower(t))
+    arr = F.array(*[F.lit(w) for w in blocklist])
+    n_blocked = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    frac = F.round(n_blocked / F.greatest(F.size(toks), F.lit(1)), 6)
+    return n_blocked.cast("long"), frac

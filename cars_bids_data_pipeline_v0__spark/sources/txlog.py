@@ -502,6 +502,7 @@ def tx_stream_merge_sink(
     order_by: str = "auction_date",
     partition_src: str = "auction_date",
     stream_id: str = "default",
+    export_manifest: bool = False,
 ):
     """Exactly-once streaming merge sink: a ``foreachBatch`` function whose
     every micro-batch is one fenced transactional merge.
@@ -520,6 +521,13 @@ def tx_stream_merge_sink(
          .foreachBatch(tx_stream_merge_sink(path, stream_id="ingest"))
          .option("checkpointLocation", ck).trigger(availableNow=True)
          .start())
+
+    ``export_manifest=True`` refreshes the table's symlink manifest
+    (:func:`tx_export_symlink_manifest`) after every committed batch, so
+    engines that only speak parquet file lists continuously track the
+    stream's latest consistent snapshot.  The export derives from the
+    committed log (never the in-flight batch), so a crash between commit
+    and export just leaves the previous — still consistent — manifest.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -532,6 +540,8 @@ def tx_stream_merge_sink(
             partition_src=partition_src,
             txn={"app": stream_id, "batch": int(batch_id)},
         )
+        if export_manifest:
+            tx_export_symlink_manifest(table_path)
 
     return process
 

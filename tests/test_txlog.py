@@ -473,3 +473,38 @@ def test_tx_export_time_travel_version(spark, silver, tmp_path):
     assert tx_read_manifest(spark, old).count() == 3
     new = tx_export_symlink_manifest(table, out_dir=str(tmp_path / "m_new"))
     assert tx_read_manifest(spark, new).count() == 4
+
+
+def test_tx_stream_sink_keeps_manifest_current(spark, tmp_path):
+    """export_manifest=True: after every committed batch, a parquet-only
+    consumer of the symlink manifest sees exactly the stream's latest
+    snapshot; a fenced replay leaves the manifest untouched."""
+    import json as _json
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_read_manifest,
+        tx_stream_merge_sink,
+    )
+
+    table = str(tmp_path / "stream_sink")
+    sink = tx_stream_merge_sink(table, stream_id="ingest",
+                                export_manifest=True)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "auction_id string, auction_date string, payload long"
+        ).withColumn("auction_date", F.to_timestamp("auction_date"))
+
+    root = _os.path.join(table, "_symlink_format_manifest")
+    sink(mk([("a", "2024-05-01T10:00:00Z", 1)]), 0)
+    assert tx_read_manifest(spark, root).count() == 1
+    sink(mk([("b", "2024-05-02T10:00:00Z", 2)]), 1)
+    assert tx_read_manifest(spark, root).count() == 2
+    v_after = _json.load(open(_os.path.join(root, "manifest.json")))["version"]
+    assert v_after == TransactionLog(table).version()
+
+    sink(mk([("b", "2024-05-02T10:00:00Z", 2)]), 1)  # fenced replay
+    meta = _json.load(open(_os.path.join(root, "manifest.json")))
+    assert meta["version"] == v_after
+    assert tx_read_manifest(spark, root).count() == 2
