@@ -7,6 +7,7 @@ deterministic token semantics shared with q29/q50.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.text import blocklist_stats
@@ -71,4 +72,222 @@ def q163(spark, sf_dir):
         .alias("n_quarantined"),
         F.sum("n_blocked").cast("long").alias("total_blocked"),
         F.round(F.avg("blocked_frac"), 6).alias("avg_blocked_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 — KMV sketch ALGEBRA: union/intersection/Jaccard estimates between
+# sources, verified against exact set sizes (extends q128's single-set KMV)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_HEX = 13  # 52 bits: exactly representable in a double in both engines
+_KMV_SRCS = ("src0", "src1", "src2", "src3")
+
+
+@register(
+    "q164_kmv_source_overlap",
+    f"""
+    WITH w AS (
+        SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+        FROM documents
+        WHERE length(trim(text)) > 0
+          AND source IN ('src0','src1','src2','src3')
+    ), b AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(generate_series(1, len(words) - 1),
+                                     i -> words[i] || ' ' || words[i + 1]))
+                   AS bg
+        FROM w WHERE len(words) >= 2
+    ), hv AS (
+        SELECT source, bg,
+               ('0x' || substr(md5(bg), 1, {_KMV_HEX}))::BIGINT AS h
+        FROM b
+    ), prs AS (
+        SELECT x.source AS src_a, y.source AS src_b
+        FROM (SELECT DISTINCT source FROM hv) x
+        JOIN (SELECT DISTINCT source FROM hv) y ON x.source < y.source
+    ), exact_inter AS (
+        SELECT t1.source AS src_a, t2.source AS src_b,
+               CAST(count(*) AS BIGINT) AS exact_inter
+        FROM b t1 JOIN b t2 ON t1.bg = t2.bg AND t1.source < t2.source
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+    ), merged AS (
+        SELECT p.src_a, p.src_b, h.h, h.bg,
+               row_number() OVER (
+                   PARTITION BY p.src_a, p.src_b ORDER BY h.h, h.bg) AS rn
+        FROM prs p
+        JOIN (SELECT DISTINCT src_a, src_b, h, bg FROM (
+                 SELECT p2.src_a, p2.src_b, h.h, h.bg
+                 FROM prs p2 JOIN hv h
+                   ON h.source IN (p2.src_a, p2.src_b)) ) h
+          ON h.src_a = p.src_a AND h.src_b = p.src_b
+    ), topk AS (
+        SELECT * FROM merged WHERE rn <= {_KMV_K}
+    ), scored AS (
+        SELECT t.src_a, t.src_b,
+               CAST(count(*) AS BIGINT) AS k_seen,
+               max(t.h) AS kth,
+               CAST(sum(CASE WHEN EXISTS (
+                        SELECT 1 FROM b ba
+                        WHERE ba.source = t.src_a AND ba.bg = t.bg)
+                        AND EXISTS (
+                        SELECT 1 FROM b bb
+                        WHERE bb.source = t.src_b AND bb.bg = t.bg)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        FROM topk t GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b,
+           sa.n + sb.n - ei.exact_inter AS exact_union,
+           ei.exact_inter,
+           CASE WHEN s.k_seen < {_KMV_K} THEN CAST(s.k_seen AS DOUBLE)
+                ELSE round(({_KMV_K} - 1) * power(16.0, {_KMV_HEX})
+                           / s.kth, 2) END AS est_union,
+           round(s.n_both / CAST(s.k_seen AS DOUBLE), 6) AS jaccard_est
+    FROM scored s
+    JOIN exact_inter ei ON ei.src_a = s.src_a AND ei.src_b = s.src_b
+    JOIN sizes sa ON sa.source = s.src_a
+    JOIN sizes sb ON sb.source = s.src_b
+    """,
+    doc=(
+        "KMV sketch ALGEBRA between source vocabularies (the segment- "
+        "overlap question every dataset-mixing decision asks): per-source "
+        "k-minimum-values sketches of the distinct bigram space merge by "
+        "keeping the k smallest of the union (est_union = (k-1)/kth), and "
+        "the fraction of merged-sketch members present in BOTH sides "
+        "estimates Jaccard — est_intersection = jaccard_est × est_union "
+        "follows by algebra, so it is not a separate column.  md5-52-bit "
+        "hashes make every sketch value engine-neutral: the oracle "
+        "verifies kth hashes and membership counts exactly, alongside "
+        "the exact union/intersection ground truth.  At 100 TB only "
+        "k×|sources| scalars ever merge — the same reason q128's "
+        "per-segment sketches beat recount-on-every-rollup"
+    ),
+)
+def q164(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .filter(F.col("source").isin(*_KMV_SRCS))
+        .select(
+            "source",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("words"),
+        )
+        .filter(F.size("words") >= 2)
+    )
+    b = (
+        d.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.get("words", i - 1), F.get("words", i)
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+        .persist()
+    )
+    hv = b.withColumn(
+        "h",
+        F.conv(F.substring(F.md5("bg"), 1, _KMV_HEX), 16, 10).cast("long"),
+    )
+    srcs = b.select("source").distinct()
+    prs = (
+        srcs.alias("x")
+        .join(srcs.alias("y"), F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+    )
+    merged = (
+        F.broadcast(prs)
+        .join(
+            hv,
+            (F.col("source") == F.col("src_a"))
+            | (F.col("source") == F.col("src_b")),
+        )
+        .select("src_a", "src_b", "h", "bg")
+        .distinct()
+    )
+    wk = Window.partitionBy("src_a", "src_b").orderBy("h", "bg")
+    topk = merged.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    in_a = b.select(F.col("source").alias("src_a"), F.col("bg").alias("bg"))
+    in_b = b.select(F.col("source").alias("src_b"), F.col("bg").alias("bg"))
+    flagged = (
+        topk.join(
+            F.broadcast(in_a.withColumn("__a", F.lit(1))),
+            ["src_a", "bg"],
+            "left",
+        )
+        .join(
+            F.broadcast(in_b.withColumn("__b", F.lit(1))),
+            ["src_b", "bg"],
+            "left",
+        )
+    )
+    scored = flagged.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("k_seen"),
+        F.max("h").alias("kth"),
+        F.sum(
+            F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+    exact_inter = (
+        b.alias("t1")
+        .join(
+            b.alias("t2"),
+            (F.col("t1.bg") == F.col("t2.bg"))
+            & (F.col("t1.source") < F.col("t2.source")),
+        )
+        .groupBy(
+            F.col("t1.source").alias("src_a"),
+            F.col("t2.source").alias("src_b"),
+        )
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    sizes = b.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    return (
+        scored.join(exact_inter, ["src_a", "src_b"])
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            (F.col("na") + F.col("nb") - F.col("exact_inter")).alias(
+                "exact_union"
+            ),
+            "exact_inter",
+            F.when(
+                F.col("k_seen") < _KMV_K, F.col("k_seen").cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.lit(float(_KMV_K - 1)) * F.pow(F.lit(16.0), _KMV_HEX)
+                    / F.col("kth"),
+                    2,
+                )
+            )
+            .alias("est_union"),
+            F.round(
+                F.col("n_both") / F.col("k_seen").cast("double"), 6
+            ).alias("jaccard_est"),
+        )
     )

@@ -161,3 +161,23 @@ def test_cms_sketch_merge_law(spark):
         for cell, c in part.items():
             summed[cell] = summed.get(cell, 0) + c
     assert summed == full
+
+
+def test_kmv_overlap_estimates_close_to_exact(spark):
+    """q164's sketch algebra: union and Jaccard estimates must track the
+    exact set sizes it also emits (k=64 → ~12% standard error; assert a
+    generous 3-sigma band so the test pins correctness, not luck)."""
+    from cars_bids_data_pipeline_v0__spark.plans.queries import (
+        REGISTRY,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    rows = REGISTRY["q164_kmv_source_overlap"].builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 6  # C(4,2) source pairs
+    for r in rows:
+        assert abs(r["est_union"] / r["exact_union"] - 1.0) < 0.4, r
+        exact_jac = r["exact_inter"] / r["exact_union"]
+        assert abs(r["jaccard_est"] - exact_jac) < 0.3, r
