@@ -214,6 +214,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_incoming(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Survivors of an INCOMING batch deduplicated against an EXISTING
+    corpus: drops exact duplicates (md5 fingerprint of normalized text)
+    and near-duplicates (shingle Jaccard ≥ ``threshold`` against ANY
+    corpus document).  Returns the surviving ``new_df`` rows unchanged.
+
+    This is the steady-state ingestion op: once a training corpus exists,
+    every new crawl must be deduped AGAINST it — re-running all-pairs
+    dedup over old ∪ new re-pays the old×old work forever.  Here corpus
+    rows only ever join against incoming rows (the inverted-index join
+    keys on the shingle, and the corpus side never self-joins), so cost
+    is O(|new| · overlap), independent of |corpus|².  The streaming twin
+    (`streaming/incremental.py` corpus-dedup stream) maintains the
+    fingerprint store incrementally; this is the batch form with the
+    near-dup stage added.
+
+    ``df_cap`` (optional) measures shingle document frequency on the
+    CORPUS side and drops hot (boilerplate) shingles from both sides
+    before the join, with per-doc sizes recomputed over the retained
+    space — same semantics as :func:`ngram_jaccard_pairs`'s cap.
+    """
+    from .text import fingerprint_md5
+
+    # stage 1: exact fingerprint anti-join (8/16-byte shuffle keys)
+    corpus_fp = corpus_df.select(
+        fingerprint_md5(text_col).alias("__fp")
+    ).distinct()
+    stage1 = (
+        new_df.withColumn("__fp", fingerprint_md5(text_col))
+        .join(corpus_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+    # stage 2: near-dup anti-join via a new-index × corpus-index join
+    def index_of(df: DataFrame) -> DataFrame:
+        sh = fan_out(df).select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, n).alias("sh"),
+        ).withColumn("sh_size", F.size("sh"))
+        return sh.select(
+            "id", "sh_size", F.explode("sh").alias("__s")
+        ).select("id", "sh_size", F.xxhash64("__s").alias("shingle"))
+
+    inv_new = index_of(stage1)
+    inv_old = index_of(corpus_df)
+    if df_cap is not None:
+        hot = (
+            inv_old.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > df_cap)
+            .select("shingle")
+        )
+        for side in ("new", "old"):
+            inv = (inv_new if side == "new" else inv_old).join(
+                F.broadcast(hot), "shingle", "left_anti"
+            )
+            inv = inv.withColumn(
+                "sh_size",
+                F.count("*").over(Window.partitionBy("id")).cast("int"),
+            )
+            if side == "new":
+                inv_new = inv
+            else:
+                inv_old = inv
+    dup_ids = (
+        inv_new.alias("a")
+        .hint("shuffle_hash")
+        .join(inv_old.alias("b"), on="shingle")
+        .groupBy(
+            F.col("a.id").alias("__nid"),
+            F.col("b.id").alias("__oid"),
+            F.col("a.sh_size").alias("__sa"),
+            F.col("b.sh_size").alias("__sb"),
+        )
+        .agg(F.count("*").alias("__inter"))
+        .filter(
+            F.col("__inter")
+            / (F.col("__sa") + F.col("__sb") - F.col("__inter"))
+            >= threshold
+        )
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    return stage1.join(dup_ids, on=id_col, how="left_anti")
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

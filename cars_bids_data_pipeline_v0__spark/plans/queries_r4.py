@@ -291,3 +291,82 @@ def q164(spark, sf_dir):
             ).alias("jaccard_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — incremental cross-corpus dedup (batch form of the steady-state
+# ingestion problem: dedupe the new crawl AGAINST the corpus, never
+# corpus × corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q165_dedup_incoming_batch",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+    ), incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ), nfp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM incoming
+    ), cfp AS (
+        SELECT DISTINCT
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM corpus
+    ), stage1 AS (
+        SELECT i.doc_id, i.text FROM incoming i
+        JOIN nfp ON nfp.doc_id = i.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM cfp WHERE cfp.fp = nfp.fp)
+    ), shn AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                  '\\s+') AS t FROM stage1)
+    ), sho AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                  '\\s+') AS t FROM corpus)
+    ), invn AS (SELECT id, len(s) AS sz, unnest(s) AS shingle FROM shn),
+       invo AS (SELECT id, len(s) AS sz, unnest(s) AS shingle FROM sho),
+    dup AS (
+        SELECT DISTINCT a.id
+        FROM (
+            SELECT a.id, a.sz AS sa, b.sz AS sb, count(*) AS inter
+            FROM invn a JOIN invo b USING (shingle)
+            GROUP BY 1, 2, 3
+        ) a
+        WHERE inter / CAST(sa + sb - inter AS DOUBLE) >= 0.8
+    )
+    SELECT s.doc_id, length(s.text) AS n_chars
+    FROM stage1 s
+    WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.id = s.doc_id)
+    """,
+    doc=(
+        "steady-state ingestion dedup: the incoming slice (doc_id % 4 = "
+        "0) is deduped AGAINST the existing corpus — exact fingerprint "
+        "anti-join, then a near-dup anti-join whose inverted-index join "
+        "only ever pairs incoming × corpus (cost O(|new|·overlap), "
+        "independent of |corpus|²; all-pairs re-dedup would re-pay the "
+        "old×old work on every crawl).  The streaming twin maintains the "
+        "fingerprint store incrementally"
+    ),
+)
+def q165(spark, sf_dir):
+    from ..operators.dedup_docs import dedup_incoming
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    incoming = d.filter(F.col("doc_id") % 4 == 0)
+    out = dedup_incoming(incoming, corpus, threshold=0.8)
+    return out.select(
+        "doc_id", F.length("text").cast("int").alias("n_chars")
+    )

@@ -237,3 +237,37 @@ def test_lsh_bucket_salting_same_pairs_bounded_fanout(spark, docs):
     # the join key now includes salt: hot buckets are split across tasks
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "salt" in plan
+
+
+def test_dedup_incoming_drops_only_cross_corpus_dups(spark, docs):
+    d = docs.select("doc_id", "text")
+    corpus = d.limit(0).unionByName(
+        d.filter(F.col("doc_id") < 80)
+    )
+    # incoming: one exact clone of a corpus doc, one near-clone (prefix
+    # noise), one genuinely new doc; corpus also contains its own internal
+    # dup pair (docs 5 and its planted twin would be in-corpus at other
+    # ids) which must NOT affect incoming survivors
+    clone = corpus.filter(F.col("doc_id") == 10).select(
+        F.lit(9001).alias("doc_id"), "text"
+    )
+    near = corpus.filter(F.col("doc_id") == 20).select(
+        F.lit(9002).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny suffix")).alias("text"),
+    )
+    fresh = spark.createDataFrame(
+        [(9003, "completely unrelated brand new content "
+                "zebra quantum harpsichord velvet "
+                "meridian pancake obsidian tundra")],
+        "doc_id long, text string",
+    )
+    incoming = clone.unionByName(near).unionByName(fresh)
+    got = {
+        r["doc_id"]
+        for r in DD.dedup_incoming(
+            incoming, corpus, threshold=0.8
+        ).collect()
+    }
+    assert 9001 not in got        # exact clone dropped by fingerprint
+    assert 9002 not in got        # near-clone dropped by jaccard stage
+    assert 9003 in got            # fresh content survives
