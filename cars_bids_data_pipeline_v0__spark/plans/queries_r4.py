@@ -370,3 +370,97 @@ def q165(spark, sf_dir):
     return out.select(
         "doc_id", F.length("text").cast("int").alias("n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — curriculum quality bins (quartile cut-points of the composite
+# quality score → per-bin doc counts / token budgets, the table a
+# quality-ordered training curriculum or mixing schedule reads)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q166_curriculum_quality_bins",
+    """
+    WITH feats AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END AS alpha_ratio,
+               CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text,
+                                               '[^\\.,;:!\\?''"]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                    THEN CAST(len(list_filter(
+                             regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> list_contains(
+                                 ['the','a','of','and','is','to','in'], t)))
+                         AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\\s+'))
+                    ELSE 0.0 END AS stopword_ratio
+        FROM documents
+    ), q AS (
+        SELECT doc_id, n_tokens,
+               round(0.3 * alpha_ratio
+                     + 0.3 * least(stopword_ratio * 5.0, 1.0)
+                     + 0.3 * least(n_tokens / 100.0, 1.0)
+                     + 0.1 * (1.0 - least(punct_ratio * 10.0, 1.0)),
+                     6) AS quality
+        FROM feats
+    ), cuts AS (
+        SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS qs FROM q
+    )
+    SELECT CAST(1 + len(list_filter(qs, c -> c < quality)) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality,
+           round(min(quality), 6) AS lo,
+           round(max(quality), 6) AS hi
+    FROM q CROSS JOIN cuts
+    GROUP BY 1
+    """,
+    doc=(
+        "curriculum / mixing-schedule table: composite quality score "
+        "(q50's features with q59's fixed weights) bucketed by exact "
+        "quartile cut-points from ONE partial-merging aggregate (the "
+        "q111 discipline — cut-points broadcast back as a 1-row frame, "
+        "bucket = count of cut-points strictly below; never a global "
+        "NTILE), with per-bin doc counts and whitespace-token budgets — "
+        "what a quality-ascending curriculum or a mix-by-quality sampler "
+        "consumes.  Scan-dominated at 100 TB; the rollup is 4 rows"
+    ),
+)
+def q166(spark, sf_dir):
+    from ..operators.text import quality_features, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    q = d.select(
+        "doc_id",
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    cuts = q.agg(
+        F.percentile(
+            "quality", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("qs")
+    )
+    bin_col = (
+        1 + F.size(F.filter(F.col("qs"), lambda c: c < F.col("quality")))
+    ).cast("int")
+    return (
+        q.join(F.broadcast(cuts))
+        .select(bin_col.alias("bin"), "n_tokens", "quality")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.min("quality"), 6).alias("lo"),
+            F.round(F.max("quality"), 6).alias("hi"),
+        )
+    )
