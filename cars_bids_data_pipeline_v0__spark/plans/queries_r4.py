@@ -464,3 +464,212 @@ def q166(spark, sf_dir):
             F.round(F.max("quality"), 6).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — dataset card: the per-slice stats manifest every corpus release
+# ships (counts, token budgets, length distribution, dup exposure)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q167_dataset_card",
+    """
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(text) AS n_chars,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), dup AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY fp
+    )
+    SELECT b.lang, b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(b.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(b.n_tokens) AS BIGINT) AS max_tokens,
+           round(avg(b.n_tokens), 4) AS avg_tokens,
+           CAST(sum(b.n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup_docs
+    FROM base b JOIN dup d ON d.fp = b.fp
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "dataset card (the release-manifest table: what goes in the "
+        "README of every corpus drop): per (lang, source) slice — doc "
+        "counts, whitespace-token budgets, length range/mean, char "
+        "volume, and exact-duplicate exposure (docs whose normalized "
+        "fingerprint appears more than once corpus-wide).  One scan + "
+        "one fingerprint aggregate + one slice rollup; every stage "
+        "partial-aggregates, so 100 TB reduces map-side"
+    ),
+)
+def q167(spark, sf_dir):
+    from ..operators.text import fingerprint_md5, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        fingerprint_md5("text").alias("fp"),
+    )
+    dup = base.groupBy("fp").agg(F.count("*").cast("long").alias("n"))
+    return (
+        base.join(dup, "fp")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dup_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 — label / centroid-prediction agreement (Cohen's kappa): the label-
+# quality audit run before trusting a labeled embedding set
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q168_label_centroid_kappa",
+    """
+    WITH ev AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), comp AS (
+        SELECT label, u.pos, avg(u.x) AS m
+        FROM ev, LATERAL (SELECT unnest(v) AS x,
+                                 generate_subscripts(v, 1) AS pos) u
+        GROUP BY label, u.pos
+    ), cent AS (
+        SELECT label AS clabel,
+               list_transform(
+                   list_sort(list({'pos': pos, 'm': m})),
+                   s -> round(s.m, 6)) AS cv
+        FROM comp GROUP BY label
+    ), scored AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               round(list_dot_product(e.v, c.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM ev e CROSS JOIN cent c
+    ), pred AS (
+        SELECT vec_id, label, clabel AS pred FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, clabel ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), mt AS (SELECT label AS c, CAST(count(*) AS BIGINT) AS n_true
+              FROM pred GROUP BY 1),
+       mp AS (SELECT pred AS c, CAST(count(*) AS BIGINT) AS n_pred
+              FROM pred GROUP BY 1),
+       tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM pred
+    ), pe AS (
+        SELECT sum(coalesce(mt.n_true, 0) * coalesce(mp.n_pred, 0)) AS s
+        FROM mt FULL JOIN mp ON mt.c = mp.c
+    )
+    SELECT tot.n AS n_vectors, tot.n_agree,
+           round(tot.n_agree / CAST(tot.n AS DOUBLE), 6) AS observed,
+           round(pe.s / CAST(tot.n * tot.n AS DOUBLE), 6) AS expected,
+           round((tot.n_agree / CAST(tot.n AS DOUBLE)
+                  - pe.s / CAST(tot.n * tot.n AS DOUBLE))
+                 / (1.0 - pe.s / CAST(tot.n * tot.n AS DOUBLE)), 6)
+               AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+    doc=(
+        "label-quality audit via chance-corrected agreement: per-class "
+        "mean centroids (components ROUNDED to 6 so the distributed avg "
+        "and a serial engine agree bit-for-bit), nearest-centroid "
+        "prediction by rounded cosine with label tiebreak, then Cohen's "
+        "kappa between given labels and predictions — kappa ≈ 0 means "
+        "the labels carry no geometric signal, the pre-training sanity "
+        "check for any labeled embedding set.  Complements q146 (which "
+        "flags individual suspect rows; this scores the labeling as a "
+        "whole).  The crossJoin is |vectors| × |classes| with the "
+        "class-centroid side broadcast — linear in the corpus"
+    ),
+)
+def q168(spark, sf_dir):
+    from ..operators.similarity import as_double, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", "label", as_double("embedding").alias("v"))
+    comp = (
+        ev.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: F.round(s["m"], 6),
+        ).alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("clabel").asc()
+    )
+    pred = (
+        ev.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("pred"))
+    )
+    mt = pred.groupBy(F.col("label").alias("c")).agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    mp = pred.groupBy(F.col("pred").alias("c")).agg(
+        F.count("*").cast("long").alias("n_pred")
+    )
+    tot = pred.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("label") == F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    pe = (
+        mt.join(mp, "c", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("n_true"), F.lit(0))
+                * F.coalesce(F.col("n_pred"), F.lit(0))
+            ).alias("s")
+        )
+    )
+    n = F.col("n").cast("double")
+    observed = F.col("n_agree") / n
+    expected = F.col("s") / (n * n)
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").alias("n_vectors"),
+            "n_agree",
+            F.round(observed, 6).alias("observed"),
+            F.round(expected, 6).alias("expected"),
+            F.round((observed - expected) / (1.0 - expected), 6).alias(
+                "kappa"
+            ),
+        )
+    )
