@@ -114,7 +114,11 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _drop_hot_shingles(inv: DataFrame, df_cap: int) -> DataFrame:
+def _drop_hot_shingles(
+    inv: DataFrame,
+    df_cap: int | None = None,
+    hot: DataFrame | None = None,
+) -> DataFrame:
     """Remove shingles whose document frequency exceeds ``df_cap`` from an
     inverted index before a pair join.
 
@@ -127,13 +131,19 @@ def _drop_hot_shingles(inv: DataFrame, df_cap: int) -> DataFrame:
     docs sharing ONLY boilerplate produce no index rows at all and can
     never pair.  The hot set is tiny by construction (heavy hitters), so
     the anti-join is a broadcast; the size recompute is one window over
-    the doc id and only runs in capped mode."""
-    hot = (
-        inv.groupBy("shingle")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") > df_cap)
-        .select("shingle")
-    )
+    the doc id and only runs in capped mode.
+
+    Pass either ``df_cap`` (hot set measured on ``inv`` itself — the
+    self-join callers) or a precomputed ``hot`` frame of shingle keys
+    (cross-corpus callers measure document frequency on the corpus side
+    and scrub BOTH indexes with the same set)."""
+    if hot is None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > df_cap)
+            .select("shingle")
+        )
     kept = inv.join(F.broadcast(hot), "shingle", "left_anti")
     return kept.withColumn(
         "sh_size", F.count("*").over(Window.partitionBy("id")).cast("int")
@@ -268,24 +278,16 @@ def dedup_incoming(
     inv_new = index_of(stage1)
     inv_old = index_of(corpus_df)
     if df_cap is not None:
+        # document frequency measured on the CORPUS side; both indexes
+        # scrubbed with the same hot set (shared rescoring semantics)
         hot = (
             inv_old.groupBy("shingle")
             .agg(F.count("*").alias("__df"))
             .filter(F.col("__df") > df_cap)
             .select("shingle")
         )
-        for side in ("new", "old"):
-            inv = (inv_new if side == "new" else inv_old).join(
-                F.broadcast(hot), "shingle", "left_anti"
-            )
-            inv = inv.withColumn(
-                "sh_size",
-                F.count("*").over(Window.partitionBy("id")).cast("int"),
-            )
-            if side == "new":
-                inv_new = inv
-            else:
-                inv_old = inv
+        inv_new = _drop_hot_shingles(inv_new, hot=hot)
+        inv_old = _drop_hot_shingles(inv_old, hot=hot)
     dup_ids = (
         inv_new.alias("a")
         .hint("shuffle_hash")

@@ -348,12 +348,13 @@ def ivf_topk(
     Same output schema as `cosine_topk`.
 
     In the exact mode (``nprobe >= nlist``) every (query, corpus) pair is
-    scored regardless of which cell the corpus row lives in, so centroid
-    quality is irrelevant — the cell column exists purely to spread the
-    quadratic scoring across tasks.  That mode therefore skips k-means
-    entirely and assigns ``pmod(xxhash64(id), nlist)`` cells: perfectly
-    balanced, no driver-side codebook jobs, no centroid literals in the
-    plan.  Results are bit-identical either way.
+    scored regardless of cells, so k-means is skipped entirely: the
+    un-exploded query table is broadcast once and the fanned-out corpus
+    scan streams against it (the q54 brute-force shape plus
+    ``exclude_self``).  Replicating queries per cell first would inflate
+    the broadcast payload ``nlist``-fold for zero extra parallelism —
+    the broadcast already reaches every task.  Results are bit-identical
+    either way.
     """
     from .dedup_docs import fan_out
 
@@ -367,12 +368,7 @@ def ivf_topk(
     )
     q = queries.select(F.col(q_id).alias("__qid"), as_double(q_vec).alias("__qv"))
     if exact:
-        c = c.withColumn(
-            "cell", F.pmod(F.xxhash64(F.col("__cid")), F.lit(nlist)).cast("int")
-        )
-        q = q.withColumn(
-            "cell", F.explode(F.array(*[F.lit(i) for i in range(nlist)]))
-        )
+        joined = c.crossJoin(F.broadcast(q))
     else:
         c = c.withColumn(
             "cell", nearest_centroid_ids(F.col("__cv"), centroids, 1)[0]
@@ -381,7 +377,7 @@ def ivf_topk(
             "cell",
             F.explode(nearest_centroid_ids(F.col("__qv"), centroids, nprobe)),
         )
-    joined = c.join(F.broadcast(q), on="cell")
+        joined = c.join(F.broadcast(q), on="cell")
     if exclude_self:
         # kNN-of-the-corpus-itself mode (label-error mining): drop the
         # q==c pair BEFORE the per-query window so top-k semantics match

@@ -1442,9 +1442,13 @@ _DRIVER_FRONT: list[str] = [
 
 
 def _driver_order() -> list[str]:
-    front = [n for n in _DRIVER_FRONT if n in REGISTRY]
-    in_front = set(front)
-    return front + [n for n in REGISTRY if n not in in_front]
+    missing = [n for n in _DRIVER_FRONT if n not in REGISTRY]
+    # fail FAST on a rename/removal: silently shrinking the front would
+    # slide a registration-order query — possibly an oracle-less one —
+    # into the driver's hash-checked first-50 window unnoticed
+    assert not missing, f"_DRIVER_FRONT names not registered: {missing}"
+    in_front = set(_DRIVER_FRONT)
+    return list(_DRIVER_FRONT) + [n for n in REGISTRY if n not in in_front]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -218,20 +218,34 @@ def q164(spark, sf_dir):
     topk = merged.withColumn("rn", F.row_number().over(wk)).filter(
         F.col("rn") <= _KMV_K
     )
-    in_a = b.select(F.col("source").alias("src_a"), F.col("bg").alias("bg"))
-    in_b = b.select(F.col("source").alias("src_b"), F.col("bg").alias("bg"))
-    flagged = (
-        topk.join(
-            F.broadcast(in_a.withColumn("__a", F.lit(1))),
-            ["src_a", "bg"],
-            "left",
-        )
-        .join(
-            F.broadcast(in_b.withColumn("__b", F.lit(1))),
-            ["src_b", "bg"],
-            "left",
-        )
+    # membership flags: broadcast the k-BOUNDED sketch rows (≤ C(4,2)·k)
+    # against the big vocabulary table — never the other way around (the
+    # vocabulary is unbounded at corpus scale)
+    tk = topk.select("src_a", "src_b", "bg")
+    bm = b.select(
+        F.col("source").alias("__src"), F.col("bg").alias("__bbg")
     )
+    in_a = (
+        bm.join(
+            F.broadcast(tk),
+            (F.col("__src") == F.col("src_a"))
+            & (F.col("__bbg") == F.col("bg")),
+        )
+        .select("src_a", "src_b", "bg")
+        .withColumn("__a", F.lit(1))
+    )
+    in_b = (
+        bm.join(
+            F.broadcast(tk),
+            (F.col("__src") == F.col("src_b"))
+            & (F.col("__bbg") == F.col("bg")),
+        )
+        .select("src_a", "src_b", "bg")
+        .withColumn("__b", F.lit(1))
+    )
+    flagged = topk.join(
+        F.broadcast(in_a), ["src_a", "src_b", "bg"], "left"
+    ).join(F.broadcast(in_b), ["src_a", "src_b", "bg"], "left")
     scored = flagged.groupBy("src_a", "src_b").agg(
         F.count("*").cast("long").alias("k_seen"),
         F.max("h").alias("kth"),

@@ -540,7 +540,9 @@ def tx_stream_merge_sink(
             partition_src=partition_src,
             txn={"app": stream_id, "batch": int(batch_id)},
         )
-        if export_manifest:
+        if export_manifest and TransactionLog(table_path).version() >= 0:
+            # version < 0: nothing committed yet (e.g. an empty batch 0 on
+            # a brand-new table) — exporting would raise and kill the query
             tx_export_symlink_manifest(table_path)
 
     return process
@@ -719,6 +721,7 @@ def tx_export_symlink_manifest(
     table_path: str,
     version: int | None = None,
     out_dir: str | None = None,
+    lock_timeout: float = 30.0,
 ) -> str:
     """Export a CONSISTENT snapshot of a txlog table in the Hive/Presto
     ``SYMLINK_TEXT_INPUT_FORMAT`` manifest shape: text files containing
@@ -739,30 +742,61 @@ def tx_export_symlink_manifest(
     A ``manifest.json`` sidecar records {version, n_files, partitions} so
     consumers can tell WHICH snapshot they are holding.  Returns the
     manifest root directory.
+
+    CONCURRENT exporters (two stream sinks with ``export_manifest``, or a
+    manual export racing one) are serialized with the same
+    ``O_CREAT|O_EXCL`` primitive the commit log uses: one exporter holds
+    ``.export.lock`` while rewriting/pruning; a contender waits up to
+    ``lock_timeout`` seconds (a lock older than 60 s is presumed leaked
+    by a crashed exporter and broken).  Without the lock, one exporter's
+    prune could race another's rename, or interleaved writes could leave
+    partition manifests from two different versions side by side.
     """
+    import time as _time
+
     log = TransactionLog(table_path)
     v = log.version() if version is None else version
     if v < 0:
         raise ValueError(f"no committed version to export at {table_path}")
-    live = log.live_files(upto=v)
     root = out_dir or os.path.join(table_path, "_symlink_format_manifest")
-    by_part: dict[str, list[str]] = {}
-    for rel, part in sorted(live.items()):
-        key = f"{PARTITION_COL}={part}" if part is not None else ""
-        by_part.setdefault(key, []).append(
-            "file://" + os.path.abspath(os.path.join(table_path, rel))
-        )
-    for key, uris in by_part.items():
-        d = os.path.join(root, key) if key else root
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".manifest.tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write("\n".join(uris) + "\n")
-        os.replace(tmp, os.path.join(d, "manifest"))
-    # prune manifests of partitions that no longer exist in this snapshot
-    # (e.g. a DELETE emptied them) — same as Delta's GENERATE, which
-    # removes obsolete per-partition manifests on re-run
-    if os.path.isdir(root):
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, ".export.lock")
+    deadline = _time.monotonic() + lock_timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(lock) > 60.0:
+                    os.unlink(lock)  # stale lock from a crashed exporter
+                    continue
+            except OSError:
+                continue  # holder released between the checks — retry now
+            if _time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"manifest export lock busy at {lock}"
+                ) from None
+            _time.sleep(0.05)
+    try:
+        live = log.live_files(upto=v)
+        by_part: dict[str, list[str]] = {}
+        for rel, part in sorted(live.items()):
+            key = f"{PARTITION_COL}={part}" if part is not None else ""
+            by_part.setdefault(key, []).append(
+                "file://" + os.path.abspath(os.path.join(table_path, rel))
+            )
+        for key, uris in by_part.items():
+            d = os.path.join(root, key) if key else root
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".manifest.tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write("\n".join(uris) + "\n")
+            os.replace(tmp, os.path.join(d, "manifest"))
+        # prune manifests of partitions that no longer exist in this
+        # snapshot (e.g. a DELETE emptied them) — same as Delta's
+        # GENERATE, which removes obsolete per-partition manifests
         for name in os.listdir(root):
             d = os.path.join(root, name)
             if (
@@ -770,23 +804,30 @@ def tx_export_symlink_manifest(
                 and name not in by_part
                 and os.path.exists(os.path.join(d, "manifest"))
             ):
-                os.remove(os.path.join(d, "manifest"))
-                if not os.listdir(d):
-                    os.rmdir(d)
+                try:
+                    os.remove(os.path.join(d, "manifest"))
+                    if not os.listdir(d):
+                        os.rmdir(d)
+                except OSError:
+                    pass  # external cleanup raced us; snapshot still valid
         if "" not in by_part and os.path.exists(os.path.join(root, "manifest")):
             os.remove(os.path.join(root, "manifest"))
-    tmp = os.path.join(root, f".manifest.json.tmp-{uuid.uuid4().hex}")
-    os.makedirs(root, exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(
-            {
-                "version": v,
-                "n_files": len(live),
-                "partitions": sorted(k for k in by_part if k),
-            },
-            f,
-        )
-    os.replace(tmp, os.path.join(root, "manifest.json"))
+        tmp = os.path.join(root, f".manifest.json.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": v,
+                    "n_files": len(live),
+                    "partitions": sorted(k for k in by_part if k),
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(root, "manifest.json"))
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
     return root
 
 

@@ -105,20 +105,75 @@ def _global_window_specs(plan: str) -> list[str]:
     first and carry no sort direction.  A spec whose every pre-frame
     argument has ASC/DESC (or that starts directly with the frame) is a
     GLOBAL window: Catalyst plans it as Exchange SinglePartition over its
-    whole input."""
-    import re
+    whole input.
 
+    Parsed with a balanced-paren scanner and a TOP-LEVEL comma split —
+    a naive ``[^)]*`` capture stops at the first ')' and misclassifies
+    any spec whose sort key is a function expression (``round(x, 2)
+    ASC``), which would let exactly the plan shape this audit exists to
+    forbid slip through."""
     out = []
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
-        args = m.group(1)
-        head = args.split("specifiedwindowframe")[0].strip().rstrip(",")
-        if not head:
-            out.append(args)  # frame-only spec (e.g. global count(*))
-            continue
-        parts = [a.strip() for a in head.split(",") if a.strip()]
-        if all(" ASC" in a or " DESC" in a for a in parts):
+    needle = "windowspecdefinition("
+    start = 0
+    while True:
+        i = plan.find(needle, start)
+        if i < 0:
+            break
+        j = i + len(needle)
+        depth = 1
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        args = plan[i + len(needle): j - 1]
+        start = j
+        # split on top-level commas only
+        parts, buf, depth = [], [], 0
+        for ch in args:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+        if buf:
+            parts.append("".join(buf).strip())
+        head = [
+            p for p in parts if not p.startswith("specifiedwindowframe")
+        ]
+        if not head or all(
+            p.endswith(("ASC NULLS FIRST", "ASC NULLS LAST",
+                        "DESC NULLS FIRST", "DESC NULLS LAST"))
+            for p in head
+        ):
             out.append(args)
     return out
+
+
+def test_global_window_parser_handles_function_sort_keys(spark):
+    # regression for the scanner itself: a global window ordered by a
+    # FUNCTION expression must still be detected, and a keyed window
+    # with a function sort key must not be a false positive
+    from pyspark.sql import Window
+
+    df = spark.range(10).withColumn("x", F.col("id") * 1.5)
+    g = df.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.round(F.col("x"), 2))),
+    )
+    assert _global_window_specs(plan_of(g)), "global fn-key window missed"
+    k = df.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.round(F.col("x"), 2))
+        ),
+    )
+    assert not _global_window_specs(plan_of(k)), "keyed window flagged"
 
 
 # Global rank/ntile windows funnel their ENTIRE input through one task —

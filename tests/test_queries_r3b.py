@@ -166,14 +166,17 @@ def test_q145_oof_mean_excludes_own_fold(spark, tmp_path):
 
 def test_q146_disagreement_plan_is_broadcast_no_shuffle_blowup(spark):
     plan = plan_of(_q(spark, "q146_knn_label_disagreement"))
-    # the query side is broadcast onto hash cells (equi-join) — the
-    # quadratic scorer must neither sort-merge 250k scored rows nor
-    # collapse into the round-3 single-task broadcast-NLJ stage
-    assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the UN-exploded query side is broadcast once and the corpus scan is
+    # fanned out across tasks — the quadratic scorer must neither
+    # sort-merge 250k scored rows nor run as the round-3 single-task
+    # stage (fan_out keeps the streamed side multi-partition)
+    assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "SinglePartition" not in plan
+    # fan_out's repartition of the streamed corpus is what prevents the
+    # single-task stage on a one-file corpus
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_q146_ivf_scorer_matches_bruteforce(spark):
