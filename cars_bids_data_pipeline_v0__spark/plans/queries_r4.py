@@ -687,3 +687,144 @@ def q168(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — exact-substring duplication pairs (the ExactSubstr shape from
+# "Deduplicating Training Data Makes Language Models Better": docs sharing
+# long verbatim runs, which Jaccard under-weights)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q169_exact_substring_pairs",
+    """
+    WITH sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 19, 1)),
+                   i -> list_aggregate(list_slice(t, i, i + 19),
+                                       'string_agg', ' '))) AS s
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       '\\s+') AS t
+            FROM documents
+        )
+    ), inv AS (
+        SELECT id, unnest(s) AS g FROM sh
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared_20grams
+    FROM inv a JOIN inv b USING (g)
+    WHERE a.id < b.id
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "verbatim-run duplication pairs: documents sharing at least one "
+        "exact 20-token window, with the count of shared distinct "
+        "20-grams — the ExactSubstr complement to shingle Jaccard "
+        "(a long quoted passage inside an otherwise-different doc "
+        "scores near zero on Jaccard but is exactly what copyright / "
+        "memorization screens must catch).  Same inverted-index shape "
+        "as q53 with n=20: a 20-gram is so selective that the index "
+        "join only ever matches genuinely copied runs, so the pair "
+        "space stays tiny at any corpus size (hot-window df_cap "
+        "available via the same guard as q53 if boilerplate runs long)"
+    ),
+)
+def q169(spark, sf_dir):
+    from ..operators.dedup_docs import fan_out, word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = fan_out(d).select(
+        F.col("doc_id").alias("id"), word_shingles("text", 20).alias("s")
+    )
+    inv = sh.select("id", F.explode("s").alias("__g")).select(
+        "id", F.xxhash64("__g").alias("g")
+    )
+    return (
+        inv.alias("a")
+        .hint("shuffle_hash")
+        .join(inv.alias("b"), on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared_20grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — training-mixture token-budget solver: the config table every
+# mixture schedule is built from
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = [
+    ("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1),
+]
+_MIX_BUDGET = 100_000  # target training tokens across the mixture
+
+
+@register(
+    "q170_mixture_budget_solver",
+    f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS available_tokens
+        FROM documents
+        WHERE source IN ('src0','src1','src2','src3')
+        GROUP BY source
+    ), w(source, target_weight) AS (
+        VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)
+    )
+    SELECT a.source, a.available_tokens,
+           CAST(w.target_weight AS DOUBLE) AS target_weight,
+           CAST(round(w.target_weight * {_MIX_BUDGET}, 0) AS BIGINT)
+               AS desired_tokens,
+           round(least(1.0, w.target_weight * {_MIX_BUDGET}
+                            / a.available_tokens), 6) AS sampling_rate,
+           round(w.target_weight * {_MIX_BUDGET}
+                 / a.available_tokens, 6) AS repeat_epochs,
+           CAST(round(least(1.0, w.target_weight * {_MIX_BUDGET}
+                                 / a.available_tokens)
+                      * a.available_tokens, 0) AS BIGINT)
+               AS expected_tokens_no_repeat
+    FROM avail a JOIN w ON w.source = a.source
+    """,
+    doc=(
+        "dataset-mixture budget solver: per-source available whitespace "
+        "tokens vs target mixture weights over a global token budget — "
+        "sampling rate (capped at 1.0), repeat epochs when a source is "
+        "smaller than its slice wants (rate > 1 means upsampling), and "
+        "the no-repeat token yield.  This is the config table a "
+        "temperature/weighted sampler (q98/q137) consumes; one "
+        "partial-aggregating scan plus a 4-row broadcast join"
+    ),
+)
+def q170(spark, sf_dir):
+    from ..operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin(*[s for s, _ in _MIX_WEIGHTS])
+    )
+    avail = d.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("available_tokens")
+    )
+    w = d.sparkSession.createDataFrame(
+        _MIX_WEIGHTS, "source string, target_weight double"
+    )
+    desired = F.col("target_weight") * F.lit(float(_MIX_BUDGET))
+    ratio = desired / F.col("available_tokens")
+    rate = F.least(F.lit(1.0), ratio)
+    return avail.join(F.broadcast(w), "source").select(
+        "source",
+        "available_tokens",
+        "target_weight",
+        F.round(desired, 0).cast("long").alias("desired_tokens"),
+        F.round(rate, 6).alias("sampling_rate"),
+        F.round(ratio, 6).alias("repeat_epochs"),
+        F.round(rate * F.col("available_tokens"), 0)
+        .cast("long")
+        .alias("expected_tokens_no_repeat"),
+    )
