@@ -828,3 +828,96 @@ def q170(spark, sf_dir):
         .cast("long")
         .alias("expected_tokens_no_repeat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — RFM customer segmentation (recency / frequency / monetary tercile
+# scores via broadcast cut-points — the q111/q166 discipline, never NTILE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q171_rfm_segmentation",
+    """
+    WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), anchor.maxd)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders, anchor GROUP BY o_custkey, anchor.maxd
+    ), cuts AS (
+        SELECT quantile_cont(recency_days, [1.0/3, 2.0/3]) AS rq,
+               quantile_cont(frequency,  [1.0/3, 2.0/3]) AS fq,
+               quantile_cont(monetary,   [1.0/3, 2.0/3]) AS mq
+        FROM rfm
+    ), scored AS (
+        SELECT o_custkey,
+               CAST(3 - len(list_filter(cuts.rq, c -> c < recency_days))
+                    AS INT) AS r_score,
+               CAST(1 + len(list_filter(cuts.fq, c -> c < frequency))
+                    AS INT) AS f_score,
+               CAST(1 + len(list_filter(cuts.mq, c -> c < monetary))
+                    AS INT) AS m_score,
+               monetary
+        FROM rfm CROSS JOIN cuts
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(monetary), 2) AS segment_revenue
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "RFM segmentation (the marketing-analytics staple): per-customer "
+        "recency (days since last order vs corpus max date), frequency, "
+        "monetary — each scored 1-3 by tercile cut-points from one "
+        "partial-merging quantile aggregate broadcast back (q111/q166 "
+        "discipline; recency score inverted so 3 = most recent; never a "
+        "global NTILE), rolled up to segment sizes and revenue.  The "
+        "only shuffles are the per-customer aggregate and the 27-row "
+        "rollup"
+    ),
+)
+def q171(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("maxd"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    cuts = rfm.agg(
+        F.percentile(
+            "recency_days", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))
+        ).alias("rq"),
+        F.percentile(
+            "frequency", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))
+        ).alias("fq"),
+        F.percentile(
+            "monetary", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))
+        ).alias("mq"),
+    )
+    below = lambda arr, v: F.size(
+        F.filter(F.col(arr), lambda c: c < F.col(v))
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .select(
+            (3 - below("rq", "recency_days")).cast("int").alias("r_score"),
+            (1 + below("fq", "frequency")).cast("int").alias("f_score"),
+            (1 + below("mq", "monetary")).cast("int").alias("m_score"),
+            "monetary",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+        )
+    )

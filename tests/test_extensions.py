@@ -271,3 +271,48 @@ def test_dedup_incoming_drops_only_cross_corpus_dups(spark, docs):
     assert 9001 not in got        # exact clone dropped by fingerprint
     assert 9002 not in got        # near-clone dropped by jaccard stage
     assert 9003 in got            # fresh content survives
+
+
+def test_dedup_incoming_matches_allpairs_ground_truth(spark, docs):
+    """Differential: survivors must equal incoming minus exactly the
+    incoming ids linked (fingerprint OR jaccard >= τ) to ANY corpus doc,
+    where the link set comes from the independent all-pairs scorer over
+    corpus ∪ incoming."""
+    from cars_bids_data_pipeline_v0__spark.operators.text import (
+        fingerprint_md5,
+    )
+
+    d = docs.select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    tau = 0.5
+    got = {
+        r["doc_id"]
+        for r in DD.dedup_incoming(incoming, corpus, threshold=tau).collect()
+    }
+    # independent ground truth
+    fps = {
+        r["fp"]
+        for r in corpus.select(fingerprint_md5("text").alias("fp")).collect()
+    }
+    inc_fp = {
+        r["doc_id"]: r["fp"]
+        for r in incoming.select(
+            "doc_id", fingerprint_md5("text").alias("fp")
+        ).collect()
+    }
+    corpus_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    pairs = DD.ngram_jaccard_pairs(d, threshold=tau).collect()
+    near_linked = set()
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        if a in corpus_ids and b not in corpus_ids:
+            near_linked.add(b)
+        elif b in corpus_ids and a not in corpus_ids:
+            near_linked.add(a)
+    expect = {
+        i
+        for i, fp in inc_fp.items()
+        if fp not in fps and i not in near_linked
+    }
+    assert got == expect
