@@ -921,3 +921,108 @@ def q171(spark, sf_dir):
             F.round(F.sum("monetary"), 2).alias("segment_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — embedding dimension correlation (PCA-prep / feature-redundancy):
+# top correlated dim pairs from one pair-moment aggregation
+# ---------------------------------------------------------------------------
+
+_COV_DIM = 64
+
+
+@register(
+    "q172_embedding_dim_correlation",
+    """
+    WITH u AS (
+        SELECT vec_id, s.pos - 1 AS i, CAST(s.x AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS pos) s
+    ), m AS (
+        SELECT i, avg(x) AS mi, avg(x * x) AS mii,
+               CAST(count(*) AS BIGINT) AS n
+        FROM u GROUP BY i
+    ), pm AS (
+        SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS mij
+        FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i < b.i
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT pm.i, pm.j,
+               round(pm.mij - ma.mi * mb.mi, 6) AS cov,
+               round((pm.mij - ma.mi * mb.mi)
+                     / sqrt((ma.mii - ma.mi * ma.mi)
+                            * (mb.mii - mb.mi * mb.mi)), 6) AS corr
+        FROM pm JOIN m ma ON ma.i = pm.i JOIN m mb ON mb.i = pm.j
+    )
+    SELECT i, j, cov, corr FROM scored
+    ORDER BY abs(corr) DESC, i ASC, j ASC
+    LIMIT 20
+    """,
+    doc=(
+        "feature-redundancy audit over the embedding space (the PCA-prep "
+        "question — which dimensions carry duplicated signal): population "
+        "covariance/correlation for all dim pairs from per-dim moments "
+        "plus ONE pair-product aggregation, top-20 by |corr| via "
+        "orderBy+limit.  Per-row pair products explode to dim·(dim-1)/2 "
+        "rows but partial aggregation collapses them to one (i,j) cell "
+        "per partition map-side, so the shuffle is 2016 rows regardless "
+        "of corpus size — the covariance never touches a driver loop"
+    ),
+)
+def q172(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    # element access on the RAW attribute array (O(1) per get) — casting
+    # via transform() first would re-inline the whole cast array per
+    # element inside the nested lambdas (the CollapseProject trap)
+    # outer index stops at DIM-2: F.sequence(start, stop) flips to a
+    # DESCENDING range when start > stop, so i = DIM-1 would fabricate a
+    # (DIM-1, DIM-1) self-pair with corr 1.0 (caught by the oracle diff)
+    idx = F.sequence(F.lit(0), F.lit(_COV_DIM - 2))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i + 1, F.lit(_COV_DIM - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.get(F.col("embedding"), i).cast("double")
+                        * F.get(F.col("embedding"), j).cast("double")
+                    ).alias("xy"),
+                ),
+            ),
+        )
+    )
+    pm = (
+        e.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.avg("p.xy").alias("mij"))
+    )
+    m = (
+        e.select(F.posexplode("embedding").alias("pos", "__x"))
+        .select("pos", F.col("__x").cast("double").alias("x"))
+        .groupBy(F.col("pos").alias("i"))
+        .agg(F.avg("x").alias("mi"), F.avg(F.col("x") * F.col("x")).alias("mii"))
+    )
+    ma = m.select(F.col("i").alias("__ai"), F.col("mi").alias("ma_mi"),
+                  F.col("mii").alias("ma_mii"))
+    mb = m.select(F.col("i").alias("__bi"), F.col("mi").alias("mb_mi"),
+                  F.col("mii").alias("mb_mii"))
+    cov = F.col("mij") - F.col("ma_mi") * F.col("mb_mi")
+    corr = cov / F.sqrt(
+        (F.col("ma_mii") - F.col("ma_mi") * F.col("ma_mi"))
+        * (F.col("mb_mii") - F.col("mb_mi") * F.col("mb_mi"))
+    )
+    return (
+        pm.join(F.broadcast(ma), F.col("i") == F.col("__ai"))
+        .join(F.broadcast(mb), F.col("j") == F.col("__bi"))
+        .select(
+            "i", "j",
+            F.round(cov, 6).alias("cov"),
+            F.round(corr, 6).alias("corr"),
+        )
+        .orderBy(F.abs(F.col("corr")).desc(), F.col("i").asc(), F.col("j").asc())
+        .limit(20)
+    )
