@@ -1026,3 +1026,102 @@ def q172(spark, sf_dir):
         .orderBy(F.abs(F.col("corr")).desc(), F.col("i").asc(), F.col("j").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — referential-integrity audit (the FK-orphan report every warehouse
+# loads before trusting a join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q173_fk_integrity_audit",
+    """
+    WITH checks AS (
+        SELECT 'orders.o_custkey->customer' AS fk,
+               CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM orders o
+                     WHERE o.o_custkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT) AS n_orphans,
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_custkey IS NULL) AS BIGINT) AS n_null_keys
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE l.l_orderkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_orderkey IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               CAST((SELECT count(*) FROM customer) AS BIGINT),
+               CAST((SELECT count(*) FROM customer c
+                     WHERE c.c_nationkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM customer
+                     WHERE c_nationkey IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation',
+               CAST((SELECT count(*) FROM supplier) AS BIGINT),
+               CAST((SELECT count(*) FROM supplier s
+                     WHERE s.s_nationkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = s.s_nationkey))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM supplier
+                     WHERE s_nationkey IS NULL) AS BIGINT)
+    )
+    SELECT fk, n_rows, n_orphans, n_null_keys,
+           round(n_orphans / CAST(n_rows AS DOUBLE), 6) AS orphan_frac
+    FROM checks
+    """,
+    doc=(
+        "referential-integrity audit: orphan and null-key counts for "
+        "every declared FK edge (orders→customer, lineitem→orders, "
+        "customer→nation, supplier→nation) — the report run before "
+        "trusting inner joins, since an inner join silently DROPS orphan "
+        "rows.  Each check is a left-anti join against the (broadcast) "
+        "parent key set; all four run off independent scans and union to "
+        "a 4-row report"
+    ),
+)
+def q173(spark, sf_dir):
+    def check(fk, child, key, parent, pkey):
+        n_rows = child.count()  # bounded: one scalar per FK edge
+        nn = child.filter(F.col(key).isNull()).count()
+        orphans = (
+            child.filter(F.col(key).isNotNull())
+            .join(
+                F.broadcast(parent.select(F.col(pkey).alias(key)).distinct()),
+                key,
+                "left_anti",
+            )
+            .count()
+        )
+        return (fk, n_rows, orphans, nn)
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rows = [
+        check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        check("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        check("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        check("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]
+    out = spark.createDataFrame(
+        rows, "fk string, n_rows long, n_orphans long, n_null_keys long"
+    )
+    return out.withColumn(
+        "orphan_frac",
+        F.round(F.col("n_orphans") / F.col("n_rows").cast("double"), 6),
+    )
