@@ -137,6 +137,10 @@ def _drop_hot_shingles(
     self-join callers) or a precomputed ``hot`` frame of shingle keys
     (cross-corpus callers measure document frequency on the corpus side
     and scrub BOTH indexes with the same set)."""
+    if df_cap is None and hot is None:
+        # without the guard, F.col("__df") > None filters the hot frame
+        # to empty and the "cap" silently becomes a no-op scrub
+        raise ValueError("_drop_hot_shingles needs df_cap or hot")
     if hot is None:
         hot = (
             inv.groupBy("shingle")

@@ -215,8 +215,13 @@ def q164(spark, sf_dir):
         .distinct()
     )
     wk = Window.partitionBy("src_a", "src_b").orderBy("h", "bg")
-    topk = merged.withColumn("rn", F.row_number().over(wk)).filter(
-        F.col("rn") <= _KMV_K
+    # persisted: topk (≤ C(4,2)·k rows) feeds tk, in_a/in_b AND the final
+    # flagged join — without it the prs×hv distinct + window re-executes
+    # per consumer
+    topk = (
+        merged.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KMV_K)
+        .persist()
     )
     # membership flags: broadcast the k-BOUNDED sketch rows (≤ C(4,2)·k)
     # against the big vocabulary table — never the other way around (the
@@ -741,9 +746,11 @@ def q169(spark, sf_dir):
     sh = fan_out(d).select(
         F.col("doc_id").alias("id"), word_shingles("text", 20).alias("s")
     )
+    # persisted: the self-join reads the index twice and Catalyst does
+    # not reuse non-identical exchanges (the q53 lesson — measured 4×)
     inv = sh.select("id", F.explode("s").alias("__g")).select(
         "id", F.xxhash64("__g").alias("g")
-    )
+    ).persist()
     return (
         inv.alias("a")
         .hint("shuffle_hash")
@@ -1087,39 +1094,58 @@ def q172(spark, sf_dir):
         "every declared FK edge (orders→customer, lineitem→orders, "
         "customer→nation, supplier→nation) — the report run before "
         "trusting inner joins, since an inner join silently DROPS orphan "
-        "rows.  Each check is a left-anti join against the (broadcast) "
-        "parent key set; all four run off independent scans and union to "
-        "a 4-row report"
+        "rows.  Each check is ONE lazy aggregation over a left join "
+        "marking parent hits (Catalyst picks broadcast vs shuffle by the "
+        "parent's actual size — never a forced broadcast of an unbounded "
+        "key set), and the four single-row frames union to the report; "
+        "nothing executes until the caller acts"
     ),
 )
 def q173(spark, sf_dir):
     def check(fk, child, key, parent, pkey):
-        n_rows = child.count()  # bounded: one scalar per FK edge
-        nn = child.filter(F.col(key).isNull()).count()
-        orphans = (
-            child.filter(F.col(key).isNotNull())
-            .join(
-                F.broadcast(parent.select(F.col(pkey).alias(key)).distinct()),
-                key,
-                "left_anti",
-            )
-            .count()
+        hits = (
+            parent.select(F.col(pkey).alias(key))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
         )
-        return (fk, n_rows, orphans, nn)
+        return (
+            child.select(key)
+            .join(hits, key, "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col(key).isNotNull() & F.col("__hit").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+                F.sum(F.when(F.col(key).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_keys"),
+            )
+            .select(F.lit(fk).alias("fk"), "*")
+        )
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    rows = [
-        check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
-        check("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
-        check("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
-        check("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
-    ]
-    out = spark.createDataFrame(
-        rows, "fk string, n_rows long, n_orphans long, n_null_keys long"
+    out = (
+        check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            check("lineitem.l_orderkey->orders", li, "l_orderkey", o,
+                  "o_orderkey")
+        )
+        .unionByName(
+            check("customer.c_nationkey->nation", c, "c_nationkey", n,
+                  "n_nationkey")
+        )
+        .unionByName(
+            check("supplier.s_nationkey->nation", s, "s_nationkey", n,
+                  "n_nationkey")
+        )
     )
     return out.withColumn(
         "orphan_frac",

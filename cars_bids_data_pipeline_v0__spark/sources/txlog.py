@@ -722,6 +722,7 @@ def tx_export_symlink_manifest(
     version: int | None = None,
     out_dir: str | None = None,
     lock_timeout: float = 30.0,
+    stale_after: float = 300.0,
 ) -> str:
     """Export a CONSISTENT snapshot of a txlog table in the Hive/Presto
     ``SYMLINK_TEXT_INPUT_FORMAT`` manifest shape: text files containing
@@ -746,11 +747,17 @@ def tx_export_symlink_manifest(
     CONCURRENT exporters (two stream sinks with ``export_manifest``, or a
     manual export racing one) are serialized with the same
     ``O_CREAT|O_EXCL`` primitive the commit log uses: one exporter holds
-    ``.export.lock`` while rewriting/pruning; a contender waits up to
-    ``lock_timeout`` seconds (a lock older than 60 s is presumed leaked
-    by a crashed exporter and broken).  Without the lock, one exporter's
-    prune could race another's rename, or interleaved writes could leave
-    partition manifests from two different versions side by side.
+    ``.export.lock`` (containing its owner token) while rewriting and
+    pruning; a contender waits up to ``lock_timeout`` seconds.  A lock
+    older than ``stale_after`` seconds is presumed leaked by a crashed
+    exporter and is broken via an atomic ``os.rename`` to a unique name —
+    rename-to-claim means exactly ONE of N contenders wins the break (a
+    second rename of the same path fails), closing the unlink-race where
+    two breakers could both think they freed the lock.  Release checks
+    the owner token, so an exporter that somehow lost its lock never
+    removes a successor's.  ``stale_after`` defaults to 300 s — the
+    export body is driver-side file metadata work (no Spark jobs), so a
+    live export holding the lock that long indicates a crash, not load.
     """
     import time as _time
 
@@ -761,19 +768,29 @@ def tx_export_symlink_manifest(
     root = out_dir or os.path.join(table_path, "_symlink_format_manifest")
     os.makedirs(root, exist_ok=True)
     lock = os.path.join(root, ".export.lock")
+    token = uuid.uuid4().hex
     deadline = _time.monotonic() + lock_timeout
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            try:
+                os.write(fd, token.encode())
+            finally:
+                os.close(fd)
             break
         except FileExistsError:
             try:
-                if _time.time() - os.path.getmtime(lock) > 60.0:
-                    os.unlink(lock)  # stale lock from a crashed exporter
-                    continue
+                stale = _time.time() - os.path.getmtime(lock) > stale_after
             except OSError:
                 continue  # holder released between the checks — retry now
+            if stale:
+                broken = lock + f".broken-{uuid.uuid4().hex}"
+                try:
+                    os.rename(lock, broken)  # atomic: one breaker wins
+                    os.unlink(broken)
+                except OSError:
+                    pass  # someone else broke/released it first
+                continue
             if _time.monotonic() >= deadline:
                 raise TimeoutError(
                     f"manifest export lock busy at {lock}"
@@ -811,7 +828,10 @@ def tx_export_symlink_manifest(
                 except OSError:
                     pass  # external cleanup raced us; snapshot still valid
         if "" not in by_part and os.path.exists(os.path.join(root, "manifest")):
-            os.remove(os.path.join(root, "manifest"))
+            try:
+                os.remove(os.path.join(root, "manifest"))
+            except OSError:
+                pass  # external cleanup raced us; snapshot still valid
         tmp = os.path.join(root, f".manifest.json.tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(
@@ -825,7 +845,9 @@ def tx_export_symlink_manifest(
         os.replace(tmp, os.path.join(root, "manifest.json"))
     finally:
         try:
-            os.unlink(lock)
+            with open(lock) as f:
+                if f.read() == token:  # release only what we own
+                    os.unlink(lock)
         except OSError:
             pass
     return root
