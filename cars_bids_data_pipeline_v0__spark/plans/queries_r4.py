@@ -1151,3 +1151,55 @@ def q173(spark, sf_dir):
         "orphan_frac",
         F.round(F.col("n_orphans") / F.col("n_rows").cast("double"), 6),
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+# the distributed one-pass complement of q105's systematic grid sampler
+# ---------------------------------------------------------------------------
+
+_ES_K = 100
+_ES_HEX = 13  # 52-bit hash-uniform, exactly representable in a double
+
+
+@register(
+    "q174_weighted_sample_without_replacement",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, {_ES_HEX}))::BIGINT
+                         / power(16.0, {_ES_HEX}),
+                         1.0 / n_chars), 9) AS es_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, es_key FROM keyed
+    ORDER BY es_key DESC, doc_id ASC LIMIT {_ES_K}
+    """,
+    doc=(
+        "Efraimidis–Spirakis A-Res weighted sampling without replacement "
+        "(weight = n_chars): each row keys itself u^(1/w) with u a 52-bit "
+        "md5 hash-uniform of its id — no RNG state, reproducible on any "
+        "engine — and the sample is the top-k by key, taken with "
+        "orderBy+limit (TakeOrderedAndProject: per-partition top-k, tiny "
+        "combine, single pass, no global window).  Keys are ROUNDED to 9 "
+        "before ranking with an id tiebreak (the q54 discipline) so a "
+        "1-ulp libm pow() difference can't flip the boundary.  "
+        "Complements q105's integer grid sampler: A-Res is the form that "
+        "streams and merges (keep the k largest keys per partition)"
+    ),
+)
+def q174(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, _ES_HEX),
+        16, 10,
+    ).cast("double") / F.pow(F.lit(16.0), _ES_HEX)
+    key = F.round(
+        F.pow(u, 1.0 / F.col("n_chars").cast("double")), 9
+    )
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(_ES_K)
+    )
