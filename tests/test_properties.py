@@ -292,3 +292,30 @@ def test_gini_rank_form_equals_pairwise_form_property(xs):
     pairwise = sum(abs(a - b) for a in xs for b in xs) / (2 * n * n * (tot / n))
     assert abs(rank_form - pairwise) <= 1e-9 * max(1.0, pairwise)
     assert -1e-12 <= rank_form < 1.0
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    k=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_ntile_bucket_formula_property(n, k):
+    """q38's distributed NTILE replacement: for global row number i in
+    1..n, the closed-form bucket must reproduce NTILE(k)'s definition —
+    the first n % k buckets hold floor(n/k)+1 rows, the rest floor(n/k),
+    assigned in row order."""
+    base, rem = n // k, n % k
+    boundary = rem * (base + 1)
+
+    def formula(i: int) -> int:
+        if i <= boundary:
+            return (i - 1) // (base + 1) + 1
+        return rem + (i - boundary - 1) // max(base, 1) + 1
+
+    # reference NTILE: walk buckets with their defined sizes
+    sizes = [base + 1] * rem + [base] * (k - rem)
+    expect = []
+    for b, sz in enumerate(sizes, start=1):
+        expect.extend([b] * sz)
+    got = [formula(i) for i in range(1, n + 1)]
+    assert got == expect
