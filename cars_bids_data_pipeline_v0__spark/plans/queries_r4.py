@@ -1,4 +1,9 @@
-"""Round-4 query batch: corpus screening surfaces.
+"""Round-4 query batch (q163-q174): corpus screening, sketch algebra,
+dataset governance, and sampling surfaces — blocklist screening, KMV
+source-overlap, incremental cross-corpus dedup, curriculum bins, dataset
+card, label-quality kappa, ExactSubstr pairs, mixture budget solver, RFM
+segmentation, embedding-dim correlation, FK-integrity audit, and
+weighted sampling without replacement.
 
 Registered into the shared REGISTRY (plans/queries.py) like every other
 batch; oracle discipline identical — alias parity, ROUND on doubles,
