@@ -742,3 +742,99 @@ def stateful_zscore_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def corpus_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    max_stopword_ratio: float = 0.7,
+    near_dup_threshold: float = 0.8,
+    stream_id: str = "corpus-ingest",
+    export_manifest: bool = True,
+    schema: T.StructType | None = None,
+):
+    """Steady-state streaming corpus ingestion — the round-4 capstone
+    composing the pieces a production training-data loop runs forever:
+
+    every micro-batch is (1) quality-gated and exact-deduped WITHIN the
+    batch (``plans.corpus.preprocess_corpus``, q59 semantics, min-id
+    survivor), (2) deduped AGAINST the accumulated corpus with
+    :func:`operators.dedup_docs.dedup_incoming` — exact fingerprint plus
+    near-dup anti-joins whose index join only ever pairs incoming ×
+    corpus rows, never corpus × corpus — and (3) appended to the ACID
+    commit-log table under a ``(stream_id, batch_id)`` fence, so a
+    checkpoint-loss replay of a committed batch is a no-op; finally the
+    open-format symlink manifest is refreshed from the committed log so
+    parquet-only consumers continuously track the corpus.
+
+    Dedup is against the snapshot observed at batch start: concurrent
+    writers to the same table keep full commit atomicity (optimistic
+    retry), but near-dups landing in a commit between this batch's read
+    and its commit are not re-checked — run one ingest stream per corpus
+    (the fence makes that exactly-once) and reconcile backfills with the
+    batch :func:`dedup_incoming`.
+    """
+    from ..operators.dedup_docs import dedup_incoming
+    from ..plans.corpus import preprocess_corpus
+    from ..sources.txlog import (
+        TransactionLog,
+        tx_export_symlink_manifest,
+        tx_read,
+    )
+
+    schema = schema or T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(docs_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        log = TransactionLog(table_path)
+        if log.txn_seen(stream_id, int(batch_id)):
+            return  # replay of an already-committed batch: fenced no-op
+        fresh = preprocess_corpus(
+            batch_df,
+            min_tokens=min_tokens,
+            min_alpha_ratio=min_alpha_ratio,
+            max_stopword_ratio=max_stopword_ratio,
+            near_dup_threshold=None,  # within-batch: gate + exact dedup
+        )
+        corpus = tx_read(session, table_path)
+        if corpus is not None:
+            fresh = dedup_incoming(
+                fresh,
+                corpus.select("doc_id", "text"),
+                threshold=near_dup_threshold,
+            )
+        for _ in range(20):
+            v = log.version()
+            adds = log.stage_dataframe(fresh)
+            if log.try_commit(
+                v + 1,
+                adds,
+                [],
+                op="append",
+                txn={"app": stream_id, "batch": int(batch_id)},
+            ):
+                break
+            log.discard(adds)  # lost a race with another writer: retry
+            if log.txn_seen(stream_id, int(batch_id)):
+                break  # the conflicting commit WAS this batch's replay
+        else:
+            raise RuntimeError("corpus ingest gave up after 20 conflicts")
+        if export_manifest and log.version() >= 0:
+            tx_export_symlink_manifest(table_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -765,3 +765,83 @@ def test_stateful_zscore_state_survives_across_micro_batches(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert [r["event_id"] for r in rows] == [99]
     assert rows[0]["zscore"] > 2.5
+
+
+def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
+    """Round-4 capstone: gate → within-batch dedup → cross-corpus dedup →
+    ACID append with replay fence → manifest refresh, across two
+    micro-batches with planted dups, equivalent to the batch pipeline."""
+    import json as _json
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_read,
+        tx_read_manifest,
+    )
+    from cars_bids_data_pipeline_v0__spark.streaming.incremental import (
+        corpus_ingest_stream,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to "
+            "the old barn")
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    table = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(docs_dir / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # batch 1: two keepers (one duplicated within the batch), one
+    # gate-failing doc (too short)
+    write_batch("b1.json", [
+        {"doc_id": 1, "text": good + " alpha"},
+        {"doc_id": 2, "text": good + " alpha"},     # within-batch dup of 1
+        {"doc_id": 3, "text": "too short"},          # gated out
+        {"doc_id": 4, "text": good + " bravo extra words here"},
+    ])
+    q = corpus_ingest_stream(spark, str(docs_dir), table, ckpt,
+                             near_dup_threshold=0.8)
+    q.awaitTermination(120)
+    got1 = sorted(r["doc_id"] for r in tx_read(spark, table).collect())
+    assert got1 == [1, 4]
+
+    # batch 2: exact clone of corpus doc 1, near-clone of doc 4, one
+    # genuinely new doc
+    write_batch("b2.json", [
+        {"doc_id": 10, "text": good + " alpha"},                 # exact dup
+        {"doc_id": 11, "text": good + " bravo extra words here x"},  # near
+        {"doc_id": 12, "text": "completely different fresh content about "
+                               "zebra quantum harpsichord velvet meridian "
+                               "a of to in the is and pancake"},
+    ])
+    q = corpus_ingest_stream(spark, str(docs_dir), table, ckpt,
+                             near_dup_threshold=0.8)
+    q.awaitTermination(120)
+    got2 = sorted(r["doc_id"] for r in tx_read(spark, table).collect())
+    assert got2 == [1, 4, 12]
+
+    # replay fence: losing the checkpoint re-delivers both files as a new
+    # batch 0, whose (stream_id, 0) token is already in the log — the
+    # fence makes the whole re-delivery a no-op (and even without it,
+    # every surviving doc is now a corpus dup)
+    v_before = TransactionLog(table).version()
+    import shutil as _shutil
+
+    _shutil.rmtree(ckpt)
+    q = corpus_ingest_stream(spark, str(docs_dir), table, str(tmp_path / "ckpt2"),
+                             near_dup_threshold=0.8)
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in tx_read(spark, table).collect()
+    ) == [1, 4, 12]
+
+    # manifest tracks the latest snapshot for parquet-only consumers
+    root = _os.path.join(table, "_symlink_format_manifest")
+    ext = tx_read_manifest(spark, root)
+    assert sorted(r["doc_id"] for r in ext.collect()) == [1, 4, 12]
+    meta = _json.load(open(_os.path.join(root, "manifest.json")))
+    assert meta["version"] == TransactionLog(table).version()
