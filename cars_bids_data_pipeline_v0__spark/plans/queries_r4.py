@@ -1208,3 +1208,133 @@ def q174(spark, sf_dir):
         .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
         .limit(_ES_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — identity resolution (identity-graph stitching): users linked by
+# RARE shared tokens unify into identity clusters via connected components
+# ---------------------------------------------------------------------------
+
+_IDR_MAX_USERS_PER_TOKEN = 3  # tokens shared this widely still count as
+                              # identity evidence; busier tokens are ambient
+
+
+@register(
+    "q175_identity_resolution",
+    f"""
+    WITH RECURSIVE uk AS (
+        SELECT DISTINCT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 60 AS k
+        FROM events WHERE user_id IS NOT NULL
+    ), rare AS (
+        SELECT k FROM uk GROUP BY k
+        HAVING count(*) BETWEEN 2 AND {_IDR_MAX_USERS_PER_TOKEN}
+    ), pairs AS (
+        SELECT DISTINCT a.user_id AS id_a, b.user_id AS id_b
+        FROM uk a JOIN uk b ON a.k = b.k AND a.user_id < b.user_id
+        WHERE a.k IN (SELECT k FROM rare)
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ), comp AS (
+        SELECT src AS user_id, min(dst) AS component
+        FROM reach GROUP BY src
+    ), all_users AS (
+        SELECT DISTINCT user_id FROM uk
+    ), assigned AS (
+        SELECT u.user_id, coalesce(c.component, u.user_id) AS identity
+        FROM all_users u LEFT JOIN comp c ON c.user_id = u.user_id
+    ), ev AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT a.identity,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(ev.n_events) AS BIGINT) AS n_events
+    FROM assigned a JOIN ev ON ev.user_id = a.user_id
+    GROUP BY a.identity
+    HAVING count(*) > 1
+    """,
+    doc=(
+        "identity-graph stitching (the cross-device resolution every "
+        "analytics/ads stack runs): users sharing a RARE device token "
+        "(synthesized deterministically as an md5 bucket of the user id "
+        "— the test tables carry no real device ids, so the linkage "
+        "signal is manufactured the way this registry manufactures all "
+        "its dirt; a token on ≤3 distinct users is identity evidence, "
+        "busier tokens are ambient and ignored) become "
+        "edges, connected components unify them into identities, and "
+        "multi-user identities report their merged user/event volumes.  "
+        "The rare-token cap bounds edge fan-out exactly like q53's "
+        "df_cap bounds shingles (a token shared by k users is k² edges); "
+        "components run on the label-propagation operator with the "
+        "large-star escape hatch documented (graph.py).  Oracled via "
+        "the q92-style recursive-CTE closure"
+    ),
+)
+def q175(spark, sf_dir):
+    from ..operators.graph import connected_components
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    uk = e.select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                16, 10,
+            ).cast("long")
+            % 60
+        ).alias("k"),
+    ).distinct()
+    rare = (
+        uk.groupBy("k")
+        .agg(F.count("*").alias("__n"))
+        .filter(
+            (F.col("__n") >= 2) & (F.col("__n") <= _IDR_MAX_USERS_PER_TOKEN)
+        )
+        .select("k")
+    )
+    linked = uk.join(F.broadcast(rare), "k")
+    pairs = (
+        linked.alias("a")
+        .join(linked.alias("b"), on="k")
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("id_a"),
+            F.col("b.user_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    assigned = (
+        uk.select("user_id")
+        .distinct()
+        .join(
+            comp.select(F.col("id").alias("user_id"), "component"), 
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            F.coalesce(F.col("component"), F.col("user_id")).alias(
+                "identity"
+            ),
+        )
+    )
+    ev = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return (
+        assigned.join(ev, "user_id")
+        .groupBy("identity")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .filter(F.col("n_users") > 1)
+    )
