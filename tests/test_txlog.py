@@ -508,3 +508,92 @@ def test_tx_stream_sink_keeps_manifest_current(spark, tmp_path):
     meta = _json.load(open(_os.path.join(root, "manifest.json")))
     assert meta["version"] == v_after
     assert tx_read_manifest(spark, root).count() == 2
+
+
+def test_tx_export_concurrent_exporters_serialize(spark, silver, tmp_path):
+    """Three exporters racing on the same table must all succeed (or time
+    out cleanly), leave NO lock or temp debris behind, and the final
+    manifest must be a consistent snapshot of one committed version."""
+    import json as _json
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_export_symlink_manifest,
+        tx_read_manifest,
+    )
+
+    table = str(tmp_path / "tx_lake")
+    tx_merge_partitioned(spark, silver, table)
+    upd = silver.filter(F.col("auction_id") == "bbb222").withColumn(
+        "auction_date", F.to_timestamp(F.lit("2024-03-09 01:00:00"))
+    )
+    tx_merge_partitioned(spark, upd, table)
+
+    barrier = threading.Barrier(3)
+    errors: list[Exception] = []
+
+    def exporter():
+        try:
+            barrier.wait()
+            for _ in range(5):  # hammer the lock repeatedly
+                tx_export_symlink_manifest(table, lock_timeout=30.0)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=exporter) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    root = _os.path.join(table, "_symlink_format_manifest")
+    # lock released, no temp or broken-lock debris
+    leftovers = [
+        n for n in _os.listdir(root)
+        if n.startswith((".export.lock", ".manifest"))
+    ]
+    assert leftovers == []
+    # consistent snapshot of the latest version
+    meta = _json.load(open(_os.path.join(root, "manifest.json")))
+    assert meta["version"] == TransactionLog(table).version()
+    got = {
+        (r["auction_id"], str(r["auction_date"]))
+        for r in tx_read_manifest(spark, root).collect()
+    }
+    want = {
+        (r["auction_id"], str(r["auction_date"]))
+        for r in tx_read(spark, table).collect()
+    }
+    assert got == want
+
+
+def test_tx_export_stale_lock_broken_once(spark, silver, tmp_path):
+    """A leaked lock older than stale_after is broken and the export
+    proceeds; a FRESH lock is honored until timeout."""
+    import os as _os
+    import time as _time
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_export_symlink_manifest,
+    )
+
+    table = str(tmp_path / "tx_lake")
+    tx_merge_partitioned(spark, silver, table)
+    root = _os.path.join(table, "_symlink_format_manifest")
+    _os.makedirs(root, exist_ok=True)
+    lock = _os.path.join(root, ".export.lock")
+    with open(lock, "w") as f:
+        f.write("deadbeef")  # a crashed exporter's leftover
+    old = _time.time() - 120
+    _os.utime(lock, (old, old))
+    # stale (> stale_after=60 here): broken, export succeeds
+    tx_export_symlink_manifest(table, stale_after=60.0)
+    assert not _os.path.exists(lock)
+    # fresh lock: honored → TimeoutError after lock_timeout
+    with open(lock, "w") as f:
+        f.write("cafebabe")
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        tx_export_symlink_manifest(table, lock_timeout=0.5)
+    _os.unlink(lock)
