@@ -75,9 +75,16 @@ class TransactionLog:
     def _commit_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.json")
 
-    def actions(self, upto: int | None = None) -> list[dict]:
+    def actions(
+        self, upto: int | None = None, since: int = -1
+    ) -> list[dict]:
+        """Commit bodies for versions in ``(since, upto]`` — the version
+        filter runs on the FILENAMES, so pre-checkpoint commits are
+        never even opened."""
         out = []
         for v in self.versions():
+            if v <= since:
+                continue
             if upto is not None and v > upto:
                 break
             with open(self._commit_path(v)) as f:
@@ -95,9 +102,7 @@ class TransactionLog:
         ckpt = self._latest_checkpoint(upto)
         if ckpt is not None:
             start, live = ckpt
-        for act in self.actions(upto):
-            if act["version"] <= start:
-                continue
+        for act in self.actions(upto, since=start):
             for a in act.get("add", []):
                 live[a["path"]] = a.get("partition")
             for r in act.get("remove", []):
@@ -109,9 +114,10 @@ class TransactionLog:
     def _checkpoint_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
 
-    def _latest_checkpoint(
+    def _latest_checkpoint_body(
         self, upto: int | None = None
-    ) -> tuple[int, dict[str, str | None]] | None:
+    ) -> tuple[int, dict] | None:
+        """Newest readable checkpoint body at or below ``upto``."""
         if not os.path.isdir(self.log_dir):
             return None
         versions = sorted(
@@ -127,13 +133,21 @@ class TransactionLog:
                 continue
             try:
                 with open(self._checkpoint_path(v)) as f:
-                    body = json.load(f)
+                    return v, json.load(f)
             except (OSError, json.JSONDecodeError):
                 continue  # torn checkpoint: fall back to older one / replay
-            return v, {
-                a["path"]: a.get("partition") for a in body.get("live", [])
-            }
         return None
+
+    def _latest_checkpoint(
+        self, upto: int | None = None
+    ) -> tuple[int, dict[str, str | None]] | None:
+        found = self._latest_checkpoint_body(upto)
+        if found is None:
+            return None
+        v, body = found
+        return v, {
+            a["path"]: a.get("partition") for a in body.get("live", [])
+        }
 
     def checkpoint(self) -> int:
         """Materialize the current live-file set as a checkpoint for the
@@ -149,9 +163,20 @@ class TransactionLog:
             {"path": p, "partition": part}
             for p, part in sorted(self.live_files(upto=v).items())
         ]
+        # SetTransaction-style compaction of idempotence tokens: the
+        # per-app LATEST batch id (batch ids per app are monotone — the
+        # Structured Streaming per-checkpoint guarantee), so txn_seen
+        # replays only post-checkpoint commits instead of the whole log
+        txns: dict[str, int] = {}
+        for act in self.actions(upto=v):
+            t = act.get("txn")
+            if t:
+                txns[t["app"]] = max(
+                    txns.get(t["app"], -1), int(t["batch"])
+                )
         tmp = self._checkpoint_path(v) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"version": v, "live": live}, f)
+            json.dump({"version": v, "live": live, "txns": txns}, f)
         os.replace(tmp, self._checkpoint_path(v))
         return v
 
@@ -237,13 +262,33 @@ class TransactionLog:
         return True
 
     def txn_seen(self, app: str, batch: int) -> bool:
-        """True if a committed version already carries this idempotence
-        token — the replayed micro-batch must be skipped, its work is
-        durable."""
-        return any(
-            act.get("txn") == {"app": app, "batch": batch}
-            for act in self.actions()
-        )
+        """True if this batch — or a LATER batch of the same app — already
+        committed (batch ids per app are monotone, so Delta's
+        SetTransaction ``batch <= latest`` rule applies; the replayed
+        micro-batch must be skipped, its work is durable).
+
+        Complexity contract matches ``live_files``: the per-app latest
+        batch is read from the newest checkpoint (recorded at
+        compaction) and only post-checkpoint commits are replayed — a
+        forever-running ingest stream stays O(commits since checkpoint)
+        per fence check, not O(table age).  Checkpoints written before
+        tokens were compacted lack the ``txns`` key; those fall back to
+        a full-log scan for correctness."""
+        start = -1
+        latest: dict[str, int] = {}
+        found = self._latest_checkpoint_body()
+        if found is not None and "txns" in found[1]:
+            start = found[0]
+            latest = {
+                a: int(b) for a, b in found[1]["txns"].items()
+            }
+        for act in self.actions(since=start):
+            t = act.get("txn")
+            if t:
+                latest[t["app"]] = max(
+                    latest.get(t["app"], -1), int(t["batch"])
+                )
+        return latest.get(app, -1) >= batch
 
     def discard(self, adds: list[dict]) -> None:
         """Best-effort removal of staged-but-not-committed files."""
@@ -797,6 +842,12 @@ def tx_export_symlink_manifest(
                 ) from None
             _time.sleep(0.05)
     try:
+        if version is None:
+            # re-resolve AFTER acquiring the lock: a queued exporter that
+            # pinned the version before waiting could otherwise overwrite
+            # a newer manifest with an older snapshot (table regression
+            # for parquet-only consumers)
+            v = log.version()
         live = log.live_files(upto=v)
         by_part: dict[str, list[str]] = {}
         for rel, part in sorted(live.items()):

@@ -760,24 +760,39 @@ def corpus_ingest_stream(
     """Steady-state streaming corpus ingestion — the round-4 capstone
     composing the pieces a production training-data loop runs forever:
 
-    every micro-batch is (1) quality-gated and exact-deduped WITHIN the
-    batch (``plans.corpus.preprocess_corpus``, q59 semantics, min-id
-    survivor), (2) deduped AGAINST the accumulated corpus with
+    every micro-batch is (1) quality-gated and deduped WITHIN the batch
+    (``plans.corpus.preprocess_corpus``: q59 gate, exact min-id survivor,
+    AND within-batch near-dup collapse at ``near_dup_threshold`` — two
+    near-identical crawls of one page arriving together must not both
+    land), (2) deduped AGAINST the accumulated corpus with
     :func:`operators.dedup_docs.dedup_incoming` — exact fingerprint plus
     near-dup anti-joins whose index join only ever pairs incoming ×
     corpus rows, never corpus × corpus — and (3) appended to the ACID
-    commit-log table under a ``(stream_id, batch_id)`` fence, so a
-    checkpoint-loss replay of a committed batch is a no-op; finally the
-    open-format symlink manifest is refreshed from the committed log so
-    parquet-only consumers continuously track the corpus.
+    commit-log table under an idempotence fence; finally the open-format
+    symlink manifest is refreshed from the committed log so parquet-only
+    consumers continuously track the corpus.
+
+    The fence app id is ``stream_id`` scoped by an EPOCH marker stored
+    inside the checkpoint directory: a restart from the SAME checkpoint
+    keeps the epoch, so a crash-replay of a committed batch is a no-op —
+    while a LOST/recreated checkpoint (whose batch ids restart at 0 and
+    whose first batch re-delivers every file PLUS anything new) gets a
+    fresh epoch and is NOT falsely fenced; content-level dedup then drops
+    everything already ingested and only genuinely new documents commit
+    (an all-dup re-delivery commits nothing at all).  Without the epoch
+    scoping, a ``(stream_id, 0)`` token from the old checkpoint would
+    silently swallow new files riding in the re-delivered batch 0 — the
+    Delta ``txnAppId`` caveat.
 
     Dedup is against the snapshot observed at batch start: concurrent
     writers to the same table keep full commit atomicity (optimistic
     retry), but near-dups landing in a commit between this batch's read
     and its commit are not re-checked — run one ingest stream per corpus
-    (the fence makes that exactly-once) and reconcile backfills with the
-    batch :func:`dedup_incoming`.
+    and reconcile backfills with the batch :func:`dedup_incoming`.
     """
+    import os as _os
+    import uuid as _uuid
+
     from ..operators.dedup_docs import dedup_incoming
     from ..plans.corpus import preprocess_corpus
     from ..sources.txlog import (
@@ -785,6 +800,16 @@ def corpus_ingest_stream(
         tx_export_symlink_manifest,
         tx_read,
     )
+
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    epoch_file = _os.path.join(checkpoint_dir, "_corpus_ingest_epoch")
+    if not _os.path.exists(epoch_file):
+        tmp = epoch_file + f".tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(_uuid.uuid4().hex)
+        _os.replace(tmp, epoch_file)
+    with open(epoch_file) as f:
+        app_id = f"{stream_id}:{f.read().strip()}"
 
     schema = schema or T.StructType(
         [
@@ -797,14 +822,14 @@ def corpus_ingest_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
         log = TransactionLog(table_path)
-        if log.txn_seen(stream_id, int(batch_id)):
-            return  # replay of an already-committed batch: fenced no-op
+        if log.txn_seen(app_id, int(batch_id)):
+            return  # same-checkpoint replay of a committed batch
         fresh = preprocess_corpus(
             batch_df,
             min_tokens=min_tokens,
             min_alpha_ratio=min_alpha_ratio,
             max_stopword_ratio=max_stopword_ratio,
-            near_dup_threshold=None,  # within-batch: gate + exact dedup
+            near_dup_threshold=near_dup_threshold,
         )
         corpus = tx_read(session, table_path)
         if corpus is not None:
@@ -813,22 +838,30 @@ def corpus_ingest_stream(
                 corpus.select("doc_id", "text"),
                 threshold=near_dup_threshold,
             )
-        for _ in range(20):
-            v = log.version()
-            adds = log.stage_dataframe(fresh)
-            if log.try_commit(
-                v + 1,
-                adds,
-                [],
-                op="append",
-                txn={"app": stream_id, "batch": int(batch_id)},
-            ):
-                break
-            log.discard(adds)  # lost a race with another writer: retry
-            if log.txn_seen(stream_id, int(batch_id)):
-                break  # the conflicting commit WAS this batch's replay
-        else:
-            raise RuntimeError("corpus ingest gave up after 20 conflicts")
+        fresh = fresh.persist()  # retries must not re-run the dedup DAG
+        try:
+            if fresh.isEmpty():
+                return  # nothing new (e.g. an all-dup re-delivery)
+            for _ in range(20):
+                v = log.version()
+                adds = log.stage_dataframe(fresh)
+                if log.try_commit(
+                    v + 1,
+                    adds,
+                    [],
+                    op="append",
+                    txn={"app": app_id, "batch": int(batch_id)},
+                ):
+                    break
+                log.discard(adds)  # lost a race: clean up, retry
+                if log.txn_seen(app_id, int(batch_id)):
+                    break  # the conflicting commit WAS this batch
+            else:
+                raise RuntimeError(
+                    "corpus ingest gave up after 20 conflicts"
+                )
+        finally:
+            fresh.unpersist()
         if export_manifest and log.version() >= 0:
             tx_export_symlink_manifest(table_path)
 

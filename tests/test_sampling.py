@@ -77,3 +77,27 @@ def test_sketch_aggregates_within_error_bounds(spark):
         F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("p")
     ).collect()[0]["p"]
     assert abs(approx_p50 - exact_p50) <= 1.0
+
+
+def test_es_weighted_sample_biased_toward_heavy_rows(spark):
+    """q174 (A-Res weighted sampling): selection probability must rise
+    with weight — the sampled docs' mean n_chars exceeds the corpus mean
+    (the COVERAGE-claimed weighted-bias sanity)."""
+    from cars_bids_data_pipeline_v0__spark.plans.queries import (
+        REGISTRY,
+        _load_extensions,
+    )
+
+    _load_extensions()
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q174_weighted_sample_without_replacement"].builder(
+        spark, sf
+    ).collect()
+    assert len(rows) == 100
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean

@@ -795,13 +795,15 @@ def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
             for r in rows:
                 f.write(_json.dumps(r) + "\n")
 
-    # batch 1: two keepers (one duplicated within the batch), one
-    # gate-failing doc (too short)
+    # batch 1: exact within-batch dup (1,2), a NEAR within-batch dup
+    # pair (4,5 — same page crawled twice with a one-word diff), and a
+    # gate-failing doc
     write_batch("b1.json", [
         {"doc_id": 1, "text": good + " alpha"},
         {"doc_id": 2, "text": good + " alpha"},     # within-batch dup of 1
         {"doc_id": 3, "text": "too short"},          # gated out
         {"doc_id": 4, "text": good + " bravo extra words here"},
+        {"doc_id": 5, "text": good + " bravo extra words here plus"},
     ])
     q = corpus_ingest_stream(spark, str(docs_dir), table, ckpt,
                              near_dup_threshold=0.8)
@@ -824,24 +826,41 @@ def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
     got2 = sorted(r["doc_id"] for r in tx_read(spark, table).collect())
     assert got2 == [1, 4, 12]
 
-    # replay fence: losing the checkpoint re-delivers both files as a new
-    # batch 0, whose (stream_id, 0) token is already in the log — the
-    # fence makes the whole re-delivery a no-op (and even without it,
-    # every surviving doc is now a corpus dup)
+    # checkpoint LOSS: a fresh checkpoint restarts batch ids at 0 and
+    # re-delivers every file — the epoch-scoped fence must NOT falsely
+    # swallow it; content dedup drops everything already ingested, the
+    # all-dup re-delivery commits NOTHING (version unchanged)
     v_before = TransactionLog(table).version()
     import shutil as _shutil
 
     _shutil.rmtree(ckpt)
-    q = corpus_ingest_stream(spark, str(docs_dir), table, str(tmp_path / "ckpt2"),
+    ckpt2 = str(tmp_path / "ckpt2")
+    q = corpus_ingest_stream(spark, str(docs_dir), table, ckpt2,
                              near_dup_threshold=0.8)
     q.awaitTermination(120)
     assert sorted(
         r["doc_id"] for r in tx_read(spark, table).collect()
     ) == [1, 4, 12]
+    assert TransactionLog(table).version() == v_before
+
+    # a NEW file arriving after the checkpoint loss must still land —
+    # the old (stream_id, 0) token would have swallowed it without the
+    # epoch scoping
+    write_batch("b3.json", [
+        {"doc_id": 20, "text": "another genuinely new page about "
+                               "glacier bassoon turquoise anvil the a "
+                               "of and is to in marmalade"},
+    ])
+    q = corpus_ingest_stream(spark, str(docs_dir), table, ckpt2,
+                             near_dup_threshold=0.8)
+    q.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in tx_read(spark, table).collect()
+    ) == [1, 4, 12, 20]
 
     # manifest tracks the latest snapshot for parquet-only consumers
     root = _os.path.join(table, "_symlink_format_manifest")
     ext = tx_read_manifest(spark, root)
-    assert sorted(r["doc_id"] for r in ext.collect()) == [1, 4, 12]
+    assert sorted(r["doc_id"] for r in ext.collect()) == [1, 4, 12, 20]
     meta = _json.load(open(_os.path.join(root, "manifest.json")))
     assert meta["version"] == TransactionLog(table).version()
