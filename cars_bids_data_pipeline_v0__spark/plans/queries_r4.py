@@ -1338,3 +1338,182 @@ def q175(spark, sf_dir):
         )
         .filter(F.col("n_users") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — Theil index with between/within decomposition (the inequality
+# measure that DECOMPOSES — complements q159's Gini scalar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q176_theil_decomposition",
+    """
+    WITH cust AS (
+        SELECT c.c_nationkey AS nation, o.o_custkey,
+               sum(o.o_totalprice) AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+               avg(x) AS mu
+        FROM cust
+    ), overall AS (
+        SELECT round(sum((x / tot.sx) * ln(x / tot.mu)), 6) AS t_total
+        FROM cust CROSS JOIN tot
+    ), grp AS (
+        SELECT nation, CAST(count(*) AS BIGINT) AS ng, sum(x) AS sg,
+               avg(x) AS mug
+        FROM cust GROUP BY nation
+    ), within AS (
+        SELECT round(sum((c.x / t.sx) * ln(c.x / g.mug)), 6) AS t_within
+        FROM cust c
+        JOIN grp g ON g.nation = c.nation
+        CROSS JOIN tot t
+    ), between_g AS (
+        SELECT round(sum((g.sg / t.sx) * ln(g.mug / t.mu)), 6) AS t_between
+        FROM grp g CROSS JOIN tot t
+    )
+    SELECT o.t_total, w.t_within, b.t_between,
+           round(o.t_total - (w.t_within + b.t_between), 6) AS residual
+    FROM overall o CROSS JOIN within w CROSS JOIN between_g b
+    """,
+    doc=(
+        "Theil-T inequality of per-customer revenue with the "
+        "between/within-nation decomposition — the property Gini lacks: "
+        "T_total = T_within + T_between exactly (residual emitted and "
+        "expected ≈ 0, a built-in self-check both engines must agree "
+        "on).  Answers 'is revenue concentration driven by differences "
+        "BETWEEN markets or WITHIN them'.  Every term is a "
+        "partial-aggregable sum over the |customers|-bounded aggregate; "
+        "the per-group means arrive by broadcast join, no window anywhere"
+    ),
+)
+def q176(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cust = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+        .persist()
+    )
+    tot = cust.agg(
+        F.sum("x").alias("sx"), F.avg("x").alias("mu")
+    )
+    grp = cust.groupBy("nation").agg(
+        F.sum("x").alias("sg"), F.avg("x").alias("mug")
+    )
+    t_total = (
+        cust.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum((F.col("x") / F.col("sx")) * F.log(F.col("x") / F.col("mu"))),
+                6,
+            ).alias("t_total")
+        )
+    )
+    t_within = (
+        cust.join(F.broadcast(grp), "nation")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("x") / F.col("sx")) * F.log(F.col("x") / F.col("mug"))
+                ),
+                6,
+            ).alias("t_within")
+        )
+    )
+    t_between = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("sg") / F.col("sx")) * F.log(F.col("mug") / F.col("mu"))
+                ),
+                6,
+            ).alias("t_between")
+        )
+    )
+    return (
+        t_total.crossJoin(F.broadcast(t_within))
+        .crossJoin(F.broadcast(t_between))
+        .select(
+            "t_total",
+            "t_within",
+            "t_between",
+            F.round(
+                F.col("t_total") - (F.col("t_within") + F.col("t_between")),
+                6,
+            ).alias("residual"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q177 — Herfindahl-Hirschman market concentration per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q177_hhi_concentration",
+    """
+    WITH rev AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT nation, sum(r) AS tr,
+               CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY nation
+    )
+    SELECT r.nation, t.n_suppliers,
+           round(sum(pow(r.r / t.tr * 100, 2)), 4) AS hhi,
+           round(max(r.r / t.tr), 6) AS top_share
+    FROM rev r JOIN tot t ON t.nation = r.nation
+    GROUP BY r.nation, t.n_suppliers
+    """,
+    doc=(
+        "Herfindahl-Hirschman Index of supplier revenue concentration "
+        "per nation (the antitrust/market-structure standard: sum of "
+        "squared percentage shares; > 2500 = highly concentrated), with "
+        "the largest single share alongside.  Shares need each "
+        "supplier's revenue against its nation total — one broadcast "
+        "join of the |nations|-bounded totals, every aggregate "
+        "partial-merging"
+    ),
+)
+def q177(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == s["s_suppkey"],
+        )
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("r")
+        )
+        .persist()
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("r").alias("tr"),
+        F.count("*").cast("long").alias("n_suppliers"),
+    )
+    share = F.col("r") / F.col("tr")
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation", "n_suppliers")
+        .agg(
+            F.round(F.sum(F.pow(share * 100, 2)), 4).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+    )
