@@ -1517,3 +1517,50 @@ def q177(spark, sf_dir):
             F.round(F.max(share), 6).alias("top_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — grouped ordinary least squares via co-moments (distributed
+# regression without any ML library: slope/intercept/R² per group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q178_discount_quantity_ols",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(covar_samp(l_discount, l_quantity)
+                 / var_samp(l_discount), 6) AS slope,
+           round(avg(l_quantity)
+                 - covar_samp(l_discount, l_quantity) / var_samp(l_discount)
+                   * avg(l_discount), 6) AS intercept,
+           round(pow(corr(l_discount, l_quantity), 2), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "grouped simple linear regression (does discount move quantity?) "
+        "from nothing but co-moment aggregates: slope = cov/var, "
+        "intercept = ȳ − slope·x̄, R² = corr² — every term is a "
+        "partial-aggregable sum of x, y, xy, x², y², so at 100 TB the "
+        "regression reduces map-side to five scalars per group, the "
+        "same shape as q156's correlation.  The pattern generalizes to "
+        "any per-segment trend fit without MLlib round-trips"
+    ),
+)
+def q178(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    slope = F.covar_samp("l_discount", "l_quantity") / F.var_samp(
+        "l_discount"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.avg("l_quantity") - slope * F.avg("l_discount"), 6
+        ).alias("intercept"),
+        F.round(
+            F.pow(F.corr("l_discount", "l_quantity"), 2), 6
+        ).alias("r2"),
+    )
