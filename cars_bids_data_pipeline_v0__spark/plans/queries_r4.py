@@ -1564,3 +1564,98 @@ def q178(spark, sf_dir):
             F.pow(F.corr("l_discount", "l_quantity"), 2), 6
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — cohort LTV revenue matrix (q70's retention counts extended to the
+# revenue-by-age table growth teams actually budget against)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q179_cohort_ltv_matrix",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               date_trunc('month', min(o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ), aged AS (
+        SELECT f.cohort_month,
+               (extract(year FROM o.o_orderdate)
+                - extract(year FROM f.cohort_month)) * 12
+               + (extract(month FROM o.o_orderdate)
+                  - extract(month FROM f.cohort_month)) AS age_months,
+               o.o_totalprice, o.o_custkey
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ), cohort_sizes AS (
+        SELECT cohort_month, CAST(count(*) AS BIGINT) AS cohort_n
+        FROM firsts GROUP BY cohort_month
+    )
+    SELECT CAST(a.cohort_month AS DATE) AS cohort_month,
+           CAST(a.age_months AS INT) AS age_months,
+           s.cohort_n,
+           CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS active_customers,
+           round(sum(a.o_totalprice), 2) AS revenue,
+           round(CAST(round(sum(a.o_totalprice), 2) / s.cohort_n
+                      AS DECIMAL(28, 8)), 4)::DOUBLE
+               AS revenue_per_cohort_member
+    FROM aged a JOIN cohort_sizes s ON s.cohort_month = a.cohort_month
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "cohort lifetime-value matrix: each customer's orders bucketed by "
+        "(first-order cohort month × months since first order), with "
+        "active-customer counts and revenue normalized per ORIGINAL "
+        "cohort member — the LTV curve table that growth/finance teams "
+        "budget against (cumulate revenue_per_cohort_member along "
+        "age_months for the classic LTV curve).  One per-customer "
+        "first-order aggregate joined back to the fact (at 100 TB the "
+        "firsts frame is customer-bounded and the join keys on custkey — "
+        "the same shuffle the fact already has), then one rollup"
+    ),
+)
+def q179(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    aged = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).alias("age_months"),
+        "o_totalprice",
+        "o_custkey",
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count("*").cast("long").alias("cohort_n")
+    )
+    return (
+        aged.join(F.broadcast(sizes), "cohort_month")
+        .groupBy(
+            F.col("cohort_month").cast("date").alias("cohort_month"),
+            F.col("age_months").cast("int").alias("age_months"),
+            "cohort_n",
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias(
+                "active_customers"
+            ),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # two-stage round (8 then 4): a 2-dp revenue over an
+            # integer divisor is an exact <=6-digit rational, but its
+            # DOUBLE sits a hair below the .xxx5 boundary — Spark's
+            # round works on the shortest repr while DuckDB rounds the
+            # exact value, so a single round(.., 4) disagrees there.
+            # Pinning 8 digits first reconstructs the rational in both
+            # engines; the final round then agrees.
+            F.round(
+                F.round(
+                    F.round(F.sum("o_totalprice"), 2) / F.col("cohort_n"),
+                    8,
+                ),
+                4,
+            ).alias("revenue_per_cohort_member"),
+        )
+    )
