@@ -12,6 +12,7 @@ from .ingest import register_views
 from .sinks import merge_write_partitioned, write_json_debug, write_text_queue
 from .txlog import (
     TransactionLog,
+    checkpoint_epoch_app_id,
     tx_compact,
     tx_delete_where,
     tx_export_symlink_manifest,
@@ -38,6 +39,7 @@ __all__ = [
     "write_json_debug",
     "write_text_queue",
     "TransactionLog",
+    "checkpoint_epoch_app_id",
     "tx_compact",
     "tx_delete_where",
     "tx_export_symlink_manifest",

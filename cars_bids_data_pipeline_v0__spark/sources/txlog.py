@@ -166,9 +166,16 @@ class TransactionLog:
         # SetTransaction-style compaction of idempotence tokens: the
         # per-app LATEST batch id (batch ids per app are monotone — the
         # Structured Streaming per-checkpoint guarantee), so txn_seen
-        # replays only post-checkpoint commits instead of the whole log
+        # replays only post-checkpoint commits instead of the whole log.
+        # Seeded from the PREVIOUS checkpoint's map so compaction itself
+        # is O(commits since last checkpoint), not O(table age).
         txns: dict[str, int] = {}
-        for act in self.actions(upto=v):
+        start = -1
+        prev = self._latest_checkpoint_body(upto=v)
+        if prev is not None and "txns" in prev[1]:
+            start = prev[0]
+            txns = {a: int(b) for a, b in prev[1]["txns"].items()}
+        for act in self.actions(upto=v, since=start):
             t = act.get("txn")
             if t:
                 txns[t["app"]] = max(
@@ -242,7 +249,12 @@ class TransactionLog:
         """Atomically claim ``version``.  False = a concurrent writer won it
         first (caller re-reads the snapshot and retries).  ``txn`` is an
         optional idempotence token (e.g. ``{"app": stream_id, "batch":
-        N}``) recorded in the commit — `txn_seen` fences replays."""
+        N}``) recorded in the commit — `txn_seen` fences replays.
+        CONTRACT: batch ids must be monotonically increasing per app
+        (the Structured Streaming guarantee; Delta's SetTransaction rule)
+        — out-of-order reprocessing must use a DISTINCT app id (e.g.
+        ``backfill-2024-06``), or `txn_seen` will treat the old batch as
+        already durable and skip it."""
         os.makedirs(self.log_dir, exist_ok=True)
         body = json.dumps(
             {
@@ -387,10 +399,12 @@ def tx_merge_partitioned(
     snapshot (no lost update, serializable).  Per retry the work is
     proportional to the batch's partitions, not the table.
 
-    ``txn`` makes the merge an exactly-once participant: if a committed
-    version already carries the token the call is a no-op (checked on
-    entry AND on every conflict retry), and the token rides in this
-    merge's commit — the streaming sink's replay fence.
+    ``txn`` makes the merge an exactly-once participant: if this batch —
+    or a later batch of the same app (`txn_seen`'s monotone SetTransaction
+    rule; use a distinct app id for out-of-order backfills) — already
+    committed, the call is a no-op (checked on entry AND on every
+    conflict retry), and the token rides in this merge's commit — the
+    streaming sink's replay fence.
 
     Every committed file carries zone-map stats for ``stats_cols``
     (default: the ``order_by`` column) so `tx_scan` time-range reads
@@ -541,6 +555,29 @@ def tx_compact(
     raise RuntimeError(f"compaction gave up after {max_retries} conflicts")
 
 
+def checkpoint_epoch_app_id(stream_id: str, checkpoint_dir: str) -> str:
+    """``stream_id`` scoped by an epoch uuid stored INSIDE the stream's
+    checkpoint directory — the shared fence-scoping primitive for every
+    streaming txlog sink.
+
+    The epoch lives and dies with the checkpoint: a restart from the same
+    checkpoint reads the same epoch (replays stay fenced), while a lost/
+    recreated checkpoint mints a fresh epoch, so tokens from the previous
+    incarnation can never swallow a re-delivered batch that carries new
+    data.  Written atomically (tmp + rename); concurrent creators
+    converge on whichever rename lands last, which is fine — they share
+    the checkpoint and therefore the batch-id sequence."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    epoch_file = os.path.join(checkpoint_dir, "_txlog_epoch")
+    if not os.path.exists(epoch_file):
+        tmp = epoch_file + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex)
+        os.replace(tmp, epoch_file)
+    with open(epoch_file) as f:
+        return f"{stream_id}:{f.read().strip()}"
+
+
 def tx_stream_merge_sink(
     table_path: str,
     key: str = "auction_id",
@@ -548,6 +585,7 @@ def tx_stream_merge_sink(
     partition_src: str = "auction_date",
     stream_id: str = "default",
     export_manifest: bool = False,
+    checkpoint_dir: str | None = None,
 ):
     """Exactly-once streaming merge sink: a ``foreachBatch`` function whose
     every micro-batch is one fenced transactional merge.
@@ -559,6 +597,16 @@ def tx_stream_merge_sink(
     per-batch OVERWRITE directories (streaming/incremental.py:225-234).
     Output table stays transactional for concurrent batch writers and
     readers.
+
+    Pass ``checkpoint_dir`` (the SAME path given to the stream's
+    checkpointLocation) to scope the fence by a checkpoint EPOCH: a
+    restart from the same checkpoint stays fenced, while a LOST and
+    recreated checkpoint — whose batch ids restart at 0 and whose first
+    batch may re-deliver old files alongside genuinely NEW ones — gets a
+    fresh epoch instead of the old ``(stream_id, 0)`` token silently
+    swallowing the new rows (the Delta ``txnAppId`` caveat).  Without
+    it, the raw ``stream_id`` is the app id and checkpoint loss must be
+    handled by changing ``stream_id`` manually.
 
     Usage::
 
@@ -575,6 +623,12 @@ def tx_stream_merge_sink(
     and export just leaves the previous — still consistent — manifest.
     """
 
+    app_id = (
+        checkpoint_epoch_app_id(stream_id, checkpoint_dir)
+        if checkpoint_dir is not None
+        else stream_id
+    )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         tx_merge_partitioned(
             batch_df.sparkSession,
@@ -583,7 +637,7 @@ def tx_stream_merge_sink(
             key=key,
             order_by=order_by,
             partition_src=partition_src,
-            txn={"app": stream_id, "batch": int(batch_id)},
+            txn={"app": app_id, "batch": int(batch_id)},
         )
         if export_manifest and TransactionLog(table_path).version() >= 0:
             # version < 0: nothing committed yet (e.g. an empty batch 0 on

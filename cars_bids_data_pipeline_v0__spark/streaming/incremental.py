@@ -790,26 +790,16 @@ def corpus_ingest_stream(
     and its commit are not re-checked — run one ingest stream per corpus
     and reconcile backfills with the batch :func:`dedup_incoming`.
     """
-    import os as _os
-    import uuid as _uuid
-
     from ..operators.dedup_docs import dedup_incoming
     from ..plans.corpus import preprocess_corpus
     from ..sources.txlog import (
         TransactionLog,
+        checkpoint_epoch_app_id,
         tx_export_symlink_manifest,
         tx_read,
     )
 
-    _os.makedirs(checkpoint_dir, exist_ok=True)
-    epoch_file = _os.path.join(checkpoint_dir, "_corpus_ingest_epoch")
-    if not _os.path.exists(epoch_file):
-        tmp = epoch_file + f".tmp-{_uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(_uuid.uuid4().hex)
-        _os.replace(tmp, epoch_file)
-    with open(epoch_file) as f:
-        app_id = f"{stream_id}:{f.read().strip()}"
+    app_id = checkpoint_epoch_app_id(stream_id, checkpoint_dir)
 
     schema = schema or T.StructType(
         [
@@ -822,48 +812,59 @@ def corpus_ingest_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         session = batch_df.sparkSession
         log = TransactionLog(table_path)
-        if log.txn_seen(app_id, int(batch_id)):
-            return  # same-checkpoint replay of a committed batch
-        fresh = preprocess_corpus(
-            batch_df,
-            min_tokens=min_tokens,
-            min_alpha_ratio=min_alpha_ratio,
-            max_stopword_ratio=max_stopword_ratio,
-            near_dup_threshold=near_dup_threshold,
-        )
-        corpus = tx_read(session, table_path)
-        if corpus is not None:
-            fresh = dedup_incoming(
-                fresh,
-                corpus.select("doc_id", "text"),
-                threshold=near_dup_threshold,
-            )
-        fresh = fresh.persist()  # retries must not re-run the dedup DAG
         try:
-            if fresh.isEmpty():
-                return  # nothing new (e.g. an all-dup re-delivery)
-            for _ in range(20):
-                v = log.version()
-                adds = log.stage_dataframe(fresh)
-                if log.try_commit(
-                    v + 1,
-                    adds,
-                    [],
-                    op="append",
-                    txn={"app": app_id, "batch": int(batch_id)},
-                ):
-                    break
-                log.discard(adds)  # lost a race: clean up, retry
-                if log.txn_seen(app_id, int(batch_id)):
-                    break  # the conflicting commit WAS this batch
-            else:
-                raise RuntimeError(
-                    "corpus ingest gave up after 20 conflicts"
+            if log.txn_seen(app_id, int(batch_id)):
+                return  # same-checkpoint replay of a committed batch
+            fresh = preprocess_corpus(
+                batch_df,
+                min_tokens=min_tokens,
+                min_alpha_ratio=min_alpha_ratio,
+                max_stopword_ratio=max_stopword_ratio,
+                near_dup_threshold=near_dup_threshold,
+            )
+            corpus = tx_read(session, table_path)
+            if corpus is not None:
+                fresh = dedup_incoming(
+                    fresh,
+                    corpus.select("doc_id", "text"),
+                    threshold=near_dup_threshold,
                 )
+            fresh = fresh.persist()  # retries must not re-run the dedup
+            try:
+                if fresh.isEmpty():
+                    return  # nothing new (e.g. an all-dup re-delivery)
+                for _ in range(20):
+                    v = log.version()
+                    adds = log.stage_dataframe(fresh)
+                    if log.try_commit(
+                        v + 1,
+                        adds,
+                        [],
+                        op="append",
+                        txn={"app": app_id, "batch": int(batch_id)},
+                    ):
+                        break
+                    log.discard(adds)  # lost a race: clean up, retry
+                    if log.txn_seen(app_id, int(batch_id)):
+                        break  # the conflicting commit WAS this batch
+                else:
+                    raise RuntimeError(
+                        "corpus ingest gave up after 20 conflicts"
+                    )
+            finally:
+                fresh.unpersist()
+            # Delta's cadence: compact the log every 10th commit so the
+            # fence check and snapshot replay stay O(commits since
+            # checkpoint) on a forever-running stream
+            if log.version() >= 0 and log.version() % 10 == 0:
+                log.checkpoint()
         finally:
-            fresh.unpersist()
-        if export_manifest and log.version() >= 0:
-            tx_export_symlink_manifest(table_path)
+            # refresh the manifest on EVERY exit path (fenced replays and
+            # all-dup batches included): a crash between a commit and its
+            # export would otherwise leave parquet-only consumers on a
+            # stale snapshot with no batch ever repairing it
+            if export_manifest and log.version() >= 0:
+                tx_export_symlink_manifest(table_path)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -89,14 +89,13 @@ def test_es_weighted_sample_biased_toward_heavy_rows(spark):
     )
 
     _load_extensions()
-    sf = "/root/testdata/sf0.001"
     rows = REGISTRY["q174_weighted_sample_without_replacement"].builder(
-        spark, sf
+        spark, SF
     ).collect()
     assert len(rows) == 100
     sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
     corpus_mean = (
-        spark.read.parquet(f"{sf}/documents.parquet")
+        spark.read.parquet(f"{SF}/documents.parquet")
         .agg(F.avg("n_chars"))
         .collect()[0][0]
     )

@@ -597,3 +597,41 @@ def test_tx_export_stale_lock_broken_once(spark, silver, tmp_path):
     with _pytest.raises(TimeoutError):
         tx_export_symlink_manifest(table, lock_timeout=0.5)
     _os.unlink(lock)
+
+
+def test_tx_stream_sink_epoch_scoped_fence(spark, tmp_path):
+    """With checkpoint_dir, the fence is epoch-scoped: same checkpoint →
+    replays fenced; lost checkpoint → the re-delivered batch 0 is NOT
+    falsely swallowed, so new rows riding in it still land."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_stream_merge_sink,
+    )
+
+    table = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "auction_id string, auction_date string, payload long"
+        ).withColumn("auction_date", F.to_timestamp("auction_date"))
+
+    sink = tx_stream_merge_sink(table, stream_id="ingest",
+                                checkpoint_dir=ckpt)
+    b0 = mk([("a", "2024-05-01T10:00:00Z", 1)])
+    sink(b0, 0)
+    sink(b0, 0)  # same-checkpoint replay: fenced
+    assert tx_read(spark, table).count() == 1
+    assert TransactionLog(table).version() == 0
+
+    # checkpoint loss: new epoch, batch ids restart; the re-delivery now
+    # carries a NEW row — without epoch scoping the old (ingest, 0)
+    # token would swallow it
+    import shutil as _shutil
+
+    _shutil.rmtree(ckpt)
+    sink2 = tx_stream_merge_sink(table, stream_id="ingest",
+                                 checkpoint_dir=ckpt)
+    sink2(mk([("a", "2024-05-01T10:00:00Z", 1),
+              ("b", "2024-05-02T10:00:00Z", 2)]), 0)
+    got = {r["auction_id"] for r in tx_read_latest(spark, table).collect()}
+    assert got == {"a", "b"}
