@@ -749,3 +749,111 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact Jaccard (PPJoin-style all-pairs)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold —
+    identical output to :func:`ngram_jaccard_pairs`, via prefix filtering
+    (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07)
+    instead of the full inverted-index self-join.
+
+    Order every doc's shingles by ascending global document frequency
+    (rarest first; ties by hash).  For Jaccard threshold ``t`` a doc of
+    set size ``s`` only needs its first ``s - ceil(t*s) + 1`` shingles in
+    the index: if two sets share NO prefix token, every common token sits
+    in both suffixes, so ``|A∩B| ≤ min(ceil(t|A|), ceil(t|B|)) - 1 <
+    t*min(|A|,|B|)`` — but ``J ≥ t`` forces ``|A∩B| ≥
+    t(|A|+|B|)/(1+t)``, which (for t < 1) strictly exceeds
+    ``t*min(|A|,|B|)``.  Contradiction, so
+    candidate generation over prefixes alone has perfect recall, and the
+    exact verify step (array_intersect on the persisted full sets) makes
+    precision exact too.
+
+    Scale story vs the full index: at ``t=0.8`` the index shrinks ~5×
+    (only ~0.2·s + 1 entries per doc), and because prefixes are the
+    RAREST shingles by construction, hot boilerplate shingles — exactly
+    the ones that blow up the self-join's per-key fan-out — fall out of
+    the index unless a doc is mostly boilerplate.  Verification cost is
+    per-candidate and array-local (no second index join): set sizes are
+    document-bounded, not corpus-bounded.
+
+    Shuffles: shingle-df aggregation, per-doc rank window (partitioned by
+    doc — never global), prefix self-join on the 8-byte hashed shingle,
+    candidate distinct, two joins back to the persisted shingle-array
+    table.  Each key space is documents or shingles — no corpus² stage.
+    """
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+        )
+        .withColumn("sz", F.size("sh"))
+        .persist()
+    )
+    inv = sh.select("id", "sz", F.explode("sh").alias("__s")).select(
+        "id", "sz", F.xxhash64("__s").alias("g")
+    )
+    freq = inv.groupBy("g").agg(F.count("*").alias("__df"))
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    )
+    prefix = (
+        inv.join(freq, "g")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("__df", "g")
+            ),
+        )
+        .filter(F.col("__rn") <= prefix_len)
+        .select("id", "g")
+    )
+    cand = (
+        prefix.alias("a")
+        .hint("shuffle_hash")
+        .join(prefix.alias("b"), on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            sh.select(
+                F.col("id").alias("id_a"),
+                F.col("sh").alias("__sa"),
+                F.col("sz").alias("__za"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("id").alias("id_b"),
+                F.col("sh").alias("__sb"),
+                F.col("sz").alias("__zb"),
+            ),
+            "id_b",
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__za") + F.col("__zb") - F.col("__inter")),
+                6,
+            ),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )

@@ -1377,6 +1377,7 @@ def _load_extensions() -> None:
     from . import queries_r3  # noqa: F401
     from . import queries_r3b  # noqa: F401
     from . import queries_r4  # noqa: F401
+    from . import queries_r4b  # noqa: F401
 
 
 # Driver-sampling rotation.  The correctness driver hash-checks the FIRST 50

@@ -1,0 +1,611 @@
+"""Round-4 query batch, second half (q180+): set-similarity joins via
+prefix filtering, planner-aid join-size estimation, privacy/governance
+audits, positional phrase search, tokenizer economics, bounded graph
+expansion, and grid-blocked spatial nearest neighbor.
+
+Registered into the shared REGISTRY (plans/queries.py) like every other
+batch; oracle discipline identical — alias parity, ROUND on doubles,
+tokenization shared with q29/q50/q53.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup_docs import prefix_filter_jaccard_pairs
+from ..operators.sampling import md5_unit
+from ..operators.text import bpe_ish_token_count, normalize_text, tokenize
+from .queries import _t, register
+
+# ---------------------------------------------------------------------------
+# q180 — prefix-filtered exact Jaccard pairs (PPJoin-style).  Same answer
+# as q53 (same shingles, same threshold), different — strictly smaller —
+# candidate space: only document-frequency-ordered prefixes enter the
+# self-join.  The oracle is therefore q53's oracle verbatim: the whole
+# point of prefix filtering is that it changes the plan, not the result.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q180_prefix_filter_jaccard",
+    """
+    WITH sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       '\\s+') AS t
+            FROM documents
+        )
+    ), inv AS (
+        SELECT id, unnest(s) AS shingle FROM sh
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM inv a JOIN inv b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE)
+                 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM pairs
+    JOIN (SELECT id, len(s) AS sz FROM sh) sa ON sa.id = id_a
+    JOIN (SELECT id, len(s) AS sz FROM sh) sb ON sb.id = id_b
+    WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.25
+    """,
+    doc=(
+        "prefix-filtered exact 3-gram Jaccard pairs (Bayardo/PPJoin): "
+        "index only each doc's s - ceil(t*s) + 1 RAREST shingles "
+        "(global-df order), self-join prefixes for candidates, verify "
+        "exactly on the persisted full sets.  Perfect recall by the "
+        "prefix pigeonhole bound, so the oracle is q53's inverted-index "
+        "SQL verbatim — equality with q53 is also pinned by a test.  At "
+        "corpus scale the index shrinks ~(1-t)x and boilerplate "
+        "(high-df) shingles drop out of the join key space entirely — "
+        "the hot-key blow-up q53 needs df_cap for never forms here"
+    ),
+)
+def q180(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, n=3, threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
+# q181 — join-size estimation from per-key count tables (the planner aid:
+# predict |A JOIN B| and its skew WITHOUT executing the join)
+# ---------------------------------------------------------------------------
+
+_EDGES = [
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def _edge_sql(edge, lt, lk, rt, rk):
+    return f"""
+    SELECT '{edge}' AS edge,
+           (SELECT count(*) FROM {lt}) AS n_left,
+           (SELECT count(*) FROM {rt}) AS n_right,
+           CAST(count(*) AS BIGINT) AS n_matching_keys,
+           CAST(sum(cl * cr) AS BIGINT) AS est_join_rows,
+           CAST(max(cl * cr) AS BIGINT) AS max_key_rows,
+           round(max(cl * cr) * count(*)
+                 / CAST(sum(cl * cr) AS DOUBLE), 6) AS skew_factor
+    FROM (SELECT {lk} AS k, count(*) AS cl FROM {lt} GROUP BY 1) L
+    JOIN (SELECT {rk} AS k, count(*) AS cr FROM {rt} GROUP BY 1) R
+    USING (k)
+    """
+
+
+@register(
+    "q181_join_size_estimate",
+    "\nUNION ALL\n".join(_edge_sql(*e) for e in _EDGES)
+    + "\nORDER BY edge",
+    doc=(
+        "planner-aid join cardinality + skew estimation: per-key count "
+        "tables on each side, joined on the key (a |keys|-sized join, "
+        "not a |rows|-sized one), then sum(cl*cr) = EXACT output "
+        "cardinality of the equi-join, max(cl*cr) = the heaviest key's "
+        "share, and skew_factor = max/mean — the number that says "
+        "whether the real join needs salting/AQE before anyone pays for "
+        "running it.  At 100 TB this is two partial-agg scans plus a "
+        "tiny key-space join; the estimated join itself never executes"
+    ),
+)
+def q181(spark, sf_dir):
+    outs = []
+    for edge, lt, lk, rt, rk in _EDGES:
+        left = _t(spark, sf_dir, lt)
+        right = _t(spark, sf_dir, rt)
+        cl = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count("*").alias("cl")
+        )
+        cr = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count("*").alias("cr")
+        )
+        per_key = cl.join(cr, "k").select(
+            (F.col("cl") * F.col("cr")).alias("kr")
+        )
+        est = per_key.agg(
+            F.count("*").cast("long").alias("n_matching_keys"),
+            F.sum("kr").cast("long").alias("est_join_rows"),
+            F.max("kr").cast("long").alias("max_key_rows"),
+            F.round(
+                F.max("kr") * F.count("*") / F.sum("kr").cast("double"), 6
+            ).alias("skew_factor"),
+        )
+        # one-row × one-row × one-row: broadcast of scalar aggregates,
+        # the established bounded-crossJoin shape (cf. q116/q164)
+        totals = left.agg(F.count("*").alias("n_left")).crossJoin(
+            right.agg(F.count("*").alias("n_right"))
+        )
+        outs.append(
+            totals.crossJoin(est).select(
+                F.lit(edge).alias("edge"),
+                "n_left",
+                "n_right",
+                "n_matching_keys",
+                "est_join_rows",
+                "max_key_rows",
+                "skew_factor",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# q182 — k-anonymity audit over quasi-identifiers (release-governance
+# gate: can this table ship without re-identification risk?)
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@register(
+    "q182_k_anonymity_audit",
+    f"""
+    WITH g AS (
+        SELECT c_mktsegment AS segment, c_nationkey,
+               CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+               count(*) AS c
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_combos,
+           CAST(sum(CASE WHEN c < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS risky_combos,
+           CAST(sum(CASE WHEN c < {_K_ANON} THEN c ELSE 0 END) AS BIGINT)
+               AS risky_rows,
+           CAST(min(c) AS BIGINT) AS k_anonymity
+    FROM g
+    GROUP BY segment
+    """,
+    doc=(
+        "k-anonymity release audit: group sizes over the "
+        "quasi-identifier tuple (segment, nation, balance sign); a combo "
+        "with fewer than k=5 members re-identifies its customers, so the "
+        "per-segment report carries the risky combo/row counts and the "
+        "achieved k (min group size).  Two partial aggregations — the "
+        "QI space, not the row space, crosses the shuffle"
+    ),
+)
+def q182(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .otherwise("pos")
+        .alias("bal_sign"),
+    ).agg(F.count("*").alias("c"))
+    risky = F.col("c") < _K_ANON
+    return g.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_combos"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("long").alias(
+            "risky_combos"
+        ),
+        F.sum(F.when(risky, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("risky_rows"),
+        F.min("c").cast("long").alias("k_anonymity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 — positional phrase search over an inverted index with positions
+# (the two-stage retrieval primitive BM25 (q101) can't express: term
+# ADJACENCY, not term presence)
+# ---------------------------------------------------------------------------
+
+_PHRASES = [
+    ("hash join", "hash", "join"),
+    ("table scan", "table", "scan"),
+    ("row group", "row", "group"),
+]
+
+
+@register(
+    "q183_phrase_search",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\s+') AS tk
+        FROM documents
+    ), p(phrase, w1, w2) AS (
+        VALUES {", ".join(f"('{p}', '{a}', '{b}')" for p, a, b in _PHRASES)}
+    ), hits AS (
+        SELECT doc_id, phrase,
+               len(list_filter(generate_series(1, len(tk) - 1),
+                               i -> tk[i] = w1 AND tk[i+1] = w2)) AS n
+        FROM t, p
+    )
+    SELECT phrase,
+           CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_occurrences
+    FROM hits
+    GROUP BY phrase
+    """,
+    doc=(
+        "exact phrase search via a positional inverted index: posexplode "
+        "tokens, filter to the phrase vocabulary BEFORE the shuffle "
+        "(the index only ever contains query terms — at 100 TB that "
+        "predicate rides the scan and the index is miniscule), then "
+        "first-word positions join second-word positions at pos+1 per "
+        "doc.  Adjacency via equi-join keys only (doc, pos+1) — no "
+        "range or theta join.  Output: per-phrase doc and occurrence "
+        "counts"
+    ),
+)
+def q183(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    terms = sorted({w for _, a, b in _PHRASES for w in (a, b)})
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(tokenize(normalize_text("text"))).alias(
+                "pos", "tok"
+            ),
+        )
+        # selective filter before any shuffle: only phrase vocabulary
+        # enters the positional index
+        .filter(F.col("tok").isin(terms))
+    )
+    phrases = d.sparkSession.createDataFrame(
+        _PHRASES, "phrase string, w1 string, w2 string"
+    )
+    first = toks.join(
+        F.broadcast(phrases), F.col("tok") == F.col("w1")
+    ).select("doc_id", "phrase", "pos", "w2")
+    second = toks.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("pos").alias("pos2"),
+        F.col("tok").alias("tok2"),
+    )
+    matched = first.join(
+        second,
+        (F.col("doc_id") == F.col("doc_id2"))
+        & (F.col("pos2") == F.col("pos") + 1)
+        & (F.col("tok2") == F.col("w2")),
+    )
+    counts = matched.groupBy("phrase").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )
+    # phrases with zero hits must still report (0, 0) — LEFT join from
+    # the phrase list keeps the contract engine-independent
+    return (
+        phrases.select("phrase")
+        .join(counts, "phrase", "left")
+        .select(
+            "phrase",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_occurrences", F.lit(0))
+            .cast("long")
+            .alias("n_occurrences"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — tokenizer economics per source: fertility (pieces per word),
+# compression (chars per piece), OOV rate against the corpus top-k vocab
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 20
+
+
+@register(
+    "q184_tokenizer_fertility",
+    f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS c FROM tok
+            GROUP BY w ORDER BY c DESC, w ASC LIMIT {_VOCAB_K}
+        )
+    ), words AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        FROM tok GROUP BY source
+    ), pieces AS (
+        SELECT source,
+               CAST(sum(len_sum) AS BIGINT) AS n_pieces,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars
+        FROM (
+            SELECT source, text,
+                   list_aggregate(list_transform(
+                       regexp_split_to_array(trim(lower(text)),
+                                             '[^a-z0-9]+'),
+                       x -> CAST(ceil(length(x) / 4.0) AS BIGINT)),
+                       'sum') AS len_sum
+            FROM documents
+        )
+        GROUP BY source
+    )
+    SELECT w.source, w.n_words, p.n_pieces, p.n_chars, w.n_oov,
+           round(p.n_pieces / CAST(w.n_words AS DOUBLE), 6) AS fertility,
+           round(p.n_chars / CAST(p.n_pieces AS DOUBLE), 6)
+               AS chars_per_piece,
+           round(w.n_oov / CAST(w.n_words AS DOUBLE), 6) AS oov_rate
+    FROM words w JOIN pieces p USING (source)
+    """,
+    doc=(
+        "tokenizer cost model per source: whitespace words, BPE-ish "
+        "pieces (ceil(len/4) word pieces — the q29-family proxy), "
+        "fertility = pieces/word, compression = chars/piece, and OOV "
+        "rate against the corpus-global top-20 vocabulary "
+        "(count-desc, word-asc tie-break — deterministic in both "
+        "engines).  The vocab is a 31-row aggregate → TakeOrdered → "
+        "broadcast; the corpus is scanned twice (token explode + "
+        "piece-sum projection), both scan-bound.  This table is how "
+        "you catch a tokenizer mismatch (fertility spike) per source "
+        "before burning GPU-hours on a mis-tokenized corpus"
+    ),
+)
+def q184(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(tokenize(F.trim(F.lower(F.col("text"))))).alias("w"),
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(_VOCAB_K)
+        .select("w")
+    )
+    words = (
+        tok.join(
+            F.broadcast(vocab.withColumn("__in", F.lit(1))), "w", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    pieces = d.groupBy("source").agg(
+        F.sum(bpe_ish_token_count("text")).cast("long").alias("n_pieces"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    return words.join(pieces, "source").select(
+        "source",
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        "n_oov",
+        F.round(F.col("n_pieces") / F.col("n_words").cast("double"), 6)
+        .alias("fertility"),
+        F.round(F.col("n_chars") / F.col("n_pieces").cast("double"), 6)
+        .alias("chars_per_piece"),
+        F.round(F.col("n_oov") / F.col("n_words").cast("double"), 6)
+        .alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — bounded two-hop expansion over the co-purchase graph (the
+# "customers also bought" reach, with the df-cap discipline from the
+# dedup family applied to graph fan-out)
+# ---------------------------------------------------------------------------
+
+_RARE_PART_CAP = 20
+
+
+@register(
+    "q185_copurchase_two_hop",
+    f"""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), rare AS (
+        SELECT p FROM cp GROUP BY p
+        HAVING count(*) <= {_RARE_PART_CAP}
+    ), deg AS (
+        SELECT a.c AS c, CAST(count(DISTINCT b.c) AS BIGINT)
+               AS two_hop_degree
+        FROM cp a JOIN rare USING (p) JOIN cp b USING (p)
+        WHERE a.c <> b.c
+        GROUP BY a.c
+    )
+    SELECT two_hop_degree, CAST(count(*) AS BIGINT) AS n_customers
+    FROM deg GROUP BY two_hop_degree
+    """,
+    doc=(
+        "two-hop reach over the customer-part co-purchase bipartite "
+        "graph, reported as a degree histogram (no global ranking "
+        "window).  The expansion joins only through RARE parts "
+        "(<= 20 distinct buyers) — the same hot-key cap the shingle "
+        "joins use, because a part bought by k customers contributes "
+        "k^2 pairs: without the cap one commodity part is a quadratic "
+        "bomb at 100 TB, with it the per-key fan-out is bounded by "
+        "construction.  Hot parts are exactly the uninformative ones "
+        "for 'customers-like-you' reach, so the cap is semantics, not "
+        "just defense"
+    ),
+)
+def q185(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    rare = cp.groupBy("p").agg(F.count("*").alias("__n")).filter(
+        F.col("__n") <= _RARE_PART_CAP
+    )
+    pairs = (
+        cp.alias("a")
+        .join(rare.select("p"), "p")
+        .join(cp.alias("b"), "p")
+        .filter(F.col("a.c") != F.col("b.c"))
+    )
+    deg = pairs.groupBy(F.col("a.c").alias("c")).agg(
+        F.countDistinct(F.col("b.c")).cast("long").alias("two_hop_degree")
+    )
+    return deg.groupBy("two_hop_degree").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186 — grid-blocked spatial nearest neighbor (geohash-style cell
+# blocking: candidates come from the 3x3 neighborhood, never all pairs)
+# ---------------------------------------------------------------------------
+
+_CELL = 10.0  # grid cell size on the synthetic [0,100)^2 plane
+
+
+def _coord_sql(axis):
+    return (
+        f"CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':{axis}'),"
+        f" 1, 4)) AS INT) / 65536.0 * 100"
+    )
+
+
+@register(
+    "q186_grid_nearest_neighbor",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               {_coord_sql('x')} AS x,
+               {_coord_sql('y')} AS y
+        FROM customer
+    ), cells AS (
+        SELECT k, x, y,
+               CAST(floor(x / {_CELL}) AS INT) AS cx,
+               CAST(floor(y / {_CELL}) AS INT) AS cy
+        FROM pts
+    ), offs(dx, dy) AS (
+        VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+    ), cand AS (
+        SELECT a.k AS k, b.k AS nn,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                   AS dist2
+        FROM cells a
+        JOIN offs o ON true
+        JOIN cells b
+          ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy AND b.k <> a.k
+    )
+    SELECT k AS c_custkey, nn AS nn_custkey, round(dist2, 6) AS dist2
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY k ORDER BY dist2, nn) = 1
+    """,
+    doc=(
+        "grid-blocked nearest neighbor on a deterministic synthetic "
+        "plane (md5-uniform coords, the engine-portable q19 recipe): "
+        "points land in 10x10 cells, candidates come from the 3x3 cell "
+        "neighborhood via 9 equi-join probes (explode of a constant "
+        "offset array — never a distance theta-join), argmin per point "
+        "with a (dist2, key) tie-break window partitioned BY POINT.  "
+        "Because any neighbor closer than one cell width is provably "
+        "inside the 3x3 block, the result equals brute force whenever "
+        "the true NN is within 10 units (pinned by a test); points "
+        "whose whole neighborhood is empty drop out.  This is the "
+        "geohash/S2 join shape: cost is density-bounded per cell, "
+        "never |points|^2"
+    ),
+)
+def q186(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    x = md5_unit(F.concat(key.cast("string"), F.lit(":x"))) * 100
+    y = md5_unit(F.concat(key.cast("string"), F.lit(":y"))) * 100
+    pts = c.select(
+        key.alias("k"),
+        x.alias("x"),
+        y.alias("y"),
+    ).select(
+        "k",
+        "x",
+        "y",
+        F.floor(F.col("x") / _CELL).cast("int").alias("cx"),
+        F.floor(F.col("y") / _CELL).cast("int").alias("cy"),
+    ).persist()
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = pts.select(
+        "k", "x", "y", "cx", "cy", F.explode(offs).alias("o")
+    ).select(
+        "k",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    cand = probes.join(
+        pts.select(
+            F.col("k").alias("nn"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.col("cx").alias("jx"),
+            F.col("cy").alias("jy"),
+        ),
+        ["jx", "jy"],
+    ).filter(F.col("nn") != F.col("k"))
+    scored = cand.select(
+        "k",
+        "nn",
+        (
+            (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+            + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("k").orderBy("dist2", "nn")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.col("nn").alias("nn_custkey"),
+            F.round("dist2", 6).alias("dist2"),
+        )
+    )

