@@ -44,7 +44,10 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
-    l_payload = [c for c in left.columns if c not in on]
+    # left_ts must NOT ride along in the payload: it already travels as
+    # __ts and is renamed back on return — keeping it twice emitted a
+    # duplicate, ambiguous column (caught wiring q188's rollup on top)
+    l_payload = [c for c in left.columns if c not in on and c != left_ts]
 
     l_tagged = left.select(
         *on,

@@ -609,3 +609,480 @@ def q186(spark, sf_dir):
             F.round("dist2", 6).alias("dist2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — ANN recall evaluation harness: recall@k of hyperplane-LSH
+# candidate generation against exact cosine top-k, both recomputed
+# independently by the oracle (the q93 inlined-hyperplane recipe)
+# ---------------------------------------------------------------------------
+
+_Q187_DIM = 64
+_Q187_PLANES = 4   # few planes ...
+_Q187_TABLES = 8   # ... many tables: the general-top-k tuning (lsh_topk doc)
+_Q187_K = 10
+_Q187_EVERY = 25   # query set: vec_id % 25 == 0
+
+
+def _q187_oracle() -> str:
+    from ..operators.similarity import _plane_signs
+
+    def bucket_expr(salt: str) -> str:
+        cases = []
+        for p in range(_Q187_PLANES):
+            comps = ", ".join(
+                repr(x) for x in _plane_signs(_Q187_DIM, p, salt)
+            )
+            cases.append(
+                f"(CASE WHEN list_dot_product(v, [{comps}]) >= 0 "
+                f"THEN CAST(1 AS BIGINT) << {p} ELSE 0 END)"
+            )
+        return "\n                 + ".join(cases)
+
+    tables = "\n            UNION ALL\n".join(
+        f"""            SELECT id, {t} AS tbl,
+                   {bucket_expr(f't{t}')} AS bucket
+            FROM base"""
+        for t in range(_Q187_TABLES)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), q AS (
+        SELECT * FROM base WHERE id % {_Q187_EVERY} = 0
+    ), exact AS (
+        SELECT q.id AS qid, b.id AS cid
+        FROM q JOIN base b ON b.id <> q.id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.id
+            ORDER BY round(list_dot_product(q.v, b.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+                     b.id
+        ) <= {_Q187_K}
+    ), buckets AS (
+{tables}
+    ), cand AS (
+        SELECT DISTINCT x.id AS qid, y.id AS cid
+        FROM buckets x JOIN buckets y USING (tbl, bucket)
+        WHERE x.id % {_Q187_EVERY} = 0 AND y.id <> x.id
+    ), cnt AS (
+        SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid
+    ), hit AS (
+        SELECT e.qid, count(*) AS n_hit
+        FROM exact e JOIN cand c ON c.qid = e.qid AND c.cid = e.cid
+        GROUP BY e.qid
+    ), per_q AS (
+        SELECT q.id AS qid,
+               coalesce(cnt.n_cand, 0) AS n_cand,
+               coalesce(hit.n_hit, 0) AS n_hit
+        FROM q
+        LEFT JOIN cnt ON cnt.qid = q.id
+        LEFT JOIN hit ON hit.qid = q.id
+    )
+    SELECT CAST({_Q187_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(n_cand), 6) AS avg_candidates,
+           round(avg(n_hit / {_Q187_K}.0), 6) AS mean_recall,
+           round(min(n_hit / {_Q187_K}.0), 6) AS min_recall,
+           round(avg(CASE WHEN n_hit = {_Q187_K} THEN 1.0 ELSE 0.0 END), 6)
+               AS full_recall_frac
+    FROM per_q
+    """
+
+
+@register(
+    "q187_ann_recall_eval",
+    _q187_oracle(),
+    doc=(
+        "ANN evaluation harness: recall@10 of hyperplane-LSH candidate "
+        "generation (4 planes x 8 tables — the few-planes/many-tables "
+        "general-top-k tuning) measured against exact cosine top-10, "
+        "plus candidate-set cost (avg_candidates = what the re-rank "
+        "stage pays).  The deterministic sha256 hyperplanes are inlined "
+        "into the oracle so DuckDB independently recomputes signatures, "
+        "bucket joins, exact ranking, and the recall arithmetic — the "
+        "eval itself is under the value-hash gate, not just the index.  "
+        "This is the query you run before trusting an ANN index config "
+        "at 100 TB: recall/cost trade-off from ONE corpus scan per "
+        "table, queries broadcast, no all-pairs stage outside the "
+        "broadcast-bounded exact baseline (|Q| x |corpus|, |Q| tiny)"
+    ),
+)
+def q187(spark, sf_dir):
+    from ..operators.similarity import as_double, cosine, hyperplane_signature
+
+    base = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), as_double("embedding").alias("v")
+    )
+    q = base.filter(F.col("id") % _Q187_EVERY == 0)
+    # exact top-k baseline: broadcast the tiny query set over one corpus
+    # scan (the q54 shape), self excluded, (rounded cosine, id) ranking
+    scored = (
+        base.crossJoin(
+            F.broadcast(
+                q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+            )
+        )
+        .filter(F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("id").alias("cid"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _Q187_K)
+        .select("qid", "cid")
+    )
+    # LSH candidate generation: one signature array per vector, exploded
+    # into (table, bucket) probes; candidates join on equal buckets only
+    buckets = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_signature(
+                            "v", _Q187_DIM, _Q187_PLANES, salt=f"t{t}"
+                        ).alias("bucket"),
+                    )
+                    for t in range(_Q187_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        buckets.filter(F.col("id") % _Q187_EVERY == 0)
+        .select(F.col("id").alias("qid"), "tbl", "bucket")
+        .join(buckets.select(F.col("id").alias("cid"), "tbl", "bucket"),
+              ["tbl", "bucket"])
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    cnt = cand.groupBy("qid").agg(F.count("*").alias("n_cand"))
+    hit = exact.join(cand, ["qid", "cid"]).groupBy("qid").agg(
+        F.count("*").alias("n_hit")
+    )
+    per_q = (
+        q.select(F.col("id").alias("qid"))
+        .join(cnt, "qid", "left")
+        .join(hit, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+    )
+    kf = float(_Q187_K)
+    return per_q.agg(
+        F.lit(_Q187_K).cast("long").alias("k"),
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("n_cand"), 6).alias("avg_candidates"),
+        F.round(F.avg(F.col("n_hit") / kf), 6).alias("mean_recall"),
+        F.round(F.min(F.col("n_hit") / kf), 6).alias("min_recall"),
+        F.round(
+            F.avg(F.when(F.col("n_hit") == _Q187_K, 1.0).otherwise(0.0)), 6
+        ).alias("full_recall_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — last-touch revenue attribution (as-of join as an analytics
+# primitive, not just enrichment: which touch type "causes" purchases?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q188_last_touch_attribution",
+    """
+    WITH p AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type <> 'purchase'
+    ), j AS (
+        SELECT p.user_id, p.ts, p.value, t.event_type AS et, t.ts AS tts
+        FROM p ASOF LEFT JOIN t
+          ON p.user_id = t.user_id AND p.ts > t.ts
+    )
+    SELECT coalesce(et, 'none') AS attributed_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 6) AS total_value,
+           round(avg(epoch_ms(ts) - epoch_ms(tts)) / 60000.0, 6)
+               AS avg_gap_min
+    FROM j
+    GROUP BY 1
+    """,
+    doc=(
+        "last-touch attribution: every purchase credited to the user's "
+        "most recent STRICTLY-earlier non-purchase event via the as-of "
+        "union trick (operators/asof.py — one window shuffle, O(|L|+|R|), "
+        "never a per-key range explosion), rolled up per attributed type "
+        "with revenue and the time-to-convert gap.  Purchases with no "
+        "prior touch report as 'none' (LEFT as-of semantics).  The gap "
+        "average is computed over exact integer milliseconds and divided "
+        "once — bit-identical across engines, no float-sum order "
+        "sensitivity.  Oracle: DuckDB's native ASOF LEFT JOIN replays "
+        "the match independently"
+    ),
+)
+def q188(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type"
+    )
+    j = asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_type"],
+        allow_exact_matches=False,
+    )
+    # events.ts is TIMESTAMP_NTZ — the epoch_millis_encode cast handles
+    # it (C1 recipe); the zone offset cancels in the difference
+    from ..functions.scalar import epoch_millis_encode
+
+    gap_ms = epoch_millis_encode("ts") - epoch_millis_encode("ts_asof")
+    return (
+        j.select(
+            F.coalesce(F.col("event_type_asof"), F.lit("none")).alias(
+                "attributed_type"
+            ),
+            "value",
+            gap_ms.alias("gap_ms"),
+        )
+        .groupBy("attributed_type")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(F.avg("gap_ms") / 60000.0, 6).alias("avg_gap_min"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — Pareto frontier (skyline) without a global window: bucketed
+# two-phase prefix-max, the distributed-skyline shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q189_pareto_frontier",
+    """
+    SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+    FROM orders a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders b
+        WHERE b.o_totalprice < a.o_totalprice
+          AND b.o_orderdate > a.o_orderdate
+    )
+    """,
+    doc=(
+        "2-D Pareto frontier (skyline: no other order is BOTH strictly "
+        "cheaper AND strictly more recent) computed WITHOUT the naive "
+        "quadratic anti-join and WITHOUT a global sort window: orders "
+        "land in price-range buckets (approx_percentile cut-points — "
+        "bucket BALANCE depends on the sketch, bucket CORRECTNESS "
+        "doesn't, since any monotone price bucketing preserves the "
+        "prefix-max recurrence and ties always co-locate), each bucket "
+        "computes its strict-prefix max order-date over DISTINCT prices "
+        "(bounded per-bucket window), and cross-bucket prefix maxima "
+        "come from a |buckets|-sized self-join — a row is dominated iff "
+        "some strictly-cheaper price carries a strictly-later date.  "
+        "The oracle states the definition directly as NOT EXISTS; the "
+        "engine plan is the one you can run on 100 TB (the only "
+        "unbounded shuffles are the bucket groupBys)"
+    ),
+)
+def q189(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    d = o.withColumn(
+        "dl", F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+    )
+    cuts = o.agg(
+        F.expr(
+            "approx_percentile(o_totalprice, "
+            "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"
+        ).alias("cuts")
+    )
+    b = (
+        d.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.size(
+                F.filter("cuts", lambda c: F.col("o_totalprice") > c)
+            ),
+        )
+        .drop("cuts")
+    )
+    pg = b.groupBy("bucket", "o_totalprice").agg(F.max("dl").alias("gmax"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pg2 = pg.select(
+        "bucket",
+        "o_totalprice",
+        F.max("gmax").over(w).alias("prev_in_bucket"),
+    )
+    bs = pg.groupBy("bucket").agg(F.max("gmax").alias("bmax"))
+    prevb = (
+        bs.alias("x")
+        .join(bs.alias("y"), F.col("y.bucket") < F.col("x.bucket"), "left")
+        .groupBy(F.col("x.bucket").alias("bucket"))
+        .agg(F.max(F.col("y.bmax")).alias("prev_bucket_max"))
+    )
+    neg = F.lit(-(1 << 40))
+    dominated = (
+        F.greatest(
+            F.coalesce(F.col("prev_in_bucket"), neg),
+            F.coalesce(F.col("prev_bucket_max"), neg),
+        )
+        > F.col("dl")
+    )
+    return (
+        b.join(pg2, ["bucket", "o_totalprice"])
+        .join(F.broadcast(prevb), "bucket", "left")
+        .filter(~dominated)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — centroid silhouette audit: per-label cohesion/separation of the
+# embedding space (the label-quality companion to q154/q168)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q190_embedding_silhouette",
+    """
+    WITH unnested AS (
+        SELECT vec_id, label, u.pos, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS val,
+                             generate_subscripts(embedding, 1) AS pos) u
+    ), comp AS (
+        SELECT label, pos, round(avg(val), 6) AS m
+        FROM unnested GROUP BY 1, 2
+    ), cent AS (
+        SELECT label AS clabel, list(m ORDER BY pos) AS cv FROM comp
+        GROUP BY 1
+    ), base AS (
+        SELECT vec_id, label,
+               list(CAST(val AS DOUBLE) ORDER BY pos) AS v
+        FROM unnested GROUP BY 1, 2
+    ), sims AS (
+        SELECT b.vec_id, b.label, c.clabel,
+               round(list_dot_product(b.v, c.cv)
+                     / (sqrt(list_dot_product(b.v, b.v))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM base b, cent c
+    ), per_vec AS (
+        SELECT vec_id, label,
+               1 - max(CASE WHEN label = clabel THEN sim END) AS a,
+               1 - max(CASE WHEN label <> clabel THEN sim END) AS b
+        FROM sims GROUP BY 1, 2
+    ), scored AS (
+        SELECT label, a, b,
+               CASE WHEN greatest(a, b) > 0
+                    THEN round((b - a) / greatest(a, b), 6)
+                    ELSE 0.0 END AS s,
+               CASE WHEN b < a THEN 1 ELSE 0 END AS mis
+        FROM per_vec
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(a), 4) AS mean_cohesion_dist,
+           round(avg(b), 4) AS mean_separation_dist,
+           round(avg(s), 4) AS mean_silhouette,
+           CAST(sum(mis) AS BIGINT) AS n_misassigned
+    FROM scored
+    GROUP BY label
+    """,
+    doc=(
+        "centroid-based silhouette audit per label: cohesion = cosine "
+        "distance to own centroid, separation = cosine distance to the "
+        "nearest OTHER centroid, silhouette = (b-a)/max(a,b), plus the "
+        "count of vectors sitting closer to a foreign centroid "
+        "(label-noise candidates — the aggregate view of q146's "
+        "instance-level miner).  Centroid components are rounded to 6 "
+        "before use (the q168 bit-stability recipe: per-dim means of "
+        "float32 inputs are exact in double, so the rounded centroids "
+        "are engine-identical); per-vector sims round to 6, cross-row "
+        "means to 4 (the q154 convention).  Linear cost: |labels| x dim "
+        "centroid cells map-side, then one broadcast of the centroid "
+        "table over one corpus scan — no pairwise stage"
+    ),
+)
+def q190(spark, sf_dir):
+    from ..operators.similarity import as_double, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.select("vec_id", "label", as_double("embedding").alias("v"))
+    comp = (
+        ev.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: F.round(s["m"], 6),
+        ).alias("cv")
+    )
+    sims = ev.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    per_vec = sims.groupBy("vec_id", "label").agg(
+        (
+            1
+            - F.max(
+                F.when(F.col("label") == F.col("clabel"), F.col("sim"))
+            )
+        ).alias("a"),
+        (
+            1
+            - F.max(
+                F.when(F.col("label") != F.col("clabel"), F.col("sim"))
+            )
+        ).alias("b"),
+    )
+    scored = per_vec.select(
+        "label",
+        "a",
+        "b",
+        F.when(
+            F.greatest("a", "b") > 0,
+            F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6),
+        )
+        .otherwise(0.0)
+        .alias("s"),
+        F.when(F.col("b") < F.col("a"), 1).otherwise(0).alias("mis"),
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.avg("a"), 4).alias("mean_cohesion_dist"),
+        F.round(F.avg("b"), 4).alias("mean_separation_dist"),
+        F.round(F.avg("s"), 4).alias("mean_silhouette"),
+        F.sum("mis").cast("long").alias("n_misassigned"),
+    )
