@@ -1086,3 +1086,303 @@ def q190(spark, sf_dir):
         F.round(F.avg("s"), 4).alias("mean_silhouette"),
         F.sum("mis").cast("long").alias("n_misassigned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — grouped quantile (Q-Q) normalization table: per-source deciles
+# of a score against the global deciles — the broadcastable lookup a
+# quantile normalizer applies at scale
+# ---------------------------------------------------------------------------
+
+_Q191_PS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "q191_quantile_normalization_table",
+    f"""
+    WITH per AS (
+        SELECT source,
+               quantile_cont(n_chars, 0.1) AS c0,
+               quantile_cont(n_chars, 0.2) AS c1,
+               quantile_cont(n_chars, 0.3) AS c2,
+               quantile_cont(n_chars, 0.4) AS c3,
+               quantile_cont(n_chars, 0.5) AS c4,
+               quantile_cont(n_chars, 0.6) AS c5,
+               quantile_cont(n_chars, 0.7) AS c6,
+               quantile_cont(n_chars, 0.8) AS c7,
+               quantile_cont(n_chars, 0.9) AS c8
+        FROM documents GROUP BY source
+    ), g AS (
+        SELECT quantile_cont(n_chars, 0.1) AS g0,
+               quantile_cont(n_chars, 0.2) AS g1,
+               quantile_cont(n_chars, 0.3) AS g2,
+               quantile_cont(n_chars, 0.4) AS g3,
+               quantile_cont(n_chars, 0.5) AS g4,
+               quantile_cont(n_chars, 0.6) AS g5,
+               quantile_cont(n_chars, 0.7) AS g6,
+               quantile_cont(n_chars, 0.8) AS g7,
+               quantile_cont(n_chars, 0.9) AS g8
+        FROM documents
+    ), src_rows AS (
+        SELECT source, CAST(0.1 AS DOUBLE) AS p, c0 AS src_cut FROM per
+        UNION ALL SELECT source, CAST(0.2 AS DOUBLE) AS p, c1 AS src_cut FROM per
+        UNION ALL SELECT source, CAST(0.3 AS DOUBLE) AS p, c2 AS src_cut FROM per
+        UNION ALL SELECT source, CAST(0.4 AS DOUBLE) AS p, c3 AS src_cut FROM per
+        UNION ALL SELECT source, CAST(0.5 AS DOUBLE) AS p, c4 AS src_cut FROM per
+        UNION ALL SELECT source, CAST(0.6 AS DOUBLE) AS p, c5 AS src_cut FROM per
+        UNION ALL SELECT source, CAST(0.7 AS DOUBLE) AS p, c6 AS src_cut FROM per
+        UNION ALL SELECT source, CAST(0.8 AS DOUBLE) AS p, c7 AS src_cut FROM per
+        UNION ALL SELECT source, CAST(0.9 AS DOUBLE) AS p, c8 AS src_cut FROM per
+    ), g_rows AS (
+        SELECT CAST(0.1 AS DOUBLE) AS p, g0 AS global_cut FROM g
+        UNION ALL SELECT CAST(0.2 AS DOUBLE) AS p, g1 AS global_cut FROM g
+        UNION ALL SELECT CAST(0.3 AS DOUBLE) AS p, g2 AS global_cut FROM g
+        UNION ALL SELECT CAST(0.4 AS DOUBLE) AS p, g3 AS global_cut FROM g
+        UNION ALL SELECT CAST(0.5 AS DOUBLE) AS p, g4 AS global_cut FROM g
+        UNION ALL SELECT CAST(0.6 AS DOUBLE) AS p, g5 AS global_cut FROM g
+        UNION ALL SELECT CAST(0.7 AS DOUBLE) AS p, g6 AS global_cut FROM g
+        UNION ALL SELECT CAST(0.8 AS DOUBLE) AS p, g7 AS global_cut FROM g
+        UNION ALL SELECT CAST(0.9 AS DOUBLE) AS p, g8 AS global_cut FROM g
+    )
+    SELECT s.source, s.p,
+           round(s.src_cut, 2) AS src_cut,
+           round(gr.global_cut, 2) AS global_cut,
+           round(s.src_cut - gr.global_cut, 2) AS cut_gap
+    FROM src_rows s JOIN g_rows gr USING (p)
+    """,
+    doc=(
+        "quantile-normalization lookup table: exact interpolated deciles "
+        "of doc length per source vs the global deciles (integer inputs "
+        "keep R-7 interpolation engine-identical — the q122 recipe).  "
+        "Mapping a score x in source s onto "
+        "global_cut(ECDF_s(x)) IS quantile normalization; this |sources| "
+        "x 9 table is the broadcast side of that map at 100 TB, and "
+        "cut_gap is the per-source distribution-drift readout.  Cost: "
+        "two partial-merging aggregates over one scan each — the row "
+        "space never shuffles"
+    ),
+)
+def q191(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        *[
+            F.percentile("n_chars", F.lit(p)).alias(f"c{i}")
+            for i, p in enumerate(_Q191_PS)
+        ]
+    )
+    glob = d.agg(
+        *[
+            F.percentile("n_chars", F.lit(p)).alias(f"g{i}")
+            for i, p in enumerate(_Q191_PS)
+        ]
+    )
+    # unpivot both decile vectors to (p, cut) rows, then join on p
+    src_rows = per_src.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"), F.col(f"c{i}").alias("src_cut")
+                    )
+                    for i, p in enumerate(_Q191_PS)
+                ]
+            )
+        ).alias("r"),
+    ).select("source", F.col("r.p").alias("p"), F.col("r.src_cut").alias("src_cut"))
+    glob_rows = glob.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"),
+                        F.col(f"g{i}").alias("global_cut"),
+                    )
+                    for i, p in enumerate(_Q191_PS)
+                ]
+            )
+        ).alias("r")
+    ).select(F.col("r.p").alias("p"), F.col("r.global_cut").alias("global_cut"))
+    return src_rows.join(F.broadcast(glob_rows), "p").select(
+        "source",
+        "p",
+        F.round("src_cut", 2).alias("src_cut"),
+        F.round("global_cut", 2).alias("global_cut"),
+        F.round(F.col("src_cut") - F.col("global_cut"), 2).alias("cut_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — hierarchical (subtree) rollup over a synthetic customer forest:
+# transitive closure by bounded iterative expansion, no recursion in the
+# engine — the BOM / org-chart rollup shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q192_hierarchy_rollup",
+    """
+    WITH RECURSIVE anc(node, anc) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION ALL
+        SELECT a.node, a.anc // 10 FROM anc a WHERE a.anc >= 10
+    ), rev AS (
+        SELECT o_custkey, sum(o_totalprice) AS r FROM orders GROUP BY 1
+    )
+    SELECT a.anc AS c_custkey,
+           round(sum(coalesce(rev.r, 0)), 2) AS subtree_revenue,
+           CAST(count(*) AS BIGINT) AS n_subtree_nodes
+    FROM anc a LEFT JOIN rev ON rev.o_custkey = a.node
+    GROUP BY 1
+    """,
+    doc=(
+        "hierarchical subtree rollup (the BOM/org-chart aggregate): "
+        "customers form a synthetic decimal forest (parent = custkey/10), "
+        "and every node reports total revenue and node count of its "
+        "subtree, self included.  The engine builds the ancestor closure "
+        "by BOUNDED iterative parent-hops — depth = ceil(log10(max key)) "
+        "read from one scalar aggregate, so a 1500-key forest takes 4 "
+        "chained broadcast-joins and a 100 TB key space takes ~12 — "
+        "never a recursive driver loop per row, never an unbounded "
+        "iteration.  The oracle states the same closure as a RECURSIVE "
+        "CTE (the q136/q175 discipline).  Closure size is "
+        "nodes x depth — linear, not quadratic, because the tree fans "
+        "IN, and the rollup is one groupBy on the ancestor key"
+    ),
+)
+def q192(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
+    o = _t(spark, sf_dir, "orders")
+    # bounded scalar: forest depth (same discipline as keys.py max-id)
+    max_key = c.agg(F.max("node")).collect()[0][0] or 1
+    depth = len(str(int(max_key)))
+    anc = c.select("node", F.col("node").alias("anc"))
+    frontier = c.select("node", F.col("node").alias("anc"))
+    for _ in range(depth):
+        frontier = frontier.filter(F.col("anc") >= 10).select(
+            "node", F.floor(F.col("anc") / 10).cast("long").alias("anc")
+        )
+        anc = anc.unionByName(frontier)
+    rev = o.groupBy(F.col("o_custkey").alias("node")).agg(
+        F.sum("o_totalprice").alias("r")
+    )
+    return (
+        anc.join(rev, "node", "left")
+        .groupBy(F.col("anc").alias("c_custkey"))
+        .agg(
+            F.round(F.sum(F.coalesce("r", F.lit(0.0))), 2).alias(
+                "subtree_revenue"
+            ),
+            F.count("*").cast("long").alias("n_subtree_nodes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193 — M4 time-series downsampling: per (series, time-bucket)
+# min/max/first/last — the lossless-for-rendering downsample used by
+# every observability backend
+# ---------------------------------------------------------------------------
+
+_Q193_BUCKETS = 100
+
+
+@register(
+    "q193_m4_downsample",
+    f"""
+    WITH bounds AS (
+        SELECT epoch_ms(min(ts)) AS lo, epoch_ms(max(ts)) AS hi FROM events
+    ), pts AS (
+        SELECT event_type, event_id, value,
+               CAST(((epoch_ms(ts) - b.lo) * {_Q193_BUCKETS})
+                    // (b.hi - b.lo + 1) AS BIGINT) AS bucket,
+               epoch_ms(ts) AS ms
+        FROM events, bounds b
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ms, event_id) AS ra,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ms DESC, event_id DESC) AS rd
+        FROM pts
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(max(CASE WHEN ra = 1 THEN value END), 6) AS first_value,
+           round(max(CASE WHEN rd = 1 THEN value END), 6) AS last_value
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "M4 downsampling (Jugel et al., VLDB'14): per series and "
+        "fixed-width time bucket keep min/max/first/last — the four "
+        "points that make a line-chart render pixel-identical to the "
+        "full series at any zoom level.  Bucket index from exact integer "
+        "epoch-ms arithmetic (scalar min/max bounds broadcast from one "
+        "aggregate); first/last picked by bounded per-(series, bucket) "
+        "rank windows with (ms, event_id) tie-breaks so both engines "
+        "choose identically.  At 100 TB this is ONE shuffle on "
+        "(series, bucket) — the downsample output is "
+        "|series| x {_Q193_BUCKETS} rows no matter how many points come "
+        "in"
+    ),
+)
+def q193(spark, sf_dir):
+    from ..functions.scalar import epoch_millis_encode
+
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(epoch_millis_encode("ts")).alias("lo"),
+        F.max(epoch_millis_encode("ts")).alias("hi"),
+    )
+    pts = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "event_id",
+        "value",
+        epoch_millis_encode("ts").alias("ms"),
+        (
+            (epoch_millis_encode("ts") - F.col("lo")) * _Q193_BUCKETS
+        ).cast("long").alias("__num"),
+        (F.col("hi") - F.col("lo") + 1).alias("__den"),
+    ).select(
+        "event_type",
+        "event_id",
+        "value",
+        "ms",
+        (F.col("__num") - (F.col("__num") % F.col("__den")))
+        .cast("long")
+        .alias("__flr"),
+        "__den",
+    ).select(
+        "event_type",
+        "event_id",
+        "value",
+        "ms",
+        (F.col("__flr") / F.col("__den")).cast("long").alias("bucket"),
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ms").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ms").desc(), F.col("event_id").desc()
+    )
+    ranked = pts.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 6).alias(
+            "first_value"
+        ),
+        F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 6).alias(
+            "last_value"
+        ),
+    )

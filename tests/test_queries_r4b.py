@@ -181,3 +181,118 @@ def test_two_hop_cap_bounds_per_part_fanout(spark, registry):
     # and the histogram masses agree with a direct degree computation
     hist = rows(registry["q185_copurchase_two_hop"].builder(spark, SF))
     assert sum(n for _, n in hist) > 0
+
+
+# ---------------------------------------------------------------------------
+# q188: strict as-of semantics (a touch at EXACTLY the purchase ts must
+# not be credited) and conservation of purchases
+# ---------------------------------------------------------------------------
+
+
+def test_last_touch_attribution_strict_and_conserving(spark, registry):
+    from pyspark.sql import functions as F
+
+    out = registry["q188_last_touch_attribution"].builder(spark, SF)
+    rows_out = out.collect()
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    n_purch = e.filter(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows_out) == n_purch
+    assert all(r["attributed_type"] != "purchase" for r in rows_out)
+
+    # planted exact-tie: a touch at exactly the purchase ts is NOT
+    # credited (strict <), but one microsecond earlier is
+    from cars_bids_data_pipeline_v0__spark.operators.asof import asof_join
+
+    p = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    t = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "tie"),
+            (1, "2024-01-01 09:59:59.999999", "early"),
+        ],
+        "user_id long, ts string, event_type string",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    j = asof_join(
+        p, t, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_type"], allow_exact_matches=False,
+    ).collect()
+    assert len(j) == 1 and j[0]["event_type_asof"] == "early"
+
+
+# ---------------------------------------------------------------------------
+# q189: the bucketed two-phase skyline equals the quadratic definition
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_frontier_matches_bruteforce(spark, registry):
+    out = rows(registry["q189_pareto_frontier"].builder(spark, SF))
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    brute = sorted(
+        (r["o_orderkey"], r["o_totalprice"], r["o_orderdate"])
+        for r in o
+        if not any(
+            b["o_totalprice"] < r["o_totalprice"]
+            and b["o_orderdate"] > r["o_orderdate"]
+            for b in o
+        )
+    )
+    got = sorted((k, p, d) for k, p, d in out)
+    assert got == brute
+    assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# q192: the root-level rollup conserves total revenue; subtree counts
+# telescope correctly
+# ---------------------------------------------------------------------------
+
+
+def test_hierarchy_rollup_conserves_revenue(spark, registry):
+    from pyspark.sql import functions as F
+
+    out = {
+        r["c_custkey"]: r
+        for r in registry["q192_hierarchy_rollup"].builder(spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    total = round(o.agg(F.sum("o_totalprice")).collect()[0][0], 2)
+    # single-digit roots partition the whole forest
+    roots = [k for k in out if k < 10]
+    assert abs(sum(out[k]["subtree_revenue"] for k in roots) - total) < 0.05
+    n_customers = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(out[k]["n_subtree_nodes"] for k in roots) == n_customers
+    # every node's subtree is contained in its parent's
+    for k, r in out.items():
+        if k >= 10:
+            parent = k // 10
+            assert out[parent]["n_subtree_nodes"] > r["n_subtree_nodes"] - 1
+
+
+# ---------------------------------------------------------------------------
+# q193: M4 invariants — bucket point-counts conserve the series, and
+# first/last/min/max are mutually consistent
+# ---------------------------------------------------------------------------
+
+
+def test_m4_downsample_invariants(spark, registry):
+    from pyspark.sql import functions as F
+
+    out = registry["q193_m4_downsample"].builder(spark, SF).collect()
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    per_type = {
+        r["event_type"]: r["c"]
+        for r in e.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    got = {}
+    for r in out:
+        got[r["event_type"]] = got.get(r["event_type"], 0) + r["n_points"]
+        assert r["min_value"] <= r["max_value"]
+        assert r["min_value"] <= r["first_value"] <= r["max_value"]
+        assert r["min_value"] <= r["last_value"] <= r["max_value"]
+        assert 0 <= r["bucket"] < 100
+    assert got == per_type
