@@ -1386,3 +1386,113 @@ def q193(spark, sf_dir):
             "last_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — CUPED variance-reduced A/B readout (pre-period covariate
+# adjustment): the experimentation-platform primitive that turns weeks
+# of extra runtime into one co-moment pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q194_cuped_adjusted_ab",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 2 AS variant,
+               sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+                        THEN value ELSE 0 END) AS pre,
+               sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+                        THEN value ELSE 0 END) AS post
+        FROM events GROUP BY user_id
+    ), moments AS (
+        SELECT avg(pre) AS mean_pre,
+               (avg(pre * post) - avg(pre) * avg(post))
+               / nullif(avg(pre * pre) - avg(pre) * avg(pre), 0) AS theta
+        FROM per_user
+    ), adjusted AS (
+        SELECT u.variant, u.post,
+               u.post - m.theta * (u.pre - m.mean_pre) AS adj
+        FROM per_user u, moments m
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(post), 4) AS mean_post,
+           round(avg(adj), 4) AS mean_adjusted,
+           round(avg(post * post) - avg(post) * avg(post), 4) AS var_post,
+           round(avg(adj * adj) - avg(adj) * avg(adj), 4) AS var_adjusted
+    FROM adjusted
+    GROUP BY variant
+    """,
+    doc=(
+        "CUPED (Deng et al., WSDM'13) variance-reduced A/B metric: "
+        "pre-period spend as the covariate, theta = cov(pre, post) / "
+        "var(pre) fitted on the pooled population in ONE co-moment "
+        "aggregate (the q178 recipe), adjusted metric = post - "
+        "theta*(pre - mean_pre), reported per md5-hash variant "
+        "(the q149 assignment).  var_adjusted < var_post is the whole "
+        "point — the same experiment reaches significance on fewer "
+        "users.  Every statistic is a partial-aggregable moment: 100 TB "
+        "of events reduce map-side to per-user rows, then to two cells"
+    ),
+)
+def q194(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("date")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts").cast("date") < cutoff, F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("pre"),
+        F.sum(
+            F.when(
+                F.col("ts").cast("date") >= cutoff, F.col("value")
+            ).otherwise(0.0)
+        ).alias("post"),
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        "pre",
+        "post",
+    )
+    moments = per_user.agg(
+        F.avg("pre").alias("mean_pre"),
+        (
+            (F.avg(F.col("pre") * F.col("post")) - F.avg("pre") * F.avg("post"))
+            / F.nullif(
+                F.avg(F.col("pre") * F.col("pre"))
+                - F.avg("pre") * F.avg("pre"),
+                F.lit(0.0),
+            )
+        ).alias("theta"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(moments)).select(
+        "variant",
+        "post",
+        (
+            F.col("post") - F.col("theta") * (F.col("pre") - F.col("mean_pre"))
+        ).alias("adj"),
+    )
+    return adjusted.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.avg("post"), 4).alias("mean_post"),
+        F.round(F.avg("adj"), 4).alias("mean_adjusted"),
+        F.round(
+            F.avg(F.col("post") * F.col("post"))
+            - F.avg("post") * F.avg("post"),
+            4,
+        ).alias("var_post"),
+        F.round(
+            F.avg(F.col("adj") * F.col("adj")) - F.avg("adj") * F.avg("adj"),
+            4,
+        ).alias("var_adjusted"),
+    )

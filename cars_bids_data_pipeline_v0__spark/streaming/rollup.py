@@ -110,3 +110,143 @@ def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     return r.withColumn(
         "avg_value", F.col("sum_value") / F.col("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming M4 downsample — the continuous-aggregate twin of q193
+# ---------------------------------------------------------------------------
+
+
+def _m4_partials(
+    events: DataFrame,
+    lo_ms: int,
+    hi_ms: int,
+    n_buckets: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Mergeable M4 cells: min/max are trivially mergeable; first/last
+    ride as lexicographic min/max over (ms, id, value) structs, so
+    merging partials can never pick a different representative than a
+    single-pass aggregate (the (ms, id) key is unique and totally
+    ordered).  Bucket arithmetic is exact integer math shared with q193:
+    ((ms - lo) * N) floor-div (hi - lo + 1)."""
+    from ..functions.scalar import epoch_millis_encode
+
+    ms = epoch_millis_encode(ts_col)
+    num = ((ms - F.lit(lo_ms)) * n_buckets).cast("long")
+    den = F.lit(int(hi_ms) - int(lo_ms) + 1)
+    bucket = ((num - (num % den)) / den).cast("long")
+    return (
+        events.select(
+            F.col(key_col).alias("series"),
+            bucket.alias("bucket"),
+            F.struct(
+                ms.alias("ms"),
+                F.col(id_col).alias("id"),
+                F.col(value_col).alias("v"),
+            ).alias("pt"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("series", "bucket")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+            F.min("pt").alias("first_pt"),
+            F.max("pt").alias("last_pt"),
+        )
+    )
+
+
+def merge_m4(
+    spark: SparkSession,
+    new_events: DataFrame,
+    store_path: str,
+    lo_ms: int,
+    hi_ms: int,
+    n_buckets: int = 100,
+    **cols,
+) -> None:
+    """Fold a batch into the stored M4 cells (only touched buckets are
+    rewritten — same shape as merge_rollup)."""
+    batch = _m4_partials(new_events, lo_ms, hi_ms, n_buckets, **cols).persist()
+    try:
+        if os.path.exists(store_path):
+            existing = spark.read.parquet(store_path)
+            # touched-cell split via semi/anti joins on the (tiny) batch
+            # key set — no driver-side key list, works at any cell count
+            keys = batch.select("series", "bucket").distinct()
+            overlap = existing.join(
+                F.broadcast(keys), ["series", "bucket"], "left_semi"
+            )
+            untouched = existing.join(
+                F.broadcast(keys), ["series", "bucket"], "left_anti"
+            )
+            merged = (
+                overlap.unionByName(batch)
+                .groupBy("series", "bucket")
+                .agg(
+                    F.sum("n_points").alias("n_points"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                    F.min("first_pt").alias("first_pt"),
+                    F.max("last_pt").alias("last_pt"),
+                )
+                .unionByName(untouched)
+            )
+        else:
+            merged = batch
+        tmp = store_path + ".__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(store_path):
+            import shutil
+
+            shutil.rmtree(store_path)
+        os.rename(tmp, store_path)
+    finally:
+        batch.unpersist()
+
+
+def m4_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    lo_ms: int,
+    hi_ms: int,
+    n_buckets: int = 100,
+    **cols,
+):
+    """Continuous M4 downsample: `merge_m4` per micro-batch.  Bounds are
+    caller-fixed (a streaming job cannot see the global time range; in
+    production they're the retention window)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_m4(
+            batch_df.sparkSession, batch_df, store_path,
+            lo_ms, hi_ms, n_buckets, **cols,
+        )
+
+    return (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_m4(spark: SparkSession, store_path: str) -> DataFrame:
+    """Finished M4 cells flattened to the q193 output shape."""
+    s = spark.read.parquet(store_path)
+    return s.select(
+        F.col("series").alias("event_type"),
+        "bucket",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round(F.col("first_pt.v"), 6).alias("first_value"),
+        F.round(F.col("last_pt.v"), 6).alias("last_value"),
+    )

@@ -319,3 +319,47 @@ def test_ntile_bucket_formula_property(n, k):
         expect.extend([b] * sz)
     got = [formula(i) for i in range(1, n + 1)]
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered Jaccard ≡ full inverted index, on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "echo", "fox"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(_word, min_size=0, max_size=12), min_size=2, max_size=12
+    ),
+    st.sampled_from([0.2, 0.5, 0.8]),
+)
+def test_prefix_filter_jaccard_equals_full_index_property(
+    spark, token_lists, threshold
+):
+    """For ANY corpus (tiny docs, empty docs, heavy shingle overlap from a
+    6-word vocabulary) and ANY threshold, the PPJoin prefix-filtered pair
+    set must equal the exhaustive inverted-index pair set — the perfect-
+    recall claim of the prefix pigeonhole bound, not just on the fixture
+    corpus."""
+    from cars_bids_data_pipeline_v0__spark.operators.dedup_docs import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    full = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(df, n=3, threshold=threshold).collect()
+    )
+    pref = sorted(
+        tuple(r)
+        for r in prefix_filter_jaccard_pairs(
+            df, n=3, threshold=threshold
+        ).collect()
+    )
+    assert pref == full

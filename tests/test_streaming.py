@@ -864,3 +864,66 @@ def test_corpus_ingest_stream_end_to_end(spark, tmp_path):
     assert sorted(r["doc_id"] for r in ext.collect()) == [1, 4, 12, 20]
     meta = _json.load(open(_os.path.join(root, "manifest.json")))
     assert meta["version"] == TransactionLog(table).version()
+
+
+def test_m4_stream_matches_batch_q193(spark, tmp_path):
+    """Stream events in two micro-batches into the M4 store; the flattened
+    cells must equal the one-shot batch aggregate over the full series
+    (mergeability of min/max/first/last partials), which — when bounds
+    come from the data — is exactly q193's output."""
+    import shutil
+
+    from cars_bids_data_pipeline_v0__spark.functions.scalar import (
+        epoch_millis_encode,
+    )
+    from cars_bids_data_pipeline_v0__spark.streaming.rollup import (
+        m4_stream,
+        merge_m4,
+        read_m4,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = read_table(spark, sf, "events")
+    lo, hi = full.agg(
+        F.min(epoch_millis_encode("ts")), F.max(epoch_millis_encode("ts"))
+    ).collect()[0]
+
+    # batch reference: single merge over everything
+    ref_store = str(tmp_path / "m4_ref")
+    merge_m4(spark, full, ref_store, int(lo), int(hi))
+    ref = sorted(tuple(r) for r in read_m4(spark, ref_store).collect())
+
+    # stream: two arrival chunks through foreachBatch
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    store = str(tmp_path / "m4_store")
+    ckpt = str(tmp_path / "ckpt")
+    def land(df, name):
+        # the file source watches FLAT files: stage the chunk, then move
+        # its part-files into the watched dir under a stable name
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(events_dir / f"{name}.parquet"))
+
+    h1 = full.filter(F.col("event_id") % 2 == 0)
+    h2 = full.filter(F.col("event_id") % 2 == 1)
+    land(h1, "chunk0")
+    stream = stream_events(spark, str(events_dir))
+    m4_stream(spark, stream, store, ckpt, int(lo), int(hi)).awaitTermination()
+    land(h2, "chunk1")
+    stream = stream_events(spark, str(events_dir))
+    m4_stream(spark, stream, store, ckpt, int(lo), int(hi)).awaitTermination()
+
+    got = sorted(tuple(r) for r in read_m4(spark, store).collect())
+    assert got == ref
+
+    # and the reference equals q193 itself (bounds are data-derived here)
+    from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+
+    Q.queries()
+    q = sorted(
+        tuple(r)
+        for r in Q.REGISTRY["q193_m4_downsample"].builder(spark, sf).collect()
+    )
+    assert q == ref
