@@ -1496,3 +1496,134 @@ def q194(spark, sf_dir):
             4,
         ).alias("var_adjusted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — dedup pipeline evaluation harness: recall & candidate precision
+# of the portable MinHash-LSH banding against exhaustive ground truth on
+# a corpus with planted perturbed near-dups (the q187 discipline applied
+# to the dedup family)
+# ---------------------------------------------------------------------------
+
+
+def _q195_oracle() -> str:
+    from .queries_r2 import _Q90_BAND_CASE, _Q90_BANDS, _Q90_MH
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               regexp_replace(text, '^\\s*\\S+\\s*', '')
+        FROM documents WHERE doc_id % 10 = 0
+    ), sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       '\\s+') AS t
+            FROM base
+        )
+    ), inv AS (
+        SELECT id, unnest(s) AS shingle FROM sh
+    ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM inv a JOIN inv b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT id_a, id_b
+        FROM pairs
+        JOIN (SELECT id, len(s) AS sz FROM sh) sa ON sa.id = id_a
+        JOIN (SELECT id, len(s) AS sz FROM sh) sb ON sb.id = id_b
+        WHERE round(CAST(inter AS DOUBLE)
+                    / (sa.sz + sb.sz - inter), 6) >= 0.25
+    ), sig AS (
+        SELECT id,
+               {_Q90_MH}
+        FROM inv GROUP BY id
+    ), banded AS (
+        SELECT id, bt.band,
+               CASE bt.band
+                 {_Q90_BAND_CASE}
+               END AS bucket
+        FROM sig, (SELECT unnest(range({_Q90_BANDS})) AS band) bt
+    ), cands AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y USING (band, bucket)
+        WHERE x.id < y.id
+    ), verified AS (
+        SELECT id_a, id_b FROM cands c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b
+        WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sa.s, sb.s))), 6) >= 0.25
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM verified) AS n_verified,
+           round((SELECT count(*) FROM verified)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6)
+               AS recall,
+           round((SELECT count(*) FROM verified)
+                 / CAST((SELECT count(*) FROM cands) AS DOUBLE), 6)
+               AS candidate_precision
+    """
+
+
+@register(
+    "q195_dedup_recall_eval",
+    _q195_oracle(),
+    doc=(
+        "dedup-config evaluation harness: plant a perturbed near-dup "
+        "(first token dropped, J ~ 0.87) for every 10th document, then "
+        "measure the portable MinHash-LSH banding (q90's 16 hashes x 4 "
+        "bands) against EXHAUSTIVE inverted-index ground truth at "
+        "t=0.25 — recall = verified/truth, candidate_precision = "
+        "verified/candidates (what fraction of bucket-join pairs "
+        "survive the verify, i.e. what the verify stage costs).  Both "
+        "the banding AND the ground truth replay in DuckDB, so the "
+        "eval's own numbers sit under the value-hash gate.  This is the "
+        "query you run before committing an LSH config to a 100 TB "
+        "dedup pass; the exhaustive truth stage is the |corpus|-bounded "
+        "part you only pay at sample scale"
+    ),
+)
+def q195(spark, sf_dir):
+    from ..operators import dedup_docs as DD
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\s*\S+\s*", "").alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
+    truth = DD.ngram_jaccard_pairs(corpus, n=3, threshold=0.25)
+    cand = DD.minhash_lsh_candidates(
+        corpus, n=3, num_hashes=16, bands=4, portable=True
+    ).dropDuplicates(["id_a", "id_b"])
+    verified = DD.minhash_lsh_dedup(
+        corpus, n=3, num_hashes=16, bands=4, threshold=0.25, portable=True
+    )
+    t = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    c = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    v = verified.agg(F.count("*").cast("long").alias("n_verified"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(v)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.col("n_verified") / F.col("n_truth").cast("double"), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_verified") / F.col("n_candidates").cast("double"), 6
+            ).alias("candidate_precision"),
+        )
+    )
