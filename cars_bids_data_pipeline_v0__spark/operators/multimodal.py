@@ -369,3 +369,136 @@ def silence_trim_stats(frame_df: DataFrame) -> DataFrame:
         ).alias("voiced_frac"),
         (F.max(voiced).isNull()).alias("droppable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup: dHash over REAL decoded pixels + banded
+# Hamming pairing (the multimodal member of the dedup family)
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _pool_sums(gray_int, rows: int, cols: int):
+    """Pixel-bucket SUMS and COUNTS (exact int64) of an integer (h, w)
+    array pooled to (rows, cols).  Means are never materialized: callers
+    compare cell means by integer cross-multiplication
+    (sum_a * cnt_b < sum_b * cnt_a), which is EXACT — float means with
+    unequal cell sizes can flip a tied comparison by one ulp under a
+    uniform brightness shift (caught by the invariance test)."""
+    import numpy as np
+
+    h, w = gray_int.shape
+    r_idx = (np.arange(h) * rows) // h
+    c_idx = (np.arange(w) * cols) // w
+    out = np.zeros((rows, cols), dtype=np.int64)
+    cnt = np.zeros((rows, cols), dtype=np.int64)
+    np.add.at(out, (r_idx[:, None], c_idx[None, :]), gray_int)
+    np.add.at(cnt, (r_idx[:, None], c_idx[None, :]), 1)
+    return out, cnt
+
+
+def perceptual_dhash(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit difference hash per image: decode PNG (real pixels, stdlib
+    codec — operators/png.py), collapse to grayscale, mean-pool to an
+    8x9 grid (integer sums + counts, compared by exact
+    cross-multiplication — no float ties), and take the 8x8
+    horizontal-gradient sign bits.  EXACTLY invariant to uniform
+    brightness shifts (the shift term cancels in the cross-multiplied
+    comparison), which byte-level hashing (q52's fingerprint) is
+    maximally fragile to.  ``mapInPandas`` Arrow batches — the codec is
+    the only Python in the pipeline; everything downstream (banding,
+    pairing) is native expression code.  Undecodable payloads are
+    dropped (the caller's quarantine split handles them — same contract
+    as decode_image's codec gate)."""
+    import numpy as np
+
+    sel = df.select(
+        F.col(id_col).alias("doc_id").cast("long"),
+        F.col(media_col).alias("media"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png
+
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    arr = decode_png(bytes(blob))
+                except Exception:
+                    continue
+                a = arr.astype(np.int64)
+                # channel SUM, not mean: the /channels factor cancels in
+                # the cross-multiplied comparisons below
+                gray = a.sum(axis=2) if a.ndim == 3 else a
+                s, c = _pool_sums(gray, 8, 9)
+                # mean_right < mean_left, exactly:
+                bits = s[:, 1:] * c[:, :-1] < s[:, :-1] * c[:, 1:]
+                sig = 0
+                for i, bit in enumerate(bits.flatten()):
+                    if bit:
+                        sig |= 1 << i
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                ids.append(int(doc_id))
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "dhash": sigs})
+
+    return sel.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash signatures, then the
+    SimHash block-permutation pigeonhole (dedup_docs.py) — any pair
+    within the Hamming ball shares ≥1 exact 16-bit block, so candidates
+    come from equality joins, never an all-pairs scan.  Returns
+    (id_a, id_b, hamming)."""
+    from .dedup_docs import hamming64
+
+    assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    sig = perceptual_dhash(df, media_col, id_col)
+    chunks = sig.select(
+        F.col("doc_id").alias("id"),
+        F.col("dhash").alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("dhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "sig", "bc.blk", "bc.chunk")
+    return (
+        chunks.alias("x")
+        .join(chunks.alias("y"), on=["blk", "chunk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            hamming64(F.col("x.sig"), F.col("y.sig")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

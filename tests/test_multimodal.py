@@ -335,3 +335,72 @@ def test_audio_pipeline_stays_arrow_batched(spark):
     # BatchEvalPython
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# perceptual dHash image dedup
+# ---------------------------------------------------------------------------
+
+
+def _png_images(seed_count=6, w=24, h=16):
+    import numpy as np
+
+    from cars_bids_data_pipeline_v0__spark.operators.png import encode_png
+
+    out = []
+    for s in range(seed_count):
+        rng = np.random.default_rng(1000 + s)
+        # keep values in [20, 200] so a +10 brightness shift stays
+        # monotone (no clipping) — the invariance regime dHash promises
+        arr = rng.integers(20, 200, size=(h, w, 3)).astype("uint8")
+        out.append((s, encode_png(arr)))
+    return out
+
+
+def test_perceptual_dhash_brightness_invariant_and_distinct(spark):
+    import numpy as np
+
+    from cars_bids_data_pipeline_v0__spark.operators.multimodal import (
+        image_near_dup_pairs,
+        perceptual_dhash,
+    )
+    from cars_bids_data_pipeline_v0__spark.operators.png import (
+        decode_png,
+        encode_png,
+    )
+
+    base = _png_images()
+    planted = []
+    for s, blob in base:
+        arr = decode_png(blob).astype(np.int16)
+        shifted = (arr + 10).clip(0, 255).astype("uint8")
+        planted.append((s + 100, encode_png(shifted)))
+    rows = base + planted + [(999, b"not a png at all")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+
+    sigs = {r["doc_id"]: r["dhash"] for r in perceptual_dhash(df).collect()}
+    assert 999 not in sigs  # undecodable payload dropped, not crashed
+    for s, _ in base:
+        # brightness shift preserves every gradient sign exactly
+        assert sigs[s] == sigs[s + 100], f"image {s} dhash not invariant"
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    for s, _ in base:
+        assert pairs.get((s, s + 100)) == 0
+    # distinct random images never collide into the hamming ball
+    for (a, b) in pairs:
+        assert b == a + 100, f"false positive pair {(a, b)}"
+
+
+def test_perceptual_dhash_is_deterministic(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.multimodal import (
+        perceptual_dhash,
+    )
+
+    df = spark.createDataFrame(_png_images(), "doc_id long, media binary")
+    a = sorted(tuple(r) for r in perceptual_dhash(df).collect())
+    b = sorted(tuple(r) for r in perceptual_dhash(df).collect())
+    assert a == b and len(a) == 6
