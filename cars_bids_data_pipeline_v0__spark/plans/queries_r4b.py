@@ -1627,3 +1627,254 @@ def q195(spark, sf_dir):
             ).alias("candidate_precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — PSI drift monitor (population stability index) between the two
+# halves of the month, per event series — the standard "is this feature
+# drifting" production gate
+# ---------------------------------------------------------------------------
+
+_PSI_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]  # 8 buckets
+
+
+def _psi_bucket_sql(col):
+    return (
+        "CAST("
+        + " + ".join(f"CASE WHEN {col} > {e} THEN 1 ELSE 0 END"
+                     for e in _PSI_EDGES)
+        + " AS BIGINT)"
+    )
+
+
+@register(
+    "q196_psi_drift",
+    f"""
+    WITH pts AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 'a' ELSE 'b' END AS period,
+               {_psi_bucket_sql('value')} AS bucket
+        FROM events
+    ), cells AS (
+        SELECT event_type, period, bucket, count(*) AS n
+        FROM pts GROUP BY 1, 2, 3
+    ), grid AS (
+        SELECT t.event_type, b.bucket,
+               coalesce(a.n, 0) AS na, coalesce(bb.n, 0) AS nb
+        FROM (SELECT DISTINCT event_type FROM pts) t
+        CROSS JOIN (SELECT unnest(range({len(_PSI_EDGES) + 1})) AS bucket) b
+        LEFT JOIN cells a ON a.event_type = t.event_type
+                         AND a.bucket = b.bucket AND a.period = 'a'
+        LEFT JOIN cells bb ON bb.event_type = t.event_type
+                          AND bb.bucket = b.bucket AND bb.period = 'b'
+    ), tot AS (
+        SELECT event_type, sum(na) AS ta, sum(nb) AS tb FROM grid GROUP BY 1
+    ), frac AS (
+        SELECT g.event_type, g.bucket,
+               (g.na + 0.5) / (t.ta + 0.5 * {len(_PSI_EDGES) + 1}) AS pa,
+               (g.nb + 0.5) / (t.tb + 0.5 * {len(_PSI_EDGES) + 1}) AS pb
+        FROM grid g JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM frac
+    GROUP BY event_type
+    """,
+    doc=(
+        "population stability index per event series between the first "
+        "and second half of the window: FIXED log-spaced value edges "
+        "(engine-identical bucketing — no data-dependent quantile "
+        "interpolation on doubles), Laplace 0.5 smoothing so empty "
+        "buckets never produce ln(0), PSI = sum (pa-pb)ln(pa/pb).  "
+        "Complements q106 (token JS divergence) on the numeric-feature "
+        "side; PSI > 0.2 is the classic retrain trigger.  One count "
+        "aggregate over the scan; the bucket grid is |series| x 8"
+    ),
+)
+def q196(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    nb = len(_PSI_EDGES) + 1
+    bucket = sum(
+        (F.when(F.col("value") > edge, 1).otherwise(0) for edge in _PSI_EDGES),
+        F.lit(0),
+    ).cast("long")
+    pts = e.select(
+        "event_type",
+        F.when(
+            F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), "a"
+        )
+        .otherwise("b")
+        .alias("period"),
+        bucket.alias("bucket"),
+    )
+    cells = pts.groupBy("event_type", "period", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    types = pts.select("event_type").distinct()
+    buckets = types.sparkSession.range(nb).select(
+        F.col("id").alias("bucket")
+    )
+    grid = (
+        types.crossJoin(F.broadcast(buckets))
+        .join(
+            cells.filter(F.col("period") == "a").select(
+                "event_type", "bucket", F.col("n").alias("na")
+            ),
+            ["event_type", "bucket"],
+            "left",
+        )
+        .join(
+            cells.filter(F.col("period") == "b").select(
+                "event_type", "bucket", F.col("n").alias("nb")
+            ),
+            ["event_type", "bucket"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    frac = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        ((F.col("na") + 0.5) / (F.col("ta") + 0.5 * nb)).alias("pa"),
+        ((F.col("nb") + 0.5) / (F.col("tb") + 0.5 * nb)).alias("pb"),
+    )
+    return frac.groupBy("event_type").agg(
+        F.round(
+            F.sum(
+                (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+            ),
+            6,
+        ).alias("psi"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — HDR-style log2-bucketed latency percentiles: inter-event gaps
+# per series, exact integer bucketing, interpolated p50/p90/p99 from the
+# bucket histogram — the observability-sketch estimate, deterministic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q197_log_histogram_latency",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+        QUALIFY gap IS NOT NULL AND gap > 0
+    ), b AS (
+        SELECT event_type, length(bin(gap)) AS bl, gap FROM gaps
+    ), hist AS (
+        SELECT event_type, bl,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(1 AS BIGINT) << (bl - 1) AS lo,
+               (CAST(1 AS BIGINT) << bl) - 1 AS hi
+        FROM b GROUP BY event_type, bl
+    ), cum AS (
+        SELECT *,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bl
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS cum_before,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM hist
+    ), est AS (
+        SELECT event_type, p,
+               max(CASE WHEN (p * total + 99) // 100
+                             > coalesce(cum_before, 0)
+                         AND (p * total + 99) // 100
+                             <= coalesce(cum_before, 0) + n
+                    THEN round(lo + (hi - lo)
+                               * ((p * total + 99) // 100
+                                  - coalesce(cum_before, 0) - 1)
+                               / CAST(n AS DOUBLE), 4)
+               END) AS est_gap_ms
+        FROM cum, (SELECT unnest([50, 90, 99]) AS p)
+        GROUP BY event_type, p
+    )
+    SELECT event_type, CAST(p AS BIGINT) AS p, est_gap_ms FROM est
+    """,
+    doc=(
+        "HdrHistogram-style latency percentiles: per-user inter-event "
+        "gaps (exact integer ms), log2 buckets via length(bin(gap)) — "
+        "pure integer bit-length, no float log to straddle a power of "
+        "two — then p50/p90/p99 interpolated inside the owning bucket "
+        "from cumulative counts.  Rank targets use integer ceil "
+        "division ((p*N + 99) // 100), so every branch decision is "
+        "integer-exact in both engines; only the final interpolation "
+        "divides.  The histogram is |series| x ~30 rows — THIS is what "
+        "ships to the driver at 100 TB, never the raw gaps; estimates "
+        "are reconstructible from the sketch alone (mergeable counts)"
+    ),
+)
+def q197(spark, sf_dir):
+    from ..functions.scalar import epoch_millis_encode
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ms = epoch_millis_encode("ts")
+    gaps = (
+        e.select("event_type", (ms - F.lag(ms).over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    )
+    b = gaps.select("event_type", F.length(F.bin("gap")).alias("bl"))
+    hist = b.groupBy("event_type", "bl").agg(
+        F.count("*").cast("long").alias("n")
+    ).select(
+        "event_type",
+        "bl",
+        "n",
+        F.expr("shiftleft(cast(1 as bigint), cast(bl - 1 as int))").alias(
+            "lo"
+        ),
+        F.expr("shiftleft(cast(1 as bigint), cast(bl as int)) - 1").alias(
+            "hi"
+        ),
+    )
+    wc = Window.partitionBy("event_type").orderBy("bl").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "*",
+        F.sum("n").over(wc).alias("cum_before"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    ps = cum.sparkSession.createDataFrame([(50,), (90,), (99,)], "p int")
+    j = cum.crossJoin(F.broadcast(ps))
+    target = (F.col("p") * F.col("total") + 99) - (
+        (F.col("p") * F.col("total") + 99) % 100
+    )
+    target = (target / 100).cast("long")
+    cb = F.coalesce(F.col("cum_before"), F.lit(0))
+    owning = (target > cb) & (target <= cb + F.col("n"))
+    est = j.groupBy("event_type", "p").agg(
+        F.max(
+            F.when(
+                owning,
+                F.round(
+                    F.col("lo")
+                    + (F.col("hi") - F.col("lo"))
+                    * (target - cb - 1)
+                    / F.col("n").cast("double"),
+                    4,
+                ),
+            )
+        ).alias("est_gap_ms")
+    )
+    return est.select(
+        "event_type", F.col("p").cast("long").alias("p"), "est_gap_ms"
+    )
