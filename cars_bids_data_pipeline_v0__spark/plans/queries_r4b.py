@@ -1878,3 +1878,74 @@ def q197(spark, sf_dir):
     return est.select(
         "event_type", F.col("p").cast("long").alias("p"), "est_gap_ms"
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — nested sample manifests: 1% ⊂ 5% ⊂ 25% deterministic corpus
+# samples from ONE hash — the learning-curve / scaling-law sampling
+# contract (a bigger budget must extend, never replace, a smaller run's
+# data)
+# ---------------------------------------------------------------------------
+
+_Q198_RATES = [(1, 1), (5, 5), (25, 25)]  # (label_pct, pct threshold)
+
+
+@register(
+    "q198_nested_sample_manifests",
+    f"""
+    WITH h AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INT) AS u
+        FROM documents
+    )
+    SELECT r.pct, h.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(h.n_tokens) AS BIGINT) AS n_tokens
+    FROM h
+    JOIN (SELECT unnest([{", ".join(str(p) for p, _ in _Q198_RATES)}])
+                 AS pct) r
+      ON h.u * 100 < r.pct * 65536
+    GROUP BY r.pct, h.source
+    """,
+    doc=(
+        "nested learning-curve samples: membership at rate p is "
+        "md5_unit(doc_id) < p, ONE hash per doc, so the 1% sample is a "
+        "strict subset of the 5% which is a strict subset of the 25% — "
+        "the scaling-law experiment contract (each budget EXTENDS the "
+        "previous corpus; re-sampling would invalidate cross-budget "
+        "comparisons).  Thresholding uses exact integer arithmetic "
+        "(u*100 < p*65536 over the 16-bit hash grain — no float "
+        "boundary).  Output: per (rate, source) doc and token budgets.  "
+        "Nesting is additionally pinned by a subset test"
+    ),
+)
+def q198(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    from ..operators.text import token_count
+
+    h = d.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        )
+        .cast("int")
+        .alias("u"),
+    )
+    rates = d.sparkSession.createDataFrame(
+        [(p,) for p, _ in _Q198_RATES], "pct int"
+    )
+    return (
+        h.join(
+            F.broadcast(rates),
+            F.col("u") * 100 < F.col("pct") * 65536,
+        )
+        .groupBy("pct", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

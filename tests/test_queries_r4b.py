@@ -296,3 +296,27 @@ def test_m4_downsample_invariants(spark, registry):
         assert r["min_value"] <= r["last_value"] <= r["max_value"]
         assert 0 <= r["bucket"] < 100
     assert got == per_type
+
+
+# ---------------------------------------------------------------------------
+# q198: the samples genuinely nest (1% ⊆ 5% ⊆ 25%)
+# ---------------------------------------------------------------------------
+
+
+def test_nested_samples_are_subsets(spark):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    ids = {}
+    for pct in (1, 5, 25):
+        ids[pct] = {
+            r["doc_id"]
+            for r in d.select("doc_id", u.alias("u"))
+            .filter(F.col("u") * 100 < pct * 65536)
+            .collect()
+        }
+    assert ids[1] <= ids[5] <= ids[25]
+    assert len(ids[1]) < len(ids[5]) < len(ids[25])
