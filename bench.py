@@ -174,11 +174,18 @@ def main() -> None:
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # headline value = the SAME query set rounds 1-3 totalled, so the
+    # cross-round/baseline ratio stays apples-to-apples; the ACID-path
+    # entry (added per round-3 directive 6) is recorded per-query above
+    # and compared against pipeline_e2e_2k_auctions, not the baseline
+    comparable = sum(
+        v for k, v in timings.items() if k != "pipeline_e2e_txlog"
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": round(comparable, 3),
                 "unit": "sec",
                 "queries": timings,
                 "runs": RUNS,
