@@ -1949,3 +1949,151 @@ def q198(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — catalog ANALYZE: per-table row counts + key-column statistics
+# across the whole star schema (the stats table planners and q181-style
+# estimators consume)
+# ---------------------------------------------------------------------------
+
+_ANALYZE = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+@register(
+    "q199_catalog_analyze",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{t}' AS table_name, '{k}' AS key_col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT {k}) AS BIGINT) AS n_distinct_key,
+           CAST(sum(CASE WHEN {k} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_key,
+           CAST(min({k}) AS BIGINT) AS key_min,
+           CAST(max({k}) AS BIGINT) AS key_max
+    FROM {t}"""
+        for t, k in _ANALYZE
+    )
+    + "\nORDER BY table_name",
+    doc=(
+        "catalog-wide ANALYZE: one stats row per table (rows, key "
+        "distinct count, key nulls, key range) across all ten tables — "
+        "the statistics layer q181's join estimator and the zone-map "
+        "pruner consume, produced by ten independent partial-merging "
+        "aggregates (each scans only its key column thanks to parquet "
+        "column pruning; Spark runs them as concurrent jobs in the "
+        "union).  key_distinct == n_rows is the primary-key integrity "
+        "assertion made continuously auditable"
+    ),
+)
+def q199(spark, sf_dir):
+    outs = []
+    for t, k in _ANALYZE:
+        d = _t(spark, sf_dir, t)
+        outs.append(
+            d.agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.countDistinct(k).cast("long").alias("n_distinct_key"),
+                F.sum(F.when(F.col(k).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_key"),
+                F.min(k).cast("long").alias("key_min"),
+                F.max(k).cast("long").alias("key_max"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                F.lit(k).alias("key_col"),
+                "n_rows",
+                "n_distinct_key",
+                "n_null_key",
+                "key_min",
+                "key_max",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# q200 — join-strategy advisor: turn q181's measured cardinality + skew
+# into the physical-strategy decision a planner (or a human tuning a
+# 100 TB job) would make — broadcast / shuffle-hash / salted
+# ---------------------------------------------------------------------------
+
+_Q200_BROADCAST_MAX = 100_000  # rows on the build side
+_Q200_SKEW_SALT = 4.0          # skew_factor above this → salt
+
+
+def _q200_sql() -> str:
+    inner = (
+        "\nUNION ALL\n".join(_edge_sql(*e) for e in _EDGES)
+    )
+    return f"""
+    WITH est AS (
+{inner}
+    )
+    SELECT edge, est_join_rows, max_key_rows, skew_factor,
+           CASE WHEN n_right <= {_Q200_BROADCAST_MAX} THEN 'broadcast'
+                WHEN skew_factor > {_Q200_SKEW_SALT} THEN 'salted_shuffle'
+                ELSE 'shuffle_hash' END AS strategy,
+           CASE WHEN n_right > {_Q200_BROADCAST_MAX}
+                 AND skew_factor > {_Q200_SKEW_SALT}
+                THEN CAST(least(ceil(skew_factor), 32) AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS salt_factor
+    FROM est
+    ORDER BY edge
+    """
+
+
+@register(
+    "q200_join_strategy_advisor",
+    _q200_sql(),
+    doc=(
+        "the planner-advisor capstone on q181's estimates: per join "
+        "edge, decide broadcast (build side under the driver-safe row "
+        "bound), salted shuffle (measured skew_factor beyond the AQE "
+        "comfort zone — salt = ceil(skew) capped at 32, the "
+        "operators/skew.py recipe), or plain shuffle-hash — the exact "
+        "decision table a 100 TB job author works through, emitted as "
+        "data so it can gate CI (a new hot key flips an edge to "
+        "'salted_shuffle' and the diff shows up in review).  Costs "
+        "nothing beyond q181's per-key count tables; the advised joins "
+        "never run"
+    ),
+)
+def q200(spark, sf_dir):
+    est = q181(spark, sf_dir)
+    strategy = (
+        F.when(F.col("n_right") <= _Q200_BROADCAST_MAX, "broadcast")
+        .when(F.col("skew_factor") > _Q200_SKEW_SALT, "salted_shuffle")
+        .otherwise("shuffle_hash")
+    )
+    salt = (
+        F.when(
+            (F.col("n_right") > _Q200_BROADCAST_MAX)
+            & (F.col("skew_factor") > _Q200_SKEW_SALT),
+            F.least(F.ceil("skew_factor"), F.lit(32)),
+        )
+        .otherwise(1)
+        .cast("long")
+    )
+    return est.select(
+        "edge",
+        "est_join_rows",
+        "max_key_rows",
+        "skew_factor",
+        strategy.alias("strategy"),
+        salt.alias("salt_factor"),
+    ).orderBy("edge")

@@ -320,3 +320,37 @@ def test_nested_samples_are_subsets(spark):
         }
     assert ids[1] <= ids[5] <= ids[25]
     assert len(ids[1]) < len(ids[5]) < len(ids[25])
+
+
+# ---------------------------------------------------------------------------
+# registry-wide invariants: every entry documented; rows-only entries are
+# the five known probabilistic families and nothing silently joins them
+# ---------------------------------------------------------------------------
+
+_KNOWN_ROWS_ONLY = {
+    "q55_embedding_near_dup",
+    "q56_minhash_lsh_near_dup",
+    "q57_simhash_near_dup",
+    "q60_near_dup_clusters",
+    "q73_hll_weekly_rollup",
+}
+
+
+def test_registry_docs_and_oracle_coverage(registry):
+    missing_doc = [n for n, s in registry.items() if not s.doc]
+    assert not missing_doc, f"undocumented queries: {missing_doc}"
+    rows_only = {n for n, s in registry.items() if not s.oracle}
+    assert rows_only == _KNOWN_ROWS_ONLY, (
+        "rows-only set changed — every new query must ship an oracle "
+        f"(or extend the documented allowlist): {rows_only ^ _KNOWN_ROWS_ONLY}"
+    )
+
+
+def test_driver_front_is_fully_oracled(registry):
+    """The 50 queries the driver hash-checks must ALL have oracles —
+    a rows-only entry in the window wastes a driver-evidence slot."""
+    from cars_bids_data_pipeline_v0__spark.plans.queries import _DRIVER_FRONT
+
+    assert len(_DRIVER_FRONT) == 50
+    unoracled = [n for n in _DRIVER_FRONT if not registry[n].oracle]
+    assert not unoracled, f"rows-only queries in driver window: {unoracled}"
