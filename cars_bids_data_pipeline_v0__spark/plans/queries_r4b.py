@@ -599,15 +599,18 @@ def q186(spark, sf_dir):
             + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
         ).alias("dist2"),
     )
-    w = Window.partitionBy("k").orderBy("dist2", "nn")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("k").alias("c_custkey"),
-            F.col("nn").alias("nn_custkey"),
-            F.round("dist2", 6).alias("dist2"),
-        )
+    # argmin via min(struct(dist2, nn)): lexicographic struct ordering is
+    # exactly the (dist2, nn) tie-break, and unlike a row_number window
+    # the aggregate partial-combines map-side — the |candidates| rows
+    # never sort, only |points| cells shuffle (measured 26 s -> ~8 s at
+    # sf0.1)
+    best = scored.groupBy("k").agg(
+        F.min(F.struct("dist2", "nn")).alias("b")
+    )
+    return best.select(
+        F.col("k").alias("c_custkey"),
+        F.col("b.nn").alias("nn_custkey"),
+        F.round(F.col("b.dist2"), 6).alias("dist2"),
     )
 
 
