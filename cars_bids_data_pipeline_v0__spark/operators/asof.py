@@ -49,16 +49,23 @@ def asof_join(
     # duplicate, ambiguous column (caught wiring q188's rollup on top)
     l_payload = [c for c in left.columns if c not in on and c != left_ts]
 
+    # the right payload travels as ONE struct so the carry is whole-row
+    # atomic: carrying each suffixed column independently could stitch
+    # fields from DIFFERENT right rows when a later match holds a null
+    # payload value (last(col, ignorenulls) would skip back per-column).
+    # The struct itself is null exactly on left rows, so one
+    # last(ignorenulls) picks the whole matched row or nothing.
+    r_struct = F.struct(
+        *[F.col(c).alias(c) for c in right_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *l_payload,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(
-            f"{right_ts}{suffix}"
-        ),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tagged = right.select(
         *on,
@@ -66,18 +73,22 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in l_payload],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        r_struct.alias("__r"),
     )
     u = l_tagged.unionByName(r_tagged)
 
     # at equal ts the right row sorts first (side 0) iff exact matches
-    # count; otherwise the left row sorts first and cannot see it
+    # count; otherwise the left row sorts first and cannot see it.
+    # Among RIGHT rows sharing (key, ts), the payload struct breaks the
+    # tie deterministically (lexicographic struct order, nulls — i.e.
+    # left rows — first within their side), so the carried match never
+    # depends on shuffle arrival order; if two right rows are fully
+    # identical the pick is immaterial.
     side_order = (
         [F.col("__ts").asc(), F.col("__side").asc()]
         if allow_exact_matches
         else [F.col("__ts").asc(), F.col("__side").desc()]
-    )
+    ) + [F.col("__r").asc()]
     w = (
         Window.partitionBy(*on)
         .orderBy(*side_order)
@@ -85,13 +96,11 @@ def asof_join(
     )
     carried = u.select(
         *on, "__ts", "__side", *l_payload,
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.last(f"{right_ts}{suffix}", ignorenulls=True).over(w).alias(
-            f"{right_ts}{suffix}"
-        ),
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
+    ).select(
+        *on, "__ts", "__side", *l_payload,
+        *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        F.col("__r.__rts").alias(f"{right_ts}{suffix}"),
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:

@@ -794,10 +794,7 @@ def prefix_filter_jaccard_pairs(
     table.  Each key space is documents or shingles — no corpus² stage.
     """
     sh = (
-        fan_out(df)
-        .select(
-            F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-        )
+        shingle_table(df, text_col, id_col, n)
         .withColumn("sz", F.size("sh"))
         .persist()
     )

@@ -1605,12 +1605,59 @@ def q195(spark, sf_dir):
         F.regexp_replace("text", r"^\s*\S+\s*", "").alias("text"),
     )
     corpus = d.unionByName(perturbed)
-    truth = DD.ngram_jaccard_pairs(corpus, n=3, threshold=0.25)
+    # the corpus is shingled ONCE; the persisted table feeds all three
+    # stages (exhaustive truth, LSH candidates, exact verify) — the
+    # first cut of this harness shingled it three times (review finding)
+    sh = DD.shingle_table(corpus, n=3).withColumn(
+        "sz", F.size("sh")
+    ).persist()
+    inv = sh.select("id", "sz", F.explode("sh").alias("__s")).select(
+        "id", "sz", F.xxhash64("__s").alias("g")
+    )
+    truth = (
+        inv.alias("a")
+        .hint("shuffle_hash")
+        .join(inv.alias("b"), on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("za"),
+            F.col("b.sz").alias("zb"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .filter(
+            F.round(
+                F.col("inter")
+                / (F.col("za") + F.col("zb") - F.col("inter")),
+                6,
+            )
+            >= 0.25
+        )
+        .select("id_a", "id_b")
+    )
     cand = DD.minhash_lsh_candidates(
-        corpus, n=3, num_hashes=16, bands=4, portable=True
-    ).dropDuplicates(["id_a", "id_b"])
-    verified = DD.minhash_lsh_dedup(
-        corpus, n=3, num_hashes=16, bands=4, threshold=0.25, portable=True
+        corpus, n=3, num_hashes=16, bands=4, portable=True,
+        shingles=sh.select("id", "sh"),
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .filter(
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            )
+            >= 0.25
+        )
+        .select("id_a", "id_b")
     )
     t = truth.agg(F.count("*").cast("long").alias("n_truth"))
     c = cand.agg(F.count("*").cast("long").alias("n_candidates"))

@@ -132,10 +132,20 @@ def _m4_partials(
     merging partials can never pick a different representative than a
     single-pass aggregate (the (ms, id) key is unique and totally
     ordered).  Bucket arithmetic is exact integer math shared with q193:
-    ((ms - lo) * N) floor-div (hi - lo + 1)."""
+    ((ms - lo) * N) floor-div (hi - lo + 1).
+
+    Events OUTSIDE the caller-fixed [lo_ms, hi_ms] window are DROPPED
+    (the window is the retention contract): without the filter, a
+    pre-window event's negative numerator truncates toward zero and
+    pollutes bucket 0 — becoming its (ms, id)-smallest first_pt — and a
+    post-window event emits bucket >= n_buckets.  Review finding, round
+    4."""
     from ..functions.scalar import epoch_millis_encode
 
     ms = epoch_millis_encode(ts_col)
+    events = events.filter(
+        (ms >= F.lit(int(lo_ms))) & (ms <= F.lit(int(hi_ms)))
+    )
     num = ((ms - F.lit(lo_ms)) * n_buckets).cast("long")
     den = F.lit(int(hi_ms) - int(lo_ms) + 1)
     bucket = ((num - (num % den)) / den).cast("long")
@@ -220,14 +230,23 @@ def m4_stream(
     n_buckets: int = 100,
     **cols,
 ):
-    """Continuous M4 downsample: `merge_m4` per micro-batch.  Bounds are
+    """Continuous M4 downsample: per-batch mergeable partials, one
+    ``batch_id=<id>`` partition each (idempotent under replay — an
+    at-least-once redelivery overwrites its own partition).  Bounds are
     caller-fixed (a streaming job cannot see the global time range; in
     production they're the retention window)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        merge_m4(
-            batch_df.sparkSession, batch_df, store_path,
-            lo_ms, hi_ms, n_buckets, **cols,
+        # exactly-once across checkpoint replays: each micro-batch's
+        # partial cells land under their own batch_id partition with
+        # OVERWRITE, so an at-least-once redelivery rewrites the same
+        # partition instead of double-counting (the matview_stream
+        # contract).  read_m4 merges partials on read — cells are
+        # mergeable by construction, so merge-on-read is exact.
+        _m4_partials(
+            batch_df, lo_ms, hi_ms, n_buckets, **cols
+        ).write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
         )
 
     return (
@@ -239,8 +258,20 @@ def m4_stream(
 
 
 def read_m4(spark: SparkSession, store_path: str) -> DataFrame:
-    """Finished M4 cells flattened to the q193 output shape."""
+    """Finished M4 cells flattened to the q193 output shape.  Works on
+    both store layouts: a merge_m4 batch store (flat cells) and an
+    m4_stream store (per-batch_id partial partitions — merged on read;
+    exact because every cell statistic is mergeable)."""
     s = spark.read.parquet(store_path)
+    if "batch_id" in s.columns:
+        s = s.drop("batch_id")
+    s = s.groupBy("series", "bucket").agg(
+        F.sum("n_points").alias("n_points"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.min("first_pt").alias("first_pt"),
+        F.max("last_pt").alias("last_pt"),
+    )
     return s.select(
         F.col("series").alias("event_type"),
         "bucket",

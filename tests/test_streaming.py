@@ -918,6 +918,30 @@ def test_m4_stream_matches_batch_q193(spark, tmp_path):
     got = sorted(tuple(r) for r in read_m4(spark, store).collect())
     assert got == ref
 
+    # checkpoint-replay idempotence: redeliver an already-committed batch
+    # (same batch_id partition, same data) — merge-on-read must not
+    # double-count
+    from cars_bids_data_pipeline_v0__spark.streaming.rollup import (
+        _m4_partials,
+    )
+
+    _m4_partials(h1, int(lo), int(hi), 100).write.mode("overwrite").parquet(
+        f"{store}/batch_id=0"
+    )
+    replayed = sorted(tuple(r) for r in read_m4(spark, store).collect())
+    assert replayed == ref
+
+    # retention-window contract: events outside [lo, hi] are dropped,
+    # never mis-bucketed into cell 0 or out-of-range cells
+    narrow = str(tmp_path / "m4_narrow")
+    merge_m4(spark, full, narrow, int(lo) + 10_000, int(hi) - 10_000)
+    cells = read_m4(spark, narrow).collect()
+    assert all(0 <= r["bucket"] < 100 for r in cells)
+    n_inside = full.filter(
+        (F.col("ts").cast("timestamp").isNotNull())
+    ).count()  # sanity anchor: some rows must have been dropped
+    assert sum(r["n_points"] for r in cells) < n_inside
+
     # and the reference equals q193 itself (bounds are data-derived here)
     from cars_bids_data_pipeline_v0__spark.plans import queries as Q
 
