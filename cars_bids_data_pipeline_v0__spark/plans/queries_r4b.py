@@ -2147,3 +2147,190 @@ def q200(spark, sf_dir):
         strategy.alias("strategy"),
         salt.alias("salt_factor"),
     ).orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# q201 — item-item collaborative filtering: cosine similarity over the
+# implicit user-item matrix, top-k neighbors per item (the classic
+# "customers also bought" recommender primitive)
+# ---------------------------------------------------------------------------
+
+_Q201_MAX_ITEMS_PER_USER = 30  # fan-out cap: a user's pair
+# contribution is quadratic in their basket size
+_Q201_TOPK = 5
+_Q201_MIN_CO = 2  # noise floor: one shared buyer is not a signal
+
+
+@register(
+    "q201_item_item_cf",
+    f"""
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), capped AS (
+        SELECT u, i FROM (
+            SELECT u, i,
+                   count(*) OVER (PARTITION BY u) AS n_items
+            FROM ui
+        ) WHERE n_items <= {_Q201_MAX_ITEMS_PER_USER}
+    ), deg AS (
+        SELECT i, count(*) AS d FROM capped GROUP BY i
+    ), co AS (
+        SELECT a.i AS i_a, b.i AS i_b, count(*) AS c
+        FROM capped a JOIN capped b USING (u)
+        WHERE a.i < b.i
+        GROUP BY 1, 2
+        HAVING count(*) >= {_Q201_MIN_CO}
+    ), scored AS (
+        SELECT i_a, i_b,
+               round(c / sqrt(da.d * CAST(db.d AS DOUBLE)), 6) AS cosine
+        FROM co
+        JOIN deg da ON da.i = i_a
+        JOIN deg db ON db.i = i_b
+    ), sym AS (
+        SELECT i_a AS item, i_b AS neighbor, cosine FROM scored
+        UNION ALL
+        SELECT i_b AS item, i_a AS neighbor, cosine FROM scored
+    )
+    SELECT item, neighbor, cosine, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY item ORDER BY cosine DESC, neighbor) AS rk
+        FROM sym
+    ) WHERE rk <= {_Q201_TOPK}
+    """,
+    doc=(
+        "item-item collaborative filtering over implicit feedback: "
+        "binary user-item matrix from orders x lineitem, co-occurrence "
+        "counts via the per-user pair join (capped at 30 items/user — "
+        "the quadratic fan-out guard, same discipline as q185's rare-"
+        "part cap; power-buyers contribute noise, not signal), cosine = "
+        "co / sqrt(deg_a * deg_b), then top-5 neighbors per item from a "
+        "per-item ranking window (bounded by that item's candidate "
+        "count, never global).  The min-co floor of 2 kills the "
+        "single-shared-buyer long tail BEFORE the degree joins.  This "
+        "is the Amazon-style 'also bought' table, emitted as data"
+    ),
+)
+def q201(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ui = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    wun = Window.partitionBy("u")
+    capped = (
+        ui.withColumn("n_items", F.count("*").over(wun))
+        .filter(F.col("n_items") <= _Q201_MAX_ITEMS_PER_USER)
+        .select("u", "i")
+        .persist()
+    )
+    deg = capped.groupBy("i").agg(F.count("*").alias("d"))
+    co = (
+        capped.alias("a")
+        .join(capped.alias("b"), "u")
+        .filter(F.col("a.i") < F.col("b.i"))
+        .groupBy(F.col("a.i").alias("i_a"), F.col("b.i").alias("i_b"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _Q201_MIN_CO)
+    )
+    scored = (
+        co.join(deg.select(F.col("i").alias("i_a"), F.col("d").alias("da")),
+                "i_a")
+        .join(deg.select(F.col("i").alias("i_b"), F.col("d").alias("db")),
+              "i_b")
+        .select(
+            "i_a",
+            "i_b",
+            F.round(
+                F.col("c")
+                / F.sqrt(F.col("da") * F.col("db").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    sym = scored.select(
+        F.col("i_a").alias("item"), F.col("i_b").alias("neighbor"), "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("i_b").alias("item"),
+            F.col("i_a").alias("neighbor"),
+            "cosine",
+        )
+    )
+    wr = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _Q201_TOPK)
+        .select("item", "neighbor", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — functional-dependency violation audit on a deterministically
+# dirtied dimension (the data-repair primitive: which keys break the
+# declared FD, and how badly?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q202_fd_violation_audit",
+    """
+    WITH dirty AS (
+        SELECT n_nationkey, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_regionkey + 1) % 5
+        FROM nation WHERE n_nationkey % 7 = 0
+        UNION ALL
+        SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey % 3 = 0
+    ), per_key AS (
+        SELECT n_nationkey,
+               count(*) AS n_rows,
+               count(DISTINCT n_regionkey) AS n_variants,
+               min(n_regionkey) AS region_a,
+               max(n_regionkey) AS region_b
+        FROM dirty GROUP BY n_nationkey
+    )
+    SELECT n_nationkey,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_variants AS BIGINT) AS n_variants,
+           CAST(region_a AS BIGINT) AS region_a,
+           CAST(region_b AS BIGINT) AS region_b
+    FROM per_key
+    WHERE n_variants > 1
+    """,
+    doc=(
+        "functional-dependency audit (nationkey -> regionkey must be "
+        "functional): the dimension is deterministically dirtied — "
+        "every 7th key re-asserted with a shifted region (a genuine FD "
+        "break), every 3rd re-asserted consistently (a harmless "
+        "duplicate that must NOT flag) — and the audit reports exactly "
+        "the keys with >1 distinct dependent value plus the conflicting "
+        "range.  One count-distinct aggregate on the determinant key; "
+        "at 100 TB this is the profile you run before trusting any "
+        "dimension join, and consistent re-assertions stay silent "
+        "(count(*) > 1 alone would false-positive them)"
+    ),
+)
+def q202(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    dirty = (
+        n.unionByName(
+            n.filter(F.col("n_nationkey") % 7 == 0).select(
+                "n_nationkey",
+                ((F.col("n_regionkey") + 1) % 5).alias("n_regionkey"),
+            )
+        )
+        .unionByName(n.filter(F.col("n_nationkey") % 3 == 0))
+    )
+    per_key = dirty.groupBy("n_nationkey").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("n_regionkey").cast("long").alias("n_variants"),
+        F.min("n_regionkey").cast("long").alias("region_a"),
+        F.max("n_regionkey").cast("long").alias("region_b"),
+    )
+    return per_key.filter(F.col("n_variants") > 1)
