@@ -2334,3 +2334,113 @@ def q202(spark, sf_dir):
         F.max("n_regionkey").cast("long").alias("region_b"),
     )
     return per_key.filter(F.col("n_variants") > 1)
+
+
+# ---------------------------------------------------------------------------
+# q203 — FIFO supply/demand allocation: the classic "hard in SQL"
+# inventory-matching problem, solved distributively with cumulative
+# intervals + an overlap join (no loops, no recursion)
+# ---------------------------------------------------------------------------
+
+_Q203_ORDER = "l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice"
+
+
+@register(
+    "q203_fifo_allocation",
+    f"""
+    WITH li AS (
+        SELECT l_partkey AS part, l_orderkey, l_linenumber, l_quantity,
+               l_extendedprice, l_shipdate
+        FROM lineitem
+    ), s AS (
+        SELECT part,
+               row_number() OVER w AS s_seq,
+               sum(l_quantity) OVER w AS s_end,
+               sum(l_quantity) OVER w - l_quantity AS s_start
+        FROM li WHERE l_orderkey % 2 = 0
+        WINDOW w AS (PARTITION BY part ORDER BY {_Q203_ORDER}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), d AS (
+        SELECT part,
+               row_number() OVER w AS d_seq,
+               sum(l_quantity) OVER w AS d_end,
+               sum(l_quantity) OVER w - l_quantity AS d_start
+        FROM li WHERE l_orderkey % 2 = 1
+        WINDOW w AS (PARTITION BY part ORDER BY {_Q203_ORDER}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT s.part, CAST(s_seq AS BIGINT) AS s_seq,
+           CAST(d_seq AS BIGINT) AS d_seq,
+           round(least(s_end, d_end) - greatest(s_start, d_start), 2)
+               AS qty_allocated
+    FROM s JOIN d ON s.part = d.part
+                 AND s.s_start < d.d_end AND d.d_start < s.s_end
+    """,
+    doc=(
+        "FIFO inventory allocation (supply lots = even orders, demand "
+        "lots = odd): each side becomes cumulative-quantity intervals "
+        "[cum - qty, cum) per part in first-in order (a bounded per-part "
+        "window with a fully deterministic ordering tuple — "
+        "(l_orderkey, l_linenumber) is NOT unique in this corpus, so "
+        "the order key includes quantity and price), and an allocation "
+        "is the overlap of a supply interval with a demand interval — "
+        "the procedural 'consume lots in order' loop becomes one "
+        "equi-join on part with an interval-overlap residual.  Per-part "
+        "chain structure means each lot overlaps O(1) opposing lots on "
+        "average (output ~ |supply| + |demand|); a part with a huge "
+        "history can bucket its cumulative ranges through "
+        "operators/rangejoin.py — the documented scale path"
+    ),
+)
+def q203(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    order_cols = [
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    ]
+
+    def side(df, prefix):
+        w = (
+            Window.partitionBy("part")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wseq = Window.partitionBy("part").orderBy(*order_cols)
+        return df.select(
+            "part",
+            F.row_number().over(wseq).alias(f"{prefix}_seq"),
+            F.sum("l_quantity").over(w).alias(f"{prefix}_end"),
+            (F.sum("l_quantity").over(w) - F.col("l_quantity")).alias(
+                f"{prefix}_start"
+            ),
+        )
+
+    s = side(li.filter(F.col("l_orderkey") % 2 == 0), "s")
+    d = side(li.filter(F.col("l_orderkey") % 2 == 1), "d")
+    return (
+        s.join(
+            d,
+            (s["part"] == d["part"])
+            & (F.col("s_start") < F.col("d_end"))
+            & (F.col("d_start") < F.col("s_end")),
+        )
+        .select(
+            s["part"].alias("part"),
+            F.col("s_seq").cast("long").alias("s_seq"),
+            F.col("d_seq").cast("long").alias("d_seq"),
+            F.round(
+                F.least("s_end", "d_end") - F.greatest("s_start", "d_start"),
+                2,
+            ).alias("qty_allocated"),
+        )
+    )

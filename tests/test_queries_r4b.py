@@ -354,3 +354,58 @@ def test_driver_front_is_fully_oracled(registry):
     assert len(_DRIVER_FRONT) == 50
     unoracled = [n for n in _DRIVER_FRONT if not registry[n].oracle]
     assert not unoracled, f"rows-only queries in driver window: {unoracled}"
+
+
+# ---------------------------------------------------------------------------
+# q203: the interval-overlap join IS the procedural FIFO loop
+# ---------------------------------------------------------------------------
+
+
+def test_fifo_allocation_matches_procedural_loop(spark, registry):
+    out = registry["q203_fifo_allocation"].builder(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+
+    def lots(rows, parity):
+        sel = [
+            r
+            for r in rows
+            if r["l_orderkey"] % 2 == parity
+        ]
+        sel.sort(
+            key=lambda r: (
+                r["l_shipdate"],
+                r["l_orderkey"],
+                r["l_linenumber"],
+                r["l_quantity"],
+                r["l_extendedprice"],
+            )
+        )
+        return sel
+
+    parts = sorted({r["l_partkey"] for r in li})[:40]  # spot-check 40 parts
+    got = {}
+    for r in out:
+        got.setdefault(r["part"], []).append(
+            (r["s_seq"], r["d_seq"], r["qty_allocated"])
+        )
+    for part in parts:
+        prows = [r for r in li if r["l_partkey"] == part]
+        supply = lots(prows, 0)
+        demand = lots(prows, 1)
+        # procedural FIFO: walk both lot lists consuming min remainder
+        expect, si, di = [], 0, 0
+        s_rem = supply[0]["l_quantity"] if supply else 0
+        d_rem = demand[0]["l_quantity"] if demand else 0
+        while si < len(supply) and di < len(demand):
+            take = min(s_rem, d_rem)
+            if take > 0:
+                expect.append((si + 1, di + 1, round(take, 2)))
+            s_rem -= take
+            d_rem -= take
+            if s_rem <= 0 and si + 1 <= len(supply):
+                si += 1
+                s_rem = supply[si]["l_quantity"] if si < len(supply) else 0
+            if d_rem <= 0 and di + 1 <= len(demand):
+                di += 1
+                d_rem = demand[di]["l_quantity"] if di < len(demand) else 0
+        assert sorted(got.get(part, [])) == sorted(expect), f"part {part}"
