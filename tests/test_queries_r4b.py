@@ -409,3 +409,112 @@ def test_fifo_allocation_matches_procedural_loop(spark, registry):
                 di += 1
                 d_rem = demand[di]["l_quantity"] if di < len(demand) else 0
         assert sorted(got.get(part, [])) == sorted(expect), f"part {part}"
+
+
+# ---------------------------------------------------------------------------
+# semantic invariants for the analytic batch (beyond oracle parity)
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_actually_reduces_variance(spark, registry):
+    rows_out = registry["q194_cuped_adjusted_ab"].builder(spark, SF).collect()
+    assert len(rows_out) == 2
+    assert all(r["n_users"] > 0 for r in rows_out)
+    # The optimality guarantee is POOLED: theta = cov/var minimizes the
+    # population variance of post - theta*pre, so pooled var_adjusted =
+    # var_post*(1-rho^2) <= var_post.  A per-variant subgroup CAN see
+    # its variance rise when its own pre/post covariance differs from
+    # the pooled fit (observed at sf0.001 with ~75 users per arm), so
+    # the invariant is asserted on the pooled population.
+    n = {r["variant"]: r["n_users"] for r in rows_out}
+    total = sum(n.values())
+
+    def pooled(col_mean, col_var):
+        # law of total variance over the two variants
+        mean_all = sum(
+            r[col_mean] * n[r["variant"]] for r in rows_out
+        ) / total
+        within = sum(r[col_var] * n[r["variant"]] for r in rows_out) / total
+        between = sum(
+            n[r["variant"]] * (r[col_mean] - mean_all) ** 2
+            for r in rows_out
+        ) / total
+        return within + between
+
+    assert pooled("mean_adjusted", "var_adjusted") <= pooled(
+        "mean_post", "var_post"
+    ) + 1e-6
+
+
+def test_hdr_percentiles_bracket_exact(spark, registry):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cars_bids_data_pipeline_v0__spark.functions.scalar import (
+        epoch_millis_encode,
+    )
+
+    out = {
+        (r["event_type"], r["p"]): r["est_gap_ms"]
+        for r in registry["q197_log_histogram_latency"]
+        .builder(spark, SF)
+        .collect()
+    }
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ms = epoch_millis_encode("ts")
+    gaps = (
+        e.select("event_type", (ms - F.lag(ms).over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+        .collect()
+    )
+    import math
+
+    by_type = {}
+    for r in gaps:
+        by_type.setdefault(r["event_type"], []).append(r["gap"])
+    for (et, p), est in out.items():
+        vals = sorted(by_type[et])
+        # exact rank-percentile (ceil rank, 1-indexed) — the same target
+        # the sketch interpolates toward
+        target = -((-p * len(vals)) // 100)
+        exact = vals[int(target) - 1]
+        # the estimate must land in the exact value's log2 bucket
+        assert int(math.log2(est)) == int(math.log2(exact)), (et, p)
+
+
+def test_quantile_normalization_cuts_are_monotone(spark, registry):
+    out = registry[
+        "q191_quantile_normalization_table"
+    ].builder(spark, SF).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["p"], r["src_cut"]))
+    for src, cuts in by_src.items():
+        ordered = [c for _, c in sorted(cuts)]
+        assert ordered == sorted(ordered), f"non-monotone deciles for {src}"
+
+
+def test_item_item_cf_scores_are_valid_cosines(spark, registry):
+    rows_out = registry["q201_item_item_cf"].builder(spark, SF).collect()
+    assert len(rows_out) > 0
+    per_item = {}
+    for r in rows_out:
+        assert 0.0 < r["cosine"] <= 1.0
+        assert 1 <= r["rk"] <= 5
+        per_item.setdefault(r["item"], []).append((r["rk"], r["cosine"]))
+    for item, lst in per_item.items():
+        ranks = sorted(lst)
+        # scores non-increasing in rank, ranks dense from 1
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        scores = [c for _, c in ranks]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_psi_is_nonnegative_and_self_psi_zero(spark, registry):
+    rows_out = registry["q196_psi_drift"].builder(spark, SF).collect()
+    # PSI is an f-divergence: >= 0 always
+    assert all(r["psi"] >= 0.0 for r in rows_out)
+    assert {r["n_buckets"] for r in rows_out} == {8}
