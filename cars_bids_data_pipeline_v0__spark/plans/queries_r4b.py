@@ -2444,3 +2444,135 @@ def q203(spark, sf_dir):
             ).alias("qty_allocated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — multi-touch (linear) attribution over a 24 h lookback: the
+# range join bounded by day-bucket blocking, the companion to q188's
+# single-touch as-of
+# ---------------------------------------------------------------------------
+
+_DAY_MS = 86_400_000
+
+
+@register(
+    "q204_multi_touch_attribution",
+    f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, epoch_ms(ts) AS pms, value
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, epoch_ms(ts) AS tms, event_type,
+               epoch_ms(ts) // {_DAY_MS} AS tday
+        FROM events WHERE event_type <> 'purchase'
+    ), probe AS (
+        SELECT pid, user_id, pms, value,
+               pms // {_DAY_MS} - d.off AS tday
+        FROM p, (SELECT unnest([0, 1]) AS off) d
+    ), cand AS (
+        SELECT pr.pid, pr.pms, pr.value, t.event_type
+        FROM probe pr JOIN t USING (user_id, tday)
+        WHERE t.tms < pr.pms AND t.tms >= pr.pms - {_DAY_MS}
+    ), weighted AS (
+        SELECT event_type,
+               value / count(*) OVER (PARTITION BY pid) AS credit
+        FROM cand
+    ), credited AS (
+        SELECT event_type AS attributed_type,
+               CAST(count(*) AS BIGINT) AS n_credits,
+               round(sum(credit), 4) AS credited_value
+        FROM weighted GROUP BY 1
+    ), untouched AS (
+        SELECT 'none' AS attributed_type,
+               CAST(count(*) AS BIGINT) AS n_credits,
+               round(sum(value), 4) AS credited_value
+        FROM p WHERE pid NOT IN (SELECT pid FROM cand)
+        HAVING count(*) > 0
+    )
+    SELECT * FROM credited UNION ALL SELECT * FROM untouched
+    """,
+    doc=(
+        "linear multi-touch attribution: every non-purchase touch in the "
+        "STRICT 24 h lookback before a purchase shares that purchase's "
+        "value equally (credit = value / n_touches — the per-purchase "
+        "count window is lookback-bounded).  The user x time-range join "
+        "is blocked by DAY BUCKETS: each purchase probes exactly its own "
+        "and the previous epoch-day bucket (integer ms arithmetic), so "
+        "the join is two equi-probes per purchase, never a per-user "
+        "cross product — the rangejoin.py recipe inlined.  Purchases "
+        "with no touches land in the 'none' bucket at full value, so "
+        "credited_value totals exactly to purchase revenue "
+        "(conservation pinned by a test).  Complements q188: last-touch "
+        "says who closed, linear says who participated"
+    ),
+)
+def q204(spark, sf_dir):
+    from ..functions.scalar import epoch_millis_encode
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        epoch_millis_encode("ts").alias("pms"),
+        "value",
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        epoch_millis_encode("ts").alias("tms"),
+        "event_type",
+        (epoch_millis_encode("ts") - (epoch_millis_encode("ts") % _DAY_MS))
+        .alias("__d"),
+    ).select(
+        "user_id", "tms", "event_type",
+        (F.col("__d") / _DAY_MS).cast("long").alias("tday"),
+    )
+    probe = p.crossJoin(
+        F.broadcast(
+            p.sparkSession.createDataFrame([(0,), (1,)], "off int")
+        )
+    ).select(
+        "pid",
+        "user_id",
+        "pms",
+        "value",
+        (
+            (F.col("pms") - (F.col("pms") % _DAY_MS)) / _DAY_MS
+        ).cast("long").alias("pday"),
+        "off",
+    ).select(
+        "pid",
+        "user_id",
+        "pms",
+        "value",
+        (F.col("pday") - F.col("off")).alias("tday"),
+    )
+    cand = probe.join(t, ["user_id", "tday"]).filter(
+        (F.col("tms") < F.col("pms"))
+        & (F.col("tms") >= F.col("pms") - _DAY_MS)
+    )
+    wn = Window.partitionBy("pid")
+    weighted = cand.select(
+        "event_type",
+        (F.col("value") / F.count("*").over(wn)).alias("credit"),
+        "pid",
+    )
+    credited = weighted.groupBy(
+        F.col("event_type").alias("attributed_type")
+    ).agg(
+        F.count("*").cast("long").alias("n_credits"),
+        F.round(F.sum("credit"), 4).alias("credited_value"),
+    )
+    untouched = (
+        p.join(cand.select("pid").distinct(), "pid", "left_anti")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            F.round(F.sum("value"), 4).alias("credited_value"),
+        )
+        .filter(F.col("n_credits") > 0)
+        .select(
+            F.lit("none").alias("attributed_type"),
+            "n_credits",
+            "credited_value",
+        )
+    )
+    return credited.unionByName(untouched)

@@ -518,3 +518,23 @@ def test_psi_is_nonnegative_and_self_psi_zero(spark, registry):
     # PSI is an f-divergence: >= 0 always
     assert all(r["psi"] >= 0.0 for r in rows_out)
     assert {r["n_buckets"] for r in rows_out} == {8}
+
+
+def test_multi_touch_attribution_conserves_revenue(spark, registry):
+    from pyspark.sql import functions as F
+
+    out = registry[
+        "q204_multi_touch_attribution"
+    ].builder(spark, SF).collect()
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    total = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    credited = sum(r["credited_value"] for r in out)
+    # linear weights sum to 1 per purchase; 'none' carries full value —
+    # so credit conserves total purchase revenue (up to per-type 1e-4
+    # rounding)
+    assert abs(credited - total) < 1e-2 * len(out)
+    assert all(r["attributed_type"] != "purchase" for r in out)
