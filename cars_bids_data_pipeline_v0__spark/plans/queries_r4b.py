@@ -2576,3 +2576,122 @@ def q204(spark, sf_dir):
         )
     )
     return credited.unionByName(untouched)
+
+
+# ---------------------------------------------------------------------------
+# q205 — verbatim-span scrub accounting: the REMOVAL half of ExactSubstr
+# dedup (q169 detects shared 20-token runs; this measures exactly which
+# token positions the later document would lose)
+# ---------------------------------------------------------------------------
+
+_Q205_N = 20
+
+
+@register(
+    "q205_verbatim_span_scrub",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\s+') AS t
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, len(t) AS n_tokens, i AS pos,
+               list_aggregate(list_slice(t, i, i + {_Q205_N} - 1),
+                              'string_agg', ' ') AS g
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1,
+                          greatest(len(t) - {_Q205_N} + 1, 1))) AS i)
+    ), owner AS (
+        SELECT g, min(doc_id) AS first_doc FROM wins GROUP BY g
+    ), foreign_wins AS (
+        SELECT w.doc_id, w.n_tokens, w.pos
+        FROM wins w JOIN owner o USING (g)
+        WHERE o.first_doc < w.doc_id
+    ), covered AS (
+        SELECT doc_id, n_tokens, count(DISTINCT p) AS n_covered
+        FROM foreign_wins, LATERAL (
+            SELECT unnest(generate_series(pos,
+                          least(pos + {_Q205_N} - 1, n_tokens))) AS p)
+        GROUP BY doc_id, n_tokens
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_covered AS BIGINT) AS n_covered,
+           round(n_covered / CAST(n_tokens AS DOUBLE), 6) AS scrub_frac
+    FROM covered
+    """,
+    doc=(
+        "ExactSubstr scrub accounting (the removal half of q169, per "
+        "'Deduplicating Training Data Makes Language Models Better'): "
+        "every 20-token window whose exact text already appears in an "
+        "EARLIER document (global min-doc ownership — one aggregate on "
+        "the window hash space) marks its positions for removal in the "
+        "later doc; the per-doc report is distinct covered positions "
+        "and the scrub fraction.  Position coverage is a bounded "
+        "explode (≤ n_tokens rows per doc), the ownership table is one "
+        "shuffle on the window key — no pair join at all, which is why "
+        "production ExactSubstr scales where pairwise dedup cannot"
+    ),
+)
+def q205(spark, sf_dir):
+    from ..operators.text import normalize_text, tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tokenize(normalize_text("text")).alias("t")
+    ).withColumn("n_tokens", F.size("t"))
+    count = F.greatest(F.col("n_tokens") - (_Q205_N - 1), F.lit(1))
+    wins = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(
+                        F.slice("t", i, _Q205_N), " "
+                    ).alias("g"),
+                ),
+            )
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("w.pos").alias("pos"),
+        F.col("w.g").alias("g"),
+    )
+    # ownership groups on the raw window text so the oracle replays
+    # exactly; at corpus scale the shuffle key would be xxhash64(g)
+    # (8 bytes vs ~120 — the q53 recipe)
+    owner = wins.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    foreign = (
+        wins.join(owner, "g")
+        .filter(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id", "n_tokens", "pos")
+    )
+    covered = (
+        foreign.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(
+                        F.col("pos") + (_Q205_N - 1), F.col("n_tokens")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.countDistinct("p").alias("n_covered"))
+    )
+    return covered.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_covered").cast("long").alias("n_covered"),
+        F.round(
+            F.col("n_covered") / F.col("n_tokens").cast("double"), 6
+        ).alias("scrub_frac"),
+    )
