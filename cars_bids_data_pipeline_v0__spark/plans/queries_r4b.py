@@ -2520,35 +2520,22 @@ def q204(spark, sf_dir):
         "user_id",
         epoch_millis_encode("ts").alias("tms"),
         "event_type",
-        (epoch_millis_encode("ts") - (epoch_millis_encode("ts") % _DAY_MS))
-        .alias("__d"),
-    ).select(
-        "user_id", "tms", "event_type",
-        (F.col("__d") / _DAY_MS).cast("long").alias("tday"),
     )
-    probe = p.crossJoin(
-        F.broadcast(
-            p.sparkSession.createDataFrame([(0,), (1,)], "off int")
-        )
-    ).select(
-        "pid",
-        "user_id",
-        "pms",
-        "value",
-        (
-            (F.col("pms") - (F.col("pms") % _DAY_MS)) / _DAY_MS
-        ).cast("long").alias("pday"),
-        "off",
-    ).select(
-        "pid",
-        "user_id",
-        "pms",
-        "value",
-        (F.col("pday") - F.col("off")).alias("tday"),
-    )
-    cand = probe.join(t, ["user_id", "tday"]).filter(
-        (F.col("tms") < F.col("pms"))
-        & (F.col("tms") >= F.col("pms") - _DAY_MS)
+    # the 24h lookback is a point-in-interval join: touch time in
+    # [pms - DAY, pms) — exactly operators/rangejoin.py's closed-open
+    # contract, bucketed at one day so each purchase interval covers at
+    # most two buckets (an earlier cut of this builder inlined the same
+    # plumbing by hand; review finding)
+    from ..operators.rangejoin import range_join
+
+    cand = range_join(
+        t,
+        p.withColumn("lo", F.col("pms") - _DAY_MS),
+        left_val="tms",
+        right_lo="lo",
+        right_hi="pms",
+        bucket_width=_DAY_MS,
+        extra_keys=["user_id"],
     )
     wn = Window.partitionBy("pid")
     weighted = cand.select(

@@ -513,11 +513,24 @@ def test_item_item_cf_scores_are_valid_cosines(spark, registry):
         assert all(a >= b for a, b in zip(scores, scores[1:]))
 
 
-def test_psi_is_nonnegative_and_self_psi_zero(spark, registry):
+def test_psi_nonnegative_and_zero_on_identical_distributions(
+    spark, registry
+):
     rows_out = registry["q196_psi_drift"].builder(spark, SF).collect()
     # PSI is an f-divergence: >= 0 always
     assert all(r["psi"] >= 0.0 for r in rows_out)
     assert {r["n_buckets"] for r in rows_out} == {8}
+    # self-PSI is exactly zero: identical smoothed bucket fractions make
+    # every (pa - pb) ln(pa/pb) term vanish — replay q196's arithmetic
+    # with period b := period a
+    import math
+
+    counts = [37, 0, 12, 5, 0, 91, 3, 44]  # arbitrary bucket histogram
+    k = len(counts)
+    tot = sum(counts)
+    ps = [(c + 0.5) / (tot + 0.5 * k) for c in counts]
+    self_psi = sum((pa - pb) * math.log(pa / pb) for pa, pb in zip(ps, ps))
+    assert self_psi == 0.0
 
 
 def test_multi_touch_attribution_conserves_revenue(spark, registry):
