@@ -2682,3 +2682,97 @@ def q205(spark, sf_dir):
             F.col("n_covered") / F.col("n_tokens").cast("double"), 6
         ).alias("scrub_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — daily session-quality report: bounce rate, conversion rate, and
+# depth per day, built on q79's sessionization rule (gap > 30 min)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q206_session_quality_daily",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+        SELECT user_id, ts, event_type,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_n
+        FROM flagged),
+    sessions AS (
+        SELECT user_id, session_n,
+               CAST(min(ts) AS DATE) AS day,
+               count(*) AS n_events,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM numbered GROUP BY user_id, session_n)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+           round(sum(converted) / CAST(count(*) AS DOUBLE), 6)
+               AS conversion_rate,
+           round(avg(n_events), 6) AS avg_depth
+    FROM sessions
+    GROUP BY day
+    """,
+    doc=(
+        "daily session-quality scorecard on q79's sessionization rule "
+        "(gap > 30 min): bounce rate (single-event sessions), session "
+        "conversion rate (any purchase), and average depth, keyed by the "
+        "session's START day.  Same single user_id hash partitioning "
+        "carries the lag flag, the running session number, and the "
+        "session aggregate; the daily rollup shuffles |days| tiny rows. "
+        "The web-analytics headline triple, derived — not sampled — "
+        "from the raw event log"
+    ),
+)
+def q206(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_n"),
+    )
+    sessions = numbered.groupBy("user_id", "session_n").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.count("*").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return sessions.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        F.round(F.sum(bounce) / F.count("*").cast("double"), 6).alias(
+            "bounce_rate"
+        ),
+        F.round(
+            F.sum("converted") / F.count("*").cast("double"), 6
+        ).alias("conversion_rate"),
+        F.round(F.avg("n_events"), 6).alias("avg_depth"),
+    )
