@@ -2776,3 +2776,127 @@ def q206(spark, sf_dir):
         ).alias("conversion_rate"),
         F.round(F.avg("n_events"), 6).alias("avg_depth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — cumulative gains / lift table: the model-evaluation primitive
+# (rank by a score, walk deciles best-first, report captured positives
+# vs random) — here scoring customers by account balance against a
+# "heavy buyer" outcome
+# ---------------------------------------------------------------------------
+
+_Q207_POS_ORDERS = 12  # outcome: customer placed at least this many orders
+
+
+@register(
+    "q207_cumulative_gains",
+    f"""
+    WITH scored AS (
+        SELECT c.c_custkey,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS score_cents,
+               CASE WHEN coalesce(o.n, 0) >= {_Q207_POS_ORDERS}
+                    THEN 1 ELSE 0 END AS positive
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                   GROUP BY 1) o
+          ON o.o_custkey = c.c_custkey
+    ), cuts AS (
+        SELECT [quantile_cont(score_cents, 0.1), quantile_cont(score_cents, 0.2),
+                quantile_cont(score_cents, 0.3), quantile_cont(score_cents, 0.4),
+                quantile_cont(score_cents, 0.5), quantile_cont(score_cents, 0.6),
+                quantile_cont(score_cents, 0.7), quantile_cont(score_cents, 0.8),
+                quantile_cont(score_cents, 0.9)] AS cs
+        FROM scored
+    ), bucketed AS (
+        SELECT s.*, len(list_filter(c.cs, x -> s.score_cents > x)) AS bucket
+        FROM scored s, cuts c
+    ), cells AS (
+        SELECT bucket, count(*) AS n, sum(positive) AS pos
+        FROM bucketed GROUP BY bucket
+    ), tot AS (
+        SELECT sum(n) AS tn, sum(pos) AS tp FROM cells
+    )
+    SELECT CAST(10 - a.bucket AS BIGINT) AS decile_best_first,
+           CAST(a.n AS BIGINT) AS n_customers,
+           CAST(a.pos AS BIGINT) AS n_positive,
+           CAST(sum(b.n) AS BIGINT) AS cum_customers,
+           CAST(sum(b.pos) AS BIGINT) AS cum_positive,
+           round(sum(b.pos) / CAST(any_value(t.tp) AS DOUBLE), 6) AS gain,
+           round((sum(b.pos) / CAST(any_value(t.tp) AS DOUBLE))
+                 / (sum(b.n) / CAST(any_value(t.tn) AS DOUBLE)), 6) AS lift
+    FROM cells a JOIN cells b ON b.bucket >= a.bucket, tot t
+    GROUP BY a.bucket, a.n, a.pos
+    """,
+    doc=(
+        "cumulative gains / lift table for a scoring rule (acctbal "
+        "scoring the heavy-buyer outcome): decile assignment via exact "
+        "interpolated percentile cut-points over INTEGER cents (the "
+        "q122 engine-parity rule — never interpolate raw doubles), "
+        "cumulative best-first sums via a |deciles|-sized self-join "
+        "(b.bucket >= a.bucket — no global window, the q189 prefix "
+        "pattern), lift = captured-positive share over customer share.  "
+        "lift@decile1 is the 'how much better than random' number every "
+        "targeting model is judged by; the whole curve costs two "
+        "aggregates and a 10x10 join"
+    ),
+)
+def q207(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n_orders = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("n")
+    )
+    scored = c.join(n_orders, "c_custkey", "left").select(
+        F.round(F.col("c_acctbal") * 100)
+        .cast("long")
+        .alias("score_cents"),
+        F.when(F.coalesce("n", F.lit(0)) >= _Q207_POS_ORDERS, 1)
+        .otherwise(0)
+        .alias("positive"),
+    )
+    cuts = scored.agg(
+        F.expr(
+            "percentile(score_cents, "
+            "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("cs")
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.size(F.filter("cs", lambda x: F.col("score_cents") > x)),
+    )
+    cells = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("positive").alias("pos")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("tn"), F.sum("pos").alias("tp")
+    )
+    cum = (
+        cells.alias("a")
+        .join(cells.alias("b"), F.col("b.bucket") >= F.col("a.bucket"))
+        .groupBy(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.n").alias("n"),
+            F.col("a.pos").alias("pos"),
+        )
+        .agg(
+            F.sum(F.col("b.n")).alias("cum_n"),
+            F.sum(F.col("b.pos")).alias("cum_pos"),
+        )
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        (F.lit(10) - F.col("bucket")).cast("long").alias(
+            "decile_best_first"
+        ),
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("pos").cast("long").alias("n_positive"),
+        F.col("cum_n").cast("long").alias("cum_customers"),
+        F.col("cum_pos").cast("long").alias("cum_positive"),
+        F.round(
+            F.col("cum_pos") / F.col("tp").cast("double"), 6
+        ).alias("gain"),
+        F.round(
+            (F.col("cum_pos") / F.col("tp").cast("double"))
+            / (F.col("cum_n") / F.col("tn").cast("double")),
+            6,
+        ).alias("lift"),
+    )
