@@ -14,6 +14,7 @@ from .txlog import (
     TransactionLog,
     checkpoint_epoch_app_id,
     tx_compact,
+    tx_optimize_zorder,
     tx_delete_where,
     tx_export_symlink_manifest,
     tx_insert_if_absent,
@@ -41,6 +42,7 @@ __all__ = [
     "TransactionLog",
     "checkpoint_epoch_app_id",
     "tx_compact",
+    "tx_optimize_zorder",
     "tx_delete_where",
     "tx_export_symlink_manifest",
     "tx_insert_if_absent",

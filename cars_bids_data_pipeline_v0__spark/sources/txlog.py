@@ -555,6 +555,58 @@ def tx_compact(
     raise RuntimeError(f"compaction gave up after {max_retries} conflicts")
 
 
+def tx_optimize_zorder(
+    spark: SparkSession,
+    table_path: str,
+    zorder_by: list[str],
+    num_files: int = 16,
+    bits: int = 12,
+    max_retries: int = 5,
+) -> int:
+    """OPTIMIZE ... ZORDER BY for a commit-log table: rewrite the live
+    file set Morton-clustered on ``zorder_by`` (operators/zorder.py) into
+    ``num_files`` range-partitioned files, committed atomically as one
+    add+remove with per-file min/max for every z-column recorded in the
+    add actions — so `tx_prunable_files` / `tx_scan` zone-map pruning
+    works on ALL the z-columns afterwards, not just one sort column.
+    Content is untouched (tested); time travel to pre-optimize versions
+    still resolves.  Unpartitioned tables only: a partitioned table
+    already clusters on the partition column — z-order the columns
+    WITHIN a partition by compacting per-partition data separately.
+
+    Optimistic like every writer here; returns files removed (0 = table
+    empty)."""
+    from ..operators.zorder import zorder_key
+
+    log = TransactionLog(table_path)
+    for _ in range(max_retries):
+        v = log.version()
+        if v < 0:
+            return 0
+        live = log.live_files(upto=v)
+        if not live:
+            return 0
+        if any(p is not None for p in live.values()):
+            raise ValueError(
+                "tx_optimize_zorder supports unpartitioned tables; "
+                "compact partitioned tables per-partition instead"
+            )
+        df = spark.read.parquet(
+            *[os.path.join(table_path, f) for f in sorted(live)]
+        )
+        keyed, z = zorder_key(df, zorder_by, bits)
+        clustered = (
+            keyed.repartitionByRange(num_files, F.col(z))
+            .sortWithinPartitions(z)
+            .drop(z)
+        )
+        adds = log.stage_dataframe(clustered, stats_cols=zorder_by)
+        if log.try_commit(v + 1, adds, sorted(live), op="zorder"):
+            return len(live)
+        log.discard(adds)
+    raise RuntimeError(f"z-order optimize gave up after {max_retries} conflicts")
+
+
 def checkpoint_epoch_app_id(stream_id: str, checkpoint_dir: str) -> str:
     """``stream_id`` scoped by an epoch uuid stored INSIDE the stream's
     checkpoint directory — the shared fence-scoping primitive for every

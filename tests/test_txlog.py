@@ -635,3 +635,61 @@ def test_tx_stream_sink_epoch_scoped_fence(spark, tmp_path):
               ("b", "2024-05-02T10:00:00Z", 2)]), 0)
     got = {r["auction_id"] for r in tx_read_latest(spark, table).collect()}
     assert got == {"a", "b"}
+
+
+def test_tx_optimize_zorder_improves_two_column_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): content identical, time travel intact,
+    and zone-map pruning becomes effective on BOTH columns — before, the
+    arrival-ordered files each span the full y range, so a y predicate
+    prunes nothing."""
+    import random
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_optimize_zorder,
+        tx_prunable_files,
+        tx_read,
+    )
+
+    table = str(tmp_path / "zlake")
+    log = TransactionLog(table)
+    rng = random.Random(7)
+    # 8 commits ordered by x; y is shuffled, so every file spans ~all of y
+    for w in range(8):
+        rows = [
+            (w * 100 + i, rng.randrange(0, 800), f"r{w}-{i}")
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "x long, y long, v string").coalesce(1)
+        adds = log.stage_dataframe(df, stats_cols=["x", "y"])
+        assert log.try_commit(w, adds, [], op="append")
+
+    before = sorted(
+        tuple(r) for r in tx_read(spark, table).collect()
+    )
+    _, pruned_x_before = tx_prunable_files(table, "x", lo=0, hi=99)
+    _, pruned_y_before = tx_prunable_files(table, "y", lo=0, hi=99)
+    assert pruned_x_before == 7      # x-ordered arrival prunes on x...
+    assert pruned_y_before == 0      # ...but y predicates scan everything
+
+    removed = tx_optimize_zorder(spark, table, ["x", "y"], num_files=16)
+    assert removed == 8
+
+    after = sorted(tuple(r) for r in tx_read(spark, table).collect())
+    assert after == before           # layout-only rewrite
+
+    files_x, pruned_x = tx_prunable_files(table, "x", lo=0, hi=99)
+    files_y, pruned_y = tx_prunable_files(table, "y", lo=0, hi=99)
+    # the morton clustering must make BOTH single-column predicates
+    # skip most files
+    assert pruned_x >= 8 and pruned_y >= 8, (pruned_x, pruned_y)
+    assert len(files_x) <= 8 and len(files_y) <= 8
+
+    # time travel to the pre-optimize version still resolves
+    pre = sorted(
+        tuple(r) for r in tx_read(spark, table, version=7).collect()
+    )
+    assert pre == before
+    # idempotence-ish: a second optimize still succeeds and keeps content
+    tx_optimize_zorder(spark, table, ["x", "y"], num_files=16)
+    assert sorted(tuple(r) for r in tx_read(spark, table).collect()) == before
