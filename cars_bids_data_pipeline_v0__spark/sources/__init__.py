@@ -15,6 +15,8 @@ from .txlog import (
     checkpoint_epoch_app_id,
     tx_compact,
     tx_optimize_zorder,
+    tx_prunable_files_bloom,
+    tx_scan_eq,
     tx_delete_where,
     tx_export_symlink_manifest,
     tx_insert_if_absent,
@@ -43,6 +45,8 @@ __all__ = [
     "checkpoint_epoch_app_id",
     "tx_compact",
     "tx_optimize_zorder",
+    "tx_prunable_files_bloom",
+    "tx_scan_eq",
     "tx_delete_where",
     "tx_export_symlink_manifest",
     "tx_insert_if_absent",

@@ -194,6 +194,9 @@ class TransactionLog:
         df: DataFrame,
         partition_by: str | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 1024,
+        bloom_hashes: int = 5,
     ) -> list[dict]:
         """Write ``df``'s files into ``data/`` under unique names and return
         uncommitted add-actions.  With ``partition_by``, one file set per
@@ -203,6 +206,17 @@ class TransactionLog:
         ``stats_cols`` records per-file min/max for the named columns in
         the add action (read from the parquet footer the file already
         carries — no extra scan): the zone maps `tx_scan` prunes with.
+
+        ``bloom_cols`` additionally records a per-file Bloom bitmap
+        (md5-derived positions — engine/Python-portable like
+        `portable_hash60`) for EQUALITY skipping on high-cardinality
+        columns whose min/max ranges overlap across files (where zone
+        maps prune nothing): `tx_prunable_files_bloom` / `tx_scan_eq`
+        consume it.  Values hash by their ``str()`` form — int and
+        string keys round-trip exactly; don't bloom float columns.
+        Cost: one extra columnar read of the staged file (pyarrow,
+        distinct values only).  ~16 longs per column per file ride in
+        the add action.
         """
         os.makedirs(self.data_dir, exist_ok=True)
         tmp = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}")
@@ -232,6 +246,10 @@ class TransactionLog:
                         stats = _footer_stats(src, stats_cols)
                         if stats:
                             action["stats"] = stats
+                    if bloom_cols:
+                        action["bloom"] = _file_blooms(
+                            src, bloom_cols, bloom_bits, bloom_hashes
+                        )
                     os.rename(src, os.path.join(self.data_dir, unique))
                     adds.append(action)
             return adds
@@ -697,6 +715,95 @@ def tx_stream_merge_sink(
             tx_export_symlink_manifest(table_path)
 
     return process
+
+
+def _bloom_positions(value_str: str, n_bits: int, num_hashes: int):
+    """md5-derived bit positions — pure Python, identical wherever the
+    sketch is built or probed (the portable_hash60 discipline)."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"bl{k}:{value_str}".encode()).hexdigest()[:15], 16
+        )
+        % n_bits
+        for k in range(num_hashes)
+    ]
+
+
+def _file_blooms(
+    parquet_path: str, cols: list[str], n_bits: int, num_hashes: int
+) -> dict:
+    """Per-column Bloom words for one staged file: pyarrow columnar read,
+    distinct values, md5 positions folded into n_bits/64 longs."""
+    import pyarrow.parquet as _pq
+
+    present = set(_pq.ParquetFile(parquet_path).schema_arrow.names)
+    tbl = _pq.read_table(
+        parquet_path, columns=[c for c in cols if c in present]
+    )
+    out: dict = {}
+    for c in cols:
+        if c not in present:
+            continue
+        words = [0] * (n_bits // 64)
+        for v in set(tbl.column(c).to_pylist()):
+            if v is None:
+                continue
+            for p in _bloom_positions(str(v), n_bits, num_hashes):
+                words[p // 64] |= 1 << (p % 64)
+        out[c] = {"bits": n_bits, "hashes": num_hashes, "words": words}
+    return out
+
+
+def tx_prunable_files_bloom(
+    table_path: str, col: str, value, version: int | None = None
+) -> tuple[list[str], int]:
+    """Equality data skipping via the per-file Bloom bitmaps recorded by
+    ``stage_dataframe(bloom_cols=...)``: live files whose sketch might
+    contain ``value`` (files with no sketch for the column are always
+    kept — skipping must never be lossy).  Returns (files, n_pruned).
+    False positives only ever COST a read; `tx_scan_eq` re-filters
+    exactly."""
+    log = TransactionLog(table_path)
+    blooms: dict[str, dict | None] = {}
+    for act in log.actions(version):
+        for a in act.get("add", []):
+            blooms[a["path"]] = (a.get("bloom") or {}).get(col)
+    live = log.live_files(upto=version)
+    keep, pruned = [], 0
+    for rel in sorted(live):
+        b = blooms.get(rel)
+        if b is None:
+            keep.append(rel)
+            continue
+        pos = _bloom_positions(str(value), b["bits"], b["hashes"])
+        if all(b["words"][p // 64] >> (p % 64) & 1 for p in pos):
+            keep.append(rel)
+        else:
+            pruned += 1
+    return keep, pruned
+
+
+def tx_scan_eq(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup over a txlog table: open only the Bloom-surviving
+    files, then apply the exact equality filter (false positives die
+    here)."""
+    files, _ = tx_prunable_files_bloom(table_path, col, value, version)
+    if not files:
+        return tx_read(spark, table_path, version=version).filter(
+            F.lit(False)
+        )
+    df = spark.read.parquet(
+        *[os.path.join(table_path, f) for f in files]
+    )
+    return df.filter(F.col(col) == F.lit(value))
 
 
 def _footer_stats(parquet_path: str, cols: list[str]) -> dict:

@@ -693,3 +693,55 @@ def test_tx_optimize_zorder_improves_two_column_pruning(spark, tmp_path):
     # idempotence-ish: a second optimize still succeeds and keeps content
     tx_optimize_zorder(spark, table, ["x", "y"], num_files=16)
     assert sorted(tuple(r) for r in tx_read(spark, table).collect()) == before
+
+
+def test_tx_bloom_skipping_point_lookups(spark, tmp_path):
+    """Per-file Bloom bitmaps prune equality lookups where zone maps
+    cannot: every file spans the full key range (random hex keys), so
+    min/max prunes nothing, but the sketch takes a present key to ~1
+    file and an absent key to ~0, and tx_scan_eq stays exact."""
+    import hashlib
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_prunable_files_bloom,
+        tx_scan_eq,
+    )
+
+    table = str(tmp_path / "bloomlake")
+    log = TransactionLog(table)
+    all_keys = {}
+    for w in range(8):
+        keys = [
+            hashlib.md5(f"key-{w}-{i}".encode()).hexdigest()[:12]
+            for i in range(200)
+        ]
+        all_keys[w] = keys
+        df = spark.createDataFrame(
+            [(k, w) for k in keys], "k string, src int"
+        ).coalesce(1)
+        adds = log.stage_dataframe(df, bloom_cols=["k"])
+        assert all("bloom" in a and "k" in a["bloom"] for a in adds)
+        assert log.try_commit(w, adds, [], op="append")
+
+    # present key: its own file always survives; most others pruned
+    probe = all_keys[3][17]
+    files, pruned = tx_prunable_files_bloom(table, "k", probe)
+    assert pruned >= 5, f"only pruned {pruned} of 8"
+    out = tx_scan_eq(spark, table, "k", probe).collect()
+    assert len(out) == 1 and out[0]["src"] == 3
+
+    # absent key: everything (or nearly, false positives allowed) prunes
+    _, pruned_absent = tx_prunable_files_bloom(table, "k", "nope-not-here")
+    assert pruned_absent >= 6
+    assert tx_scan_eq(spark, table, "k", "nope-not-here").count() == 0
+
+    # files without a sketch are never pruned (lossless guarantee)
+    extra = log.stage_dataframe(
+        spark.createDataFrame([("zzz", 99)], "k string, src int")
+    )
+    assert log.try_commit(8, extra, [], op="append")
+    files2, _ = tx_prunable_files_bloom(table, "k", probe)
+    assert any(a["path"] in files2 for a in extra)
+    # and the unsketched file's key is still findable exactly
+    assert tx_scan_eq(spark, table, "k", "zzz").count() == 1
