@@ -57,21 +57,46 @@ def morton_interleave(scaled: list[Column], bits: int) -> Column:
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = 12
 ) -> tuple[DataFrame, str]:
-    """Attach a ``__z`` Morton key over ``cols`` (numeric/timestamp).
+    """Attach a Morton key over ``cols`` (numeric/timestamp) under a
+    collision-proof generated column name (a user table may own
+    ``__z``; review finding).
 
     One small stats job computes min/max per column (the only action);
-    the key itself is a pure expression."""
+    the key itself is a pure expression.  An all-NULL or empty column
+    yields ``None`` stats and contributes 0 to the interleave — the
+    same degenerate handling as a constant column."""
+    import uuid as _uuid
+
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
     ).collect()[0]
-    scaled = [
-        _scaled(
-            F.col(c), stats[f"min_{c}"], stats[f"max_{c}"], bits
-        )
-        for c in cols
-    ]
-    return df.withColumn("__z", morton_interleave(scaled, bits)), "__z"
+
+    def safe_scaled(c):
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        if lo is None or hi is None:
+            return F.lit(0).cast("long")
+        return _scaled(F.col(c), lo, hi, bits)
+
+    scaled = [safe_scaled(c) for c in cols]
+    z = f"__z_{_uuid.uuid4().hex[:8]}"
+    return df.withColumn(z, morton_interleave(scaled, bits)), z
+
+
+def zorder_cluster(
+    df: DataFrame, cols: list[str], num_files: int, bits: int = 12
+) -> DataFrame:
+    """The shared clustering chain: Morton key → range repartition into
+    ``num_files`` → sort within partitions → drop the key.  Both
+    `zorder_write` and the txlog's OPTIMIZE ZORDER path call this, so a
+    future clustering change (e.g. skew-resistant quantile ranks) lands
+    in one place."""
+    keyed, z = zorder_key(df, cols, bits)
+    return (
+        keyed.repartitionByRange(num_files, F.col(z))
+        .sortWithinPartitions(z)
+        .drop(z)
+    )
 
 
 def zorder_write(
@@ -84,11 +109,6 @@ def zorder_write(
     """Write ``df`` z-ordered by ``cols`` into ``num_files`` range-
     partitioned files: each file covers one compact z-range, so its
     parquet footer carries tight min/max for EVERY z-column."""
-    keyed, z = zorder_key(df, cols, bits)
-    (
-        keyed.repartitionByRange(num_files, F.col(z))
-        .sortWithinPartitions(z)
-        .drop(z)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    zorder_cluster(df, cols, num_files, bits).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -109,6 +109,26 @@ class TransactionLog:
                 live.pop(r, None)
         return live
 
+    def live_actions(self, upto: int | None = None) -> dict[str, dict]:
+        """``{relative file path: full add-action dict}`` at a version —
+        the metadata face of `live_files` (stats, bloom, partition ride
+        along).  Same checkpoint discipline: replay starts from the
+        newest checkpoint at or below the target, whose live entries
+        carry the full action dicts, so pruning metadata lookups are
+        O(commits since checkpoint), not O(table age)."""
+        start = -1
+        live: dict[str, dict] = {}
+        ckpt = self._latest_checkpoint_body(upto)
+        if ckpt is not None:
+            start = ckpt[0]
+            live = {a["path"]: dict(a) for a in ckpt[1].get("live", [])}
+        for act in self.actions(upto, since=start):
+            for a in act.get("add", []):
+                live[a["path"]] = a
+            for r in act.get("remove", []):
+                live.pop(r, None)
+        return live
+
     # -- checkpoints (log compaction) --------------------------------------
 
     def _checkpoint_path(self, version: int) -> str:
@@ -159,10 +179,11 @@ class TransactionLog:
         v = self.version()
         if v < 0:
             raise ValueError("cannot checkpoint an empty table")
-        live = [
-            {"path": p, "partition": part}
-            for p, part in sorted(self.live_files(upto=v).items())
-        ]
+        # full add-action dicts (partition + stats + bloom), so pruning
+        # metadata survives log truncation and pruners can start replay
+        # from the checkpoint like live_files does
+        acts = self.live_actions(upto=v)
+        live = [acts[p] for p in sorted(acts)]
         # SetTransaction-style compaction of idempotence tokens: the
         # per-app LATEST batch id (batch ids per app are monotone — the
         # Structured Streaming per-checkpoint guarantee), so txn_seen
@@ -594,7 +615,7 @@ def tx_optimize_zorder(
 
     Optimistic like every writer here; returns files removed (0 = table
     empty)."""
-    from ..operators.zorder import zorder_key
+    from ..operators.zorder import zorder_cluster
 
     log = TransactionLog(table_path)
     for _ in range(max_retries):
@@ -612,13 +633,22 @@ def tx_optimize_zorder(
         df = spark.read.parquet(
             *[os.path.join(table_path, f) for f in sorted(live)]
         )
-        keyed, z = zorder_key(df, zorder_by, bits)
-        clustered = (
-            keyed.repartitionByRange(num_files, F.col(z))
-            .sortWithinPartitions(z)
-            .drop(z)
+        clustered = zorder_cluster(df, zorder_by, num_files, bits)
+        # preserve every previously-sketched column: rewriting with only
+        # z-column stats would silently degrade zone maps / Bloom
+        # skipping on the other columns (review finding)
+        meta = log.live_actions(upto=v)
+        prev_stats = {
+            c for a in meta.values() for c in (a.get("stats") or {})
+        }
+        prev_bloom = {
+            c for a in meta.values() for c in (a.get("bloom") or {})
+        }
+        adds = log.stage_dataframe(
+            clustered,
+            stats_cols=sorted(prev_stats | set(zorder_by)),
+            bloom_cols=sorted(prev_bloom) or None,
         )
-        adds = log.stage_dataframe(clustered, stats_cols=zorder_by)
         if log.try_commit(v + 1, adds, sorted(live), op="zorder"):
             return len(live)
         log.discard(adds)
@@ -738,6 +768,8 @@ def _file_blooms(
     distinct values, md5 positions folded into n_bits/64 longs."""
     import pyarrow.parquet as _pq
 
+    if n_bits % 64:
+        raise ValueError("bloom_bits must be a multiple of 64")
     present = set(_pq.ParquetFile(parquet_path).schema_arrow.names)
     tbl = _pq.read_table(
         parquet_path, columns=[c for c in cols if c in present]
@@ -766,14 +798,10 @@ def tx_prunable_files_bloom(
     False positives only ever COST a read; `tx_scan_eq` re-filters
     exactly."""
     log = TransactionLog(table_path)
-    blooms: dict[str, dict | None] = {}
-    for act in log.actions(version):
-        for a in act.get("add", []):
-            blooms[a["path"]] = (a.get("bloom") or {}).get(col)
-    live = log.live_files(upto=version)
+    live = log.live_actions(upto=version)
     keep, pruned = [], 0
     for rel in sorted(live):
-        b = blooms.get(rel)
+        b = (live[rel].get("bloom") or {}).get(col)
         if b is None:
             keep.append(rel)
             continue
@@ -793,17 +821,27 @@ def tx_scan_eq(
     version: int | None = None,
 ) -> DataFrame:
     """Point lookup over a txlog table: open only the Bloom-surviving
-    files, then apply the exact equality filter (false positives die
-    here)."""
+    files, then apply the residual filter (false positives die here).
+    Equality is STR-NORMALIZED on both the sketch and the residual —
+    exact for int/string keys probed with a same-typed value; a
+    type-mismatched probe consistently matches nothing (never a lossy
+    prune).  ``None`` for a never-committed table (the tx_scan
+    contract)."""
+    log = TransactionLog(table_path)
+    if log.version() < 0:
+        return None  # same contract as tx_scan on a never-committed table
     files, _ = tx_prunable_files_bloom(table_path, col, value, version)
     if not files:
-        return tx_read(spark, table_path, version=version).filter(
-            F.lit(False)
-        )
+        base = tx_read(spark, table_path, version=version)
+        return base.filter(F.lit(False)) if base is not None else None
     df = spark.read.parquet(
         *[os.path.join(table_path, f) for f in files]
     )
-    return df.filter(F.col(col) == F.lit(value))
+    # the residual filter matches the SKETCH's semantics — str-normalized
+    # equality — so pruner and filter can never disagree: a type-mismatched
+    # probe (int column, float probe) consistently matches nothing rather
+    # than pruning files the residual would have kept (review finding)
+    return df.filter(F.col(col).cast("string") == F.lit(str(value)))
 
 
 def _footer_stats(parquet_path: str, cols: list[str]) -> dict:
@@ -854,13 +892,10 @@ def tx_prunable_files(
     column are always kept — pruning must never be lossy).  Returns
     (files to read, number pruned)."""
     log = TransactionLog(table_path)
-    stats_by_file: dict[str, dict] = {}
-    for act in log.actions(version):
-        for a in act.get("add", []):
-            stats_by_file[a["path"]] = a.get("stats") or {}
+    live = log.live_actions(upto=version)
     keep, pruned = [], 0
-    for f in sorted(log.live_files(upto=version)):
-        mm = stats_by_file.get(f, {}).get(col)
+    for f in sorted(live):
+        mm = (live[f].get("stats") or {}).get(col)
         if mm is None:
             keep.append(f)
             continue

@@ -745,3 +745,123 @@ def test_tx_bloom_skipping_point_lookups(spark, tmp_path):
     assert any(a["path"] in files2 for a in extra)
     # and the unsketched file's key is still findable exactly
     assert tx_scan_eq(spark, table, "k", "zzz").count() == 1
+
+
+def test_tx_bloom_probe_type_mismatch_is_consistent_not_lossy(
+    spark, tmp_path
+):
+    """An int column probed with a float must return the same (empty)
+    result the residual filter would give over ALL files — pruner and
+    filter share str-normalized semantics, so a mismatch can never
+    silently drop genuinely matching rows."""
+    import pytest as _pytest
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_scan_eq,
+    )
+
+    table = str(tmp_path / "typelake")
+    log = TransactionLog(table)
+    df = spark.createDataFrame([(5, "a"), (7, "b")], "k long, v string")
+    assert log.try_commit(0, log.stage_dataframe(df, bloom_cols=["k"]), [],
+                          op="append")
+    assert tx_scan_eq(spark, table, "k", 5).count() == 1    # typed probe
+    assert tx_scan_eq(spark, table, "k", 5.0).count() == 0  # consistent miss
+    assert tx_scan_eq(spark, table, "k", "5").count() == 1  # str form matches
+
+    # never-committed table → None (the tx_scan contract)
+    assert tx_scan_eq(spark, str(tmp_path / "never"), "k", 1) is None
+
+    # bloom_bits must be word-aligned — rejected up front, not an
+    # IndexError mid-staging
+    with _pytest.raises(ValueError):
+        log.stage_dataframe(df, bloom_cols=["k"], bloom_bits=1000)
+
+
+def test_tx_optimize_zorder_preserves_other_column_sketches(spark, tmp_path):
+    """OPTIMIZE ZORDER must not degrade skipping on non-z columns: the
+    rewrite re-records zone maps and Bloom sketches for every previously
+    sketched column."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_optimize_zorder,
+        tx_prunable_files_bloom,
+        tx_scan_eq,
+    )
+
+    table = str(tmp_path / "zpreserve")
+    log = TransactionLog(table)
+    for w in range(4):
+        df = spark.createDataFrame(
+            [(w * 10 + i, (w * 10 + i) * 3 % 40, f"id-{w}-{i}")
+             for i in range(10)],
+            "x long, y long, k string",
+        ).coalesce(1)
+        adds = log.stage_dataframe(df, stats_cols=["x"], bloom_cols=["k"])
+        assert log.try_commit(w, adds, [], op="append")
+    tx_optimize_zorder(spark, table, ["x", "y"], num_files=4)
+    meta = TransactionLog(table).live_actions()
+    assert all("bloom" in a and "k" in a["bloom"] for a in meta.values())
+    assert all("stats" in a for a in meta.values())
+    _, pruned = tx_prunable_files_bloom(table, "k", "id-2-5")
+    assert pruned >= 1
+    assert tx_scan_eq(spark, table, "k", "id-2-5").count() == 1
+
+
+def test_tx_pruning_metadata_survives_log_truncation_via_checkpoint(
+    spark, tmp_path
+):
+    """Checkpoints carry the full add actions (stats + bloom), so pruning
+    still works after pre-checkpoint commit files disappear."""
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_prunable_files,
+        tx_prunable_files_bloom,
+    )
+
+    table = str(tmp_path / "ckptmeta")
+    log = TransactionLog(table)
+    for w in range(4):
+        df = spark.createDataFrame(
+            [(w * 100 + i, f"kk-{w}-{i}") for i in range(50)],
+            "x long, k string",
+        ).coalesce(1)
+        adds = log.stage_dataframe(df, stats_cols=["x"], bloom_cols=["k"])
+        assert log.try_commit(w, adds, [], op="append")
+    log.checkpoint()
+    # simulate log truncation: drop the pre-checkpoint commit bodies
+    for v in range(4):
+        _os.remove(log._commit_path(v))
+    files, pruned = tx_prunable_files(table, "x", lo=0, hi=99)
+    assert pruned == 3 and len(files) == 1
+    _, pruned_b = tx_prunable_files_bloom(table, "k", "kk-2-7")
+    assert pruned_b >= 2
+
+
+def test_tx_optimize_zorder_handles_reserved_name_and_null_column(
+    spark, tmp_path
+):
+    """A user column named __z survives OPTIMIZE (collision-proof key
+    name), and an all-NULL z-column degenerates to a constant instead of
+    crashing."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_optimize_zorder,
+        tx_read,
+    )
+
+    table = str(tmp_path / "zedge")
+    log = TransactionLog(table)
+    df = spark.createDataFrame(
+        [(i, None, i * 2) for i in range(20)],
+        "x long, y long, __z long",
+    )
+    assert log.try_commit(0, log.stage_dataframe(df), [], op="append")
+    before = sorted(tuple(r) for r in tx_read(spark, table).collect())
+    tx_optimize_zorder(spark, table, ["x", "y"], num_files=2)  # y all NULL
+    after = sorted(tuple(r) for r in tx_read(spark, table).collect())
+    assert after == before
+    assert "__z" in tx_read(spark, table).columns
