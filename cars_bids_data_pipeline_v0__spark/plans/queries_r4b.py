@@ -2900,3 +2900,137 @@ def q207(spark, sf_dir):
             6,
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — cross-correlation function between two daily revenue series:
+# which lag best aligns BUILDING-segment demand with MACHINERY's?
+# ---------------------------------------------------------------------------
+
+_Q208_LAGS = list(range(-3, 4))
+
+
+@register(
+    "q208_revenue_cross_correlation",
+    f"""
+    WITH daily AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderdate AS day,
+               sum(o.o_totalprice) AS rev
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1, 2
+    ), a AS (SELECT day, rev FROM daily WHERE seg = 'BUILDING'),
+    b AS (SELECT day, rev FROM daily WHERE seg = 'MACHINERY'),
+    lagged AS (
+        SELECT l.lag, a.rev AS ra, b.rev AS rb
+        FROM (SELECT unnest([{", ".join(str(x) for x in _Q208_LAGS)}])
+                     AS lag) l
+        JOIN a ON true
+        JOIN b ON b.day = a.day + to_days(CAST(l.lag AS INT))
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round((avg(ra * rb) - avg(ra) * avg(rb))
+                 / nullif(sqrt((avg(ra * ra) - avg(ra) * avg(ra))
+                               * (avg(rb * rb) - avg(rb) * avg(rb))), 0),
+                 6) AS corr
+    FROM lagged
+    GROUP BY lag
+    """,
+    doc=(
+        "cross-correlation function between two segment revenue series "
+        "at lags -3..+3 days: daily partial aggregates (the only "
+        "row-space shuffle), then a |lags| x |days| equi-join on the "
+        "shifted date and one co-moment correlation per lag (the "
+        "q156/q178 recipe).  The argmax lag is the lead/lag "
+        "relationship a demand-planning pipeline acts on; at 100 TB the "
+        "daily table is tiny regardless of order volume"
+    ),
+)
+def q208(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    a = daily.filter(F.col("seg") == "BUILDING").select(
+        "day", F.col("rev").alias("ra")
+    )
+    b = daily.filter(F.col("seg") == "MACHINERY").select(
+        F.col("day").alias("bday"), F.col("rev").alias("rb")
+    )
+    lags = a.sparkSession.createDataFrame(
+        [(x,) for x in _Q208_LAGS], "lag int"
+    )
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("bday") == F.date_add(F.col("day"), F.col("lag")),
+        )
+    )
+    num = F.avg(F.col("ra") * F.col("rb")) - F.avg("ra") * F.avg("rb")
+    var_a = F.avg(F.col("ra") * F.col("ra")) - F.avg("ra") * F.avg("ra")
+    var_b = F.avg(F.col("rb") * F.col("rb")) - F.avg("rb") * F.avg("rb")
+    return lagged.groupBy(F.col("lag").cast("long").alias("lag")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(num / F.nullif(F.sqrt(var_a * var_b), F.lit(0.0)), 6).alias(
+            "corr"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209 — lexical richness per source: type-token ratio and Herdan's C,
+# the vocabulary-growth corpus-quality signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q209_lexical_richness",
+    """
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+           round(count(DISTINCT w) / CAST(count(*) AS DOUBLE), 6) AS ttr,
+           round(ln(count(DISTINCT w)) / ln(count(*)), 6) AS herdan_c
+    FROM tok
+    GROUP BY source
+    """,
+    doc=(
+        "lexical richness per source: type-token ratio and Herdan's C "
+        "(log-log vocabulary growth exponent — unlike raw TTR it is "
+        "comparable across sources of different sizes).  A source whose "
+        "C collapses is template spam; one whose C rises is genuinely "
+        "diverse text — the one-line corpus-quality signal next to "
+        "q129's per-doc entropy.  One explode + one distinct-count "
+        "aggregate; the distinct shuffles (source, word) pairs, which "
+        "the 31-word synthetic vocabulary keeps tiny and a real corpus "
+        "bounds at |sources| x |vocab|"
+    ),
+)
+def q209(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(tokenize(F.trim(F.lower(F.col("text"))))).alias("w"),
+    )
+    return tok.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_types"),
+        F.round(
+            F.countDistinct("w") / F.count("*").cast("double"), 6
+        ).alias("ttr"),
+        F.round(F.log(F.countDistinct("w")) / F.log(F.count("*")), 6).alias(
+            "herdan_c"
+        ),
+    )
