@@ -3034,3 +3034,127 @@ def q209(spark, sf_dir):
             "herdan_c"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — warehouse health scorecard: the audit family distilled into one
+# tall (metric, value) table — what an SRE dashboard actually reads
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q210_warehouse_health",
+    """
+    WITH fk AS (
+        SELECT CAST(
+            (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+          + (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+          + (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+            AS DOUBLE) AS v
+    ), pk AS (
+        SELECT CAST(
+            (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+          + (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+          + (SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+            AS DOUBLE) AS v
+    ), dup AS (
+        SELECT CAST(count(*) AS DOUBLE) AS v FROM (
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fp
+            FROM documents GROUP BY 1 HAVING count(*) > 1)
+    ), kanon AS (
+        SELECT CAST(min(c) AS DOUBLE) AS v FROM (
+            SELECT count(*) AS c FROM customer
+            GROUP BY c_mktsegment, c_nationkey,
+                     CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END)
+    ), span AS (
+        SELECT CAST(date_diff('day', min(o_orderdate), max(o_orderdate))
+                    AS DOUBLE) AS v
+        FROM orders
+    )
+    SELECT 'fk_orphan_rows' AS metric, round(v, 6) AS value FROM fk
+    UNION ALL SELECT 'pk_duplicate_rows', round(v, 6) FROM pk
+    UNION ALL SELECT 'exact_dup_doc_groups', round(v, 6) FROM dup
+    UNION ALL SELECT 'min_k_anonymity', round(v, 6) FROM kanon
+    UNION ALL SELECT 'order_date_span_days', round(v, 6) FROM span
+    """,
+    doc=(
+        "warehouse health scorecard: the audit family (q173 FK "
+        "integrity, q199 PK uniqueness, q52 exact-dup detection, q182 "
+        "k-anonymity, freshness span) distilled to one tall "
+        "(metric, value) table — the contract a monitoring dashboard or "
+        "a CI data-quality gate consumes.  Every metric is an "
+        "independent partial-merging aggregate (anti-joins for the FK "
+        "orphans are broadcast where the dimension is small); the union "
+        "is five one-row frames.  At 100 TB this is the cheapest "
+        "continuously-run query in the warehouse and the first one "
+        "paged when it changes"
+    ),
+)
+def q210(spark, sf_dir):
+    from ..operators.dedup_docs import exact_dup_groups
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    d = _t(spark, sf_dir, "documents")
+
+    def one(metric, frame):
+        return frame.select(
+            F.lit(metric).alias("metric"),
+            F.round(F.col("v").cast("double"), 6).alias("value"),
+        )
+
+    orphans = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("a"))
+        .crossJoin(
+            li.join(o.select("o_orderkey"),
+                    li.l_orderkey == o.o_orderkey, "left_anti")
+            .agg(F.count("*").alias("b"))
+        )
+        .crossJoin(
+            li.join(F.broadcast(p.select("p_partkey")),
+                    li.l_partkey == p.p_partkey, "left_anti")
+            .agg(F.count("*").alias("cc"))
+        )
+        .select((F.col("a") + F.col("b") + F.col("cc")).alias("v"))
+    )
+    pk = (
+        o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("a"))
+        .crossJoin(
+            c.agg((F.count("*") - F.countDistinct("c_custkey")).alias("b"))
+        )
+        .crossJoin(
+            d.agg((F.count("*") - F.countDistinct("doc_id")).alias("cc"))
+        )
+        .select((F.col("a") + F.col("b") + F.col("cc")).alias("v"))
+    )
+    dup = exact_dup_groups(d).agg(F.count("*").alias("v"))
+    kanon = (
+        c.groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos"),
+        )
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("v"))
+    )
+    span = o.agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("v")
+    )
+    return (
+        one("fk_orphan_rows", orphans)
+        .unionByName(one("pk_duplicate_rows", pk))
+        .unionByName(one("exact_dup_doc_groups", dup))
+        .unionByName(one("min_k_anonymity", kanon))
+        .unionByName(one("order_date_span_days", span))
+    )
