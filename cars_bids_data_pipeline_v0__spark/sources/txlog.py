@@ -609,9 +609,9 @@ def tx_optimize_zorder(
     add actions — so `tx_prunable_files` / `tx_scan` zone-map pruning
     works on ALL the z-columns afterwards, not just one sort column.
     Content is untouched (tested); time travel to pre-optimize versions
-    still resolves.  Unpartitioned tables only: a partitioned table
-    already clusters on the partition column — z-order the columns
-    WITHIN a partition by compacting per-partition data separately.
+    still resolves.  Partitioned tables z-order WITHIN each partition
+    (the partition column keeps its pruning role; each partition's data
+    clusters into num_files / n_partitions range files).
 
     Optimistic like every writer here; returns files removed (0 = table
     empty)."""
@@ -625,15 +625,6 @@ def tx_optimize_zorder(
         live = log.live_files(upto=v)
         if not live:
             return 0
-        if any(p is not None for p in live.values()):
-            raise ValueError(
-                "tx_optimize_zorder supports unpartitioned tables; "
-                "compact partitioned tables per-partition instead"
-            )
-        df = spark.read.parquet(
-            *[os.path.join(table_path, f) for f in sorted(live)]
-        )
-        clustered = zorder_cluster(df, zorder_by, num_files, bits)
         # preserve every previously-sketched column: rewriting with only
         # z-column stats would silently degrade zone maps / Bloom
         # skipping on the other columns (review finding)
@@ -644,11 +635,43 @@ def tx_optimize_zorder(
         prev_bloom = {
             c for a in meta.values() for c in (a.get("bloom") or {})
         }
-        adds = log.stage_dataframe(
-            clustered,
-            stats_cols=sorted(prev_stats | set(zorder_by)),
-            bloom_cols=sorted(prev_bloom) or None,
-        )
+        stats_cols = sorted(prev_stats | set(zorder_by))
+        bloom_cols = sorted(prev_bloom) or None
+
+        partitioned = any(p is not None for p in live.values())
+        if not partitioned:
+            df = spark.read.parquet(
+                *[os.path.join(table_path, f) for f in sorted(live)]
+            )
+            clustered = zorder_cluster(df, zorder_by, num_files, bits)
+            adds = log.stage_dataframe(
+                clustered, stats_cols=stats_cols, bloom_cols=bloom_cols
+            )
+        else:
+            # partitioned table: z-order WITHIN each partition — the
+            # partition column already provides the coarse clustering,
+            # and cross-partition clustering would break partition
+            # pruning.  Each partition's files cluster into
+            # ceil(num_files / n_partitions) (>= 1) range files; one
+            # commit swaps the whole layout atomically.
+            by_part: dict[str | None, list[str]] = {}
+            for rel, part in live.items():
+                by_part.setdefault(part, []).append(rel)
+            per_part_files = max(1, num_files // max(1, len(by_part)))
+            adds = []
+            for part, rels in sorted(by_part.items()):
+                df_p = spark.read.parquet(
+                    *[os.path.join(table_path, f) for f in sorted(rels)]
+                )
+                clustered = zorder_cluster(
+                    df_p, zorder_by, per_part_files, bits
+                )
+                part_adds = log.stage_dataframe(
+                    clustered, stats_cols=stats_cols, bloom_cols=bloom_cols
+                )
+                for a in part_adds:
+                    a["partition"] = part
+                adds.extend(part_adds)
         if log.try_commit(v + 1, adds, sorted(live), op="zorder"):
             return len(live)
         log.discard(adds)

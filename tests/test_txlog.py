@@ -865,3 +865,53 @@ def test_tx_optimize_zorder_handles_reserved_name_and_null_column(
     after = sorted(tuple(r) for r in tx_read(spark, table).collect())
     assert after == before
     assert "__z" in tx_read(spark, table).columns
+
+
+def test_tx_optimize_zorder_partitioned_within_partitions(spark, tmp_path):
+    """On a partitioned table, OPTIMIZE ZORDER clusters within each
+    partition: content and partition assignments unchanged, partition
+    pruning intact, and intra-partition files carry narrow z-column
+    ranges."""
+    import random
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_optimize_zorder,
+        tx_read,
+    )
+
+    table = str(tmp_path / "zpart")
+    log = TransactionLog(table)
+    rng = random.Random(3)
+    rows = [
+        (f"d{i % 2}", rng.randrange(1000), rng.randrange(1000), i)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "pt string, x long, y long, i long")
+    adds = log.stage_dataframe(df, partition_by="pt", stats_cols=["x", "y"])
+    assert log.try_commit(0, adds, [], op="append")
+    before = sorted(tuple(r) for r in tx_read(spark, table).collect())
+
+    removed = tx_optimize_zorder(spark, table, ["x", "y"], num_files=8)
+    assert removed >= 1
+    after = sorted(tuple(r) for r in tx_read(spark, table).collect())
+    assert after == before
+
+    # every rewritten file keeps its partition tag, and both partitions
+    # still exist with multiple z-range files each
+    live = TransactionLog(table).live_actions()
+    parts = {}
+    for a in live.values():
+        parts.setdefault(a["partition"], []).append(a)
+    assert set(parts) == {"d0", "d1"}
+    assert all(len(v) >= 2 for v in parts.values())
+    # intra-partition clustering: per-file x-ranges are narrower than
+    # the full domain for most files
+    import json as _json
+
+    narrow = 0
+    for a in live.values():
+        lo, hi = a["stats"]["x"]
+        if hi - lo < 600:
+            narrow += 1
+    assert narrow >= len(live) // 2
