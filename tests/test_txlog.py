@@ -907,8 +907,6 @@ def test_tx_optimize_zorder_partitioned_within_partitions(spark, tmp_path):
     assert all(len(v) >= 2 for v in parts.values())
     # intra-partition clustering: per-file x-ranges are narrower than
     # the full domain for most files
-    import json as _json
-
     narrow = 0
     for a in live.values():
         lo, hi = a["stats"]["x"]
