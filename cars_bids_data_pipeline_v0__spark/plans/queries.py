@@ -1384,61 +1384,64 @@ def _load_extensions() -> None:
 # keys of ``queries()`` against DuckDB; rounds 1-3 all sampled registration
 # order, so only q01-q63 ever got driver-side evidence.  ``_DRIVER_FRONT``
 # rotates a different 50-query window to the front each round so the whole
-# 162-query surface accumulates driver-proven green over successive rounds
-# (round 4 window below: the r1.5/r2 surface q31-q101, all oracled; q55/q73
-# are rows-only so they yield to q101/q102 to keep the window hash-checkable).
-# All queries remain registered and runnable regardless of position.
+# query surface accumulates driver-proven green over successive rounds.
+# Round-4 window (q31-q102, incl. the q90-q93 portable twins) came back
+# 48/50 green; cumulative driver-proven = 95/210.  Round-5 window below:
+# the two round-4 errs re-fixed as scalar-output queries (q83/q94) plus
+# the latent same-bug q121, then the untouched q103-q150 range — all
+# oracled, so the whole window is hash-checkable.  All queries remain
+# registered and runnable regardless of position.
 _DRIVER_FRONT: list[str] = [
-    "q61_doc_embedding_profile",
-    "q54_cosine_topk",
-    "q58_ivf_topk",
-    "q31_small_qty_revenue",
-    "q32_idle_suppliers",
-    "q39_segment_orders",
-    "q33_price_rank_functions",
-    "q38_acctbal_deciles",
-    "q34_conditional_agg",
-    "q35_vector_stats",
-    "q36_nation_rosters",
-    "q37_weekday_traffic",
-    "q65_scd2_user_status",
-    "q66_stratified_sample",
-    "q67_grouping_sets",
-    "q68_top_bigrams",
-    "q64_word_repetition",
-    "q69_unpivot_metrics",
-    "q70_retention_cohorts",
-    "q71_funnel_stages",
-    "q72_tfidf_top_terms",
-    "q74_pii_redaction",
-    "q75_rolling_hour_sum",
-    "q76_leading_terms",
-    "q77_first_last_events",
-    "q78_value_moments",
-    "q79_sessionize_events",
-    "q80_merge_into",
-    "q81_benchmark_decontamination",
-    "q82_group_median",
     "q83_vocab_set_ops",
-    "q84_binary_media_profile",
-    "q85_dynamic_pivot",
-    "q86_fuzzy_name_pairs",
-    "q87_partial_rollup_merge",
-    "q88_bilateral_trade",
-    "q89_calendar_gaps",
-    "q90_minhash_lsh_portable",
-    "q91_simhash_portable",
-    "q92_dup_clusters_portable",
-    "q93_embedding_near_dup_portable",
     "q94_table_diff",
-    "q95_pq_adc_topk",
-    "q96_bloom_semi_join",
-    "q97_chunk_documents",
-    "q98_mixture_sample",
-    "q99_incremental_matview",
-    "q100_pack_chunks",
-    "q101_bm25_scores",
-    "q102_mad_outliers",
+    "q121_skew_report",
+    "q103_gap_interpolation",
+    "q104_markov_transitions",
+    "q105_weighted_sample",
+    "q106_token_drift",
+    "q107_peak_concurrency",
+    "q108_group_mode",
+    "q109_pareto_share",
+    "q110_price_histogram",
+    "q111_decile_cutpoints",
+    "q112_cumulative_distinct_users",
+    "q113_trigram_cosine_pairs",
+    "q114_weighted_median",
+    "q115_top_tokens_per_lang",
+    "q116_welch_t",
+    "q117_totals_reconciliation",
+    "q118_proximity_dup_orders",
+    "q119_mom_growth",
+    "q120_corpus_prep_pipeline",
+    "q122_ship_latency",
+    "q123_event_debounce",
+    "q124_chi_square_independence",
+    "q125_topk_with_ties",
+    "q126_revenue_trend",
+    "q127_relational_division",
+    "q128_kmv_distinct_sketch",
+    "q129_token_entropy",
+    "q130_boilerplate_exposure",
+    "q131_containment_pairs",
+    "q132_cms_heavy_hitters",
+    "q133_mutual_nearest_neighbors",
+    "q134_market_basket_lift",
+    "q135_scd2_point_in_time",
+    "q136_pagerank3",
+    "q137_temperature_mixing",
+    "q138_hard_negative_mining",
+    "q139_cluster_best_survivor",
+    "q140_source_overlap_matrix",
+    "q141_event_funnel",
+    "q142_triangle_count",
+    "q143_time_weighted_avg",
+    "q144_rolling_zscore_anomalies",
+    "q145_oof_target_encoding",
+    "q146_knn_label_disagreement",
+    "q147_rank_normalized_dims",
+    "q148_rolling_wau",
+    "q149_ab_conversion_ztest",
+    "q150_activity_streaks",
 ]
 
 

@@ -1323,8 +1323,9 @@ _STOPLIST_SQL = "['the','a','of','and','is','to','in','value','row','key']"
                                                    '\\s+')) AS vocab
         FROM documents WHERE length(trim(text)) > 0)
     SELECT doc_id,
-           list_sort(list_filter(vocab,
-               t -> list_contains({_STOPLIST_SQL}, t))) AS stop_hits,
+           coalesce(array_to_string(list_sort(list_filter(vocab,
+               t -> list_contains({_STOPLIST_SQL}, t))), '|'), '')
+               AS stop_hits,
            len(list_filter(vocab,
                t -> list_contains({_STOPLIST_SQL}, t))) AS n_stop,
            len(list_filter(vocab,
@@ -1336,7 +1337,8 @@ _STOPLIST_SQL = "['the','a','of','and','is','to','in','value','row','key']"
         "literal vocabulary): per-document stopword overlap as pure "
         "higher-order expressions; arrays are sorted before comparison — "
         "set-valued columns must never rely on engine-internal element "
-        "order"
+        "order; result surface is scalar (array_join) so any pandas/Arrow "
+        "canonicalizer can hash it"
     ),
 )
 def q83(spark, sf_dir):
@@ -1357,7 +1359,7 @@ def q83(spark, sf_dir):
     hits = F.array_intersect(F.col("vocab"), stop)
     return d.select(
         "doc_id",
-        F.array_sort(hits).alias("stop_hits"),
+        F.array_join(F.array_sort(hits), "|").alias("stop_hits"),
         F.size(hits).cast("long").alias("n_stop"),
         F.size(F.array_except(F.col("vocab"), stop)).cast("long").alias(
             "n_content"

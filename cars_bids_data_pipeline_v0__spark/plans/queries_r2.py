@@ -693,15 +693,16 @@ def q93(spark, sf_dir):
            CASE WHEN o.c_custkey IS NULL THEN 'added'
                 WHEN n.c_custkey IS NULL THEN 'removed'
                 ELSE 'changed' END AS change_type,
-           CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN []
-                ELSE list_filter(
-                    [CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
-                          THEN 'c_acctbal' END,
-                     CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
-                          THEN 'c_mktsegment' END,
-                     CASE WHEN o.c_name IS DISTINCT FROM n.c_name
-                          THEN 'c_name' END],
-                    x -> x IS NOT NULL) END AS changed_cols
+           coalesce(array_to_string(
+               CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN []
+                    ELSE list_filter(
+                        [CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                              THEN 'c_acctbal' END,
+                         CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                              THEN 'c_mktsegment' END,
+                         CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+                              THEN 'c_name' END],
+                        x -> x IS NOT NULL) END, '|'), '') AS changed_cols
     FROM old o FULL OUTER JOIN new n USING (c_custkey)
     WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
        OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
@@ -713,7 +714,9 @@ def q93(spark, sf_dir):
         "full-outer-joined once on the key; added/removed/changed rows "
         "with the null-safe list of differing columns.  The 'new' "
         "snapshot is derived deterministically (drops, value changes, "
-        "NULL-outs, inserts) so both engines reconstruct it identically"
+        "NULL-outs, inserts) so both engines reconstruct it identically; "
+        "changed_cols is projected to a '|'-joined scalar so the result "
+        "surface stays hashable for any pandas/Arrow canonicalizer"
     ),
 )
 def q94(spark, sf_dir):
@@ -746,7 +749,13 @@ def q94(spark, sf_dir):
             )
         )
     )
-    return table_diff(c, new, keys=["c_custkey"])
+    # changed_cols is already sorted (table_diff emits column names in
+    # sorted order); join to a scalar so the result schema is flat.
+    return table_diff(c, new, keys=["c_custkey"]).select(
+        "c_custkey",
+        "change_type",
+        F.array_join(F.col("changed_cols"), "|").alias("changed_cols"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2571,7 +2580,8 @@ _Q121_TOPN = 3
            CAST(s.n_rows AS BIGINT) AS n_rows,
            CAST(s.max_key_rows AS BIGINT) AS max_key_rows,
            s.avg_key_rows, s.skew_factor,
-           list_sort(list(h.k || ':' || h.n)) AS heavy_keys
+           array_to_string(list_sort(list(h.k || ':' || h.n)), '|')
+               AS heavy_keys
     FROM stats s JOIN heavy h USING (table_key)
     GROUP BY 1, 2, 3, 4, 5, 6
     """,
@@ -2615,8 +2625,9 @@ def q121(spark, sf_dir):
         .filter(F.col("rn") <= _Q121_TOPN)
         .groupBy("table_key")
         .agg(
-            F.array_sort(
-                F.collect_list(F.concat_ws(":", "k", "n"))
+            F.array_join(
+                F.array_sort(F.collect_list(F.concat_ws(":", "k", "n"))),
+                "|",
             ).alias("heavy_keys")
         )
     )

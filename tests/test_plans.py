@@ -193,3 +193,25 @@ def test_no_undocumented_global_windows_anywhere(spark, registry):
             offenders.append(name)
         spark.catalog.clearCache()
     assert offenders == [], f"global (single-partition) windows in: {offenders}"
+
+
+def test_registry_output_schemas_are_flat(spark, registry):
+    # The driver's correctness gate canonicalizes results through pandas
+    # and hashes row values; array/map/struct columns are unhashable
+    # there (round-4 driver errs on q83/q94).  Every registered query
+    # must therefore emit only atomic-typed columns — set-valued results
+    # get array_join()'d to a deterministic scalar inside the query.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in sorted(registry.items()):
+        schema = spec.builder(spark, SF).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+        spark.catalog.clearCache()
+    assert offenders == [], f"complex-typed output columns in: {offenders}"

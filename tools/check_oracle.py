@@ -161,10 +161,14 @@ def main():
     oracles = entrymod.oracle_sql()
     if args.first:
         qs = dict(list(qs.items())[: args.first])
+    if args.only:
+        pats = [p for p in args.only.split(",") if p]
+        qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
+        if not qs:
+            print(f"--only {args.only!r} matched no queries")
+            sys.exit(2)
     failures, skipped = [], []
     for name, fn in qs.items():
-        if args.only and args.only not in name:
-            continue
         t0 = time.time()
         sdf = fn(spark, args.sf)
         scols = sdf.columns
