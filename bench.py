@@ -42,7 +42,18 @@ HEADLINE = [
     "q56_minhash_lsh_near_dup",
     "q54_cosine_topk",
     "q59_corpus_quality_gate",
+    "q211_jaccard_df_capped",
 ]
+
+# medianed over 5 samples instead of 3 — see main()
+EXTRA_RUNS_QUERIES = ["q53_ngram_jaccard_pairs", "q56_minhash_lsh_near_dup"]
+
+# timed and reported per-query but EXCLUDED from the headline total: the
+# round-1 baseline predates these entries, and the cross-round ratio must
+# stay apples-to-apples.  q211 = q53's plan plus the df-cap scrub over a
+# corpus with a planted viral footer — its line next to q53's shows what
+# the boilerplate guard costs (and that it stays bounded).
+NON_COMPARABLE = {"pipeline_e2e_txlog", "q211_jaccard_df_capped"}
 
 
 def force(df) -> None:
@@ -141,7 +152,120 @@ def bench_pipeline_txlog(spark) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# sf1 scaling sweep — 10× data, measured (not asserted) scaling curve
+# --------------------------------------------------------------------------
+
+# The 100 TB claims rest on plan shape; this section makes them empirical:
+# the dedup/ANN/scan headliners run once at 10× the driver's sf0.1 volume
+# (6M lineitem / 50k docs / 20k embeddings) and the wall-times land in the
+# bench JSON next to the sf0.1 medians.  Near-linear (~10×) growth is the
+# expected signature of the bucketed/inverted-index plans; quadratic creep
+# would show up here long before a cluster run.
+SF1_QUERIES = [
+    "q01_pricing_summary",
+    "q52_exact_dup_groups",
+    "q53_ngram_jaccard_pairs",
+    "q56_minhash_lsh_near_dup",
+    "q54_cosine_topk",
+]
+SF1_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf1")
+
+
+def ensure_sf1(spark, src: str = "/root/testdata/sf0.1") -> None:
+    """Derive a 10× corpus from sf0.1 into ``SF1_DIR`` (cached).
+
+    Replication must not distort the workload's similarity structure:
+    naive 10× copies would make every document 9 exact dups and multiply
+    every LSH bucket by 10 (pairs ×100 — superlinear by construction, not
+    by plan defect).  Instead copy ``i`` suffixes every TOKEN with ``#i``,
+    so within-copy dup/near-dup relations are preserved exactly while
+    cross-copy shingle spaces are disjoint — total dedup work scales ~10×,
+    which is what the sweep is meant to measure.  Embeddings get a
+    cosine-invariant per-copy scale; lineitem shifts l_orderkey per copy.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    marker = Path(SF1_DIR) / "_GENERATED"
+    if marker.exists():
+        return
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
+    Path(SF1_DIR).mkdir(parents=True, exist_ok=True)
+    copies = spark.range(10).select(F.col("id").cast("int").alias("__copy"))
+
+    d = spark.read.parquet(f"{src}/documents.parquet").crossJoin(
+        F.broadcast(copies)
+    )
+    text = F.when(F.col("__copy") == 0, F.col("text")).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(
+                    t, F.lit("#"), F.col("__copy").cast("string")
+                ),
+            ),
+        )
+    )
+    d.select(
+        (F.col("doc_id") + F.col("__copy").cast("long") * 10_000_000)
+        .alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+
+    e = spark.read.parquet(f"{src}/embeddings.parquet").crossJoin(
+        F.broadcast(copies)
+    )
+    e.select(
+        (F.col("vec_id") + F.col("__copy").cast("long") * 10_000_000)
+        .alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x * (1.0 + F.col("__copy").cast("float") * 1e-4),
+        ).cast("array<float>").alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet").crossJoin(
+        F.broadcast(copies)
+    )
+    li.select(
+        (F.col("l_orderkey") + F.col("__copy").cast("long") * 100_000_000)
+        .alias("l_orderkey"),
+        *[c for c in li.columns if c not in ("l_orderkey", "__copy")],
+    ).write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet")
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "events"]:
+        shutil.copy(f"{src}/{t}.parquet", f"{SF1_DIR}/{t}.parquet")
+    marker.write_text("derived 10x from sf0.1; see ensure_sf1()\n")
+
+
+def sweep_sf1(spark) -> dict:
+    from cars_bids_data_pipeline_v0__spark.cache import release_build_caches
+    from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+
+    Q._load_extensions()
+    t0 = time.time()
+    ensure_sf1(spark)
+    gen_s = round(time.time() - t0, 3)
+    out = {}
+    for name in SF1_QUERIES:
+        t0 = time.time()
+        force(Q.REGISTRY[name].builder(spark, SF1_DIR))
+        out[name] = round(time.time() - t0, 3)
+        release_build_caches()
+        spark.catalog.clearCache()
+    return {"queries": out, "gen_sec": gen_s, "scale_vs_sf01": 10}
+
+
 def main() -> None:
+    from cars_bids_data_pipeline_v0__spark.cache import release_build_caches
     from cars_bids_data_pipeline_v0__spark.plans import queries as Q
     from cars_bids_data_pipeline_v0__spark.session import get_session
 
@@ -163,15 +287,33 @@ def main() -> None:
             t0 = time.time()
             force(spec.builder(spark, SF_DIR))
             samples[name].append(time.time() - t0)
-            # builders persist() subframes for their own reuse; drop the
-            # blocks so one entry's cache doesn't distort the next
+            # builders track_persist() subframes for their own reuse;
+            # release exactly those blocks so one entry's cache doesn't
+            # distort the next (clearCache backstops untracked persists)
+            release_build_caches()
             spark.catalog.clearCache()
         samples["pipeline_e2e_2k_auctions"].append(bench_pipeline(spark))
         samples["pipeline_e2e_txlog"].append(bench_pipeline_txlog(spark))
+    # q53/q56 showed ±15% run-to-run spread at n=3 (round-4 creep was
+    # indistinguishable from jitter); two extra samples → median over 5
+    for name in EXTRA_RUNS_QUERIES:
+        for _ in range(2):
+            spec = Q.REGISTRY[name]
+            t0 = time.time()
+            force(spec.builder(spark, SF_DIR))
+            samples[name].append(time.time() - t0)
+            release_build_caches()
+            spark.catalog.clearCache()
     timings = {
         name: round(statistics.median(vals), 3)
         for name, vals in samples.items()
     }
+
+    sf1 = (
+        sweep_sf1(spark)
+        if os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        else None
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # headline value = the SAME query set rounds 1-3 totalled, so the
@@ -179,7 +321,7 @@ def main() -> None:
     # entry (added per round-3 directive 6) is recorded per-query above
     # and compared against pipeline_e2e_2k_auctions, not the baseline
     comparable = sum(
-        v for k, v in timings.items() if k != "pipeline_e2e_txlog"
+        v for k, v in timings.items() if k not in NON_COMPARABLE
     )
     print(
         json.dumps(
@@ -191,6 +333,7 @@ def main() -> None:
                 "runs": RUNS,
                 "stat": "median",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf1": sf1,
             }
         )
     )

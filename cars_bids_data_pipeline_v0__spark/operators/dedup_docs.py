@@ -26,6 +26,7 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from .text import normalize_text, tokenize
 
 
@@ -190,7 +191,7 @@ def ngram_jaccard_pairs(
     semantics; corpus-scale callers should set it
     (``boilerplate_ngram_stats`` measures how much a corpus needs it).
     """
-    sh = (
+    sh = track(
         fan_out(df)
         .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
         .withColumn("sh_size", F.size("sh"))
@@ -333,7 +334,7 @@ def containment_pairs(
     only the final scoring divides by ONE side's size and keeps both
     directions.  Feed LSH candidates instead of the raw corpus at scale.
     """
-    sh = (
+    sh = track(
         fan_out(df)
         .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
         .withColumn("sh_size", F.size("sh"))
@@ -398,9 +399,9 @@ def boilerplate_ngram_stats(
         F.col(group_col).alias("grp"),
         word_shingles(text_col, n).alias("sh"),
     )
-    inv = base.select(
+    inv = track(base.select(
         "id", "grp", F.explode("sh").alias("shingle")
-    ).persist()
+    ).persist())
     group_sizes = inv.groupBy("grp").agg(
         F.count_distinct("id").alias("n_docs")
     )
@@ -609,7 +610,7 @@ def minhash_lsh_dedup(
 
     The corpus is shingled ONCE: the persisted shingle table feeds both the
     signature aggregation and the exact-verify joins."""
-    sh = shingle_table(df, text_col, id_col, n).persist()
+    sh = track(shingle_table(df, text_col, id_col, n).persist())
     cands = minhash_lsh_candidates(
         df, text_col, id_col, n, num_hashes, bands, shingles=sh,
         portable=portable, bucket_cap=bucket_cap, bucket_salts=bucket_salts,
@@ -793,7 +794,7 @@ def prefix_filter_jaccard_pairs(
     candidate distinct, two joins back to the persisted shingle-array
     table.  Each key space is documents or shingles — no corpus² stage.
     """
-    sh = (
+    sh = track(
         shingle_table(df, text_col, id_col, n)
         .withColumn("sz", F.size("sh"))
         .persist()

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
+
 
 def as_double(v: Column | str) -> Column:
     col = F.col(v) if isinstance(v, str) else v
@@ -429,7 +431,7 @@ def embedding_near_dup_pairs(
     ).select("id", "v", "tb.table", "tb.bucket")
     # the self-join below reads `buckets` twice; without a persist each
     # side recomputes every signature (2× the fold work and 2× codegen)
-    buckets = buckets.persist()
+    buckets = track(buckets.persist())
     return (
         buckets.alias("x")
         .join(buckets.alias("y"), on=["table", "bucket"])

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..operators import dedup_docs as DD
 from ..operators import text as TXT
 from ..operators.graph import connected_components, dedup_by_components
@@ -70,7 +71,7 @@ def preprocess_corpus(
     exact = DD.dedup_exact(gated, text_col=text_col, id_col=id_col)
     if near_dup_threshold is None:
         return exact
-    exact = exact.persist()
+    exact = track(exact.persist())
     pairs = DD.minhash_lsh_dedup(
         exact,
         text_col=text_col,

@@ -1378,6 +1378,7 @@ def _load_extensions() -> None:
     from . import queries_r3b  # noqa: F401
     from . import queries_r4  # noqa: F401
     from . import queries_r4b  # noqa: F401
+    from . import queries_r5  # noqa: F401
 
 
 # Driver-sampling rotation.  The correctness driver hash-checks the FIRST 50

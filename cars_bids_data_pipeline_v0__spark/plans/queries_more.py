@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from .queries import _t, register
 
 # ---------------------------------------------------------------------------
@@ -1267,6 +1268,7 @@ def q81(spark, sf_dir):
             ),
         ).alias("shingles"),
     ).select("doc_id", F.explode("shingles").alias("shingle")).persist()
+    shingled = track(shingled)
     bench = (
         shingled.filter(F.col("doc_id") % 97 == 0)
         .select("shingle")

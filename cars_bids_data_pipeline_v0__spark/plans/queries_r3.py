@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from .queries import _t, register
 
 # ---------------------------------------------------------------------------
@@ -705,9 +706,11 @@ def q136(spark, sf_dir):
         )
         .distinct()
     )
-    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+    edges = track(e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
+    ).persist())
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select("src").distinct()
     n = float(nodes.count())
@@ -1003,7 +1006,7 @@ def q140(spark, sf_dir):
     from ..operators.dedup_docs import word_shingles
 
     d = _t(spark, sf_dir, "documents")
-    src_sh = (
+    src_sh = track(
         d.select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
         .distinct()
         # persisted: feeds both sides of the self-join AND the size agg —

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from .queries import _t, register
 
 
@@ -172,6 +173,7 @@ def q142(spark, sf_dir):
         # count — without it the pair-generation shuffle runs 4×
         .persist()
     )
+    pairs = track(pairs)
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
@@ -621,6 +623,7 @@ def q148(spark, sf_dir):
         # persisted: feeds the WAU fan-out, the DAU agg, and the span max
         .persist()
     )
+    active = track(active)
     hi = active.agg(F.max("day").alias("hi"))
     contrib = (
         active.select(
@@ -959,7 +962,7 @@ def q153(spark, sf_dir):
     # persisted: tokenization feeds the bigram counts, the unigram
     # counts, the vocab size, AND the scoring probe — one corpus pass
     # instead of four
-    doc_bigrams = doc_bigrams.persist()
+    doc_bigrams = track(doc_bigrams.persist())
     bg = doc_bigrams.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("c12")
     )
@@ -1366,6 +1369,7 @@ def q160(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("nxy"))
         .persist()  # feeds marginals + total + the final sum
     )
+    joint = track(joint)
     mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
     my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
     tot = joint.agg(F.sum("nxy").alias("n"))
@@ -1447,6 +1451,7 @@ def q161(spark, sf_dir):
         .distinct()
         .persist()  # feeds pairs, unigram counts, and the doc total
     )
+    doc_tokens = track(doc_tokens)
     a, b = doc_tokens.alias("a"), doc_tokens.alias("b")
     pairs = (
         a.join(

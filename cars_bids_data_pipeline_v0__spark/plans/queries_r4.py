@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..operators.text import blocklist_stats
 from .queries import _t, register
 
@@ -197,6 +198,7 @@ def q164(spark, sf_dir):
         .distinct()
         .persist()
     )
+    b = track(b)
     hv = b.withColumn(
         "h",
         F.conv(F.substring(F.md5("bg"), 1, _KMV_HEX), 16, 10).cast("long"),
@@ -228,6 +230,7 @@ def q164(spark, sf_dir):
         .filter(F.col("rn") <= _KMV_K)
         .persist()
     )
+    topk = track(topk)
     # membership flags: broadcast the k-BOUNDED sketch rows (≤ C(4,2)·k)
     # against the big vocabulary table — never the other way around (the
     # vocabulary is unbounded at corpus scale)
@@ -753,9 +756,9 @@ def q169(spark, sf_dir):
     )
     # persisted: the self-join reads the index twice and Catalyst does
     # not reuse non-identical exchanges (the q53 lesson — measured 4×)
-    inv = sh.select("id", F.explode("s").alias("__g")).select(
+    inv = track(sh.select("id", F.explode("s").alias("__g")).select(
         "id", F.xxhash64("__g").alias("g")
-    ).persist()
+    ).persist())
     return (
         inv.alias("a")
         .hint("shuffle_hash")
@@ -1401,6 +1404,7 @@ def q176(spark, sf_dir):
         .agg(F.sum("o_totalprice").alias("x"))
         .persist()
     )
+    cust = track(cust)
     tot = cust.agg(
         F.sum("x").alias("sx"), F.avg("x").alias("mu")
     )
@@ -1504,6 +1508,7 @@ def q177(spark, sf_dir):
         )
         .persist()
     )
+    rev = track(rev)
     tot = rev.groupBy("nation").agg(
         F.sum("r").alias("tr"),
         F.count("*").cast("long").alias("n_suppliers"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..operators.dedup_docs import prefix_filter_jaccard_pairs
 from ..operators.sampling import md5_unit
 from ..operators.text import bpe_ish_token_count, normalize_text, tokenize
@@ -474,6 +475,7 @@ def q185(spark, sf_dir):
         .distinct()
         .persist()
     )
+    cp = track(cp)
     rare = cp.groupBy("p").agg(F.count("*").alias("__n")).filter(
         F.col("__n") <= _RARE_PART_CAP
     )
@@ -565,6 +567,7 @@ def q186(spark, sf_dir):
         F.floor(F.col("x") / _CELL).cast("int").alias("cx"),
         F.floor(F.col("y") / _CELL).cast("int").alias("cy"),
     ).persist()
+    pts = track(pts)
     offs = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -1608,9 +1611,9 @@ def q195(spark, sf_dir):
     # the corpus is shingled ONCE; the persisted table feeds all three
     # stages (exhaustive truth, LSH candidates, exact verify) — the
     # first cut of this harness shingled it three times (review finding)
-    sh = DD.shingle_table(corpus, n=3).withColumn(
+    sh = track(DD.shingle_table(corpus, n=3).withColumn(
         "sz", F.size("sh")
-    ).persist()
+    ).persist())
     inv = sh.select("id", "sz", F.explode("sh").alias("__s")).select(
         "id", "sz", F.xxhash64("__s").alias("g")
     )
@@ -2227,6 +2230,7 @@ def q201(spark, sf_dir):
         .select("u", "i")
         .persist()
     )
+    capped = track(capped)
     deg = capped.groupBy("i").agg(F.count("*").alias("d"))
     co = (
         capped.alias("a")

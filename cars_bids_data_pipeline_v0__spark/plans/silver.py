@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..cache import track
 from ..functions import scalar as S
 from ..operators.dedup import keep_latest
 from ..operators.split import validity_split
@@ -107,6 +108,6 @@ def transform_records(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     # persist so the raw read + variant explode runs ONCE, not per action
     # (SURVEY §4.1 caching row).  MEMORY_AND_DISK default: evictable, safe
     # for arbitrarily large batches.
-    bronze = normalize_raw(records).persist()
+    bronze = track(normalize_raw(records).persist())
     valid, rescrape = validity_split(bronze)  # F1 before cleaning (:436)
     return clean_and_transform(valid), rescrape

@@ -18,11 +18,13 @@ from .txlog import (
     tx_prunable_files_bloom,
     tx_scan_eq,
     tx_delete_where,
+    tx_export_delta_log,
     tx_export_symlink_manifest,
     tx_insert_if_absent,
     tx_merge_partitioned,
     tx_read,
     tx_read_latest,
+    tx_read_delta_export,
     tx_read_manifest,
     tx_stream_merge_sink,
     tx_upsert,
@@ -48,11 +50,13 @@ __all__ = [
     "tx_prunable_files_bloom",
     "tx_scan_eq",
     "tx_delete_where",
+    "tx_export_delta_log",
     "tx_export_symlink_manifest",
     "tx_insert_if_absent",
     "tx_merge_partitioned",
     "tx_read",
     "tx_read_latest",
+    "tx_read_delta_export",
     "tx_read_manifest",
     "tx_stream_merge_sink",
     "tx_upsert",

@@ -1188,3 +1188,141 @@ def tx_read_manifest(spark: SparkSession, manifest_root: str) -> DataFrame:
     if not paths:
         raise ValueError(f"empty manifest export at {manifest_root}")
     return spark.read.parquet(*paths)
+
+
+def tx_export_delta_log(
+    table_path: str,
+    version: int | None = None,
+    out_dir: str | None = None,
+) -> str:
+    """Export a committed txlog snapshot as a minimal Delta Lake table.
+
+    Writes ``<table>/_delta_export/v<NNNNN>/_delta_log/00…0.json`` holding
+    the three action kinds a Delta reader needs, one JSON object per line
+    per the protocol spec (https://github.com/delta-io/delta PROTOCOL.md):
+
+    * ``protocol`` — minReaderVersion 1 / minWriterVersion 2 (the floor
+      for a plain parquet table with no reader-side features),
+    * ``metaData`` — parquet format, the Spark schemaString derived from
+      a live file's parquet footer, empty partitionColumns (the commit
+      log keeps partition values IN the data via a real column, so a
+      Delta reader needs no hive-style directory layout), and a table id
+      that is a deterministic UUID of the table path (stable across
+      exports of the same table),
+    * one ``add`` per live data file, with an ABSOLUTE ``file://`` URI
+      (spec-allowed alternative to root-relative paths) — so the export
+      directory holds no data, only log, and each export is immutable.
+
+    Each export is a self-contained single-version Delta table: version
+    N of the commit log becomes Delta version 0 of its own export
+    directory.  That mirrors ``GENERATE symlink_format_manifest``
+    semantics (snapshot, not incremental mirror) while being readable by
+    ``spark.read.format("delta")`` where delta-spark is installed —
+    time travel = pick the export dir for the version you want.  Exports
+    are written temp-then-rename, so a reader never sees a torn log, and
+    re-exporting an existing version is a no-op (immutability).
+
+    Returns the export's table root (the directory to hand to a Delta
+    reader).
+    """
+    import time as _time
+
+    log = TransactionLog(table_path)
+    v = log.version() if version is None else version
+    if v < 0:
+        raise ValueError(f"no committed version to export at {table_path}")
+    root = out_dir or os.path.join(table_path, "_delta_export", f"v{v:05d}")
+    log_dir = os.path.join(root, "_delta_log")
+    commit = os.path.join(log_dir, f"{0:020d}.json")
+    if os.path.exists(commit):
+        return root  # immutable: this snapshot is already exported
+
+    live = sorted(log.live_files(upto=v))
+    if not live:
+        raise ValueError(f"version {v} of {table_path} has no live files")
+
+    # schema from a live file's own footer — no SparkSession needed
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    first = os.path.join(table_path, live[0])
+    schema = from_arrow_schema(pq.read_schema(first))
+    now_ms = int(_time.time() * 1000)
+
+    lines = [
+        json.dumps(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": str(
+                        uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(table_path))
+                    ),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "TX_EXPORT",
+                    "operationParameters": {"sourceVersion": str(v)},
+                }
+            }
+        ),
+    ]
+    for rel in live:
+        abspath = os.path.abspath(os.path.join(table_path, rel))
+        lines.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "file://"
+                        + urllib.parse.quote(abspath, safe="/"),
+                        "partitionValues": {},
+                        "size": os.path.getsize(abspath),
+                        "modificationTime": int(
+                            os.path.getmtime(abspath) * 1000
+                        ),
+                        "dataChange": True,
+                    }
+                }
+            )
+        )
+
+    os.makedirs(log_dir, exist_ok=True)
+    tmp = commit + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, commit)
+    return root
+
+
+def tx_read_delta_export(spark: SparkSession, export_root: str) -> DataFrame:
+    """Read a :func:`tx_export_delta_log` export with nothing but the
+    Delta commit file's add-action URIs + ``spark.read.parquet`` — the
+    file-list contract a real Delta reader resolves.  Exists so tests can
+    validate an export in environments without delta-spark (this
+    container); where delta-spark IS installed,
+    ``spark.read.format("delta").load(export_root)`` reads the same
+    snapshot."""
+    commit = os.path.join(export_root, "_delta_log", f"{0:020d}.json")
+    paths: list[str] = []
+    with open(commit) as f:
+        for line in f:
+            action = json.loads(line)
+            if "add" in action:
+                paths.append(
+                    urllib.parse.unquote(
+                        action["add"]["path"][len("file://"):]
+                    )
+                )
+    if not paths:
+        raise ValueError(f"no add actions in {commit}")
+    return spark.read.parquet(*paths)

@@ -215,3 +215,29 @@ def test_registry_output_schemas_are_flat(spark, registry):
             offenders.append((name, bad))
         spark.catalog.clearCache()
     assert offenders == [], f"complex-typed output columns in: {offenders}"
+
+
+def test_build_caches_released_after_query_builds(spark, registry):
+    # Builders persist() subframes that feed multiple downstream branches;
+    # the frames are registered via cache.track/track_persist so consumers
+    # can release EXACTLY those blocks once the result is materialized —
+    # without nuking user-owned caches the way clearCache() does.
+    from cars_bids_data_pipeline_v0__spark.cache import (
+        release_build_caches,
+        tracked_count,
+    )
+
+    spark.catalog.clearCache()
+    release_build_caches()
+    # persist-heavy representatives: inverted-index dedup, LSH, bigram LM
+    for name in [
+        "q53_ngram_jaccard_pairs",
+        "q56_minhash_lsh_near_dup",
+        "q153_bigram_perplexity",
+    ]:
+        registry[name].builder(spark, SF).count()
+    assert tracked_count() > 0, "builders no longer track their persists"
+    release_build_caches()
+    assert tracked_count() == 0
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "persisted blocks leaked past release_build_caches"

@@ -148,6 +148,7 @@ def main():
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
+    from cars_bids_data_pipeline_v0__spark.cache import release_build_caches
     from cars_bids_data_pipeline_v0__spark.session import get_session
 
     spark = get_session(app_name="oracle-check")
@@ -174,9 +175,11 @@ def main():
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         spark_s = time.time() - t0
-        # builders persist() reused subframes for their own build; drop the
-        # blocks between queries so a full 162-query sweep doesn't
-        # accumulate cache/disk pressure across the session
+        # builders track_persist() reused subframes for their own build;
+        # release exactly those blocks between queries so a full registry
+        # sweep doesn't accumulate cache/disk pressure across the session
+        # (clearCache stays as a backstop for any untracked persist)
+        release_build_caches()
         spark.catalog.clearCache()
         if name not in oracles:
             skipped.append(name)
