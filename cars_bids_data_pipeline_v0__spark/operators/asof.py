@@ -104,10 +104,15 @@ def asof_join(
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
+        # epoch via unix_millis(cast to timestamp): TIMESTAMP_NTZ-safe
+        # (Spark 4 forbids a direct timestamp→double cast; the session-TZ
+        # offset cancels in the difference) — the q188/C22 discipline
+        from ..functions.scalar import epoch_millis_encode
+
         within = (
-            F.col("__ts").cast("double")
-            - F.col(f"{right_ts}{suffix}").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
+            epoch_millis_encode(F.col("__ts"))
+            - epoch_millis_encode(F.col(f"{right_ts}{suffix}"))
+        ) <= F.lit(float(tolerance_seconds) * 1000.0)
         out = out.select(
             *on, "__ts", *l_payload,
             *[

@@ -101,3 +101,305 @@ def q211(spark, sf_dir):
     return DD.ngram_jaccard_pairs(
         d, n=3, threshold=_Q211_THRESHOLD, df_cap=_Q211_CAP
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — as-of tolerance window (operators/asof.py, round-4 operator; the
+# tolerance/gap-voiding path had no oracled query before this)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q213_asof_attribution_rollup",
+    """
+    WITH j AS (
+        SELECT p.user_id, p.value,
+               CASE WHEN c.ts IS NOT NULL
+                         AND epoch_ms(p.ts) - epoch_ms(c.ts) <= 3600000
+                    THEN 1 ELSE 0 END AS attributed
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(sum(attributed) AS BIGINT) AS n_attributed,
+           round(sum(CASE WHEN attributed = 1 THEN value ELSE 0 END), 2)
+               AS attributed_value
+    FROM j
+    GROUP BY user_id
+    """,
+    doc=(
+        "as-of join with a tolerance window: purchases attributed to a "
+        "click within 1h, rolled up per user.  First oracled consumer of "
+        "the operator's tolerance_seconds (gap-voiding) path — which "
+        "exposed a latent TIMESTAMP_NTZ cast bug, now fixed via the "
+        "epoch-millis discipline (both engines compare truncated millis, "
+        "so the window boundary is bit-identical); unmatched and "
+        "out-of-window purchases stay in the denominator exactly as the "
+        "oracle's ASOF LEFT JOIN keeps them"
+    ),
+)
+def q213(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    j = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="cts",
+        right_cols=[], tolerance_seconds=3600.0,
+    )
+    attributed = F.col("cts_asof").isNotNull()
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(attributed.cast("long")).alias("n_attributed"),
+        F.round(
+            F.sum(F.when(attributed, F.col("value")).otherwise(0.0)), 2
+        ).alias("attributed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214/q215 — nonparametric two-sample tests (operators/rankstats.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q214_ks_two_sample",
+    """
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), c AS (
+        SELECT v, sum(g) AS n1v, sum(1 - g) AS n2v FROM s GROUP BY v
+    ), cc AS (
+        SELECT v,
+               sum(n1v) OVER (ORDER BY v) AS c1,
+               sum(n2v) OVER (ORDER BY v) AS c2
+        FROM c
+    ), t AS (
+        SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+               CAST(sum(n2v) AS BIGINT) AS n2
+        FROM c
+    )
+    SELECT n1, n2,
+           round(max(abs(CAST(c1 AS DOUBLE) / n1
+                         - CAST(c2 AS DOUBLE) / n2)), 6) AS ks_d
+    FROM cc, t GROUP BY n1, n2
+    """,
+    doc=(
+        "two-sample Kolmogorov–Smirnov D between URGENT and LOW order "
+        "price distributions.  The textbook SQL needs a GLOBAL ordered "
+        "cumulative window (single task sees every row); the builder "
+        "instead runs the distributed prefix-sum (operators/rankstats.py "
+        "— range exchange, per-partition cumsums, broadcast offsets, the "
+        "keys.py two-phase pattern), so every stage stays parallel while "
+        "the oracle's window replays the same cumulative counts"
+    ),
+)
+def q214(spark, sf_dir):
+    from ..operators.rankstats import ks_two_sample
+
+    o = _t(spark, sf_dir, "orders")
+    r = ks_two_sample(
+        o, value_col="o_totalprice", group_col="o_orderpriority",
+        g1="1-URGENT", g2="5-LOW",
+    )
+    return r.select("n1", "n2", F.round("ks_d", 6).alias("ks_d"))
+
+
+@register(
+    "q215_mann_whitney_u",
+    """
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('click', 'view')
+    ), c AS (
+        SELECT v, sum(g) AS n1v, count(*) AS tv FROM s GROUP BY v
+    ), cc AS (
+        SELECT *, sum(tv) OVER (ORDER BY v) AS cumtv FROM c
+    ), a AS (
+        SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+               CAST(sum(tv) - sum(n1v) AS BIGINT) AS n2,
+               sum(n1v * (cumtv - tv + (tv + 1) / 2.0)) AS r1,
+               CAST(sum(tv * tv * tv - tv) AS BIGINT) AS tie
+        FROM cc
+    )
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u1,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt((n1 * n2 / 12.0)
+                        * ((n1 + n2 + 1)
+                           - tie / CAST((n1 + n2) * (n1 + n2 - 1)
+                                        AS DOUBLE))), 6) AS z
+    FROM a
+    """,
+    doc=(
+        "Mann–Whitney U (tie-corrected rank-sum z) between click and view "
+        "event values.  Average ranks come from distinct-value prefix "
+        "sums (rank arithmetic on halves is EXACT in doubles, so the "
+        "distributed partial sums match the oracle's sequential window "
+        "bit-for-bit); the tie correction Σ(t³−t) is an integral "
+        "aggregate of the same frame"
+    ),
+)
+def q215(spark, sf_dir):
+    from ..operators.rankstats import mann_whitney_u
+
+    e = _t(spark, sf_dir, "events")
+    r = mann_whitney_u(
+        e, value_col="value", group_col="event_type",
+        g1="click", g2="view",
+    )
+    return r.select(
+        "n1", "n2",
+        F.round("u1", 4).alias("u1"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — grouped ordinary least squares (co-moment aggregates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q216_group_ols",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(covar_samp(l_quantity, l_extendedprice)
+                 / var_samp(l_quantity), 4) AS slope,
+           round(avg(l_extendedprice)
+                 - covar_samp(l_quantity, l_extendedprice)
+                   / var_samp(l_quantity) * avg(l_quantity), 4)
+               AS intercept,
+           round(corr(l_quantity, l_extendedprice)
+                 * corr(l_quantity, l_extendedprice), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "per-group OLS fit of extended price on quantity — slope/"
+        "intercept/R² assembled from the same single-pass co-moment "
+        "aggregates as q156 (covar_samp, var_samp, avg, corr): five "
+        "mergeable scalars per group at any scale, rounded once at the "
+        "end (the q156 engine-neutrality discipline)"
+    ),
+)
+def q216(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    slope = F.covar_samp("l_quantity", "l_extendedprice") / F.var_samp(
+        "l_quantity"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(slope, 4).alias("slope"),
+        F.round(
+            F.avg("l_extendedprice") - slope * F.avg("l_quantity"), 4
+        ).alias("intercept"),
+        F.round(
+            F.corr("l_quantity", "l_extendedprice")
+            * F.corr("l_quantity", "l_extendedprice"),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — CUSUM changepoint scan over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q217_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    ), cum AS (
+        SELECT day,
+               sum(cents) OVER (ORDER BY day) AS cum_cents,
+               sum(1) OVER (ORDER BY day) AS rnk
+        FROM daily
+    ), tot AS (
+        SELECT CAST(sum(cents) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily
+    ), scored AS (
+        SELECT day, n_days,
+               abs(CAST(cum_cents AS DOUBLE)
+                   - rnk * (CAST(total AS DOUBLE) / n_days)) / 100.0
+                   AS dev
+        FROM cum, tot
+    )
+    SELECT n_days, day AS cp_day, round(dev, 4) AS max_cusum
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY dev DESC, day ASC) = 1
+    """,
+    doc=(
+        "CUSUM changepoint scan: the day where the cumulative daily "
+        "revenue most departs from the constant-rate line (argmax of "
+        "|cumsum − rank·mean|).  Daily sums collapse to integer cents "
+        "before the cumulative pass, so the distributed prefix sums "
+        "(operators/rankstats.py, second consumer) are exact and "
+        "order-independent; the final argmax tie-breaks on the day.  "
+        "The series length is the DATE domain (bounded), but no stage "
+        "here is single-task even if it weren't"
+    ),
+)
+def q217(spark, sf_dir):
+    from ..operators.rankstats import prefix_sums_by_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100,
+                0,
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    cum = prefix_sums_by_value(daily, "day", ["cents", "one"])
+    tot = daily.agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    scored = cum.join(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        (
+            F.abs(
+                F.col("cum_cents").cast("double")
+                - F.col("cum_one")
+                * (F.col("total").cast("double") / F.col("n_days"))
+            )
+            / 100.0
+        ).alias("dev"),
+    )
+    best = scored.agg(
+        F.max_by(
+            F.struct(F.col("day").alias("cp_day"), F.col("dev")),
+            F.struct(F.col("dev"), F.lit(-1) * F.unix_date(F.col("day"))),
+        ).alias("b"),
+        F.first("n_days").alias("n_days"),
+    )
+    return best.select(
+        "n_days",
+        F.col("b.cp_day").alias("cp_day"),
+        F.round("b.dev", 4).alias("max_cusum"),
+    )

@@ -1,91 +1,138 @@
-"""As-of join semantics: backward match, exact-match toggle, tolerance,
-unmatched-left nulls — pinned against hand-computed expectations."""
+"""as-of join operator corners (operators/asof.py).
+
+Oracle parity vs DuckDB's native ASOF JOIN lives in q62/q188/q213; here
+the operator-level semantics that the oracled queries don't isolate:
+inclusive vs strict equality, tolerance voiding, unmatched-left nulls,
+whole-row atomicity of the carried match, and the no-join plan shape.
+"""
 
 from __future__ import annotations
+
+import contextlib
+import datetime as dt
+import io
 
 from pyspark.sql import functions as F
 
 from cars_bids_data_pipeline_v0__spark.operators.asof import asof_join
 
 
-def frames(spark):
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
     left = spark.createDataFrame(
-        [(1, 10.0, "l1"), (1, 20.0, "l2"), (1, 15.0, "l3"), (2, 5.0, "l4")],
-        ["k", "ts", "lv"],
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+            (1, _ts("2024-01-01 12:00:00"), "b"),
+            (2, _ts("2024-01-01 09:00:00"), "c"),  # before any right row
+            (3, _ts("2024-01-01 10:00:00"), "d"),  # key with no right rows
+        ],
+        "k long, ts timestamp, tag string",
     )
     right = spark.createDataFrame(
-        [(1, 5.0, "r5"), (1, 15.0, "r15"), (1, 25.0, "r25"), (3, 1.0, "rx")],
-        ["k", "ts", "rv"],
+        [
+            (1, _ts("2024-01-01 09:30:00"), 10.0),
+            (1, _ts("2024-01-01 10:00:00"), 20.0),  # == left@10:00
+            (1, _ts("2024-01-01 11:59:00"), 30.0),
+            (2, _ts("2024-01-01 11:00:00"), 40.0),
+        ],
+        "k long, rts timestamp, v double",
     )
     return left, right
 
 
-def run(spark, **kw):
-    left, right = frames(spark)
-    out = asof_join(
-        left, right, on=["k"], left_ts="ts", right_ts="ts",
-        right_cols=["rv"], **kw,
-    )
-    return {r["lv"]: (r["rv_asof"], r["ts_asof"]) for r in out.collect()}
-
-
-def test_backward_match_includes_equal_ts(spark):
-    got = run(spark)
-    assert got["l1"] == ("r5", 5.0)    # 10 → latest ≤ 10 is 5
-    assert got["l3"] == ("r15", 15.0)  # 15 → equal ts matches
-    assert got["l2"] == ("r15", 15.0)  # 20 → 15, never 25
-    assert got["l4"] == (None, None)   # key 2 has no right rows
-
-
-def test_strict_inequality_mode(spark):
-    got = run(spark, allow_exact_matches=False)
-    assert got["l3"] == ("r5", 5.0)    # equal ts excluded → falls back to 5
-    assert got["l1"] == ("r5", 5.0)
-
-
-def test_tolerance_nulls_stale_matches(spark):
-    got = run(spark, tolerance_seconds=6)
-    assert got["l1"] == ("r5", 5.0)    # gap 5 ≤ 6 → kept
-    assert got["l2"] == ("r15", 15.0)  # gap 5 → kept
-    assert got["l4"] == (None, None)
-    got_tight = run(spark, tolerance_seconds=3)
-    assert got_tight["l1"] == (None, None)  # gap 5 > 3 → nulled
-
-
-def test_matches_duckdb_asof_on_events(spark):
-    import duckdb
-
-    from cars_bids_data_pipeline_v0__spark.sources.ingest import read_table
-
-    e = read_table(spark, "/root/testdata/sf0.001", "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
-    )
-    views = e.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_id")
-    )
-    ours = {
-        (r["event_id"], r["view_id_asof"])
+def test_backward_latest_at_or_before(spark):
+    left, right = _frames(spark)
+    rows = {
+        r["tag"]: r
         for r in asof_join(
-            clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
-            right_cols=["view_id"],
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["v"],
         ).collect()
     }
-    duck = duckdb.connect()
-    duck.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    # inclusive equality, latest-≤ wins, LEFT semantics keep unmatched
+    assert rows["a"]["v_asof"] == 20.0
+    assert str(rows["a"]["rts_asof"]) == "2024-01-01 10:00:00"
+    assert rows["b"]["v_asof"] == 30.0
+    assert rows["c"]["v_asof"] is None and rows["c"]["rts_asof"] is None
+    assert rows["d"]["v_asof"] is None
+
+
+def test_strict_inequality_skips_equal_timestamps(spark):
+    left, right = _frames(spark)
+    rows = {
+        r["tag"]: r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["v"], allow_exact_matches=False,
+        ).collect()
+    }
+    # 'a' no longer sees the 10:00 right row — falls back to 09:30
+    assert rows["a"]["v_asof"] == 10.0
+    assert rows["b"]["v_asof"] == 30.0
+
+
+def test_tolerance_voids_stale_matches(spark):
+    left, right = _frames(spark)
+    rows = {
+        r["tag"]: r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["v"], tolerance_seconds=60.0,
+        ).collect()
+    }
+    assert rows["a"]["v_asof"] == 20.0  # 0 s gap: kept
+    assert rows["b"]["v_asof"] == 30.0  # 60 s gap: kept (inclusive bound)
+    assert rows["c"]["v_asof"] is None and rows["d"]["v_asof"] is None
+
+    tight = {
+        r["tag"]: r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["v"], tolerance_seconds=30.0,
+        ).collect()
+    }
+    assert tight["b"]["v_asof"] is None  # 60 s gap now voided
+    assert tight["b"]["rts_asof"] is None  # matched ts voided WITH payload
+    assert tight["a"]["v_asof"] == 20.0
+
+
+def test_carried_match_is_whole_row_atomic(spark):
+    # a later right row with a NULL payload field must not let an older
+    # row's field bleed through (the struct-carry property)
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), "x")],
+        "k long, ts timestamp, tag string",
     )
-    theirs = set(
-        duck.execute(
-            """
-            WITH c AS (SELECT event_id, user_id, ts FROM events
-                       WHERE event_type='click'),
-                 v AS (SELECT event_id AS view_id, user_id, ts FROM events
-                       WHERE event_type='view')
-            SELECT c.event_id, v.view_id
-            FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
-            """
-        ).fetchall()
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 10.0, "old"),
+            (1, _ts("2024-01-01 11:00:00"), None, "new"),
+        ],
+        "k long, rts timestamp, v double, label string",
     )
-    assert ours == theirs and len(ours) > 0
+    row = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols=["v", "label"],
+    ).collect()[0]
+    # the 11:00 row matches as a WHOLE: v arrives null, not 10.0
+    assert row["label_asof"] == "new" and row["v_asof"] is None
+
+
+def test_plan_one_keyed_window_no_join(spark):
+    # the whole point: no join operator at all (so no range-join row
+    # multiplication), one KEYED window over the union
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols=["v"],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(k" in plan  # partitioned, never global
