@@ -403,3 +403,124 @@ def q217(spark, sf_dir):
         F.col("b.cp_day").alias("cp_day"),
         F.round("b.dev", 4).alias("max_cusum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q218/q219 — the hard TPC-H correlation shapes (Q20/Q21), decorrelated
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q218_dominant_suppliers",
+    """
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS sq
+        FROM lineitem GROUP BY 1, 2
+    ), p AS (
+        SELECT l_partkey, sum(l_quantity) AS pq FROM lineitem GROUP BY 1
+    ), dom AS (
+        SELECT sp.l_suppkey, count(*) AS n_dominated
+        FROM sp JOIN p USING (l_partkey)
+        WHERE sp.sq > 0.12 * p.pq
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(d.n_dominated AS BIGINT) AS n_dominated
+    FROM supplier s JOIN dom d ON d.l_suppkey = s.s_suppkey
+    WHERE d.n_dominated >= 3
+    """,
+    doc=(
+        "TPC-H Q20 shape (nested IN + correlated quantity subquery) "
+        "decorrelated: per-(supplier,part) and per-part shipped-quantity "
+        "aggregates joined once on the part key — the correlated "
+        "sub-scan becomes two grouped passes over the same fact, no "
+        "per-row re-aggregation.  Quantities are integral doubles, so "
+        "both engines' sums are exact in any order and the share "
+        "threshold is bit-identical"
+    ),
+)
+def q218(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    p = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("pq"))
+    dom = (
+        sp.join(p, "l_partkey")
+        .filter(F.col("sq") > 0.12 * F.col("pq"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("n_dominated"))
+        .filter(F.col("n_dominated") >= 3)
+    )
+    return dom.join(
+        F.broadcast(s), dom.l_suppkey == s.s_suppkey
+    ).select("s_suppkey", "s_name", "n_dominated")
+
+
+@register(
+    "q219_sole_late_supplier",
+    """
+    WITH flags AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate
+                             > CAST(o.o_orderdate AS TIMESTAMP)
+                               + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), per_order AS (
+        SELECT l_orderkey,
+               count(*) AS n_suppliers,
+               sum(late) AS n_late
+        FROM flags GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM flags f
+    JOIN per_order po USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = f.l_suppkey
+    WHERE f.late = 1 AND po.n_suppliers > 1 AND po.n_late = 1
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "TPC-H Q21 shape (EXISTS + NOT EXISTS correlated on the same "
+        "fact: the supplier who was the ONLY late shipper on a "
+        "multi-supplier order) decorrelated into one grouped pass: "
+        "per-(order,supplier) late flags, per-order supplier/late "
+        "counts, then a filter — the double correlated re-scan becomes "
+        "two aggregations over one shuffle on the order key.  'Late' = "
+        "shipped > 60 days after the order date"
+    ),
+)
+def q219(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.max(
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate").cast("timestamp")
+            + F.expr("INTERVAL 60 DAY")
+        ).cast("int")
+    ).alias("late")
+    flags = (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late)
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("late").alias("n_late"),
+    )
+    return (
+        flags.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
