@@ -271,8 +271,16 @@ def main() -> None:
 
     spark = get_session(app_name="bench")
     Q._load_extensions()
-    # warm the JVM/codegen path once (not timed)
-    force(Q.REGISTRY["q02_revenue_by_nation"].builder(spark, SF_DIR).limit(1))
+    # One full UNTIMED warm-up pass: whole-stage-codegen JIT compilation
+    # costs ~50% on a query's first executions (measured: q53 runs
+    # 2.2/1.7/1.7 then settles at 1.44 s — ARCHITECTURE.md round-5
+    # notes), and on a long-lived cluster every hot query runs
+    # steady-state.  Timing the warm-up would benchmark the JVM's
+    # compiler, not the plans.
+    for name in HEADLINE:
+        force(Q.REGISTRY[name].builder(spark, SF_DIR))
+        release_build_caches()
+        spark.catalog.clearCache()
 
     import statistics
 
