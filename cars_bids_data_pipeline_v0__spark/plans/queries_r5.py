@@ -266,54 +266,6 @@ def q215(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q216 — grouped ordinary least squares (co-moment aggregates)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q216_group_ols",
-    """
-    SELECT l_returnflag,
-           CAST(count(*) AS BIGINT) AS n,
-           round(covar_samp(l_quantity, l_extendedprice)
-                 / var_samp(l_quantity), 4) AS slope,
-           round(avg(l_extendedprice)
-                 - covar_samp(l_quantity, l_extendedprice)
-                   / var_samp(l_quantity) * avg(l_quantity), 4)
-               AS intercept,
-           round(corr(l_quantity, l_extendedprice)
-                 * corr(l_quantity, l_extendedprice), 6) AS r2
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    doc=(
-        "per-group OLS fit of extended price on quantity — slope/"
-        "intercept/R² assembled from the same single-pass co-moment "
-        "aggregates as q156 (covar_samp, var_samp, avg, corr): five "
-        "mergeable scalars per group at any scale, rounded once at the "
-        "end (the q156 engine-neutrality discipline)"
-    ),
-)
-def q216(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    slope = F.covar_samp("l_quantity", "l_extendedprice") / F.var_samp(
-        "l_quantity"
-    )
-    return li.groupBy("l_returnflag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.round(slope, 4).alias("slope"),
-        F.round(
-            F.avg("l_extendedprice") - slope * F.avg("l_quantity"), 4
-        ).alias("intercept"),
-        F.round(
-            F.corr("l_quantity", "l_extendedprice")
-            * F.corr("l_quantity", "l_extendedprice"),
-            6,
-        ).alias("r2"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # q217 — CUSUM changepoint scan over the daily revenue series
 # ---------------------------------------------------------------------------
 
