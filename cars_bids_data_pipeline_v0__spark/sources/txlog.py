@@ -708,6 +708,7 @@ def tx_stream_merge_sink(
     partition_src: str = "auction_date",
     stream_id: str = "default",
     export_manifest: bool = False,
+    export_delta: bool = False,
     checkpoint_dir: str | None = None,
 ):
     """Exactly-once streaming merge sink: a ``foreachBatch`` function whose
@@ -744,6 +745,15 @@ def tx_stream_merge_sink(
     stream's latest consistent snapshot.  The export derives from the
     committed log (never the in-flight batch), so a crash between commit
     and export just leaves the previous — still consistent — manifest.
+
+    ``export_delta=True`` does the same through the Delta-protocol export
+    (:func:`tx_export_delta_log`): each committed batch version lands as
+    its own immutable ``_delta_export/vNNNNN`` table, and the
+    ``_delta_export/LATEST`` pointer file (written atomically) names the
+    newest one — a Delta-speaking consumer polls one file to follow the
+    stream.  Replayed (fenced no-op) batches re-export nothing: exports
+    are keyed by committed version and already-exported versions return
+    immediately.
     """
 
     app_id = (
@@ -762,10 +772,20 @@ def tx_stream_merge_sink(
             partition_src=partition_src,
             txn={"app": app_id, "batch": int(batch_id)},
         )
-        if export_manifest and TransactionLog(table_path).version() >= 0:
-            # version < 0: nothing committed yet (e.g. an empty batch 0 on
-            # a brand-new table) — exporting would raise and kill the query
+        v = TransactionLog(table_path).version()
+        # version < 0: nothing committed yet (e.g. an empty batch 0 on
+        # a brand-new table) — exporting would raise and kill the query
+        if export_manifest and v >= 0:
             tx_export_symlink_manifest(table_path)
+        if export_delta and v >= 0:
+            root = tx_export_delta_log(table_path, version=v)
+            pointer = os.path.join(
+                table_path, "_delta_export", "LATEST"
+            )
+            tmp = pointer + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(os.path.basename(root) + "\n")
+            os.replace(tmp, pointer)
 
     return process
 

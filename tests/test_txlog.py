@@ -981,3 +981,42 @@ def test_tx_export_delta_log_shape_and_roundtrip(spark, silver, tmp_path):
     old = tx_export_delta_log(table, version=0)
     assert old != root
     assert tx_read_delta_export(spark, old).count() == 3
+
+
+def test_tx_stream_sink_keeps_delta_export_current(spark, tmp_path):
+    """export_delta=True: every committed batch lands as its own immutable
+    Delta export and the LATEST pointer follows; a fenced replay moves
+    nothing."""
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_read_delta_export,
+        tx_stream_merge_sink,
+    )
+
+    table = str(tmp_path / "stream_sink_delta")
+    sink = tx_stream_merge_sink(table, stream_id="ingest", export_delta=True)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "auction_id string, auction_date string, payload long"
+        ).withColumn("auction_date", F.to_timestamp("auction_date"))
+
+    def latest_root():
+        name = open(_os.path.join(table, "_delta_export", "LATEST")).read()
+        return _os.path.join(table, "_delta_export", name.strip())
+
+    sink(mk([("a", "2024-05-01T10:00:00Z", 1)]), 0)
+    r0 = latest_root()
+    assert tx_read_delta_export(spark, r0).count() == 1
+
+    sink(mk([("b", "2024-05-02T10:00:00Z", 2)]), 1)
+    r1 = latest_root()
+    assert r1 != r0
+    assert tx_read_delta_export(spark, r1).count() == 2
+    # older export is immutable: still reads version-0's single row
+    assert tx_read_delta_export(spark, r0).count() == 1
+
+    sink(mk([("b", "2024-05-02T10:00:00Z", 2)]), 1)  # fenced replay
+    assert latest_root() == r1
+    assert tx_read_delta_export(spark, r1).count() == 2
