@@ -476,3 +476,119 @@ def q219(spark, sf_dir):
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — weekday seasonal decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q220_seasonal_decomposition",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    ), nb AS (
+        SELECT d.day + to_days(CAST(o.off AS INTEGER)) AS day, d.cents
+        FROM daily d, (SELECT unnest(range(-3, 4)) AS off) o
+    ), trend AS (
+        SELECT day, CAST(sum(cents) AS BIGINT) AS trend7
+        FROM nb GROUP BY 1 HAVING count(*) = 7
+    ), detr AS (
+        SELECT d.day,
+               dayofweek(d.day) + 1 AS dow,
+               d.cents,
+               7 * d.cents - t.trend7 AS detr7
+        FROM daily d JOIN trend t USING (day)
+    ), seas AS (
+        SELECT dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(detr7) AS BIGINT) AS sum_detr7
+        FROM detr GROUP BY 1
+    ), fit AS (
+        SELECT round(1.0 - var_samp(d.detr7 / 7.0
+                                    - s.sum_detr7
+                                      / (7.0 * s.n_days))
+                           / var_samp(CAST(d.cents AS DOUBLE)), 6)
+                   AS var_explained
+        FROM detr d JOIN seas s USING (dow)
+    )
+    SELECT s.dow, s.n_days,
+           round(s.sum_detr7 / (7.0 * s.n_days) / 100.0, 4)
+               AS seasonal_dollars,
+           f.var_explained
+    FROM seas s, fit f
+    """,
+    doc=(
+        "weekday seasonal decomposition of daily revenue (STL-lite): "
+        "7-day centered-moving-average trend, per-weekday seasonal "
+        "index over the detrended series, residual variance explained.  "
+        "The centered MA is a bounded ±3-day explode + keyed re-group "
+        "(the q148 trick — never a global ordered window), and the "
+        "detrending is kept in 7×-scaled INTEGER cents (7·cents − "
+        "Σ₇cents), so every aggregate before the final divisions is "
+        "exact in any order; variance-explained is a ratio of two "
+        "variances over identical rows, robust to last-bit noise"
+    ),
+)
+def q220(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    offs = F.array(*[F.lit(i) for i in range(-3, 4)])
+    nb = daily.select(
+        F.explode(offs).alias("off"), "day", "cents"
+    ).select(F.expr("date_add(day, off)").alias("day"), "cents")
+    trend = (
+        nb.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n7"),
+            F.sum("cents").cast("long").alias("trend7"),
+        )
+        .filter(F.col("n7") == 7)
+        .drop("n7")
+    )
+    detr = daily.join(trend, "day").select(
+        "day",
+        F.dayofweek("day").alias("dow"),
+        "cents",
+        (7 * F.col("cents") - F.col("trend7")).alias("detr7"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("detr7").cast("long").alias("sum_detr7"),
+    )
+    fit = (
+        detr.join(F.broadcast(seas), "dow")
+        .agg(
+            F.round(
+                1.0
+                - F.var_samp(
+                    F.col("detr7") / 7.0
+                    - F.col("sum_detr7") / (7.0 * F.col("n_days"))
+                )
+                / F.var_samp(F.col("cents").cast("double")),
+                6,
+            ).alias("var_explained")
+        )
+    )
+    return seas.join(F.broadcast(fit)).select(
+        "dow",
+        "n_days",
+        F.round(
+            F.col("sum_detr7") / (7.0 * F.col("n_days")) / 100.0, 4
+        ).alias("seasonal_dollars"),
+        "var_explained",
+    )
