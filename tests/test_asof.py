@@ -136,3 +136,63 @@ def test_plan_one_keyed_window_no_join(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(k" in plan  # partitioned, never global
+
+
+def test_asof_differential_vs_pandas_merge_asof(spark):
+    # independent reference implementation: pandas.merge_asof per key on
+    # deterministic pseudo-random data (200 left x 300 right, 5 keys)
+    import pandas as pd
+
+    def prng(i, salt):
+        return (i * 1103515245 + salt * 12345 + 6789) % (2**31)
+
+    left_rows = [
+        (prng(i, 1) % 5, prng(i, 2) % 10_000, i) for i in range(200)
+    ]
+    right_rows = [
+        (prng(i, 3) % 5, prng(i, 4) % 10_000, float(i)) for i in range(300)
+    ]
+    # dedup right on (key, ts): merge_asof picks the LAST among equal ts
+    # rows, the operator tie-breaks on the payload struct — pin one row
+    # per (key, ts) so both references are unambiguous
+    rseen = {}
+    for k, t, v in right_rows:
+        rseen[(k, t)] = v
+    right_rows = [(k, t, v) for (k, t), v in sorted(rseen.items())]
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t")
+    want = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    want_map = {
+        int(r.lid): (None if pd.isna(r.v) else float(r.v))
+        for r in want.itertuples()
+    }
+
+    lf = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), i)
+         for k, t, i in left_rows],
+        "k long, ts timestamp, lid long",
+    )
+    rf = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), v)
+         for k, t, v in right_rows],
+        "k long, rts timestamp, v double",
+    )
+    got = {
+        r["lid"]: r["v_asof"]
+        for r in asof_join(
+            lf, rf, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["v"],
+        ).collect()
+    }
+    assert got == want_map
+
+
+def test_asof_empty_right_side(spark):
+    left, right = _frames(spark)
+    empty = right.filter(F.lit(False))
+    rows = asof_join(
+        left, empty, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols=["v"],
+    ).collect()
+    assert len(rows) == 4 and all(r["v_asof"] is None for r in rows)

@@ -90,3 +90,20 @@ def test_mann_whitney_symmetry(spark):
     b = mann_whitney_u(df, "v", "g", "y", "x").collect()[0]
     assert a["u1"] + b["u1"] == pytest.approx(a["n1"] * a["n2"])
     assert a["z"] == pytest.approx(-b["z"])
+
+
+def test_prefix_sums_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "v long, a long")
+    assert prefix_sums_by_value(empty, "v", ["a"]).count() == 0
+    one = spark.createDataFrame([(5, 7)], "v long, a long")
+    row = prefix_sums_by_value(one, "v", ["a"]).collect()[0]
+    assert row["cum_a"] == 7
+
+
+def test_ks_identical_samples_d_near_zero(spark):
+    df = spark.createDataFrame(
+        [(float(v % 13), g) for v in range(100) for g in ("x", "y")],
+        "v double, g string",
+    )
+    row = ks_two_sample(df, "v", "g", "x", "y").collect()[0]
+    assert row["ks_d"] == 0.0
