@@ -23,6 +23,7 @@ from .multimodal import (
     silence_trim_stats,
     synthesize_audio,
 )
+from .observe import observe_quality, observe_stream, quality_metrics
 from .packing import pack_chunks, pack_manifest
 from .pq import ivf_pq_topk, pq_encode, pq_topk_adc, pq_train
 from .sampling import mixture_sample, systematic_weighted_sample
@@ -34,6 +35,9 @@ from .split import validity_split
 from .zorder import morton_interleave, zorder_key, zorder_write
 
 __all__ = [
+    "observe_quality",
+    "observe_stream",
+    "quality_metrics",
     "build_bloom",
     "bloom_might_contain",
     "bloom_semi_join",
