@@ -1383,70 +1383,70 @@ def _load_extensions() -> None:
 
 # Driver-sampling rotation.  The correctness driver hash-checks the FIRST 50
 # keys of ``queries()`` against DuckDB; rounds 1-3 all sampled registration
-# order, so only q01-q63 ever got driver-side evidence.  ``_DRIVER_FRONT``
-# rotates a different 50-query window to the front each round so the whole
-# query surface accumulates driver-proven green over successive rounds.
-# Round-4 window (q31-q102, incl. the q90-q93 portable twins) came back
-# 48/50 green; cumulative driver-proven = 95/210.  Round-5 window below:
-# the two round-4 errs re-fixed as scalar-output queries (q83/q94) plus
-# the latent same-bug q121, then the untouched q103-q150 range — all
-# oracled, so the whole window is hash-checkable.  All queries remain
-# registered and runnable regardless of position.
-_DRIVER_FRONT: list[str] = [
-    "q83_vocab_set_ops",
-    "q94_table_diff",
-    "q121_skew_report",
-    "q103_gap_interpolation",
-    "q104_markov_transitions",
-    "q105_weighted_sample",
-    "q106_token_drift",
-    "q107_peak_concurrency",
-    "q108_group_mode",
-    "q109_pareto_share",
-    "q110_price_histogram",
-    "q111_decile_cutpoints",
-    "q112_cumulative_distinct_users",
-    "q113_trigram_cosine_pairs",
-    "q114_weighted_median",
-    "q115_top_tokens_per_lang",
-    "q116_welch_t",
-    "q117_totals_reconciliation",
-    "q118_proximity_dup_orders",
-    "q119_mom_growth",
-    "q120_corpus_prep_pipeline",
-    "q122_ship_latency",
-    "q123_event_debounce",
-    "q124_chi_square_independence",
-    "q125_topk_with_ties",
-    "q126_revenue_trend",
-    "q127_relational_division",
-    "q128_kmv_distinct_sketch",
-    "q129_token_entropy",
-    "q130_boilerplate_exposure",
-    "q131_containment_pairs",
-    "q132_cms_heavy_hitters",
-    "q133_mutual_nearest_neighbors",
-    "q134_market_basket_lift",
-    "q135_scd2_point_in_time",
-    "q136_pagerank3",
-    "q137_temperature_mixing",
-    "q138_hard_negative_mining",
-    "q139_cluster_best_survivor",
-    "q140_source_overlap_matrix",
-    "q141_event_funnel",
-    "q142_triangle_count",
-    "q143_time_weighted_avg",
-    "q144_rolling_zscore_anomalies",
-    "q145_oof_target_encoding",
-    "q146_knn_label_disagreement",
-    "q147_rank_normalized_dims",
-    "q148_rolling_wau",
-    "q149_ab_conversion_ztest",
-    "q150_activity_streaks",
-]
+# order, so only q01-q63 ever got driver-side evidence.  The window rotates
+# each round so the whole query surface accumulates driver-proven green.
+#
+# As of round 5 the rotation is AUTOMATIC: ``_least_proven_front`` reads the
+# repo's CORRECTNESS_r*.json artifacts (the driver's own per-round output),
+# collects every query that has ever hash-matched, and fronts the 50 oldest
+# ORACLED queries still lacking that evidence (registration order —
+# deterministic for a given artifact set, which is frozen within a round).
+# Rows-only queries never occupy a hash-checkable slot.  When every oracled
+# query is proven, the window cycles by round count so evidence stays fresh.
+# ``_DRIVER_FRONT`` remains as a manual override hook (empty = automatic).
+_DRIVER_FRONT: list[str] = []
+
+_WINDOW = 50
+
+
+def _driver_proven() -> set[str]:
+    """Names that have ever hash-matched in a driver CORRECTNESS artifact."""
+    import glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    proven: set[str] = set()
+    for path in sorted(glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            body = _json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, res in body.items():
+            if isinstance(res, dict) and res.get("hash_match") is True:
+                proven.add(name)
+    return proven
+
+
+def _least_proven_front() -> list[str]:
+    proven = _driver_proven()
+    oracled = [n for n in REGISTRY if REGISTRY[n].oracle]
+    unproven = [n for n in oracled if n not in proven]
+    if len(unproven) >= _WINDOW:
+        return unproven[:_WINDOW]
+    # all (or nearly all) proven: top up with proven queries, cycling by
+    # artifact count so old evidence gets refreshed round-robin
+    import glob
+    import os as _os
+
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    n_rounds = len(glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
+    cycled = [n for n in oracled if n in proven]
+    if cycled:
+        off = (n_rounds * _WINDOW) % len(cycled)
+        cycled = cycled[off:] + cycled[:off]
+    return (unproven + cycled)[:_WINDOW]
 
 
 def _driver_order() -> list[str]:
+    if not _DRIVER_FRONT:
+        front = _least_proven_front()
+        in_front = set(front)
+        return front + [n for n in REGISTRY if n not in in_front]
     missing = [n for n in _DRIVER_FRONT if n not in REGISTRY]
     # fail FAST on a rename/removal: silently shrinking the front would
     # slide a registration-order query — possibly an oracle-less one —

@@ -241,3 +241,35 @@ def test_build_caches_released_after_query_builds(spark, registry):
     assert tracked_count() == 0
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), "persisted blocks leaked past release_build_caches"
+
+
+def test_driver_window_rotation_is_automatic_and_hash_checkable(registry):
+    # the driver hash-checks the FIRST 50 queries(); rotation must front
+    # exactly the oracled queries with no hash evidence yet, in stable
+    # registration order, and never burn a slot on a rows-only entry
+    from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+
+    front = Q._least_proven_front()
+    assert len(front) == 50
+    assert front == Q._least_proven_front()  # deterministic
+    assert all(Q.REGISTRY[n].oracle for n in front)
+    proven = Q._driver_proven()
+    assert not (set(front) & proven)
+    # the round-4 verdict's named targets are in the round-5 window
+    assert {"q83_vocab_set_ops", "q94_table_diff", "q121_skew_report"} <= set(
+        front
+    )
+    # the full order is front + everything else, nothing lost
+    order = Q._driver_order()
+    assert order[:50] == front
+    assert sorted(order) == sorted(Q.REGISTRY)
+
+
+def test_driver_window_cycles_when_everything_is_proven(monkeypatch):
+    from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+
+    oracled = [n for n in Q.REGISTRY if Q.REGISTRY[n].oracle]
+    monkeypatch.setattr(Q, "_driver_proven", lambda: set(oracled))
+    front = Q._least_proven_front()
+    assert len(front) == 50
+    assert set(front) <= set(oracled)
