@@ -782,10 +782,19 @@ def tx_stream_merge_sink(
             pointer = os.path.join(
                 table_path, "_delta_export", "LATEST"
             )
-            tmp = pointer + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(os.path.basename(root) + "\n")
-            os.replace(tmp, pointer)
+            # monotone pointer: two streams on one table may export out of
+            # order — never move LATEST backward (names are zero-padded,
+            # so string compare == version compare)
+            try:
+                cur = open(pointer).read().strip()
+            except OSError:
+                cur = ""
+            name = os.path.basename(root)
+            if name > cur:
+                tmp = pointer + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(name + "\n")
+                os.replace(tmp, pointer)
 
     return process
 
