@@ -246,6 +246,54 @@ def ensure_sf1(spark, src: str = "/root/testdata/sf0.1") -> None:
     marker.write_text("derived 10x from sf0.1; see ensure_sf1()\n")
 
 
+def bench_pipeline_10x(spark) -> float:
+    """The e2e ETL at 10× the headline corpus (20k auctions / 100 files)
+    — one sample, recorded in the sf1 section.  With the 2k run's ~7.5 s
+    this gives the measured scaling curve of the reference-parity
+    workload itself (observed ~3×/10× on local[32]: the job-count floor
+    amortizes and the data-proportional part is linear)."""
+    import shutil
+    import tempfile
+
+    from cars_bids_data_pipeline_v0__spark.plans.gold import (
+        GoldStore,
+        build_star_schema,
+        seed_state_dim,
+    )
+    from cars_bids_data_pipeline_v0__spark.plans.silver import transform_records
+    from cars_bids_data_pipeline_v0__spark.sources.ingest import (
+        read_raw_auctions,
+        read_silver_lake,
+    )
+    from cars_bids_data_pipeline_v0__spark.sources.sinks import (
+        merge_write_partitioned,
+        write_text_queue,
+    )
+    from tests.fixtures import write_raw_corpus
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e10x_")
+    try:
+        write_raw_corpus(f"{tmp}/raw", n=20000, files=100)
+        t0 = time.time()
+        records = read_raw_auctions(spark, f"{tmp}/raw")
+        silver, rescrape = transform_records(records)
+        merge_write_partitioned(spark, silver, f"{tmp}/lake")
+        write_text_queue(rescrape, f"{tmp}/rescrape")
+        store = GoldStore(spark, f"{tmp}/gold")
+        seed_state_dim(
+            store,
+            spark.createDataFrame(
+                [(1, "Washington", "WA"), (2, "Florida", "FL")],
+                "id long, state string, state_abbr string",
+            ),
+        )
+        gold = build_star_schema(store, read_silver_lake(spark, f"{tmp}/lake"))
+        gold["auction_fact"].write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def sweep_sf1(spark) -> dict:
     from cars_bids_data_pipeline_v0__spark.cache import release_build_caches
     from cars_bids_data_pipeline_v0__spark.plans import queries as Q
@@ -261,6 +309,7 @@ def sweep_sf1(spark) -> dict:
         out[name] = round(time.time() - t0, 3)
         release_build_caches()
         spark.catalog.clearCache()
+    out["pipeline_e2e_20k_auctions"] = bench_pipeline_10x(spark)
     return {"queries": out, "gen_sec": gen_s, "scale_vs_sf01": 10}
 
 
