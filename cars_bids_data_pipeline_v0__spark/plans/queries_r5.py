@@ -13,6 +13,7 @@ LLM-training-data surface the engine adds on top.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup_docs as DD
@@ -591,4 +592,142 @@ def q220(spark, sf_dir):
             F.col("sum_detr7") / (7.0 * F.col("n_days")) / 100.0, 4
         ).alias("seasonal_dollars"),
         "var_explained",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — sliding-window distinct via mergeable KMV sketches
+# ---------------------------------------------------------------------------
+
+_Q221_K = 32
+_Q221_HEX = 13  # 52 bits: exact in a double in both engines
+
+
+@register(
+    "q221_sliding_kmv_wau",
+    f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), hv AS (
+        SELECT day, user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1,
+                               {_Q221_HEX}))::BIGINT AS h
+        FROM du
+    ), daily AS (
+        SELECT day, list_sort(list(h)) AS sk FROM (
+            SELECT day, h, row_number() OVER (
+                PARTITION BY day ORDER BY h, user_id) AS rn
+            FROM hv) WHERE rn <= {_Q221_K}
+        GROUP BY day
+    ), contrib AS (
+        SELECT d.day + to_days(CAST(o.off AS INTEGER)) AS day, d.sk
+        FROM daily d, (SELECT unnest(range(0, 7)) AS off) o
+    ), merged AS (
+        SELECT c.day,
+               list_sort(list_distinct(flatten(list(c.sk)))) AS u
+        FROM contrib c JOIN daily t ON t.day = c.day
+        GROUP BY c.day
+    ), est AS (
+        SELECT day,
+               CAST(least(len(u), {_Q221_K}) AS BIGINT) AS k_seen,
+               CASE WHEN len(u) >= {_Q221_K} THEN u[{_Q221_K}] END
+                   AS kth_hash,
+               CASE WHEN len(u) < {_Q221_K}
+                    THEN CAST(len(u) AS DOUBLE)
+                    ELSE round(({_Q221_K} - 1) * power(16.0, {_Q221_HEX})
+                               / u[{_Q221_K}], 2) END AS est_wau
+        FROM merged
+    ), exact AS (
+        SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS exact_wau
+        FROM (SELECT d.day + to_days(CAST(o.off AS INTEGER)) AS day,
+                     d.user_id
+              FROM du d, (SELECT unnest(range(0, 7)) AS off) o) c
+        JOIN daily t ON t.day = c.day
+        GROUP BY c.day
+    )
+    SELECT CAST(e.day AS DATE) AS day, exact_wau, k_seen, kth_hash,
+           est_wau,
+           round(abs(est_wau - exact_wau) / exact_wau, 4) AS rel_err
+    FROM est e JOIN exact USING (day)
+    """,
+    doc=(
+        "7-day rolling distinct users via MERGEABLE KMV sketches: one "
+        "k-smallest-md5 sketch per day, sliding windows merge 7 sketches "
+        "(union → k smallest) through the bounded ×7 explode — the scale "
+        "path where q148's exact rolling WAU would re-shuffle every "
+        "(day,user) pair 7×, this moves only k·7 hashes per window "
+        "however many users exist.  md5 + 52-bit prefixes keep the "
+        "sketch engine-neutral, so the oracle verifies the merged kth "
+        "hash itself, and the exact rolling count rides along with the "
+        "relative error — the estimate's quality is part of the checked "
+        "result"
+    ),
+)
+def q221(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    hv = du.withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, _Q221_HEX),
+            16, 10,
+        ).cast("long"),
+    )
+    wd = Window.partitionBy("day").orderBy("h", "user_id")
+    daily = (
+        hv.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _Q221_K)
+        .groupBy("day")
+        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
+    )
+    days = daily.select("day")
+    offs = F.array(*[F.lit(i) for i in range(7)])
+    contrib = daily.select(
+        F.explode(offs).alias("off"), "day", "sk"
+    ).select(F.expr("date_add(day, off)").alias("day"), "sk")
+    merged = (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("sk")))
+            ).alias("u")
+        )
+    )
+    est = merged.select(
+        "day",
+        F.least(F.size("u"), F.lit(_Q221_K)).cast("long").alias("k_seen"),
+        F.when(
+            F.size("u") >= _Q221_K, F.element_at("u", _Q221_K)
+        ).alias("kth_hash"),
+        F.when(F.size("u") < _Q221_K, F.size("u").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(_Q221_K - 1)) * F.pow(F.lit(16.0), _Q221_HEX)
+                / F.element_at("u", _Q221_K),
+                2,
+            )
+        )
+        .alias("est_wau"),
+    )
+    exact = (
+        du.select(F.explode(offs).alias("off"), "day", "user_id")
+        .select(F.expr("date_add(day, off)").alias("day"), "user_id")
+        .join(days, "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_wau"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_wau",
+        "k_seen",
+        "kth_hash",
+        "est_wau",
+        F.round(
+            F.abs(F.col("est_wau") - F.col("exact_wau"))
+            / F.col("exact_wau"),
+            4,
+        ).alias("rel_err"),
     )
