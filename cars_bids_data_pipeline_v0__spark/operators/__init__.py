@@ -2,6 +2,7 @@
 set ops, and the large-scale extension operators (near-dup detection,
 similarity search, text analysis)."""
 
+from .asof import asof_join
 from .bloom import bloom_might_contain, bloom_semi_join, build_bloom
 from .chunking import chunk_documents
 from .dedup import keep_latest
@@ -26,6 +27,11 @@ from .multimodal import (
 from .observe import observe_quality, observe_stream, quality_metrics
 from .packing import pack_chunks, pack_manifest
 from .pq import ivf_pq_topk, pq_encode, pq_topk_adc, pq_train
+from .rankstats import (
+    ks_two_sample,
+    mann_whitney_u,
+    prefix_sums_by_value,
+)
 from .sampling import mixture_sample, systematic_weighted_sample
 from .scd2 import scd2_apply, scd2_snapshot
 from .sketch import approx_quantiles, hll_partials, hll_rollup
@@ -35,6 +41,10 @@ from .split import validity_split
 from .zorder import morton_interleave, zorder_key, zorder_write
 
 __all__ = [
+    "asof_join",
+    "ks_two_sample",
+    "mann_whitney_u",
+    "prefix_sums_by_value",
     "observe_quality",
     "observe_stream",
     "quality_metrics",

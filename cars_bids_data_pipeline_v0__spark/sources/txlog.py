@@ -1355,3 +1355,31 @@ def tx_read_delta_export(spark: SparkSession, export_root: str) -> DataFrame:
     if not paths:
         raise ValueError(f"no add actions in {commit}")
     return spark.read.parquet(*paths)
+
+
+def tx_register_view(
+    spark: SparkSession,
+    table_path: str,
+    view_name: str,
+    version: int | None = None,
+    latest_only: bool = False,
+    key: str = "auction_id",
+    order_by: str = "auction_date",
+) -> str:
+    """Register a txlog snapshot as a temp view — time travel in SQL-land.
+
+    ``spark.sql(f"SELECT … FROM {view_name}")`` then reads the committed
+    version (default: newest) with full snapshot consistency; re-register
+    to move the view to another version.  ``latest_only=True`` applies
+    the keep-latest-per-key collapse (`tx_read_latest` semantics) so the
+    view shows current rows rather than full history.  Complements
+    ``sources.ingest.register_views`` (the raw-corpus catalog surface)
+    with the transactional one.
+    """
+    df = tx_read(spark, table_path, version=version)
+    if df is None:
+        raise ValueError(f"no committed version to register at {table_path}")
+    if latest_only:
+        df = keep_latest(df, key, order_by=order_by)
+    df.createOrReplaceTempView(view_name)
+    return view_name

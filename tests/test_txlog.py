@@ -1020,3 +1020,28 @@ def test_tx_stream_sink_keeps_delta_export_current(spark, tmp_path):
     sink(mk([("b", "2024-05-02T10:00:00Z", 2)]), 1)  # fenced replay
     assert latest_root() == r1
     assert tx_read_delta_export(spark, r1).count() == 2
+
+
+def test_tx_register_view_sql_time_travel(spark, silver, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_register_view,
+    )
+
+    table = str(tmp_path / "tx_lake")
+    tx_merge_partitioned(spark, silver, table)  # v0: 3 rows
+    upd = silver.filter(F.col("auction_id") == "bbb222").withColumn(
+        "auction_date", F.to_timestamp(F.lit("2024-03-09 01:00:00"))
+    )
+    tx_merge_partitioned(spark, upd, table)  # v1: 4 rows (history kept)
+
+    tx_register_view(spark, table, "lake_now")
+    assert spark.sql("SELECT count(*) n FROM lake_now").collect()[0]["n"] == 4
+
+    tx_register_view(spark, table, "lake_v0", version=0)
+    assert spark.sql("SELECT count(*) n FROM lake_v0").collect()[0]["n"] == 3
+
+    tx_register_view(spark, table, "lake_latest", latest_only=True)
+    got = spark.sql(
+        "SELECT auction_date FROM lake_latest WHERE auction_id = 'bbb222'"
+    ).collect()
+    assert len(got) == 1 and str(got[0][0]).startswith("2024-03-09")
