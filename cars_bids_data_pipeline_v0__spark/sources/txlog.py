@@ -1383,3 +1383,45 @@ def tx_register_view(
         df = keep_latest(df, key, order_by=order_by)
     df.createOrReplaceTempView(view_name)
     return view_name
+
+
+def tx_append_partitioned(
+    spark: SparkSession,
+    new_df: DataFrame,
+    table_path: str,
+    partition_by: str,
+    txn: dict | None = None,
+    max_retries: int = 20,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Fenced APPEND-ONLY commit partitioned by an arbitrary column.
+
+    The merge sinks key their layout on a date; append-only fact/index
+    ingest needs the general form: stage the batch's files grouped by
+    ``partition_by`` (any scalar column — an IVF cell id, a shard id, a
+    tenant), then claim the next version with NO removes.  Because an
+    append never depends on the snapshot it lands on, staging happens
+    ONCE and only the version claim retries under contention — cheaper
+    than the merge loop's restage-per-conflict.
+
+    ``txn`` gives exactly-once replay fencing (same contract as
+    `tx_merge_partitioned`).  Returns the number of files committed
+    (0 on a fenced replay or an empty batch).
+    """
+    log = TransactionLog(table_path)
+    if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
+        return 0
+    adds = log.stage_dataframe(
+        new_df, partition_by=partition_by, stats_cols=stats_cols
+    )
+    if not adds:
+        return 0
+    for _ in range(max_retries):
+        v = log.version()
+        if log.try_commit(v + 1, adds, [], op="append", txn=txn):
+            return len(adds)
+        if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
+            log.discard(adds)  # the conflicting commit WAS this replay
+            return 0
+    log.discard(adds)
+    raise RuntimeError(f"append gave up after {max_retries} commit conflicts")
