@@ -554,7 +554,10 @@ def tx_upsert(
 
 
 def tx_compact(
-    spark: SparkSession, table_path: str, max_retries: int = 5
+    spark: SparkSession,
+    table_path: str,
+    max_retries: int = 5,
+    partition_by: str | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the current live file set into one file per
     partition value (bin-packing small files), committed as a single
@@ -567,6 +570,10 @@ def tx_compact(
     compaction recomputes over the new snapshot.  The streaming-matview
     compaction fence (streaming/incremental.py) solves replay-vs-compact
     ordering; THIS solves reader-vs-compact atomicity.
+
+    ``partition_by`` names the layout column for partitioned tables
+    (default: the merge sinks' date column); index/fact tables laid out
+    by another column — e.g. the ANN index's IVF cell — pass theirs.
 
     Returns the number of files removed (0 = nothing to do).
     """
@@ -585,7 +592,9 @@ def tx_compact(
             *[os.path.join(table_path, f) for f in sorted(live)]
         )
         if partitioned:
-            adds = log.stage_dataframe(df, partition_by=PARTITION_COL)
+            adds = log.stage_dataframe(
+                df, partition_by=partition_by or PARTITION_COL
+            )
         else:
             adds = log.stage_dataframe(df.coalesce(1))
         if log.try_commit(v + 1, adds, sorted(live), op="compact"):

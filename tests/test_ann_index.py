@@ -125,3 +125,35 @@ def test_probe_empty_index_cells(spark, tmp_path):
         other_q, committed, k=K, nlist=NLIST, nprobe=1, centroids=centroids
     ).collect()
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want))
+
+
+def test_index_compaction_one_file_per_cell_probe_unchanged(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_compact
+
+    corpus = _corpus(spark)
+    centroids = kmeans_centroids(corpus, nlist=NLIST, iters=2)
+    index = str(tmp_path / "ann_index")
+    sink = ivf_index_sink(index, centroids, stream_id="ingest")
+    # 3 batches → up to 3 files per cell
+    for i in range(3):
+        sink(corpus.filter(F.col("vec_id") % 3 == i), i)
+    before = TransactionLog(index).live_files()
+    queries = _queries(corpus)
+    want = sorted(
+        map(tuple, ivf_index_probe(
+            spark, index, queries, centroids, k=K, nprobe=NPROBE
+        ).collect())
+    )
+
+    removed = tx_compact(spark, index, partition_by="__ivf_cell")
+    assert removed == len(before)
+    after = TransactionLog(index).live_files()
+    n_cells = len({p for p in after.values()})
+    assert len(after) == n_cells < len(before)  # one file per cell now
+
+    got = sorted(
+        map(tuple, ivf_index_probe(
+            spark, index, queries, centroids, k=K, nprobe=NPROBE
+        ).collect())
+    )
+    assert got == want
