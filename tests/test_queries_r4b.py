@@ -348,11 +348,12 @@ def test_registry_docs_and_oracle_coverage(registry):
 
 def test_driver_front_is_fully_oracled(registry):
     """The 50 queries the driver hash-checks must ALL have oracles —
-    a rows-only entry in the window wastes a driver-evidence slot."""
-    from cars_bids_data_pipeline_v0__spark.plans.queries import _DRIVER_FRONT
+    a rows-only entry in the window wastes a driver-evidence slot.
+    (Round 5 made the window automatic; assert the EFFECTIVE order.)"""
+    from cars_bids_data_pipeline_v0__spark.plans.queries import _driver_order
 
-    assert len(_DRIVER_FRONT) == 50
-    unoracled = [n for n in _DRIVER_FRONT if not registry[n].oracle]
+    front = _driver_order()[:50]
+    unoracled = [n for n in front if not registry[n].oracle]
     assert not unoracled, f"rows-only queries in driver window: {unoracled}"
 
 
