@@ -156,3 +156,95 @@ def ivf_index_probe(
         c_id=c_id,
         c_vec=vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ variant: the index stores M-byte codes, never raw vectors
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_index_sink(
+    index_path: str,
+    centroids: list[list[float]],
+    codebooks,
+    stream_id: str = "ann-pq-index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+):
+    """Exactly-once sink storing PQ CODES per cell — the billion-scale
+    layout: an arriving D-float vector becomes M small ints before it
+    touches disk (~16× smaller at the q95 setting), and the raw vector
+    never enters the index table at all.  Codebooks are frozen with the
+    coarse centroids (retrain offline → reindex)."""
+    from ..operators.pq import pq_encode
+    from ..sources.txlog import checkpoint_epoch_app_id
+
+    app_id = (
+        checkpoint_epoch_app_id(stream_id, checkpoint_dir)
+        if checkpoint_dir is not None
+        else stream_id
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        coded = pq_encode(
+            assign_cells(batch_df, centroids, vec_col),
+            codebooks,
+            vec_col=vec_col,
+        ).select(id_col, "pq_codes", CELL_COL)
+        tx_append_partitioned(
+            batch_df.sparkSession,
+            coded,
+            index_path,
+            partition_by=CELL_COL,
+            txn={"app": app_id, "batch": int(batch_id)},
+        )
+
+    return process
+
+
+def ivf_pq_index_probe(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks,
+    k: int = 10,
+    nprobe: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    version: int | None = None,
+) -> DataFrame:
+    """ADC top-k over the accumulated code index, probed cells only.
+
+    Identical to batch ``ivf_pq_topk`` over the accumulated corpus with
+    the same frozen centroids + codebooks (no-residual PQ: codes are a
+    pure function of the vector, so streaming and batch encodings agree
+    bit-for-bit)."""
+    import os
+
+    from ..operators.pq import _adc_rank, _query_side
+
+    log = TransactionLog(index_path)
+    cells = probed_cells(queries, centroids, nprobe, q_vec=q_vec)
+    live = log.live_files(upto=version)
+    wanted = [
+        os.path.join(index_path, f)
+        for f, part in sorted(live.items())
+        if part is not None and int(part) in cells
+    ]
+    if not wanted:
+        return spark.createDataFrame(
+            [], f"{q_id} long, {c_id} long, adc_sim double, rank int"
+        )
+    coded = spark.read.parquet(*wanted)
+    q = _query_side(queries.select(q_id, q_vec), codebooks, q_id, q_vec)
+    probed_q = queries.select(
+        F.col(q_id).alias("__jqid"),
+        F.explode(
+            nearest_centroid_ids(as_double(q_vec), centroids, nprobe)
+        ).alias(CELL_COL),
+    ).join(q, F.col("__jqid") == F.col("__qid")).drop("__jqid")
+    joined = coded.join(F.broadcast(probed_q), on=CELL_COL)
+    return _adc_rank(joined, codebooks, k, q_id, c_id, "pq_codes")

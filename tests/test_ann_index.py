@@ -157,3 +157,95 @@ def test_index_compaction_one_file_per_cell_probe_unchanged(spark, tmp_path):
         ).collect())
     )
     assert got == want
+
+
+def test_streamed_pq_index_probe_equals_batch_ivf_pq(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.operators.pq import (
+        ivf_pq_topk,
+        pq_train,
+    )
+    from cars_bids_data_pipeline_v0__spark.streaming.ann_index import (
+        ivf_pq_index_probe,
+        ivf_pq_index_sink,
+    )
+
+    corpus = _corpus(spark)
+    dim = len(corpus.select("embedding").first()["embedding"])
+    centroids = kmeans_centroids(corpus, nlist=NLIST, iters=2)
+    codebooks = pq_train(corpus, dim=dim, m=8, k=16, iters=1)
+
+    index = str(tmp_path / "pq_index")
+    sink = ivf_pq_index_sink(index, centroids, codebooks, stream_id="pq")
+    sink(corpus.filter(F.col("vec_id") % 2 == 0), 0)
+    sink(corpus.filter(F.col("vec_id") % 2 == 1), 1)
+    sink(corpus.filter(F.col("vec_id") % 2 == 0), 0)  # fenced replay
+
+    # the index stores codes only — no raw vector column on disk
+    some_file = next(iter(TransactionLog(index).live_files()))
+    stored = spark.read.parquet(os.path.join(index, some_file))
+    assert set(stored.columns) == {"vec_id", "pq_codes", "__ivf_cell"}
+
+    queries = _queries(corpus)
+    got = sorted(
+        map(tuple, ivf_pq_index_probe(
+            spark, index, queries, centroids, codebooks, k=K, nprobe=NPROBE
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_pq_topk(
+            queries, corpus, codebooks, k=K, nlist=NLIST, nprobe=NPROBE,
+            centroids=centroids,
+        ).collect())
+    )
+    assert got == want and got
+
+
+def test_concurrent_index_appenders_no_lost_vectors(spark, tmp_path):
+    """Three streams append to one index concurrently: every vector must
+    land exactly once (append commits conflict only on the version
+    number; staging never restages)."""
+    import threading
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+    )
+    from cars_bids_data_pipeline_v0__spark.streaming.ann_index import (
+        assign_cells,
+    )
+
+    corpus = _corpus(spark)
+    centroids = kmeans_centroids(corpus, nlist=NLIST, iters=2)
+    index = str(tmp_path / "race_index")
+    batches = [
+        assign_cells(corpus.filter(F.col("vec_id") % 3 == i), centroids)
+        for i in range(3)
+    ]
+    barrier = threading.Barrier(3)
+    errors = []
+
+    def writer(i):
+        try:
+            barrier.wait()
+            tx_append_partitioned(
+                spark, batches[i], index, partition_by="__ivf_cell",
+                txn={"app": f"w{i}", "batch": 0},
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(
+            *[os.path.join(index, f)
+              for f in TransactionLog(index).live_files()]
+        ).collect()
+    }
+    want = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    assert got == want
+    assert TransactionLog(index).version() == 2  # three serialized commits
