@@ -248,3 +248,47 @@ def ivf_pq_index_probe(
     ).join(q, F.col("__jqid") == F.col("__qid")).drop("__jqid")
     joined = coded.join(F.broadcast(probed_q), on=CELL_COL)
     return _adc_rank(joined, codebooks, k, q_id, c_id, "pq_codes")
+
+
+def ivf_reindex(
+    spark: SparkSession,
+    index_path: str,
+    new_centroids: list[list[float]],
+    vec_col: str = "embedding",
+    max_retries: int = 5,
+) -> int:
+    """Atomically re-cluster the (raw-vector) index under a new codebook.
+
+    The offline half of the frozen-codebook contract: retrain centroids
+    elsewhere, then ONE commit swaps every live file for the re-assigned
+    layout — readers see the old clustering or the new one, never a mix,
+    and time travel to pre-reindex versions still resolves.  Concurrent
+    appends conflict the commit and the reindex recomputes over the new
+    snapshot (optimistic, like every writer here).
+
+    Only the raw-vector index can self-reindex; the PQ variant stores
+    codes without vectors, so its reindex is a re-encode from the source
+    corpus through a fresh ``ivf_pq_index_sink``.  Returns the number of
+    files replaced.
+    """
+    import os
+
+    log = TransactionLog(index_path)
+    for _ in range(max_retries):
+        v = log.version()
+        if v < 0:
+            return 0
+        live = log.live_files(upto=v)
+        if not live:
+            return 0
+        df = spark.read.parquet(
+            *[os.path.join(index_path, f) for f in sorted(live)]
+        ).drop(CELL_COL)
+        adds = log.stage_dataframe(
+            assign_cells(df, new_centroids, vec_col),
+            partition_by=CELL_COL,
+        )
+        if log.try_commit(v + 1, adds, sorted(live), op="reindex"):
+            return len(live)
+        log.discard(adds)
+    raise RuntimeError(f"reindex gave up after {max_retries} conflicts")

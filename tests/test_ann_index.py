@@ -249,3 +249,50 @@ def test_concurrent_index_appenders_no_lost_vectors(spark, tmp_path):
     want = {r["vec_id"] for r in corpus.select("vec_id").collect()}
     assert got == want
     assert TransactionLog(index).version() == 2  # three serialized commits
+
+
+def test_reindex_swaps_clustering_atomically(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.streaming.ann_index import (
+        ivf_reindex,
+    )
+
+    corpus = _corpus(spark)
+    old_c = kmeans_centroids(corpus, nlist=NLIST, iters=1)
+    new_c = kmeans_centroids(corpus, nlist=NLIST, iters=3)
+    index = str(tmp_path / "re_index")
+    ivf_index_sink(index, old_c, stream_id="ingest")(corpus, 0)
+    v_before = TransactionLog(index).version()
+
+    n = ivf_reindex(spark, index, new_c)
+    assert n > 0
+    assert TransactionLog(index).version() == v_before + 1
+
+    # probes under the NEW codebook equal batch ivf_topk with it
+    queries = _queries(corpus)
+    got = sorted(
+        map(tuple, ivf_index_probe(
+            spark, index, queries, new_c, k=K, nprobe=NPROBE
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_topk(
+            queries, corpus, k=K, nlist=NLIST, nprobe=NPROBE,
+            centroids=new_c,
+        ).collect())
+    )
+    assert got == want and got
+
+    # time travel: the pre-reindex version still probes under the OLD one
+    old_probe = sorted(
+        map(tuple, ivf_index_probe(
+            spark, index, queries, old_c, k=K, nprobe=NPROBE,
+            version=v_before,
+        ).collect())
+    )
+    old_want = sorted(
+        map(tuple, ivf_topk(
+            queries, corpus, k=K, nlist=NLIST, nprobe=NPROBE,
+            centroids=old_c,
+        ).collect())
+    )
+    assert old_probe == old_want
