@@ -1,6 +1,13 @@
 """Structured Streaming: incremental variants of the batch plans
 (SURVEY §2.10)."""
 
+from .ann_index import (
+    ivf_index_probe,
+    ivf_index_sink,
+    ivf_pq_index_probe,
+    ivf_pq_index_sink,
+    ivf_reindex,
+)
 from .incremental import (
     enrich_stream,
     hourly_event_windows_stream,
@@ -15,6 +22,11 @@ from .incremental import (
 )
 
 __all__ = [
+    "ivf_index_probe",
+    "ivf_index_sink",
+    "ivf_pq_index_probe",
+    "ivf_pq_index_sink",
+    "ivf_reindex",
     "enrich_stream",
     "hourly_event_windows_stream",
     "corpus_dedup_stream",
