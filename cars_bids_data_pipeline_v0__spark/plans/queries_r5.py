@@ -731,3 +731,71 @@ def q221(spark, sf_dir):
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — DP-style noised release (the mechanism, deterministically seeded)
+# ---------------------------------------------------------------------------
+
+_Q222_EPS = 0.5  # budget for a sensitivity-1 count query → Laplace b = 2
+
+
+@register(
+    "q222_dp_noised_release",
+    f"""
+    WITH agg AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS true_count
+        FROM customer GROUP BY 1
+    ), seeded AS (
+        SELECT *,
+               (('0x' || substr(md5('q222:' || c_mktsegment), 1, 4))::BIGINT
+                + 0.5) / 65536.0 AS u
+        FROM agg
+    )
+    SELECT c_mktsegment, true_count,
+           round(true_count
+                 - (1.0 / {_Q222_EPS})
+                   * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noised_count,
+           CAST({_Q222_EPS} AS DOUBLE) AS epsilon
+    FROM seeded
+    """,
+    doc=(
+        "differentially-private release mechanism, deterministically "
+        "seeded: sensitivity-1 group counts + Laplace(1/ε) noise via the "
+        "inverse CDF over an md5-derived uniform (u offset half a grain "
+        "off the edges, so ln never sees 0).  A REAL release draws fresh "
+        "randomness — this query pins the mechanism itself (scale, "
+        "inverse-CDF shape, budget bookkeeping) cross-engine, the part a "
+        "100 TB release pipeline must get right before the RNG is wired "
+        "in.  Complements the k-anonymity audit (q182) and PII redaction "
+        "(q74) in the privacy family"
+    ),
+)
+def q222(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("q222:"), F.col("c_mktsegment"))), 1, 4
+            ),
+            16, 10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / 65536.0
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = (
+        F.lit(-1.0 / _Q222_EPS)
+        * sign
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - F.lit(0.5)))
+    )
+    return agg.select(
+        "c_mktsegment",
+        "true_count",
+        F.round(F.col("true_count") + noise, 4).alias("noised_count"),
+        F.lit(_Q222_EPS).alias("epsilon"),
+    )
