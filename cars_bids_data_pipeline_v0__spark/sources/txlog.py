@@ -1434,3 +1434,95 @@ def tx_append_partitioned(
             return 0
     log.discard(adds)
     raise RuntimeError(f"append gave up after {max_retries} commit conflicts")
+
+
+def tx_fsck(table_path: str) -> dict:
+    """Offline integrity check of a commit-log table; returns a report.
+
+    Verifies the invariants every reader/writer here assumes — the
+    operational tool a table format needs before anyone trusts
+    time travel with their data:
+
+    * ``contiguous_versions`` — commit files form 0..N with no gaps
+      (a gap means a lost commit: snapshots after it are unreliable);
+    * ``missing_files`` — live data files that do not exist on disk;
+    * ``dangling_removes`` — removes naming a path never added;
+    * ``double_adds`` — a path added twice without an intervening
+      remove (would make replay order-dependent);
+    * ``checkpoint_divergence`` — checkpoint-based replay disagreeing
+      with a from-scratch replay of the raw commits;
+    * ``orphan_files`` — data files no commit references (crashed
+      writers; reclaimable via ``vacuum``, never a corruption);
+    * ``txn_regressions`` — per-app txn batch ids that went backward
+      (breaks the monotone SetTransaction fence).
+
+    ``ok`` is True iff everything except ``orphan_files`` is clean.
+    """
+    log = TransactionLog(table_path)
+    report: dict = {
+        "table": table_path,
+        "version": log.version(),
+        "contiguous_versions": True,
+        "missing_files": [],
+        "dangling_removes": [],
+        "double_adds": [],
+        "checkpoint_divergence": False,
+        "orphan_files": [],
+        "txn_regressions": [],
+    }
+    versions = log.versions()
+    if versions and versions != list(range(versions[0], versions[-1] + 1)):
+        report["contiguous_versions"] = False
+    if versions and versions[0] != 0:
+        report["contiguous_versions"] = False
+
+    # raw replay (no checkpoints) + add/remove sanity
+    live: dict[str, str | None] = {}
+    ever_added: set[str] = set()
+    last_batch: dict[str, int] = {}
+    for v in versions:
+        with open(log._commit_path(v)) as f:
+            act = json.load(f)
+        for a in act.get("add", []):
+            if a["path"] in live:
+                report["double_adds"].append((v, a["path"]))
+            live[a["path"]] = a.get("partition")
+            ever_added.add(a["path"])
+        for r in act.get("remove", []):
+            if r not in ever_added:
+                report["dangling_removes"].append((v, r))
+            live.pop(r, None)
+        txn = act.get("txn")
+        if txn:
+            prev = last_batch.get(txn["app"])
+            if prev is not None and txn["batch"] <= prev:
+                report["txn_regressions"].append(
+                    (v, txn["app"], prev, txn["batch"])
+                )
+            last_batch[txn["app"]] = txn["batch"]
+
+    if dict(log.live_files()) != live:
+        report["checkpoint_divergence"] = True
+
+    for path in sorted(live):
+        full = os.path.join(table_path, path)
+        if not os.path.isfile(full):
+            report["missing_files"].append(path)
+
+    if os.path.isdir(log.data_dir):
+        on_disk = {
+            f"{_DATA_DIR}/{n}"
+            for n in os.listdir(log.data_dir)
+            if n.endswith(".parquet")
+        }
+        report["orphan_files"] = sorted(on_disk - ever_added)
+
+    report["ok"] = (
+        report["contiguous_versions"]
+        and not report["missing_files"]
+        and not report["dangling_removes"]
+        and not report["double_adds"]
+        and not report["checkpoint_divergence"]
+        and not report["txn_regressions"]
+    )
+    return report

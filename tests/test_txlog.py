@@ -1045,3 +1045,57 @@ def test_tx_register_view_sql_time_travel(spark, silver, tmp_path):
         "SELECT auction_date FROM lake_latest WHERE auction_id = 'bbb222'"
     ).collect()
     assert len(got) == 1 and str(got[0][0]).startswith("2024-03-09")
+
+
+def test_tx_fsck_healthy_and_corrupted(spark, silver, tmp_path):
+    import json as _json
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_fsck
+
+    table = str(tmp_path / "tx_lake")
+    tx_merge_partitioned(spark, silver, table)
+    upd = silver.filter(F.col("auction_id") == "bbb222").withColumn(
+        "auction_date", F.to_timestamp(F.lit("2024-03-09 01:00:00"))
+    )
+    tx_merge_partitioned(spark, upd, table)
+    log = TransactionLog(table)
+    log.checkpoint()  # fsck must validate checkpointed replay too
+
+    rep = tx_fsck(table)
+    assert rep["ok"], rep
+    assert rep["version"] == 1 and not rep["orphan_files"]
+
+    # orphan (crashed writer) is reported but NOT a corruption
+    log.stage_dataframe(
+        spark.createDataFrame([(1, "z")], "k long, v string")
+    )
+    rep = tx_fsck(table)
+    assert rep["ok"] and len(rep["orphan_files"]) >= 1
+
+    # a deleted live data file IS
+    victim = sorted(log.live_files())[0]
+    _os.unlink(_os.path.join(table, victim))
+    rep = tx_fsck(table)
+    assert not rep["ok"] and victim in rep["missing_files"]
+
+    # a forged version gap IS
+    table2 = str(tmp_path / "gap")
+    tx_merge_partitioned(spark, silver, table2)
+    tx_merge_partitioned(spark, upd, table2)
+    log2 = TransactionLog(table2)
+    _os.unlink(log2._commit_path(0))
+    rep2 = tx_fsck(table2)
+    assert not rep2["ok"] and not rep2["contiguous_versions"]
+
+    # a dangling remove IS
+    table3 = str(tmp_path / "dangle")
+    tx_merge_partitioned(spark, silver, table3)
+    log3 = TransactionLog(table3)
+    v = log3.version() + 1
+    body = {"version": v, "op": "bad", "add": [],
+            "remove": ["data/never-added.parquet"]}
+    with open(log3._commit_path(v), "w") as f:
+        _json.dump(body, f)
+    rep3 = tx_fsck(table3)
+    assert not rep3["ok"] and rep3["dangling_removes"]
