@@ -363,3 +363,67 @@ def test_prefix_filter_jaccard_equals_full_index_property(
         ).collect()
     )
     assert pref == full
+
+
+# --- as-of join vs pandas merge_asof over hypothesis-generated event sets ---
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # key
+        st.integers(0, 500),      # ts seconds
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(left=asof_events, right=asof_events)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_pandas_merge_asof_property(spark, left, right):
+    import datetime as dt
+
+    import pandas as pd
+
+    from cars_bids_data_pipeline_v0__spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    # pin the right side unique per (key, ts): merge_asof keeps the LAST
+    # among equal-ts rows while the operator tie-breaks on the payload —
+    # dedup makes both references unambiguous (the operator's own
+    # tie-break is pinned in test_asof.py)
+    rmap = {}
+    for i, (k, t) in enumerate(right):
+        rmap[(k, t)] = float(i)
+    rrows = sorted(rmap.items())
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        columns=["k", "t", "lid"],
+    ).sort_values(["t", "lid"])
+    rp = pd.DataFrame(
+        [(k, t, v) for (k, t), v in rrows], columns=["k", "t", "v"]
+    ).sort_values("t")
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else float(r.v))
+        for r in pd.merge_asof(
+            lp, rp, on="t", by="k", direction="backward"
+        ).itertuples()
+    }
+
+    lf = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=t), i)
+         for i, (k, t) in enumerate(left)],
+        "k long, ts timestamp, lid long",
+    )
+    rf = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=t), v) for (k, t), v in rrows],
+        "k long, rts timestamp, v double",
+    )
+    got = {
+        r["lid"]: r["v_asof"]
+        for r in asof_join(
+            lf, rf, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["v"],
+        ).collect()
+    }
+    assert got == want
