@@ -310,7 +310,55 @@ def sweep_sf1(spark) -> dict:
         release_build_caches()
         spark.catalog.clearCache()
     out["pipeline_e2e_20k_auctions"] = bench_pipeline_10x(spark)
+    out.update(bench_ann_index(spark))
     return {"queries": out, "gen_sec": gen_s, "scale_vs_sf01": 10}
+
+
+def bench_ann_index(spark) -> dict:
+    """Streaming-index lifecycle at the sf1 embedding volume (20k
+    vectors): codebook train, two-batch exactly-once build, and a
+    50-query probed-cells top-k.  One sample each — the per-round signal
+    for the ANN-index capstone's cost envelope."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cars_bids_data_pipeline_v0__spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from cars_bids_data_pipeline_v0__spark.streaming.ann_index import (
+        ivf_index_probe,
+        ivf_index_sink,
+    )
+
+    corpus = spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="bench_ann_")
+    try:
+        t0 = time.time()
+        centroids = kmeans_centroids(corpus, nlist=16, iters=1)
+        train_s = round(time.time() - t0, 3)
+        index = f"{tmp}/index"
+        sink = ivf_index_sink(index, centroids, stream_id="bench")
+        t0 = time.time()
+        sink(corpus.filter(F.col("vec_id") % 2 == 0), 0)
+        sink(corpus.filter(F.col("vec_id") % 2 == 1), 1)
+        build_s = round(time.time() - t0, 3)
+        queries = corpus.filter(F.col("vec_id") % 397 == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        t0 = time.time()
+        ivf_index_probe(
+            spark, index, queries, centroids, k=10, nprobe=4
+        ).write.format("noop").mode("overwrite").save()
+        probe_s = round(time.time() - t0, 3)
+        return {
+            "ann_index_train": train_s,
+            "ann_index_build_2batch": build_s,
+            "ann_index_probe_50q": probe_s,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
