@@ -41,9 +41,10 @@ def asof_join(
     Right payload columns arrive as ``<name><suffix>`` plus
     ``<right_ts><suffix>`` (the matched timestamp); unmatched left rows
     keep nulls — LEFT-join semantics."""
-    right_cols = right_cols or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
+    if right_cols is None:  # [] means "no payload", not "default all"
+        right_cols = [
+            c for c in right.columns if c not in on and c != right_ts
+        ]
     # left_ts must NOT ride along in the payload: it already travels as
     # __ts and is renamed back on return — keeping it twice emitted a
     # duplicate, ambiguous column (caught wiring q188's rollup on top)

@@ -92,7 +92,10 @@ def ks_two_sample(
         )
     )
     cum = prefix_sums_by_value(counts, value_col, ["n1v", "n2v"])
-    tot = cum.agg(
+    # totals come from the CHEAP pre-prefix frame: aggregating `cum`
+    # would re-run the whole two-phase prefix-sum subplan for two
+    # numbers derivable before it
+    tot = counts.agg(
         F.sum("n1v").cast("long").alias("n1"),
         F.sum("n2v").cast("long").alias("n2"),
     )

@@ -788,24 +788,77 @@ def tx_stream_merge_sink(
             tx_export_symlink_manifest(table_path)
         if export_delta and v >= 0:
             root = tx_export_delta_log(table_path, version=v)
-            pointer = os.path.join(
-                table_path, "_delta_export", "LATEST"
+            _advance_latest_pointer(
+                os.path.join(table_path, "_delta_export"),
+                os.path.basename(root),
             )
-            # monotone pointer: two streams on one table may export out of
-            # order — never move LATEST backward (names are zero-padded,
-            # so string compare == version compare)
-            try:
-                cur = open(pointer).read().strip()
-            except OSError:
-                cur = ""
-            name = os.path.basename(root)
-            if name > cur:
-                tmp = pointer + f".tmp-{uuid.uuid4().hex}"
-                with open(tmp, "w") as f:
-                    f.write(name + "\n")
-                os.replace(tmp, pointer)
 
     return process
+
+
+def _advance_latest_pointer(
+    export_dir: str, name: str, lock_timeout: float = 10.0,
+    stale_after: float = 60.0,
+) -> None:
+    """Move ``LATEST`` forward to ``name`` iff it names a NEWER version.
+
+    Monotone under concurrency: the read-compare-replace runs under an
+    ``O_CREAT|O_EXCL`` lock (two streams exporting one table out of
+    order must never regress the pointer — a bare check-then-replace is
+    a TOCTOU).  Versions compare NUMERICALLY (``v%05d`` names overflow
+    five digits at version 100000; a string compare would freeze the
+    pointer there forever).  A lock older than ``stale_after`` is broken
+    via atomic rename (crashed exporter); on lock timeout the update is
+    skipped — the next batch's export retries, so the pointer lags one
+    batch at worst.
+    """
+    import time as _time
+
+    def _v(n: str) -> int:
+        try:
+            return int(n.lstrip("v"))
+        except ValueError:
+            return -1
+
+    pointer = os.path.join(export_dir, "LATEST")
+    lock = pointer + ".lock"
+    deadline = _time.monotonic() + lock_timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                stale = _time.time() - os.path.getmtime(lock) > stale_after
+            except OSError:
+                continue  # holder released between checks — retry now
+            if stale:
+                broken = lock + f".broken-{uuid.uuid4().hex}"
+                try:
+                    os.rename(lock, broken)  # atomic: one breaker wins
+                    os.unlink(broken)
+                except OSError:
+                    pass
+                continue
+            if _time.monotonic() >= deadline:
+                return  # skip: the next export advances the pointer
+            _time.sleep(0.05)
+    try:
+        try:
+            cur = open(pointer).read().strip()
+        except OSError:
+            cur = ""
+        if _v(name) > _v(cur):
+            tmp = pointer + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(name + "\n")
+            os.replace(tmp, pointer)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _bloom_positions(value_str: str, n_bits: int, num_hashes: int):

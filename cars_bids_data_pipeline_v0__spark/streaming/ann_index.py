@@ -137,12 +137,28 @@ def ivf_index_probe(
         if part is not None and int(part) in cells
     ]
     if not wanted:
-        # no committed vectors in any probed cell → empty result with the
-        # ivf_topk output schema
-        empty = spark.createDataFrame(
-            [], f"{q_id} long, {c_id} long, cosine_sim double, rank int"
+        # no committed vectors in any probed cell: keep the schema
+        # IDENTICAL to the non-empty path (id types come from the data,
+        # not an assumption) by running the normal plan over a zero-row
+        # corpus — from any live file's footer when the index has one,
+        # else from the query side's id type (empty index)
+        live_any = sorted(live)
+        if live_any:
+            corpus = (
+                spark.read.parquet(os.path.join(index_path, live_any[0]))
+                .limit(0)
+                .drop(CELL_COL)
+            )
+        else:
+            qt = queries.schema[q_id].dataType.simpleString()
+            corpus = spark.createDataFrame(
+                [], f"{c_id} {qt}, {vec_col} array<double>"
+            )
+        return ivf_topk(
+            queries, corpus, k=k, nlist=len(centroids), nprobe=nprobe,
+            centroids=centroids, q_id=q_id, q_vec=q_vec, c_id=c_id,
+            c_vec=vec_col,
         )
-        return empty
     corpus = spark.read.parquet(*wanted).drop(CELL_COL)
     return ivf_topk(
         queries,
@@ -235,10 +251,21 @@ def ivf_pq_index_probe(
         if part is not None and int(part) in cells
     ]
     if not wanted:
-        return spark.createDataFrame(
-            [], f"{q_id} long, {c_id} long, adc_sim double, rank int"
-        )
-    coded = spark.read.parquet(*wanted)
+        # schema-stable empty result: zero-row codes frame through the
+        # normal ADC plan (see ivf_index_probe's empty-cell note)
+        live_any = sorted(live)
+        if live_any:
+            coded = spark.read.parquet(
+                os.path.join(index_path, live_any[0])
+            ).limit(0)
+        else:
+            qt = queries.schema[q_id].dataType.simpleString()
+            coded = spark.createDataFrame(
+                [], f"{c_id} {qt}, pq_codes array<int>, "
+                    f"{CELL_COL} int"
+            )
+    else:
+        coded = spark.read.parquet(*wanted)
     q = _query_side(queries.select(q_id, q_vec), codebooks, q_id, q_vec)
     probed_q = queries.select(
         F.col(q_id).alias("__jqid"),

@@ -865,6 +865,14 @@ def corpus_ingest_stream(
             # stale snapshot with no batch ever repairing it
             if export_manifest and log.version() >= 0:
                 tx_export_symlink_manifest(table_path)
+            # drain the per-batch build caches: preprocess_corpus /
+            # dedup_incoming track their internal persists, and a
+            # forever-running stream would otherwise grow the tracked
+            # list (and the cached blocks) without bound — the one
+            # indefinitely-lived consumer must release per batch
+            from ..cache import release_build_caches
+
+            release_build_caches()
 
     return (
         stream.writeStream.foreachBatch(process_batch)

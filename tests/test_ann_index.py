@@ -296,3 +296,51 @@ def test_reindex_swaps_clustering_atomically(spark, tmp_path):
         ).collect())
     )
     assert old_probe == old_want
+
+
+def test_probe_empty_cells_schema_matches_nonempty_path(spark, tmp_path):
+    # regression: a probe hitting only empty cells must return the SAME
+    # schema as the normal path, including non-long id types
+    corpus = _corpus(spark).select(
+        F.concat(F.lit("id-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    centroids = kmeans_centroids(corpus, nlist=NLIST, iters=1)
+    index = str(tmp_path / "str_index")
+    from cars_bids_data_pipeline_v0__spark.streaming.ann_index import (
+        assign_cells,
+    )
+
+    cells_of = assign_cells(corpus, centroids)
+    some_cell = cells_of.groupBy("__ivf_cell").count().orderBy(
+        F.col("count").desc()
+    ).first()["__ivf_cell"]
+    ivf_index_sink(index, centroids, stream_id="ingest")(
+        cells_of.filter(F.col("__ivf_cell") == some_cell).drop("__ivf_cell"),
+        0,
+    )
+    q = corpus.limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    full = ivf_index_probe(
+        spark, index, q, centroids, k=K, nprobe=NLIST
+    )
+    # force an all-empty probe by pointing at a version with no files? —
+    # instead probe nprobe=1 repeatedly until a query misses the one
+    # committed cell; schema must equal the full probe's either way
+    probe = ivf_index_probe(spark, index, q, centroids, k=K, nprobe=1)
+    assert probe.schema == full.schema
+    # and a provably-empty probe (empty index) still matches on id type
+    empty_index = str(tmp_path / "empty_index")
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog as TL,
+    )
+
+    TL(empty_index)  # no commits at all
+    import os as _os
+
+    _os.makedirs(_os.path.join(empty_index, "_txlog"), exist_ok=True)
+    out = ivf_index_probe(spark, empty_index, q, centroids, k=K, nprobe=1)
+    assert out.count() == 0
+    assert out.schema["q_id"].dataType == full.schema["q_id"].dataType
+    assert out.schema["vec_id"].dataType == full.schema["vec_id"].dataType

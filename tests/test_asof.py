@@ -196,3 +196,16 @@ def test_asof_empty_right_side(spark):
         right_cols=["v"],
     ).collect()
     assert len(rows) == 4 and all(r["v_asof"] is None for r in rows)
+
+
+def test_empty_right_cols_means_no_payload(spark):
+    # regression: right_cols=[] must NOT fall back to "all columns" —
+    # the right frame's extra payload stays excluded
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols=[],
+    )
+    assert [c for c in out.columns if c.endswith("_asof")] == ["rts_asof"]
+    rows = {r["tag"]: r for r in out.collect()}
+    assert str(rows["a"]["rts_asof"]) == "2024-01-01 10:00:00"

@@ -1099,3 +1099,28 @@ def test_tx_fsck_healthy_and_corrupted(spark, silver, tmp_path):
         _json.dump(body, f)
     rep3 = tx_fsck(table3)
     assert not rep3["ok"] and rep3["dangling_removes"]
+
+
+def test_delta_latest_pointer_numeric_and_monotone(tmp_path):
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        _advance_latest_pointer,
+    )
+
+    d = str(tmp_path / "exp")
+    _os.makedirs(d)
+    read = lambda: open(_os.path.join(d, "LATEST")).read().strip()
+
+    _advance_latest_pointer(d, "v00005")
+    assert read() == "v00005"
+    _advance_latest_pointer(d, "v00004")  # older: must not regress
+    assert read() == "v00005"
+    # numeric, not lexicographic: v100000 > v99999 even though the
+    # string compares lower
+    _advance_latest_pointer(d, "v99999")
+    _advance_latest_pointer(d, "v100000")
+    assert read() == "v100000"
+    _advance_latest_pointer(d, "v99999")  # and no regression back
+    assert read() == "v100000"
+    assert not _os.path.exists(_os.path.join(d, "LATEST.lock"))
