@@ -100,3 +100,46 @@ def test_members_without_extension(spark, tmp_path):
         assert [m.name for m in tf.getmembers()] == ["README"]
     r = read_tar_shards(spark, out + "/*.tar").collect()[0]
     assert (r["key"], r["ext"], bytes(r["payload"])) == ("README", "", b"hello")
+
+
+def test_multimodal_capstone_tar_to_perceptual_dedup(spark, tmp_path):
+    """The full multimodal chain on REAL bytes: synth PNGs → tar shards
+    on disk → binaryFile scan + unpack → perceptual dHash dedup.  The
+    planted duplicate images must pair up after the round-trip."""
+    import numpy as np
+
+    from cars_bids_data_pipeline_v0__spark.operators.multimodal import (
+        image_near_dup_pairs,
+    )
+    from cars_bids_data_pipeline_v0__spark.operators.png import encode_png
+
+    rng_rows = []
+    for i in range(12):
+        # strongly distinct base images (per-image frequency pattern)
+        px = np.fromfunction(
+            lambda y, x, c: (x * (i + 2) * 13 + y * (i + 3) * 7 + c * 11)
+            % 256,
+            (16, 16, 3),
+        ).astype(np.uint8)
+        rng_rows.append((f"shard-{i % 2}", f"{i:06d}", "png", encode_png(px)))
+        if i % 4 == 0:  # plant an exact duplicate under a new key
+            rng_rows.append(
+                (f"shard-{(i + 1) % 2}", f"{i + 100:06d}", "png",
+                 encode_png(px))
+            )
+    df = spark.createDataFrame(
+        rng_rows, "shard string, key string, ext string, payload binary"
+    )
+    out = str(tmp_path / "imgshards")
+    write_tar_shards(df, out).collect()
+
+    imgs = read_tar_shards(spark, out + "/*.tar").select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.col("payload").alias("media"),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(imgs, max_hamming=2).collect()
+    }
+    planted = {(i, i + 100) for i in range(12) if i % 4 == 0}
+    assert planted <= pairs
