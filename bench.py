@@ -170,6 +170,39 @@ SF1_QUERIES = [
     "q54_cosine_topk",
 ]
 SF1_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf1")
+SF5_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf5")
+
+
+def _scaled_documents(spark, src: str, out_dir: str, n_copies: int) -> None:
+    """Write an ``n_copies``× documents table with the similarity-preserving
+    token-suffix construction (see ``ensure_sf1``'s docstring)."""
+    from pyspark.sql import functions as F
+
+    copies = spark.range(n_copies).select(
+        F.col("id").cast("int").alias("__copy")
+    )
+    d = spark.read.parquet(f"{src}/documents.parquet").crossJoin(
+        F.broadcast(copies)
+    )
+    text = F.when(F.col("__copy") == 0, F.col("text")).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(
+                    t, F.lit("#"), F.col("__copy").cast("string")
+                ),
+            ),
+        )
+    )
+    d.select(
+        (F.col("doc_id") + F.col("__copy").cast("long") * 10_000_000)
+        .alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
 
 def ensure_sf1(spark, src: str = "/root/testdata/sf0.1") -> None:
@@ -193,30 +226,8 @@ def ensure_sf1(spark, src: str = "/root/testdata/sf0.1") -> None:
         return
     shutil.rmtree(SF1_DIR, ignore_errors=True)
     Path(SF1_DIR).mkdir(parents=True, exist_ok=True)
+    _scaled_documents(spark, src, SF1_DIR, 10)
     copies = spark.range(10).select(F.col("id").cast("int").alias("__copy"))
-
-    d = spark.read.parquet(f"{src}/documents.parquet").crossJoin(
-        F.broadcast(copies)
-    )
-    text = F.when(F.col("__copy") == 0, F.col("text")).otherwise(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.split(F.col("text"), " "),
-                lambda t: F.concat(
-                    t, F.lit("#"), F.col("__copy").cast("string")
-                ),
-            ),
-        )
-    )
-    d.select(
-        (F.col("doc_id") + F.col("__copy").cast("long") * 10_000_000)
-        .alias("doc_id"),
-        text.alias("text"),
-        "lang",
-        "source",
-        F.length(text).alias("n_chars"),
-    ).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
 
     e = spark.read.parquet(f"{src}/embeddings.parquet").crossJoin(
         F.broadcast(copies)
@@ -244,6 +255,53 @@ def ensure_sf1(spark, src: str = "/root/testdata/sf0.1") -> None:
               "orders", "events"]:
         shutil.copy(f"{src}/{t}.parquet", f"{SF1_DIR}/{t}.parquet")
     marker.write_text("derived 10x from sf0.1; see ensure_sf1()\n")
+
+
+# 50× leg: the three dedup headliners only (they read nothing but
+# ``documents``, so the sf5 corpus IS just a 50-copy documents table).
+# One warm sample each — the plans are already JIT-hot from the sf0.1
+# passes, and the point is the CURVE: a future regression in the
+# inverted-index/banded plans shows up as a bend at the data-dominant
+# 50× point long before any cluster run (round-5 VERDICT directive 4;
+# the one-off curve lives in ARCHITECTURE.md's scaling table).
+SF5_QUERIES = [
+    "q52_exact_dup_groups",
+    "q53_ngram_jaccard_pairs",
+    "q56_minhash_lsh_near_dup",
+]
+
+
+def ensure_sf5(spark, src: str = "/root/testdata/sf0.1") -> None:
+    """Derive the 50× documents-only corpus into ``SF5_DIR`` (cached)."""
+    import shutil
+
+    marker = Path(SF5_DIR) / "_GENERATED"
+    if marker.exists():
+        return
+    shutil.rmtree(SF5_DIR, ignore_errors=True)
+    Path(SF5_DIR).mkdir(parents=True, exist_ok=True)
+    _scaled_documents(spark, src, SF5_DIR, 50)
+    marker.write_text(
+        "derived 50x from sf0.1 (documents only); see ensure_sf5()\n"
+    )
+
+
+def sweep_sf5(spark) -> dict:
+    from cars_bids_data_pipeline_v0__spark.cache import release_build_caches
+    from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+
+    Q._load_extensions()
+    t0 = time.time()
+    ensure_sf5(spark)
+    gen_s = round(time.time() - t0, 3)
+    out = {}
+    for name in SF5_QUERIES:
+        t0 = time.time()
+        force(Q.REGISTRY[name].builder(spark, SF5_DIR))
+        out[name] = round(time.time() - t0, 3)
+        release_build_caches()
+        spark.catalog.clearCache()
+    return {"queries": out, "gen_sec": gen_s, "scale_vs_sf01": 50}
 
 
 def bench_pipeline_10x(spark) -> float:
@@ -378,6 +436,14 @@ def main() -> None:
         force(Q.REGISTRY[name].builder(spark, SF_DIR))
         release_build_caches()
         spark.catalog.clearCache()
+    # the e2e entries run DIFFERENT plans (ingest/merge/gold build) that
+    # the registry warm-up never touches, and their warm-up slope is LONG
+    # (measured 10-run series: 20.8 cold → 9.3 → ~7.1 s steady state by
+    # run 7 — ARCHITECTURE.md bench-protocol notes).  One untimed run each
+    # moves the timed samples off the cliff; the n=5 median (below)
+    # handles the rest of the slope.
+    bench_pipeline(spark)
+    bench_pipeline_txlog(spark)
 
     import statistics
 
@@ -400,7 +466,12 @@ def main() -> None:
         samples["pipeline_e2e_2k_auctions"].append(bench_pipeline(spark))
         samples["pipeline_e2e_txlog"].append(bench_pipeline_txlog(spark))
     # q53/q56 showed ±15% run-to-run spread at n=3 (round-4 creep was
-    # indistinguishable from jitter); two extra samples → median over 5
+    # indistinguishable from jitter); two extra samples → median over 5.
+    # pipeline_e2e joined the list in round 6: its r5 reading (9.31 s)
+    # was a single-pass outlier of the same kind — see the 10-run
+    # steady-state measurement in ARCHITECTURE.md's bench-protocol notes.
+    for _ in range(2):
+        samples["pipeline_e2e_2k_auctions"].append(bench_pipeline(spark))
     for name in EXTRA_RUNS_QUERIES:
         for _ in range(2):
             spec = Q.REGISTRY[name]
@@ -417,6 +488,11 @@ def main() -> None:
     sf1 = (
         sweep_sf1(spark)
         if os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        else None
+    )
+    sf5 = (
+        sweep_sf5(spark)
+        if os.environ.get("SPARK_GRAFT_SF5", "1") != "0"
         else None
     )
 
@@ -439,6 +515,7 @@ def main() -> None:
                 "stat": "median",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sf1": sf1,
+                "sf5": sf5,
             }
         )
     )

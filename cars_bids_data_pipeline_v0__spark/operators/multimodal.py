@@ -51,6 +51,46 @@ DECODED_IMAGE_SCHEMA = T.StructType(
 
 _MAGIC = b"FAKEIMG1"
 
+# ---------------------------------------------------------------------------
+# pluggable codec registry, keyed by magic-byte prefix
+# ---------------------------------------------------------------------------
+
+# magic-byte prefix -> callable(bytes) -> ndarray-like of shape (H, W[, C]).
+# The engine never hard-codes a format list: a deployment with PIL/opencv
+# (or a GPU decoder) plugs its formats in at startup without touching
+# engine code.  PNG is pre-registered with the pure-stdlib decoder, so a
+# bare container still decodes real pixels.  Decoders must be PICKLABLE
+# (top-level functions, not lambdas/closures over sessions): the registry
+# is snapshotted into the ``mapInPandas`` closure at plan-construction
+# time and shipped to executors with it.
+_IMAGE_CODECS: dict[bytes, object] = {}
+
+
+def register_image_codec(magic: bytes, decode) -> None:
+    """Register ``decode(payload_bytes) -> array (H, W[, C])`` for payloads
+    starting with ``magic``.  Longest matching prefix wins at decode time."""
+    if not isinstance(magic, bytes) or not magic:
+        raise ValueError("magic must be non-empty bytes")
+    _IMAGE_CODECS[magic] = decode
+
+
+def unregister_image_codec(magic: bytes) -> None:
+    _IMAGE_CODECS.pop(magic, None)
+
+
+def registered_image_codecs() -> dict[bytes, object]:
+    """Snapshot of the current registry (copy — mutations don't leak in)."""
+    return dict(_IMAGE_CODECS)
+
+
+def _register_builtin_codecs() -> None:
+    from .png import PNG_SIGNATURE, decode_png
+
+    _IMAGE_CODECS.setdefault(PNG_SIGNATURE, decode_png)
+
+
+_register_builtin_codecs()
+
 
 def synthesize_media(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -93,26 +133,34 @@ def decode_image(df: DataFrame, media_col: str = "media",
 
     ``fake=False`` (the real path) decodes per payload, on the executors:
 
-    * PNG bytes → Pillow when importable, else the pure-stdlib codec in
-      `operators.png` (zlib scanline inflate + unfilter) — REAL pixels
-      either way, no fake anywhere in this branch;
-    * other formats (JPEG/WebP/…) → Pillow when importable, else
-      ``NotImplementedError`` — the documented codec gate, now narrowed
-      to genuinely-unparseable formats.
+    * Pillow when importable handles every format it knows (a real
+      cluster's default);
+    * else the CODEC REGISTRY dispatches on magic-byte prefix (longest
+      match wins) — PNG is pre-registered with the pure-stdlib codec in
+      `operators.png` (zlib scanline inflate + unfilter), deployments
+      `register_image_codec()` their own formats without touching this
+      function;
+    * no matching codec → ``NotImplementedError`` naming the registered
+      magics — the documented codec gate, now pluggable.
 
     ``fake=True`` keeps the deterministic stub that parses the
     `synthesize_media` header — STUB, clearly marked, for plumbing tests
     that don't care about pixel content.
     """
     sel = df.select(F.col(id_col).alias("doc_id"), F.col(media_col).alias("media"))
+    # snapshot NOW: the registry state at plan construction rides to the
+    # executors inside this closure (registrations after this call don't
+    # retroactively change an already-built plan — same discipline as a
+    # broadcast codebook)
+    codecs = registered_image_codecs()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .png import PNG_SIGNATURE, decode_png
-
         try:
             from PIL import Image  # optional; absent in this container
         except ImportError:
             Image = None
+
+        by_len = sorted(codecs, key=len, reverse=True)  # longest match wins
 
         def real_decode(b: bytes):
             if Image is not None:
@@ -121,14 +169,17 @@ def decode_image(df: DataFrame, media_col: str = "media",
                 import numpy as np
 
                 arr = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
-            elif b.startswith(PNG_SIGNATURE):
-                arr = decode_png(b)
             else:
-                raise NotImplementedError(
-                    "non-PNG image decoding requires an image library "
-                    "(PIL/opencv) not present in this environment; PNG "
-                    "decodes natively, or pass fake=True for the stub"
-                )
+                magic = next((m for m in by_len if b.startswith(m)), None)
+                if magic is None:
+                    raise NotImplementedError(
+                        "no registered codec matches payload prefix "
+                        f"{b[:8]!r}; registered magics: "
+                        f"{sorted(by_len)} — register_image_codec() a "
+                        "decoder (or install PIL), or pass fake=True "
+                        "for the stub"
+                    )
+                arr = codecs[magic](b)
             h, w = arr.shape[0], arr.shape[1]
             return w, h, w * h, round(float(arr.mean()), 6)
 
@@ -406,8 +457,10 @@ def _pool_sums(gray_int, rows: int, cols: int):
 def perceptual_dhash(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id",
 ) -> DataFrame:
-    """64-bit difference hash per image: decode PNG (real pixels, stdlib
-    codec — operators/png.py), collapse to grayscale, mean-pool to an
+    """64-bit difference hash per image: decode via the codec registry
+    (PNG pre-registered — real pixels from the stdlib codec in
+    operators/png.py; other formats via register_image_codec), collapse
+    to grayscale, mean-pool to an
     8x9 grid (integer sums + counts, compared by exact
     cross-multiplication — no float ties), and take the 8x8
     horizontal-gradient sign bits.  EXACTLY invariant to uniform
@@ -424,15 +477,20 @@ def perceptual_dhash(
         F.col(id_col).alias("doc_id").cast("long"),
         F.col(media_col).alias("media"),
     )
+    codecs = registered_image_codecs()  # snapshot (see decode_image)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .png import decode_png
+        by_len = sorted(codecs, key=len, reverse=True)
 
         for pdf in it:
             ids, sigs = [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                magic = next((m for m in by_len if b.startswith(m)), None)
+                if magic is None:
+                    continue
                 try:
-                    arr = decode_png(bytes(blob))
+                    arr = np.asarray(codecs[magic](b))
                 except Exception:
                     continue
                 a = arr.astype(np.int64)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
+
 _PID = "__rs_pid"
 
 
@@ -36,8 +38,16 @@ def prefix_sums_by_value(
     ``counts`` must hold one row per distinct value (the caller's
     group-by guarantees it); output keeps all input columns.
     """
-    part = counts.repartitionByRange(F.col(value_col).asc()).withColumn(
-        _PID, F.spark_partition_id()
+    # persist the range-partitioned frame with its materialized partition
+    # ids: both downstream branches (local cumsums, per-partition totals)
+    # must observe the SAME value→partition assignment, and relying on
+    # Spark re-using the exchange for that is an optimizer artifact, not a
+    # contract — with nondeterministic input the two branches could range-
+    # sample differently and misalign the broadcast offsets silently.
+    part = track_persist(
+        counts.repartitionByRange(F.col(value_col).asc()).withColumn(
+            _PID, F.spark_partition_id()
+        )
     )
     w_local = (
         Window.partitionBy(_PID)

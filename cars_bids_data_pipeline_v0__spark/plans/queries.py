@@ -1379,6 +1379,7 @@ def _load_extensions() -> None:
     from . import queries_r4  # noqa: F401
     from . import queries_r4b  # noqa: F401
     from . import queries_r5  # noqa: F401
+    from . import queries_r6  # noqa: F401
 
 
 # Driver-sampling rotation.  The correctness driver hash-checks the FIRST 50
@@ -1399,25 +1400,33 @@ _DRIVER_FRONT: list[str] = []
 _WINDOW = 50
 
 
-def _driver_proven() -> set[str]:
-    """Names that have ever hash-matched in a driver CORRECTNESS artifact."""
+def _proven_last_round() -> dict[str, int]:
+    """name -> LAST round number whose driver artifact hash-proved it."""
     import glob
     import json as _json
     import os as _os
+    import re as _re
 
     root = _os.path.dirname(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
-    proven: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             body = _json.load(open(path))
         except (OSError, ValueError):
             continue
         for name, res in body.items():
             if isinstance(res, dict) and res.get("hash_match") is True:
-                proven.add(name)
-    return proven
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _driver_proven() -> set[str]:
+    """Names that have ever hash-matched in a driver CORRECTNESS artifact."""
+    return set(_proven_last_round())
 
 
 def _least_proven_front() -> list[str]:
@@ -1426,19 +1435,20 @@ def _least_proven_front() -> list[str]:
     unproven = [n for n in oracled if n not in proven]
     if len(unproven) >= _WINDOW:
         return unproven[:_WINDOW]
-    # all (or nearly all) proven: top up with proven queries, cycling by
-    # artifact count so old evidence gets refreshed round-robin
-    import glob
-    import os as _os
-
-    root = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    # spare slots: top up with the proven queries whose evidence is
+    # STALEST (smallest last-proven round, registration order as the
+    # tie-break; names the patched-in tests mark proven without an
+    # artifact default to round 0).  Re-proving bumps a query's round,
+    # so the refresh round-robins by itself — every oracled query gets
+    # re-confirmed roughly every ceil(|oracled|/_WINDOW) rounds with no
+    # manual scheduling (this is how the probabilistic families' twins
+    # q90/q92 come back around post-salting-guard).
+    last = _proven_last_round()
+    reg_index = {n: i for i, n in enumerate(oracled)}
+    cycled = sorted(
+        (n for n in oracled if n in proven),
+        key=lambda n: (last.get(n, 0), reg_index[n]),
     )
-    n_rounds = len(glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
-    cycled = [n for n in oracled if n in proven]
-    if cycled:
-        off = (n_rounds * _WINDOW) % len(cycled)
-        cycled = cycled[off:] + cycled[:off]
     return (unproven + cycled)[:_WINDOW]
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 import io
 import os
 import tarfile
+import uuid
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,7 +106,12 @@ def write_tar_shards(
         for shard, members in rows.items():
             members.sort(key=lambda t: (t[0], t[1]))
             path = os.path.join(out_dir, f"{shard}.tar")
-            tmp = path + ".tmp"
+            # unique-per-attempt temp name: a speculative duplicate or a
+            # zombie task retrying the same shard must never interleave
+            # writes into one temp file (same temp-then-rename discipline
+            # as sources/txlog.py); os.replace keeps publish atomic and
+            # last-writer-wins with byte-identical content either way
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
             with tarfile.open(tmp, mode="w") as tf:
                 for key, ext, payload in members:
                     name = f"{key}.{ext}" if ext else key

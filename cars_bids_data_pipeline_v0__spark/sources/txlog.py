@@ -822,11 +822,21 @@ def _advance_latest_pointer(
 
     pointer = os.path.join(export_dir, "LATEST")
     lock = pointer + ".lock"
+    # owner token: a holder that was stalled past ``stale_after`` (its
+    # lock broken and re-acquired by another writer) must NOT release the
+    # NEW holder's lock on its way out — an unconditional unlink would
+    # let a third writer into the critical section and the interleaved
+    # read-compare-replace could regress LATEST.  Only the token's owner
+    # unlinks.
+    token = uuid.uuid4().hex
     deadline = _time.monotonic() + lock_timeout
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            try:
+                os.write(fd, token.encode())
+            finally:
+                os.close(fd)
             break
         except FileExistsError:
             try:
@@ -856,7 +866,8 @@ def _advance_latest_pointer(
             os.replace(tmp, pointer)
     finally:
         try:
-            os.unlink(lock)
+            if open(lock).read() == token:  # still ours — not stolen
+                os.unlink(lock)
         except OSError:
             pass
 
@@ -1337,7 +1348,34 @@ def tx_export_delta_log(
     from pyspark.sql.pandas.types import from_arrow_schema
 
     first = os.path.join(table_path, live[0])
-    schema = from_arrow_schema(pq.read_schema(first))
+    arrow_schema = pq.read_schema(first)
+    # the exported metaData describes EVERY add file with one schemaString;
+    # if live files' footers ever diverged (schema evolution across
+    # commits) a real Delta reader would mis-decode some of them — fail
+    # loudly at export time instead.  Footer reads are metadata-only
+    # (O(files) driver-side, no data IO).
+    for rel in live[1:]:
+        other = pq.read_schema(os.path.join(table_path, rel))
+        if not other.equals(arrow_schema):
+            raise ValueError(
+                "schema divergence across live files: "
+                f"{live[0]} vs {rel} — the txlog Delta export requires "
+                "one uniform schema per snapshot (no schema evolution)"
+            )
+    # Prefer the exact Spark schema Spark itself embedded in the footer
+    # (``org.apache.spark.sql.parquet.row.metadata``): the Arrow view of
+    # the footer cannot distinguish timestamp (stored INT96/adjusted) from
+    # timestamp_ntz, so a from_arrow_schema round-trip would silently
+    # re-type NTZ columns.  Fall back to the Arrow mapping only for files
+    # not written by Spark.
+    from pyspark.sql.types import StructType
+
+    _SPARK_META = b"org.apache.spark.sql.parquet.row.metadata"
+    meta = arrow_schema.metadata or {}
+    if _SPARK_META in meta:
+        schema = StructType.fromJson(json.loads(meta[_SPARK_META]))
+    else:
+        schema = from_arrow_schema(arrow_schema)
     now_ms = int(_time.time() * 1000)
 
     lines = [

@@ -404,3 +404,99 @@ def test_perceptual_dhash_is_deterministic(spark):
     a = sorted(tuple(r) for r in perceptual_dhash(df).collect())
     b = sorted(tuple(r) for r in perceptual_dhash(df).collect())
     assert a == b and len(a) == 6
+
+
+# ---------------------------------------------------------------------------
+# pluggable codec registry (round-5 VERDICT directive 8)
+# ---------------------------------------------------------------------------
+
+_FAKE_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _fake_jpeg_decode(b: bytes):
+    """Stand-in JPEG codec for injection tests: after the 3-byte magic, one
+    byte each of (height, width), then a constant-value image of that
+    byte's fill value.  Top-level function — it must pickle into the
+    mapInPandas closure exactly as a real PIL-backed codec would."""
+    import numpy as np
+
+    h, w, fill = b[3], b[4], b[5]
+    return np.full((h, w, 3), fill, dtype=np.uint8)
+
+
+def _fake_jpeg_bytes(h: int, w: int, fill: int) -> bytearray:
+    return bytearray(_FAKE_JPEG_MAGIC + bytes([h, w, fill]))
+
+
+def test_codec_registry_injects_new_format_without_engine_changes(spark):
+    """register_image_codec(): a deployment plugs a JPEG decoder in at
+    startup and decode_image handles the format with ZERO engine-code
+    changes — the contract that makes the PNG-only container limitation
+    a configuration fact, not an architecture fact."""
+    MM.register_image_codec(_FAKE_JPEG_MAGIC, _fake_jpeg_decode)
+    try:
+        df = spark.createDataFrame(
+            [(1, _fake_jpeg_bytes(6, 9, 200)), (2, _fake_jpeg_bytes(4, 4, 10))],
+            "doc_id long, media binary",
+        )
+        rows = {r["doc_id"]: r for r in MM.decode_image(df, fake=False).collect()}
+        assert (rows[1]["width"], rows[1]["height"]) == (9, 6)
+        assert rows[1]["n_pixels"] == 54 and rows[1]["mean_byte"] == 200.0
+        assert (rows[2]["width"], rows[2]["height"]) == (4, 4)
+        assert rows[2]["mean_byte"] == 10.0
+    finally:
+        MM.unregister_image_codec(_FAKE_JPEG_MAGIC)
+
+
+def test_codec_registry_snapshot_is_plan_time_and_gate_still_fails_closed(
+    spark,
+):
+    """Registry snapshots ride with the PLAN: a frame built while the codec
+    was registered keeps decoding after unregistration (broadcast-codebook
+    discipline), while a frame built after reverts to the loud codec
+    gate.  PNG stays pre-registered throughout."""
+    import pytest as _pytest
+
+    from cars_bids_data_pipeline_v0__spark.operators.png import PNG_SIGNATURE
+
+    assert PNG_SIGNATURE in MM.registered_image_codecs()
+
+    df = spark.createDataFrame(
+        [(7, _fake_jpeg_bytes(5, 8, 33))], "doc_id long, media binary"
+    )
+    MM.register_image_codec(_FAKE_JPEG_MAGIC, _fake_jpeg_decode)
+    with_codec = MM.decode_image(df, fake=False)
+    MM.unregister_image_codec(_FAKE_JPEG_MAGIC)
+
+    rows = with_codec.collect()  # snapshot taken at construction: decodes
+    assert rows[0]["width"] == 8 and rows[0]["mean_byte"] == 33.0
+
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        MM.decode_image(df, fake=False).collect()
+
+
+def test_perceptual_dhash_spans_formats_via_registry(spark):
+    """dHash over a MIXED corpus: PNG (built-in codec) and injected fake
+    JPEG in one frame; two constant images with different encodings and a
+    uniform brightness shift land in the same dHash bucket, and payloads
+    with no matching codec are dropped (quarantine contract), not fatal."""
+    import numpy as np
+
+    from cars_bids_data_pipeline_v0__spark.operators.png import encode_png
+
+    flat_png = encode_png(np.full((16, 18, 3), 90, dtype=np.uint8))
+    MM.register_image_codec(_FAKE_JPEG_MAGIC, _fake_jpeg_decode)
+    try:
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(flat_png)),
+                (2, _fake_jpeg_bytes(16, 18, 140)),  # same flat image, +50
+                (3, bytearray(b"GIF89a-no-codec-registered")),
+            ],
+            "doc_id long, media binary",
+        )
+        out = {r["doc_id"]: r["dhash"] for r in MM.perceptual_dhash(df).collect()}
+        assert set(out) == {1, 2}  # no-codec payload dropped, not fatal
+        assert out[1] == out[2]  # flat images hash equal across formats
+    finally:
+        MM.unregister_image_codec(_FAKE_JPEG_MAGIC)

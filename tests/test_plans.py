@@ -243,22 +243,30 @@ def test_build_caches_released_after_query_builds(spark, registry):
     assert cm.isEmpty(), "persisted blocks leaked past release_build_caches"
 
 
-def test_driver_window_rotation_is_automatic_and_hash_checkable(registry):
+def test_driver_window_rotation_is_automatic_and_hash_checkable(
+    registry, monkeypatch
+):
     # the driver hash-checks the FIRST 50 queries(); rotation must front
     # exactly the oracled queries with no hash evidence yet, in stable
-    # registration order, and never burn a slot on a rows-only entry
+    # registration order, and never burn a slot on a rows-only entry.
+    # RULE: never read the live CORRECTNESS_r*.json artifacts here — the
+    # driver mutates them every round, so any assertion pinned to their
+    # current contents self-invalidates (the round-5 failure).  Freeze
+    # ``_driver_proven`` to a fixture set and assert only invariants.
     from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+
+    oracled = [n for n in Q.REGISTRY if Q.REGISTRY[n].oracle]
+    frozen = set(oracled[:60])  # pretend the first 60 are driver-proven
+    monkeypatch.setattr(Q, "_driver_proven", lambda: frozen)
 
     front = Q._least_proven_front()
     assert len(front) == 50
     assert front == Q._least_proven_front()  # deterministic
-    assert all(Q.REGISTRY[n].oracle for n in front)
-    proven = Q._driver_proven()
-    assert not (set(front) & proven)
-    # the round-4 verdict's named targets are in the round-5 window
-    assert {"q83_vocab_set_ops", "q94_table_diff", "q121_skew_report"} <= set(
-        front
-    )
+    assert all(Q.REGISTRY[n].oracle for n in front)  # no rows-only slots
+    assert not (set(front) & frozen)  # disjoint from proven
+    # fronts the OLDEST unproven oracled queries, in registration order
+    expected = [n for n in oracled if n not in frozen][:50]
+    assert front == expected
     # the full order is front + everything else, nothing lost
     order = Q._driver_order()
     assert order[:50] == front

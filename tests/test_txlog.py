@@ -983,6 +983,94 @@ def test_tx_export_delta_log_shape_and_roundtrip(spark, silver, tmp_path):
     assert tx_read_delta_export(spark, old).count() == 3
 
 
+def test_tx_export_delta_reader_contract(spark, tmp_path):
+    """The full contract a real Delta reader relies on: schemaString
+    round-trips the parquet footers EXACTLY (incl. timestamp_ntz and
+    array<double>), every add.size matches the file's on-disk byte size,
+    and the URI encode/decode path survives spaces + unicode in the
+    table path."""
+    import json as _json
+    import os as _os
+    import urllib.parse as _up
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_export_delta_log,
+        tx_read_delta_export,
+    )
+
+    table = str(tmp_path / "tx läke v2")  # space + unicode in the path
+    df = spark.createDataFrame(
+        [
+            ("a1", "2024-05-01 10:00:00", [1.0, 2.5], "2024-05-01 10:00:00"),
+            ("b2", "2024-05-02 11:00:00", [0.5, -3.0], "2024-05-02 11:00:00"),
+        ],
+        "auction_id string, auction_date string, emb array<double>, "
+        "ntz string",
+    ).select(
+        "auction_id",
+        F.to_timestamp("auction_date").alias("auction_date"),
+        "emb",
+        F.col("ntz").cast("timestamp_ntz").alias("ntz"),
+    )
+    tx_merge_partitioned(spark, df, table)
+
+    root = tx_export_delta_log(table)
+    commit = _os.path.join(root, "_delta_log", "0" * 20 + ".json")
+    actions = [_json.loads(l) for l in open(commit)]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    adds = [a["add"] for a in actions if "add" in a]
+
+    declared = StructType.fromJson(_json.loads(meta["schemaString"]))
+    # the declared types include the tricky ones
+    by_name = {f.name: f.dataType.simpleString() for f in declared.fields}
+    assert by_name["emb"] == "array<double>"
+    assert by_name["ntz"] == "timestamp_ntz"
+
+    for add in adds:
+        assert add["path"].startswith("file://")
+        local = _up.unquote(add["path"][len("file://"):])
+        # URI decodes back to a real file whose size the action declared
+        assert _os.path.exists(local), local
+        assert add["size"] == _os.path.getsize(local)
+        # schemaString describes every add file's footer EXACTLY — via
+        # the Spark row metadata Spark embeds there (the Arrow view of a
+        # footer cannot carry the timestamp vs timestamp_ntz distinction)
+        foot = pq.read_schema(local).metadata[
+            b"org.apache.spark.sql.parquet.row.metadata"
+        ]
+        assert StructType.fromJson(_json.loads(foot)) == declared
+        # quoting round-trips (spaces/unicode never raw in the URI)
+        assert " " not in add["path"]
+        assert add["path"] == "file://" + _up.quote(local, safe="/")
+
+    got = tx_read_delta_export(spark, root)
+    assert got.count() == 2
+    assert got.schema == declared
+
+
+def test_tx_export_delta_rejects_schema_divergence(spark, tmp_path):
+    """Live files with diverging footers (schema evolution across
+    commits) must fail the export loudly — one metaData schemaString
+    cannot describe both."""
+    import pytest as _pytest
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_export_delta_log,
+    )
+
+    table = str(tmp_path / "diverged")
+    a = spark.createDataFrame([("x", 1, 1.0)], "k string, p int, v double")
+    b = spark.createDataFrame([("y", 2, "s")], "k string, p int, v string")
+    tx_append_partitioned(spark, a, table, partition_by="p")
+    tx_append_partitioned(spark, b, table, partition_by="p")
+    with _pytest.raises(ValueError, match="schema divergence"):
+        tx_export_delta_log(table)
+
+
 def test_tx_stream_sink_keeps_delta_export_current(spark, tmp_path):
     """export_delta=True: every committed batch lands as its own immutable
     Delta export and the LATEST pointer follows; a fenced replay moves
