@@ -9,6 +9,7 @@ from .ingest import (
 )
 from .compaction import compact_partitions, compacted_copy, partition_stats
 from .ingest import register_views
+from .pyds import TxLogDataSource, register_txlog_source
 from .sinks import merge_write_partitioned, write_json_debug, write_text_queue
 from .tarshard import read_tar_shards, write_tar_shards
 from .txlog import (
@@ -34,6 +35,8 @@ from .txlog import (
 )
 
 __all__ = [
+    "TxLogDataSource",
+    "register_txlog_source",
     "read_tar_shards",
     "write_tar_shards",
     "normalize_raw",

@@ -1,0 +1,333 @@
+"""The commit-log table as a first-class Spark data source.
+
+``spark.read.format("txlog")`` / ``spark.readStream.format("txlog")`` via
+the Spark 4 Python DataSource API (`pyspark.sql.datasource`) — the engine's
+transactional tables plug into plain Spark I/O with no helper imports at
+the call site:
+
+* **batch**: snapshot or time-travel read (``option("version", n)``); one
+  input partition per live data file, so task parallelism = file layout,
+  and Arrow record batches flow straight from the parquet files.
+  ``pushFilters`` prunes files with the commit log's OWN metadata —
+  partition values and per-column zone maps ride in the add actions, so
+  equality/range filters skip files without opening them (the same
+  metadata pruning ``tx_scan_eq`` does, now behind Spark's planner).
+  Every filter is still returned as unhandled, so Spark re-applies them
+  post-scan: pruning is an optimization, never a correctness dependency.
+* **streaming**: a tail-follower whose offsets ARE commit versions —
+  ``read(start)`` returns exactly the rows added in versions
+  ``(start, latest]``, so checkpoint replay is exactly-once by the log's
+  construction (no dedup state, no sequence guessing).  Append-only by
+  contract: a remove action inside the window fails loudly (compaction
+  rewrites history; a tailer must not re-read rewritten rows) unless
+  ``ignoreDeletes`` is set.
+
+Scale notes: the batch path is the convenience/interop face — at cluster
+scale `tx_read` (native parquet scan over the same live-file list) stays
+the hot path, and this source's per-file partitions keep the Python
+overhead to Arrow batch iteration.  The stream reader is the
+``SimpleDataSourceStreamReader`` variant (driver-prefetched micro-batches)
+— right-sized for commit-log tailing where a micro-batch is one or a few
+file-sized commits.
+
+Reference parity: none (the reference loads into Postgres and trusts it;
+this is the Spark-native face of the engine's own ACID layer).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+from .txlog import TransactionLog
+
+FORMAT_NAME = "txlog"
+
+
+def register_txlog_source(spark) -> None:
+    """Make ``format("txlog")`` resolvable in this session."""
+    spark.dataSource.register(TxLogDataSource)
+
+
+def _table_schema(table_path: str, version: int | None) -> StructType:
+    """Exact Spark schema from a live file's footer — prefers the
+    row metadata Spark embeds there (`tx_export_delta_log` discipline:
+    the Arrow footer view cannot carry timestamp vs timestamp_ntz)."""
+    import json
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    log = TransactionLog(table_path)
+    if log.version() < 0:
+        raise ValueError(f"no committed txlog table at {table_path}")
+    files = sorted(log.live_files(upto=version))
+    if not files:
+        files = sorted(
+            a["path"]
+            for act in log.actions(version)
+            for a in act.get("add", [])
+        )
+    if not files:
+        raise ValueError(f"txlog table at {table_path} has no schema source")
+    arrow = pq.read_schema(os.path.join(table_path, files[0]))
+    meta = arrow.metadata or {}
+    key = b"org.apache.spark.sql.parquet.row.metadata"
+    if key in meta:
+        schema = StructType.fromJson(json.loads(meta[key]))
+    else:
+        schema = from_arrow_schema(arrow)
+    # relax to nullable recursively — Spark's own parquet reader always
+    # reports file-sourced schemas nullable (a REQUIRED footer field,
+    # e.g. from lit(1), must not leak non-nullability into the source)
+    return _as_nullable(schema)
+
+
+def _as_nullable(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _as_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    return dt
+
+
+def _file_survives(action: dict, filters: list[Filter], part_col: str | None) -> bool:
+    """Can this live file contain rows matching every pushed filter?
+
+    Uses only commit-log metadata: the file's partition value and its
+    per-column zone maps (``stats: {col: [lo, hi]}`` recorded by
+    ``stage_dataframe(stats_cols=...)``).  Conservative by construction —
+    missing metadata means KEEP."""
+    part_val = action.get("partition")
+    stats = action.get("stats") or {}
+
+    def col_of(f) -> str | None:
+        attr = getattr(f, "attribute", None)
+        if attr and len(attr) == 1:
+            return attr[0]
+        return None
+
+    for f in filters:
+        col = col_of(f)
+        if col is None:
+            continue
+        if part_col is not None and col == part_col and part_val is not None:
+            # partition values are stored stringified; compare as strings
+            if isinstance(f, EqualTo) and str(f.value) != str(part_val):
+                return False
+            if isinstance(f, In) and str(part_val) not in {
+                str(v) for v in f.value
+            }:
+                return False
+            continue
+        zone = stats.get(col)
+        if not zone or zone[0] is None or zone[1] is None:
+            continue
+        lo, hi = zone
+        try:
+            if isinstance(f, EqualTo) and not (lo <= f.value <= hi):
+                return False
+            if isinstance(f, GreaterThan) and not (hi > f.value):
+                return False
+            if isinstance(f, GreaterThanOrEqual) and not (hi >= f.value):
+                return False
+            if isinstance(f, LessThan) and not (lo < f.value):
+                return False
+            if isinstance(f, LessThanOrEqual) and not (lo <= f.value):
+                return False
+            if isinstance(f, In) and not any(
+                lo <= v <= hi for v in f.value
+            ):
+                return False
+        except TypeError:
+            continue  # incomparable types: keep the file
+    return True
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, abspath: str):
+        self.abspath = abspath
+
+
+class TxLogBatchReader(DataSourceReader):
+    """Plain reader — no ``pushFilters`` override, so it loads under any
+    session (Spark refuses a Python reader that OVERRIDES pushFilters
+    unless ``spark.sql.python.filterPushdown.enabled`` is true)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        self.part_col = options.get("partitioncolumn") or options.get(
+            "partitionColumn"
+        )
+        self._live = TransactionLog(self.path).live_actions(upto=self.version)
+        self._pruned = 0  # observable for tests/diagnostics
+
+    def partitions(self) -> list[InputPartition]:
+        return [
+            _FilePartition(os.path.join(self.path, rel))
+            for rel in sorted(self._live)
+        ]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.abspath)
+        # normalize timestamp units to microseconds: Spark's Arrow bridge
+        # expects us-precision (INT96 footers read back as ns)
+        target = pa.schema(
+            [
+                pa.field(
+                    f.name,
+                    pa.timestamp("us", tz=f.type.tz)
+                    if pa.types.is_timestamp(f.type)
+                    else f.type,
+                    f.nullable,
+                )
+                for f in pf.schema_arrow
+            ]
+        )
+        for batch in pf.iter_batches():
+            yield pa.Table.from_batches([batch]).cast(target).to_batches()[0]
+
+
+class TxLogPruningBatchReader(TxLogBatchReader):
+    """The pushdown-enabled variant, returned when the session allows
+    Python-source filter pushdown."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        before = len(self._live)
+        self._live = {
+            rel: act
+            for rel, act in self._live.items()
+            if _file_survives(act, filters, self.part_col)
+        }
+        self._pruned = before - len(self._live)
+        # return EVERYTHING as unhandled: Spark re-applies the predicates
+        # post-scan, so metadata pruning can never change results
+        return iter(filters)
+
+
+class TxLogStreamReader(SimpleDataSourceStreamReader):
+    """Commit-version offsets: micro-batch N+1 = rows of the files added
+    in versions (start, latest] — exactly-once under checkpoint replay
+    because the log itself is the offset ledger."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.start_version = int(
+            options.get("startingversion", options.get("startingVersion", -1))
+        )
+        self.ignore_deletes = str(
+            options.get("ignoredeletes", options.get("ignoreDeletes", ""))
+        ).lower() in ("true", "1")
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def _added_rows(self, since: int, upto: int) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        log = TransactionLog(self.path)
+        for act in log.actions(upto=upto, since=since):
+            if act.get("remove") and not self.ignore_deletes:
+                raise ValueError(
+                    "txlog stream source requires an append-only table: "
+                    f"version window ({since}, {upto}] of {self.path} "
+                    "contains remove actions (compaction/merge rewrote "
+                    "history).  Tail the pre-compaction stream, or set "
+                    "ignoreDeletes=true to accept possible re-reads."
+                )
+            for a in act.get("add", []):
+                t = pq.read_table(os.path.join(self.path, a["path"]))
+                names = t.schema.names
+                for row in t.to_pylist():
+                    yield tuple(row[n] for n in names)
+
+    def read(self, start: dict):
+        # the prefetched batch is both next()-ed by the runner's cache AND
+        # pickled to executors — return a list_iterator (picklable, a real
+        # iterator), never a bare list or a generator.  Materialization is
+        # bounded by construction: one micro-batch = a few commits' files.
+        latest = TransactionLog(self.path).version()
+        s = int(start["version"])
+        if latest <= s:
+            return iter(()), {"version": s}
+        return iter(list(self._added_rows(s, latest))), {"version": latest}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(
+            list(self._added_rows(int(start["version"]), int(end["version"])))
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # the commit log itself is the ledger; nothing to ack
+
+
+class TxLogDataSource(DataSource):
+    """``format("txlog")`` — batch + streaming reads of commit-log tables.
+
+    Options: ``path`` (required), ``version`` (batch time travel),
+    ``partitionColumn`` (enables partition-value file pruning),
+    ``startingVersion`` (stream start, default -1 = from the beginning),
+    ``ignoreDeletes`` (stream past compaction rewrites)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        v = self.options.get("version")
+        return _table_schema(
+            self.options["path"], int(v) if v is not None else None
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        try:
+            enabled = (
+                s is not None
+                and str(
+                    s.conf.get(
+                        "spark.sql.python.filterPushdown.enabled", "false"
+                    )
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            enabled = False
+        cls = TxLogPruningBatchReader if enabled else TxLogBatchReader
+        return cls(self.options)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> SimpleDataSourceStreamReader:
+        return TxLogStreamReader(self.options)
