@@ -308,3 +308,147 @@ def q224(spark, sf_dir):
         F.min("keeper").alias("keeper_id"),
         F.min(F.struct("keeper", "sim")).getField("sim").alias("sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — distributed BPE merge step (tokenizer training support)
+# ---------------------------------------------------------------------------
+
+# The byte-pair-encoding training loop (Sennrich et al. 2016, the
+# algorithm behind GPT/Llama tokenizer vocabularies): count adjacent
+# symbol pairs ACROSS THE WORD-FREQUENCY TABLE (never the raw corpus —
+# the standard trick that makes each iteration O(|vocab|), not
+# O(|corpus|)), merge the argmax pair everywhere, recount.  Two
+# iterations here — enough to pin the whole loop shape (count → argmax
+# → merge application → recount) under one value hash.  The merged
+# symbol is the 0x01 sentinel (one char, so position-window pair
+# generation keeps working), rendered as '_' in the output.
+_Q225_TOPK = 10
+
+
+def _q225_oracle() -> str:
+    return f"""
+    WITH words AS (
+        SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+        GROUP BY w
+    ), p1 AS (
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(word) - 1),
+                       i -> substr(word, i, 2))) AS pair,
+                   freq
+            FROM words
+        ) GROUP BY pair
+    ), top1 AS (
+        SELECT pair FROM p1 ORDER BY freq DESC, pair LIMIT 1
+    ), w2 AS (
+        SELECT replace(word, (SELECT pair FROM top1), chr(1)) AS word, freq
+        FROM words
+    ), p2 AS (
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(word) - 1),
+                       i -> substr(word, i, 2))) AS pair,
+                   freq
+            FROM w2 WHERE len(word) >= 2
+        ) GROUP BY pair
+    ), ranked AS (
+        SELECT 1 AS iter, pair, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, pair) AS INT)
+                   AS rank
+        FROM p1
+        UNION ALL
+        SELECT 2, pair, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, pair) AS INT)
+        FROM p2
+    )
+    SELECT iter, replace(pair, chr(1), '_') AS pair, freq, rank
+    FROM ranked WHERE rank <= {_Q225_TOPK}
+    """
+
+
+@register(
+    "q225_bpe_merge_step",
+    _q225_oracle(),
+    doc=(
+        "distributed BPE tokenizer-training loop, two iterations under "
+        "one value hash: adjacent-pair counts over the WORD-FREQUENCY "
+        "table (each iteration costs O(|vocab|), never O(|corpus|) — "
+        "the corpus is scanned exactly once to build word counts), "
+        "argmax merge via a broadcast one-row join kept fully in-plan "
+        "(no driver collect), literal string replace applies the merge "
+        "as a narrow map, recount, top-10 per iteration.  Pair counts "
+        "partial-aggregate map-side and the pair space is "
+        "alphabet²-bounded, so at 100 TB the only corpus-sized work is "
+        "the initial word count — exactly how production BPE trainers "
+        "shard (complements q184's fixed fertility proxy with the real "
+        "algorithm)"
+    ),
+)
+def q225(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(
+            F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2)
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+    def pair_counts(w):
+        return (
+            w.filter(F.length("word") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word") - 1),
+                        lambda i: F.col("word").substr(i, F.lit(2)),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("freq"))
+        )
+
+    p1 = pair_counts(words)
+    # argmax pair via min(struct(-freq, pair)): lexicographic struct
+    # ordering IS the (freq DESC, pair ASC) tiebreak, and unlike a
+    # row_number window the aggregate partial-combines map-side
+    top1 = p1.agg(
+        F.min(F.struct((-F.col("freq")).alias("nf"), F.col("pair")))
+        .getField("pair")
+        .alias("top_pair")
+    )
+    w2 = words.crossJoin(F.broadcast(top1)).select(
+        F.replace(F.col("word"), F.col("top_pair"), F.lit("\x01")).alias(
+            "word"
+        ),
+        "freq",
+    )
+    p2 = pair_counts(w2)
+
+    ranked = p1.select(F.lit(1).alias("iter"), "pair", "freq").unionByName(
+        p2.select(F.lit(2).alias("iter"), "pair", "freq")
+    )
+    w_rank = Window.partitionBy("iter").orderBy(
+        F.col("freq").desc(), F.col("pair").asc()
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _Q225_TOPK)
+        .select(
+            "iter",
+            F.replace(F.col("pair"), F.lit("\x01"), F.lit("_")).alias("pair"),
+            "freq",
+            "rank",
+        )
+    )
