@@ -126,6 +126,40 @@ def _int_be(c: F.Column) -> F.Column:
     return F.unhex(F.lpad(F.hex(c), 8, "0"))
 
 
+def _dispatch_decode(b: bytes, codecs: dict, by_len: list, Image):
+    """Registry-FIRST payload dispatch (round-6 ADVICE): a registered
+    codec whose magic prefix matches owns the format unconditionally —
+    PIL is only the fallback for unmatched prefixes, and a PIL failure
+    becomes the loud codec gate rather than a raw PIL traceback.
+    Module-level so the ordering contract is unit-testable without a
+    PIL-equipped worker."""
+    magic = next((m for m in by_len if b.startswith(m)), None)
+    if magic is not None:
+        return codecs[magic](b)
+    if Image is not None:
+        import io
+
+        import numpy as np
+
+        try:
+            return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+        except Exception as exc:
+            raise NotImplementedError(
+                "PIL could not decode payload with prefix "
+                f"{b[:8]!r} ({exc!r}) and no registered codec matches; "
+                f"registered magics: {sorted(by_len)} — "
+                "register_image_codec() a decoder, or pass fake=True "
+                "for the stub"
+            ) from exc
+    raise NotImplementedError(
+        "no registered codec matches payload prefix "
+        f"{b[:8]!r}; registered magics: "
+        f"{sorted(by_len)} — register_image_codec() a "
+        "decoder (or install PIL), or pass fake=True "
+        "for the stub"
+    )
+
+
 def decode_image(df: DataFrame, media_col: str = "media",
                  id_col: str = "doc_id", fake: bool = False) -> DataFrame:
     """Decode binary images to (width, height, n_pixels, mean_byte) rows via
@@ -133,15 +167,18 @@ def decode_image(df: DataFrame, media_col: str = "media",
 
     ``fake=False`` (the real path) decodes per payload, on the executors:
 
-    * Pillow when importable handles every format it knows (a real
-      cluster's default);
-    * else the CODEC REGISTRY dispatches on magic-byte prefix (longest
+    * the CODEC REGISTRY dispatches FIRST, on magic-byte prefix (longest
       match wins) — PNG is pre-registered with the pure-stdlib codec in
-      `operators.png` (zlib scanline inflate + unfilter), deployments
+      `operators.png` (zlib scanline inflate + unfilter), and deployments
       `register_image_codec()` their own formats without touching this
-      function;
-    * no matching codec → ``NotImplementedError`` naming the registered
-      magics — the documented codec gate, now pluggable.
+      function.  Registry-before-PIL is deliberate: a custom/GPU decoder
+      registered for a format must stay in charge of it even on a
+      PIL-equipped cluster (round-6 ADVICE);
+    * unmatched prefixes fall back to Pillow when importable (a real
+      cluster's default for the long tail of formats);
+    * no matching codec and no PIL (or PIL fails) →
+      ``NotImplementedError`` naming the registered magics — the
+      documented codec gate, pluggable.
 
     ``fake=True`` keeps the deterministic stub that parses the
     `synthesize_media` header — STUB, clearly marked, for plumbing tests
@@ -163,23 +200,7 @@ def decode_image(df: DataFrame, media_col: str = "media",
         by_len = sorted(codecs, key=len, reverse=True)  # longest match wins
 
         def real_decode(b: bytes):
-            if Image is not None:
-                import io
-
-                import numpy as np
-
-                arr = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
-            else:
-                magic = next((m for m in by_len if b.startswith(m)), None)
-                if magic is None:
-                    raise NotImplementedError(
-                        "no registered codec matches payload prefix "
-                        f"{b[:8]!r}; registered magics: "
-                        f"{sorted(by_len)} — register_image_codec() a "
-                        "decoder (or install PIL), or pass fake=True "
-                        "for the stub"
-                    )
-                arr = codecs[magic](b)
+            arr = _dispatch_decode(b, codecs, by_len, Image)
             h, w = arr.shape[0], arr.shape[1]
             return w, h, w * h, round(float(arr.mean()), 6)
 

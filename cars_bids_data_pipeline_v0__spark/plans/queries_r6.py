@@ -118,8 +118,30 @@ def _q223_index_path(sf_dir: str) -> str:
     """Deterministic per-corpus scratch location: re-running the builder
     (driver gate, oracle re-checks, bench) finds the fenced batches
     already committed and the appends no-op — idempotent by the txlog's
-    own exactly-once contract, not by fragile existence checks."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    own exactly-once contract, not by fragile existence checks.
+
+    The key fingerprints the corpus CONTENT (every embeddings file's
+    relative path, size, mtime_ns), not just the directory path — if the
+    corpus at the same path is regenerated, the fingerprint changes and a
+    fresh index is built instead of silently probing the stale one
+    (round-6 ADVICE)."""
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    entries = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                fp = os.path.join(dirpath, name)
+                st = os.stat(fp)
+                entries.append(
+                    (os.path.relpath(fp, root), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.exists(root):
+        st = os.stat(root)
+        entries.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+    for entry in sorted(entries):
+        h.update(repr(entry).encode())
+    key = h.hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"spark_graft_q223_{key}")
 
 

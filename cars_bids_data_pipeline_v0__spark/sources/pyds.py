@@ -115,13 +115,52 @@ def _as_nullable(dt):
     return dt
 
 
+def _hive_unescape(s: str) -> str | None:
+    """Invert the Hive/Spark directory-name escaping applied at write time
+    (``%3A`` → ``:`` etc.); the null sentinel decodes to None."""
+    import re
+
+    if s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s
+    )
+
+
+def _filter_value_str(v) -> str | None:
+    """A pushed filter value rendered with Spark's cast-to-string
+    semantics (``True`` → ``"true"``, dates/timestamps ISO-style) so it
+    compares against the partition directory value captured at write time.
+    Returns None for types whose rendering is ambiguous (float/decimal) —
+    the caller then KEEPS the file, so pruning stays conservative."""
+    import datetime
+
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
 def _file_survives(action: dict, filters: list[Filter], part_col: str | None) -> bool:
     """Can this live file contain rows matching every pushed filter?
 
     Uses only commit-log metadata: the file's partition value and its
     per-column zone maps (``stats: {col: [lo, hi]}`` recorded by
     ``stage_dataframe(stats_cols=...)``).  Conservative by construction —
-    missing metadata means KEEP."""
+    missing metadata means KEEP, and both sides of the partition-value
+    compare are normalized (Hive-unescape the stored directory value;
+    Spark cast-to-string for the filter value) so a boolean/timestamp
+    partition can never be wrongly pruned (round-6 ADVICE)."""
     part_val = action.get("partition")
     stats = action.get("stats") or {}
 
@@ -136,13 +175,17 @@ def _file_survives(action: dict, filters: list[Filter], part_col: str | None) ->
         if col is None:
             continue
         if part_col is not None and col == part_col and part_val is not None:
-            # partition values are stored stringified; compare as strings
-            if isinstance(f, EqualTo) and str(f.value) != str(part_val):
-                return False
-            if isinstance(f, In) and str(part_val) not in {
-                str(v) for v in f.value
-            }:
-                return False
+            stored = _hive_unescape(str(part_val))
+            if stored is None:
+                continue  # null partition: keep (filters may be IsNull)
+            if isinstance(f, EqualTo):
+                fv = _filter_value_str(f.value)
+                if fv is not None and fv != stored:
+                    return False
+            if isinstance(f, In):
+                fvs = [_filter_value_str(v) for v in f.value]
+                if None not in fvs and stored not in set(fvs):
+                    return False
             continue
         zone = stats.get(col)
         if not zone or zone[0] is None or zone[1] is None:
@@ -187,6 +230,17 @@ class TxLogBatchReader(DataSourceReader):
         )
         self._live = TransactionLog(self.path).live_actions(upto=self.version)
         self._pruned = 0  # observable for tests/diagnostics
+        # declared column ORDER, captured once on the driver: Spark's
+        # Python-source worker converts Arrow batches positionally after
+        # validating names only on the first batch, so every file must be
+        # reordered to this before yielding (round-6 ADVICE: schema
+        # evolution may legally reorder same-typed columns)
+        try:
+            self._names = [
+                f.name for f in _table_schema(self.path, self.version).fields
+            ]
+        except Exception:
+            self._names = None
 
     def partitions(self) -> list[InputPartition]:
         return [
@@ -199,6 +253,17 @@ class TxLogBatchReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.abspath)
+        arrow = pf.schema_arrow
+        order = list(arrow.names)
+        if self._names is not None and order != self._names:
+            missing = [n for n in self._names if n not in set(order)]
+            if missing:
+                raise ValueError(
+                    f"txlog file {partition.abspath} lacks declared "
+                    f"columns {missing}; schema evolution must not drop "
+                    "columns from live files"
+                )
+            order = self._names  # reorder by NAME to the declared schema
         # normalize timestamp units to microseconds: Spark's Arrow bridge
         # expects us-precision (INT96 footers read back as ns)
         target = pa.schema(
@@ -210,11 +275,12 @@ class TxLogBatchReader(DataSourceReader):
                     else f.type,
                     f.nullable,
                 )
-                for f in pf.schema_arrow
+                for f in (arrow.field(n) for n in order)
             ]
         )
         for batch in pf.iter_batches():
-            yield pa.Table.from_batches([batch]).cast(target).to_batches()[0]
+            tbl = pa.Table.from_batches([batch]).select(order).cast(target)
+            yield from tbl.to_batches()
 
 
 class TxLogPruningBatchReader(TxLogBatchReader):
@@ -247,13 +313,42 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
         self.ignore_deletes = str(
             options.get("ignoredeletes", options.get("ignoreDeletes", ""))
         ).lower() in ("true", "1")
+        # hard bound on how many commit versions one micro-batch may span:
+        # with the default startingVersion=-1 on a large PRE-EXISTING
+        # table, the first read would otherwise materialize the entire
+        # history driver-side (round-6 ADVICE).  64 commits ≈ a few file
+        # batches; tune down for very large commits or set startingVersion
+        # to the current version to tail only new data.
+        self.max_versions = int(
+            options.get(
+                "maxversionsperbatch", options.get("maxVersionsPerBatch", 64)
+            )
+        )
+        if self.max_versions < 1:
+            raise ValueError("maxVersionsPerBatch must be >= 1")
+        self._names: list[str] | None = None
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
+    def _field_order(self) -> list[str] | None:
+        """Declared column order (first live file's footer), computed once
+        — every file's rows are re-indexed by NAME to this order so schema
+        evolution that reorders same-typed columns cannot transpose
+        values positionally (round-6 ADVICE)."""
+        if self._names is None:
+            try:
+                self._names = [
+                    f.name for f in _table_schema(self.path, None).fields
+                ]
+            except Exception:
+                self._names = None
+        return self._names
+
     def _added_rows(self, since: int, upto: int) -> Iterator[tuple]:
         import pyarrow.parquet as pq
 
+        order = self._field_order()
         log = TransactionLog(self.path)
         for act in log.actions(upto=upto, since=since):
             if act.get("remove") and not self.ignore_deletes:
@@ -266,7 +361,13 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
                 )
             for a in act.get("add", []):
                 t = pq.read_table(os.path.join(self.path, a["path"]))
-                names = t.schema.names
+                names = order if order is not None else t.schema.names
+                missing = [n for n in names if n not in set(t.schema.names)]
+                if missing:
+                    raise ValueError(
+                        f"txlog stream file {a['path']} lacks declared "
+                        f"columns {missing}"
+                    )
                 for row in t.to_pylist():
                     yield tuple(row[n] for n in names)
 
@@ -274,12 +375,15 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
         # the prefetched batch is both next()-ed by the runner's cache AND
         # pickled to executors — return a list_iterator (picklable, a real
         # iterator), never a bare list or a generator.  Materialization is
-        # bounded by construction: one micro-batch = a few commits' files.
+        # bounded: a micro-batch spans at most max_versions commits, so
+        # catch-up over a long history arrives as a sequence of bounded
+        # batches instead of one driver-resident mega-batch.
         latest = TransactionLog(self.path).version()
         s = int(start["version"])
         if latest <= s:
             return iter(()), {"version": s}
-        return iter(list(self._added_rows(s, latest))), {"version": latest}
+        end = min(latest, s + self.max_versions)
+        return iter(list(self._added_rows(s, end))), {"version": end}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         return iter(

@@ -500,3 +500,54 @@ def test_perceptual_dhash_spans_formats_via_registry(spark):
         assert out[1] == out[2]  # flat images hash equal across formats
     finally:
         MM.unregister_image_codec(_FAKE_JPEG_MAGIC)
+
+
+def test_dispatch_decode_registry_wins_over_pil():
+    """Round-6 ADVICE: on a PIL-equipped worker a REGISTERED codec must
+    still own its format (PIL is fallback only, and a PIL failure raises
+    the loud codec gate, not a raw PIL error)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cars_bids_data_pipeline_v0__spark.operators.multimodal import (
+        _dispatch_decode,
+    )
+
+    calls = []
+
+    class _FakePIL:
+        """Stands in for PIL.Image: records opens; decodes b"PILOK"-
+        prefixed payloads as a flat 2x2; fails on everything else."""
+
+        class _Img:
+            def convert(self, mode):
+                return np.full((2, 2, 3), 7, dtype=np.uint8)
+
+        @staticmethod
+        def open(bio):
+            b = bio.read()
+            calls.append(b[:5])
+            if b.startswith(b"PILOK"):
+                return _FakePIL._Img()
+            raise OSError("cannot identify image file")
+
+    codecs = {_FAKE_JPEG_MAGIC: _fake_jpeg_decode}
+    by_len = sorted(codecs, key=len, reverse=True)
+
+    # 1) registry match: the registered codec decodes; PIL NEVER touched
+    arr = _dispatch_decode(
+        bytes(_fake_jpeg_bytes(4, 5, 9)), codecs, by_len, _FakePIL
+    )
+    assert arr.shape == (4, 5, 3) and calls == []
+
+    # 2) unmatched prefix: falls back to PIL
+    arr = _dispatch_decode(b"PILOK-payload", codecs, by_len, _FakePIL)
+    assert arr.shape == (2, 2, 3) and calls == [b"PILOK"]
+
+    # 3) PIL failure surfaces as the codec gate, naming the magics
+    with _pytest.raises(NotImplementedError, match="register_image_codec"):
+        _dispatch_decode(b"GIF89a", codecs, by_len, _FakePIL)
+
+    # 4) no PIL at all: same gate
+    with _pytest.raises(NotImplementedError, match="no registered codec"):
+        _dispatch_decode(b"GIF89a", codecs, by_len, None)

@@ -212,3 +212,111 @@ def test_schema_inference_matches_tx_read_with_timestamps(spark, tmp_path):
     ref = tx_read(spark, t)
     assert got.schema == ref.schema
     assert _rows(got) == _rows(ref)
+
+
+def test_partition_pruning_normalizes_booleans_and_escaped_values(spark, tmp_path):
+    """Round-6 ADVICE: the stored partition value is Hive-escaped Spark
+    cast-to-string output ("true", "2024-05-01 10%3A00%3A00"); the pushed
+    filter value is a Python object (True, datetime).  Both sides must
+    normalize or every file is wrongly pruned and rows silently vanish."""
+    import datetime
+
+    from cars_bids_data_pipeline_v0__spark.sources.pyds import (
+        _filter_value_str,
+        _hive_unescape,
+    )
+
+    # unit level: the normalizers agree with Spark/Hive behavior
+    assert _hive_unescape("true") == "true"
+    assert _hive_unescape("2024-05-01 10%3A00%3A00") == "2024-05-01 10:00:00"
+    assert _hive_unescape("__HIVE_DEFAULT_PARTITION__") is None
+    assert _filter_value_str(True) == "true"
+    assert _filter_value_str(False) == "false"
+    assert _filter_value_str(datetime.date(2024, 5, 1)) == "2024-05-01"
+    assert (
+        _filter_value_str(datetime.datetime(2024, 5, 1, 10, 0, 0))
+        == "2024-05-01 10:00:00"
+    )
+    assert _filter_value_str(1.5) is None  # ambiguous → caller keeps file
+
+    # boolean partition: str(True) == "True" used to mismatch "true"
+    act = {"partition": "true"}
+    assert _file_survives(act, [EqualTo(("flag",), True)], "flag")
+    assert not _file_survives(act, [EqualTo(("flag",), False)], "flag")
+    # escaped timestamp partition survives an equality on the same instant
+    act = {"partition": "2024-05-01 10%3A00%3A00"}
+    ts = datetime.datetime(2024, 5, 1, 10, 0, 0)
+    assert _file_survives(act, [EqualTo(("ts",), ts)], "ts")
+    assert not _file_survives(
+        act, [EqualTo(("ts",), ts.replace(hour=11))], "ts"
+    )
+    # null-partition sentinel and unrenderable values: keep (conservative)
+    assert _file_survives(
+        {"partition": "__HIVE_DEFAULT_PARTITION__"},
+        [EqualTo(("p",), 1)],
+        "p",
+    )
+    assert _file_survives({"partition": "1.5"}, [EqualTo(("p",), 1.5)], "p")
+
+    # end-to-end: boolean partition + pushdown still returns every row
+    t = str(tmp_path / "booltbl")
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(10)], "id long, flag boolean"
+    )
+    tx_append_partitioned(spark, df, t, partition_by="flag")
+    got = (
+        spark.read.format("txlog")
+        .option("path", t)
+        .option("partitionColumn", "flag")
+        .load()
+        .filter(F.col("flag") == True)  # noqa: E712
+    )
+    assert sorted(r["id"] for r in got.collect()) == [0, 2, 4, 6, 8]
+
+
+def test_batch_read_reorders_evolved_column_order_by_name(spark, tmp_path):
+    """Round-6 ADVICE: a live file whose columns are reordered (same
+    types) must not land values in the wrong columns positionally."""
+    t = str(tmp_path / "tbl")
+    log = TransactionLog(t)
+    a = spark.createDataFrame([(1, 100)], "x long, y long")
+    adds = log.stage_dataframe(a)
+    log.try_commit(log.version() + 1, adds, [], op="append")
+    # second commit writes the SAME schema with swapped column order
+    b = spark.createDataFrame([(200, 2)], "y long, x long")
+    adds = log.stage_dataframe(b)
+    log.try_commit(log.version() + 1, adds, [], op="append")
+
+    got = spark.read.format("txlog").option("path", t).load()
+    rows = {(r["x"], r["y"]) for r in got.collect()}
+    assert rows == {(1, 100), (2, 200)}
+
+
+def test_stream_first_batch_is_capped_by_max_versions(spark, tmp_path):
+    """Round-6 ADVICE: with startingVersion=-1 on a pre-existing table the
+    first micro-batch must not materialize the whole history; it advances
+    at most maxVersionsPerBatch commit versions per read."""
+    from cars_bids_data_pipeline_v0__spark.sources.pyds import TxLogStreamReader
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 12, 2):  # 6 commits, versions 1..6
+        tx_append_partitioned(
+            spark, _mk(spark, lo, lo + 2), t, partition_by="p"
+        )
+
+    r = TxLogStreamReader({"path": t, "maxVersionsPerBatch": "2"})
+    batches, off = [], r.initialOffset()
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows and nxt == off:
+            break
+        batches.append((off["version"], nxt["version"], len(rows)))
+        off = nxt
+    # 7 versions of history (v<=-1 start): ceil advances of <=2 each
+    assert all(e - s <= 2 for s, e, _n in batches)
+    assert len(batches) >= 3
+    assert sum(n for _s, _e, n in batches) == 12
+    # streamed rows in declared column order, all present exactly once
+    rows_all = list(r.readBetweenOffsets({"version": -1}, {"version": 99}))
+    assert sorted(x[0] for x in rows_all) == list(range(12))
