@@ -1399,6 +1399,19 @@ _DRIVER_FRONT: list[str] = []
 
 _WINDOW = 50
 
+# Pinned re-fronts (round-6 VERDICT directive 5): when spare slots exist
+# after the unproven block, these names take them FIRST — the driver
+# re-confirms the probabilistic families' deterministic portable twins
+# post-salting-guard without waiting for staleness rotation to come back
+# around.  Harmless once re-proven: their bumped last-round pushes them
+# to the back of the staleness order and the pins stop mattering.
+_REFRONT: list[str] = [
+    "q90_minhash_lsh_portable",
+    "q91_simhash_portable",
+    "q92_dup_clusters_portable",
+    "q93_embedding_near_dup_portable",
+]
+
 
 def _proven_last_round() -> dict[str, int]:
     """name -> LAST round number whose driver artifact hash-proved it."""
@@ -1445,11 +1458,12 @@ def _least_proven_front() -> list[str]:
     # q90/q92 come back around post-salting-guard).
     last = _proven_last_round()
     reg_index = {n: i for i, n in enumerate(oracled)}
+    pinned = [n for n in _REFRONT if n in proven and n in reg_index]
     cycled = sorted(
-        (n for n in oracled if n in proven),
+        (n for n in oracled if n in proven and n not in set(pinned)),
         key=lambda n: (last.get(n, 0), reg_index[n]),
     )
-    return (unproven + cycled)[:_WINDOW]
+    return (unproven + pinned + cycled)[:_WINDOW]
 
 
 def _driver_order() -> list[str]:
