@@ -1070,6 +1070,7 @@ def tx_delete_where(
     table_path: str,
     predicate: str,
     max_retries: int = 5,
+    partition_by: str | None = None,
 ) -> int:
     """Row-level DELETE, copy-on-write (the GDPR / right-to-be-forgotten
     primitive the reference's append-only lake lacks): only files that
@@ -1123,10 +1124,18 @@ def tx_delete_where(
             .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         )
         partitioned = any(live[rel] is not None for rel in affected)
+        # layout column for the rewritten files: the caller's partition_by,
+        # else the merge sinks' date column when present.  A partitioned
+        # table with neither restages unpartitioned — those files lose
+        # partition-PRUNING metadata but stay correct (pruning keeps
+        # files whose partition value is unknown).
+        pcol = partition_by or (
+            PARTITION_COL if PARTITION_COL in keep.columns else None
+        )
         if keep.isEmpty():
             adds: list[dict] = []
-        elif partitioned:
-            adds = log.stage_dataframe(keep, partition_by=PARTITION_COL)
+        elif partitioned and pcol is not None:
+            adds = log.stage_dataframe(keep, partition_by=pcol)
         else:
             adds = log.stage_dataframe(keep)
         if log.try_commit(v + 1, adds, sorted(affected), op="delete"):
@@ -1617,3 +1626,172 @@ def tx_fsck(table_path: str) -> dict:
         and not report["txn_regressions"]
     )
     return report
+
+
+def tx_restore(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    max_retries: int = 5,
+) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the table back to an
+    earlier snapshot as ONE NEW COMMIT (Delta's RESTORE semantics; the
+    reference has no undo story at all — a bad load into its warehouse
+    is permanent, `load_lambda/main.py` trusts every batch).
+
+    O(metadata), never O(data): the restore commit re-references the
+    historical files by reusing their add-action dicts VERBATIM, so
+    partition values, zone-map stats and bloom filters all ride along
+    and file pruning keeps working on the restored snapshot.  Nothing is
+    copied or rewritten — at 100 TB a restore is a few KB of JSON.
+
+    History stays intact in both directions: time travel above and below
+    the restore still resolves (the restore is just one more commit, and
+    can itself be restored away), until ``vacuum(keep_history=False)``
+    purges unreferenced files.  Fails loudly — BEFORE committing — if
+    any file of the target snapshot has already been vacuumed.
+
+    Returns ``{"version", "restored_to", "files_added",
+    "files_removed"}``; a restore to the current live set is a no-op
+    that commits nothing.
+    """
+    log = TransactionLog(table_path)
+    latest = log.version()
+    if latest < 0:
+        raise ValueError(f"no committed txlog table at {table_path}")
+    if version < 0 or version > latest:
+        raise ValueError(
+            f"cannot restore {table_path} to version {version}: "
+            f"history is [0, {latest}]"
+        )
+    target = log.live_actions(upto=version)
+    missing = [
+        rel
+        for rel in sorted(target)
+        if not os.path.isfile(os.path.join(table_path, rel))
+    ]
+    if missing:
+        raise ValueError(
+            f"restore to version {version} needs files already vacuumed "
+            f"away: {missing[:5]}{'...' if len(missing) > 5 else ''} — "
+            "historical restores require vacuum(keep_history=True)"
+        )
+    for _ in range(max_retries):
+        v = log.version()
+        current = set(log.live_files(upto=v))
+        adds = [act for rel, act in sorted(target.items()) if rel not in current]
+        removes = sorted(current - set(target))
+        if not adds and not removes:
+            return {
+                "version": v,
+                "restored_to": version,
+                "files_added": 0,
+                "files_removed": 0,
+            }
+        if log.try_commit(v + 1, adds, removes, op="restore"):
+            return {
+                "version": v + 1,
+                "restored_to": version,
+                "files_added": len(adds),
+                "files_removed": len(removes),
+            }
+    raise RuntimeError(f"restore gave up after {max_retries} commit conflicts")
+
+
+#: metadata columns tx_changes appends to the table's own schema
+CHANGES_META_COLS = ("_change_type", "_commit_version", "_commit_op")
+
+
+def tx_changes(
+    spark: SparkSession,
+    table_path: str,
+    since: int = -1,
+    upto: int | None = None,
+) -> DataFrame | None:
+    """Change Data Feed: every row-level change committed in versions
+    ``(since, upto]``, as the table's columns plus ``_change_type``
+    ('insert' | 'delete'; an update surfaces as its delete+insert pair),
+    ``_commit_version`` and ``_commit_op``.  ``None`` for an absent
+    table; an empty window returns an empty frame with the full schema.
+
+    Reconstructed from the commit log's OWN file actions, per version —
+    no change files are ever written (Delta-CDF-without-CDC-files):
+
+    * an append (no removes) emits its added files' rows as inserts —
+      a plain scan of exactly those files;
+    * a rewriting commit (delete / merge / restore / compaction) emits
+      ``removed exceptAll added`` as deletes and ``added exceptAll
+      removed`` as inserts — multiset semantics, so duplicate rows are
+      accounted per-copy.  Layout-only rewrites (compaction, z-order)
+      therefore emit NOTHING by arithmetic, not by trusting the op tag.
+
+    Scale: each version's work touches only the files that version
+    added/removed — the exceptAll shuffles are delta-sized, never
+    table-sized, and append-only history (the common case) is pure scan
+    with zero shuffles.  Requires the touched historical files to still
+    exist: fails loudly naming the version if vacuum purged them.
+    """
+    log = TransactionLog(table_path)
+    latest = log.version()
+    if latest < 0:
+        return None
+    upto = latest if upto is None else min(upto, latest)
+
+    base = tx_read(spark, table_path, version=upto)
+    for c in CHANGES_META_COLS:
+        if c in base.columns:
+            raise ValueError(
+                f"table column {c!r} collides with a tx_changes metadata "
+                "column"
+            )
+
+    def _read(paths: list[str], version: int):
+        missing = [
+            p for p in paths
+            if not os.path.isfile(os.path.join(table_path, p))
+        ]
+        if missing:
+            raise ValueError(
+                f"tx_changes needs files of version {version} already "
+                f"vacuumed away: {missing[:5]} — change feeds over "
+                "history require vacuum(keep_history=True)"
+            )
+        # column-pruned to the declared schema so rewrites that reordered
+        # columns still diff correctly
+        return spark.read.parquet(
+            *[os.path.join(table_path, p) for p in paths]
+        ).select(base.columns)
+
+    def _tag(df: DataFrame, change: str, version: int, op: str):
+        return df.select(
+            *base.columns,
+            F.lit(change).alias("_change_type"),
+            F.lit(version).cast("int").alias("_commit_version"),
+            F.lit(op).alias("_commit_op"),
+        )
+
+    parts: list[DataFrame] = []
+    for act in log.actions(upto=upto, since=since):
+        v = int(act["version"])
+        op = str(act.get("op", ""))
+        adds = [a["path"] for a in act.get("add", [])]
+        rems = list(act.get("remove", []))
+        if not rems:
+            if adds:
+                parts.append(_tag(_read(adds, v), "insert", v, op))
+            continue
+        added = _read(adds, v) if adds else None
+        removed = _read(rems, v)
+        if added is None:
+            parts.append(_tag(removed, "delete", v, op))
+            continue
+        parts.append(_tag(added.exceptAll(removed), "insert", v, op))
+        parts.append(_tag(removed.exceptAll(added), "delete", v, op))
+
+    empty = _tag(base.limit(0), "insert", 0, "").limit(0)
+    if not parts:
+        return empty
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

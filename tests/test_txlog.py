@@ -5,6 +5,7 @@ time travel, vacuum — plus parity with the parquet fallback's semantics
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pytest
@@ -1212,3 +1213,179 @@ def test_delta_latest_pointer_numeric_and_monotone(tmp_path):
     _advance_latest_pointer(d, "v99999")  # and no regression back
     assert read() == "v100000"
     assert not _os.path.exists(_os.path.join(d, "LATEST.lock"))
+
+
+# ---------------------------------------------------------------------------
+# RESTORE + Change Data Feed (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _cdf_mk(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"d{i}", i % 3) for i in range(lo, hi)],
+        "id long, s string, p int",
+    )
+
+
+def _cdf_table(spark, tmp_path):
+    """v1 append evens-ish, v2 append more, v3 delete — the standard
+    restore/CDF fixture.  Returns the table path."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_delete_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 6), t, partition_by="p")
+    tx_append_partitioned(spark, _cdf_mk(spark, 6, 10), t, partition_by="p")
+    n = tx_delete_where(spark, t, "id % 2 = 1", partition_by="p")
+    assert n == 5
+    return t
+
+
+def test_tx_restore_rolls_back_as_new_commit_reusing_files(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_read,
+        tx_restore,
+    )
+
+    t = _cdf_table(spark, tmp_path)
+    log = TransactionLog(t)
+    v_del = log.version()
+    before = {r["id"] for r in tx_read(spark, t).collect()}
+    assert before == {0, 2, 4, 6, 8}
+
+    files_before = set(os.listdir(log.data_dir))
+    res = tx_restore(spark, t, 1)  # back to pre-delete
+    assert res["version"] == v_del + 1 and res["restored_to"] == 1
+    assert res["files_added"] > 0
+    # O(metadata): restore staged NO new data files
+    assert set(os.listdir(log.data_dir)) == files_before
+    # restored snapshot == the historical snapshot, bit for bit
+    now = sorted(tuple(r) for r in tx_read(spark, t).collect())
+    old = sorted(tuple(r) for r in tx_read(spark, t, version=1).collect())
+    assert now == old and {r[0] for r in now} == set(range(10))
+    # re-added files keep their metadata (partition values survive)
+    assert all(
+        a.get("partition") is not None for a in log.live_actions().values()
+    )
+    # time travel ABOVE the restore still sees the deleted state
+    mid = {r["id"] for r in tx_read(spark, t, version=v_del).collect()}
+    assert mid == {0, 2, 4, 6, 8}
+    # restore is itself restorable (undo the undo)
+    tx_restore(spark, t, v_del)
+    assert {r["id"] for r in tx_read(spark, t).collect()} == {0, 2, 4, 6, 8}
+    # restoring to the current state is a no-op commit
+    v = log.version()
+    res = tx_restore(spark, t, v)
+    assert res["files_added"] == 0 and log.version() == v
+
+
+def test_tx_restore_validates_version_and_vacuumed_files(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_restore,
+    )
+
+    t = _cdf_table(spark, tmp_path)
+    log = TransactionLog(t)
+    with pytest.raises(ValueError, match="history"):
+        tx_restore(spark, t, log.version() + 1)
+    with pytest.raises(ValueError, match="history"):
+        tx_restore(spark, t, -1)
+    # purge history below the delete, then restore must fail LOUDLY
+    log.vacuum(keep_history=False)
+    with pytest.raises(ValueError, match="vacuum"):
+        tx_restore(spark, t, 1)
+
+
+def test_tx_changes_per_version_inserts_and_deletes(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_changes
+
+    t = _cdf_table(spark, tmp_path)
+    ch = tx_changes(spark, t)
+    rows = [
+        (r["id"], r["_change_type"], r["_commit_version"], r["_commit_op"])
+        for r in ch.collect()
+    ]
+    ins = sorted((i, v) for i, c, v, _o in rows if c == "insert")
+    dels = sorted(i for i, c, _v, _o in rows if c == "delete")
+    assert ins == [(i, 0) for i in range(6)] + [(i, 1) for i in range(6, 10)]
+    assert dels == [1, 3, 5, 7, 9]
+    assert {o for _i, c, _v, o in rows if c == "delete"} == {"delete"}
+    # window selection: only the delete version
+    ch23 = tx_changes(spark, t, since=1)
+    assert sorted(
+        r["id"] for r in ch23.filter("_change_type = 'delete'").collect()
+    ) == [1, 3, 5, 7, 9]
+    assert ch23.filter("_change_type = 'insert'").count() == 0
+    # empty window keeps the schema
+    empty = tx_changes(spark, t, since=99)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "s", "p", "_change_type",
+                             "_commit_version", "_commit_op"]
+
+
+def test_tx_changes_compaction_and_restore_are_arithmetically_clean(
+    spark, tmp_path
+):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_changes,
+        tx_compact,
+        tx_restore,
+    )
+
+    t = _cdf_table(spark, tmp_path)
+    log = TransactionLog(t)
+    v_del = log.version()
+    tx_compact(spark, t, partition_by="p")  # layout-only rewrite
+    v_cmp = log.version()
+    if v_cmp > v_del:  # compaction had something to do
+        ch = tx_changes(spark, t, since=v_del, upto=v_cmp)
+        assert ch.count() == 0  # zero by exceptAll arithmetic, not op trust
+    # a restore's net row changes surface as its delete+insert pairs
+    tx_restore(spark, t, 1)
+    ch = tx_changes(spark, t, since=v_cmp)
+    got = sorted(
+        (r["id"], r["_change_type"]) for r in ch.collect()
+    )
+    assert got == [(i, "insert") for i in [1, 3, 5, 7, 9]]
+    assert {r["_commit_op"] for r in ch.collect()} == {"restore"}
+
+
+def test_tx_changes_upsert_emits_delete_insert_pair(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_changes,
+        tx_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "id long, s string"
+    )
+    log = TransactionLog(t)
+    adds = log.stage_dataframe(base)
+    assert log.try_commit(0, adds, [], op="append")
+    tx_upsert(
+        spark, t,
+        spark.createDataFrame([(1, "new")], "id long, s string"),
+        key=["id"],
+    )
+    ch = tx_changes(spark, t, since=0)
+    got = sorted((r["id"], r["s"], r["_change_type"]) for r in ch.collect())
+    assert got == [(1, "new", "insert"), (1, "old", "delete")]
+
+
+def test_tx_changes_vacuumed_history_fails_loudly(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_changes,
+    )
+
+    t = _cdf_table(spark, tmp_path)
+    TransactionLog(t).vacuum(keep_history=False)
+    with pytest.raises(ValueError, match="vacuum"):
+        tx_changes(spark, t).count()
