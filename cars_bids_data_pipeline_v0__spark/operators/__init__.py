@@ -11,6 +11,7 @@ from .drift import categorical_distribution, js_divergence
 from .graph import connected_components, dedup_by_components
 from .keys import with_surrogate_key
 from .matview import (
+    matview_apply_changes,
     matview_compact,
     matview_finalize,
     matview_merge,
@@ -56,6 +57,7 @@ __all__ = [
     "table_diff",
     "diff_summary",
     "matview_partials",
+    "matview_apply_changes",
     "matview_merge",
     "matview_compact",
     "matview_finalize",

@@ -108,3 +108,121 @@ def matview_finalize(
             ),
         )
     return out
+
+
+def matview_apply_changes(
+    view: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, ...]],
+    base: DataFrame | None = None,
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Fold a Change-Data-Feed batch (``txlog.tx_changes`` / the txlog
+    stream source's ``readChangeFeed`` rows) into a partial-aggregate
+    view — the missing piece between the CDF and `matview_merge`: deltas
+    with DELETES, not just appends.
+
+    Counts and sums are SUBTRACTABLE, so they fold signed: each change
+    row contributes weight +1 (insert) / -1 (delete) and the delta batch
+    becomes one grouped aggregate of ``w``, ``w*x`` — exactly as cheap
+    as the insert-only path, delta-sized shuffle only.
+
+    ``min``/``max`` are NOT subtractable (deleting the current minimum
+    needs the runner-up).  Groups touched by any delete are therefore
+    recomputed from ``base`` (the CURRENT table snapshot, e.g.
+    ``tx_read``) — but only those groups, via a semi-join-scoped scan,
+    so the recompute cost is proportional to the deleted groups, not the
+    table.  Requesting min/max without ``base`` raises; insert-only
+    change batches never need it.
+
+    Groups whose ``n_rows`` falls to 0 are dropped from the view (the
+    grouped-aggregate semantics: a group with no rows does not exist).
+    """
+    wanted_by_col = {}
+    needs_minmax = False
+    for col, fns in measures.items():
+        w = set(fns)
+        if "avg" in w:
+            w.discard("avg")
+            w.update({"sum", "cnt"})
+        unknown = w - set(_MERGEABLE)
+        if unknown:
+            raise ValueError(f"non-mergeable aggregate(s) {sorted(unknown)}")
+        wanted_by_col[col] = w
+        needs_minmax |= bool(w & {"min", "max"})
+
+    has_deletes = changes.filter(
+        F.col(change_type_col) == "delete"
+    ).limit(1).count() > 0
+    if needs_minmax and has_deletes and base is None:
+        raise ValueError(
+            "min/max maintenance under deletes needs base= (the current "
+            "snapshot) for touched-group recompute"
+        )
+
+    w = F.when(F.col(change_type_col) == "delete", F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    aggs = [F.sum(w).cast("long").alias(_COUNT)]
+    for col, fns in wanted_by_col.items():
+        for fn in sorted(fns):
+            if fn == "sum":
+                aggs.append(
+                    F.sum(
+                        F.when(F.col(col).isNotNull(), w * F.col(col))
+                    ).alias(f"sum_{col}")
+                )
+            elif fn == "cnt":
+                aggs.append(
+                    F.sum(
+                        F.when(F.col(col).isNotNull(), w).otherwise(F.lit(0))
+                    )
+                    .cast("long")
+                    .alias(f"cnt_{col}")
+                )
+            else:  # min / max: inserts can still tighten the fold; the
+                # delete-touched groups get overwritten from base below
+                aggs.append(
+                    getattr(F, fn)(
+                        F.when(F.col(change_type_col) != "delete", F.col(col))
+                    ).alias(f"{fn}_{col}")
+                )
+    delta = changes.groupBy(*keys).agg(*aggs)
+    merged = matview_merge(view, delta)
+    # a group whose membership went to zero leaves the view entirely
+    merged = merged.filter(F.col(_COUNT) > 0)
+
+    if not (needs_minmax and has_deletes):
+        return merged
+    # overwrite min/max (ONLY) for groups any delete touched, from base
+    touched = (
+        changes.filter(F.col(change_type_col) == "delete")
+        .select(*keys)
+        .distinct()
+    )
+    minmax_measures = {
+        col: tuple(sorted(fns & {"min", "max"}))
+        for col, fns in wanted_by_col.items()
+        if fns & {"min", "max"}
+    }
+    recomputed = matview_partials(
+        base.join(touched, keys, "left_semi"), keys, minmax_measures
+    )
+    mm_cols = [
+        f"{fn}_{col}"
+        for col, fns in minmax_measures.items()
+        for fn in fns
+    ]
+    patch = recomputed.select(
+        *keys, *[F.col(c).alias(f"__new_{c}") for c in mm_cols]
+    )
+    out = merged.join(patch, keys, "left")
+    for c in mm_cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(f"__new_{c}").isNotNull(), F.col(f"__new_{c}")
+            ).otherwise(F.col(c)),
+        )
+    return out.drop(*[f"__new_{c}" for c in mm_cols])

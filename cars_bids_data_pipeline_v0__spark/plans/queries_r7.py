@@ -81,38 +81,21 @@ def _q226_oracle() -> str:
     """
 
 
-@register(
-    "q226_tx_change_feed",
-    _q226_oracle(),
-    doc=(
-        "Change Data Feed under the value-hash gate: the builder commits "
-        "orders into a txlog table as two fenced appends (even / odd "
-        "order keys, partitioned by priority) plus one copy-on-write "
-        "DELETE that cuts ACROSS partitions (o_orderkey % 10 = 3, so "
-        "every touched file is rewritten, not dropped), then "
-        "tx_changes() reconstructs per-version inserts/deletes from the "
-        "commit log's own file actions — removed exceptAll added — and "
-        "the summary (rows + total price per version/op/type) must equal "
-        "DuckDB's re-derivation from the raw table.  Scale: each "
-        "version's reconstruction touches only that version's files; "
-        "append history is pure scan, the delete's exceptAll shuffles "
-        "are delta-sized (sources/txlog.py::tx_changes)"
-    ),
-)
-def q226(spark, sf_dir):
+def _q226_build(spark, sf_dir) -> str:
+    """Idempotent 3-commit builder (v0 append evens, v1 append odds, v2
+    cross-partition delete): each step is guarded by the version the
+    PREVIOUS step committed, so a crashed builder resumes, a finished
+    builder no-ops, and the appends are additionally txn-fenced.
+    Shared by q226 (the CDF itself) and q228 (incremental matview)."""
     from ..sources.txlog import (
         TransactionLog,
         tx_append_partitioned,
-        tx_changes,
         tx_delete_where,
     )
 
     orders = _t(spark, sf_dir, "orders")
     path = _q226_table_path(sf_dir)
     log = TransactionLog(path)
-    # idempotent 3-step build: each step is guarded by the version the
-    # PREVIOUS step committed, so a crashed builder resumes, a finished
-    # builder no-ops, and the appends are additionally txn-fenced
     if log.version() < 0:
         tx_append_partitioned(
             spark,
@@ -136,7 +119,31 @@ def q226(spark, sf_dir):
             f"o_orderkey % {_Q226_DELETE_MOD} = 3",
             partition_by="o_orderpriority",
         )
+    return path
 
+
+@register(
+    "q226_tx_change_feed",
+    _q226_oracle(),
+    doc=(
+        "Change Data Feed under the value-hash gate: the builder commits "
+        "orders into a txlog table as two fenced appends (even / odd "
+        "order keys, partitioned by priority) plus one copy-on-write "
+        "DELETE that cuts ACROSS partitions (o_orderkey % 10 = 3, so "
+        "every touched file is rewritten, not dropped), then "
+        "tx_changes() reconstructs per-version inserts/deletes from the "
+        "commit log's own file actions — removed exceptAll added — and "
+        "the summary (rows + total price per version/op/type) must equal "
+        "DuckDB's re-derivation from the raw table.  Scale: each "
+        "version's reconstruction touches only that version's files; "
+        "append history is pure scan, the delete's exceptAll shuffles "
+        "are delta-sized (sources/txlog.py::tx_changes)"
+    ),
+)
+def q226(spark, sf_dir):
+    from ..sources.txlog import tx_changes
+
+    path = _q226_build(spark, sf_dir)
     ch = tx_changes(spark, path)
     return (
         ch.groupBy(
@@ -285,4 +292,88 @@ def q227(spark, sf_dir):
             "id", "sparse_rank", "dense_rank", "rrf_score", "final_rank"
         )
         .orderBy("final_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — incremental materialized view maintained FROM the change feed
+# ---------------------------------------------------------------------------
+
+
+def _q228_oracle() -> str:
+    return f"""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders
+    WHERE o_orderkey % {_Q226_DELETE_MOD} <> 3
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+@register(
+    "q228_incremental_matview_cdf",
+    _q228_oracle(),
+    doc=(
+        "Incremental view maintenance driven by the Change Data Feed "
+        "(operators/matview.py::matview_apply_changes): the view's "
+        "partials are maintained commit-by-commit from tx_changes — "
+        "the append versions fold in as insert partials, the DELETE "
+        "version folds SIGNED (subtractable count/sum, delta-sized "
+        "shuffle) with min/max repaired by a touched-groups-only "
+        "recompute from the snapshot — and the final view must equal "
+        "DuckDB's from-scratch aggregate over the surviving rows.  "
+        "This is the 100 TB answer to reference "
+        "load_lambda/main.py:60-108's recompute-the-warehouse-per-"
+        "batch: history is never re-scanned, each refresh costs the "
+        "delta plus the deleted groups"
+    ),
+)
+def q228(spark, sf_dir):
+    from ..operators.matview import (
+        matview_apply_changes,
+        matview_finalize,
+        matview_partials,
+    )
+    from ..sources.txlog import tx_changes, tx_read
+
+    path = _q226_build(spark, sf_dir)
+    keys = ["o_orderpriority"]
+    measures = {"o_totalprice": ("sum", "cnt", "min", "max", "avg")}
+
+    # v0: bootstrap the view from the first commit's inserts
+    view = matview_partials(
+        tx_changes(spark, path, since=-1, upto=0).drop(
+            "_change_type", "_commit_version", "_commit_op"
+        ),
+        keys,
+        measures,
+    )
+    # v1: insert-only delta — no base needed
+    view = matview_apply_changes(
+        view, tx_changes(spark, path, since=0, upto=1), keys, measures
+    )
+    # v2: the delete — signed fold + touched-group min/max repair
+    view = matview_apply_changes(
+        view,
+        tx_changes(spark, path, since=1, upto=2),
+        keys,
+        measures,
+        base=tx_read(spark, path),
+    )
+    return (
+        matview_finalize(view, avg_of=["o_totalprice"])
+        .select(
+            "o_orderpriority",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("sum_o_totalprice"), 2).alias("total_price"),
+            F.col("min_o_totalprice").alias("min_price"),
+            F.col("max_o_totalprice").alias("max_price"),
+            F.round(F.col("avg_o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
     )

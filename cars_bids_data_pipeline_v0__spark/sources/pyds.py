@@ -300,19 +300,52 @@ class TxLogPruningBatchReader(TxLogBatchReader):
         return iter(filters)
 
 
+#: metadata columns the streaming change feed appends to the table schema
+CDF_META_COLS = ("_change_type", "_commit_version", "_commit_op")
+
+
+def _opt_true(options: dict, *names: str) -> bool:
+    return any(
+        str(options.get(n, "")).lower() in ("true", "1") for n in names
+    )
+
+
+def _freeze(v):
+    """Hashable view of a row value for multiset counting (lists/dicts in
+    parquet rows are unhashable as-is)."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
 class TxLogStreamReader(SimpleDataSourceStreamReader):
     """Commit-version offsets: micro-batch N+1 = rows of the files added
     in versions (start, latest] — exactly-once under checkpoint replay
-    because the log itself is the offset ledger."""
+    because the log itself is the offset ledger.
+
+    With ``readChangeFeed=true`` the stream becomes a CHANGE feed
+    (streaming twin of ``txlog.tx_changes``): every row carries
+    ``_change_type`` / ``_commit_version`` / ``_commit_op``, appends
+    stream as inserts, and rewriting commits (delete / merge / restore)
+    stream their multiset difference — removed-minus-added as deletes,
+    added-minus-removed as inserts — so layout-only compaction emits
+    nothing and ``ignoreDeletes`` is unnecessary."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
         self.start_version = int(
             options.get("startingversion", options.get("startingVersion", -1))
         )
-        self.ignore_deletes = str(
-            options.get("ignoredeletes", options.get("ignoreDeletes", ""))
-        ).lower() in ("true", "1")
+        self.ignore_deletes = _opt_true(
+            options, "ignoredeletes", "ignoreDeletes"
+        )
+        self.change_feed = _opt_true(
+            options, "readchangefeed", "readChangeFeed"
+        )
         # hard bound on how many commit versions one micro-batch may span:
         # with the default startingVersion=-1 on a large PRE-EXISTING
         # table, the first read would otherwise materialize the entire
@@ -345,10 +378,31 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
                 self._names = None
         return self._names
 
-    def _added_rows(self, since: int, upto: int) -> Iterator[tuple]:
+    def _load_rows(self, paths: list[str], version: int) -> list[tuple]:
         import pyarrow.parquet as pq
 
         order = self._field_order()
+        rows: list[tuple] = []
+        for p in paths:
+            full = os.path.join(self.path, p)
+            if not os.path.isfile(full):
+                raise ValueError(
+                    f"txlog stream needs file {p} of version {version} "
+                    "already vacuumed away — change/tail feeds over "
+                    "history require vacuum(keep_history=True)"
+                )
+            t = pq.read_table(full)
+            names = order if order is not None else t.schema.names
+            missing = [n for n in names if n not in set(t.schema.names)]
+            if missing:
+                raise ValueError(
+                    f"txlog stream file {p} lacks declared columns {missing}"
+                )
+            for row in t.to_pylist():
+                rows.append(tuple(row[n] for n in names))
+        return rows
+
+    def _added_rows(self, since: int, upto: int) -> Iterator[tuple]:
         log = TransactionLog(self.path)
         for act in log.actions(upto=upto, since=since):
             if act.get("remove") and not self.ignore_deletes:
@@ -356,20 +410,53 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
                     "txlog stream source requires an append-only table: "
                     f"version window ({since}, {upto}] of {self.path} "
                     "contains remove actions (compaction/merge rewrote "
-                    "history).  Tail the pre-compaction stream, or set "
-                    "ignoreDeletes=true to accept possible re-reads."
+                    "history).  Tail the pre-compaction stream, set "
+                    "ignoreDeletes=true to accept possible re-reads, or "
+                    "set readChangeFeed=true to stream the row-level "
+                    "changes themselves."
                 )
-            for a in act.get("add", []):
-                t = pq.read_table(os.path.join(self.path, a["path"]))
-                names = order if order is not None else t.schema.names
-                missing = [n for n in names if n not in set(t.schema.names)]
-                if missing:
-                    raise ValueError(
-                        f"txlog stream file {a['path']} lacks declared "
-                        f"columns {missing}"
-                    )
-                for row in t.to_pylist():
-                    yield tuple(row[n] for n in names)
+            yield from self._load_rows(
+                [a["path"] for a in act.get("add", [])], int(act["version"])
+            )
+
+    def _change_rows(self, since: int, upto: int) -> Iterator[tuple]:
+        """Per-version row-level changes, the `tx_changes` reconstruction
+        in driver-side Python: multiset difference between a commit's
+        removed and added files.  Bounded by the commit's own files, the
+        same materialization bound as the tail path."""
+        from collections import Counter
+
+        log = TransactionLog(self.path)
+        for act in log.actions(upto=upto, since=since):
+            v = int(act["version"])
+            op = str(act.get("op", ""))
+            adds = [a["path"] for a in act.get("add", [])]
+            rems = list(act.get("remove", []))
+            if not rems:
+                for r in self._load_rows(adds, v):
+                    yield r + ("insert", v, op)
+                continue
+            added = self._load_rows(adds, v)
+            removed = self._load_rows(rems, v)
+            cr = Counter(_freeze(r) for r in removed)
+            for r in added:
+                k = _freeze(r)
+                if cr[k] > 0:
+                    cr[k] -= 1
+                else:
+                    yield r + ("insert", v, op)
+            ca = Counter(_freeze(r) for r in added)
+            for r in removed:
+                k = _freeze(r)
+                if ca[k] > 0:
+                    ca[k] -= 1
+                else:
+                    yield r + ("delete", v, op)
+
+    def _window_rows(self, since: int, upto: int) -> Iterator[tuple]:
+        if self.change_feed:
+            return self._change_rows(since, upto)
+        return self._added_rows(since, upto)
 
     def read(self, start: dict):
         # the prefetched batch is both next()-ed by the runner's cache AND
@@ -383,11 +470,13 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
         if latest <= s:
             return iter(()), {"version": s}
         end = min(latest, s + self.max_versions)
-        return iter(list(self._added_rows(s, end))), {"version": end}
+        return iter(list(self._window_rows(s, end))), {"version": end}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         return iter(
-            list(self._added_rows(int(start["version"]), int(end["version"])))
+            list(
+                self._window_rows(int(start["version"]), int(end["version"]))
+            )
         )
 
     def commit(self, end: dict) -> None:
@@ -400,21 +489,49 @@ class TxLogDataSource(DataSource):
     Options: ``path`` (required), ``version`` (batch time travel),
     ``partitionColumn`` (enables partition-value file pruning),
     ``startingVersion`` (stream start, default -1 = from the beginning),
-    ``ignoreDeletes`` (stream past compaction rewrites)."""
+    ``maxVersionsPerBatch`` (micro-batch span bound, default 64),
+    ``ignoreDeletes`` (stream past compaction rewrites),
+    ``readChangeFeed`` (stream row-level changes with ``_change_type`` /
+    ``_commit_version`` / ``_commit_op`` — the streaming twin of
+    ``txlog.tx_changes``; batch callers use ``tx_changes`` directly)."""
 
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
 
     def schema(self) -> StructType:
+        from pyspark.sql import types as T
+
         v = self.options.get("version")
-        return _table_schema(
+        schema = _table_schema(
             self.options["path"], int(v) if v is not None else None
         )
+        if _opt_true(self.options, "readchangefeed", "readChangeFeed"):
+            for c in CDF_META_COLS:
+                if c in schema.fieldNames():
+                    raise ValueError(
+                        f"table column {c!r} collides with a change-feed "
+                        "metadata column"
+                    )
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), True),
+                    T.StructField("_commit_version", T.IntegerType(), True),
+                    T.StructField("_commit_op", T.StringType(), True),
+                ]
+            )
+        return schema
 
     def reader(self, schema: StructType) -> DataSourceReader:
         from pyspark.sql import SparkSession
 
+        if _opt_true(self.options, "readchangefeed", "readChangeFeed"):
+            raise ValueError(
+                "readChangeFeed is a STREAMING option; batch change "
+                "feeds come from txlog.tx_changes(spark, path, since, "
+                "upto)"
+            )
         s = SparkSession.getActiveSession()
         try:
             enabled = (

@@ -427,3 +427,83 @@ def test_asof_join_matches_pandas_merge_asof_property(spark, left, right):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed invariant: CDF replay reconstructs every snapshot
+# ---------------------------------------------------------------------------
+
+_CDF_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 3)),
+        st.tuples(st.just("delete"), st.integers(0, 4)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("restore"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_CDF_OPS)
+def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
+    """For ANY op sequence (append / cross-partition delete / compact /
+    restore), folding the change feed — inserts minus deletes, as a
+    MULTISET — equals the final snapshot.  This is the defining CDF
+    invariant: if it holds, every downstream incremental consumer
+    (materialized views, replicas) converges to the table."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_changes,
+        tx_compact,
+        tx_delete_where,
+        tx_read,
+        tx_restore,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("cdf")
+    t = str(tmp_path / "tbl")
+    next_id = [0]
+
+    def do(op, arg):
+        log = TransactionLog(t)
+        if op == "append":
+            lo = next_id[0]
+            next_id[0] += arg + 1
+            df = spark.createDataFrame(
+                [(i, i % 2) for i in range(lo, next_id[0])],
+                "id long, p int",
+            )
+            tx_append_partitioned(spark, df, t, partition_by="p")
+        elif op == "delete" and log.version() >= 0:
+            tx_delete_where(
+                spark, t, f"id % 5 = {arg}", partition_by="p"
+            )
+        elif op == "compact" and log.version() >= 0:
+            tx_compact(spark, t, partition_by="p")
+        elif op == "restore" and log.version() >= 1:
+            tx_restore(spark, t, log.version() - 1)
+
+    # seed so delete/compact/restore always have a table to act on
+    do("append", 3)
+    for op, arg in ops:
+        do(op, arg)
+
+    snap = sorted(
+        (r["id"], r["p"]) for r in tx_read(spark, t).collect()
+    )
+    ch = tx_changes(spark, t).collect()
+    from collections import Counter
+
+    folded = Counter()
+    for r in ch:
+        key = (r["id"], r["p"])
+        if r["_change_type"] == "insert":
+            folded[key] += 1
+        else:
+            folded[key] -= 1
+    assert all(v >= 0 for v in folded.values())
+    replay = sorted(k for k, v in folded.items() for _ in range(v))
+    assert replay == snap

@@ -320,3 +320,81 @@ def test_stream_first_batch_is_capped_by_max_versions(spark, tmp_path):
     # streamed rows in declared column order, all present exactly once
     rows_all = list(r.readBetweenOffsets({"version": -1}, {"version": 99}))
     assert sorted(x[0] for x in rows_all) == list(range(12))
+
+
+def test_stream_change_feed_tags_inserts_and_deletes(spark, tmp_path):
+    """readChangeFeed=true: the stream becomes the streaming twin of
+    tx_changes — appends arrive as inserts, a copy-on-write delete as
+    delete rows, compaction as NOTHING (multiset arithmetic), all
+    exactly-once across restarts."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_compact,
+        tx_delete_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    seen: list[tuple] = []
+
+    def sink(df, bid):
+        seen.extend(
+            (r["id"], r["_change_type"], r["_commit_version"],
+             r["_commit_op"])
+            for r in df.collect()
+        )
+
+    def run():
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    tx_append_partitioned(spark, _mk(spark, 0, 6), t, partition_by="p")
+    run()
+    assert sorted(seen) == [(i, "insert", 0, "append") for i in range(6)]
+
+    seen.clear()
+    tx_delete_where(spark, t, "id >= 4", partition_by="p")
+    tx_compact(spark, t, partition_by="p")  # may no-op on tiny layouts
+    v_append = TransactionLog(t).version() + 1
+    tx_append_partitioned(spark, _mk(spark, 6, 8), t, partition_by="p")
+    run()
+    dels = sorted(x for x in seen if x[1] == "delete")
+    ins = sorted(x for x in seen if x[1] == "insert")
+    assert dels == [(4, "delete", 1, "delete"), (5, "delete", 1, "delete")]
+    # a compaction commit (if any) emitted nothing; only the append's
+    # inserts arrive
+    assert ins == [(6, "insert", v_append, "append"),
+                   (7, "insert", v_append, "append")]
+    # replay with no new commits: nothing re-delivered
+    seen.clear()
+    run()
+    assert [x for x in seen] == []
+
+
+def test_stream_change_feed_schema_and_batch_guard(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _mk(spark, 0, 2), t, partition_by="p")
+    s = (
+        spark.readStream.format("txlog")
+        .option("path", t)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert s.columns == ["id", "s", "p", "_change_type", "_commit_version",
+                        "_commit_op"]
+    with pytest.raises(Exception, match="STREAMING option|tx_changes"):
+        (
+            spark.read.format("txlog")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+            .collect()
+        )

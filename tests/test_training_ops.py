@@ -289,3 +289,104 @@ def test_drift_raises_on_missing_reference(spark):
     dist = categorical_distribution(df, "source", "category")
     with pytest.raises(ValueError, match="matches no rows"):
         js_divergence(dist, "typo_source", "source", "category")
+
+
+# ---------------------------------------------------------------------------
+# matview_apply_changes: CDF-driven incremental view maintenance (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _chg(spark, rows):
+    """(key, x, change_type) rows shaped like a tx_changes batch."""
+    return spark.createDataFrame(
+        [(k, x, c) for k, x, c in rows],
+        "k string, x double, _change_type string",
+    )
+
+
+def test_matview_apply_changes_signed_fold_matches_recompute(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.matview import (
+        matview_apply_changes,
+        matview_finalize,
+        matview_partials,
+    )
+
+    measures = {"x": ("sum", "cnt", "avg")}
+    base_rows = [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", None)]
+    base = spark.createDataFrame(base_rows, "k string, x double")
+    view = matview_partials(base, ["k"], measures)
+
+    # delta: insert (a,4), delete (a,1), delete (b,NULL)
+    delta = _chg(
+        spark,
+        [("a", 4.0, "insert"), ("a", 1.0, "delete"), ("b", None, "delete")],
+    )
+    got = matview_finalize(
+        matview_apply_changes(view, delta, ["k"], measures), avg_of=["x"]
+    )
+    rows = {r["k"]: r for r in got.collect()}
+    # a: {2,4} — n=2 sum=6 avg=3 ; b: {5} — n=1 sum=5 avg=5
+    assert rows["a"]["n_rows"] == 2 and rows["a"]["sum_x"] == 6.0
+    assert rows["a"]["avg_x"] == 3.0
+    assert rows["b"]["n_rows"] == 1 and rows["b"]["avg_x"] == 5.0
+
+
+def test_matview_apply_changes_minmax_repair_touched_groups_only(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.matview import (
+        matview_apply_changes,
+        matview_partials,
+    )
+
+    measures = {"x": ("min", "max", "sum", "cnt")}
+    before = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 3.0), ("b", 7.0)],
+        "k string, x double",
+    )
+    view = matview_partials(before, ["k"], measures)
+    # delete a's current max AND min boundary-mates; b untouched
+    delta = _chg(spark, [("a", 9.0, "delete"), ("a", 0.5, "insert")])
+    after = spark.createDataFrame(  # the post-change snapshot (base=)
+        [("a", 1.0), ("a", 0.5), ("b", 3.0), ("b", 7.0)],
+        "k string, x double",
+    )
+    got = {
+        r["k"]: r
+        for r in matview_apply_changes(
+            view, delta, ["k"], measures, base=after
+        ).collect()
+    }
+    assert (got["a"]["min_x"], got["a"]["max_x"]) == (0.5, 1.0)
+    assert (got["b"]["min_x"], got["b"]["max_x"]) == (3.0, 7.0)
+    assert got["a"]["n_rows"] == 2 and got["a"]["sum_x"] == 1.5
+
+    # min/max under deletes without base= is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="base="):
+        matview_apply_changes(view, delta, ["k"], measures)
+    # ...but an insert-only delta needs no base even with min/max
+    ins_only = _chg(spark, [("b", 11.0, "insert")])
+    got2 = {
+        r["k"]: r
+        for r in matview_apply_changes(
+            view, ins_only, ["k"], measures
+        ).collect()
+    }
+    assert got2["b"]["max_x"] == 11.0 and got2["b"]["n_rows"] == 3
+
+
+def test_matview_apply_changes_drops_emptied_groups(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.matview import (
+        matview_apply_changes,
+        matview_partials,
+    )
+
+    measures = {"x": ("sum", "cnt")}
+    view = matview_partials(
+        spark.createDataFrame([("a", 2.0), ("b", 3.0)], "k string, x double"),
+        ["k"],
+        measures,
+    )
+    delta = _chg(spark, [("a", 2.0, "delete")])
+    got = matview_apply_changes(view, delta, ["k"], measures)
+    assert [r["k"] for r in got.collect()] == ["b"]
