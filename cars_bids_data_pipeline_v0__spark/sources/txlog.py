@@ -129,6 +129,25 @@ class TransactionLog:
                 live.pop(r, None)
         return live
 
+    def constraints(self, upto: int | None = None) -> dict[str, str]:
+        """``{constraint name: SQL boolean predicate}`` in force at a
+        version.  Constraint commits carry the FULL snapshot of the
+        constraint set in their ``meta`` (no merge logic to replay), so
+        the latest one seen wins; checkpoints carry the set too, so
+        constraints survive pre-checkpoint log truncation exactly like
+        pruning metadata does."""
+        out: dict[str, str] = {}
+        start = -1
+        ckpt = self._latest_checkpoint_body(upto)
+        if ckpt is not None:
+            start = ckpt[0]
+            out = dict(ckpt[1].get("constraints", {}))
+        for act in self.actions(upto, since=start):
+            m = act.get("meta")
+            if m and "constraints" in m:
+                out = dict(m["constraints"])
+        return out
+
     # -- checkpoints (log compaction) --------------------------------------
 
     def _checkpoint_path(self, version: int) -> str:
@@ -203,8 +222,12 @@ class TransactionLog:
                     txns.get(t["app"], -1), int(t["batch"])
                 )
         tmp = self._checkpoint_path(v) + f".tmp-{uuid.uuid4().hex}"
+        body = {"version": v, "live": live, "txns": txns}
+        cons = self.constraints(upto=v)
+        if cons:
+            body["constraints"] = cons
         with open(tmp, "w") as f:
-            json.dump({"version": v, "live": live, "txns": txns}, f)
+            json.dump(body, f)
         os.replace(tmp, self._checkpoint_path(v))
         return v
 
@@ -284,6 +307,7 @@ class TransactionLog:
         remove: list[str],
         op: str,
         txn: dict | None = None,
+        meta: dict | None = None,
     ) -> bool:
         """Atomically claim ``version``.  False = a concurrent writer won it
         first (caller re-reads the snapshot and retries).  ``txn`` is an
@@ -299,6 +323,7 @@ class TransactionLog:
             {
                 "version": version, "op": op, "add": add, "remove": remove,
                 **({"txn": txn} if txn else {}),
+                **({"meta": meta} if meta else {}),
             }
         )
         try:
@@ -453,6 +478,7 @@ def tx_merge_partitioned(
     if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
         return []
     batch = new_df.withColumn(PARTITION_COL, F.to_date(F.col(partition_src)))
+    tx_check_constraints(batch, table_path)  # reject bad data pre-stage
     batch = keep_latest(batch, key, order_by=order_by).persist()
     try:
         touched = [
@@ -540,6 +566,7 @@ def tx_upsert(
     from ..operators.merge import upsert_overwrite
 
     log = TransactionLog(table_path)
+    tx_check_constraints(new_rows, table_path)
     for _ in range(20):
         v = log.version()
         existing = tx_read(spark, table_path)
@@ -1520,6 +1547,7 @@ def tx_append_partitioned(
     log = TransactionLog(table_path)
     if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
         return 0
+    tx_check_constraints(new_df, table_path)
     adds = log.stage_dataframe(
         new_df, partition_by=partition_by, stats_cols=stats_cols
     )
@@ -1795,3 +1823,129 @@ def tx_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+class ConstraintViolation(ValueError):
+    """An incoming batch broke a table CHECK constraint; nothing was
+    staged or committed."""
+
+
+def tx_check_constraints(
+    df: DataFrame, table_path: str, upto: int | None = None
+) -> None:
+    """Validate a batch against the table's CHECK constraints in ONE
+    aggregate pass (all predicates as conditional counts in a single
+    job) — delta-sized work however large the table is.  Raises
+    `ConstraintViolation` naming every violated constraint and its row
+    count; a predicate evaluating to NULL counts as a violation (the
+    ANSI CHECK rule is 'not false', but a data-quality gate that lets
+    NULL comparisons slip through silently is a trap — be strict)."""
+    cons = TransactionLog(table_path).constraints(upto=upto)
+    if not cons:
+        return
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(False)), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(name)
+        for name, sql in sorted(cons.items())
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {
+        name: int(row[name]) for name in sorted(cons) if int(row[name]) > 0
+    }
+    if bad:
+        detail = ", ".join(
+            f"{n} [{cons[n]}]: {c} row(s)" for n, c in bad.items()
+        )
+        raise ConstraintViolation(
+            f"batch violates CHECK constraint(s) on {table_path}: {detail}"
+        )
+
+
+def tx_set_constraint(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    predicate: str,
+    validate_existing: bool = True,
+    max_retries: int = 5,
+) -> int:
+    """ADD CONSTRAINT ... CHECK (predicate) — recorded in the commit log,
+    enforced on every subsequent `tx_append_partitioned` /
+    `tx_merge_partitioned` / `tx_upsert` batch at write time (the
+    Delta-style invariant: bad data is rejected BEFORE it reaches the
+    table, not quarantined after).
+
+    ``validate_existing=True`` (default) first proves the CURRENT
+    snapshot satisfies the predicate — one scan — so a constraint can
+    never be born already-violated.  The constraint commit carries the
+    full constraint-set snapshot and survives checkpoint truncation.
+    Returns the committing version."""
+    log = TransactionLog(table_path)
+    if validate_existing and log.version() >= 0:
+        snap = tx_read(spark, table_path)
+        if snap is not None and not snap.isEmpty():
+            probe = {name: predicate}
+            aggs = [
+                F.sum(
+                    F.when(
+                        ~F.coalesce(
+                            F.expr(sql).cast("boolean"), F.lit(False)
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(n)
+                for n, sql in probe.items()
+            ]
+            row = snap.agg(*aggs).collect()[0]
+            if int(row[name]) > 0:
+                raise ConstraintViolation(
+                    f"cannot add constraint {name!r}: {int(row[name])} "
+                    f"existing row(s) violate [{predicate}]"
+                )
+    for _ in range(max_retries):
+        v = log.version()
+        cons = log.constraints(upto=v if v >= 0 else None)
+        cons[name] = predicate
+        if log.try_commit(
+            v + 1, [], [], op="set_constraint",
+            meta={"constraints": cons},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"set_constraint gave up after {max_retries} commit conflicts"
+    )
+
+
+def tx_drop_constraint(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    max_retries: int = 5,
+) -> int:
+    """DROP CONSTRAINT — a metadata commit recording the shrunken set.
+    Unknown names raise (a typo must not silently 'succeed')."""
+    log = TransactionLog(table_path)
+    for _ in range(max_retries):
+        v = log.version()
+        cons = log.constraints(upto=v if v >= 0 else None)
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {table_path}; in force: "
+                f"{sorted(cons)}"
+            )
+        del cons[name]
+        if log.try_commit(
+            v + 1, [], [], op="drop_constraint",
+            meta={"constraints": cons},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"drop_constraint gave up after {max_retries} commit conflicts"
+    )

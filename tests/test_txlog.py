@@ -1389,3 +1389,128 @@ def test_tx_changes_vacuumed_history_fails_loudly(spark, tmp_path):
     TransactionLog(t).vacuum(keep_history=False)
     with pytest.raises(ValueError, match="vacuum"):
         tx_changes(spark, t).count()
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints at the write boundary (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_tx_constraints_enforced_on_every_write_path(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        ConstraintViolation,
+        TransactionLog,
+        tx_append_partitioned,
+        tx_read,
+        tx_set_constraint,
+        tx_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(
+        spark, _cdf_mk(spark, 0, 5), t, partition_by="p"
+    )
+    tx_set_constraint(spark, t, "id_nonneg", "id >= 0")
+    tx_set_constraint(spark, t, "s_not_null", "s IS NOT NULL")
+    log = TransactionLog(t)
+    assert set(log.constraints()) == {"id_nonneg", "s_not_null"}
+
+    v = log.version()
+    # violating append rejected ATOMICALLY: nothing staged, version frozen
+    bad = spark.createDataFrame(
+        [(-1, "x", 0), (7, "y", 1)], "id long, s string, p int"
+    )
+    with pytest.raises(ConstraintViolation, match="id_nonneg.*1 row"):
+        tx_append_partitioned(spark, bad, t, partition_by="p")
+    assert log.version() == v
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == list(
+        range(5)
+    )
+    # NULL predicate result counts as a violation (strict gate)
+    with pytest.raises(ConstraintViolation, match="s_not_null"):
+        tx_append_partitioned(
+            spark,
+            spark.createDataFrame([(9, None, 0)], "id long, s string, p int"),
+            t,
+            partition_by="p",
+        )
+    # upsert path enforces too
+    with pytest.raises(ConstraintViolation):
+        tx_upsert(
+            spark, t,
+            spark.createDataFrame([(-5, "z", 0)], "id long, s string, p int"),
+            key=["id"],
+        )
+    # compliant writes pass
+    tx_append_partitioned(spark, _cdf_mk(spark, 5, 7), t, partition_by="p")
+    assert tx_read(spark, t).count() == 7
+
+
+def test_tx_constraint_born_valid_drop_and_checkpoint_survival(
+    spark, tmp_path
+):
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        ConstraintViolation,
+        TransactionLog,
+        tx_append_partitioned,
+        tx_drop_constraint,
+        tx_set_constraint,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 5), t, partition_by="p")
+    # a constraint the CURRENT data violates cannot be added
+    with pytest.raises(ConstraintViolation, match="existing row"):
+        tx_set_constraint(spark, t, "id_big", "id >= 3")
+    assert TransactionLog(t).constraints() == {}
+    tx_set_constraint(spark, t, "id_small", "id < 100")
+
+    # survives checkpoint + pre-checkpoint log truncation
+    log = TransactionLog(t)
+    ck_v = log.checkpoint()
+    for v in log.versions():
+        if v < ck_v:
+            _os.remove(log._commit_path(v))
+    assert TransactionLog(t).constraints() == {"id_small": "id < 100"}
+    with pytest.raises(ConstraintViolation):
+        tx_append_partitioned(
+            spark,
+            spark.createDataFrame([(200, "x", 0)], "id long, s string, p int"),
+            t,
+            partition_by="p",
+        )
+
+    # drop restores writability; unknown drop raises
+    tx_drop_constraint(spark, t, "id_small")
+    with pytest.raises(ValueError, match="no constraint"):
+        tx_drop_constraint(spark, t, "id_small")
+    tx_append_partitioned(
+        spark,
+        spark.createDataFrame([(200, "x", 0)], "id long, s string, p int"),
+        t,
+        partition_by="p",
+    )
+
+
+def test_tx_constraints_enforced_on_merge_path(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        ConstraintViolation,
+        tx_merge_partitioned,
+        tx_set_constraint,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a1", "2024-05-01", 100.0)],
+        "auction_id string, auction_date string, price double",
+    ).withColumn("auction_date", F.to_date("auction_date"))
+    tx_merge_partitioned(spark, df, t)
+    tx_set_constraint(spark, t, "price_pos", "price > 0")
+    bad = spark.createDataFrame(
+        [("a2", "2024-05-02", -5.0)],
+        "auction_id string, auction_date string, price double",
+    ).withColumn("auction_date", F.to_date("auction_date"))
+    with pytest.raises(ConstraintViolation, match="price_pos"):
+        tx_merge_partitioned(spark, bad, t)
