@@ -1171,6 +1171,395 @@ def tx_delete_where(
     raise RuntimeError(f"delete gave up after {max_retries} conflicts")
 
 
+def tx_update_where(
+    spark: SparkSession,
+    table_path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    max_retries: int = 5,
+    partition_by: str | None = None,
+) -> int:
+    """Row-level UPDATE, copy-on-write — ``UPDATE t SET col = expr, ...
+    WHERE predicate`` (the reference can only re-load whole batches;
+    load_lambda/main.py has no row-level DML at all).  Mirrors
+    `tx_delete_where`'s shape: one pushed-down scan finds the files that
+    actually CONTAIN matching rows, only those are rewritten, and the
+    swap commits as one atomic add+remove — readers see every update or
+    none.
+
+    SQL UPDATE semantics, enforced:
+
+    * every SET right-hand side sees the PRE-update row (all assignments
+      evaluate simultaneously — ``{"a": "b", "b": "a"}`` swaps),
+    * a NULL predicate result means "not matched" (unlike the CHECK
+      gate, which is strict the other way),
+    * the updated value is cast back to the column's existing type, so
+      file schemas never drift,
+    * updated rows must satisfy the table's CHECK constraints — the
+      batch is rejected BEFORE anything is staged if an assignment
+      breaks one.
+
+    Scale: affected-file discovery is one scan with the predicate pushed
+    to parquet (zone maps skip clean files); the rewrite reads only
+    affected files.  Returns rows updated.
+    """
+    if not set_exprs:
+        raise ValueError("tx_update_where needs at least one SET column")
+    log = TransactionLog(table_path)
+    pred = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+    for _ in range(max_retries):
+        v = log.version()
+        if v < 0:
+            return 0
+        live = log.live_files(upto=v)
+        if not live:
+            return 0
+        rel_by_base = {os.path.basename(rel): rel for rel in sorted(live)}
+        df = spark.read.parquet(
+            *[os.path.join(table_path, rel) for rel in sorted(live)]
+        ).withColumn("__file", F.input_file_name())
+        hits = (
+            df.filter(pred)
+            .groupBy("__file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        if not hits:
+            return 0
+        n_updated = int(sum(r["n"] for r in hits))
+        affected = []
+        for r in hits:
+            p = urllib.parse.unquote(urllib.parse.urlparse(r["__file"]).path)
+            affected.append(rel_by_base[os.path.basename(p or r["__file"])])
+        rewrite = spark.read.parquet(
+            *[os.path.join(table_path, rel) for rel in affected]
+        )
+        missing = sorted(set(set_exprs) - set(rewrite.columns))
+        if missing:
+            raise ValueError(
+                f"UPDATE SET names column(s) not in {table_path}: {missing}"
+            )
+        # one projection over the input frame: every RHS resolves against
+        # the pre-update row, never a sibling assignment's result
+        updated = rewrite.withColumns(
+            {
+                c: F.when(
+                    pred,
+                    F.expr(e).cast(rewrite.schema[c].dataType),
+                ).otherwise(F.col(c))
+                for c, e in set_exprs.items()
+            }
+        )
+        tx_check_constraints(updated.filter(pred), table_path, upto=v)
+        partitioned = any(live[rel] is not None for rel in affected)
+        pcol = partition_by or (
+            PARTITION_COL if PARTITION_COL in updated.columns else None
+        )
+        if partitioned and pcol is not None:
+            adds = log.stage_dataframe(updated, partition_by=pcol)
+        else:
+            adds = log.stage_dataframe(updated)
+        if log.try_commit(v + 1, adds, sorted(affected), op="update"):
+            return n_updated
+        log.discard(adds)
+    raise RuntimeError(f"update gave up after {max_retries} conflicts")
+
+
+def tx_merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: bool | dict[str, str] = True,
+    matched_condition: str | None = None,
+    max_retries: int = 5,
+    partition_by: str | None = None,
+    txn: dict | None = None,
+) -> dict:
+    """``MERGE INTO target t USING source s ON t.k = s.k`` with the full
+    Delta-style clause set — the general upsert the reference approximates
+    with TRUNCATE-and-reload (load_lambda/main.py:70-95):
+
+    * ``when_matched_update`` — ``{target_col: SQL expr}``; expressions
+      may reference BOTH sides via the ``t.`` / ``s.`` aliases
+      (``{"price": "s.price", "n_updates": "t.n_updates + 1"}``).
+    * ``when_matched_delete`` — SQL condition over ``t.*``/``s.*``
+      (``"true"`` = delete every match).  Evaluated BEFORE the update
+      clause, like Delta's first-matching-clause-wins ordering with the
+      delete clause listed first.
+    * ``when_not_matched_insert`` — True inserts source rows mapped to
+      target columns BY NAME (missing target columns become NULL, extra
+      source columns are dropped); a dict gives explicit per-column
+      expressions over ``s.*``; False skips inserts.
+    * ``matched_condition`` — extra SQL gate over ``t.*``/``s.*`` a
+      match must pass before either matched clause applies.
+
+    The Delta cardinality rule is enforced: a target row matched by MORE
+    than one source row aborts (nondeterministic update) — pre-checked
+    with one delta-sized aggregation, BEFORE anything is staged.
+
+    Scale: source keys semi-join the target scan to find the files that
+    contain matches — only those are rewritten; untouched files keep
+    their bytes and pruning stats.  The rewrite itself is
+    affected-files × source (broadcast when small, AQE otherwise), never
+    table × source.  Inserts and rewrites commit as ONE atomic
+    add+remove (op ``merge_into``), idempotent under ``txn``
+    (app/batch fencing, same contract as `tx_append_partitioned`).
+
+    Returns ``{"updated", "deleted", "inserted", "files_rewritten",
+    "version"}``.
+    """
+    if when_matched_update:
+        overlap = set(when_matched_update) & set(on)
+        if overlap:
+            raise ValueError(f"cannot UPDATE the ON key(s): {sorted(overlap)}")
+    log = TransactionLog(table_path)
+    if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
+        return {
+            "updated": 0, "deleted": 0, "inserted": 0,
+            "files_rewritten": 0, "version": log.version(),
+        }
+    missing_keys = [k for k in on if k not in source.columns]
+    if missing_keys:
+        raise ValueError(f"source lacks ON key column(s): {missing_keys}")
+    source = source.persist()
+    try:
+        for attempt in range(max_retries):
+            v = log.version()
+            live = log.live_files(upto=v) if v >= 0 else {}
+            result = _merge_into_once(
+                spark, log, table_path, source, on,
+                when_matched_update, when_matched_delete,
+                when_not_matched_insert, matched_condition,
+                v, live, partition_by, txn,
+            )
+            if result is not None:
+                return result
+        raise RuntimeError(
+            f"merge_into gave up after {max_retries} commit conflicts"
+        )
+    finally:
+        source.unpersist()
+
+
+def _merge_into_once(
+    spark, log, table_path, source, on,
+    when_matched_update, when_matched_delete, when_not_matched_insert,
+    matched_condition, v, live, partition_by, txn,
+):
+    """One optimistic attempt of `tx_merge_into`; None = commit conflict,
+    caller retries against the fresh snapshot."""
+    if v < 0 or not live:
+        # empty target: MERGE degenerates to the insert clause
+        if when_not_matched_insert is False:
+            return {
+                "updated": 0, "deleted": 0, "inserted": 0,
+                "files_rewritten": 0, "version": v,
+            }
+        s = source.alias("s")
+        if isinstance(when_not_matched_insert, dict):
+            ins = s.select(
+                *[
+                    F.expr(e).alias(c)
+                    for c, e in when_not_matched_insert.items()
+                ]
+            )
+        else:
+            ins = s
+        tx_check_constraints(ins, table_path)
+        adds = log.stage_dataframe(
+            ins, partition_by=partition_by
+        ) if partition_by else log.stage_dataframe(ins)
+        n_ins = ins.count()
+        if log.try_commit(
+            (v if v >= 0 else -1) + 1, adds, [], op="merge_into", txn=txn
+        ):
+            return {
+                "updated": 0, "deleted": 0, "inserted": n_ins,
+                "files_rewritten": 0, "version": v + 1,
+            }
+        log.discard(adds)
+        return None
+
+    rel_by_base = {os.path.basename(rel): rel for rel in sorted(live)}
+    target = spark.read.parquet(
+        *[os.path.join(table_path, rel) for rel in sorted(live)]
+    )
+    tgt_cols = target.columns
+    # plain equality, ANSI MERGE semantics: NULL keys never match
+    key_cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on]
+    cond = key_cond[0]
+    for c in key_cond[1:]:
+        cond = cond & c
+
+    # Delta cardinality rule: a key appearing twice in the source only
+    # aborts if it MATCHES a target row (duplicate pure inserts are the
+    # caller's business, exactly like Delta).  The dup frame is one
+    # delta-sized aggregation; the probe is a semi-join against it.
+    dup = (
+        source.groupBy(*[F.col(k) for k in on])
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .alias("s")
+        .join(target.alias("t"), cond, "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key = {k: dup[0][k] for k in on}
+        raise ValueError(
+            f"MERGE source has multiple rows for matched key {key} — "
+            "the target row would update nondeterministically"
+        )
+
+    # -- which files contain matched rows? one semi-join scan ------------
+    hits = (
+        target.withColumn("__file", F.input_file_name()).alias("t")
+        .join(source.alias("s"), cond, "left_semi")
+        .select("__file").distinct().collect()
+    )
+    affected = []
+    for r in hits:
+        p = urllib.parse.unquote(urllib.parse.urlparse(r["__file"]).path)
+        affected.append(rel_by_base[os.path.basename(p or r["__file"])])
+    affected = sorted(affected)
+
+    gate = F.lit(True)
+    if matched_condition is not None:
+        gate = F.coalesce(
+            F.expr(matched_condition).cast("boolean"), F.lit(False)
+        )
+
+    parts: list[DataFrame] = []
+    persisted: list[DataFrame] = []
+    n_upd = n_del = 0
+    if affected:
+        tdf = spark.read.parquet(
+            *[os.path.join(table_path, rel) for rel in affected]
+        ).alias("t")
+        sdf = source.withColumn("__s_hit", F.lit(1)).alias("s")
+        j = tdf.join(sdf, cond, "left")
+        matched = F.col("s.__s_hit").isNotNull() & gate
+        del_cond = F.lit(False)
+        if when_matched_delete is not None:
+            del_cond = matched & F.coalesce(
+                F.expr(when_matched_delete).cast("boolean"), F.lit(False)
+            )
+        upd_cond = F.lit(False)
+        if when_matched_update:
+            upd_cond = matched & ~del_cond
+        out_cols = []
+        for c in tgt_cols:
+            col = F.col(f"t.{c}")
+            if when_matched_update and c in when_matched_update:
+                col = F.when(
+                    upd_cond,
+                    F.expr(when_matched_update[c]).cast(
+                        target.schema[c].dataType
+                    ),
+                ).otherwise(col)
+            out_cols.append(col.alias(c))
+        tagged = (
+            j.withColumn(
+                "__action",
+                F.when(del_cond, F.lit("delete"))
+                .when(upd_cond, F.lit("update"))
+                .otherwise(F.lit("keep")),
+            )
+            .select(*out_cols, "__action")
+            .persist()
+        )
+        persisted.append(tagged)
+        counts = {
+            r["__action"]: r["n"]
+            for r in tagged.groupBy("__action")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        n_upd = int(counts.get("update", 0))
+        n_del = int(counts.get("delete", 0))
+        rewritten = tagged.filter(F.col("__action") != "delete").drop(
+            "__action"
+        )
+        if when_matched_update and n_upd:
+            tx_check_constraints(
+                tagged.filter(F.col("__action") == "update").drop("__action"),
+                table_path, upto=v,
+            )
+        parts.append(rewritten)
+
+    # -- inserts: source keys matching NO target row ----------------------
+    n_ins = 0
+    ins = None
+    if when_not_matched_insert is not False:
+        unmatched = source.alias("s").join(
+            target.alias("t"), cond, "left_anti"
+        )
+        if isinstance(when_not_matched_insert, dict):
+            ins = unmatched.select(
+                *[
+                    F.expr(e).cast(target.schema[c].dataType).alias(c)
+                    if c in tgt_cols else F.expr(e).alias(c)
+                    for c, e in when_not_matched_insert.items()
+                ]
+            )
+        else:
+            ins = unmatched.select(
+                *[
+                    (
+                        F.col(c).cast(target.schema[c].dataType)
+                        if c in unmatched.columns
+                        else F.lit(None).cast(target.schema[c].dataType)
+                    ).alias(c)
+                    for c in tgt_cols
+                ]
+            )
+        ins = ins.persist()
+        persisted.append(ins)
+        n_ins = ins.count()
+        if n_ins:
+            tx_check_constraints(ins, table_path, upto=v)
+            parts.append(ins)
+
+    try:
+        if not affected and not n_ins:
+            # nothing matched, nothing to insert; commit only to record
+            # txn fencing, otherwise a clean no-op
+            if txn is None or log.try_commit(
+                v + 1, [], [], op="merge_into", txn=txn
+            ):
+                return {
+                    "updated": 0, "deleted": 0, "inserted": 0,
+                    "files_rewritten": 0,
+                    "version": v if txn is None else v + 1,
+                }
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        partitioned = any(live[rel] is not None for rel in affected)
+        pcol = partition_by or (
+            PARTITION_COL if PARTITION_COL in out.columns else None
+        )
+        if out.isEmpty():
+            adds: list[dict] = []
+        elif (partitioned or not affected) and pcol is not None:
+            adds = log.stage_dataframe(out, partition_by=pcol)
+        else:
+            adds = log.stage_dataframe(out)
+        if log.try_commit(v + 1, adds, affected, op="merge_into", txn=txn):
+            return {
+                "updated": n_upd, "deleted": n_del, "inserted": n_ins,
+                "files_rewritten": len(affected), "version": v + 1,
+            }
+        log.discard(adds)
+        return None
+    finally:
+        for p in persisted:
+            p.unpersist()
+
+
 def tx_export_symlink_manifest(
     table_path: str,
     version: int | None = None,

@@ -1514,3 +1514,179 @@ def test_tx_constraints_enforced_on_merge_path(spark, tmp_path):
     ).withColumn("auction_date", F.to_date("auction_date"))
     with pytest.raises(ConstraintViolation, match="price_pos"):
         tx_merge_partitioned(spark, bad, t)
+
+
+# ---------------------------------------------------------------------------
+# UPDATE and MERGE INTO (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_tx_update_where_cow_semantics(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_read,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 6), t, partition_by="p")
+    tx_append_partitioned(spark, _cdf_mk(spark, 6, 10), t, partition_by="p")
+    v_before = TransactionLog(t).version()
+    live_before = set(TransactionLog(t).live_files())
+
+    n = tx_update_where(
+        spark, t, {"s": "concat(s, '!')"}, "id >= 7", partition_by="p"
+    )
+    assert n == 3
+    got = {r["id"]: r["s"] for r in tx_read(spark, t).collect()}
+    assert got[7] == "d7!" and got[8] == "d8!" and got[9] == "d9!"
+    assert got[0] == "d0"  # untouched
+    # only the files CONTAINING matches were rewritten: v1's files survive
+    live_after = set(TransactionLog(t).live_files())
+    assert live_before & live_after  # untouched files kept their bytes
+    # time travel below the update still shows the old values
+    old = {r["id"]: r["s"]
+           for r in tx_read(spark, t, version=v_before).collect()}
+    assert old[7] == "d7"
+    # no matches -> version unchanged, zero rows
+    v = TransactionLog(t).version()
+    assert tx_update_where(spark, t, {"s": "'x'"}, "id > 999") == 0
+    assert TransactionLog(t).version() == v
+
+
+def test_tx_update_where_simultaneous_sets_and_constraints(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        ConstraintViolation,
+        TransactionLog,
+        tx_append_partitioned,
+        tx_read,
+        tx_set_constraint,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10, 20, 0)], "id long, a long, b long, p int"
+    )
+    tx_append_partitioned(spark, df, t, partition_by="p")
+    # swap: every RHS sees the PRE-update row
+    tx_update_where(spark, t, {"a": "b", "b": "a"}, "id = 1")
+    r = tx_read(spark, t).collect()[0]
+    assert (r["a"], r["b"]) == (20, 10)
+    # unknown SET column fails loudly
+    with pytest.raises(ValueError, match="not in"):
+        tx_update_where(spark, t, {"nope": "1"}, "id = 1")
+    # an update that would break a CHECK constraint is rejected atomically
+    tx_set_constraint(spark, t, "a_pos", "a > 0")
+    v = TransactionLog(t).version()
+    with pytest.raises(ConstraintViolation, match="a_pos"):
+        tx_update_where(spark, t, {"a": "-5"}, "id = 1")
+    assert TransactionLog(t).version() == v
+    assert tx_read(spark, t).collect()[0]["a"] == 20
+
+
+def test_tx_merge_into_full_clause_set(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_merge_into,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 6), t, partition_by="p")
+    # source: updates 1 and 2, deletes 3, inserts 100; 4/5 untouched
+    src = spark.createDataFrame(
+        [(1, "U1", 1, "upd"), (2, "U2", 2, "upd"), (3, "", 0, "del"),
+         (100, "NEW", 1, "ins")],
+        "id long, s string, p int, act string",
+    )
+    res = tx_merge_into(
+        spark, t, src, on=["id"],
+        when_matched_update={"s": "s.s"},
+        when_matched_delete="s.act = 'del'",
+        when_not_matched_insert=True,
+    )
+    assert (res["updated"], res["deleted"], res["inserted"]) == (2, 1, 1)
+    got = {r["id"]: r["s"] for r in tx_read(spark, t).collect()}
+    assert got[1] == "U1" and got[2] == "U2"
+    assert 3 not in got
+    assert got[100] == "NEW"
+    assert got[0] == "d0" and got[4] == "d4" and got[5] == "d5"
+    # the extra source column never leaks into the target schema
+    assert "act" not in tx_read(spark, t).columns
+
+
+def test_tx_merge_into_expressions_cardinality_and_txn(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_merge_into,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 1)], "id long, s string, p int"
+        ),
+        t, partition_by="p",
+    )
+    # both-side expressions: t. and s. aliases resolve
+    src = spark.createDataFrame([(1, "z", 0)], "id long, s string, p int")
+    tx_merge_into(
+        spark, t, src, on=["id"],
+        when_matched_update={"s": "concat(t.s, '-', s.s)"},
+        when_not_matched_insert=False,
+    )
+    assert {r["id"]: r["s"] for r in tx_read(spark, t).collect()}[1] == "a-z"
+
+    # matched duplicate keys abort; duplicate PURE INSERT keys are allowed
+    dup_matched = spark.createDataFrame(
+        [(2, "x", 1), (2, "y", 1)], "id long, s string, p int"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        tx_merge_into(spark, t, dup_matched, on=["id"],
+                      when_matched_update={"s": "s.s"})
+    dup_inserts = spark.createDataFrame(
+        [(50, "x", 1), (50, "y", 1)], "id long, s string, p int"
+    )
+    res = tx_merge_into(spark, t, dup_inserts, on=["id"],
+                        when_matched_update={"s": "s.s"})
+    assert res["inserted"] == 2
+
+    # txn fencing: the same (app, batch) replayed is a no-op
+    fenced = spark.createDataFrame([(9, "f", 0)], "id long, s string, p int")
+    txn = {"app": "mergetest", "batch": 1}
+    r1 = tx_merge_into(spark, t, fenced, on=["id"], txn=txn)
+    r2 = tx_merge_into(spark, t, fenced, on=["id"], txn=txn)
+    assert r1["inserted"] == 1 and r2["inserted"] == 0
+    assert tx_read(spark, t).filter("id = 9").count() == 1
+
+    # updating an ON key is refused
+    with pytest.raises(ValueError, match="ON key"):
+        tx_merge_into(spark, t, src, on=["id"],
+                      when_matched_update={"id": "s.id + 1"})
+
+
+def test_tx_merge_into_empty_target_and_cdf(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_changes,
+        tx_merge_into,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    src = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "id long, s string, p int"
+    )
+    res = tx_merge_into(spark, t, src, on=["id"], partition_by="p")
+    assert res["inserted"] == 2
+    assert tx_read(spark, t).count() == 2
+
+    upd = spark.createDataFrame([(1, "A", 0)], "id long, s string, p int")
+    tx_merge_into(spark, t, upd, on=["id"], when_matched_update={"s": "s.s"})
+    # CDF shows the update as its delete+insert pair
+    ch = tx_changes(spark, t, since=0).collect()
+    pair = {(r["_change_type"], r["s"]) for r in ch if r["id"] == 1}
+    assert pair == {("delete", "a"), ("insert", "A")}
