@@ -228,7 +228,15 @@ class TxLogBatchReader(DataSourceReader):
         self.part_col = options.get("partitioncolumn") or options.get(
             "partitionColumn"
         )
-        self._live = TransactionLog(self.path).live_actions(upto=self.version)
+        log = TransactionLog(self.path)
+        self._live = log.live_actions(upto=self.version)
+        if log.dvs(upto=self.version):
+            raise ValueError(
+                f"txlog table at {self.path} has deletion vectors in "
+                "force — the Python data source streams raw file rows "
+                "and cannot apply them; run tx_purge_dvs() first or "
+                "read via tx_read"
+            )
         self._pruned = 0  # observable for tests/diagnostics
         # declared column ORDER, captured once on the driver: Spark's
         # Python-source worker converts Arrow batches positionally after
@@ -402,8 +410,25 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
                 rows.append(tuple(row[n] for n in names))
         return rows
 
+    def _dv_guard(self, log, since: int, upto: int) -> None:
+        """Refuse a version window in which deletion-vector state CHANGED
+        — those row-level deletes are invisible to a file-tailing stream
+        (a restore that merely re-snapshots identical DV state passes)."""
+        prev = log.dv_state_raw(upto=since) if since >= 0 else {}
+        for act in log.actions(upto=upto, since=since):
+            m = act.get("meta") or {}
+            if "dv_state" in m and dict(m["dv_state"]) != prev:
+                raise ValueError(
+                    f"version {act['version']} of {self.path} changed "
+                    "deletion-vector state — the txlog stream source "
+                    "cannot express DV row deletes; run tx_purge_dvs() "
+                    "and restart the stream, or use batch tx_changes"
+                )
+            prev = dict(m.get("dv_state", prev))
+
     def _added_rows(self, since: int, upto: int) -> Iterator[tuple]:
         log = TransactionLog(self.path)
+        self._dv_guard(log, since, upto)
         for act in log.actions(upto=upto, since=since):
             if act.get("remove") and not self.ignore_deletes:
                 raise ValueError(
@@ -427,6 +452,7 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
         from collections import Counter
 
         log = TransactionLog(self.path)
+        self._dv_guard(log, since, upto)
         for act in log.actions(upto=upto, since=since):
             v = int(act["version"])
             op = str(act.get("op", ""))

@@ -47,6 +47,7 @@ from .sinks import PARTITION_COL
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
+_DV_DIR = "_dv"
 
 
 class TransactionLog:
@@ -148,6 +149,35 @@ class TransactionLog:
                 out = dict(m["constraints"])
         return out
 
+    def dv_state_raw(self, upto: int | None = None) -> dict[str, str]:
+        """``{data file rel path: deletion-vector rel path}`` as recorded
+        at a version, WITHOUT the liveness intersection — the replay
+        primitive.  Every DV-carrying commit stores the FULL mapping
+        snapshot in its ``meta`` (like constraints — no merge logic to
+        replay), and checkpoints carry it, so DV state survives
+        pre-checkpoint log truncation."""
+        out: dict[str, str] = {}
+        start = -1
+        ckpt = self._latest_checkpoint_body(upto)
+        if ckpt is not None:
+            start = ckpt[0]
+            out = dict(ckpt[1].get("dvs", {}))
+        for act in self.actions(upto, since=start):
+            m = act.get("meta")
+            if m and "dv_state" in m:
+                out = dict(m["dv_state"])
+        return out
+
+    def dvs(self, upto: int | None = None) -> dict[str, str]:
+        """Deletion vectors in force at a version: the raw snapshot
+        restricted to files still live — a rewrite that removed a data
+        file implicitly retires its DV, no bookkeeping needed."""
+        raw = self.dv_state_raw(upto)
+        if not raw:
+            return {}
+        live = self.live_files(upto)
+        return {f: dv for f, dv in raw.items() if f in live}
+
     # -- checkpoints (log compaction) --------------------------------------
 
     def _checkpoint_path(self, version: int) -> str:
@@ -226,6 +256,9 @@ class TransactionLog:
         cons = self.constraints(upto=v)
         if cons:
             body["constraints"] = cons
+        dvs = self.dv_state_raw(upto=v)
+        if dvs:
+            body["dvs"] = dvs
         with open(tmp, "w") as f:
             json.dump(body, f)
         os.replace(tmp, self._checkpoint_path(v))
@@ -393,7 +426,99 @@ class TransactionLog:
                 if name.endswith(".parquet") and rel not in keep:
                     os.remove(os.path.join(self.data_dir, name))
                     deleted += 1
+        # deletion-vector files follow the same retention rule: every DV
+        # ever referenced (any commit's dv_state snapshot or a surviving
+        # checkpoint) with history, only the in-force set without
+        ever_dv: set[str] = set()
+        for act in self.actions():
+            m = act.get("meta")
+            if m and "dv_state" in m:
+                ever_dv |= set(m["dv_state"].values())
+        ckpt = self._latest_checkpoint_body()
+        if ckpt is not None:
+            ever_dv |= set(ckpt[1].get("dvs", {}).values())
+        keep_dv = ever_dv if keep_history else set(self.dvs().values())
+        dv_dir = os.path.join(self.path, _DV_DIR)
+        if os.path.isdir(dv_dir):
+            for name in os.listdir(dv_dir):
+                rel = f"{_DV_DIR}/{name}"
+                if name.endswith(".parquet") and rel not in keep_dv:
+                    os.remove(os.path.join(dv_dir, name))
+                    deleted += 1
         return deleted
+
+
+def _file_base_col():
+    """The basename of ``_metadata.file_path`` as a Column — staged file
+    names are uuid4 hex, so the basename is collision-free and needs no
+    percent-decoding."""
+    return F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+
+
+def _dv_rows(spark: SparkSession, table_path: str, dvmap: dict[str, str]):
+    """All deleted ``(data-file basename, row_index)`` pairs of ``dvmap``
+    as one DataFrame — ONE read of every DV parquet (each carries only a
+    ``row_index`` column; its identity comes from ``_metadata.file_path``
+    joined to the log's mapping, a metadata-sized broadcast)."""
+    pairs = [
+        (os.path.basename(dv), os.path.basename(f))
+        for f, dv in sorted(dvmap.items())
+    ]
+    mapdf = spark.createDataFrame(pairs, "__dvfile string, __dv_base string")
+    raw = spark.read.parquet(
+        *sorted({os.path.join(table_path, dv) for dv in dvmap.values()})
+    ).select(
+        _file_base_col().alias("__dvfile"),
+        F.col("row_index").alias("__dv_ri"),
+    )
+    return raw.join(F.broadcast(mapdf), "__dvfile").select(
+        "__dv_base", "__dv_ri"
+    )
+
+
+def _read_with_dvs(
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    dvmap: dict[str, str],
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Snapshot scan of ``files`` with deletion vectors applied — the
+    merge-on-read path.  Files WITHOUT a DV stream through a plain scan
+    (zero overhead); files WITH one anti-join their ``_metadata.row_index``
+    against the broadcast DV set.  At 100 TB the DV side is proportional
+    to rows DELETED, never table size, so the anti-join is a broadcast
+    hash probe inside the scan stage."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    plain = [f for f in files if f not in dvmap]
+    dvd = sorted(f for f in files if f in dvmap)
+    parts: list[DataFrame] = []
+    if dvd:
+        data = reader.parquet(
+            *[os.path.join(table_path, f) for f in dvd]
+        )
+        cols = data.columns
+        data = data.withColumn("__dv_base", _file_base_col()).withColumn(
+            "__dv_ri", F.col("_metadata.row_index")
+        )
+        dv = _dv_rows(
+            spark, table_path, {f: dvmap[f] for f in dvd}
+        )
+        parts.append(
+            data.join(
+                F.broadcast(dv), ["__dv_base", "__dv_ri"], "left_anti"
+            ).select(cols)
+        )
+    if plain:
+        parts.append(
+            reader.parquet(*[os.path.join(table_path, f) for f in plain])
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
+    return out
 
 
 def tx_read(
@@ -422,6 +547,11 @@ def tx_read(
             return None
         return (
             spark.read.parquet(os.path.join(table_path, ever[0])).limit(0)
+        )
+    dvmap = log.dvs(upto=version)
+    if dvmap:
+        return _read_with_dvs(
+            spark, table_path, files, dvmap, merge_schema=merge_schema
         )
     reader = spark.read
     if merge_schema:
@@ -495,8 +625,12 @@ def tx_merge_partitioned(
                 f for f, part in live.items() if part in touched
             )
             if overlap_files:
-                existing = spark.read.parquet(
-                    *[os.path.join(table_path, f) for f in overlap_files]
+                existing = _read_with_dvs(
+                    spark, table_path, overlap_files,
+                    {
+                        f: dv for f, dv in log.dvs(upto=v).items()
+                        if f in set(overlap_files)
+                    },
                 )
                 merged = keep_latest(
                     existing.withColumn("__src", F.lit(0)).unionByName(
@@ -610,14 +744,14 @@ def tx_compact(
         if v < 0:
             return 0
         live = log.live_files(upto=v)
+        dvmap = log.dvs(upto=v)
         partitioned = any(p is not None for p in live.values())
-        # already one file per partition value → nothing to gain
+        # already one file per partition value AND no deletion vectors to
+        # materialize → nothing to gain
         n_parts = len({p for p in live.values()}) if partitioned else 1
-        if len(live) <= n_parts:
+        if len(live) <= n_parts and not dvmap:
             return 0
-        df = spark.read.parquet(
-            *[os.path.join(table_path, f) for f in sorted(live)]
-        )
+        df = _read_with_dvs(spark, table_path, sorted(live), dvmap)
         if partitioned:
             adds = log.stage_dataframe(
                 df, partition_by=partition_by or PARTITION_COL
@@ -674,11 +808,10 @@ def tx_optimize_zorder(
         stats_cols = sorted(prev_stats | set(zorder_by))
         bloom_cols = sorted(prev_bloom) or None
 
+        dvmap = log.dvs(upto=v)
         partitioned = any(p is not None for p in live.values())
         if not partitioned:
-            df = spark.read.parquet(
-                *[os.path.join(table_path, f) for f in sorted(live)]
-            )
+            df = _read_with_dvs(spark, table_path, sorted(live), dvmap)
             clustered = zorder_cluster(df, zorder_by, num_files, bits)
             adds = log.stage_dataframe(
                 clustered, stats_cols=stats_cols, bloom_cols=bloom_cols
@@ -696,8 +829,9 @@ def tx_optimize_zorder(
             per_part_files = max(1, num_files // max(1, len(by_part)))
             adds = []
             for part, rels in sorted(by_part.items()):
-                df_p = spark.read.parquet(
-                    *[os.path.join(table_path, f) for f in sorted(rels)]
+                df_p = _read_with_dvs(
+                    spark, table_path, sorted(rels),
+                    {f: dvmap[f] for f in rels if f in dvmap},
                 )
                 clustered = zorder_cluster(
                     df_p, zorder_by, per_part_files, bits
@@ -986,8 +1120,10 @@ def tx_scan_eq(
     if not files:
         base = tx_read(spark, table_path, version=version)
         return base.filter(F.lit(False)) if base is not None else None
-    df = spark.read.parquet(
-        *[os.path.join(table_path, f) for f in files]
+    dvmap = log.dvs(upto=version)
+    df = _read_with_dvs(
+        spark, table_path, files,
+        {f: dvmap[f] for f in files if f in dvmap},
     )
     # the residual filter matches the SKETCH's semantics — str-normalized
     # equality — so pruner and filter can never disagree: a type-mismatched
@@ -1084,12 +1220,47 @@ def tx_scan(
     if not files:
         base = tx_read(spark, table_path, version=version)
         return base.limit(0) if base is not None else None
-    df = spark.read.parquet(*[os.path.join(table_path, f) for f in files])
+    dvmap = log.dvs(upto=version)
+    df = _read_with_dvs(
+        spark, table_path, files,
+        {f: dvmap[f] for f in files if f in dvmap},
+    )
     if lo is not None:
         df = df.filter(F.col(col) >= lo)
     if hi is not None:
         df = df.filter(F.col(col) <= hi)
     return df
+
+
+def _visible_hits(
+    spark: SparkSession,
+    table_path: str,
+    live: dict,
+    dvmap: dict[str, str],
+    predicate: str,
+):
+    """``[(data-file basename, n matching VISIBLE rows)]`` for a predicate
+    over the current snapshot — one scan with the predicate pushed to
+    parquet, DV-deleted rows excluded via the broadcast anti-join.
+    Staged file basenames are uuid4 hex, so basename identifies the file
+    without URI parsing."""
+    scan = spark.read.parquet(
+        *[os.path.join(table_path, rel) for rel in sorted(live)]
+    ).withColumn("__dv_base", _file_base_col())
+    if dvmap:
+        scan = scan.withColumn(
+            "__dv_ri", F.col("_metadata.row_index")
+        ).join(
+            F.broadcast(_dv_rows(spark, table_path, dvmap)),
+            ["__dv_base", "__dv_ri"],
+            "left_anti",
+        )
+    return (
+        scan.filter(F.expr(predicate))
+        .groupBy("__dv_base")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
 
 
 def tx_delete_where(
@@ -1098,23 +1269,38 @@ def tx_delete_where(
     predicate: str,
     max_retries: int = 5,
     partition_by: str | None = None,
+    mode: str = "cow",
 ) -> int:
-    """Row-level DELETE, copy-on-write (the GDPR / right-to-be-forgotten
-    primitive the reference's append-only lake lacks): only files that
-    actually CONTAIN matching rows are rewritten without them; untouched
-    files keep their bytes and their zone-map stats.  Committed as one
-    atomic add+remove, so readers see either every matching row or none —
-    and time travel below the delete still resolves until
-    ``vacuum(keep_history=False)`` purges the old files (which is the
-    *actual* erasure step for compliance).
+    """Row-level DELETE (the GDPR / right-to-be-forgotten primitive the
+    reference's append-only lake lacks), in either physical strategy:
+
+    * ``mode="cow"`` (copy-on-write, default): only files that actually
+      CONTAIN matching rows are rewritten without them; untouched files
+      keep their bytes and their zone-map stats.
+    * ``mode="dv"`` (deletion vectors, merge-on-read): NO data file is
+      touched — the delete writes one tiny ``row_index`` parquet per
+      affected file under ``_dv/`` and commits only metadata.  Readers
+      (`tx_read`) anti-join the broadcast DV set inside the scan; the
+      rewrite cost is deferred to `tx_purge_dvs` / `tx_compact` /
+      `tx_optimize_zorder`, which materialize the deletes.  At 100 TB,
+      deleting 0.001 % of rows costs KBs of DV, not TBs of rewrite —
+      but note DV delete is LOGICAL: the bytes remain until a purge +
+      ``vacuum(keep_history=False)``, same as cow's old files.
+
+    Both commit atomically (cow: one add+remove; dv: one metadata
+    commit), so readers see every matching row or none — and time travel
+    below the delete still resolves until ``vacuum(keep_history=False)``.
 
     ``predicate`` is a SQL boolean expression over the table's columns
     (e.g. ``"auction_id = 'x'"``).
 
     Scale: the affected-file discovery is ONE scan with the predicate
     pushed down (parquet stats skip clean files before rows are read);
-    the rewrite reads only affected files.  Returns rows deleted.
+    the cow rewrite reads only affected files.  Returns rows deleted
+    (rows already DV-deleted are never counted twice).
     """
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     log = TransactionLog(table_path)
     for _ in range(max_retries):
         v = log.version()
@@ -1123,33 +1309,27 @@ def tx_delete_where(
         live = log.live_files(upto=v)
         if not live:
             return 0
-        # staged data files carry unique uuid4 basenames, so basename is a
-        # safe join key between input_file_name() URIs (file:/hdfs:/s3a:,
-        # possibly percent-encoded or symlink-resolved) and log-relative
-        # paths — exact full-path string matching breaks on any of those.
+        dvmap = log.dvs(upto=v)
         rel_by_base = {os.path.basename(rel): rel for rel in sorted(live)}
-        df = spark.read.parquet(
-            *[os.path.join(table_path, rel) for rel in sorted(live)]
-        ).withColumn("__file", F.input_file_name())
-        hits = (
-            df.filter(F.expr(predicate))
-            .groupBy("__file")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        )
+        hits = _visible_hits(spark, table_path, live, dvmap, predicate)
         if not hits:
             return 0
         n_deleted = int(sum(r["n"] for r in hits))
-        affected = []
-        for r in hits:
-            p = urllib.parse.unquote(urllib.parse.urlparse(r["__file"]).path)
-            affected.append(rel_by_base[os.path.basename(p or r["__file"])])
-        keep = (
-            spark.read.parquet(
-                *[os.path.join(table_path, rel) for rel in affected]
+        affected = sorted(rel_by_base[r["__dv_base"]] for r in hits)
+
+        if mode == "dv":
+            committed = _commit_dv_delete(
+                spark, log, table_path, live, dvmap, predicate,
+                affected, v,
             )
-            .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
-        )
+            if committed:
+                return n_deleted
+            continue
+
+        keep = _read_with_dvs(
+            spark, table_path, affected,
+            {f: dvmap[f] for f in affected if f in dvmap},
+        ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         partitioned = any(live[rel] is not None for rel in affected)
         # layout column for the rewritten files: the caller's partition_by,
         # else the merge sinks' date column when present.  A partitioned
@@ -1169,6 +1349,142 @@ def tx_delete_where(
             return n_deleted
         log.discard(adds)
     raise RuntimeError(f"delete gave up after {max_retries} conflicts")
+
+
+def _commit_dv_delete(
+    spark: SparkSession,
+    log: TransactionLog,
+    table_path: str,
+    live: dict,
+    dvmap: dict[str, str],
+    predicate: str,
+    affected: list[str],
+    v: int,
+) -> bool:
+    """Stage and commit one deletion-vector delete: per affected data
+    file, write a NEW DV parquet holding the FULL deleted row-index set
+    (old DV rows ∪ new matches — full-state per file, so readers open
+    exactly one DV per data file) and commit the updated mapping as
+    metadata.  False = commit conflict; staged DVs are removed and the
+    caller retries."""
+    raw = spark.read.parquet(
+        *[os.path.join(table_path, rel) for rel in affected]
+    ).select(
+        _file_base_col().alias("__dv_base"),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+        "*",
+    )
+    matches = raw.filter(F.expr(predicate)).select("__dv_base", "__dv_ri")
+    old_sub = {f: dvmap[f] for f in affected if f in dvmap}
+    parts = [matches]
+    if old_sub:
+        # previously deleted rows: keep them deleted (and the anti-join in
+        # _visible_hits guarantees `matches` never re-counts them)
+        parts.append(_dv_rows(spark, table_path, old_sub))
+    alldv = parts[0]
+    for p in parts[1:]:
+        alldv = alldv.unionByName(p)
+    alldv = alldv.select(
+        "__dv_base", F.col("__dv_ri").alias("row_index")
+    ).distinct()
+
+    stage = os.path.join(log.path, f"_dv_stage-{uuid.uuid4().hex}")
+    dv_dir = os.path.join(log.path, _DV_DIR)
+    os.makedirs(dv_dir, exist_ok=True)
+    staged: list[str] = []
+    try:
+        (
+            alldv.repartition("__dv_base")
+            .write.partitionBy("__dv_base")
+            .parquet(stage)
+        )
+        delta: dict[str, str] = {}
+        for entry in sorted(os.listdir(stage)):
+            if not entry.startswith("__dv_base="):
+                continue
+            base = entry[len("__dv_base="):]
+            part_files = [
+                n for n in os.listdir(os.path.join(stage, entry))
+                if n.endswith(".parquet")
+            ]
+            unique = f"{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(dv_dir, unique)
+            if len(part_files) == 1:
+                os.replace(os.path.join(stage, entry, part_files[0]), dst)
+            else:
+                # one shuffle partition per key normally yields one file;
+                # if a writer option ever splits it, concat losslessly
+                import pyarrow.parquet as _pq
+                import pyarrow as _pa
+                tables = [
+                    _pq.read_table(os.path.join(stage, entry, n))
+                    for n in sorted(part_files)
+                ]
+                _pq.write_table(_pa.concat_tables(tables), dst)
+            rel = f"{_DV_DIR}/{unique}"
+            staged.append(rel)
+            rel_data = {os.path.basename(r): r for r in affected}[base]
+            delta[rel_data] = rel
+        raw_state = log.dv_state_raw(upto=v)
+        live_set = set(live)
+        new_state = {
+            f: dv for f, dv in raw_state.items()
+            if f in live_set and f not in delta
+        }
+        new_state.update(delta)
+        if log.try_commit(
+            v + 1, [], [], op="delete_dv",
+            meta={"dv_state": new_state, "dv_delta": delta},
+        ):
+            return True
+        for rel in staged:
+            try:
+                os.remove(os.path.join(log.path, rel))
+            except OSError:
+                pass
+        return False
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def tx_purge_dvs(
+    spark: SparkSession,
+    table_path: str,
+    max_retries: int = 5,
+    partition_by: str | None = None,
+) -> int:
+    """Materialize every deletion vector: rewrite ONLY the DV-carrying
+    data files without their deleted rows, as one atomic add+remove.
+    The retired DV entries fall out of force automatically (a DV follows
+    its data file's liveness) and their bytes are reaped by
+    ``vacuum(keep_history=False)`` — which is the actual erasure step
+    for compliance.  Untouched files keep their bytes and stats.
+    Returns the number of data files rewritten (0 = no DVs in force)."""
+    log = TransactionLog(table_path)
+    for _ in range(max_retries):
+        v = log.version()
+        if v < 0:
+            return 0
+        dvmap = log.dvs(upto=v)
+        if not dvmap:
+            return 0
+        live = log.live_files(upto=v)
+        files = sorted(dvmap)
+        kept = _read_with_dvs(spark, table_path, files, dvmap)
+        partitioned = any(live[rel] is not None for rel in files)
+        pcol = partition_by or (
+            PARTITION_COL if PARTITION_COL in kept.columns else None
+        )
+        if kept.isEmpty():
+            adds: list[dict] = []
+        elif partitioned and pcol is not None:
+            adds = log.stage_dataframe(kept, partition_by=pcol)
+        else:
+            adds = log.stage_dataframe(kept)
+        if log.try_commit(v + 1, adds, files, op="purge_dv"):
+            return len(files)
+        log.discard(adds)
+    raise RuntimeError(f"purge_dvs gave up after {max_retries} conflicts")
 
 
 def tx_update_where(
@@ -1214,25 +1530,16 @@ def tx_update_where(
         live = log.live_files(upto=v)
         if not live:
             return 0
+        dvmap = log.dvs(upto=v)
         rel_by_base = {os.path.basename(rel): rel for rel in sorted(live)}
-        df = spark.read.parquet(
-            *[os.path.join(table_path, rel) for rel in sorted(live)]
-        ).withColumn("__file", F.input_file_name())
-        hits = (
-            df.filter(pred)
-            .groupBy("__file")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        )
+        hits = _visible_hits(spark, table_path, live, dvmap, predicate)
         if not hits:
             return 0
         n_updated = int(sum(r["n"] for r in hits))
-        affected = []
-        for r in hits:
-            p = urllib.parse.unquote(urllib.parse.urlparse(r["__file"]).path)
-            affected.append(rel_by_base[os.path.basename(p or r["__file"])])
-        rewrite = spark.read.parquet(
-            *[os.path.join(table_path, rel) for rel in affected]
+        affected = sorted(rel_by_base[r["__dv_base"]] for r in hits)
+        rewrite = _read_with_dvs(
+            spark, table_path, affected,
+            {f: dvmap[f] for f in affected if f in dvmap},
         )
         missing = sorted(set(set_exprs) - set(rewrite.columns))
         if missing:
@@ -1384,9 +1691,8 @@ def _merge_into_once(
         return None
 
     rel_by_base = {os.path.basename(rel): rel for rel in sorted(live)}
-    target = spark.read.parquet(
-        *[os.path.join(table_path, rel) for rel in sorted(live)]
-    )
+    dvmap = log.dvs(upto=v)
+    target = _read_with_dvs(spark, table_path, sorted(live), dvmap)
     tgt_cols = target.columns
     # plain equality, ANSI MERGE semantics: NULL keys never match
     key_cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on]
@@ -1415,16 +1721,23 @@ def _merge_into_once(
         )
 
     # -- which files contain matched rows? one semi-join scan ------------
+    scan = spark.read.parquet(
+        *[os.path.join(table_path, rel) for rel in sorted(live)]
+    ).withColumn("__dv_base", _file_base_col())
+    if dvmap:
+        scan = scan.withColumn(
+            "__dv_ri", F.col("_metadata.row_index")
+        ).join(
+            F.broadcast(_dv_rows(spark, table_path, dvmap)),
+            ["__dv_base", "__dv_ri"],
+            "left_anti",
+        )
     hits = (
-        target.withColumn("__file", F.input_file_name()).alias("t")
+        scan.alias("t")
         .join(source.alias("s"), cond, "left_semi")
-        .select("__file").distinct().collect()
+        .select("__dv_base").distinct().collect()
     )
-    affected = []
-    for r in hits:
-        p = urllib.parse.unquote(urllib.parse.urlparse(r["__file"]).path)
-        affected.append(rel_by_base[os.path.basename(p or r["__file"])])
-    affected = sorted(affected)
+    affected = sorted(rel_by_base[r["__dv_base"]] for r in hits)
 
     gate = F.lit(True)
     if matched_condition is not None:
@@ -1436,8 +1749,9 @@ def _merge_into_once(
     persisted: list[DataFrame] = []
     n_upd = n_del = 0
     if affected:
-        tdf = spark.read.parquet(
-            *[os.path.join(table_path, rel) for rel in affected]
+        tdf = _read_with_dvs(
+            spark, table_path, affected,
+            {f: dvmap[f] for f in affected if f in dvmap},
         ).alias("t")
         sdf = source.withColumn("__s_hit", F.lit(1)).alias("s")
         j = tdf.join(sdf, cond, "left")
@@ -1608,6 +1922,12 @@ def tx_export_symlink_manifest(
     v = log.version() if version is None else version
     if v < 0:
         raise ValueError(f"no committed version to export at {table_path}")
+    if log.dvs(upto=v):
+        raise ValueError(
+            f"version {v} of {table_path} has deletion vectors in force — "
+            "a file-list manifest cannot express them; run tx_purge_dvs() "
+            "first"
+        )
     root = out_dir or os.path.join(table_path, "_symlink_format_manifest")
     os.makedirs(root, exist_ok=True)
     lock = os.path.join(root, ".export.lock")
@@ -1758,6 +2078,12 @@ def tx_export_delta_log(
     v = log.version() if version is None else version
     if v < 0:
         raise ValueError(f"no committed version to export at {table_path}")
+    if log.dvs(upto=v):
+        raise ValueError(
+            f"version {v} of {table_path} has deletion vectors in force — "
+            "this export writes plain add actions (no deletionVector "
+            "reader feature); run tx_purge_dvs() first"
+        )
     root = out_dir or os.path.join(table_path, "_delta_export", f"v{v:05d}")
     log_dir = os.path.join(root, "_delta_log")
     commit = os.path.join(log_dir, f"{0:020d}.json")
@@ -1971,9 +2297,15 @@ def tx_fsck(table_path: str) -> dict:
     * ``orphan_files`` — data files no commit references (crashed
       writers; reclaimable via ``vacuum``, never a corruption);
     * ``txn_regressions`` — per-app txn batch ids that went backward
-      (breaks the monotone SetTransaction fence).
+      (breaks the monotone SetTransaction fence);
+    * ``missing_dv_files`` — deletion vectors in force whose parquet is
+      gone (reads would resurrect deleted rows — data corruption);
+    * ``dv_dead_files`` — in-force DV entries pointing at non-live data
+      files (harmless to readers, which intersect with liveness, but a
+      sign of a writer that skipped the dv_state snapshot discipline).
 
-    ``ok`` is True iff everything except ``orphan_files`` is clean.
+    ``ok`` is True iff everything except ``orphan_files`` and
+    ``dv_dead_files`` is clean.
     """
     log = TransactionLog(table_path)
     report: dict = {
@@ -2034,6 +2366,14 @@ def tx_fsck(table_path: str) -> dict:
         }
         report["orphan_files"] = sorted(on_disk - ever_added)
 
+    raw_dv = log.dv_state_raw()
+    in_force = log.dvs()
+    report["missing_dv_files"] = sorted(
+        dv for dv in in_force.values()
+        if not os.path.isfile(os.path.join(table_path, dv))
+    )
+    report["dv_dead_files"] = sorted(set(raw_dv) - set(live))
+
     report["ok"] = (
         report["contiguous_versions"]
         and not report["missing_files"]
@@ -2041,6 +2381,7 @@ def tx_fsck(table_path: str) -> dict:
         and not report["double_adds"]
         and not report["checkpoint_divergence"]
         and not report["txn_regressions"]
+        and not report["missing_dv_files"]
     )
     return report
 
@@ -2082,9 +2423,17 @@ def tx_restore(
             f"history is [0, {latest}]"
         )
     target = log.live_actions(upto=version)
+    # the DV state of the target snapshot comes back too — a restore that
+    # rolled back a DV delete but kept the vectors (or vice versa) would
+    # resurrect/lose rows silently
+    dv_target = {
+        f: dv
+        for f, dv in log.dv_state_raw(upto=version).items()
+        if f in target
+    }
     missing = [
         rel
-        for rel in sorted(target)
+        for rel in sorted(target) + sorted(dv_target.values())
         if not os.path.isfile(os.path.join(table_path, rel))
     ]
     if missing:
@@ -2098,14 +2447,22 @@ def tx_restore(
         current = set(log.live_files(upto=v))
         adds = [act for rel, act in sorted(target.items()) if rel not in current]
         removes = sorted(current - set(target))
-        if not adds and not removes:
+        dv_changed = dv_target != log.dvs(upto=v)
+        if not adds and not removes and not dv_changed:
             return {
                 "version": v,
                 "restored_to": version,
                 "files_added": 0,
                 "files_removed": 0,
             }
-        if log.try_commit(v + 1, adds, removes, op="restore"):
+        # ALWAYS snapshot the target DV state into the restore commit:
+        # a re-added file could otherwise re-attach a stale DV left in
+        # the raw mapping by a later delete (liveness filtering hides
+        # such entries only while the file is dead)
+        if log.try_commit(
+            v + 1, adds, removes, op="restore",
+            meta={"dv_state": dv_target},
+        ):
             return {
                 "version": v + 1,
                 "restored_to": version,
@@ -2162,7 +2519,7 @@ def tx_changes(
                 "column"
             )
 
-    def _read(paths: list[str], version: int):
+    def _check_exists(paths: list[str], version: int):
         missing = [
             p for p in paths
             if not os.path.isfile(os.path.join(table_path, p))
@@ -2173,11 +2530,16 @@ def tx_changes(
                 f"vacuumed away: {missing[:5]} — change feeds over "
                 "history require vacuum(keep_history=True)"
             )
+
+    def _read(paths: list[str], version: int, dv: dict[str, str]):
+        sub = {f: dv[f] for f in paths if f in dv}
+        _check_exists(list(paths) + sorted(sub.values()), version)
         # column-pruned to the declared schema so rewrites that reordered
-        # columns still diff correctly
-        return spark.read.parquet(
-            *[os.path.join(table_path, p) for p in paths]
-        ).select(base.columns)
+        # columns still diff correctly; DV-deleted rows excluded at the
+        # version's own DV state so a later rewrite never re-reports them
+        return _read_with_dvs(spark, table_path, list(paths), sub).select(
+            base.columns
+        )
 
     def _tag(df: DataFrame, change: str, version: int, op: str):
         return df.select(
@@ -2188,17 +2550,89 @@ def tx_changes(
         )
 
     parts: list[DataFrame] = []
+    # DV state tracked incrementally through the window: rows a version
+    # deleted VIA deletion vectors surface as deletes at that version,
+    # and a later rewrite of the same file must not re-report them
+    dv_cur = log.dv_state_raw(upto=since) if since >= 0 else {}
+    live_cur = set(log.live_files(upto=since)) if since >= 0 else set()
     for act in log.actions(upto=upto, since=since):
         v = int(act["version"])
         op = str(act.get("op", ""))
         adds = [a["path"] for a in act.get("add", [])]
         rems = list(act.get("remove", []))
+        meta = act.get("meta") or {}
+        dv_next = dict(meta["dv_state"]) if "dv_state" in meta else dv_cur
+
+        # rows whose DV membership changed on LIVE files that SURVIVE
+        # this commit (added/removed files are handled by the file
+        # arithmetic below at their respective DV states; the raw DV
+        # mapping may carry stale entries for dead files — liveness
+        # filters them) — covers delete_dv commits AND restores that
+        # roll DV state forward/back
+        touched = set(adds) | set(rems)
+        changed = sorted(
+            f
+            for f in set(dv_cur) | set(dv_next)
+            if dv_cur.get(f) != dv_next.get(f)
+            and f not in touched
+            and f in live_cur
+        )
+        live_cur = (live_cur | set(adds)) - set(rems)
+        if changed:
+            _check_exists(
+                changed
+                + sorted(
+                    {dv_cur[f] for f in changed if f in dv_cur}
+                    | {dv_next[f] for f in changed if f in dv_next}
+                ),
+                v,
+            )
+            data = spark.read.parquet(
+                *[os.path.join(table_path, f) for f in changed]
+            ).select(
+                _file_base_col().alias("__dv_base"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+                *base.columns,
+            )
+            old_sub = {f: dv_cur[f] for f in changed if f in dv_cur}
+            new_sub = {f: dv_next[f] for f in changed if f in dv_next}
+            empty_pairs = spark.createDataFrame(
+                [], "__dv_base string, __dv_ri long"
+            )
+            old_rows = (
+                _dv_rows(spark, table_path, old_sub)
+                if old_sub else empty_pairs
+            )
+            new_rows = (
+                _dv_rows(spark, table_path, new_sub)
+                if new_sub else empty_pairs
+            )
+            keys = ["__dv_base", "__dv_ri"]
+            newly_deleted = new_rows.join(old_rows, keys, "left_anti")
+            resurrected = old_rows.join(new_rows, keys, "left_anti")
+            parts.append(
+                _tag(
+                    data.join(F.broadcast(newly_deleted), keys)
+                    .select(base.columns),
+                    "delete", v, op,
+                )
+            )
+            parts.append(
+                _tag(
+                    data.join(F.broadcast(resurrected), keys)
+                    .select(base.columns),
+                    "insert", v, op,
+                )
+            )
+
         if not rems:
             if adds:
-                parts.append(_tag(_read(adds, v), "insert", v, op))
+                parts.append(_tag(_read(adds, v, dv_next), "insert", v, op))
+            dv_cur = dv_next
             continue
-        added = _read(adds, v) if adds else None
-        removed = _read(rems, v)
+        added = _read(adds, v, dv_next) if adds else None
+        removed = _read(rems, v, dv_cur)
+        dv_cur = dv_next
         if added is None:
             parts.append(_tag(removed, "delete", v, op))
             continue

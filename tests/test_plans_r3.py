@@ -82,9 +82,14 @@ def test_tx_stage_writes_are_distributed_no_collect(spark, tmp_path):
     from cars_bids_data_pipeline_v0__spark.sources import txlog
 
     src = inspect.getsource(txlog)
-    # the only .collect() allowed is the bounded partition-value list
-    # two bounded collects are allowed: the partition-value list (merge)
-    # and the per-FILE hit counts (delete) — file-cardinality metadata,
-    # never row data
-    assert src.count(".collect()") == 2
+    # every .collect() in txlog must be bounded METADATA, never row data.
+    # The audited sites (update this count WITH an audit when adding one):
+    #   1 partition-value list (tx_merge_partitioned)
+    #   2 per-file visible-hit counts (_visible_hits: delete/update)
+    #   3 merge cardinality probe (limit(1))
+    #   4 merge affected-file basenames (distinct file list)
+    #   5 merge action counts (<= 3 rows)
+    #   6 constraint-violation counts (one agg row)
+    #   7 set_constraint born-valid probe (one agg row)
+    assert src.count(".collect()") == 7
     assert ".toPandas()" not in src and ".toLocalIterator()" not in src

@@ -1690,3 +1690,209 @@ def test_tx_merge_into_empty_target_and_cdf(spark, tmp_path):
     ch = tx_changes(spark, t, since=0).collect()
     pair = {(r["_change_type"], r["s"]) for r in ch if r["id"] == 1}
     assert pair == {("delete", "a"), ("insert", "A")}
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE, round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_dv_delete_touches_no_data_files_and_reads_correctly(
+    spark, tmp_path
+):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_delete_where,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 10), t, partition_by="p")
+    log = TransactionLog(t)
+    files_before = set(log.live_files())
+
+    n = tx_delete_where(spark, t, "id IN (2, 5, 7)", mode="dv")
+    assert n == 3
+    # metadata-only: the live data-file set is BYTE-identical
+    assert set(log.live_files()) == files_before
+    assert len(log.dvs()) >= 1
+    got = sorted(r["id"] for r in tx_read(spark, t).collect())
+    assert got == [0, 1, 3, 4, 6, 8, 9]
+
+    # second DV delete unions into per-file DVs; already-deleted rows
+    # are not re-counted
+    n2 = tx_delete_where(spark, t, "id IN (5, 8)", mode="dv")
+    assert n2 == 1
+    assert sorted(
+        r["id"] for r in tx_read(spark, t).collect()
+    ) == [0, 1, 3, 4, 6, 9]
+    # no matches at all -> version unchanged
+    v = log.version()
+    assert tx_delete_where(spark, t, "id = 999", mode="dv") == 0
+    assert log.version() == v
+    # time travel below the DV delete still sees all rows
+    assert tx_read(spark, t, version=0).count() == 10
+
+
+def test_dv_purge_compact_and_vacuum(spark, tmp_path):
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_compact,
+        tx_delete_where,
+        tx_purge_dvs,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 10), t, partition_by="p")
+    tx_delete_where(spark, t, "id < 3", mode="dv")
+    log = TransactionLog(t)
+    assert log.dvs()
+
+    n_files = tx_purge_dvs(spark, t, partition_by="p")
+    assert n_files >= 1
+    assert log.dvs() == {}  # retired with their data files
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == list(
+        range(3, 10)
+    )
+    # purge with no DVs is a no-op
+    assert tx_purge_dvs(spark, t) == 0
+
+    # compact also materializes DVs
+    tx_delete_where(spark, t, "id = 9", mode="dv")
+    assert tx_compact(spark, t, partition_by="p") > 0
+    assert log.dvs() == {}
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == list(
+        range(3, 9)
+    )
+
+    # vacuum(keep_history=False) reaps superseded DV parquets
+    dv_dir = _os.path.join(t, "_dv")
+    assert _os.path.isdir(dv_dir) and _os.listdir(dv_dir)
+    log.vacuum(keep_history=False)
+    assert not [
+        n for n in _os.listdir(dv_dir) if n.endswith(".parquet")
+    ]
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == list(
+        range(3, 9)
+    )
+
+
+def test_dv_writers_respect_vectors(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_delete_where,
+        tx_merge_into,
+        tx_read,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 6), t, partition_by="p")
+    tx_delete_where(spark, t, "id = 1", mode="dv")
+
+    # UPDATE on a DV table: deleted rows neither match nor resurrect
+    assert tx_update_where(spark, t, {"s": "'U'"}, "id <= 2") == 2  # 0 and 2
+    got = {r["id"]: r["s"] for r in tx_read(spark, t).collect()}
+    assert 1 not in got and got[0] == "U" and got[2] == "U"
+
+    # cow DELETE on a file carrying a DV: rewrite drops both row sets
+    tx_delete_where(spark, t, "id = 3", mode="dv")
+    assert tx_delete_where(spark, t, "id = 0", mode="cow") == 1
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [2, 4, 5]
+
+    # MERGE on a DV table: a dv-deleted key counts as NOT matched
+    src = spark.createDataFrame([(3, "back", 0)], "id long, s string, p int")
+    res = tx_merge_into(spark, t, src, on=["id"],
+                        when_matched_update={"s": "s.s"})
+    assert res["inserted"] == 1 and res["updated"] == 0
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [2, 3, 4, 5]
+
+
+def test_dv_cdf_restore_and_checkpoint(spark, tmp_path):
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_changes,
+        tx_delete_where,
+        tx_read,
+        tx_restore,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 6), t, partition_by="p")  # v0
+    v_before = TransactionLog(t).version()
+    tx_delete_where(spark, t, "id IN (1, 4)", mode="dv")  # v1
+    v_dv = TransactionLog(t).version()
+
+    # CDF reports the DV delete as row-level deletes at its version
+    ch = tx_changes(spark, t, since=v_before).collect()
+    dels = sorted(r["id"] for r in ch if r["_change_type"] == "delete")
+    assert dels == [1, 4]
+    assert all(r["_commit_version"] == v_dv for r in ch)
+
+    # RESTORE below the DV delete resurrects the rows (and CDF shows it)
+    tx_restore(spark, t, v_before)
+    assert tx_read(spark, t).count() == 6
+    ch2 = tx_changes(spark, t, since=v_dv).collect()
+    ins = sorted(r["id"] for r in ch2 if r["_change_type"] == "insert")
+    assert ins == [1, 4]
+    # and restoring back FORWARD to the DV version re-deletes them
+    tx_restore(spark, t, v_dv)
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [
+        0, 2, 3, 5
+    ]
+
+    # DV state survives checkpoint + pre-checkpoint log truncation
+    log = TransactionLog(t)
+    ck = log.checkpoint()
+    for v in log.versions():
+        if v < ck:
+            _os.remove(log._commit_path(v))
+    assert TransactionLog(t).dvs()
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [
+        0, 2, 3, 5
+    ]
+
+
+def test_dv_guards_exports_scans_and_fsck(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_delete_where,
+        tx_export_delta_log,
+        tx_export_symlink_manifest,
+        tx_fsck,
+        tx_purge_dvs,
+        tx_scan,
+        tx_scan_eq,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(
+        spark, _cdf_mk(spark, 0, 10), t, partition_by="p",
+        stats_cols=["id"],
+    )
+    tx_delete_where(spark, t, "id = 4", mode="dv")
+
+    # pruning scans apply DVs (no silent resurrection)
+    got = sorted(r["id"] for r in tx_scan(spark, t, "id", 3, 6).collect())
+    assert got == [3, 5, 6]
+    assert tx_scan_eq(spark, t, "id", 4).count() == 0
+
+    # file-list exports refuse while DVs are in force
+    with pytest.raises(ValueError, match="deletion vectors"):
+        tx_export_symlink_manifest(t)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        tx_export_delta_log(t)
+
+    rep = tx_fsck(t)
+    assert rep["ok"] and not rep["missing_dv_files"]
+
+    tx_purge_dvs(spark, t, partition_by="p")
+    tx_export_symlink_manifest(t)  # now fine
