@@ -377,3 +377,558 @@ def q228(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ===========================================================================
+# Round-7 DML family: the new row-level writers under the value-hash gate
+# ===========================================================================
+
+
+def _scratch_path(sf_dir: str, tag: str, table: str) -> str:
+    """Content-fingerprinted scratch table path (the q223/q226
+    discipline, parameterized): the key hashes every source file's
+    (relpath, size, mtime_ns), so a regenerated corpus rebuilds instead
+    of replaying against stale commits."""
+    h = hashlib.md5((os.path.abspath(sf_dir) + "|" + tag).encode())
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    entries = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                fp = os.path.join(dirpath, name)
+                st = os.stat(fp)
+                entries.append(
+                    (os.path.relpath(fp, root), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.exists(root):
+        st = os.stat(root)
+        entries.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+    for entry in sorted(entries):
+        h.update(repr(entry).encode())
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{tag}_{h.hexdigest()[:12]}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229 — MERGE INTO: update + delete + insert clauses, audited end-state
+# ---------------------------------------------------------------------------
+
+
+def _q229_oracle() -> str:
+    return """
+    WITH final AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 8 = 0
+                    THEN o_totalprice + 1000 ELSE o_totalprice END AS p
+        FROM orders
+        WHERE o_orderkey % 4 = 0
+          AND NOT (o_orderkey % 8 = 0 AND o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice + 1000
+        FROM orders WHERE o_orderkey % 8 = 1
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           round(sum(p), 2) AS total_price
+    FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+@register(
+    "q229_merge_into_audit",
+    _q229_oracle(),
+    doc=(
+        "MERGE INTO under the value-hash gate: the builder appends "
+        "orders with o_orderkey %% 4 = 0 into a priority-partitioned "
+        "txlog table, then merges a source of %% 8 IN (0, 1) rows "
+        "carrying price+1000 — matched URGENT rows DELETE, other "
+        "matches UPDATE to the source price, unmatched rows INSERT — "
+        "and the final per-priority (count, total) must equal DuckDB's "
+        "CASE-derived end state.  The hash therefore covers the "
+        "cardinality probe, first-clause-wins ordering, both-side t./s. "
+        "expression resolution, and the single atomic add+remove "
+        "(sources/txlog.py::tx_merge_into).  Scale: affected-file "
+        "discovery is one semi-join scan; only files containing matches "
+        "are rewritten"
+    ),
+)
+def q229(spark, sf_dir):
+    from ..sources.txlog import TransactionLog, tx_append_partitioned, \
+        tx_merge_into, tx_read
+
+    orders = _t(spark, sf_dir, "orders")
+    path = _scratch_path(sf_dir, "q229", "orders")
+    log = TransactionLog(path)
+    if log.version() < 0:
+        tx_append_partitioned(
+            spark,
+            orders.filter(F.col("o_orderkey") % 4 == 0),
+            path,
+            partition_by="o_orderpriority",
+            txn={"app": "q229", "batch": 0},
+        )
+    if log.version() < 1:
+        source = orders.filter(
+            (F.col("o_orderkey") % 8).isin(0, 1)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        tx_merge_into(
+            spark, path, source, on=["o_orderkey"],
+            when_matched_update={"o_totalprice": "s.o_totalprice"},
+            when_matched_delete="t.o_orderpriority = '1-URGENT'",
+            when_not_matched_insert=True,
+            partition_by="o_orderpriority",
+        )
+    return (
+        tx_read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230 — deletion-vector DELETE: merge-on-read parity
+# ---------------------------------------------------------------------------
+
+
+def _q230_oracle() -> str:
+    return """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS revenue,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    WHERE l_orderkey % 3 = 0
+      AND NOT (l_discount > 0.05 AND l_quantity < 25)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
+@register(
+    "q230_dv_delete_parity",
+    _q230_oracle(),
+    doc=(
+        "Deletion-vector DELETE under the value-hash gate: the builder "
+        "appends lineitem (l_orderkey %% 3 = 0) into a returnflag-"
+        "partitioned txlog table, then deletes l_discount > 0.05 AND "
+        "l_quantity < 25 with mode='dv' — NO data file is rewritten; "
+        "the commit is per-file row-index vectors plus metadata — and "
+        "the per-flag (count, revenue, quantity) read back through the "
+        "merge-on-read path must equal DuckDB's filtered aggregate.  "
+        "The hash covers the visible-hit discovery, DV staging/union, "
+        "and tx_read's broadcast _metadata.row_index anti-join "
+        "(sources/txlog.py::tx_delete_where mode='dv', _read_with_dvs)."
+        "  Scale: delete cost is KBs of DV, not a rewrite; the read "
+        "overhead is a broadcast hash probe inside the scan stage"
+    ),
+)
+def q230(spark, sf_dir):
+    from ..sources.txlog import TransactionLog, tx_append_partitioned, \
+        tx_delete_where, tx_read
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = _scratch_path(sf_dir, "q230", "lineitem")
+    log = TransactionLog(path)
+    if log.version() < 0:
+        tx_append_partitioned(
+            spark,
+            li.filter(F.col("l_orderkey") % 3 == 0),
+            path,
+            partition_by="l_returnflag",
+            txn={"app": "q230", "batch": 0},
+        )
+    if log.version() < 1:
+        tx_delete_where(
+            spark, path,
+            "l_discount > 0.05 AND l_quantity < 25",
+            mode="dv",
+        )
+    return (
+        tx_read(spark, path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231 — copy-on-write UPDATE, audited end-state
+# ---------------------------------------------------------------------------
+
+
+def _q231_oracle() -> str:
+    return """
+    WITH updated AS (
+        SELECT c_mktsegment,
+               CASE WHEN c_acctbal < 0
+                    THEN c_acctbal * 0.9 + 10 ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(bal), 2) AS total_balance,
+           CAST(count(*) FILTER (WHERE bal < 0) AS BIGINT) AS n_still_negative
+    FROM updated GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+@register(
+    "q231_update_where_audit",
+    _q231_oracle(),
+    doc=(
+        "Row-level UPDATE under the value-hash gate: the builder "
+        "appends customer into a segment-partitioned txlog table, then "
+        "runs UPDATE SET c_acctbal = c_acctbal * 0.9 + 10 WHERE "
+        "c_acctbal < 0 — copy-on-write, only files containing negative "
+        "balances rewritten — and the per-segment (count, total, "
+        "still-negative count) must equal DuckDB's CASE projection.  "
+        "The hash covers simultaneous-SET evaluation against the "
+        "pre-update row and type-preserving casts "
+        "(sources/txlog.py::tx_update_where)"
+    ),
+)
+def q231(spark, sf_dir):
+    from ..sources.txlog import TransactionLog, tx_append_partitioned, \
+        tx_read, tx_update_where
+
+    cust = _t(spark, sf_dir, "customer")
+    path = _scratch_path(sf_dir, "q231", "customer")
+    log = TransactionLog(path)
+    if log.version() < 0:
+        tx_append_partitioned(
+            spark, cust, path,
+            partition_by="c_mktsegment",
+            txn={"app": "q231", "batch": 0},
+        )
+    if log.version() < 1:
+        tx_update_where(
+            spark, path,
+            {"c_acctbal": "c_acctbal * 0.9 + 10"},
+            "c_acctbal < 0",
+        )
+    return (
+        tx_read(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.count_if(F.col("c_acctbal") < 0)
+            .cast("long")
+            .alias("n_still_negative"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ===========================================================================
+# Round-7 analytics family
+# ===========================================================================
+
+
+@register(
+    "q232_theil_index",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey
+    ), tagged AS (
+        SELECT c.c_nationkey AS nationkey, p.rev
+        FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+    ), mu AS (
+        SELECT nationkey, count(*) AS n, avg(rev) AS mean_rev
+        FROM tagged GROUP BY nationkey
+    )
+    SELECT t.nationkey,
+           CAST(any_value(m.n) AS BIGINT) AS n_customers,
+           round(avg((t.rev / m.mean_rev) * ln(t.rev / m.mean_rev)), 6)
+               AS theil
+    FROM tagged t JOIN mu m ON m.nationkey = t.nationkey
+    GROUP BY t.nationkey ORDER BY t.nationkey
+    """,
+    doc=(
+        "Theil inequality index of customer revenue per nation — the "
+        "information-theoretic companion to q159's Gini (unlike Gini it "
+        "decomposes additively into between/within components, which is "
+        "why econometrics prefers it for subgroup attribution): "
+        "T = (1/n) SUM (x/mu) ln(x/mu).  Two aggregations and one "
+        "broadcast join of the 25-row nation-mean frame back onto the "
+        "per-customer aggregate — no windows, no second scan of orders.  "
+        "Scale: per-customer revenue is the only shuffle; everything "
+        "after is nation-cardinality"
+    ),
+)
+def q232(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    tagged = per_cust.join(
+        F.broadcast(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").alias("nationkey"),
+            )
+        ),
+        "o_custkey",
+    )
+    mu = tagged.groupBy("nationkey").agg(
+        F.count("*").alias("n"), F.avg("rev").alias("mean_rev")
+    )
+    ratio = F.col("rev") / F.col("mean_rev")
+    return (
+        tagged.join(F.broadcast(mu), "nationkey")
+        .groupBy("nationkey")
+        .agg(
+            F.any_value(F.col("n")).cast("long").alias("n_customers"),
+            F.round(F.avg(ratio * F.log(ratio)), 6).alias("theil"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "q233_zipf_slope",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents
+    ), freq AS (
+        SELECT t, count(*) AS cnt FROM tok
+        WHERE regexp_matches(t, '^[a-z]+$')
+        GROUP BY t
+    ), ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rnk
+        FROM freq QUALIFY rnk <= 200
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rnk)), 6) AS zipf_intercept
+    FROM ranked
+    """,
+    doc=(
+        "Zipf's-law fit over the corpus vocabulary: log-log OLS of "
+        "frequency against rank for the top-200 alphabetic tokens "
+        "(natural text sits near slope -1; a corpus that drifts far "
+        "from it is boilerplate- or spam-heavy — a standard "
+        "training-data health indicator).  The token count is one "
+        "explode+aggregate; the top-200 survives via distributed "
+        "orderBy+limit (TakeOrderedAndProject, no global window), ranks "
+        "are assigned on the 200 survivors by the bounded "
+        "single-range-path assigner, and the slope/intercept are "
+        "regr_* aggregates — mergeable sums, exactly mirrored in "
+        "DuckDB.  Scale: only the vocabulary aggregate shuffles; the "
+        "regression runs on 200 rows"
+    ),
+)
+def q233(spark, sf_dir):
+    from ..operators.keys import with_surrogate_key
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t")
+    ).filter(F.col("t").rlike("^[a-z]+$"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    top = freq.orderBy(F.col("cnt").desc(), F.col("t").asc()).limit(200)
+    ranked = with_surrogate_key(
+        top.withColumn("neg_cnt", -F.col("cnt")),
+        ["neg_cnt", "t"],
+        id_col="rnk",
+        num_partitions=1,
+    )
+    y = F.log(F.col("cnt").cast("double"))
+    x = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "q234_purchase_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT o_custkey,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS d
+        FROM orders
+    ), grp AS (
+        SELECT o_custkey, d,
+               d - row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY d) AS g
+        FROM days
+    ), streaks AS (
+        SELECT o_custkey, count(*) AS len
+        FROM grp GROUP BY o_custkey, g
+    ), best AS (
+        SELECT o_custkey, max(len) AS best_streak FROM streaks GROUP BY 1
+    )
+    SELECT CAST(best_streak AS BIGINT) AS streak_days,
+           count(*) AS n_customers
+    FROM best GROUP BY best_streak ORDER BY streak_days
+    """,
+    doc=(
+        "Longest consecutive-day purchase streak per customer, "
+        "histogrammed — the gaps-and-islands pattern (day_number minus "
+        "per-key row_number is constant within a run) that powers "
+        "engagement-streak features everywhere.  Dates become integer "
+        "epoch days BEFORE the window so the island arithmetic is "
+        "engine-portable integer math.  The only window is partitioned "
+        "by customer — distributed by key, never a single-partition "
+        "sort.  Scale: one distinct + one keyed window + two "
+        "aggregations, all on the same customer hash exchange"
+    ),
+)
+def q234(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    days = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    grp = days.withColumn("g", F.col("d") - F.row_number().over(w))
+    streaks = grp.groupBy("o_custkey", "g").agg(F.count("*").alias("len"))
+    best = streaks.groupBy("o_custkey").agg(
+        F.max("len").alias("best_streak")
+    )
+    return (
+        best.groupBy(F.col("best_streak").cast("long").alias("streak_days"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("streak_days")
+    )
+
+
+@register(
+    "q235_weighted_median_discount",
+    """
+    WITH byval AS (
+        SELECT l_returnflag, l_discount, sum(l_quantity) AS w
+        FROM lineitem GROUP BY l_returnflag, l_discount
+    ), cum AS (
+        SELECT l_returnflag, l_discount, w,
+               sum(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_discount
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM byval
+    )
+    SELECT l_returnflag,
+           round(min(l_discount) FILTER (WHERE cw >= tot / 2), 2)
+               AS weighted_median_discount,
+           round(any_value(tot), 2) AS total_weight
+    FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc=(
+        "Quantity-weighted median discount per return flag — the "
+        "weighted quantile every pricing analysis needs when rows "
+        "represent different volumes (the plain median q82 computes "
+        "would let a 1-unit line outvote a 50-unit one).  The value "
+        "domain collapses FIRST (groupBy flag+discount: 3x11 rows at "
+        "any scale), so the cumulative-weight window runs on a "
+        "bounded-cardinality frame partitioned by flag — the "
+        "sketch-free exact answer, shuffling value counts rather than "
+        "rows, the q148/q221 discipline.  Scale: one aggregation over "
+        "lineitem; everything after is O(distinct values)"
+    ),
+)
+def q235(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    byval = li.groupBy("l_returnflag", "l_discount").agg(
+        F.sum("l_quantity").alias("w")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_discount")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = byval.withColumn("cw", F.sum("w").over(wcum)).withColumn(
+        "tot", F.sum("w").over(wtot)
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cw") >= F.col("tot") / 2, F.col("l_discount")
+                    )
+                ),
+                2,
+            ).alias("weighted_median_discount"),
+            F.round(F.any_value("tot"), 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q236_supplier_hhi",
+    """
+    WITH per_supp AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_nationkey AS nationkey,
+           count(*) AS n_suppliers,
+           round(sum(p.rev * p.rev) / (sum(p.rev) * sum(p.rev)), 6) AS hhi,
+           round(sum(p.rev), 2) AS nation_revenue
+    FROM per_supp p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    GROUP BY s.s_nationkey ORDER BY nationkey
+    """,
+    doc=(
+        "Herfindahl-Hirschman concentration of supplier revenue per "
+        "nation — the antitrust-style market-structure summary "
+        "(complements q218's per-part dominance flags with a single "
+        "comparable scalar per market).  The identity "
+        "HHI = SUM(rev_i^2) / (SUM rev_i)^2 makes it ONE aggregation "
+        "over the per-supplier partials — no share column, no second "
+        "pass, no window.  Scale: the supplier aggregate is the only "
+        "shuffle; the supplier dim broadcast-joins onto it"
+    ),
+)
+def q236(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev")
+    )
+    return (
+        per_supp.join(
+            F.broadcast(
+                supp.select(
+                    F.col("s_suppkey").alias("l_suppkey"),
+                    F.col("s_nationkey").alias("nationkey"),
+                )
+            ),
+            "l_suppkey",
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("rev") * F.col("rev"))
+                / (F.sum("rev") * F.sum("rev")),
+                6,
+            ).alias("hhi"),
+            F.round(F.sum("rev"), 2).alias("nation_revenue"),
+        )
+        .orderBy("nationkey")
+    )
