@@ -957,6 +957,101 @@ def tx_stream_merge_sink(
     return process
 
 
+def tx_stream_cdc_apply_sink(
+    table_path: str,
+    key: str | list[str],
+    sequence_by: str,
+    op_col: str = "_change_type",
+    delete_value: str = "delete",
+    stream_id: str = "cdc",
+    checkpoint_dir: str | None = None,
+    partition_by: str | None = None,
+    guard_sequence: bool = True,
+):
+    """Exactly-once CDC APPLY sink: a ``foreachBatch`` function that folds
+    a change stream (rows tagged ``op_col`` ∈ {insert/update/…,
+    ``delete_value``}, ordered by ``sequence_by``) into a txlog table via
+    one fenced `tx_merge_into` per micro-batch — the Delta "apply CDC
+    with MERGE" recipe as a first-class sink:
+
+    * within the batch, only the LATEST change per key survives
+      (`keep_latest` on ``sequence_by`` with the op column as a
+      deterministic tiebreaker — a delete and an update carrying the
+      same sequence resolve the same way on every replay);
+    * latest change is a delete → matched target row is DELETED, and the
+      ``insert_condition`` stops the ghost insert for keys the table
+      never had;
+    * otherwise → matched row updates every non-key data column,
+      unmatched inserts (the op column never reaches the table — MERGE's
+      by-name insert mapping drops extra source columns);
+    * ``guard_sequence`` (default) adds ``s.sequence >= t.sequence`` as
+      the matched gate, so a LATE-arriving batch replaying old changes
+      cannot roll a newer row back — the standard out-of-order CDC
+      defence (requires ``sequence_by`` to be a table column);
+    * batch N commits with the ``(stream_id[, checkpoint epoch], N)``
+      token — checkpoint replays are no-ops, same fencing contract as
+      `tx_stream_merge_sink`.
+
+    Usage::
+
+        (changes.writeStream
+         .foreachBatch(tx_stream_cdc_apply_sink(
+             path, key="id", sequence_by="ts"))
+         .option("checkpointLocation", ck).trigger(availableNow=True)
+         .start())
+
+    Scale: the per-batch work is MERGE's — one semi-join scan to find
+    affected files, delta-sized rewrite — so applying a trickle of CDC
+    against a 100 TB table touches only the files containing changed
+    keys.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if sequence_by in keys or op_col in keys:
+        raise ValueError("key columns must not include sequence/op columns")
+    app_id = (
+        checkpoint_epoch_app_id(stream_id, checkpoint_dir)
+        if checkpoint_dir is not None
+        else stream_id
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        latest = keep_latest(
+            batch_df,
+            keys,
+            order_by=sequence_by,
+            # a delete outranks a same-sequence upsert: deterministic
+            # across replays, and the conservative read of a tie
+            tiebreakers=[
+                (F.col(op_col) == delete_value).cast("int").desc(),
+                F.col(op_col).asc(),
+            ],
+        )
+        data_cols = [c for c in batch_df.columns if c != op_col]
+        tx_merge_into(
+            batch_df.sparkSession,
+            table_path,
+            latest,
+            on=keys,
+            when_matched_update={
+                c: f"s.{c}" for c in data_cols if c not in keys
+            },
+            when_matched_delete=f"s.{op_col} = '{delete_value}'",
+            # explicit insert mapping: the op column must not reach the
+            # table even on the FIRST batch, where the empty-target path
+            # would otherwise insert the source frame as-is
+            when_not_matched_insert={c: f"s.{c}" for c in data_cols},
+            matched_condition=(
+                f"s.{sequence_by} >= t.{sequence_by}"
+                if guard_sequence else None
+            ),
+            insert_condition=f"s.{op_col} <> '{delete_value}'",
+            partition_by=partition_by,
+            txn={"app": app_id, "batch": int(batch_id)},
+        )
+
+    return process
+
+
 def _advance_latest_pointer(
     export_dir: str, name: str, lock_timeout: float = 10.0,
     stale_after: float = 60.0,
@@ -1581,6 +1676,7 @@ def tx_merge_into(
     when_matched_delete: str | None = None,
     when_not_matched_insert: bool | dict[str, str] = True,
     matched_condition: str | None = None,
+    insert_condition: str | None = None,
     max_retries: int = 5,
     partition_by: str | None = None,
     txn: dict | None = None,
@@ -1602,6 +1698,10 @@ def tx_merge_into(
       expressions over ``s.*``; False skips inserts.
     * ``matched_condition`` — extra SQL gate over ``t.*``/``s.*`` a
       match must pass before either matched clause applies.
+    * ``insert_condition`` — extra SQL gate over ``s.*`` an unmatched
+      source row must pass to insert (Delta's conditional
+      whenNotMatchedInsert — how a CDC apply skips inserting rows whose
+      latest change is a delete).
 
     The Delta cardinality rule is enforced: a target row matched by MORE
     than one source row aborts (nondeterministic update) — pre-checked
@@ -1640,7 +1740,7 @@ def tx_merge_into(
                 spark, log, table_path, source, on,
                 when_matched_update, when_matched_delete,
                 when_not_matched_insert, matched_condition,
-                v, live, partition_by, txn,
+                insert_condition, v, live, partition_by, txn,
             )
             if result is not None:
                 return result
@@ -1654,7 +1754,7 @@ def tx_merge_into(
 def _merge_into_once(
     spark, log, table_path, source, on,
     when_matched_update, when_matched_delete, when_not_matched_insert,
-    matched_condition, v, live, partition_by, txn,
+    matched_condition, insert_condition, v, live, partition_by, txn,
 ):
     """One optimistic attempt of `tx_merge_into`; None = commit conflict,
     caller retries against the fresh snapshot."""
@@ -1666,6 +1766,8 @@ def _merge_into_once(
                 "files_rewritten": 0, "version": v,
             }
         s = source.alias("s")
+        if insert_condition is not None:
+            s = s.filter(F.expr(insert_condition)).alias("s")
         if isinstance(when_not_matched_insert, dict):
             ins = s.select(
                 *[
@@ -1810,6 +1912,8 @@ def _merge_into_once(
         unmatched = source.alias("s").join(
             target.alias("t"), cond, "left_anti"
         )
+        if insert_condition is not None:
+            unmatched = unmatched.filter(F.expr(insert_condition))
         if isinstance(when_not_matched_insert, dict):
             ins = unmatched.select(
                 *[

@@ -1896,3 +1896,107 @@ def test_dv_guards_exports_scans_and_fsck(spark, tmp_path):
 
     tx_purge_dvs(spark, t, partition_by="p")
     tx_export_symlink_manifest(t)  # now fine
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, v string, ts long, p int, _change_type string"
+    )
+
+
+def test_tx_cdc_apply_sink_semantics(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_read,
+        tx_stream_cdc_apply_sink,
+    )
+
+    t = str(tmp_path / "cdc")
+    sink = tx_stream_cdc_apply_sink(
+        t, key="id", sequence_by="ts", partition_by="p"
+    )
+
+    # batch 0: pure inserts — op column must NOT reach the table
+    sink(_cdc_mk(spark, [
+        (1, "a", 10, 0, "insert"),
+        (2, "b", 10, 1, "insert"),
+        (3, "c", 10, 0, "insert"),
+    ]), 0)
+    got = tx_read(spark, t)
+    assert set(got.columns) == {"id", "v", "ts", "p"}
+    assert got.count() == 3
+
+    # batch 1: update 1, delete 2, insert 4, and a delete for a key the
+    # table never had (5) — must NOT ghost-insert; within-batch
+    # superseded change for 4 (older ts) must lose
+    sink(_cdc_mk(spark, [
+        (1, "a2", 20, 0, "update"),
+        (2, "", 20, 1, "delete"),
+        (4, "old", 15, 0, "insert"),
+        (4, "new", 21, 0, "update"),
+        (5, "", 20, 0, "delete"),
+    ]), 1)
+    rows = {r["id"]: (r["v"], r["ts"]) for r in tx_read(spark, t).collect()}
+    assert rows == {1: ("a2", 20), 3: ("c", 10), 4: ("new", 21)}
+
+    # checkpoint replay of batch 1 is a fenced no-op
+    v = TransactionLog(t).version()
+    sink(_cdc_mk(spark, [(1, "a2", 20, 0, "update")]), 1)
+    assert TransactionLog(t).version() == v
+
+    # batch 2 arriving LATE with OLDER sequence cannot roll row 1 back
+    sink(_cdc_mk(spark, [(1, "stale", 5, 0, "update")]), 2)
+    assert {
+        r["id"]: r["v"] for r in tx_read(spark, t).collect()
+    }[1] == "a2"
+
+    # same-sequence delete outranks the update deterministically
+    sink(_cdc_mk(spark, [
+        (3, "zz", 30, 0, "update"),
+        (3, "", 30, 0, "delete"),
+    ]), 3)
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [1, 4]
+
+
+def test_tx_cdc_apply_through_real_stream(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_read,
+        tx_stream_cdc_apply_sink,
+    )
+
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    t = str(tmp_path / "cdc")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "b0.json"), "w") as f:
+        for row in [
+            {"id": 1, "v": "a", "ts": 10, "p": 0, "_change_type": "insert"},
+            {"id": 2, "v": "b", "ts": 10, "p": 1, "_change_type": "insert"},
+            {"id": 1, "v": "a2", "ts": 20, "p": 0, "_change_type": "update"},
+            {"id": 2, "v": "", "ts": 20, "p": 1, "_change_type": "delete"},
+        ]:
+            f.write(_json.dumps(row) + "\n")
+
+    schema = "id long, v string, ts long, p int, _change_type string"
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream
+        .foreachBatch(tx_stream_cdc_apply_sink(
+            t, key="id", sequence_by="ts", partition_by="p",
+            checkpoint_dir=ck,
+        ))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r["v"] for r in tx_read(spark, t).collect()}
+    assert rows == {1: "a2"}
