@@ -149,6 +149,30 @@ class TransactionLog:
                 out = dict(m["constraints"])
         return out
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution: the newest version whose commit
+        time is <= ``ts`` (Delta's rule).  Commit times are recorded in
+        the commit body at write time; a commit predating that field
+        falls back to its file's mtime.  Raises if the table's FIRST
+        commit is after ``ts`` — there is no snapshot to read."""
+        best = -1
+        for v in self.versions():
+            with open(self._commit_path(v)) as f:
+                body = json.load(f)
+            cts = body.get("ts")
+            if cts is None:
+                cts = os.path.getmtime(self._commit_path(v))
+            if float(cts) <= ts:
+                best = v
+            else:
+                break  # commit times are monotone with versions
+        if best < 0:
+            raise ValueError(
+                f"no snapshot of {self.path} exists at or before "
+                f"timestamp {ts}"
+            )
+        return best
+
     def dv_state_raw(self, upto: int | None = None) -> dict[str, str]:
         """``{data file rel path: deletion-vector rel path}`` as recorded
         at a version, WITHOUT the liveness intersection — the replay
@@ -352,9 +376,12 @@ class TransactionLog:
         ``backfill-2024-06``), or `txn_seen` will treat the old batch as
         already durable and skip it."""
         os.makedirs(self.log_dir, exist_ok=True)
+        import time as _time
+
         body = json.dumps(
             {
                 "version": version, "op": op, "add": add, "remove": remove,
+                "ts": _time.time(),
                 **({"txn": txn} if txn else {}),
                 **({"meta": meta} if meta else {}),
             }
@@ -526,9 +553,12 @@ def tx_read(
     table_path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    timestamp: float | None = None,
 ) -> DataFrame | None:
-    """Snapshot read (optionally time travel).  ``None`` for a table with
-    no commits; a committed-but-empty table reads as an empty frame.
+    """Snapshot read (optionally time travel, by ``version`` — VERSION AS
+    OF — or ``timestamp`` — TIMESTAMP AS OF, the newest commit at or
+    before that Unix time).  ``None`` for a table with no commits; a
+    committed-but-empty table reads as an empty frame.
 
     ``merge_schema=True`` unions the schemas of every live file (parquet
     footers self-describe), so appends that ADDED columns read back with
@@ -538,6 +568,10 @@ def tx_read(
     log = TransactionLog(table_path)
     if log.version() < 0:
         return None
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = log.version_at_timestamp(timestamp)
     files = sorted(log.live_files(upto=version))
     if not files:
         # committed empty state: derive schema from any historical file
@@ -2320,6 +2354,7 @@ def tx_register_view(
     latest_only: bool = False,
     key: str = "auction_id",
     order_by: str = "auction_date",
+    timestamp: float | None = None,
 ) -> str:
     """Register a txlog snapshot as a temp view — time travel in SQL-land.
 
@@ -2331,7 +2366,7 @@ def tx_register_view(
     ``sources.ingest.register_views`` (the raw-corpus catalog surface)
     with the transactional one.
     """
-    df = tx_read(spark, table_path, version=version)
+    df = tx_read(spark, table_path, version=version, timestamp=timestamp)
     if df is None:
         raise ValueError(f"no committed version to register at {table_path}")
     if latest_only:

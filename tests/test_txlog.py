@@ -2000,3 +2000,38 @@ def test_tx_cdc_apply_through_real_stream(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["id"]: r["v"] for r in tx_read(spark, t).collect()}
     assert rows == {1: "a2"}
+
+
+def test_tx_timestamp_as_of(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 3), t, partition_by="p")
+    t0 = _time.time()
+    _time.sleep(0.05)
+    tx_append_partitioned(spark, _cdf_mk(spark, 3, 7), t, partition_by="p")
+
+    assert tx_read(spark, t, timestamp=t0).count() == 3
+    assert tx_read(spark, t, timestamp=_time.time()).count() == 7
+    with pytest.raises(ValueError, match="no snapshot"):
+        tx_read(spark, t, timestamp=t0 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        tx_read(spark, t, version=0, timestamp=t0)
+    # a commit file predating the ts field resolves by mtime
+    log = TransactionLog(t)
+    import json as _json
+    p = log._commit_path(0)
+    body = _json.load(open(p))
+    body.pop("ts")
+    _os.remove(p)
+    with open(p, "w") as f:
+        _json.dump(body, f)
+    _os.utime(p, (t0 - 1, t0 - 1))
+    assert log.version_at_timestamp(t0) == 0
