@@ -753,6 +753,7 @@ def tx_compact(
     table_path: str,
     max_retries: int = 5,
     partition_by: str | None = None,
+    partitions: list[str] | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the current live file set into one file per
     partition value (bin-packing small files), committed as a single
@@ -770,6 +771,13 @@ def tx_compact(
     (default: the merge sinks' date column); index/fact tables laid out
     by another column — e.g. the ANN index's IVF cell — pass theirs.
 
+    ``partitions`` scopes the rewrite to the named partition VALUES —
+    ``OPTIMIZE ... WHERE`` — the only sane shape at 100 TB: the common
+    case is compacting yesterday's freshly-streamed small files, not
+    rewriting years of settled history.  Out-of-scope files keep their
+    bytes, stats and (still-pending) deletion vectors; the commit stays
+    one atomic add+remove over the scoped files.
+
     Returns the number of files removed (0 = nothing to do).
     """
     log = TransactionLog(table_path)
@@ -779,6 +787,12 @@ def tx_compact(
             return 0
         live = log.live_files(upto=v)
         dvmap = log.dvs(upto=v)
+        if partitions is not None:
+            scope = set(partitions)
+            live = {f: p for f, p in live.items() if p in scope}
+            dvmap = {f: dv for f, dv in dvmap.items() if f in live}
+            if not live:
+                return 0
         partitioned = any(p is not None for p in live.values())
         # already one file per partition value AND no deletion vectors to
         # materialize → nothing to gain

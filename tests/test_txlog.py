@@ -2035,3 +2035,42 @@ def test_tx_timestamp_as_of(spark, tmp_path):
         _json.dump(body, f)
     _os.utime(p, (t0 - 1, t0 - 1))
     assert log.version_at_timestamp(t0) == 0
+
+
+def test_tx_compact_partition_scoped(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_compact,
+        tx_delete_where,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    # three appends -> multiple small files per partition value
+    for lo, hi in [(0, 6), (6, 12), (12, 18)]:
+        tx_append_partitioned(
+            spark, _cdf_mk(spark, lo, hi), t, partition_by="p"
+        )
+    log = TransactionLog(t)
+    before = log.live_files()
+    p0_before = {f for f, p in before.items() if p == "0"}
+    p1_before = {f for f, p in before.items() if p == "1"}
+    assert len(p0_before) == 3 and len(p1_before) == 3
+    # a DV on an OUT-OF-SCOPE partition must survive the scoped compact
+    tx_delete_where(spark, t, "id = 1", mode="dv")  # id 1 -> p=1
+
+    removed = tx_compact(spark, t, partition_by="p", partitions=["0"])
+    assert removed == 3
+    after = log.live_files()
+    assert {f for f, p in after.items() if p == "0"} != p0_before
+    assert len({f for f, p in after.items() if p == "0"}) == 1
+    assert {f for f, p in after.items() if p == "1"} == p1_before
+    assert log.dvs()  # out-of-scope DV still in force
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [
+        i for i in range(18) if i != 1
+    ]
+    # scoped compact of an already-compacted partition is a no-op
+    assert tx_compact(spark, t, partition_by="p", partitions=["0"]) == 0
+    # unknown partition value -> nothing to do
+    assert tx_compact(spark, t, partition_by="p", partitions=["zz"]) == 0
