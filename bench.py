@@ -53,7 +53,11 @@ EXTRA_RUNS_QUERIES = ["q53_ngram_jaccard_pairs", "q56_minhash_lsh_near_dup"]
 # stay apples-to-apples.  q211 = q53's plan plus the df-cap scrub over a
 # corpus with a planted viral footer — its line next to q53's shows what
 # the boilerplate guard costs (and that it stays bounded).
-NON_COMPARABLE = {"pipeline_e2e_txlog", "q211_jaccard_df_capped"}
+NON_COMPARABLE = {
+    "pipeline_e2e_txlog",
+    "q211_jaccard_df_capped",
+    "dml_lifecycle_orders",
+}
 
 
 def force(df) -> None:
@@ -147,6 +151,58 @@ def bench_pipeline_txlog(spark) -> float:
         )
         gold = build_star_schema(store, tx_read_latest(spark, f"{tmp}/lake"))
         gold["auction_fact"].write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_dml_lifecycle(spark) -> float:
+    """Row-level DML lifecycle on a fresh commit-log table at bench scale:
+    append ALL of orders (priority-partitioned), MERGE a 1-in-8 source
+    (half updates, half inserts under shifted keys), deletion-vector
+    DELETE ~10 % of rows, then force a full merge-on-read read-back.
+    Each sample builds its own table (DML is stateful; re-running against
+    a warm table would bench the txn fence, not the writers)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_delete_where,
+        tx_merge_into,
+        tx_read,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_dml_")
+    try:
+        path = f"{tmp}/orders_tx"
+        src_dir = os.path.join(SF_DIR, "orders.parquet")
+        orders = spark.read.parquet(src_dir)
+        t0 = time.time()
+        tx_append_partitioned(
+            spark, orders, path, partition_by="o_orderpriority"
+        )
+        source = orders.filter((F.col("o_orderkey") % 8).isin(0, 1)).select(
+            F.when(
+                F.col("o_orderkey") % 8 == 1,
+                F.col("o_orderkey") + 1_000_000_000,
+            ).otherwise(F.col("o_orderkey")).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus",
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority",
+        )
+        tx_merge_into(
+            spark, path, source, on=["o_orderkey"],
+            when_matched_update={"o_totalprice": "s.o_totalprice"},
+            when_not_matched_insert=True,
+            partition_by="o_orderpriority",
+        )
+        tx_delete_where(
+            spark, path, "o_orderkey % 10 = 3", mode="dv"
+        )
+        force(tx_read(spark, path))
         return round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -444,12 +500,14 @@ def main() -> None:
     # handles the rest of the slope.
     bench_pipeline(spark)
     bench_pipeline_txlog(spark)
+    bench_dml_lifecycle(spark)
 
     import statistics
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     samples["pipeline_e2e_2k_auctions"] = []
     samples["pipeline_e2e_txlog"] = []
+    samples["dml_lifecycle_orders"] = []
     # interleave whole passes (not per-query repeats) so a transient system
     # load spike degrades one PASS, which the median then discards
     for _ in range(RUNS):
@@ -465,6 +523,7 @@ def main() -> None:
             spark.catalog.clearCache()
         samples["pipeline_e2e_2k_auctions"].append(bench_pipeline(spark))
         samples["pipeline_e2e_txlog"].append(bench_pipeline_txlog(spark))
+        samples["dml_lifecycle_orders"].append(bench_dml_lifecycle(spark))
     # q53/q56 showed ±15% run-to-run spread at n=3 (round-4 creep was
     # indistinguishable from jitter); two extra samples → median over 5.
     # pipeline_e2e joined the list in round 6: its r5 reading (9.31 s)

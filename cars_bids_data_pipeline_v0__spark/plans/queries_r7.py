@@ -832,16 +832,19 @@ def q234(spark, sf_dir):
     FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     doc=(
-        "Quantity-weighted median discount per return flag — the "
-        "weighted quantile every pricing analysis needs when rows "
-        "represent different volumes (the plain median q82 computes "
-        "would let a 1-unit line outvote a 50-unit one).  The value "
-        "domain collapses FIRST (groupBy flag+discount: 3x11 rows at "
-        "any scale), so the cumulative-weight window runs on a "
-        "bounded-cardinality frame partitioned by flag — the "
-        "sketch-free exact answer, shuffling value counts rather than "
-        "rows, the q148/q221 discipline.  Scale: one aggregation over "
-        "lineitem; everything after is O(distinct values)"
+        "Quantity-weighted median, VALUE-DOMAIN-COLLAPSED — the scale "
+        "path of q114's per-row formulation (exactly the q148→q221 "
+        "relationship: same answer, different asymptotics).  q114's "
+        "cumulative window walks every lineitem ROW per partition; "
+        "here the value domain collapses FIRST (groupBy flag+discount: "
+        "3x11 rows at any corpus size), so the cumulative-weight "
+        "window runs on a bounded-cardinality frame — at 100 TB that "
+        "is the difference between a window over billions of rows and "
+        "one over the distinct-value table.  Exact, sketch-free; "
+        "applicable whenever the value domain is low-cardinality "
+        "(discounts, star ratings, bucketed prices).  Scale: one "
+        "aggregation over lineitem; everything after is "
+        "O(distinct values)"
     ),
 )
 def q235(spark, sf_dir):
