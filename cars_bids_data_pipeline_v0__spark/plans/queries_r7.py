@@ -935,3 +935,336 @@ def q236(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "q237_rfm_segments",
+    """
+    WITH anchor AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+    ), rfm AS (
+        SELECT o_custkey,
+               datediff('day', max(CAST(o_orderdate AS DATE)),
+                        any_value(a.maxd)) AS r_days,
+               count(*) AS f_cnt,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS m_cents
+        FROM orders, anchor a GROUP BY o_custkey
+    ), cuts AS (
+        SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+               quantile_cont(f_cnt, [0.2, 0.4, 0.6, 0.8]) AS fc,
+               quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+        FROM rfm
+    ), scored AS (
+        SELECT o_custkey,
+               5 - ((r_days > rc[1])::INT + (r_days > rc[2])::INT
+                    + (r_days > rc[3])::INT + (r_days > rc[4])::INT)
+                   AS r_score,
+               1 + (f_cnt > fc[1])::INT + (f_cnt > fc[2])::INT
+                 + (f_cnt > fc[3])::INT + (f_cnt > fc[4])::INT AS f_score,
+               1 + (m_cents > mc[1])::INT + (m_cents > mc[2])::INT
+                 + (m_cents > mc[3])::INT + (m_cents > mc[4])::INT
+                   AS m_score,
+               m_cents
+        FROM rfm, cuts
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(sum(m_cents) / 100.0, 2) AS segment_revenue
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    doc=(
+        "RFM customer segmentation (recency/frequency/monetary quintile "
+        "scores — the workhorse marketing segmentation): per-customer R "
+        "(days since last order, anchored to the corpus max date so the "
+        "result is reproducible), F (order count) and M (integer CENTS "
+        "— the q122/q207 engine-parity rule for interpolated "
+        "percentiles), scored 1-5 against exact 20/40/60/80th "
+        "percentile cut-points (Spark percentile() and DuckDB "
+        "quantile_cont share the p*(n-1) linear-interpolation "
+        "definition), recency inverted so 5 = most recent.  No ntile, "
+        "no global window: the cut-points are ONE aggregate row "
+        "broadcast back over the per-customer frame.  Scale: one "
+        "orders aggregation; scoring is a broadcast comparison"
+    ),
+)
+def q237(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    rfm = (
+        orders.crossJoin(
+            F.broadcast(
+                orders.agg(
+                    F.max(F.col("o_orderdate").cast("date")).alias("maxd")
+                )
+            )
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.any_value("maxd"),
+                F.max(F.col("o_orderdate").cast("date")),
+            ).alias("r_days"),
+            F.count("*").alias("f_cnt"),
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("m_cents"),
+        )
+    )
+    cuts = rfm.agg(
+        F.expr(
+            "percentile(r_days, array(0.2D, 0.4D, 0.6D, 0.8D))"
+        ).alias("rc"),
+        F.expr(
+            "percentile(f_cnt, array(0.2D, 0.4D, 0.6D, 0.8D))"
+        ).alias("fc"),
+        F.expr(
+            "percentile(m_cents, array(0.2D, 0.4D, 0.6D, 0.8D))"
+        ).alias("mc"),
+    )
+
+    def score(col, cut, invert=False):
+        hits = sum(
+            (F.col(col) > F.col(cut)[i]).cast("int") for i in range(4)
+        )
+        return (5 - hits) if invert else (1 + hits)
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        score("r_days", "rc", invert=True).alias("r_score"),
+        score("f_cnt", "fc").alias("f_score"),
+        score("m_cents", "mc").alias("m_score"),
+        "m_cents",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("m_cents") / 100.0, 2).alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_Q238_MIN_PAIR = 3    # minimum co-occurrence baskets for a rule
+_Q238_TOPN = 20
+
+
+@register(
+    "q238_association_rules",
+    f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ), n AS (
+        SELECT count(DISTINCT basket) AS n_baskets FROM items
+    ), item_supp AS (
+        SELECT item, count(*) AS cnt FROM items GROUP BY item
+    ), pair AS (
+        SELECT a.item AS lhs, b.item AS rhs, count(*) AS both_cnt
+        FROM items a JOIN items b
+          ON a.basket = b.basket AND a.item <> b.item
+        GROUP BY a.item, b.item
+        HAVING count(*) >= {_Q238_MIN_PAIR}
+    ), rules AS (
+        SELECT p.lhs, p.rhs,
+               CAST(p.both_cnt AS BIGINT) AS both_cnt,
+               round(p.both_cnt * 1.0 / la.cnt, 6) AS confidence,
+               round(p.both_cnt * 1.0 * n.n_baskets
+                     / (la.cnt * 1.0 * lb.cnt), 6) AS lift
+        FROM pair p
+        JOIN item_supp la ON la.item = p.lhs
+        JOIN item_supp lb ON lb.item = p.rhs
+        CROSS JOIN n
+    )
+    SELECT * FROM rules
+    ORDER BY lift DESC, lhs, rhs LIMIT {_Q238_TOPN}
+    """,
+    doc=(
+        "Market-basket association rules (support/confidence/lift — the "
+        "classic a-priori output q201's cosine CF does not give: lift "
+        "is calibrated against independence, so a rule reads as 'x "
+        "makes y N-times likelier'): distinct basket-item pairs, "
+        "self-join per basket for co-occurrence counts with a minimum-"
+        "support floor, then confidence = P(rhs|lhs) and lift = "
+        "P(both)/(P(lhs)P(rhs)).  Top-20 by (lift, lhs, rhs) — fully "
+        "deterministic ordering — via distributed orderBy+limit.  "
+        "Scale: the self-join fans out per-basket (baskets are small; "
+        "the min-support HAVING prunes the long tail before the "
+        "stats joins, which broadcast the item-support side)"
+    ),
+)
+def q238(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_baskets = items.select(
+        F.countDistinct("basket").alias("n_baskets")
+    )
+    item_supp = items.groupBy("item").agg(F.count("*").alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("lhs"), F.col("b.item").alias("rhs")
+        )
+        .agg(F.count("*").alias("both_cnt"))
+        .filter(F.col("both_cnt") >= _Q238_MIN_PAIR)
+    )
+    rules = (
+        pair.join(
+            F.broadcast(
+                item_supp.select(
+                    F.col("item").alias("lhs"), F.col("cnt").alias("la_cnt")
+                )
+            ),
+            "lhs",
+        )
+        .join(
+            F.broadcast(
+                item_supp.select(
+                    F.col("item").alias("rhs"), F.col("cnt").alias("lb_cnt")
+                )
+            ),
+            "rhs",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "lhs",
+            "rhs",
+            F.col("both_cnt").cast("long").alias("both_cnt"),
+            F.round(
+                F.col("both_cnt") * 1.0 / F.col("la_cnt"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("both_cnt")
+                * 1.0
+                * F.col("n_baskets")
+                / (F.col("la_cnt") * 1.0 * F.col("lb_cnt")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.col("lift").desc(), "lhs", "rhs"
+    ).limit(_Q238_TOPN)
+
+
+@register(
+    "q239_new_vs_returning",
+    """
+    WITH firsts AS (
+        SELECT o_custkey, min(o_orderdate) AS first_ts
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(count(*) FILTER (WHERE o.o_orderdate = f.first_ts)
+                AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (WHERE o.o_orderdate <> f.first_ts)
+                AS BIGINT) AS n_returning,
+           round(sum(o.o_totalprice)
+                 FILTER (WHERE o.o_orderdate = f.first_ts), 2) AS new_rev,
+           round(coalesce(sum(o.o_totalprice)
+                 FILTER (WHERE o.o_orderdate <> f.first_ts), 0), 2)
+               AS returning_rev
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY month ORDER BY month
+    """,
+    doc=(
+        "New-vs-returning monthly revenue split (the acquisition/"
+        "retention decomposition on every growth dashboard): each "
+        "customer's first-order timestamp comes from one aggregation, "
+        "joined back so every order classifies as 'new' (it IS the "
+        "first) or 'returning'.  No window: min+join replaces "
+        "first_value over a per-customer frame, so both passes ride "
+        "the same customer-key exchange.  Scale: one aggregate + one "
+        "equi-join on the aggregate's own key"
+    ),
+)
+def q239(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_ts")
+    )
+    is_new = F.col("o_orderdate") == F.col("first_ts")
+    return (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+            .alias("month")
+        )
+        .agg(
+            F.count_if(is_new).cast("long").alias("n_new"),
+            F.count_if(~is_new).cast("long").alias("n_returning"),
+            F.round(F.sum(F.when(is_new, F.col("o_totalprice"))), 2)
+            .alias("new_rev"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(~is_new, F.col("o_totalprice"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("returning_rev"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "q240_price_elasticity",
+    """
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(regr_slope(ln(l.l_quantity),
+                            ln(l.l_extendedprice / l.l_quantity
+                               * (1 - l.l_discount))), 6) AS elasticity,
+           round(regr_r2(ln(l.l_quantity),
+                         ln(l.l_extendedprice / l.l_quantity
+                            * (1 - l.l_discount))), 6) AS r2
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+    doc=(
+        "Log-log price elasticity of demand per brand: OLS slope of "
+        "ln(quantity) on ln(effective unit price) — the constant-"
+        "elasticity model's direct estimate, with regr_r2 reporting "
+        "how much of the variance the price story actually explains.  "
+        "regr_* are sum-based mergeable aggregates (the q233 "
+        "discipline), so the whole estimate is one grouped pass over "
+        "lineitem with the part dim broadcast.  Scale: one shuffle on "
+        "brand — regression coefficients at any volume without "
+        "collecting a single row"
+    ),
+)
+def q240(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    unit_price = (
+        F.col("l_extendedprice")
+        / F.col("l_quantity")
+        * (1 - F.col("l_discount"))
+    )
+    y = F.log(F.col("l_quantity"))
+    x = F.log(unit_price)
+    return (
+        li.join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey").alias("l_partkey"), "p_brand"
+                )
+            ),
+            "l_partkey",
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.regr_slope(y, x), 6).alias("elasticity"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
