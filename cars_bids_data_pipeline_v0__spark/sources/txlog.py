@@ -434,12 +434,20 @@ class TransactionLog:
             except OSError:
                 pass
 
-    def vacuum(self, keep_history: bool = True) -> int:
+    def vacuum(
+        self, keep_history: bool = True, dry_run: bool = False
+    ) -> int | list[str]:
         """Delete unreferenced data files: always the orphans of failed
         commits; with ``keep_history=False`` also files removed as of the
         current version (forfeits time travel below it).  Returns the
-        number of files deleted.  Run only when no writer is mid-commit
-        (standard retention caveat)."""
+        number of files deleted — or, with ``dry_run=True``, the
+        would-be-deleted relative paths WITHOUT touching anything (the
+        operational safety valve every retention runbook starts with).
+        Run only when no writer is mid-commit (standard retention
+        caveat).  NOTE: a shallow clone (`tx_clone`) references this
+        table's files by absolute path; vacuuming the SOURCE with
+        ``keep_history=False`` can break clones — the documented
+        Delta-shallow-clone caveat."""
         ever = {
             a["path"]
             for act in self.actions()
@@ -447,10 +455,14 @@ class TransactionLog:
         }
         keep = ever if keep_history else set(self.live_files())
         deleted = 0
+        victims: list[str] = []
         if os.path.isdir(self.data_dir):
             for name in os.listdir(self.data_dir):
                 rel = f"{_DATA_DIR}/{name}"
                 if name.endswith(".parquet") and rel not in keep:
+                    if dry_run:
+                        victims.append(rel)
+                        continue
                     os.remove(os.path.join(self.data_dir, name))
                     deleted += 1
         # deletion-vector files follow the same retention rule: every DV
@@ -470,9 +482,12 @@ class TransactionLog:
             for name in os.listdir(dv_dir):
                 rel = f"{_DV_DIR}/{name}"
                 if name.endswith(".parquet") and rel not in keep_dv:
+                    if dry_run:
+                        victims.append(rel)
+                        continue
                     os.remove(os.path.join(dv_dir, name))
                     deleted += 1
-        return deleted
+        return sorted(victims) if dry_run else deleted
 
 
 def _file_base_col():
@@ -2925,3 +2940,80 @@ def tx_drop_constraint(
     raise RuntimeError(
         f"drop_constraint gave up after {max_retries} commit conflicts"
     )
+
+
+def tx_clone(
+    spark: SparkSession,
+    source_path: str,
+    clone_path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> dict:
+    """SHALLOW CLONE: materialize a snapshot of ``source_path`` as a NEW
+    txlog table at ``clone_path`` whose version-0 commit REFERENCES the
+    source's data (and deletion-vector) files by absolute path — zero
+    bytes copied, O(metadata) at any table size.  The Delta/Iceberg
+    dev-workflow primitive: test a migration or a DML sequence against a
+    clone of production, then throw it away.
+
+    Clone semantics, exactly Delta's:
+
+    * the clone is INDEPENDENT going forward — writes to it stage new
+      files under its own ``data/`` and never touch the source; a cow
+      rewrite of a referenced file simply drops the reference;
+    * the source keeps no link back: vacuuming the SOURCE with
+      ``keep_history=False`` can invalidate clones that still reference
+      removed files (the documented shallow-clone caveat — `vacuum`'s
+      docstring carries it);
+    * partition values, zone-map stats and bloom sketches ride along
+      verbatim, so pruning works on the clone immediately;
+    * ``version`` / ``timestamp`` clone a historical snapshot (time
+      travel at clone time); CHECK constraints in force at that version
+      carry over; DV state carries over (the clone reads through the
+      source's vectors until its own rewrites retire them).
+
+    The absolute-path trick is the protocol's own: actions join onto the
+    table root via ``os.path.join``, which passes absolute paths through
+    unchanged, and file identity everywhere is the uuid4 basename —
+    collision-free across tables.  Returns ``{"version", "files",
+    "dvs"}``.
+    """
+    src = TransactionLog(source_path)
+    if src.version() < 0:
+        raise ValueError(f"no committed txlog table to clone at {source_path}")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = src.version_at_timestamp(timestamp)
+    dst = TransactionLog(clone_path)
+    if dst.version() >= 0:
+        raise ValueError(f"clone target {clone_path} already exists")
+    acts = src.live_actions(upto=version)
+    adds = []
+    for rel in sorted(acts):
+        a = dict(acts[rel])
+        a["path"] = os.path.abspath(os.path.join(source_path, rel))
+        adds.append(a)
+    missing = [a["path"] for a in adds if not os.path.isfile(a["path"])]
+    if missing:
+        raise ValueError(
+            f"clone source files already vacuumed away: {missing[:5]}"
+        )
+    dvs = {
+        os.path.abspath(os.path.join(source_path, f)): os.path.abspath(
+            os.path.join(source_path, dv)
+        )
+        for f, dv in src.dvs(upto=version).items()
+    }
+    cons = src.constraints(upto=version)
+    meta: dict = {}
+    if dvs:
+        meta["dv_state"] = dvs
+    if cons:
+        meta["constraints"] = cons
+    os.makedirs(clone_path, exist_ok=True)
+    if not dst.try_commit(
+        0, adds, [], op="clone", meta=meta or None
+    ):
+        raise RuntimeError(f"concurrent writer created {clone_path} first")
+    return {"version": 0, "files": len(adds), "dvs": len(dvs)}

@@ -2074,3 +2074,54 @@ def test_tx_compact_partition_scoped(spark, tmp_path):
     assert tx_compact(spark, t, partition_by="p", partitions=["0"]) == 0
     # unknown partition value -> nothing to do
     assert tx_compact(spark, t, partition_by="p", partitions=["zz"]) == 0
+
+
+def test_tx_clone_shallow_and_vacuum_dry_run(spark, tmp_path):
+    import os as _os
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_clone,
+        tx_delete_where,
+        tx_read,
+        tx_set_constraint,
+        tx_update_where,
+    )
+
+    src = str(tmp_path / "src")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 8), src, partition_by="p")
+    tx_set_constraint(spark, src, "id_nonneg", "id >= 0")
+    tx_delete_where(spark, src, "id = 2", mode="dv")
+    v_pre = TransactionLog(src).version()
+    tx_append_partitioned(spark, _cdf_mk(spark, 8, 10), src, partition_by="p")
+
+    # clone the HISTORICAL snapshot (before the last append)
+    clone = str(tmp_path / "clone")
+    info = tx_clone(spark, src, clone, version=v_pre)
+    assert info["files"] > 0 and info["dvs"] == 1
+    got = sorted(r["id"] for r in tx_read(spark, clone).collect())
+    assert got == [0, 1, 3, 4, 5, 6, 7]  # DV carried over, id 2 gone
+    # zero bytes copied: the clone's own data dir does not exist yet
+    assert not _os.path.isdir(_os.path.join(clone, "data"))
+    # constraints carried over
+    assert TransactionLog(clone).constraints() == {"id_nonneg": "id >= 0"}
+
+    # clone is independent: a write to it never touches the source
+    tx_update_where(spark, clone, {"s": "'CLONED'"}, "id = 0")
+    assert tx_read(spark, clone).filter("id=0").collect()[0]["s"] == "CLONED"
+    assert tx_read(spark, src).filter("id=0").collect()[0]["s"] == "d0"
+    assert tx_read(spark, src).count() == 9  # src unchanged (10 - dv'd 2)
+
+    # existing target refuses
+    with pytest.raises(ValueError, match="already exists"):
+        tx_clone(spark, src, clone)
+
+    # vacuum dry-run lists, deletes nothing
+    log = TransactionLog(clone)
+    victims = log.vacuum(keep_history=False, dry_run=True)
+    assert isinstance(victims, list)
+    for rel in victims:
+        assert _os.path.isfile(_os.path.join(clone, rel))
+    n = log.vacuum(keep_history=False)
+    assert n == len(victims)
