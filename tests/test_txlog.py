@@ -2125,3 +2125,138 @@ def test_tx_clone_shallow_and_vacuum_dry_run(spark, tmp_path):
         assert _os.path.isfile(_os.path.join(clone, rel))
     n = log.vacuum(keep_history=False)
     assert n == len(victims)
+
+
+def test_tx_cdf_stream_replication_end_to_end(spark, tmp_path):
+    """The round-7 integration capstone: replicate a txlog table into a
+    second one THROUGH the streaming change feed — readStream
+    readChangeFeed=true on the source, tx_stream_cdc_apply_sink on the
+    replica — and the replica must equal the source snapshot.  Covers
+    CDF reconstruction, the change-row contract, keep-latest folding and
+    MERGE apply in one pipeline (the Delta 'table replication via CDF'
+    recipe)."""
+    from cars_bids_data_pipeline_v0__spark.sources.pyds import (
+        register_txlog_source,
+    )
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_read,
+        tx_stream_cdc_apply_sink,
+    )
+
+    register_txlog_source(spark)
+    src_t = str(tmp_path / "src")
+    rep_t = str(tmp_path / "rep")
+    ck = str(tmp_path / "ck")
+
+    # source history: two appends (no rewrites — the stream source's
+    # append-only contract; rewriting commits are covered by the batch
+    # CDF tests)
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 6), src_t, partition_by="p")
+    tx_append_partitioned(spark, _cdf_mk(spark, 6, 10), src_t, partition_by="p")
+
+    changes = (
+        spark.readStream.format("txlog")
+        .option("path", src_t)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    # the CDF contract: _change_type / _commit_version ride along; the
+    # commit version is the CDC sequence — replay-stable and monotone
+    q = (
+        changes.withColumn("_seq", F.col("_commit_version").cast("long"))
+        .drop("_commit_version", "_commit_op")
+        .writeStream.foreachBatch(
+            tx_stream_cdc_apply_sink(
+                rep_t, key="id", sequence_by="_seq",
+                op_col="_change_type", delete_value="delete",
+                partition_by="p", checkpoint_dir=ck,
+            )
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    src_rows = {
+        (r["id"], r["s"], r["p"]) for r in tx_read(spark, src_t).collect()
+    }
+    rep = tx_read(spark, rep_t)
+    rep_rows = {(r["id"], r["s"], r["p"]) for r in rep.collect()}
+    assert rep_rows == src_rows
+    assert "_seq" in rep.columns  # the sequence column is a data column
+
+    # incremental catch-up: new source commits flow through the SAME
+    # checkpoint without re-applying history
+    tx_append_partitioned(
+        spark, _cdf_mk(spark, 10, 12), src_t, partition_by="p"
+    )
+    q2 = (
+        changes.withColumn("_seq", F.col("_commit_version").cast("long"))
+        .drop("_commit_version", "_commit_op")
+        .writeStream.foreachBatch(
+            tx_stream_cdc_apply_sink(
+                rep_t, key="id", sequence_by="_seq",
+                op_col="_change_type", delete_value="delete",
+                partition_by="p", checkpoint_dir=ck,
+            )
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert tx_read(spark, rep_t).count() == 12
+
+
+def test_tx_dml_writers_race_serializes(spark, tmp_path):
+    """Optimistic concurrency across the NEW writers: a MERGE and a DV
+    delete racing from the same snapshot must serialize — both commit
+    (distinct versions), no lost update, and the final state equals ONE
+    of the two serial orders."""
+    import threading
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_delete_where,
+        tx_merge_into,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 10), t, partition_by="p")
+
+    errs = []
+
+    def do_merge():
+        try:
+            src = spark.createDataFrame(
+                [(3, "M", 0), (50, "N", 1)], "id long, s string, p int"
+            )
+            tx_merge_into(
+                spark, t, src, on=["id"],
+                when_matched_update={"s": "s.s"}, max_retries=20,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_delete():
+        try:
+            tx_delete_where(spark, t, "id IN (7, 8)", mode="dv",
+                            max_retries=20)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th1 = threading.Thread(target=do_merge)
+    th2 = threading.Thread(target=do_delete)
+    th1.start(); th2.start(); th1.join(120); th2.join(120)
+    assert not errs, errs
+
+    log = TransactionLog(t)
+    assert log.version() == 2  # both committed, serialized
+    rows = {r["id"]: r["s"] for r in tx_read(spark, t).collect()}
+    assert rows[3] == "M" and rows[50] == "N"
+    assert 7 not in rows and 8 not in rows
+    assert len(rows) == 9  # 10 - 2 deleted + 1 inserted
