@@ -48,6 +48,7 @@ from .sinks import PARTITION_COL
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
 _DV_DIR = "_dv"
+ROW_ID_COL = "_row_id"
 
 
 class TransactionLog:
@@ -173,6 +174,24 @@ class TransactionLog:
             )
         return best
 
+    def row_id_hwm(self, upto: int | None = None) -> int:
+        """Row-tracking high-water mark: the next free ``_row_id`` at a
+        version (0 = the table has never assigned row ids).  Commits
+        that consumed ids record the NEW mark in their ``meta``
+        (latest-wins, like constraints); checkpoints carry it across
+        log truncation."""
+        hwm = 0
+        start = -1
+        ckpt = self._latest_checkpoint_body(upto)
+        if ckpt is not None:
+            start = ckpt[0]
+            hwm = int(ckpt[1].get("row_id_hwm", 0))
+        for act in self.actions(upto, since=start):
+            m = act.get("meta")
+            if m and "row_id_hwm" in m:
+                hwm = int(m["row_id_hwm"])
+        return hwm
+
     def dv_state_raw(self, upto: int | None = None) -> dict[str, str]:
         """``{data file rel path: deletion-vector rel path}`` as recorded
         at a version, WITHOUT the liveness intersection — the replay
@@ -283,6 +302,9 @@ class TransactionLog:
         dvs = self.dv_state_raw(upto=v)
         if dvs:
             body["dvs"] = dvs
+        hwm = self.row_id_hwm(upto=v)
+        if hwm:
+            body["row_id_hwm"] = hwm
         with open(tmp, "w") as f:
             json.dump(body, f)
         os.replace(tmp, self._checkpoint_path(v))
@@ -1679,6 +1701,10 @@ def tx_update_where(
     """
     if not set_exprs:
         raise ValueError("tx_update_where needs at least one SET column")
+    if ROW_ID_COL in set_exprs:
+        raise ValueError(
+            f"{ROW_ID_COL} is table-assigned and cannot be updated"
+        )
     log = TransactionLog(table_path)
     pred = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
     for _ in range(max_retries):
@@ -1785,6 +1811,10 @@ def tx_merge_into(
         overlap = set(when_matched_update) & set(on)
         if overlap:
             raise ValueError(f"cannot UPDATE the ON key(s): {sorted(overlap)}")
+        if ROW_ID_COL in when_matched_update:
+            raise ValueError(
+                f"{ROW_ID_COL} is table-assigned and cannot be updated"
+            )
     log = TransactionLog(table_path)
     if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
         return {
@@ -1971,6 +2001,7 @@ def _merge_into_once(
     # -- inserts: source keys matching NO target row ----------------------
     n_ins = 0
     ins = None
+    row_id_meta = None
     if when_not_matched_insert is not False:
         unmatched = source.alias("s").join(
             target.alias("t"), cond, "left_anti"
@@ -1978,13 +2009,29 @@ def _merge_into_once(
         if insert_condition is not None:
             unmatched = unmatched.filter(F.expr(insert_condition))
         if isinstance(when_not_matched_insert, dict):
-            ins = unmatched.select(
+            extras = sorted(set(when_not_matched_insert) - set(tgt_cols))
+            if extras:
+                raise ValueError(
+                    f"INSERT maps column(s) not in the target: {extras}"
+                )
+            provided = unmatched.select(
                 *[
                     F.expr(e).cast(target.schema[c].dataType).alias(c)
-                    if c in tgt_cols else F.expr(e).alias(c)
                     for c, e in when_not_matched_insert.items()
                 ]
             )
+            # align to the FULL target schema: unmapped columns are NULL
+            ins = provided.select(
+                *[
+                    (
+                        F.col(c)
+                        if c in provided.columns
+                        else F.lit(None).cast(target.schema[c].dataType)
+                    ).alias(c)
+                    for c in tgt_cols
+                ]
+            )
+            src_has_row_id = ROW_ID_COL in when_not_matched_insert
         else:
             ins = unmatched.select(
                 *[
@@ -1996,9 +2043,26 @@ def _merge_into_once(
                     for c in tgt_cols
                 ]
             )
+            src_has_row_id = ROW_ID_COL in source.columns
+        if ROW_ID_COL in tgt_cols and not src_has_row_id:
+            # row-tracked table: inserted rows get fresh ids continuing
+            # the high-water mark (updated/kept rows keep theirs)
+            from ..operators.keys import with_surrogate_key
+
+            hwm = log.row_id_hwm(upto=v)
+            ins = with_surrogate_key(
+                ins.drop(ROW_ID_COL),
+                order_by=on,
+                id_col=ROW_ID_COL,
+                start_at=hwm,
+            ).select(*tgt_cols)
+        else:
+            hwm = None
         ins = ins.persist()
         persisted.append(ins)
         n_ins = ins.count()
+        if hwm is not None and n_ins:
+            row_id_meta = {"row_id_hwm": hwm + n_ins}
         if n_ins:
             tx_check_constraints(ins, table_path, upto=v)
             parts.append(ins)
@@ -2029,7 +2093,10 @@ def _merge_into_once(
             adds = log.stage_dataframe(out, partition_by=pcol)
         else:
             adds = log.stage_dataframe(out)
-        if log.try_commit(v + 1, adds, affected, op="merge_into", txn=txn):
+        if log.try_commit(
+            v + 1, adds, affected, op="merge_into", txn=txn,
+            meta=row_id_meta,
+        ):
             return {
                 "updated": n_upd, "deleted": n_del, "inserted": n_ins,
                 "files_rewritten": len(affected), "version": v + 1,
@@ -2404,6 +2471,16 @@ def tx_register_view(
     return view_name
 
 
+def _staged_row_count(log: TransactionLog, adds: list[dict]) -> int:
+    """Rows in staged files, from parquet FOOTERS only (no scan)."""
+    import pyarrow.parquet as _pq
+
+    return sum(
+        _pq.ParquetFile(os.path.join(log.path, a["path"])).metadata.num_rows
+        for a in adds
+    )
+
+
 def tx_append_partitioned(
     spark: SparkSession,
     new_df: DataFrame,
@@ -2412,6 +2489,7 @@ def tx_append_partitioned(
     txn: dict | None = None,
     max_retries: int = 20,
     stats_cols: list[str] | None = None,
+    assign_row_ids: bool = False,
 ) -> int:
     """Fenced APPEND-ONLY commit partitioned by an arbitrary column.
 
@@ -2423,22 +2501,67 @@ def tx_append_partitioned(
     ONCE and only the version claim retries under contention — cheaper
     than the merge loop's restage-per-conflict.
 
+    ``assign_row_ids=True`` turns on ROW TRACKING (Delta's row-id
+    feature): the batch gets a dense ``_row_id`` column continuing from
+    the table's high-water mark (range-partitioned two-phase assignment
+    — no global window), and the commit records the new mark.  Once a
+    table has row ids, later appends continue them WITHOUT the flag
+    (tracking is sticky — the mark in the log is the signal).  Row ids
+    survive UPDATE and MERGE rewrites untouched, which is what lets
+    `tx_changes(pair_updates=True)` label an update's delete+insert
+    pair as pre/postimage.  A conflicting concurrent append that also
+    consumed ids forces a restage with fresh ids — the one case where
+    append staging is not single-shot.
+
     ``txn`` gives exactly-once replay fencing (same contract as
     `tx_merge_partitioned`).  Returns the number of files committed
     (0 on a fenced replay or an empty batch).
     """
+    from ..operators.keys import with_surrogate_key
+
     log = TransactionLog(table_path)
     if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
         return 0
     tx_check_constraints(new_df, table_path)
-    adds = log.stage_dataframe(
-        new_df, partition_by=partition_by, stats_cols=stats_cols
-    )
+    hwm = log.row_id_hwm()
+    tracking = assign_row_ids or hwm > 0
+    if tracking and ROW_ID_COL in new_df.columns:
+        raise ValueError(
+            f"batch already carries {ROW_ID_COL}; row ids are assigned "
+            "by the table, not the writer"
+        )
+
+    def stage(mark: int):
+        df = new_df
+        if tracking:
+            df = with_surrogate_key(
+                df,
+                order_by=[c for c in df.columns],
+                id_col=ROW_ID_COL,
+                start_at=mark,
+            )
+        return log.stage_dataframe(
+            df, partition_by=partition_by, stats_cols=stats_cols
+        )
+
+    adds = stage(hwm)
     if not adds:
         return 0
+    n_rows = _staged_row_count(log, adds) if tracking else 0
     for _ in range(max_retries):
         v = log.version()
-        if log.try_commit(v + 1, adds, [], op="append", txn=txn):
+        meta = None
+        if tracking:
+            cur = log.row_id_hwm(upto=v)
+            if cur != hwm:
+                # a concurrent tracked append won the ids we used:
+                # restage with the fresh mark
+                log.discard(adds)
+                hwm = cur
+                adds = stage(hwm)
+                n_rows = _staged_row_count(log, adds)
+            meta = {"row_id_hwm": hwm + n_rows}
+        if log.try_commit(v + 1, adds, [], op="append", txn=txn, meta=meta):
             return len(adds)
         if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
             log.discard(adds)  # the conflicting commit WAS this replay
@@ -2649,6 +2772,7 @@ def tx_changes(
     table_path: str,
     since: int = -1,
     upto: int | None = None,
+    pair_updates: bool = False,
 ) -> DataFrame | None:
     """Change Data Feed: every row-level change committed in versions
     ``(since, upto]``, as the table's columns plus ``_change_type``
@@ -2813,6 +2937,47 @@ def tx_changes(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if pair_updates:
+        if ROW_ID_COL not in base.columns:
+            raise ValueError(
+                f"pair_updates needs a row-tracked table ({ROW_ID_COL} "
+                "column — append with assign_row_ids=True)"
+            )
+        # an UPDATE is the delete+insert sharing (_row_id, version):
+        # relabel the pair as update_preimage / update_postimage
+        # (Delta's CDF labels).  The pair-key frame is delta-sized.
+        pair_keys = (
+            out.filter(F.col("_change_type") == "delete")
+            .select(ROW_ID_COL, "_commit_version")
+            .intersect(
+                out.filter(F.col("_change_type") == "insert")
+                .select(ROW_ID_COL, "_commit_version")
+            )
+            .withColumn("__paired", F.lit(1))
+        )
+        out = (
+            out.join(
+                F.broadcast(pair_keys),
+                [ROW_ID_COL, "_commit_version"],
+                "left",
+            )
+            .withColumn(
+                "_change_type",
+                F.when(
+                    F.col("__paired").isNotNull()
+                    & (F.col("_change_type") == "delete"),
+                    F.lit("update_preimage"),
+                )
+                .when(
+                    F.col("__paired").isNotNull()
+                    & (F.col("_change_type") == "insert"),
+                    F.lit("update_postimage"),
+                )
+                .otherwise(F.col("_change_type")),
+            )
+            .drop("__paired")
+            .select(out.columns)
+        )
     return out
 
 

@@ -2260,3 +2260,103 @@ def test_tx_dml_writers_race_serializes(spark, tmp_path):
     assert rows[3] == "M" and rows[50] == "N"
     assert 7 not in rows and 8 not in rows
     assert len(rows) == 9  # 10 - 2 deleted + 1 inserted
+
+
+# ---------------------------------------------------------------------------
+# Row tracking (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_row_tracking_assignment_and_stickiness(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(
+        spark, _cdf_mk(spark, 0, 5), t, partition_by="p",
+        assign_row_ids=True,
+    )
+    # second append continues WITHOUT the flag (sticky tracking)
+    tx_append_partitioned(spark, _cdf_mk(spark, 5, 9), t, partition_by="p")
+    df = tx_read(spark, t)
+    ids = sorted(r["_row_id"] for r in df.collect())
+    assert ids == list(range(0, 9))  # dense, unique, continuing
+    assert TransactionLog(t).row_id_hwm() == 9
+
+    # a writer supplying its own _row_id is refused
+    with pytest.raises(ValueError, match="assigned by the table"):
+        tx_append_partitioned(
+            spark,
+            df.limit(1),
+            t,
+            partition_by="p",
+        )
+
+
+def test_row_tracking_survives_dml_and_pairs_updates(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_changes,
+        tx_merge_into,
+        tx_read,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(
+        spark, _cdf_mk(spark, 0, 6), t, partition_by="p",
+        assign_row_ids=True,
+    )
+    before = {r["id"]: r["_row_id"] for r in tx_read(spark, t).collect()}
+    v0 = TransactionLog(t).version()
+
+    # UPDATE keeps row ids
+    tx_update_where(spark, t, {"s": "upper(s)"}, "id < 2")
+    after = {r["id"]: r["_row_id"] for r in tx_read(spark, t).collect()}
+    assert after == before
+    with pytest.raises(ValueError, match="cannot be updated"):
+        tx_update_where(spark, t, {"_row_id": "0"}, "id = 0")
+
+    # MERGE: updated row keeps its id, inserted rows get FRESH ids
+    src = spark.createDataFrame(
+        [(3, "M", 0), (50, "N", 1), (51, "O", 2)],
+        "id long, s string, p int",
+    )
+    tx_merge_into(spark, t, src, on=["id"],
+                  when_matched_update={"s": "s.s"})
+    rows = {r["id"]: r["_row_id"] for r in tx_read(spark, t).collect()}
+    assert rows[3] == before[3]
+    assert {rows[50], rows[51]} == {6, 7}  # continue past hwm=6
+    assert TransactionLog(t).row_id_hwm() == 8
+    with pytest.raises(ValueError, match="cannot be updated"):
+        tx_merge_into(spark, t, src, on=["id"],
+                      when_matched_update={"_row_id": "0"})
+
+    # CDF pairing: the UPDATE's delete+insert share a _row_id and are
+    # relabeled pre/postimage; the MERGE's pure inserts stay inserts
+    ch = tx_changes(spark, t, since=v0, pair_updates=True).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    pre = {(r["id"], r["s"]) for r in by_type["update_preimage"]}
+    post = {(r["id"], r["s"]) for r in by_type["update_postimage"]}
+    assert (0, "d0") in pre and (0, "D0") in post
+    assert (1, "d1") in pre and (1, "D1") in post
+    assert (3, "d3") in pre and (3, "M") in post
+    ins = {r["id"] for r in by_type["insert"]}
+    assert ins == {50, 51}
+    assert "delete" not in by_type  # every delete paired into an update
+    # pre/postimage of the same row carry the SAME _row_id
+    pre_ids = {r["id"]: r["_row_id"] for r in by_type["update_preimage"]}
+    post_ids = {r["id"]: r["_row_id"] for r in by_type["update_postimage"]}
+    assert pre_ids == post_ids
+
+    # untracked table refuses pair_updates loudly
+    t2 = str(tmp_path / "untracked")
+    tx_append_partitioned(spark, _cdf_mk(spark, 0, 3), t2, partition_by="p")
+    with pytest.raises(ValueError, match="row-tracked"):
+        tx_changes(spark, t2, pair_updates=True)
