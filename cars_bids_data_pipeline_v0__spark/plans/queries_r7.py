@@ -1268,3 +1268,126 @@ def q240(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — row-tracked CDF with update pairing, audited end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _q241_oracle() -> str:
+    return """
+    WITH v0 AS (
+        SELECT 0 AS commit_version, 'insert' AS change_type,
+               count(*) AS n_rows, round(sum(c_acctbal), 2) AS balance
+        FROM customer
+    ), v1_pre AS (
+        SELECT 1, 'update_preimage', count(*), round(sum(c_acctbal), 2)
+        FROM customer WHERE c_acctbal < 0
+    ), v1_post AS (
+        SELECT 1, 'update_postimage', count(*),
+               round(sum(c_acctbal + 100), 2)
+        FROM customer WHERE c_acctbal < 0
+    ), adjusted AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN c_acctbal + 100
+                    ELSE c_acctbal END AS bal
+        FROM customer
+    ), v2_pre AS (
+        SELECT 2, 'update_preimage', count(*), round(sum(bal), 2)
+        FROM adjusted WHERE c_custkey % 100 = 0
+    ), v2_post AS (
+        SELECT 2, 'update_postimage', count(*), round(sum(bal), 2)
+        FROM adjusted WHERE c_custkey % 100 = 0
+    ), v2_ins AS (
+        -- keys divisible by both 100 and 150 keep their key in the
+        -- source (the update branch wins), so only %150-not-%100 keys
+        -- arrive shifted and insert
+        SELECT 2, 'insert', count(*), round(sum(bal), 2)
+        FROM adjusted
+        WHERE c_custkey % 150 = 0 AND c_custkey % 100 <> 0
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1_pre
+    UNION ALL SELECT * FROM v1_post UNION ALL SELECT * FROM v2_pre
+    UNION ALL SELECT * FROM v2_post UNION ALL SELECT * FROM v2_ins
+    ORDER BY commit_version, change_type
+    """
+
+
+@register(
+    "q241_row_tracked_cdf",
+    _q241_oracle(),
+    doc=(
+        "Row-tracked Change Data Feed with update pairing, under the "
+        "value-hash gate: the builder appends customer with "
+        "assign_row_ids=True, UPDATEs negative balances (+100), then "
+        "MERGEs a source that renames every c_custkey %% 100 = 0 "
+        "customer and inserts shifted-key copies of every %% 150 = 0 "
+        "one — and tx_changes(pair_updates=True) must label each "
+        "update's delete+insert pair as update_preimage/postimage via "
+        "the shared _row_id (Delta's four-label CDF contract), with "
+        "per-(version, label) counts and balance sums equal to "
+        "DuckDB's CASE-derived expectation.  The hash therefore covers "
+        "id assignment, id preservation across BOTH rewrite kinds, "
+        "fresh-id minting for merge inserts, and the pairing "
+        "intersect itself (sources/txlog.py::tx_changes pair_updates)"
+    ),
+)
+def q241(spark, sf_dir):
+    from ..sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_changes,
+        tx_merge_into,
+        tx_update_where,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    path = _scratch_path(sf_dir, "q241", "customer")
+    log = TransactionLog(path)
+    if log.version() < 0:
+        tx_append_partitioned(
+            spark, cust, path, partition_by="c_mktsegment",
+            txn={"app": "q241", "batch": 0}, assign_row_ids=True,
+        )
+    if log.version() < 1:
+        tx_update_where(
+            spark, path, {"c_acctbal": "c_acctbal + 100"}, "c_acctbal < 0"
+        )
+    if log.version() < 2:
+        source = (
+            cust.filter(
+                (F.col("c_custkey") % 100 == 0)
+                | (F.col("c_custkey") % 150 == 0)
+            )
+            .select(
+                F.when(
+                    F.col("c_custkey") % 100 == 0, F.col("c_custkey")
+                ).otherwise(F.col("c_custkey") + 10_000_000)
+                .alias("c_custkey"),
+                F.concat(F.col("c_name"), F.lit("*")).alias("c_name"),
+                "c_nationkey",
+                F.when(
+                    F.col("c_acctbal") < 0, F.col("c_acctbal") + 100
+                ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+                "c_mktsegment",
+            )
+        )
+        tx_merge_into(
+            spark, path, source, on=["c_custkey"],
+            when_matched_update={"c_name": "s.c_name"},
+            when_not_matched_insert=True,
+            partition_by="c_mktsegment",
+        )
+    ch = tx_changes(spark, path, pair_updates=True)
+    return (
+        ch.groupBy(
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("balance"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
