@@ -364,7 +364,13 @@ class TransactionLog:
                         continue
                     unique = f"{uuid.uuid4().hex}.parquet"
                     src = os.path.join(root, name)
-                    action = {"path": f"{_DATA_DIR}/{unique}", "partition": part}
+                    action = {
+                        "path": f"{_DATA_DIR}/{unique}",
+                        "partition": part,
+                        # size rides in the action so layout policy
+                        # (auto-OPTIMIZE) needs no filesystem listing
+                        "bytes": os.path.getsize(src),
+                    }
                     if stats_cols:
                         stats = _footer_stats(src, stats_cols)
                         if stats:
@@ -847,6 +853,58 @@ def tx_compact(
             return len(live)
         log.discard(adds)
     raise RuntimeError(f"compaction gave up after {max_retries} conflicts")
+
+
+def tx_optimize_auto(
+    spark: SparkSession,
+    table_path: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    min_small_files: int = 4,
+    partition_by: str | None = None,
+) -> list[str]:
+    """Policy-driven OPTIMIZE: find the partitions suffering small-file
+    buildup and compact ONLY those — the auto-compaction loop every
+    streaming ingest needs, decided entirely from commit-log metadata
+    (file sizes ride in the add actions; zero filesystem listing, zero
+    data reads).
+
+    A partition qualifies when it holds >= ``min_small_files`` files
+    under ``small_file_bytes`` (files staged before sizes were recorded
+    count as small — conservative toward compacting).  Unpartitioned
+    tables compact whole-table iff the live set qualifies.  Returns the
+    partition values compacted (``[None]`` for the unpartitioned case,
+    ``[]`` = nothing qualified — the steady state for a well-laid-out
+    table, costing one metadata read).
+
+    At 100 TB: the decision reads the log only; the rewrite cost is the
+    qualifying partitions', not the table's — run it after every
+    streaming batch without fear.
+    """
+    log = TransactionLog(table_path)
+    v = log.version()
+    if v < 0:
+        return []
+    by_part: dict[str | None, int] = {}
+    for act in log.live_actions(upto=v).values():
+        size = act.get("bytes")
+        if size is None or size < small_file_bytes:
+            p = act.get("partition")
+            by_part[p] = by_part.get(p, 0) + 1
+    picked = sorted(
+        (p for p, n in by_part.items() if p is not None
+         and n >= min_small_files),
+        key=str,
+    )
+    if picked:
+        tx_compact(
+            spark, table_path, partition_by=partition_by,
+            partitions=picked,
+        )
+        return picked
+    if by_part.get(None, 0) >= min_small_files and len(by_part) == 1:
+        tx_compact(spark, table_path, partition_by=partition_by)
+        return [None]
+    return []
 
 
 def tx_optimize_zorder(

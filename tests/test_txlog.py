@@ -2360,3 +2360,46 @@ def test_row_tracking_survives_dml_and_pairs_updates(spark, tmp_path):
     tx_append_partitioned(spark, _cdf_mk(spark, 0, 3), t2, partition_by="p")
     with pytest.raises(ValueError, match="row-tracked"):
         tx_changes(spark, t2, pair_updates=True)
+
+
+def test_tx_optimize_auto_compacts_only_hot_partitions(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_optimize_auto,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    # partition p=0 accumulates 4 small files; p=1 and p=2 get 1 each
+    for i in range(4):
+        tx_append_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(100 + i, f"x{i}", 0)], "id long, s string, p int"
+            ),
+            t, partition_by="p",
+        )
+    tx_append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 2)], "id long, s string, p int"
+        ),
+        t, partition_by="p",
+    )
+    log = TransactionLog(t)
+    p1_files = {f for f, p in log.live_files().items() if p == "1"}
+
+    picked = tx_optimize_auto(
+        spark, t, small_file_bytes=1 << 20, min_small_files=4,
+        partition_by="p",
+    )
+    assert picked == ["0"]
+    live = log.live_files()
+    assert len({f for f, p in live.items() if p == "0"}) == 1
+    assert {f for f, p in live.items() if p == "1"} == p1_files  # untouched
+    assert tx_read(spark, t).count() == 6
+    # steady state: nothing qualifies, pure metadata no-op
+    assert tx_optimize_auto(
+        spark, t, small_file_bytes=1 << 20, min_small_files=4
+    ) == []
