@@ -437,28 +437,34 @@ _CDF_OPS = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.integers(0, 3)),
         st.tuples(st.just("delete"), st.integers(0, 4)),
+        st.tuples(st.just("delete_dv"), st.integers(0, 4)),
+        st.tuples(st.just("purge_dv"), st.just(0)),
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("restore"), st.just(0)),
     ),
     min_size=1,
-    max_size=5,
+    max_size=6,
 )
 
 
 @settings(max_examples=8, deadline=None)
 @given(_CDF_OPS)
 def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
-    """For ANY op sequence (append / cross-partition delete / compact /
-    restore), folding the change feed — inserts minus deletes, as a
-    MULTISET — equals the final snapshot.  This is the defining CDF
+    """For ANY op sequence (append / cow delete / DV delete / DV purge /
+    compact / restore), folding the change feed — inserts minus deletes,
+    as a MULTISET — equals the final snapshot.  This is the defining CDF
     invariant: if it holds, every downstream incremental consumer
-    (materialized views, replicas) converges to the table."""
+    (materialized views, replicas) converges to the table.  DV ops are
+    the adversarial cases: a DV delete must surface EXACTLY once, and
+    the purge/compact that later materializes it must surface NOT AT
+    ALL."""
     from cars_bids_data_pipeline_v0__spark.sources.txlog import (
         TransactionLog,
         tx_append_partitioned,
         tx_changes,
         tx_compact,
         tx_delete_where,
+        tx_purge_dvs,
         tx_read,
         tx_restore,
     )
@@ -481,6 +487,12 @@ def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
             tx_delete_where(
                 spark, t, f"id % 5 = {arg}", partition_by="p"
             )
+        elif op == "delete_dv" and log.version() >= 0:
+            tx_delete_where(
+                spark, t, f"id % 7 = {arg}", partition_by="p", mode="dv"
+            )
+        elif op == "purge_dv" and log.version() >= 0:
+            tx_purge_dvs(spark, t, partition_by="p")
         elif op == "compact" and log.version() >= 0:
             tx_compact(spark, t, partition_by="p")
         elif op == "restore" and log.version() >= 1:
@@ -507,3 +519,86 @@ def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
     assert all(v >= 0 for v in folded.values())
     replay = sorted(k for k, v in folded.items() for _ in range(v))
     assert replay == snap
+
+
+# --- MERGE INTO semantics vs a pure-python reference model -----------------
+
+
+def ref_merge(target, source, do_update, delete_cond, do_insert,
+              matched_gate):
+    """Reference MERGE: target/source are {id: val} dicts (unique keys).
+    Clause semantics mirror tx_merge_into: delete-first ordering, the
+    matched gate guards BOTH clauses, inserts are anti-join-on-key plus
+    the insert condition (val >= 0 when delete_cond is on)."""
+    out = {}
+    for tid, tval in target.items():
+        if tid in source:
+            sval = source[tid]
+            matched = (tval < sval) if matched_gate else True
+            if matched and delete_cond and sval < 0:
+                continue  # deleted
+            if matched and do_update:
+                out[tid] = sval
+                continue
+        out[tid] = tval
+    if do_insert:
+        for sid, sval in source.items():
+            if sid not in target:
+                out[sid] = sval
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 30), st.integers(-50, 50),
+                    min_size=0, max_size=20),
+    st.dictionaries(st.integers(0, 40), st.integers(-50, 50),
+                    min_size=0, max_size=15),
+    st.booleans(),
+    st.booleans(),
+    st.booleans(),
+    st.booleans(),
+)
+def test_merge_into_matches_reference_model(
+    spark, tmp_path_factory, target, source, do_update, delete_cond,
+    do_insert, matched_gate
+):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_merge_into,
+        tx_read,
+    )
+
+    tmp = tmp_path_factory.mktemp("merge_prop")
+    t = str(tmp / "tbl")
+    if target:
+        tx_append_partitioned(
+            spark,
+            spark.createDataFrame(
+                [(k, v, k % 3) for k, v in target.items()],
+                "id long, val int, p int",
+            ),
+            t, partition_by="p",
+        )
+    src = spark.createDataFrame(
+        [(k, v, k % 3) for k, v in source.items()],
+        "id long, val int, p int",
+    )
+    tx_merge_into(
+        spark, t, src, on=["id"],
+        when_matched_update={"val": "s.val"} if do_update else None,
+        when_matched_delete="s.val < 0" if delete_cond else None,
+        when_not_matched_insert=do_insert,
+        matched_condition="t.val < s.val" if matched_gate else None,
+        partition_by="p",
+    )
+    expect = ref_merge(
+        target, source, do_update, delete_cond, do_insert, matched_gate
+    )
+    result = tx_read(spark, t)
+    got = (
+        {}
+        if result is None
+        else {r["id"]: r["val"] for r in result.collect()}
+    )
+    assert got == expect
