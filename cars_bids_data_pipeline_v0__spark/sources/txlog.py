@@ -174,6 +174,22 @@ class TransactionLog:
             )
         return best
 
+    def generated_cols(self, upto: int | None = None) -> dict[str, str]:
+        """``{column: SQL expression}`` generated-column definitions in
+        force at a version — full-snapshot commits, latest wins,
+        checkpoint-carried (the constraints pattern)."""
+        out: dict[str, str] = {}
+        start = -1
+        ckpt = self._latest_checkpoint_body(upto)
+        if ckpt is not None:
+            start = ckpt[0]
+            out = dict(ckpt[1].get("generated_cols", {}))
+        for act in self.actions(upto, since=start):
+            m = act.get("meta")
+            if m and "generated_cols" in m:
+                out = dict(m["generated_cols"])
+        return out
+
     def row_id_hwm(self, upto: int | None = None) -> int:
         """Row-tracking high-water mark: the next free ``_row_id`` at a
         version (0 = the table has never assigned row ids).  Commits
@@ -305,6 +321,9 @@ class TransactionLog:
         hwm = self.row_id_hwm(upto=v)
         if hwm:
             body["row_id_hwm"] = hwm
+        gc = self.generated_cols(upto=v)
+        if gc:
+            body["generated_cols"] = gc
         with open(tmp, "w") as f:
             json.dump(body, f)
         os.replace(tmp, self._checkpoint_path(v))
@@ -685,6 +704,7 @@ def tx_merge_partitioned(
     if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
         return []
     batch = new_df.withColumn(PARTITION_COL, F.to_date(F.col(partition_src)))
+    batch = tx_apply_generated(batch, table_path)
     tx_check_constraints(batch, table_path)  # reject bad data pre-stage
     batch = keep_latest(batch, key, order_by=order_by).persist()
     try:
@@ -2102,6 +2122,22 @@ def _merge_into_once(
                 ]
             )
             src_has_row_id = ROW_ID_COL in source.columns
+        gcols = log.generated_cols(upto=v)
+        for gcol, gexpr in sorted(gcols.items()):
+            provided = (
+                gcol in when_not_matched_insert
+                if isinstance(when_not_matched_insert, dict)
+                else gcol in source.columns
+            )
+            if gcol in tgt_cols and not provided:
+                # unmapped generated column: COMPUTE it (the NULL the
+                # schema alignment filled in is not a user value)
+                ins = ins.withColumn(
+                    gcol,
+                    F.expr(gexpr).cast(target.schema[gcol].dataType),
+                )
+        if gcols:
+            ins = tx_apply_generated(ins, table_path, upto=v)
         if ROW_ID_COL in tgt_cols and not src_has_row_id:
             # row-tracked table: inserted rows get fresh ids continuing
             # the high-water mark (updated/kept rows keep theirs)
@@ -2580,6 +2616,7 @@ def tx_append_partitioned(
     log = TransactionLog(table_path)
     if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
         return 0
+    new_df = tx_apply_generated(new_df, table_path)
     tx_check_constraints(new_df, table_path)
     hwm = log.row_id_hwm()
     tracking = assign_row_ids or hwm > 0
@@ -3078,6 +3115,90 @@ def tx_check_constraints(
         raise ConstraintViolation(
             f"batch violates CHECK constraint(s) on {table_path}: {detail}"
         )
+
+
+def tx_apply_generated(
+    df: DataFrame, table_path: str, upto: int | None = None
+) -> DataFrame:
+    """Apply the table's GENERATED column definitions to a batch —
+    Delta's generated-column contract: a missing generated column is
+    COMPUTED from its expression; a provided one is VALIDATED against it
+    in one aggregate pass (a writer supplying a stale derived value is
+    rejected, not silently trusted).  Returns the batch with every
+    generated column present."""
+    gcols = TransactionLog(table_path).generated_cols(upto=upto)
+    if not gcols:
+        return df
+    to_check = {}
+    for col, expr in sorted(gcols.items()):
+        if col in df.columns:
+            to_check[col] = expr
+        else:
+            df = df.withColumn(col, F.expr(expr))
+    if to_check:
+        aggs = [
+            F.sum(
+                F.when(
+                    ~F.col(c).eqNullSafe(F.expr(e)), 1
+                ).otherwise(0)
+            ).cast("long").alias(c)
+            for c, e in to_check.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {c: int(row[c]) for c in to_check if int(row[c]) > 0}
+        if bad:
+            detail = ", ".join(
+                f"{c} [{gcols[c]}]: {n} row(s)" for c, n in bad.items()
+            )
+            raise ConstraintViolation(
+                f"batch disagrees with GENERATED column(s) on "
+                f"{table_path}: {detail}"
+            )
+    return df
+
+
+def tx_set_generated_column(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    expr: str,
+    validate_existing: bool = True,
+    max_retries: int = 5,
+) -> int:
+    """Declare ``col`` as GENERATED ALWAYS AS (expr): recorded in the
+    commit log; every subsequent append/merge batch either computes it
+    (when absent) or has it validated (when present) via
+    `tx_apply_generated`.  The canonical use is a derived PARTITION
+    column — ``tx_set_generated_column(t, "day",
+    "to_date(event_ts)")`` then ``partition_by="day"`` — so writers
+    cannot desynchronize layout from data.  ``validate_existing``
+    proves the current snapshot already satisfies the definition, so a
+    generated column can never be born stale.  Returns the committing
+    version."""
+    log = TransactionLog(table_path)
+    if validate_existing and log.version() >= 0:
+        snap = tx_read(spark, table_path)
+        if snap is not None and col in snap.columns and not snap.isEmpty():
+            n = snap.filter(
+                ~F.col(col).eqNullSafe(F.expr(expr))
+            ).limit(1).count()
+            if n:
+                raise ConstraintViolation(
+                    f"cannot declare {col!r} GENERATED AS [{expr}]: "
+                    "existing row(s) disagree"
+                )
+    for _ in range(max_retries):
+        v = log.version()
+        gc = log.generated_cols(upto=v if v >= 0 else None)
+        gc[col] = expr
+        if log.try_commit(
+            v + 1, [], [], op="set_generated",
+            meta={"generated_cols": gc},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"set_generated_column gave up after {max_retries} conflicts"
+    )
 
 
 def tx_set_constraint(

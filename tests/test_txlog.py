@@ -2403,3 +2403,64 @@ def test_tx_optimize_auto_compacts_only_hot_partitions(spark, tmp_path):
     assert tx_optimize_auto(
         spark, t, small_file_bytes=1 << 20, min_small_files=4
     ) == []
+
+
+def test_tx_generated_columns(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        ConstraintViolation,
+        TransactionLog,
+        tx_append_partitioned,
+        tx_merge_into,
+        tx_read,
+        tx_set_generated_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "2024-05-01T10:00:00Z", 0)], "id long, ts string, p int"
+    ).select(
+        "id", F.to_timestamp("ts").alias("ts"), "p"
+    ).withColumn("day", F.to_date("ts"))
+    tx_append_partitioned(spark, df, t, partition_by="p")
+    tx_set_generated_column(spark, t, "day", "to_date(ts)")
+
+    # a batch WITHOUT the column gets it computed
+    nxt = spark.createDataFrame(
+        [(2, "2024-06-02T09:00:00Z", 1)], "id long, ts string, p int"
+    ).select("id", F.to_timestamp("ts").alias("ts"), "p")
+    tx_append_partitioned(spark, nxt, t, partition_by="p")
+    got = {r["id"]: str(r["day"]) for r in tx_read(spark, t).collect()}
+    assert got == {1: "2024-05-01", 2: "2024-06-02"}
+
+    # a batch providing a STALE value is rejected atomically
+    bad = spark.createDataFrame(
+        [(3, "2024-07-01T00:00:00Z", 0)], "id long, ts string, p int"
+    ).select(
+        "id", F.to_timestamp("ts").alias("ts"), "p",
+        F.lit("1999-01-01").cast("date").alias("day"),
+    )
+    v = TransactionLog(t).version()
+    with pytest.raises(ConstraintViolation, match="GENERATED"):
+        tx_append_partitioned(spark, bad, t, partition_by="p")
+    assert TransactionLog(t).version() == v
+
+    # declaring over disagreeing existing data is refused
+    with pytest.raises(ConstraintViolation, match="disagree"):
+        tx_set_generated_column(spark, t, "day", "to_date(ts) + 1")
+
+    # MERGE inserts compute the unmapped generated column
+    src = spark.createDataFrame(
+        [(9, "2024-08-05T00:00:00Z", 1)], "id long, ts string, p int"
+    ).select("id", F.to_timestamp("ts").alias("ts"), "p")
+    tx_merge_into(spark, t, src, on=["id"])
+    got = {r["id"]: str(r["day"]) for r in tx_read(spark, t).collect()}
+    assert got[9] == "2024-08-05"
+
+    # checkpoint survival
+    import os as _os
+    log = TransactionLog(t)
+    ck = log.checkpoint()
+    for vv in log.versions():
+        if vv < ck:
+            _os.remove(log._commit_path(vv))
+    assert TransactionLog(t).generated_cols() == {"day": "to_date(ts)"}
