@@ -934,6 +934,7 @@ def tx_optimize_zorder(
     num_files: int = 16,
     bits: int = 12,
     max_retries: int = 5,
+    partitions: list[str] | None = None,
 ) -> int:
     """OPTIMIZE ... ZORDER BY for a commit-log table: rewrite the live
     file set Morton-clustered on ``zorder_by`` (operators/zorder.py) into
@@ -956,6 +957,12 @@ def tx_optimize_zorder(
         if v < 0:
             return 0
         live = log.live_files(upto=v)
+        if partitions is not None:
+            # OPTIMIZE ... WHERE: cluster only the named partition values
+            # (the tx_compact(partitions=) contract — out-of-scope files
+            # keep their bytes, stats and pending DVs)
+            scope = set(partitions)
+            live = {f: p for f, p in live.items() if p in scope}
         if not live:
             return 0
         # preserve every previously-sketched column: rewriting with only

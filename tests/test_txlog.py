@@ -2464,3 +2464,30 @@ def test_tx_generated_columns(spark, tmp_path):
         if vv < ck:
             _os.remove(log._commit_path(vv))
     assert TransactionLog(t).generated_cols() == {"day": "to_date(ts)"}
+
+
+def test_tx_zorder_partition_scoped(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_optimize_zorder,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo, hi in [(0, 8), (8, 16)]:
+        tx_append_partitioned(
+            spark, _cdf_mk(spark, lo, hi), t, partition_by="p"
+        )
+    log = TransactionLog(t)
+    p2_before = {f for f, p in log.live_files().items() if p == "2"}
+    n = tx_optimize_zorder(
+        spark, t, zorder_by=["id"], num_files=2, partitions=["0", "1"]
+    )
+    assert n > 0
+    after = log.live_files()
+    assert {f for f, p in after.items() if p == "2"} == p2_before
+    assert tx_read(spark, t).count() == 16
+    assert tx_optimize_zorder(
+        spark, t, zorder_by=["id"], partitions=["zz"]
+    ) == 0
