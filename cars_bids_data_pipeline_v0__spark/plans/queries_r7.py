@@ -1,22 +1,28 @@
-"""Round-7 query batch.
+"""Round-7 query batch (q226–q241).
 
-q226 puts the new Change Data Feed (``sources/txlog.py::tx_changes``)
-under the value-hash gate: the builder constructs a real commit-log table
-from the ``orders`` corpus (two fenced appends + one copy-on-write
-DELETE), then folds the reconstructed per-version change rows into an
-auditable summary that DuckDB re-derives from the raw table and the same
-deterministic splits.  The hash therefore covers append staging, the
-delete rewrite, AND the exceptAll change-reconstruction arithmetic.
+Three sub-families:
 
-q227 is hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
-2009): a sparse keyword arm over ``documents`` and a dense cosine arm
-over ``embeddings`` fused by summed reciprocal ranks — the standard
-first-stage retriever for RAG/training-data curation, expressed as two
-rankings and one join (no UDFs anywhere).
+* **ACID/DML under the value-hash gate** — q226 (Change Data Feed),
+  q228 (CDF-driven incremental matview), q229 (MERGE INTO: update +
+  delete + insert clauses), q230 (deletion-vector DELETE read back
+  merge-on-read), q231 (copy-on-write UPDATE), q241 (row-tracked CDF
+  with update_preimage/postimage pairing).  Each uses an idempotent,
+  content-fingerprinted scratch-table builder (`_scratch_path` +
+  version-guarded steps + txn-fenced appends) so driver re-runs and
+  regenerated corpora behave.
+* **Retrieval** — q227 hybrid Reciprocal Rank Fusion (sparse keyword
+  arm + dense cosine arm; Cormack et al. 2009), ranks assigned with
+  distributed top-N + the bounded single-range assigner, never a
+  global window.
+* **Analytics** — q232 Theil index, q233 Zipf's-law fit, q234
+  gaps-and-islands streaks, q235 value-domain-collapsed weighted
+  median (the scale path of q114), q236 supplier HHI, q237 RFM
+  quintile segmentation, q238 association rules, q239 new-vs-returning
+  split, q240 log-log price elasticity.
 
 Reference parity: none (the reference has neither a transaction log nor
-a retrieval surface); these extend the engine's ACID and similarity
-families.
+a retrieval/statistics surface); these extend the engine's ACID,
+similarity and analytics families.
 """
 
 from __future__ import annotations

@@ -91,5 +91,6 @@ def test_tx_stage_writes_are_distributed_no_collect(spark, tmp_path):
     #   5 merge action counts (<= 3 rows)
     #   6 constraint-violation counts (one agg row)
     #   7 set_constraint born-valid probe (one agg row)
-    assert src.count(".collect()") == 7
+    #   8 generated-column validation counts (one agg row)
+    assert src.count(".collect()") == 8
     assert ".toPandas()" not in src and ".toLocalIterator()" not in src
