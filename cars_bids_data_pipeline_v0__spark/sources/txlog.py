@@ -797,6 +797,7 @@ def tx_upsert(
     from ..operators.merge import upsert_overwrite
 
     log = TransactionLog(table_path)
+    new_rows = tx_apply_generated(new_rows, table_path)
     tx_check_constraints(new_rows, table_path)
     for _ in range(20):
         v = log.version()
@@ -2636,9 +2637,17 @@ def tx_append_partitioned(
     def stage(mark: int):
         df = new_df
         if tracking:
+            # order only by range-partitionable atomic columns — array/
+            # map/struct/binary columns cannot key a range exchange, and
+            # id ASSIGNMENT needs determinism-of-set, not of order
+            sortable = [
+                f.name for f in df.schema.fields
+                if f.dataType.typeName() not in
+                ("array", "map", "struct", "binary")
+            ] or [df.columns[0]]
             df = with_surrogate_key(
                 df,
-                order_by=[c for c in df.columns],
+                order_by=sortable,
                 id_col=ROW_ID_COL,
                 start_at=mark,
             )

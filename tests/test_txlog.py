@@ -2491,3 +2491,23 @@ def test_tx_zorder_partition_scoped(spark, tmp_path):
     assert tx_optimize_zorder(
         spark, t, zorder_by=["id"], partitions=["zz"]
     ) == 0
+
+
+def test_row_tracking_with_array_columns(spark, tmp_path):
+    """Row-id assignment must survive unsortable column types (arrays
+    cannot key a range exchange)."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)], i % 2) for i in range(6)],
+        "id long, vec array<double>, p int",
+    )
+    tx_append_partitioned(
+        spark, df, t, partition_by="p", assign_row_ids=True
+    )
+    ids = sorted(r["_row_id"] for r in tx_read(spark, t).collect())
+    assert ids == list(range(6))
