@@ -1397,3 +1397,80 @@ def q241(spark, sf_dir):
         )
         .orderBy("commit_version", "change_type")
     )
+
+
+@register(
+    "q242_abc_classification",
+    """
+    WITH per_part AS (
+        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               sum(rev) OVER () AS tot
+        FROM per_part
+    ), classed AS (
+        SELECT CASE
+                 WHEN (cum_rev - rev) / tot < 0.8 THEN 'A'
+                 WHEN (cum_rev - rev) / tot < 0.95 THEN 'B'
+                 ELSE 'C'
+               END AS abc_class, rev
+        FROM ranked
+    )
+    SELECT abc_class,
+           count(*) AS n_parts,
+           round(sum(rev), 2) AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc=(
+        "ABC inventory classification (the Pareto workhorse: A = parts "
+        "up to 80 %% of revenue, B = to 95 %%, C = the tail), classed "
+        "on the PRE-item cumulative share so the part that crosses a "
+        "boundary lands in the class it starts in — deterministic "
+        "cross-engine with the (rev DESC, key) total order.  The "
+        "cumulative pass runs over the per-part AGGREGATE (dimension-"
+        "bounded, the q159 discipline), with the distributed prefix-sum "
+        "machinery replacing the window when even the part dimension "
+        "outgrows one range.  Scale: one lineitem shuffle; everything "
+        "after is O(|parts|)"
+    ),
+)
+def q242(spark, sf_dir):
+    from ..operators.rankstats import prefix_sums_by_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev")
+    )
+    # distributed cumulative revenue in (rev DESC, key ASC) order: the
+    # range-partitioned prefix-sum exchange, never a single-partition
+    # window; the sort key is a struct so the helper's single-value
+    # contract (distinct, totally ordered) holds (operators/rankstats.py)
+    ordered = per_part.withColumn(
+        "__ord",
+        F.struct(
+            (-F.col("rev")).alias("a"), F.col("l_partkey").alias("b")
+        ),
+    )
+    cum = prefix_sums_by_value(ordered, "__ord", ["rev"])
+    tot = per_part.agg(F.sum("rev").alias("tot"))
+    share_before = (F.col("cum_rev") - F.col("rev")) / F.col("tot")
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(share_before < 0.8, F.lit("A"))
+        .when(share_before < 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "rev",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("rev"), 2).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
