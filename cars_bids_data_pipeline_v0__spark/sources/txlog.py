@@ -3377,3 +3377,85 @@ def tx_clone(
     ):
         raise RuntimeError(f"concurrent writer created {clone_path} first")
     return {"version": 0, "files": len(adds), "dvs": len(dvs)}
+
+
+def tx_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit — version, wall time, op,
+    files added/removed, rows added (from the bytes/row metadata the add
+    actions already carry; footer fallback for pre-field commits is NOT
+    attempted: unknown reads as null rather than costing I/O), txn
+    token, and which metadata the commit changed.  Pure log read,
+    O(commits); the operational answer to 'what happened to this
+    table?' that the reference's append-only S3 layout cannot give."""
+    import pyarrow.parquet as _pq
+
+    log = TransactionLog(table_path)
+    rows = []
+    for act in log.actions():
+        adds = act.get("add", [])
+        n_rows = 0
+        rows_known = True
+        for a in adds:
+            full = os.path.join(table_path, a["path"])
+            try:
+                n_rows += _pq.ParquetFile(full).metadata.num_rows
+            except OSError:
+                rows_known = False
+                break
+        meta = act.get("meta") or {}
+        changed = sorted(
+            k for k in (
+                "constraints", "generated_cols", "dv_state", "row_id_hwm"
+            ) if k in meta
+        )
+        txn = act.get("txn")
+        rows.append((
+            int(act["version"]),
+            float(act["ts"]) if act.get("ts") is not None else None,
+            str(act.get("op", "")),
+            len(adds),
+            len(act.get("remove", [])),
+            int(n_rows) if rows_known else None,
+            int(sum(a.get("bytes", 0) for a in adds)),
+            f"{txn['app']}#{txn['batch']}" if txn else None,
+            ",".join(changed) if changed else None,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version int, ts double, op string, files_added int, "
+        "files_removed int, rows_added long, bytes_added long, "
+        "txn string, meta_changed string",
+    ).orderBy(F.col("version").desc())
+
+
+def tx_detail(table_path: str) -> dict:
+    """DESCRIBE DETAIL: the current table summary in one dict — version,
+    live file count/bytes, partition values, deletion vectors in force,
+    constraints, generated columns, row-tracking mark, checkpoint
+    presence.  Pure metadata (bytes ride in the add actions); the
+    at-a-glance health view `tx_fsck` deep-checks."""
+    log = TransactionLog(table_path)
+    v = log.version()
+    if v < 0:
+        return {"table": table_path, "version": -1, "exists": False}
+    acts = log.live_actions(upto=v)
+    parts = sorted({
+        a.get("partition") for a in acts.values()
+        if a.get("partition") is not None
+    })
+    known_bytes = [a["bytes"] for a in acts.values() if "bytes" in a]
+    ckpt = log._latest_checkpoint_body()
+    return {
+        "table": table_path,
+        "exists": True,
+        "version": v,
+        "num_files": len(acts),
+        "size_bytes": sum(known_bytes) if len(known_bytes) == len(acts)
+        else None,
+        "partition_values": parts,
+        "num_dvs": len(log.dvs(upto=v)),
+        "constraints": log.constraints(upto=v),
+        "generated_cols": log.generated_cols(upto=v),
+        "row_id_hwm": log.row_id_hwm(upto=v),
+        "checkpoint_version": ckpt[0] if ckpt else None,
+    }

@@ -2511,3 +2511,43 @@ def test_row_tracking_with_array_columns(spark, tmp_path):
     )
     ids = sorted(r["_row_id"] for r in tx_read(spark, t).collect())
     assert ids == list(range(6))
+
+
+def test_tx_history_and_detail(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_delete_where,
+        tx_detail,
+        tx_history,
+        tx_set_constraint,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(
+        spark, _cdf_mk(spark, 0, 6), t, partition_by="p",
+        txn={"app": "hist", "batch": 0}, assign_row_ids=True,
+    )
+    tx_set_constraint(spark, t, "id_ok", "id >= 0")
+    tx_delete_where(spark, t, "id = 1", mode="dv")
+
+    h = {r["version"]: r for r in tx_history(spark, t).collect()}
+    assert set(h) == {0, 1, 2}
+    assert h[0]["op"] == "append" and h[0]["rows_added"] == 6
+    assert h[0]["txn"] == "hist#0"
+    assert h[0]["ts"] is not None and h[0]["bytes_added"] > 0
+    assert "row_id_hwm" in h[0]["meta_changed"]
+    assert h[1]["op"] == "set_constraint"
+    assert "constraints" in h[1]["meta_changed"]
+    assert h[2]["op"] == "delete_dv" and h[2]["files_added"] == 0
+    assert "dv_state" in h[2]["meta_changed"]
+
+    d = tx_detail(t)
+    assert d["exists"] and d["version"] == 2
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["num_dvs"] == 1
+    assert d["constraints"] == {"id_ok": "id >= 0"}
+    assert d["row_id_hwm"] == 6
+    assert sorted(d["partition_values"]) == ["0", "1", "2"]
+
+    assert tx_detail(str(tmp_path / "nope"))["exists"] is False
