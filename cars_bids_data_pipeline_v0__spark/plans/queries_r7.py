@@ -1474,3 +1474,50 @@ def q242(spark, sf_dir):
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "q243_history_audit",
+    f"""
+    SELECT 0 AS version, 'append' AS op,
+           count(*) FILTER (WHERE o_orderkey % 2 = 0) AS rows_added
+    FROM orders
+    UNION ALL
+    SELECT 1, 'append', count(*) FILTER (WHERE o_orderkey % 2 = 1)
+    FROM orders
+    UNION ALL
+    -- the cow DELETE rewrites ONLY files containing a match: keys
+    -- ending in 3 are all odd, so exactly the odd-append files are
+    -- affected and the rewrite re-adds their survivors
+    SELECT 2, 'delete',
+           count(*) FILTER (WHERE o_orderkey % 2 = 1
+                            AND o_orderkey % {_Q226_DELETE_MOD} <> 3)
+    FROM orders
+    ORDER BY version
+    """,
+    doc=(
+        "DESCRIBE HISTORY under the value-hash gate: tx_history over "
+        "the q226 three-commit table must report per-version rows_added "
+        "(parquet-footer metadata, no data scan) equal to DuckDB's "
+        "derivation from the raw corpus — the two appends' parity "
+        "splits, and the cow DELETE re-adding exactly the surviving "
+        "rows of the AFFECTED files only (keys ending in 3 are odd, so "
+        "just the odd-append files rewrite — the hash also witnesses "
+        "affected-file scoping).  File COUNTS are "
+        "deliberately excluded: they depend on shuffle parallelism, "
+        "not semantics (sources/txlog.py::tx_history)"
+    ),
+)
+def q243(spark, sf_dir):
+    from ..sources.txlog import tx_history
+
+    path = _q226_build(spark, sf_dir)
+    return (
+        tx_history(spark, path)
+        .select(
+            "version",
+            "op",
+            F.col("rows_added").alias("rows_added"),
+        )
+        .orderBy("version")
+    )
