@@ -440,6 +440,7 @@ _CDF_OPS = st.lists(
         st.tuples(st.just("delete_dv"), st.integers(0, 4)),
         st.tuples(st.just("purge_dv"), st.just(0)),
         st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("zorder"), st.just(0)),
         st.tuples(st.just("restore"), st.just(0)),
     ),
     min_size=1,
@@ -464,6 +465,7 @@ def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
         tx_changes,
         tx_compact,
         tx_delete_where,
+        tx_optimize_zorder,
         tx_purge_dvs,
         tx_read,
         tx_restore,
@@ -495,6 +497,8 @@ def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
             tx_purge_dvs(spark, t, partition_by="p")
         elif op == "compact" and log.version() >= 0:
             tx_compact(spark, t, partition_by="p")
+        elif op == "zorder" and log.version() >= 0:
+            tx_optimize_zorder(spark, t, zorder_by=["id"], num_files=2)
         elif op == "restore" and log.version() >= 1:
             tx_restore(spark, t, log.version() - 1)
 
