@@ -3328,9 +3328,11 @@ def tx_clone(
     * partition values, zone-map stats and bloom sketches ride along
       verbatim, so pruning works on the clone immediately;
     * ``version`` / ``timestamp`` clone a historical snapshot (time
-      travel at clone time); CHECK constraints in force at that version
-      carry over; DV state carries over (the clone reads through the
-      source's vectors until its own rewrites retire them).
+      travel at clone time); CHECK constraints, GENERATED column
+      definitions, the row-tracking high-water mark AND DV state in
+      force at that version all carry over (the clone reads through the
+      source's vectors until its own rewrites retire them, and its
+      appends continue the id sequence rather than minting collisions).
 
     The absolute-path trick is the protocol's own: actions join onto the
     table root via ``os.path.join``, which passes absolute paths through
@@ -3366,11 +3368,19 @@ def tx_clone(
         for f, dv in src.dvs(upto=version).items()
     }
     cons = src.constraints(upto=version)
+    gcols = src.generated_cols(upto=version)
+    hwm = src.row_id_hwm(upto=version)
     meta: dict = {}
     if dvs:
         meta["dv_state"] = dvs
     if cons:
         meta["constraints"] = cons
+    if gcols:
+        meta["generated_cols"] = gcols
+    if hwm:
+        # the clone continues the source's id sequence — a fresh mark
+        # would mint colliding row ids on the clone's first append
+        meta["row_id_hwm"] = hwm
     os.makedirs(clone_path, exist_ok=True)
     if not dst.try_commit(
         0, adds, [], op="clone", meta=meta or None

@@ -2106,6 +2106,12 @@ def test_tx_clone_shallow_and_vacuum_dry_run(spark, tmp_path):
     assert not _os.path.isdir(_os.path.join(clone, "data"))
     # constraints carried over
     assert TransactionLog(clone).constraints() == {"id_nonneg": "id >= 0"}
+    # row-tracking mark carries too: if the source tracked ids, the
+    # clone's appends must continue the sequence, not collide
+    assert (
+        TransactionLog(clone).row_id_hwm()
+        == TransactionLog(src).row_id_hwm(upto=v_pre)
+    )
 
     # clone is independent: a write to it never touches the source
     tx_update_where(spark, clone, {"s": "'CLONED'"}, "id = 0")
