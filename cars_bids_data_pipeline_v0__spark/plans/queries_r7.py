@@ -1521,3 +1521,154 @@ def q243(spark, sf_dir):
         )
         .orderBy("version")
     )
+
+
+@register(
+    "q244_forecast_mase",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_c
+        FROM orders GROUP BY d
+    ), joined AS (
+        SELECT a.d, a.rev_c,
+               b.rev_c AS pred_c,      -- seasonal-naive: value 7 days ago
+               n.rev_c AS naive_c      -- 1-step naive: value 1 day ago
+        FROM daily a
+        JOIN daily b ON b.d = a.d - 7
+        JOIN daily n ON n.d = a.d - 1
+    )
+    SELECT count(*) AS n_days,
+           round(avg(abs(rev_c - pred_c)) / 100.0, 2) AS mae_seasonal,
+           round(avg(abs(rev_c - naive_c)) / 100.0, 2) AS mae_naive,
+           round(avg(CAST(abs(rev_c - pred_c) AS DOUBLE))
+                 / avg(CAST(abs(rev_c - naive_c) AS DOUBLE)), 6) AS mase
+    FROM joined
+    """,
+    doc=(
+        "Forecast-method evaluation on daily revenue: seasonal-naive "
+        "(same weekday last week) scored against the 1-step naive "
+        "benchmark as MASE (Hyndman's scale-free standard — MASE < 1 "
+        "means the seasonal structure q151/q220 detect is actually "
+        "PREDICTIVE, the go/no-go gate before any fancier model).  "
+        "Daily sums collapse to integer cents first (the q217 "
+        "discipline), lag features are self-equi-joins on shifted "
+        "dates — no window, no sequential recursion, mergeable all the "
+        "way down.  Scale: one orders aggregation; the lag joins run "
+        "on the |days| aggregate"
+    ),
+)
+def q244(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_c")
+    )
+    a = daily.alias("a")
+    b = daily.select(
+        F.date_add("d", 7).alias("d"), F.col("rev_c").alias("pred_c")
+    ).alias("b")
+    n = daily.select(
+        F.date_add("d", 1).alias("d"), F.col("rev_c").alias("naive_c")
+    ).alias("n")
+    j = a.join(b, "d").join(n, "d")
+    err_s = F.abs(F.col("rev_c") - F.col("pred_c"))
+    err_n = F.abs(F.col("rev_c") - F.col("naive_c"))
+    return j.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg(err_s) / 100.0, 2).alias("mae_seasonal"),
+        F.round(F.avg(err_n) / 100.0, 2).alias("mae_naive"),
+        F.round(
+            F.avg(err_s.cast("double")) / F.avg(err_n.cast("double")), 6
+        ).alias("mase"),
+    )
+
+
+@register(
+    "q247_dup_rate_by_source",
+    """
+    WITH fp AS (
+        SELECT source, md5(trim(lower(text))) AS h FROM documents
+    ), per_hash AS (
+        SELECT source, h, count(*) AS n FROM fp GROUP BY source, h
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_redundant,
+           round((sum(n) - count(*)) * 1.0 / sum(n), 6) AS dup_rate
+    FROM per_hash GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "Exact-duplicate rate per source — the corpus-health rollup on "
+        "top of q52's group listing (a dashboard wants the RATE per "
+        "feed, not the pairs): normalized-text fingerprints, redundant "
+        "copies = docs minus distinct fingerprints, per source.  One "
+        "hash aggregation; the rate arithmetic runs on the "
+        "|sources x distinct-hashes| aggregate.  The source whose "
+        "dup_rate jumps is the one whose scraper started re-crawling "
+        "— this metric is the alert, q52 is the drill-down"
+    ),
+)
+def q247(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    per_hash = docs.select(
+        "source", F.md5(F.trim(F.lower(F.col("text")))).alias("h")
+    ).groupBy("source", "h").agg(F.count("*").alias("n"))
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            (F.sum("n") - F.count("*")).cast("long").alias("n_redundant"),
+            F.round(
+                (F.sum("n") - F.count("*")) * 1.0 / F.sum("n"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q249_price_bands_by_priority",
+    """
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(quantile_cont(c, 0.25) / 100.0, 2) AS p25,
+           round(quantile_cont(c, 0.50) / 100.0, 2) AS p50,
+           round(quantile_cont(c, 0.75) / 100.0, 2) AS p75,
+           round(quantile_cont(c, 0.90) / 100.0, 2) AS p90
+    FROM cents GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Order-value percentile bands per priority (the box-plot "
+        "summary behind every pricing dashboard): exact interpolated "
+        "p25/p50/p75/p90 over integer CENTS — Spark percentile() and "
+        "DuckDB quantile_cont share the p*(n-1) interpolation on "
+        "integers, the q122/q237 engine-parity rule.  One grouped "
+        "aggregate; percentile() is a partial-aggregable sketch-free "
+        "exact at dimension-bounded group counts"
+    ),
+)
+def q249(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    pct = F.expr("percentile(c, array(0.25D, 0.5D, 0.75D, 0.9D))")
+    agg = cents.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"), pct.alias("p")
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        *[
+            F.round(F.col("p")[i] / 100.0, 2).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p90"])
+        ],
+    ).orderBy("o_orderpriority")
