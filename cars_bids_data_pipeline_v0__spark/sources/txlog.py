@@ -2583,6 +2583,82 @@ def _staged_row_count(log: TransactionLog, adds: list[dict]) -> int:
     )
 
 
+def tx_table_schema(table_path: str) -> dict[str, str] | None:
+    """``{column: spark type simpleString}`` of the current snapshot,
+    from ONE live file's parquet footer (Spark's own row metadata when
+    present — exact timestamp_ntz round-trip — else the Arrow view).
+    None for an empty/absent table.  The schema source every writer-side
+    check shares."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import StructType
+
+    log = TransactionLog(table_path)
+    files = sorted(log.live_files())
+    if not files:
+        return None
+    arrow = _pq.read_schema(os.path.join(table_path, files[0]))
+    meta = arrow.metadata or {}
+    key = b"org.apache.spark.sql.parquet.row.metadata"
+    if key in meta:
+        st = StructType.fromJson(_json.loads(meta[key]))
+    else:
+        st = from_arrow_schema(arrow)
+    return {f.name: f.dataType.simpleString() for f in st.fields}
+
+
+def _check_schema(
+    df: DataFrame, table_path: str, schema_mode: str
+) -> None:
+    """Write-time schema contract (Delta's enforcement semantics):
+
+    * ``"none"`` — legacy free-form appends (heterogeneous tables read
+      back via ``tx_read(merge_schema=True)``);
+    * ``"enforce"`` — the batch's column set and types must equal the
+      table's exactly (order-insensitive; readers align by name);
+    * ``"merge"`` — NEW columns are welcome (schema evolution), but a
+      column shared with the table must keep its type, and the batch
+      must still carry every existing column (dropping one would make
+      reads silently NULL it for the new files).
+    """
+    if schema_mode == "none":
+        return
+    if schema_mode not in ("enforce", "merge"):
+        raise ValueError(
+            f"schema_mode must be none|enforce|merge, got {schema_mode!r}"
+        )
+    table = tx_table_schema(table_path)
+    if table is None:
+        return  # first write defines the schema
+    # the row-tracking column is table-managed, never writer-supplied
+    table.pop(ROW_ID_COL, None)
+    batch = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = sorted(set(table) - set(batch))
+    extra = sorted(set(batch) - set(table))
+    conflicts = sorted(
+        c for c in set(table) & set(batch) if table[c] != batch[c]
+    )
+    problems = []
+    if missing:
+        problems.append(f"missing table column(s) {missing}")
+    if conflicts:
+        problems.append(
+            "type conflict(s) "
+            + str([f"{c}: {table[c]} -> {batch[c]}" for c in conflicts])
+        )
+    if extra and schema_mode == "enforce":
+        problems.append(
+            f"new column(s) {extra} (use schema_mode='merge' to evolve)"
+        )
+    if problems:
+        raise ValueError(
+            f"batch schema violates {schema_mode!r} contract on "
+            f"{table_path}: " + "; ".join(problems)
+        )
+
+
 def tx_append_partitioned(
     spark: SparkSession,
     new_df: DataFrame,
@@ -2592,6 +2668,7 @@ def tx_append_partitioned(
     max_retries: int = 20,
     stats_cols: list[str] | None = None,
     assign_row_ids: bool = False,
+    schema_mode: str = "none",
 ) -> int:
     """Fenced APPEND-ONLY commit partitioned by an arbitrary column.
 
@@ -2625,6 +2702,7 @@ def tx_append_partitioned(
     if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
         return 0
     new_df = tx_apply_generated(new_df, table_path)
+    _check_schema(new_df, table_path, schema_mode)
     tx_check_constraints(new_df, table_path)
     hwm = log.row_id_hwm()
     tracking = assign_row_ids or hwm > 0

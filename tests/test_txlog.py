@@ -2557,3 +2557,51 @@ def test_tx_history_and_detail(spark, tmp_path):
     assert sorted(d["partition_values"]) == ["0", "1", "2"]
 
     assert tx_detail(str(tmp_path / "nope"))["exists"] is False
+
+
+def test_tx_append_schema_modes(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_read,
+        tx_table_schema,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(
+        spark, _cdf_mk(spark, 0, 3), t, partition_by="p",
+        schema_mode="enforce", assign_row_ids=True,
+    )
+    assert tx_table_schema(t)["id"] == "bigint"
+
+    # exact same schema passes enforce (row-id column is table-managed)
+    tx_append_partitioned(
+        spark, _cdf_mk(spark, 3, 5), t, partition_by="p",
+        schema_mode="enforce",
+    )
+
+    # a new column is rejected under enforce, welcomed under merge
+    wide = spark.createDataFrame(
+        [(9, "x", 0, 1.5)], "id long, s string, p int, score double"
+    )
+    with pytest.raises(ValueError, match="use schema_mode='merge'"):
+        tx_append_partitioned(
+            spark, wide, t, partition_by="p", schema_mode="enforce"
+        )
+    tx_append_partitioned(
+        spark, wide, t, partition_by="p", schema_mode="merge"
+    )
+    got = tx_read(spark, t, merge_schema=True)
+    assert "score" in got.columns and got.count() == 6
+
+    # dropping an existing column is rejected even under merge
+    narrow = spark.createDataFrame([(10, 0)], "id long, p int")
+    with pytest.raises(ValueError, match="missing table column"):
+        tx_append_partitioned(
+            spark, narrow, t, partition_by="p", schema_mode="merge"
+        )
+    # a type conflict is rejected under merge
+    bad = spark.createDataFrame([("x", "s", 0)], "id string, s string, p int")
+    with pytest.raises(ValueError, match="type conflict"):
+        tx_append_partitioned(
+            spark, bad, t, partition_by="p", schema_mode="merge"
+        )
