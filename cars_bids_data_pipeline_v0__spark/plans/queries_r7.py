@@ -1672,3 +1672,195 @@ def q249(spark, sf_dir):
             for i, name in enumerate(["p25", "p50", "p75", "p90"])
         ],
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "q250_repeat_purchase_intervals",
+    """
+    WITH seq AS (
+        SELECT o_custkey,
+               datediff('day',
+                        lag(CAST(o_orderdate AS DATE)) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey),
+                        CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+           round(quantile_cont(gap_days, 0.50), 2) AS p50_days,
+           round(quantile_cont(gap_days, 0.90), 2) AS p90_days,
+           round(avg(gap_days), 6) AS mean_days
+    FROM seq WHERE gap_days IS NOT NULL
+    """,
+    doc=(
+        "Repeat-purchase interval distribution (the replenishment-cycle "
+        "input to churn windows and send-time optimization): per-"
+        "customer consecutive-order gaps via a CUSTOMER-KEYED lag "
+        "window (deterministic (date, key) order), then exact "
+        "interpolated p50/p90 over the integer day gaps — the q122 "
+        "parity rule again.  Scale: the lag window rides the customer "
+        "hash exchange; the quantile runs on the gap aggregate"
+    ),
+)
+def q250(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return seq.agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.round(F.expr("percentile(gap_days, 0.5D)"), 2).alias("p50_days"),
+        F.round(F.expr("percentile(gap_days, 0.9D)"), 2).alias("p90_days"),
+        F.round(F.avg("gap_days"), 6).alias("mean_days"),
+    )
+
+
+@register(
+    "q252_spend_quartile_migration",
+    """
+    WITH bounds AS (
+        SELECT min(o_orderdate) AS lo,
+               min(o_orderdate)
+               + (max(o_orderdate) - min(o_orderdate)) / 2 AS mid
+        FROM orders
+    ), spend AS (
+        SELECT o_custkey,
+               CAST(round(sum(o_totalprice) FILTER (
+                   WHERE o_orderdate < b.mid) * 100) AS BIGINT) AS s1,
+               CAST(round(sum(o_totalprice) FILTER (
+                   WHERE o_orderdate >= b.mid) * 100) AS BIGINT) AS s2
+        FROM orders, bounds b GROUP BY o_custkey
+    ), active AS (
+        SELECT * FROM spend WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+    ), cuts AS (
+        SELECT quantile_cont(s1, [0.25, 0.5, 0.75]) AS c1,
+               quantile_cont(s2, [0.25, 0.5, 0.75]) AS c2
+        FROM active
+    )
+    SELECT 1 + (s1 > c1[1])::INT + (s1 > c1[2])::INT + (s1 > c1[3])::INT
+               AS q_before,
+           1 + (s2 > c2[1])::INT + (s2 > c2[2])::INT + (s2 > c2[3])::INT
+               AS q_after,
+           count(*) AS n_customers
+    FROM active, cuts
+    GROUP BY q_before, q_after ORDER BY q_before, q_after
+    """,
+    doc=(
+        "Customer spend-quartile migration matrix between the first and "
+        "second half of the corpus time range — the Markov-style "
+        "transition table behind 'are our best customers staying "
+        "best?'.  Halves split at the midpoint timestamp (derived from "
+        "the data, reproducible), spend collapses to integer cents, "
+        "quartile cut-points are exact interpolated percentiles "
+        "broadcast back (q237's engine-parity discipline), and the "
+        "matrix is one grouped count over customers active in BOTH "
+        "halves.  Scale: one orders aggregation + a one-row broadcast"
+    ),
+)
+def q252(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).select(
+        F.expr(
+            "lo + make_dt_interval(0, 0, 0, "
+            "CAST(timestampdiff(SECOND, lo, hi) AS DOUBLE) / 2)"
+        ).alias("mid")
+    )
+    spend = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") < F.col("mid"),
+                        F.col("o_totalprice"),
+                    )
+                ) * 100
+            ).cast("long").alias("s1"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") >= F.col("mid"),
+                        F.col("o_totalprice"),
+                    )
+                ) * 100
+            ).cast("long").alias("s2"),
+        )
+        .filter(F.col("s1").isNotNull() & F.col("s2").isNotNull())
+    )
+    cuts = spend.agg(
+        F.expr("percentile(s1, array(0.25D, 0.5D, 0.75D))").alias("c1"),
+        F.expr("percentile(s2, array(0.25D, 0.5D, 0.75D))").alias("c2"),
+    )
+
+    def quart(col, cut):
+        return 1 + sum(
+            (F.col(col) > F.col(cut)[i]).cast("int") for i in range(3)
+        )
+
+    return (
+        spend.crossJoin(F.broadcast(cuts))
+        .groupBy(
+            quart("s1", "c1").alias("q_before"),
+            quart("s2", "c2").alias("q_after"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("q_before", "q_after")
+    )
+
+
+@register(
+    "q253_ship_lag_trend",
+    """
+    SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)), 0.50), 2) AS p50_lag,
+           round(quantile_cont(
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)), 0.90), 2) AS p90_lag
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY month ORDER BY month
+    """,
+    doc=(
+        "Order-to-ship lag percentiles by month — the fulfillment SLA "
+        "trend line (a p90 that creeps while p50 holds is the classic "
+        "warehouse-saturation signature; q197's histogram shows the "
+        "shape, this shows the drift).  Integer day lags, exact "
+        "interpolated p50/p90 per month group, one fact-fact equi-join "
+        "on the order key.  Scale: the join is the only row-space "
+        "shuffle; percentiles aggregate per month group"
+    ),
+)
+def q253(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+        .alias("month"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lag"),
+    )
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.expr("percentile(lag, 0.5D)"), 2).alias("p50_lag"),
+            F.round(F.expr("percentile(lag, 0.9D)"), 2).alias("p90_lag"),
+        )
+        .orderBy("month")
+    )
