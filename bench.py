@@ -424,8 +424,58 @@ def sweep_sf1(spark) -> dict:
         release_build_caches()
         spark.catalog.clearCache()
     out["pipeline_e2e_20k_auctions"] = bench_pipeline_10x(spark)
+    out["dml_lifecycle_lineitem"] = bench_dml_lifecycle_10x(spark)
     out.update(bench_ann_index(spark))
     return {"queries": out, "gen_sec": gen_s, "scale_vs_sf01": 10}
+
+
+def bench_dml_lifecycle_10x(spark) -> float:
+    """The DML lifecycle at 10x volume over sf1 lineitem (600k rows,
+    composite key): append -> MERGE (1-in-8 half-update/half-insert) ->
+    DV delete ~10% -> merge-on-read read-back.  Fresh table per call,
+    same rationale as the sf0.1 entry; one sample — the scaling signal,
+    not the median."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_delete_where,
+        tx_merge_into,
+        tx_read,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_dml10_")
+    try:
+        path = f"{tmp}/li_tx"
+        li = spark.read.parquet(f"{SF1_DIR}/lineitem.parquet")
+        t0 = time.time()
+        tx_append_partitioned(
+            spark, li, path, partition_by="l_returnflag"
+        )
+        source = li.filter((F.col("l_orderkey") % 8).isin(0, 1)).select(
+            F.when(
+                F.col("l_orderkey") % 8 == 1,
+                F.col("l_orderkey") + 10_000_000_000,
+            ).otherwise(F.col("l_orderkey")).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            (F.col("l_extendedprice") + 1.0).alias("l_extendedprice"),
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "l_shipdate",
+        )
+        tx_merge_into(
+            spark, path, source, on=["l_orderkey", "l_linenumber"],
+            when_matched_update={"l_extendedprice": "s.l_extendedprice"},
+            when_not_matched_insert=True,
+            partition_by="l_returnflag",
+        )
+        tx_delete_where(spark, path, "l_orderkey % 10 = 3", mode="dv")
+        force(tx_read(spark, path))
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_ann_index(spark) -> dict:
