@@ -455,7 +455,12 @@ def bench_dml_lifecycle_10x(spark) -> float:
         tx_append_partitioned(
             spark, li, path, partition_by="l_returnflag"
         )
-        source = li.filter((F.col("l_orderkey") % 8).isin(0, 1)).select(
+        # the synthetic corpus is NOT keyed by (orderkey, linenumber);
+        # MERGE's cardinality rule correctly aborts on duplicate matched
+        # keys, so the benchmark source keeps one row per key
+        source = li.filter(
+            (F.col("l_orderkey") % 8).isin(0, 1)
+        ).dropDuplicates(["l_orderkey", "l_linenumber"]).select(
             F.when(
                 F.col("l_orderkey") % 8 == 1,
                 F.col("l_orderkey") + 10_000_000_000,
