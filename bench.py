@@ -56,7 +56,7 @@ EXTRA_RUNS_QUERIES = ["q53_ngram_jaccard_pairs", "q56_minhash_lsh_near_dup"]
 NON_COMPARABLE = {
     "pipeline_e2e_txlog",
     "q211_jaccard_df_capped",
-    "dml_lifecycle_orders",
+    "dml_lifecycle_lineitem",
 }
 
 
@@ -156,13 +156,16 @@ def bench_pipeline_txlog(spark) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def bench_dml_lifecycle(spark) -> float:
-    """Row-level DML lifecycle on a fresh commit-log table at bench scale:
-    append ALL of orders (priority-partitioned), MERGE a 1-in-8 source
-    (half updates, half inserts under shifted keys), deletion-vector
-    DELETE ~10 % of rows, then force a full merge-on-read read-back.
-    Each sample builds its own table (DML is stateful; re-running against
-    a warm table would bench the txn fence, not the writers)."""
+def _dml_lifecycle(spark, sf_dir: str) -> float:
+    """Row-level DML lifecycle on a fresh commit-log table over
+    ``sf_dir``'s lineitem: append (returnflag-partitioned), MERGE a
+    1-in-8 composite-key source (half updates, half inserts under
+    shifted keys; deduped — the synthetic corpus is not PK-keyed and
+    MERGE's cardinality rule correctly aborts otherwise), deletion-
+    vector DELETE ~10 %, then force a full merge-on-read read-back.
+    Fresh table per call (DML is stateful; a warm table would bench the
+    txn fence, not the writers).  The same function runs at sf0.1 and
+    sf1, so the pair is a clean same-shape 10x scaling read."""
     import shutil
     import tempfile
 
@@ -177,35 +180,39 @@ def bench_dml_lifecycle(spark) -> float:
 
     tmp = tempfile.mkdtemp(prefix="bench_dml_")
     try:
-        path = f"{tmp}/orders_tx"
-        src_dir = os.path.join(SF_DIR, "orders.parquet")
-        orders = spark.read.parquet(src_dir)
+        path = f"{tmp}/li_tx"
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         t0 = time.time()
         tx_append_partitioned(
-            spark, orders, path, partition_by="o_orderpriority"
+            spark, li, path, partition_by="l_returnflag"
         )
-        source = orders.filter((F.col("o_orderkey") % 8).isin(0, 1)).select(
+        source = li.filter(
+            (F.col("l_orderkey") % 8).isin(0, 1)
+        ).dropDuplicates(["l_orderkey", "l_linenumber"]).select(
             F.when(
-                F.col("o_orderkey") % 8 == 1,
-                F.col("o_orderkey") + 1_000_000_000,
-            ).otherwise(F.col("o_orderkey")).alias("o_orderkey"),
-            "o_custkey", "o_orderstatus",
-            (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
-            "o_orderdate", "o_orderpriority",
+                F.col("l_orderkey") % 8 == 1,
+                F.col("l_orderkey") + 10_000_000_000,
+            ).otherwise(F.col("l_orderkey")).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            (F.col("l_extendedprice") + 1.0).alias("l_extendedprice"),
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "l_shipdate",
         )
         tx_merge_into(
-            spark, path, source, on=["o_orderkey"],
-            when_matched_update={"o_totalprice": "s.o_totalprice"},
+            spark, path, source, on=["l_orderkey", "l_linenumber"],
+            when_matched_update={"l_extendedprice": "s.l_extendedprice"},
             when_not_matched_insert=True,
-            partition_by="o_orderpriority",
+            partition_by="l_returnflag",
         )
-        tx_delete_where(
-            spark, path, "o_orderkey % 10 = 3", mode="dv"
-        )
+        tx_delete_where(spark, path, "l_orderkey % 10 = 3", mode="dv")
         force(tx_read(spark, path))
         return round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_dml_lifecycle(spark) -> float:
+    return _dml_lifecycle(spark, SF_DIR)
 
 
 # --------------------------------------------------------------------------
@@ -430,57 +437,9 @@ def sweep_sf1(spark) -> dict:
 
 
 def bench_dml_lifecycle_10x(spark) -> float:
-    """The DML lifecycle at 10x volume over sf1 lineitem (600k rows,
-    composite key): append -> MERGE (1-in-8 half-update/half-insert) ->
-    DV delete ~10% -> merge-on-read read-back.  Fresh table per call,
-    same rationale as the sf0.1 entry; one sample — the scaling signal,
-    not the median."""
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
-        tx_append_partitioned,
-        tx_delete_where,
-        tx_merge_into,
-        tx_read,
-    )
-
-    tmp = tempfile.mkdtemp(prefix="bench_dml10_")
-    try:
-        path = f"{tmp}/li_tx"
-        li = spark.read.parquet(f"{SF1_DIR}/lineitem.parquet")
-        t0 = time.time()
-        tx_append_partitioned(
-            spark, li, path, partition_by="l_returnflag"
-        )
-        # the synthetic corpus is NOT keyed by (orderkey, linenumber);
-        # MERGE's cardinality rule correctly aborts on duplicate matched
-        # keys, so the benchmark source keeps one row per key
-        source = li.filter(
-            (F.col("l_orderkey") % 8).isin(0, 1)
-        ).dropDuplicates(["l_orderkey", "l_linenumber"]).select(
-            F.when(
-                F.col("l_orderkey") % 8 == 1,
-                F.col("l_orderkey") + 10_000_000_000,
-            ).otherwise(F.col("l_orderkey")).alias("l_orderkey"),
-            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-            (F.col("l_extendedprice") + 1.0).alias("l_extendedprice"),
-            "l_discount", "l_tax", "l_returnflag", "l_linestatus",
-            "l_shipdate",
-        )
-        tx_merge_into(
-            spark, path, source, on=["l_orderkey", "l_linenumber"],
-            when_matched_update={"l_extendedprice": "s.l_extendedprice"},
-            when_not_matched_insert=True,
-            partition_by="l_returnflag",
-        )
-        tx_delete_where(spark, path, "l_orderkey % 10 = 3", mode="dv")
-        force(tx_read(spark, path))
-        return round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    """The same DML lifecycle at 10x volume (sf1 lineitem, 600k rows) —
+    one sample; the scaling signal, not the median."""
+    return _dml_lifecycle(spark, SF1_DIR)
 
 
 def bench_ann_index(spark) -> dict:
@@ -562,7 +521,7 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     samples["pipeline_e2e_2k_auctions"] = []
     samples["pipeline_e2e_txlog"] = []
-    samples["dml_lifecycle_orders"] = []
+    samples["dml_lifecycle_lineitem"] = []
     # interleave whole passes (not per-query repeats) so a transient system
     # load spike degrades one PASS, which the median then discards
     for _ in range(RUNS):
@@ -578,7 +537,7 @@ def main() -> None:
             spark.catalog.clearCache()
         samples["pipeline_e2e_2k_auctions"].append(bench_pipeline(spark))
         samples["pipeline_e2e_txlog"].append(bench_pipeline_txlog(spark))
-        samples["dml_lifecycle_orders"].append(bench_dml_lifecycle(spark))
+        samples["dml_lifecycle_lineitem"].append(bench_dml_lifecycle(spark))
     # q53/q56 showed ±15% run-to-run spread at n=3 (round-4 creep was
     # indistinguishable from jitter); two extra samples → median over 5.
     # pipeline_e2e joined the list in round 6: its r5 reading (9.31 s)
