@@ -1381,6 +1381,7 @@ def _load_extensions() -> None:
     from . import queries_r5  # noqa: F401
     from . import queries_r6  # noqa: F401
     from . import queries_r7  # noqa: F401
+    from . import queries_r7b  # noqa: F401
 
 
 # Driver-sampling rotation.  The correctness driver hash-checks the FIRST 50
