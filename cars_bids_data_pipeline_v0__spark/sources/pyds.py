@@ -163,6 +163,12 @@ def _file_survives(action: dict, filters: list[Filter], part_col: str | None) ->
     partition can never be wrongly pruned (round-6 ADVICE)."""
     part_val = action.get("partition")
     stats = action.get("stats") or {}
+    # partition evolution: an action that records WHICH column laid it
+    # out is pruned against that column only — the session-level option
+    # is just the fallback for actions staged before the field existed.
+    # A file from an older spec is never pruned by a filter on the new
+    # spec's column (conservative keep; zone maps still skip by value).
+    act_part_col = action.get("partition_col") or part_col
 
     def col_of(f) -> str | None:
         attr = getattr(f, "attribute", None)
@@ -174,7 +180,7 @@ def _file_survives(action: dict, filters: list[Filter], part_col: str | None) ->
         col = col_of(f)
         if col is None:
             continue
-        if part_col is not None and col == part_col and part_val is not None:
+        if act_part_col is not None and col == act_part_col and part_val is not None:
             stored = _hive_unescape(str(part_val))
             if stored is None:
                 continue  # null partition: keep (filters may be IsNull)

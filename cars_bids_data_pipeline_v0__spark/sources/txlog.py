@@ -150,6 +150,32 @@ class TransactionLog:
                 out = dict(m["constraints"])
         return out
 
+    def partition_spec_raw(self, upto: int | None = None) -> dict | None:
+        """The DECLARED partition spec in force at a version, or ``None``
+        if never declared — full-snapshot commits, latest wins,
+        checkpoint-carried (the constraints pattern).  The spec names the
+        column future writes default their layout to; files written under
+        an earlier spec keep their recorded ``partition_col`` and stay
+        readable/prunable (Iceberg-style partition evolution: a spec
+        change is one metadata commit, never a rewrite)."""
+        out: dict | None = None
+        start = -1
+        ckpt = self._latest_checkpoint_body(upto)
+        if ckpt is not None:
+            start = ckpt[0]
+            out = ckpt[1].get("partition_spec")
+        for act in self.actions(upto, since=start):
+            m = act.get("meta")
+            if m and "partition_spec" in m:
+                out = dict(m["partition_spec"])
+        return out
+
+    def partition_spec(self, upto: int | None = None) -> str | None:
+        """Declared partition column, or ``None`` (undeclared or
+        explicitly unpartitioned)."""
+        raw = self.partition_spec_raw(upto)
+        return raw.get("col") if raw else None
+
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution: the newest version whose commit
         time is <= ``ts`` (Delta's rule).  Commit times are recorded in
@@ -324,6 +350,9 @@ class TransactionLog:
         gc = self.generated_cols(upto=v)
         if gc:
             body["generated_cols"] = gc
+        ps = self.partition_spec_raw(upto=v)
+        if ps is not None:
+            body["partition_spec"] = ps
         with open(tmp, "w") as f:
             json.dump(body, f)
         os.replace(tmp, self._checkpoint_path(v))
@@ -390,6 +419,12 @@ class TransactionLog:
                         # (auto-OPTIMIZE) needs no filesystem listing
                         "bytes": os.path.getsize(src),
                     }
+                    if partition_by is not None:
+                        # WHICH column this file's layout keys on — the
+                        # partition-evolution contract: a later spec
+                        # change must never let a reader prune this
+                        # file against the wrong column's values
+                        action["partition_col"] = partition_by
                     if stats_cols:
                         stats = _footer_stats(src, stats_cols)
                         if stats:
@@ -865,8 +900,14 @@ def tx_compact(
             return 0
         df = _read_with_dvs(spark, table_path, sorted(live), dvmap)
         if partitioned:
+            # layout priority: caller > declared spec (partition
+            # evolution: compacting MIGRATES old-spec files into the
+            # current layout) > the legacy merge-sink date column
             adds = log.stage_dataframe(
-                df, partition_by=partition_by or PARTITION_COL
+                df,
+                partition_by=partition_by
+                or log.partition_spec(upto=v)
+                or PARTITION_COL,
             )
         else:
             adds = log.stage_dataframe(df.coalesce(1))
@@ -2663,7 +2704,7 @@ def tx_append_partitioned(
     spark: SparkSession,
     new_df: DataFrame,
     table_path: str,
-    partition_by: str,
+    partition_by: str | None = None,
     txn: dict | None = None,
     max_retries: int = 20,
     stats_cols: list[str] | None = None,
@@ -2695,10 +2736,25 @@ def tx_append_partitioned(
     ``txn`` gives exactly-once replay fencing (same contract as
     `tx_merge_partitioned`).  Returns the number of files committed
     (0 on a fenced replay or an empty batch).
+
+    ``partition_by=None`` defaults to the table's DECLARED spec
+    (`tx_set_partition_spec`) — the partition-evolution contract: spec
+    changes are metadata commits, writers need no code change, and every
+    file records which column it was actually laid out by.
     """
     from ..operators.keys import with_surrogate_key
 
     log = TransactionLog(table_path)
+    if partition_by is None:
+        # partition evolution: the declared spec is the default layout
+        spec = log.partition_spec_raw()
+        if spec is None:
+            raise ValueError(
+                "tx_append_partitioned needs partition_by= or a declared "
+                "spec (tx_set_partition_spec)"
+            )
+        # col=None (declared-unpartitioned) stages one unkeyed file set
+        partition_by = spec.get("col")
     if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
         return 0
     new_df = tx_apply_generated(new_df, table_path)
@@ -3380,6 +3436,52 @@ def tx_drop_constraint(
     )
 
 
+def tx_set_partition_spec(
+    spark: SparkSession,
+    table_path: str,
+    col: str | None,
+    max_retries: int = 5,
+) -> int:
+    """ALTER TABLE ... PARTITIONED BY (col) as ONE metadata commit —
+    Iceberg-style partition evolution.
+
+    Declares the layout column FUTURE writes default to
+    (`tx_append_partitioned` may then omit ``partition_by``); existing
+    files are untouched — each add-action records the ``partition_col``
+    it was actually laid out by, so readers prune every file against
+    the right column's values regardless of how many spec changes the
+    table has lived through, and files from older specs are simply
+    never partition-pruned by a filter on the new column (kept
+    conservatively; zone maps still skip them by VALUE).  At 100 TB
+    this is the difference between re-laying the table to change its
+    partitioning and a KB of JSON: evolve the spec, let `tx_compact`
+    / `tx_optimize_auto` migrate old partitions opportunistically.
+
+    ``col=None`` declares the table unpartitioned going forward.
+    A non-None ``col`` must exist in the current table schema when the
+    table already has data (a spec naming a column no writer supplies
+    would make every future append fail).  Returns the committing
+    version."""
+    log = TransactionLog(table_path)
+    if col is not None:
+        schema = tx_table_schema(table_path)
+        if schema is not None and col not in schema:
+            raise ValueError(
+                f"cannot set partition spec: column {col!r} not in table "
+                f"schema {sorted(schema)}"
+            )
+    for _ in range(max_retries):
+        v = log.version()
+        if log.try_commit(
+            v + 1, [], [], op="set_partition_spec",
+            meta={"partition_spec": {"col": col}},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"set_partition_spec gave up after {max_retries} commit conflicts"
+    )
+
+
 def tx_clone(
     spark: SparkSession,
     source_path: str,
@@ -3459,6 +3561,9 @@ def tx_clone(
         # the clone continues the source's id sequence — a fresh mark
         # would mint colliding row ids on the clone's first append
         meta["row_id_hwm"] = hwm
+    ps = src.partition_spec_raw(upto=version)
+    if ps is not None:
+        meta["partition_spec"] = ps
     os.makedirs(clone_path, exist_ok=True)
     if not dst.try_commit(
         0, adds, [], op="clone", meta=meta or None
@@ -3541,6 +3646,11 @@ def tx_detail(table_path: str) -> dict:
         "size_bytes": sum(known_bytes) if len(known_bytes) == len(acts)
         else None,
         "partition_values": parts,
+        "partition_spec": log.partition_spec(upto=v),
+        "partition_cols": sorted({
+            a.get("partition_col") for a in acts.values()
+            if a.get("partition_col") is not None
+        }),
         "num_dvs": len(log.dvs(upto=v)),
         "constraints": log.constraints(upto=v),
         "generated_cols": log.generated_cols(upto=v),
