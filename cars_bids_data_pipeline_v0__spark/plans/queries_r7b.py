@@ -333,3 +333,184 @@ def q256(spark, sf_dir):
     return ranks.select(
         "n_name", F.round("r", 6).alias("pagerank")
     ).orderBy(F.desc("pagerank"), "n_name")
+
+
+# ---------------------------------------------------------------------------
+# q257 — column mapping lifecycle (RENAME + UPDATE + DROP + append), audited
+# ---------------------------------------------------------------------------
+
+
+def _q257_oracle() -> str:
+    return """
+    WITH final AS (
+        SELECT p_brand,
+               CASE WHEN p_size > 25 THEN p_retailprice + 50.0
+                    ELSE p_retailprice END AS price
+        FROM part WHERE p_partkey % 3 = 0
+        UNION ALL
+        SELECT p_brand, p_retailprice AS price
+        FROM part WHERE p_partkey % 3 = 1
+    )
+    SELECT p_brand,
+           count(*) AS n_parts,
+           round(sum(price), 2) AS total_price
+    FROM final GROUP BY p_brand ORDER BY p_brand
+    """
+
+
+@register(
+    "q257_column_mapping_audit",
+    _q257_oracle(),
+    doc=(
+        "Column mapping under the value-hash gate: the builder appends "
+        "part (p_partkey %% 3 = 0) into a brand-partitioned txlog "
+        "table, RENAMES p_retailprice -> price (one metadata commit; "
+        "physical parquet names never change), UPDATEs price + 50 "
+        "WHERE p_size > 25 through the LOGICAL name, DROPs p_type "
+        "(metadata-only), then appends a second batch carrying the "
+        "post-rename/post-drop logical schema — and the per-brand "
+        "(count, total) read back must equal DuckDB's CASE-derived end "
+        "state over the raw source.  The hash therefore covers "
+        "physical->logical read translation, logical->physical write "
+        "staging, logical DML predicate resolution, and the "
+        "schema-contract swap to the mapped schema "
+        "(sources/txlog.py::tx_rename_column, tx_drop_column, "
+        "stage_dataframe, _map_to_logical).  Scale: a rename or drop "
+        "is a KB of JSON at any table size — never a rewrite"
+    ),
+)
+def q257(spark, sf_dir):
+    from ..sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_drop_column,
+        tx_read,
+        tx_rename_column,
+        tx_update_where,
+    )
+    from .queries_r7 import _scratch_path
+
+    part = _t(spark, sf_dir, "part")
+    path = _scratch_path(sf_dir, "q257", "part")
+    log = TransactionLog(path)
+    if log.version() < 0:
+        tx_append_partitioned(
+            spark,
+            part.filter(F.col("p_partkey") % 3 == 0),
+            path,
+            partition_by="p_brand",
+            txn={"app": "q257", "batch": 0},
+        )
+    if log.version() < 1:
+        tx_rename_column(spark, path, "p_retailprice", "price")
+    if log.version() < 3:  # update commits only when rows matched
+        tx_update_where(spark, path, {"price": "price + 50.0"}, "p_size > 25")
+    if log.version() < 4:
+        tx_drop_column(spark, path, "p_type")
+    if log.version() < 5:
+        batch1 = (
+            part.filter(F.col("p_partkey") % 3 == 1)
+            .withColumnRenamed("p_retailprice", "price")
+            .drop("p_type")
+        )
+        tx_append_partitioned(
+            spark, batch1, path,
+            partition_by="p_brand",
+            txn={"app": "q257", "batch": 1},
+        )
+    return (
+        tx_read(spark, path)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258 — partition evolution lifecycle (spec change + migration), audited
+# ---------------------------------------------------------------------------
+
+
+def _q258_oracle() -> str:
+    return """
+    SELECT c_mktsegment,
+           'c_nationkey' AS layout_cols,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+@register(
+    "q258_partition_evolution_audit",
+    _q258_oracle(),
+    doc=(
+        "Partition evolution under the value-hash gate: the builder "
+        "appends half of customer laid out by c_mktsegment, DECLARES "
+        "the spec as c_nationkey (one metadata commit, no rewrite), "
+        "spec-default-appends the other half (no partition_by at the "
+        "call site), then compacts — which MIGRATES the old-era files "
+        "into the declared layout.  The audit returns the per-segment "
+        "(count, balance) over the full table plus the live layout-"
+        "column set from DESCRIBE DETAIL, so the hash covers the "
+        "spec-defaulted write, mixed-layout reads, and the migration "
+        "itself (sources/txlog.py::tx_set_partition_spec, tx_compact, "
+        "TransactionLog.partition_spec).  Scale: re-laying a 100 TB "
+        "table becomes an opportunistic compaction side effect instead "
+        "of a big-bang rewrite"
+    ),
+)
+def q258(spark, sf_dir):
+    from ..sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_compact,
+        tx_detail,
+        tx_read,
+        tx_set_partition_spec,
+    )
+    from .queries_r7 import _scratch_path
+
+    cust = _t(spark, sf_dir, "customer")
+    path = _scratch_path(sf_dir, "q258", "customer")
+    log = TransactionLog(path)
+    if log.version() < 0:
+        tx_append_partitioned(
+            spark,
+            cust.filter(F.col("c_custkey") % 2 == 0),
+            path,
+            partition_by="c_mktsegment",
+            txn={"app": "q258", "batch": 0},
+        )
+    if log.version() < 1:
+        tx_set_partition_spec(spark, path, "c_nationkey")
+    if log.version() < 2:
+        # spec-defaulted: the declared layout, zero writer code change
+        tx_append_partitioned(
+            spark,
+            cust.filter(F.col("c_custkey") % 2 == 1),
+            path,
+            txn={"app": "q258", "batch": 1},
+        )
+    if log.version() < 3:
+        tx_compact(spark, path)  # migrates the c_mktsegment era
+    layout = ",".join(tx_detail(path)["partition_cols"])
+    return (
+        tx_read(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .select(
+            "c_mktsegment",
+            F.lit(layout).alias("layout_cols"),
+            "n_customers",
+            "total_balance",
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -176,6 +176,43 @@ class TransactionLog:
         raw = self.partition_spec_raw(upto)
         return raw.get("col") if raw else None
 
+    def column_mapping_raw(self, upto: int | None = None) -> dict | None:
+        """The column-mapping state in force at a version, or ``None`` if
+        no rename/drop was ever committed — full-snapshot commits, latest
+        wins, checkpoint-carried (the constraints pattern).
+
+        Shape: ``{"renames": {physical: logical}, "dropped": [physical]}``.
+        Physical names are what parquet footers actually say (they NEVER
+        change after a file is written — Delta's column-mapping rule);
+        logical names are what every public reader shows and every public
+        writer supplies.  A rename or drop is therefore one KB of JSON at
+        any table size."""
+        out: dict | None = None
+        start = -1
+        ckpt = self._latest_checkpoint_body(upto)
+        if ckpt is not None:
+            start = ckpt[0]
+            out = ckpt[1].get("column_mapping")
+        for act in self.actions(upto, since=start):
+            m = act.get("meta")
+            if m and "column_mapping" in m:
+                out = dict(m["column_mapping"])
+        return out
+
+    def column_mapping(
+        self, upto: int | None = None
+    ) -> tuple[dict, set]:
+        """``(renames {physical: logical}, dropped {physical})`` — both
+        empty when no mapping was ever committed (the zero-overhead
+        common case)."""
+        raw = self.column_mapping_raw(upto)
+        if not raw:
+            return {}, set()
+        return (
+            dict(raw.get("renames") or {}),
+            set(raw.get("dropped") or ()),
+        )
+
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution: the newest version whose commit
         time is <= ``ts`` (Delta's rule).  Commit times are recorded in
@@ -353,6 +390,9 @@ class TransactionLog:
         ps = self.partition_spec_raw(upto=v)
         if ps is not None:
             body["partition_spec"] = ps
+        cm = self.column_mapping_raw(upto=v)
+        if cm is not None:
+            body["column_mapping"] = cm
         with open(tmp, "w") as f:
             json.dump(body, f)
         os.replace(tmp, self._checkpoint_path(v))
@@ -389,6 +429,50 @@ class TransactionLog:
         distinct values only).  ~16 longs per column per file ride in
         the add action.
         """
+        renames, dropped = self.column_mapping()
+        if renames or dropped:
+            # every write funnels through here, so this is THE point
+            # where logical frames become physical files (column
+            # mapping: physical footer names never change after a
+            # rename; a dropped name may not be reintroduced until the
+            # mapping entry is explicitly retired)
+            reuse = sorted(set(df.columns) & dropped)
+            if reuse:
+                raise ValueError(
+                    f"column name(s) {reuse} were dropped from this "
+                    "table and cannot be re-added (physical files still "
+                    "carry the old column)"
+                )
+            stale = sorted(
+                c for c in df.columns
+                if c in renames and renames[c] != c
+                and renames[c] not in df.columns
+            )
+            if stale:
+                raise ValueError(
+                    f"column name(s) {stale} were renamed to "
+                    f"{[renames[c] for c in stale]} — write with the "
+                    "current (logical) names"
+                )
+            inv = {
+                log_n: phys
+                for phys, log_n in renames.items()
+                if log_n in df.columns and log_n != phys
+            }
+            if inv:
+                clash = sorted(set(inv.values()) & set(df.columns))
+                if clash:
+                    raise ValueError(
+                        f"batch carries physical column name(s) {clash} "
+                        "shadowed by a rename — drop or rename them"
+                    )
+                df = df.withColumnsRenamed(inv)
+                if partition_by is not None:
+                    partition_by = inv.get(partition_by, partition_by)
+                if stats_cols:
+                    stats_cols = [inv.get(c, c) for c in stats_cols]
+                if bloom_cols:
+                    bloom_cols = [inv.get(c, c) for c in bloom_cols]
         os.makedirs(self.data_dir, exist_ok=True)
         tmp = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}")
         try:
@@ -579,6 +663,29 @@ def _file_base_col():
     return F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
 
 
+def _map_to_logical(
+    df: DataFrame, renames: dict, dropped: set
+) -> DataFrame:
+    """Physical file columns -> the table's logical view: project out
+    dropped columns, rename physically-named ones.  A pure projection,
+    so Catalyst pushes filters/pruning straight through it to the
+    parquet scan — mapping costs nothing at plan time and nothing at
+    run time."""
+    if dropped:
+        gone = [c for c in df.columns if c in dropped]
+        if gone:
+            df = df.drop(*gone)
+    if renames:
+        hits = {
+            phys: log_n
+            for phys, log_n in renames.items()
+            if phys in df.columns and phys != log_n
+        }
+        if hits:
+            df = df.withColumnsRenamed(hits)
+    return df
+
+
 def _dv_rows(spark: SparkSession, table_path: str, dvmap: dict[str, str]):
     """All deleted ``(data-file basename, row_index)`` pairs of ``dvmap``
     as one DataFrame — ONE read of every DV parquet (each carries only a
@@ -606,13 +713,19 @@ def _read_with_dvs(
     files: list[str],
     dvmap: dict[str, str],
     merge_schema: bool = False,
+    mapping_upto: int | None = None,
 ) -> DataFrame:
     """Snapshot scan of ``files`` with deletion vectors applied — the
     merge-on-read path.  Files WITHOUT a DV stream through a plain scan
     (zero overhead); files WITH one anti-join their ``_metadata.row_index``
     against the broadcast DV set.  At 100 TB the DV side is proportional
     to rows DELETED, never table size, so the anti-join is a broadcast
-    hash probe inside the scan stage."""
+    hash probe inside the scan stage.
+
+    Output columns are LOGICAL (column mapping applied as of
+    ``mapping_upto``, default latest) — every internal rewrite that
+    reads here and stages through `stage_dataframe` round-trips
+    logical->physical automatically."""
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -642,6 +755,11 @@ def _read_with_dvs(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=merge_schema)
+    renames, dropped = TransactionLog(table_path).column_mapping(
+        upto=mapping_upto
+    )
+    if renames or dropped:
+        out = _map_to_logical(out, renames, dropped)
     return out
 
 
@@ -676,18 +794,25 @@ def tx_read(
                 for a in act.get("add", [])]
         if not ever:
             return None
-        return (
-            spark.read.parquet(os.path.join(table_path, ever[0])).limit(0)
+        renames, dropped = log.column_mapping(upto=version)
+        return _map_to_logical(
+            spark.read.parquet(os.path.join(table_path, ever[0])).limit(0),
+            renames, dropped,
         )
     dvmap = log.dvs(upto=version)
     if dvmap:
         return _read_with_dvs(
-            spark, table_path, files, dvmap, merge_schema=merge_schema
+            spark, table_path, files, dvmap, merge_schema=merge_schema,
+            mapping_upto=version,
         )
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(table_path, f) for f in files])
+    renames, dropped = log.column_mapping(upto=version)
+    return _map_to_logical(
+        reader.parquet(*[os.path.join(table_path, f) for f in files]),
+        renames, dropped,
+    )
 
 
 def tx_read_latest(
@@ -894,19 +1019,35 @@ def tx_compact(
                 return 0
         partitioned = any(p is not None for p in live.values())
         # already one file per partition value AND no deletion vectors to
-        # materialize → nothing to gain
+        # materialize AND no file laid out under an out-of-spec column
+        # (partition evolution: a declared-spec mismatch is itself a
+        # reason to rewrite — compaction is how old layouts migrate)
         n_parts = len({p for p in live.values()}) if partitioned else 1
-        if len(live) <= n_parts and not dvmap:
+        spec = partition_by or log.partition_spec(upto=v)
+        acts_v = log.live_actions(upto=v)
+        if partitions is not None:
+            acts_v = {f: a for f, a in acts_v.items() if f in live}
+        off_spec = spec is not None and any(
+            a.get("partition_col") != spec for a in acts_v.values()
+        )
+        if len(live) <= n_parts and not dvmap and not off_spec:
             return 0
         df = _read_with_dvs(spark, table_path, sorted(live), dvmap)
         if partitioned:
             # layout priority: caller > declared spec (partition
             # evolution: compacting MIGRATES old-spec files into the
-            # current layout) > the legacy merge-sink date column
+            # current layout) > the single recorded layout column of the
+            # live files themselves > the legacy merge-sink date column
+            recorded = {
+                a.get("partition_col")
+                for a in log.live_actions(upto=v).values()
+                if a.get("partition_col") is not None
+            }
             adds = log.stage_dataframe(
                 df,
                 partition_by=partition_by
                 or log.partition_spec(upto=v)
+                or (recorded.pop() if len(recorded) == 1 else None)
                 or PARTITION_COL,
             )
         else:
@@ -1423,7 +1564,9 @@ def tx_scan_eq(
     log = TransactionLog(table_path)
     if log.version() < 0:
         return None  # same contract as tx_scan on a never-committed table
-    files, _ = tx_prunable_files_bloom(table_path, col, value, version)
+    renames, _dropped = log.column_mapping(upto=version)
+    phys_col = {l: p for p, l in renames.items()}.get(col, col)
+    files, _ = tx_prunable_files_bloom(table_path, phys_col, value, version)
     if not files:
         base = tx_read(spark, table_path, version=version)
         return base.filter(F.lit(False)) if base is not None else None
@@ -1431,6 +1574,7 @@ def tx_scan_eq(
     df = _read_with_dvs(
         spark, table_path, files,
         {f: dvmap[f] for f in files if f in dvmap},
+        mapping_upto=version,
     )
     # the residual filter matches the SKETCH's semantics — str-normalized
     # equality — so pruner and filter can never disagree: a type-mismatched
@@ -1523,7 +1667,9 @@ def tx_scan(
     log = TransactionLog(table_path)
     if log.version() < 0:
         return None
-    files, _ = tx_prunable_files(table_path, col, lo, hi, version)
+    renames, _dropped = log.column_mapping(upto=version)
+    phys_col = {l: p for p, l in renames.items()}.get(col, col)
+    files, _ = tx_prunable_files(table_path, phys_col, lo, hi, version)
     if not files:
         base = tx_read(spark, table_path, version=version)
         return base.limit(0) if base is not None else None
@@ -1531,6 +1677,7 @@ def tx_scan(
     df = _read_with_dvs(
         spark, table_path, files,
         {f: dvmap[f] for f in files if f in dvmap},
+        mapping_upto=version,
     )
     if lo is not None:
         df = df.filter(F.col(col) >= lo)
@@ -1551,8 +1698,12 @@ def _visible_hits(
     parquet, DV-deleted rows excluded via the broadcast anti-join.
     Staged file basenames are uuid4 hex, so basename identifies the file
     without URI parsing."""
-    scan = spark.read.parquet(
-        *[os.path.join(table_path, rel) for rel in sorted(live)]
+    renames, dropped = TransactionLog(table_path).column_mapping()
+    scan = _map_to_logical(
+        spark.read.parquet(
+            *[os.path.join(table_path, rel) for rel in sorted(live)]
+        ),
+        renames, dropped,
     ).withColumn("__dv_base", _file_base_col())
     if dvmap:
         scan = scan.withColumn(
@@ -1674,8 +1825,12 @@ def _commit_dv_delete(
     exactly one DV per data file) and commit the updated mapping as
     metadata.  False = commit conflict; staged DVs are removed and the
     caller retries."""
-    raw = spark.read.parquet(
-        *[os.path.join(table_path, rel) for rel in affected]
+    renames, dropped = log.column_mapping()
+    raw = _map_to_logical(
+        spark.read.parquet(
+            *[os.path.join(table_path, rel) for rel in affected]
+        ),
+        renames, dropped,
     ).select(
         _file_base_col().alias("__dv_base"),
         F.col("_metadata.row_index").alias("__dv_ri"),
@@ -2043,8 +2198,12 @@ def _merge_into_once(
         )
 
     # -- which files contain matched rows? one semi-join scan ------------
-    scan = spark.read.parquet(
-        *[os.path.join(table_path, rel) for rel in sorted(live)]
+    _mi_renames, _mi_dropped = TransactionLog(table_path).column_mapping()
+    scan = _map_to_logical(
+        spark.read.parquet(
+            *[os.path.join(table_path, rel) for rel in sorted(live)]
+        ),
+        _mi_renames, _mi_dropped,
     ).withColumn("__dv_base", _file_base_col())
     if dvmap:
         scan = scan.withColumn(
@@ -2305,6 +2464,13 @@ def tx_export_symlink_manifest(
             "a file-list manifest cannot express them; run tx_purge_dvs() "
             "first"
         )
+    if log.column_mapping_raw(upto=v):
+        raise ValueError(
+            f"version {v} of {table_path} has column mapping in force — "
+            "external engines reading the raw file list would see "
+            "physical (pre-rename/dropped) columns; rewrite the table "
+            "(tx_compact after retiring the mapping) or read via tx_read"
+        )
     root = out_dir or os.path.join(table_path, "_symlink_format_manifest")
     os.makedirs(root, exist_ok=True)
     lock = os.path.join(root, ".export.lock")
@@ -2460,6 +2626,13 @@ def tx_export_delta_log(
             f"version {v} of {table_path} has deletion vectors in force — "
             "this export writes plain add actions (no deletionVector "
             "reader feature); run tx_purge_dvs() first"
+        )
+    if log.column_mapping_raw(upto=v):
+        raise ValueError(
+            f"version {v} of {table_path} has column mapping in force — "
+            "this export does not emit delta.columnMapping metadata, so "
+            "external readers would see physical (pre-rename/dropped) "
+            "columns; rewrite the table first or read via tx_read"
         )
     root = out_dir or os.path.join(table_path, "_delta_export", f"v{v:05d}")
     log_dir = os.path.join(root, "_delta_log")
@@ -2647,7 +2820,16 @@ def tx_table_schema(table_path: str) -> dict[str, str] | None:
         st = StructType.fromJson(_json.loads(meta[key]))
     else:
         st = from_arrow_schema(arrow)
-    return {f.name: f.dataType.simpleString() for f in st.fields}
+    out = {f.name: f.dataType.simpleString() for f in st.fields}
+    renames, dropped = log.column_mapping()
+    if renames or dropped:
+        # the LOGICAL schema — what readers show and writers must supply
+        out = {
+            renames.get(name, name): typ
+            for name, typ in out.items()
+            if name not in dropped
+        }
+    return out
 
 
 def _check_schema(
@@ -2984,7 +3166,11 @@ def tx_restore(
         adds = [act for rel, act in sorted(target.items()) if rel not in current]
         removes = sorted(current - set(target))
         dv_changed = dv_target != log.dvs(upto=v)
-        if not adds and not removes and not dv_changed:
+        cm_changed = (
+            log.column_mapping_raw(upto=version)
+            != log.column_mapping_raw(upto=v)
+        )
+        if not adds and not removes and not dv_changed and not cm_changed:
             return {
                 "version": v,
                 "restored_to": version,
@@ -2995,9 +3181,17 @@ def tx_restore(
         # a re-added file could otherwise re-attach a stale DV left in
         # the raw mapping by a later delete (liveness filtering hides
         # such entries only while the file is dead)
+        meta: dict = {"dv_state": dv_target}
+        # restore the NAME state too: a restore across a rename/drop must
+        # show the target version's columns, not the later mapping's
+        cm_target = log.column_mapping_raw(upto=version)
+        if cm_target != log.column_mapping_raw(upto=v):
+            meta["column_mapping"] = cm_target or {
+                "renames": {}, "dropped": [],
+            }
         if log.try_commit(
             v + 1, adds, removes, op="restore",
-            meta={"dv_state": dv_target},
+            meta=meta,
         ):
             return {
                 "version": v + 1,
@@ -3074,9 +3268,9 @@ def tx_changes(
         # column-pruned to the declared schema so rewrites that reordered
         # columns still diff correctly; DV-deleted rows excluded at the
         # version's own DV state so a later rewrite never re-reports them
-        return _read_with_dvs(spark, table_path, list(paths), sub).select(
-            base.columns
-        )
+        return _read_with_dvs(
+            spark, table_path, list(paths), sub, mapping_upto=upto
+        ).select(base.columns)
 
     def _tag(df: DataFrame, change: str, version: int, op: str):
         return df.select(
@@ -3124,8 +3318,12 @@ def tx_changes(
                 ),
                 v,
             )
-            data = spark.read.parquet(
-                *[os.path.join(table_path, f) for f in changed]
+            ch_renames, ch_dropped = log.column_mapping(upto=upto)
+            data = _map_to_logical(
+                spark.read.parquet(
+                    *[os.path.join(table_path, f) for f in changed]
+                ),
+                ch_renames, ch_dropped,
             ).select(
                 _file_base_col().alias("__dv_base"),
                 F.col("_metadata.row_index").alias("__dv_ri"),
@@ -3482,6 +3680,144 @@ def tx_set_partition_spec(
     )
 
 
+def _column_mapping_guard(log: TransactionLog, col: str, verb: str) -> None:
+    """Shared preconditions for RENAME/DROP COLUMN: the column must not
+    be table-managed identity, the table's layout key, or referenced by
+    a CHECK constraint / generated-column expression (Delta refuses the
+    same way — a metadata-only name change would silently orphan the
+    expression)."""
+    import re as _re
+
+    if col == ROW_ID_COL:
+        raise ValueError(f"{ROW_ID_COL} is table-managed and cannot {verb}")
+    spec = log.partition_spec()
+    layout_cols = {
+        a.get("partition_col")
+        for a in log.live_actions().values()
+        if a.get("partition_col") is not None
+    }
+    if col == spec or col in layout_cols:
+        raise ValueError(
+            f"column {col!r} keys the table's partition layout — "
+            f"evolve the spec (tx_set_partition_spec) and compact before "
+            f"trying to {verb} it"
+        )
+    word = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])")
+    for name, expr in log.constraints().items():
+        if word.search(expr):
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint "
+                f"{name!r} ({expr!r}) — drop the constraint first"
+            )
+    for gcol, expr in log.generated_cols().items():
+        if gcol == col or word.search(expr):
+            raise ValueError(
+                f"column {col!r} participates in generated column "
+                f"{gcol!r} ({expr!r}) — drop the definition first"
+            )
+
+
+def tx_rename_column(
+    spark: SparkSession,
+    table_path: str,
+    old: str,
+    new: str,
+    max_retries: int = 5,
+) -> int:
+    """``ALTER TABLE ... RENAME COLUMN old TO new`` as ONE metadata
+    commit — Delta-style column mapping.  Physical parquet footers keep
+    the name they were written with forever; the log carries
+    ``{physical: logical}`` and every public reader/writer translates at
+    the table boundary (`_map_to_logical` on read, `stage_dataframe` on
+    write).  At 100 TB a rename is a KB of JSON instead of a full
+    rewrite, and time travel still shows each version under the names
+    it had then.
+
+    Guards: ``old`` must be a current logical column; ``new`` must not
+    collide with any logical column or any dropped/physical name still
+    present in files; columns referenced by constraints, generated
+    columns, or the partition layout refuse (rename would orphan the
+    expression / the directory metadata).  Returns the committing
+    version."""
+    log = TransactionLog(table_path)
+    schema = tx_table_schema(table_path)
+    if schema is None:
+        raise ValueError(f"cannot rename on empty/absent table {table_path}")
+    if old not in schema:
+        raise ValueError(
+            f"no column {old!r} in table schema {sorted(schema)}"
+        )
+    if new in schema:
+        raise ValueError(f"column {new!r} already exists — pick a new name")
+    if new == ROW_ID_COL:
+        raise ValueError(f"{ROW_ID_COL} is reserved for row tracking")
+    _column_mapping_guard(log, old, "be renamed")
+    for _ in range(max_retries):
+        v = log.version()
+        renames, dropped = log.column_mapping(upto=v)
+        if new in dropped or (new in renames and renames[new] != new):
+            raise ValueError(
+                f"name {new!r} still exists physically in table files "
+                "(dropped or renamed-away) — compact cannot retire it; "
+                "pick another name"
+            )
+        physical = {l: p for p, l in renames.items()}.get(old, old)
+        renames = {p: l for p, l in renames.items() if l != old}
+        renames[physical] = new
+        if log.try_commit(
+            v + 1, [], [], op="rename_column",
+            meta={"column_mapping": {
+                "renames": renames, "dropped": sorted(dropped),
+            }},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"rename_column gave up after {max_retries} commit conflicts"
+    )
+
+
+def tx_drop_column(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    max_retries: int = 5,
+) -> int:
+    """``ALTER TABLE ... DROP COLUMN col`` as ONE metadata commit.  No
+    file is touched: readers project the column out, writers stop
+    supplying it (the schema contract drops the requirement), and any
+    later rewrite of a file (compact / UPDATE / MERGE) physically sheds
+    the column as a side effect of the logical round trip.  The dropped
+    PHYSICAL name stays reserved — re-adding it would silently resurrect
+    old files' values under the new column, so `stage_dataframe` rejects
+    the name until the mapping entry is retired.  Returns the committing
+    version."""
+    log = TransactionLog(table_path)
+    schema = tx_table_schema(table_path)
+    if schema is None:
+        raise ValueError(f"cannot drop on empty/absent table {table_path}")
+    if col not in schema:
+        raise ValueError(f"no column {col!r} in table schema {sorted(schema)}")
+    if len(schema) <= 1:
+        raise ValueError("cannot drop the table's last column")
+    _column_mapping_guard(log, col, "be dropped")
+    for _ in range(max_retries):
+        v = log.version()
+        renames, dropped = log.column_mapping(upto=v)
+        physical = {l: p for p, l in renames.items()}.get(col, col)
+        renames = {p: l for p, l in renames.items() if p != physical}
+        dropped.add(physical)
+        if log.try_commit(
+            v + 1, [], [], op="drop_column",
+            meta={"column_mapping": {
+                "renames": renames, "dropped": sorted(dropped),
+            }},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"drop_column gave up after {max_retries} commit conflicts"
+    )
+
+
 def tx_clone(
     spark: SparkSession,
     source_path: str,
@@ -3564,6 +3900,9 @@ def tx_clone(
     ps = src.partition_spec_raw(upto=version)
     if ps is not None:
         meta["partition_spec"] = ps
+    cm = src.column_mapping_raw(upto=version)
+    if cm is not None:
+        meta["column_mapping"] = cm
     os.makedirs(clone_path, exist_ok=True)
     if not dst.try_commit(
         0, adds, [], op="clone", meta=meta or None
@@ -3654,6 +3993,7 @@ def tx_detail(table_path: str) -> dict:
         "num_dvs": len(log.dvs(upto=v)),
         "constraints": log.constraints(upto=v),
         "generated_cols": log.generated_cols(upto=v),
+        "column_mapping": log.column_mapping_raw(upto=v),
         "row_id_hwm": log.row_id_hwm(upto=v),
         "checkpoint_version": ckpt[0] if ckpt else None,
     }

@@ -1,0 +1,274 @@
+"""Column mapping (Delta-style): RENAME/DROP COLUMN are single metadata
+commits; physical parquet names never change; every public reader shows
+logical names, every public writer supplies them; time travel and RESTORE
+show each version under the names it had then."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+    TransactionLog,
+    tx_append_partitioned,
+    tx_changes,
+    tx_clone,
+    tx_compact,
+    tx_delete_where,
+    tx_detail,
+    tx_drop_column,
+    tx_export_delta_log,
+    tx_export_symlink_manifest,
+    tx_merge_into,
+    tx_read,
+    tx_rename_column,
+    tx_restore,
+    tx_scan,
+    tx_scan_eq,
+    tx_set_constraint,
+    tx_set_generated_column,
+    tx_table_schema,
+    tx_update_where,
+)
+
+
+def _mk(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"doc{i}", i % 3, float(i)) for i in range(lo, hi)],
+        "id long, body string, p int, score double",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _tbl(spark, tmp_path, n=12, **kw):
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _mk(spark, 0, n), t, partition_by="p", **kw)
+    return t
+
+
+def _physical_names(t):
+    log = TransactionLog(t)
+    out = set()
+    for rel in log.live_files():
+        out |= set(pq.read_schema(os.path.join(t, rel)).names)
+    return out
+
+
+def test_rename_is_metadata_only_and_reads_logical(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    v0 = TransactionLog(t).version()
+    files0 = set(TransactionLog(t).live_files())
+    tx_rename_column(spark, t, "body", "text")
+    # no file touched, one commit
+    assert set(TransactionLog(t).live_files()) == files0
+    assert TransactionLog(t).version() == v0 + 1
+    assert "body" in _physical_names(t)       # footers keep the old name
+    assert "text" not in _physical_names(t)
+    got = tx_read(spark, t)
+    assert "text" in got.columns and "body" not in got.columns
+    assert _rows(got.select("id", "text")) == _rows(
+        _mk(spark, 0, 12).select("id", F.col("body").alias("text"))
+    )
+    assert set(tx_table_schema(t)) == {"id", "text", "p", "score"}
+    # time travel shows the old name
+    old = tx_read(spark, t, version=v0)
+    assert "body" in old.columns and "text" not in old.columns
+
+
+def test_writes_use_logical_names_and_old_name_rejected(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    tx_rename_column(spark, t, "body", "text")
+    new = _mk(spark, 12, 18).withColumnRenamed("body", "text")
+    tx_append_partitioned(spark, new, t, partition_by="p")
+    # the appended file is PHYSICALLY written under the original name
+    assert _physical_names(t) == {"id", "body", "p", "score"}
+    assert tx_read(spark, t).count() == 18
+    assert _rows(tx_read(spark, t).select("id", "text")) == _rows(
+        _mk(spark, 0, 18).select("id", F.col("body").alias("text"))
+    )
+    # stale (physical) name refuses loudly at the schema contract
+    with pytest.raises(ValueError, match="body"):
+        tx_append_partitioned(
+            spark, _mk(spark, 18, 20), t, partition_by="p"
+        )
+
+
+def test_drop_then_rewrites_shed_the_column(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    tx_append_partitioned(spark, _mk(spark, 12, 24), t, partition_by="p")
+    tx_drop_column(spark, t, "score")
+    got = tx_read(spark, t)
+    assert "score" not in got.columns
+    assert set(tx_table_schema(t)) == {"id", "body", "p"}
+    # appends no longer need (and may not carry) the dropped column
+    tx_append_partitioned(
+        spark, _mk(spark, 24, 27).drop("score"), t, partition_by="p"
+    )
+    with pytest.raises(ValueError, match="dropped"):
+        tx_append_partitioned(
+            spark, _mk(spark, 27, 30), t, partition_by="p"
+        )
+    assert "score" in _physical_names(t)  # old files still carry it
+    removed = tx_compact(spark, t)
+    assert removed > 0
+    assert "score" not in _physical_names(t)  # rewrite sheds it physically
+    assert _rows(tx_read(spark, t).select("id")) == _rows(
+        _mk(spark, 0, 27).select("id")
+    )
+
+
+def test_dml_predicates_resolve_logical_names(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    tx_rename_column(spark, t, "score", "quality")
+    n = tx_update_where(
+        spark, t, {"quality": "quality + 100"}, "quality < 3"
+    )
+    assert n == 3
+    assert (
+        tx_read(spark, t).filter("quality >= 100").count() == 3
+    )
+    # MERGE with t./s. expressions on the renamed column
+    src = spark.createDataFrame(
+        [(0, 0.5), (99, 9.9)], "id long, quality double"
+    )
+    res = tx_merge_into(
+        spark, t, src, on=["id"],
+        when_matched_update={"quality": "s.quality"},
+        when_not_matched_insert={
+            "id": "s.id", "body": "'new'", "p": "0", "quality": "s.quality",
+        },
+    )
+    assert res["updated"] == 1 and res["inserted"] == 1
+    assert _physical_names(t) == {"id", "body", "p", "score"}
+    # copy-on-write delete, then DV delete, both on the logical name
+    # (updated rows 1/2 sit at 101/102; raw rows 10/11; insert at 9.9)
+    assert tx_delete_where(spark, t, "quality > 9") == 5
+    assert tx_delete_where(spark, t, "quality = 0.5", mode="dv") == 1
+    got = tx_read(spark, t)
+    assert got.count() == 7
+    assert got.filter("quality = 0.5").count() == 0
+
+
+def test_scans_prune_via_physical_stats_after_rename(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(
+        spark, _mk(spark, 0, 12), t, partition_by="p",
+        stats_cols=["id"],
+    )
+    tx_rename_column(spark, t, "id", "doc_id")
+    tx_append_partitioned(
+        spark,
+        _mk(spark, 12, 24).withColumnRenamed("id", "doc_id"),
+        t, partition_by="p", stats_cols=["doc_id"],
+    )
+    # stats land under the PHYSICAL name both eras — one zone-map key
+    acts = TransactionLog(t).live_actions()
+    assert all("id" in (a.get("stats") or {}) for a in acts.values())
+    got = tx_scan(spark, t, "doc_id", lo=3, hi=20)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(3, 21))
+    hit = tx_scan_eq(spark, t, "doc_id", 17)
+    assert [r["doc_id"] for r in hit.collect()] == [17]
+
+
+def test_guards(spark, tmp_path):
+    t = _tbl(spark, tmp_path, assign_row_ids=True)
+    # table-managed / layout / missing / collision
+    with pytest.raises(ValueError, match="table-managed"):
+        tx_rename_column(spark, t, "_row_id", "rid")
+    with pytest.raises(ValueError, match="partition layout"):
+        tx_rename_column(spark, t, "p", "part")
+    with pytest.raises(ValueError, match="partition layout"):
+        tx_drop_column(spark, t, "p")
+    with pytest.raises(ValueError, match="no column"):
+        tx_rename_column(spark, t, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        tx_rename_column(spark, t, "body", "score")
+    # constraint / generated-column references refuse
+    tx_set_constraint(spark, t, "pos_score", "score >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        tx_rename_column(spark, t, "score", "quality")
+    with pytest.raises(ValueError, match="constraint"):
+        tx_drop_column(spark, t, "score")
+    tx_set_generated_column(spark, t, "id2", "id * 2")
+    with pytest.raises(ValueError, match="generated"):
+        tx_drop_column(spark, t, "id")
+    # a dropped physical name may not come back as a rename target
+    t2 = str(tmp_path / "tbl2")
+    tx_append_partitioned(spark, _mk(spark, 0, 6), t2, partition_by="p")
+    tx_drop_column(spark, t2, "body")
+    with pytest.raises(ValueError, match="physically"):
+        tx_rename_column(spark, t2, "score", "body")
+
+
+def test_checkpoint_clone_detail_carry_mapping(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    tx_rename_column(spark, t, "body", "text")
+    tx_drop_column(spark, t, "score")
+    log = TransactionLog(t)
+    log.checkpoint()
+    renames, dropped = TransactionLog(t).column_mapping()
+    assert renames == {"body": "text"} and dropped == {"score"}
+    det = tx_detail(t)
+    assert det["column_mapping"] == {
+        "renames": {"body": "text"}, "dropped": ["score"],
+    }
+    c = str(tmp_path / "clone")
+    tx_clone(spark, t, c)
+    assert TransactionLog(c).column_mapping() == (
+        {"body": "text"}, {"score"},
+    )
+    assert "text" in tx_read(spark, c).columns
+
+
+def test_restore_across_rename_restores_names(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    v0 = TransactionLog(t).version()
+    tx_rename_column(spark, t, "body", "text")
+    tx_append_partitioned(
+        spark,
+        _mk(spark, 12, 18).withColumnRenamed("body", "text"),
+        t, partition_by="p",
+    )
+    res = tx_restore(spark, t, v0)
+    assert res["restored_to"] == v0
+    got = tx_read(spark, t)
+    assert "body" in got.columns and "text" not in got.columns
+    assert got.count() == 12
+    # and the rename is itself restorable (time travel both sides)
+    assert "text" in tx_read(spark, t, version=v0 + 2).columns
+
+
+def test_raw_file_surfaces_refuse_under_mapping(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.pyds import (
+        register_txlog_source,
+    )
+
+    t = _tbl(spark, tmp_path)
+    tx_rename_column(spark, t, "body", "text")
+    with pytest.raises(ValueError, match="column mapping"):
+        tx_export_symlink_manifest(t)
+    with pytest.raises(ValueError, match="column mapping"):
+        tx_export_delta_log(t)
+    register_txlog_source(spark)
+    with pytest.raises(Exception, match="column mapping"):
+        spark.read.format("txlog").option("path", t).load().collect()
+
+
+def test_cdf_reports_logical_names(spark, tmp_path):
+    t = _tbl(spark, tmp_path)
+    v_pre = TransactionLog(t).version()
+    tx_rename_column(spark, t, "body", "text")
+    tx_update_where(spark, t, {"text": "'edited'"}, "id = 1")
+    ch = tx_changes(spark, t, since=v_pre)
+    assert "text" in ch.columns and "body" not in ch.columns
+    rows = {
+        (r["_change_type"], r["text"])
+        for r in ch.filter("id = 1").collect()
+    }
+    assert rows == {("delete", "doc1"), ("insert", "edited")}
