@@ -243,12 +243,14 @@ class TxLogBatchReader(DataSourceReader):
                 "and cannot apply them; run tx_purge_dvs() first or "
                 "read via tx_read"
             )
-        if log.column_mapping_raw(upto=self.version):
+        if log.column_mapping_raw(upto=self.version) or \
+                log.schema_addenda(upto=self.version):
             raise ValueError(
-                f"txlog table at {self.path} has column mapping in "
-                "force — the Python data source yields raw physical "
-                "file columns and would expose pre-rename/dropped "
-                "names; read via tx_read"
+                f"txlog table at {self.path} has column mapping or "
+                "declared added columns in force — the Python data "
+                "source yields raw physical file columns and would "
+                "expose pre-rename/dropped/unfilled names; read via "
+                "tx_read"
             )
         self._pruned = 0  # observable for tests/diagnostics
         # declared column ORDER, captured once on the driver: Spark's
@@ -438,12 +440,13 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
                     "and restart the stream, or use batch tx_changes"
                 )
             prev = dict(m.get("dv_state", prev))
-        if log.column_mapping_raw(upto=upto):
+        if log.column_mapping_raw(upto=upto) or \
+                log.schema_addenda(upto=upto):
             raise ValueError(
-                f"{self.path} has column mapping in force — the txlog "
-                "stream source yields raw physical file columns and "
-                "would expose pre-rename/dropped names; use batch "
-                "tx_read / tx_changes"
+                f"{self.path} has column mapping or declared added "
+                "columns in force — the txlog stream source yields raw "
+                "physical file columns and would expose pre-rename/"
+                "dropped/unfilled names; use batch tx_read / tx_changes"
             )
 
     def _added_rows(self, since: int, upto: int) -> Iterator[tuple]:

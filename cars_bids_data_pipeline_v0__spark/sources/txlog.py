@@ -50,6 +50,11 @@ _DATA_DIR = "data"
 _DV_DIR = "_dv"
 ROW_ID_COL = "_row_id"
 
+#: (path, version, commit mtime_ns, commit size) -> ALTER-verb snapshots;
+#: commits are immutable, so an entry can never go stale (the file-identity
+#: fields guard path reuse across deleted/recreated tables)
+_ALTER_STATE_CACHE: dict[tuple, tuple] = {}
+
 
 class TransactionLog:
     """The filesystem-level commit log for one table path."""
@@ -158,23 +163,69 @@ class TransactionLog:
         an earlier spec keep their recorded ``partition_col`` and stay
         readable/prunable (Iceberg-style partition evolution: a spec
         change is one metadata commit, never a rewrite)."""
-        out: dict | None = None
-        start = -1
-        ckpt = self._latest_checkpoint_body(upto)
-        if ckpt is not None:
-            start = ckpt[0]
-            out = ckpt[1].get("partition_spec")
-        for act in self.actions(upto, since=start):
-            m = act.get("meta")
-            if m and "partition_spec" in m:
-                out = dict(m["partition_spec"])
-        return out
+        return self._alter_state(upto)[2]
 
     def partition_spec(self, upto: int | None = None) -> str | None:
         """Declared partition column, or ``None`` (undeclared or
         explicitly unpartitioned)."""
         raw = self.partition_spec_raw(upto)
         return raw.get("col") if raw else None
+
+    def _alter_state(
+        self, upto: int | None = None
+    ) -> tuple[dict | None, dict, dict | None]:
+        """``(column_mapping_raw, schema_addenda, partition_spec_raw)``
+        at a version — the three ALTER-verb snapshots share ONE log
+        replay, memoized per (path, version, commit-file identity).
+        Sound because commits are immutable: the state at version v can
+        never change, so every `tx_read` after the first costs a dict
+        lookup instead of re-opening the post-checkpoint commit files
+        (these lookups sit on the hot read path)."""
+        v = self.version() if upto is None else upto
+        if v < 0:
+            return (None, {}, None)
+        key = None
+        try:
+            st = os.stat(self._commit_path(v))
+            key = (self.path, v, st.st_mtime_ns, st.st_size)
+        except OSError:
+            pass
+        if key is not None and key in _ALTER_STATE_CACHE:
+            cm, sa, ps = _ALTER_STATE_CACHE[key]
+            return (
+                dict(cm) if cm is not None else None,
+                {k: dict(s) for k, s in sa.items()},
+                dict(ps) if ps is not None else None,
+            )
+        cm: dict | None = None
+        sa: dict = {}
+        ps: dict | None = None
+        start = -1
+        ckpt = self._latest_checkpoint_body(v)
+        if ckpt is not None:
+            start = ckpt[0]
+            cm = ckpt[1].get("column_mapping")
+            sa = dict(ckpt[1].get("schema_addenda", {}))
+            ps = ckpt[1].get("partition_spec")
+        for act in self.actions(v, since=start):
+            m = act.get("meta")
+            if not m:
+                continue
+            if "column_mapping" in m:
+                cm = dict(m["column_mapping"])
+            if "schema_addenda" in m:
+                sa = dict(m["schema_addenda"])
+            if "partition_spec" in m:
+                ps = dict(m["partition_spec"])
+        if key is not None:
+            if len(_ALTER_STATE_CACHE) > 8192:
+                _ALTER_STATE_CACHE.clear()
+            _ALTER_STATE_CACHE[key] = (cm, sa, ps)
+        return (
+            dict(cm) if cm is not None else None,
+            {k: dict(s) for k, s in sa.items()},
+            dict(ps) if ps is not None else None,
+        )
 
     def column_mapping_raw(self, upto: int | None = None) -> dict | None:
         """The column-mapping state in force at a version, or ``None`` if
@@ -187,17 +238,7 @@ class TransactionLog:
         logical names are what every public reader shows and every public
         writer supplies.  A rename or drop is therefore one KB of JSON at
         any table size."""
-        out: dict | None = None
-        start = -1
-        ckpt = self._latest_checkpoint_body(upto)
-        if ckpt is not None:
-            start = ckpt[0]
-            out = ckpt[1].get("column_mapping")
-        for act in self.actions(upto, since=start):
-            m = act.get("meta")
-            if m and "column_mapping" in m:
-                out = dict(m["column_mapping"])
-        return out
+        return self._alter_state(upto)[0]
 
     def column_mapping(
         self, upto: int | None = None
@@ -236,6 +277,16 @@ class TransactionLog:
                 f"timestamp {ts}"
             )
         return best
+
+    def schema_addenda(self, upto: int | None = None) -> dict[str, dict]:
+        """``{physical column: {"type": simpleString, "default": SQL or
+        None}}`` — columns DECLARED onto the table by `tx_add_column`
+        (metadata-only ADD COLUMN).  Full-snapshot commits, latest wins,
+        checkpoint-carried (the constraints pattern).  Files need not
+        carry an addendum column; readers fill the gap with the default
+        (NULL when none), so the add costs a KB of JSON, never a
+        rewrite."""
+        return self._alter_state(upto)[1]
 
     def generated_cols(self, upto: int | None = None) -> dict[str, str]:
         """``{column: SQL expression}`` generated-column definitions in
@@ -393,6 +444,9 @@ class TransactionLog:
         cm = self.column_mapping_raw(upto=v)
         if cm is not None:
             body["column_mapping"] = cm
+        sa = self.schema_addenda(upto=v)
+        if sa:
+            body["schema_addenda"] = sa
         with open(tmp, "w") as f:
             json.dump(body, f)
         os.replace(tmp, self._checkpoint_path(v))
@@ -686,6 +740,72 @@ def _map_to_logical(
     return df
 
 
+def _fill_addenda(
+    df: DataFrame, addenda: dict, renames: dict, present: frozenset
+) -> DataFrame:
+    """Fill declared-but-absent columns (`tx_add_column`) with their
+    default (NULL when none), under their LOGICAL name.  ``present`` =
+    the addenda physical names this file group actually carries — those
+    keep their stored values."""
+    for phys in sorted(addenda):
+        if phys in present:
+            continue
+        spec = addenda[phys]
+        logical = renames.get(phys, phys)
+        default = spec.get("default")
+        df = df.withColumn(
+            logical,
+            F.expr(default if default is not None else "NULL").cast(
+                spec["type"]
+            ),
+        )
+    return df
+
+
+def _raw_files_scan_logical(
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    upto: int | None = None,
+):
+    """Raw scan of ``files`` (NO deletion vectors applied) with
+    ``__dv_base`` / ``__dv_ri`` file-identity columns materialized and
+    the table's logical view applied — column mapping plus addenda
+    fill, heterogeneous footers handled by signature-grouped reads.
+    The shared discovery scan of every row-level writer."""
+    log = TransactionLog(table_path)
+    renames, dropped = log.column_mapping(upto=upto)
+    addenda = log.schema_addenda(upto=upto)
+
+    def one(fs: list[str], present: frozenset):
+        df = (
+            spark.read.parquet(*[os.path.join(table_path, f) for f in fs])
+            .withColumn("__dv_base", _file_base_col())
+            .withColumn("__dv_ri", F.col("_metadata.row_index"))
+        )
+        df = _map_to_logical(df, renames, dropped)
+        if addenda:
+            df = _fill_addenda(df, addenda, renames, present)
+        return df
+
+    if not addenda:
+        return one(list(files), frozenset())
+    import pyarrow.parquet as _pq
+
+    groups: dict[frozenset, list[str]] = {}
+    for f in files:
+        names = frozenset(
+            set(_pq.read_schema(os.path.join(table_path, f)).names)
+            & set(addenda)
+        )
+        groups.setdefault(names, []).append(f)
+    parts = [one(groups[p], p) for p in sorted(groups, key=sorted)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _dv_rows(spark: SparkSession, table_path: str, dvmap: dict[str, str]):
     """All deleted ``(data-file basename, row_index)`` pairs of ``dvmap``
     as one DataFrame — ONE read of every DV parquet (each carries only a
@@ -714,6 +834,7 @@ def _read_with_dvs(
     dvmap: dict[str, str],
     merge_schema: bool = False,
     mapping_upto: int | None = None,
+    _addenda: dict | None = None,
 ) -> DataFrame:
     """Snapshot scan of ``files`` with deletion vectors applied — the
     merge-on-read path.  Files WITHOUT a DV stream through a plain scan
@@ -725,7 +846,46 @@ def _read_with_dvs(
     Output columns are LOGICAL (column mapping applied as of
     ``mapping_upto``, default latest) — every internal rewrite that
     reads here and stages through `stage_dataframe` round-trips
-    logical->physical automatically."""
+    logical->physical automatically.  Declared-but-not-materialized
+    columns (`tx_add_column`) are filled with their default: files are
+    grouped by which addenda their footer actually carries (one driver-
+    side footer read per file, metadata-sized) and each group fills
+    only what it lacks — a file that HAS the column keeps its values,
+    so the pre-add/post-add distinction is exact per file, Delta's
+    semantics."""
+    log = TransactionLog(table_path)
+    addenda = (
+        log.schema_addenda(upto=mapping_upto)
+        if _addenda is None
+        else _addenda
+    )
+    if addenda:
+        import pyarrow.parquet as _pq
+
+        renames, _dropped = log.column_mapping(upto=mapping_upto)
+        groups: dict[frozenset, list[str]] = {}
+        for f in files:
+            names = frozenset(
+                set(_pq.read_schema(os.path.join(table_path, f)).names)
+                & set(addenda)
+            )
+            groups.setdefault(names, []).append(f)
+        parts = []
+        for present in sorted(groups, key=sorted):
+            fs = groups[present]
+            sub = _read_with_dvs(
+                spark, table_path, fs,
+                {f: dvmap[f] for f in fs if f in dvmap},
+                merge_schema=merge_schema,
+                mapping_upto=mapping_upto,
+                _addenda={},
+            )
+            sub = _fill_addenda(sub, addenda, renames, present)
+            parts.append(sub)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=merge_schema)
+        return out
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -795,12 +955,17 @@ def tx_read(
         if not ever:
             return None
         renames, dropped = log.column_mapping(upto=version)
-        return _map_to_logical(
-            spark.read.parquet(os.path.join(table_path, ever[0])).limit(0),
-            renames, dropped,
+        return _fill_addenda(
+            _map_to_logical(
+                spark.read.parquet(
+                    os.path.join(table_path, ever[0])
+                ).limit(0),
+                renames, dropped,
+            ),
+            log.schema_addenda(upto=version), renames, frozenset(),
         )
     dvmap = log.dvs(upto=version)
-    if dvmap:
+    if dvmap or log.schema_addenda(upto=version):
         return _read_with_dvs(
             spark, table_path, files, dvmap, merge_schema=merge_schema,
             mapping_upto=version,
@@ -1698,17 +1863,9 @@ def _visible_hits(
     parquet, DV-deleted rows excluded via the broadcast anti-join.
     Staged file basenames are uuid4 hex, so basename identifies the file
     without URI parsing."""
-    renames, dropped = TransactionLog(table_path).column_mapping()
-    scan = _map_to_logical(
-        spark.read.parquet(
-            *[os.path.join(table_path, rel) for rel in sorted(live)]
-        ),
-        renames, dropped,
-    ).withColumn("__dv_base", _file_base_col())
+    scan = _raw_files_scan_logical(spark, table_path, sorted(live))
     if dvmap:
-        scan = scan.withColumn(
-            "__dv_ri", F.col("_metadata.row_index")
-        ).join(
+        scan = scan.join(
             F.broadcast(_dv_rows(spark, table_path, dvmap)),
             ["__dv_base", "__dv_ri"],
             "left_anti",
@@ -1825,17 +1982,7 @@ def _commit_dv_delete(
     exactly one DV per data file) and commit the updated mapping as
     metadata.  False = commit conflict; staged DVs are removed and the
     caller retries."""
-    renames, dropped = log.column_mapping()
-    raw = _map_to_logical(
-        spark.read.parquet(
-            *[os.path.join(table_path, rel) for rel in affected]
-        ),
-        renames, dropped,
-    ).select(
-        _file_base_col().alias("__dv_base"),
-        F.col("_metadata.row_index").alias("__dv_ri"),
-        "*",
-    )
+    raw = _raw_files_scan_logical(spark, table_path, affected)
     matches = raw.filter(F.expr(predicate)).select("__dv_base", "__dv_ri")
     old_sub = {f: dvmap[f] for f in affected if f in dvmap}
     parts = [matches]
@@ -2198,17 +2345,9 @@ def _merge_into_once(
         )
 
     # -- which files contain matched rows? one semi-join scan ------------
-    _mi_renames, _mi_dropped = TransactionLog(table_path).column_mapping()
-    scan = _map_to_logical(
-        spark.read.parquet(
-            *[os.path.join(table_path, rel) for rel in sorted(live)]
-        ),
-        _mi_renames, _mi_dropped,
-    ).withColumn("__dv_base", _file_base_col())
+    scan = _raw_files_scan_logical(spark, table_path, sorted(live))
     if dvmap:
-        scan = scan.withColumn(
-            "__dv_ri", F.col("_metadata.row_index")
-        ).join(
+        scan = scan.join(
             F.broadcast(_dv_rows(spark, table_path, dvmap)),
             ["__dv_base", "__dv_ri"],
             "left_anti",
@@ -2464,12 +2603,12 @@ def tx_export_symlink_manifest(
             "a file-list manifest cannot express them; run tx_purge_dvs() "
             "first"
         )
-    if log.column_mapping_raw(upto=v):
+    if log.column_mapping_raw(upto=v) or log.schema_addenda(upto=v):
         raise ValueError(
-            f"version {v} of {table_path} has column mapping in force — "
-            "external engines reading the raw file list would see "
-            "physical (pre-rename/dropped) columns; rewrite the table "
-            "(tx_compact after retiring the mapping) or read via tx_read"
+            f"version {v} of {table_path} has column mapping or declared "
+            "added columns in force — external engines reading the raw "
+            "file list would see physical (pre-rename/dropped/unfilled) "
+            "columns; rewrite the table first or read via tx_read"
         )
     root = out_dir or os.path.join(table_path, "_symlink_format_manifest")
     os.makedirs(root, exist_ok=True)
@@ -2627,12 +2766,13 @@ def tx_export_delta_log(
             "this export writes plain add actions (no deletionVector "
             "reader feature); run tx_purge_dvs() first"
         )
-    if log.column_mapping_raw(upto=v):
+    if log.column_mapping_raw(upto=v) or log.schema_addenda(upto=v):
         raise ValueError(
-            f"version {v} of {table_path} has column mapping in force — "
-            "this export does not emit delta.columnMapping metadata, so "
-            "external readers would see physical (pre-rename/dropped) "
-            "columns; rewrite the table first or read via tx_read"
+            f"version {v} of {table_path} has column mapping or declared "
+            "added columns in force — this export does not emit "
+            "delta.columnMapping metadata and external readers would see "
+            "physical (pre-rename/dropped/unfilled) columns; rewrite the "
+            "table first or read via tx_read"
         )
     root = out_dir or os.path.join(table_path, "_delta_export", f"v{v:05d}")
     log_dir = os.path.join(root, "_delta_log")
@@ -2829,6 +2969,8 @@ def tx_table_schema(table_path: str) -> dict[str, str] | None:
             for name, typ in out.items()
             if name not in dropped
         }
+    for phys, spec in log.schema_addenda().items():
+        out.setdefault(renames.get(phys, phys), spec["type"])
     return out
 
 
@@ -2858,7 +3000,14 @@ def _check_schema(
     # the row-tracking column is table-managed, never writer-supplied
     table.pop(ROW_ID_COL, None)
     batch = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    missing = sorted(set(table) - set(batch))
+    # declared-added columns are OPTIONAL on write (readers fill the
+    # default); a batch that does supply one must still match its type
+    _log = TransactionLog(table_path)
+    _ren, _ = _log.column_mapping()
+    optional = {
+        _ren.get(p, p) for p in _log.schema_addenda()
+    }
+    missing = sorted(set(table) - set(batch) - optional)
     extra = sorted(set(batch) - set(table))
     conflicts = sorted(
         c for c in set(table) & set(batch) if table[c] != batch[c]
@@ -3169,6 +3318,8 @@ def tx_restore(
         cm_changed = (
             log.column_mapping_raw(upto=version)
             != log.column_mapping_raw(upto=v)
+        ) or (
+            log.schema_addenda(upto=version) != log.schema_addenda(upto=v)
         )
         if not adds and not removes and not dv_changed and not cm_changed:
             return {
@@ -3189,6 +3340,9 @@ def tx_restore(
             meta["column_mapping"] = cm_target or {
                 "renames": {}, "dropped": [],
             }
+        sa_target = log.schema_addenda(upto=version)
+        if sa_target != log.schema_addenda(upto=v):
+            meta["schema_addenda"] = sa_target
         if log.try_commit(
             v + 1, adds, removes, op="restore",
             meta=meta,
@@ -3318,17 +3472,9 @@ def tx_changes(
                 ),
                 v,
             )
-            ch_renames, ch_dropped = log.column_mapping(upto=upto)
-            data = _map_to_logical(
-                spark.read.parquet(
-                    *[os.path.join(table_path, f) for f in changed]
-                ),
-                ch_renames, ch_dropped,
-            ).select(
-                _file_base_col().alias("__dv_base"),
-                F.col("_metadata.row_index").alias("__dv_ri"),
-                *base.columns,
-            )
+            data = _raw_files_scan_logical(
+                spark, table_path, changed, upto=upto
+            ).select("__dv_base", "__dv_ri", *base.columns)
             old_sub = {f: dv_cur[f] for f in changed if f in dv_cur}
             new_sub = {f: dv_next[f] for f in changed if f in dv_next}
             empty_pairs = spark.createDataFrame(
@@ -3776,6 +3922,62 @@ def tx_rename_column(
     )
 
 
+def tx_add_column(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    dtype: str,
+    default: str | None = None,
+    max_retries: int = 5,
+) -> int:
+    """``ALTER TABLE ... ADD COLUMN col dtype [DEFAULT expr]`` as ONE
+    metadata commit.  No file is rewritten: readers fill the column
+    per-FILE — a file whose footer lacks it reads as the default (NULL
+    when none), a file that carries it keeps its stored values — so the
+    pre-add/post-add distinction is exact, Delta's semantics.  Writers
+    MAY supply the column (type-checked) or omit it; any rewrite
+    (UPDATE / MERGE / compact) materializes it physically as a side
+    effect of the logical round trip.  This also fixes the
+    heterogeneous-footer wart of bare schema-merge evolution: plain
+    `tx_read` (no mergeSchema) shows the declared column always.
+
+    ``default`` is a constant SQL expression evaluated per read (and
+    baked in on the first rewrite) — keep it deterministic.  Returns
+    the committing version."""
+    log = TransactionLog(table_path)
+    schema = tx_table_schema(table_path)
+    if schema is not None and col in schema:
+        raise ValueError(f"column {col!r} already exists in {table_path}")
+    if col == ROW_ID_COL:
+        raise ValueError(f"{ROW_ID_COL} is reserved for row tracking")
+    # validate the type string and the default's castability up front —
+    # a bad declaration must fail HERE, not in every future read
+    probe = spark.range(1).select(
+        F.expr(default if default is not None else "NULL")
+        .cast(dtype)
+        .alias(col)
+    )
+    probe.collect()
+    for _ in range(max_retries):
+        v = log.version()
+        renames, dropped = log.column_mapping(upto=v)
+        if col in dropped or (col in renames and renames[col] != col):
+            raise ValueError(
+                f"name {col!r} still exists physically in table files "
+                "(dropped or renamed-away); pick another name"
+            )
+        addenda = log.schema_addenda(upto=v)
+        addenda[col] = {"type": dtype, "default": default}
+        if log.try_commit(
+            v + 1, [], [], op="add_column",
+            meta={"schema_addenda": addenda},
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"add_column gave up after {max_retries} commit conflicts"
+    )
+
+
 def tx_drop_column(
     spark: SparkSession,
     table_path: str,
@@ -3806,11 +4008,18 @@ def tx_drop_column(
         physical = {l: p for p, l in renames.items()}.get(col, col)
         renames = {p: l for p, l in renames.items() if p != physical}
         dropped.add(physical)
+        meta = {"column_mapping": {
+            "renames": renames, "dropped": sorted(dropped),
+        }}
+        addenda = log.schema_addenda(upto=v)
+        if physical in addenda:
+            # dropping a declared-added column retires its fill rule too
+            # (files that materialized it are handled by `dropped`)
+            addenda = {p: s for p, s in addenda.items() if p != physical}
+            meta["schema_addenda"] = addenda
         if log.try_commit(
             v + 1, [], [], op="drop_column",
-            meta={"column_mapping": {
-                "renames": renames, "dropped": sorted(dropped),
-            }},
+            meta=meta,
         ):
             return v + 1
     raise RuntimeError(
@@ -3903,6 +4112,9 @@ def tx_clone(
     cm = src.column_mapping_raw(upto=version)
     if cm is not None:
         meta["column_mapping"] = cm
+    sa = src.schema_addenda(upto=version)
+    if sa:
+        meta["schema_addenda"] = sa
     os.makedirs(clone_path, exist_ok=True)
     if not dst.try_commit(
         0, adds, [], op="clone", meta=meta or None
@@ -3994,6 +4206,7 @@ def tx_detail(table_path: str) -> dict:
         "constraints": log.constraints(upto=v),
         "generated_cols": log.generated_cols(upto=v),
         "column_mapping": log.column_mapping_raw(upto=v),
+        "schema_addenda": log.schema_addenda(upto=v),
         "row_id_hwm": log.row_id_hwm(upto=v),
         "checkpoint_version": ckpt[0] if ckpt else None,
     }

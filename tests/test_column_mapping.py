@@ -272,3 +272,95 @@ def test_cdf_reports_logical_names(spark, tmp_path):
         for r in ch.filter("id = 1").collect()
     }
     assert rows == {("delete", "doc1"), ("insert", "edited")}
+
+
+# ---------------------------------------------------------------------------
+# ADD COLUMN (metadata-only, per-file default fill)
+# ---------------------------------------------------------------------------
+
+
+def test_add_column_fills_default_per_file(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_add_column
+
+    t = _tbl(spark, tmp_path)  # 12 rows, no 'lang' column
+    files0 = set(TransactionLog(t).live_files())
+    tx_add_column(spark, t, "lang", "string", default="'en'")
+    assert set(TransactionLog(t).live_files()) == files0  # no rewrite
+    got = tx_read(spark, t)
+    assert got.filter("lang = 'en'").count() == 12
+    assert tx_table_schema(t)["lang"] == "string"
+    # a later batch MAY supply the column — its values win for its file
+    batch = _mk(spark, 12, 15).withColumn("lang", F.lit("fr"))
+    tx_append_partitioned(spark, batch, t, partition_by="p")
+    got = tx_read(spark, t)
+    assert got.filter("lang = 'fr'").count() == 3
+    assert got.filter("lang = 'en'").count() == 12
+    # ... or omit it — old default still applies to files lacking it
+    tx_append_partitioned(spark, _mk(spark, 15, 17), t, partition_by="p")
+    assert tx_read(spark, t).filter("lang = 'en'").count() == 14
+    # rewrites materialize the declared column physically
+    tx_compact(spark, t)
+    assert "lang" in _physical_names(t)
+    assert tx_read(spark, t).filter("lang = 'en'").count() == 14
+
+
+def test_add_column_null_default_and_dml(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_add_column
+
+    t = _tbl(spark, tmp_path)
+    tx_add_column(spark, t, "flag", "int")
+    assert tx_read(spark, t).filter("flag IS NULL").count() == 12
+    # DML predicates and SETs resolve the declared column
+    n = tx_update_where(spark, t, {"flag": "1"}, "id < 5 AND flag IS NULL")
+    assert n == 5
+    got = tx_read(spark, t)
+    assert got.filter("flag = 1").count() == 5
+    assert tx_delete_where(spark, t, "flag = 1", mode="dv") == 5
+    assert tx_read(spark, t).count() == 7
+
+
+def test_add_column_guards_and_time_travel(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_add_column
+
+    t = _tbl(spark, tmp_path)
+    v0 = TransactionLog(t).version()
+    with pytest.raises(ValueError, match="already exists"):
+        tx_add_column(spark, t, "body", "string")
+    with pytest.raises(Exception):
+        tx_add_column(spark, t, "bad", "not_a_type")
+    tx_drop_column(spark, t, "body")
+    with pytest.raises(ValueError, match="physically"):
+        tx_add_column(spark, t, "body", "string")
+    tx_add_column(spark, t, "lang", "string", default="'en'")
+    # time travel: the column does not exist before its add version
+    assert "lang" not in tx_read(spark, t, version=v0).columns
+    assert "lang" in tx_read(spark, t).columns
+    # rename of a declared column keeps the fill rule attached
+    tx_rename_column(spark, t, "lang", "language")
+    assert tx_read(spark, t).filter("language = 'en'").count() == 12
+    # dropping it retires the fill rule
+    tx_drop_column(spark, t, "language")
+    assert "language" not in tx_read(spark, t).columns
+    assert TransactionLog(t).schema_addenda() == {}
+
+
+def test_add_column_checkpoint_clone_restore(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_add_column
+
+    t = _tbl(spark, tmp_path)
+    v0 = TransactionLog(t).version()
+    tx_add_column(spark, t, "lang", "string", default="'en'")
+    TransactionLog(t).checkpoint()
+    assert TransactionLog(t).schema_addenda() == {
+        "lang": {"type": "string", "default": "'en'"},
+    }
+    c = str(tmp_path / "clone")
+    tx_clone(spark, t, c)
+    assert tx_read(spark, c).filter("lang = 'en'").count() == 12
+    tx_restore(spark, t, v0)
+    assert "lang" not in tx_read(spark, t).columns
+    assert TransactionLog(t).schema_addenda() == {}
+    det = tx_detail(c)
+    assert det["schema_addenda"] == {
+        "lang": {"type": "string", "default": "'en'"},
+    }
