@@ -55,6 +55,9 @@ ROW_ID_COL = "_row_id"
 #: fields guard path reuse across deleted/recreated tables)
 _ALTER_STATE_CACHE: dict[tuple, tuple] = {}
 
+#: (commit path, mtime_ns, size) -> parsed commit body (shared, read-only)
+_COMMIT_BODY_CACHE: dict[tuple, dict] = {}
+
 
 class TransactionLog:
     """The filesystem-level commit log for one table path."""
@@ -87,15 +90,33 @@ class TransactionLog:
     ) -> list[dict]:
         """Commit bodies for versions in ``(since, upto]`` — the version
         filter runs on the FILENAMES, so pre-checkpoint commits are
-        never even opened."""
+        never even opened.  Parsed bodies are memoized per (path,
+        mtime, size): a commit file is written once and never modified
+        (vacuum may delete it, which drops it from the cache key space),
+        so every snapshot assembly after the first is dict lookups, not
+        JSON parses.  CONTRACT: callers must treat returned bodies as
+        immutable — they are shared."""
         out = []
         for v in self.versions():
             if v <= since:
                 continue
             if upto is not None and v > upto:
                 break
-            with open(self._commit_path(v)) as f:
-                out.append(json.load(f))
+            cp = self._commit_path(v)
+            try:
+                st = os.stat(cp)
+                key = (cp, st.st_mtime_ns, st.st_size)
+            except OSError:
+                key = None
+            body = _COMMIT_BODY_CACHE.get(key) if key is not None else None
+            if body is None:
+                with open(cp) as f:
+                    body = json.load(f)
+                if key is not None:
+                    if len(_COMMIT_BODY_CACHE) > 65536:
+                        _COMMIT_BODY_CACHE.clear()
+                    _COMMIT_BODY_CACHE[key] = body
+            out.append(body)
         return out
 
     def live_files(self, upto: int | None = None) -> dict[str, str | None]:
