@@ -364,3 +364,59 @@ def test_add_column_checkpoint_clone_restore(spark, tmp_path):
     assert det["schema_addenda"] == {
         "lang": {"type": "string", "default": "'en'"},
     }
+
+
+# ---------------------------------------------------------------------------
+# ALTER verbs under concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_alter_verbs_race_with_appends(spark, tmp_path):
+    """A rename committed between another writer's stage and commit must
+    not corrupt either: physical names never change, so files staged
+    under the pre-rename state stay valid, the losing committer retries
+    off the fresh snapshot, and the final table reads consistently under
+    the post-rename logical schema."""
+    import threading
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_add_column,
+    )
+
+    t = _tbl(spark, tmp_path)
+    errs = []
+
+    def renamer():
+        try:
+            tx_rename_column(spark, t, "body", "text")
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    def adder():
+        try:
+            tx_add_column(spark, t, "lang", "string", default="'en'")
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [threading.Thread(target=renamer), threading.Thread(target=adder)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    # both metadata commits landed (CAS retry serialized them)
+    log = TransactionLog(t)
+    assert log.column_mapping()[0] == {"body": "text"}
+    assert set(log.schema_addenda()) == {"lang"}
+    got = tx_read(spark, t)
+    assert "text" in got.columns and "lang" in got.columns
+    assert got.filter("lang = 'en'").count() == 12
+    # a post-race append under the merged logical schema round-trips
+    batch = (
+        _mk(spark, 12, 15)
+        .withColumnRenamed("body", "text")
+        .withColumn("lang", F.lit("fr"))
+    )
+    tx_append_partitioned(spark, batch, t, partition_by="p")
+    assert tx_read(spark, t).count() == 15
+    assert tx_read(spark, t).filter("lang = 'fr'").count() == 3

@@ -92,5 +92,6 @@ def test_tx_stage_writes_are_distributed_no_collect(spark, tmp_path):
     #   6 constraint-violation counts (one agg row)
     #   7 set_constraint born-valid probe (one agg row)
     #   8 generated-column validation counts (one agg row)
-    assert src.count(".collect()") == 8
+    #   9 add-column type/default validation probe (one literal row)
+    assert src.count(".collect()") == 9
     assert ".toPandas()" not in src and ".toLocalIterator()" not in src
