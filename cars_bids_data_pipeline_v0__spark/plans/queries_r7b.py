@@ -514,3 +514,95 @@ def q258(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 — ADD COLUMN lifecycle (declare + default fill + supplied + DML)
+# ---------------------------------------------------------------------------
+
+
+def _q259_oracle() -> str:
+    return """
+    WITH final AS (
+        SELECT lang,
+               CASE WHEN n_chars > 300 THEN 'long' ELSE 'legacy' END AS tier,
+               n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT lang, 'fresh' AS tier, n_chars
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang, tier,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM final GROUP BY lang, tier ORDER BY lang, tier
+    """
+
+
+@register(
+    "q259_add_column_audit",
+    _q259_oracle(),
+    doc=(
+        "ADD COLUMN under the value-hash gate: the builder appends half "
+        "of documents into a lang-partitioned txlog table, DECLARES "
+        "tier string DEFAULT 'legacy' (one metadata commit, zero "
+        "rewrites), appends the other half SUPPLYING tier='fresh' "
+        "(mixed per-file presence — the footer-grouped fill must keep "
+        "stored values and default only the pre-add files), then "
+        "UPDATEs tier='long' WHERE n_chars > 300 AND tier = 'legacy' — "
+        "a DML predicate over the declared column that only the filled "
+        "view can resolve.  The per-(lang, tier) counts and char totals "
+        "must equal DuckDB's CASE-derived end state "
+        "(sources/txlog.py::tx_add_column, _fill_addenda, "
+        "_raw_files_scan_logical).  Scale: the add costs a KB of JSON; "
+        "the fill is a per-group projection behind the scan"
+    ),
+)
+def q259(spark, sf_dir):
+    from ..sources.txlog import (
+        TransactionLog,
+        tx_add_column,
+        tx_append_partitioned,
+        tx_read,
+        tx_update_where,
+    )
+    from .queries_r7 import _scratch_path
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _scratch_path(sf_dir, "q259", "documents")
+    log = TransactionLog(path)
+    if log.version() < 0:
+        tx_append_partitioned(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 0),
+            path,
+            partition_by="lang",
+            txn={"app": "q259", "batch": 0},
+        )
+    if log.version() < 1:
+        tx_add_column(spark, path, "tier", "string", default="'legacy'")
+    if log.version() < 2:
+        tx_append_partitioned(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .withColumn("tier", F.lit("fresh")),
+            path,
+            partition_by="lang",
+            txn={"app": "q259", "batch": 1},
+        )
+    if log.version() < 3:
+        tx_update_where(
+            spark, path, {"tier": "'long'"},
+            "n_chars > 300 AND tier = 'legacy'",
+        )
+    return (
+        tx_read(spark, path)
+        .groupBy("lang", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "tier")
+    )
