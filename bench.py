@@ -358,12 +358,17 @@ def sweep_sf5(spark) -> dict:
     ensure_sf5(spark)
     gen_s = round(time.time() - t0, 3)
     out = {}
+    # min-of-2, same contention rationale as the sf1 sweep
     for name in SF5_QUERIES:
-        t0 = time.time()
-        force(Q.REGISTRY[name].builder(spark, SF5_DIR))
-        out[name] = round(time.time() - t0, 3)
-        release_build_caches()
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            force(Q.REGISTRY[name].builder(spark, SF5_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            release_build_caches()
+            spark.catalog.clearCache()
+        out[name] = round(best, 3)
     return {"queries": out, "gen_sec": gen_s, "scale_vs_sf01": 50}
 
 
@@ -424,12 +429,21 @@ def sweep_sf1(spark) -> dict:
     ensure_sf1(spark)
     gen_s = round(time.time() - t0, 3)
     out = {}
+    # MIN of two samples per query: these legs are the scaling-curve
+    # evidence, and a single sample on a shared host can swing 5× under
+    # external contention (observed q56 sf1 9.8 s vs 47.6 s, same code,
+    # same round).  The minimum is the least-contended estimate of the
+    # plan's true cost — exactly what a scaling curve should plot.
     for name in SF1_QUERIES:
-        t0 = time.time()
-        force(Q.REGISTRY[name].builder(spark, SF1_DIR))
-        out[name] = round(time.time() - t0, 3)
-        release_build_caches()
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            force(Q.REGISTRY[name].builder(spark, SF1_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            release_build_caches()
+            spark.catalog.clearCache()
+        out[name] = round(best, 3)
     out["pipeline_e2e_20k_auctions"] = bench_pipeline_10x(spark)
     out["dml_lifecycle_lineitem"] = bench_dml_lifecycle_10x(spark)
     out.update(bench_ann_index(spark))
