@@ -244,7 +244,8 @@ class TxLogBatchReader(DataSourceReader):
                 "read via tx_read"
             )
         if log.column_mapping_raw(upto=self.version) or \
-                log.schema_addenda(upto=self.version):
+                log.schema_addenda(upto=self.version) or \
+                log.type_widening(upto=self.version):
             raise ValueError(
                 f"txlog table at {self.path} has column mapping or "
                 "declared added columns in force — the Python data "
@@ -441,7 +442,8 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
                 )
             prev = dict(m.get("dv_state", prev))
         if log.column_mapping_raw(upto=upto) or \
-                log.schema_addenda(upto=upto):
+                log.schema_addenda(upto=upto) or \
+                log.type_widening(upto=upto):
             raise ValueError(
                 f"{self.path} has column mapping or declared added "
                 "columns in force — the txlog stream source yields raw "

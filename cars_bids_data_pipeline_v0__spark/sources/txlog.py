@@ -194,17 +194,17 @@ class TransactionLog:
 
     def _alter_state(
         self, upto: int | None = None
-    ) -> tuple[dict | None, dict, dict | None]:
-        """``(column_mapping_raw, schema_addenda, partition_spec_raw)``
-        at a version — the three ALTER-verb snapshots share ONE log
-        replay, memoized per (path, version, commit-file identity).
-        Sound because commits are immutable: the state at version v can
-        never change, so every `tx_read` after the first costs a dict
-        lookup instead of re-opening the post-checkpoint commit files
-        (these lookups sit on the hot read path)."""
+    ) -> tuple[dict | None, dict, dict | None, dict]:
+        """``(column_mapping_raw, schema_addenda, partition_spec_raw,
+        type_widening)`` at a version — the ALTER-verb snapshots share
+        ONE log replay, memoized per (path, version, commit-file
+        identity).  Sound because commits are immutable: the state at
+        version v can never change, so every `tx_read` after the first
+        costs a dict lookup instead of re-opening the post-checkpoint
+        commit files (these lookups sit on the hot read path)."""
         v = self.version() if upto is None else upto
         if v < 0:
-            return (None, {}, None)
+            return (None, {}, None, {})
         key = None
         try:
             st = os.stat(self._commit_path(v))
@@ -212,15 +212,17 @@ class TransactionLog:
         except OSError:
             pass
         if key is not None and key in _ALTER_STATE_CACHE:
-            cm, sa, ps = _ALTER_STATE_CACHE[key]
+            cm, sa, ps, tw = _ALTER_STATE_CACHE[key]
             return (
                 dict(cm) if cm is not None else None,
                 {k: dict(s) for k, s in sa.items()},
                 dict(ps) if ps is not None else None,
+                dict(tw),
             )
         cm: dict | None = None
         sa: dict = {}
         ps: dict | None = None
+        tw: dict = {}
         start = -1
         ckpt = self._latest_checkpoint_body(v)
         if ckpt is not None:
@@ -228,6 +230,7 @@ class TransactionLog:
             cm = ckpt[1].get("column_mapping")
             sa = dict(ckpt[1].get("schema_addenda", {}))
             ps = ckpt[1].get("partition_spec")
+            tw = dict(ckpt[1].get("type_widening", {}))
         for act in self.actions(v, since=start):
             m = act.get("meta")
             if not m:
@@ -238,14 +241,17 @@ class TransactionLog:
                 sa = dict(m["schema_addenda"])
             if "partition_spec" in m:
                 ps = dict(m["partition_spec"])
+            if "type_widening" in m:
+                tw = dict(m["type_widening"])
         if key is not None:
             if len(_ALTER_STATE_CACHE) > 8192:
                 _ALTER_STATE_CACHE.clear()
-            _ALTER_STATE_CACHE[key] = (cm, sa, ps)
+            _ALTER_STATE_CACHE[key] = (cm, sa, ps, tw)
         return (
             dict(cm) if cm is not None else None,
             {k: dict(s) for k, s in sa.items()},
             dict(ps) if ps is not None else None,
+            dict(tw),
         )
 
     def column_mapping_raw(self, upto: int | None = None) -> dict | None:
@@ -308,6 +314,16 @@ class TransactionLog:
         (NULL when none), so the add costs a KB of JSON, never a
         rewrite."""
         return self._alter_state(upto)[1]
+
+    def type_widening(self, upto: int | None = None) -> dict[str, str]:
+        """``{physical column: widened simpleString type}`` — declared
+        type widenings (`tx_widen_column`) in force at a version.  Full-
+        snapshot commits, latest wins, checkpoint-carried.  Files keep
+        their written (narrower) physical type; readers cast to the
+        declared type behind the scan, and every rewrite materializes
+        the wide type — the same metadata-then-migrate lifecycle as
+        dropped columns."""
+        return self._alter_state(upto)[3]
 
     def generated_cols(self, upto: int | None = None) -> dict[str, str]:
         """``{column: SQL expression}`` generated-column definitions in
@@ -468,6 +484,9 @@ class TransactionLog:
         sa = self.schema_addenda(upto=v)
         if sa:
             body["schema_addenda"] = sa
+        tw = self.type_widening(upto=v)
+        if tw:
+            body["type_widening"] = tw
         with open(tmp, "w") as f:
             json.dump(body, f)
         os.replace(tmp, self._checkpoint_path(v))
@@ -505,6 +524,19 @@ class TransactionLog:
         the add action.
         """
         renames, dropped = self.column_mapping()
+        widening = self.type_widening()
+        if widening:
+            # declared-widened columns always land at the target type:
+            # new files are born wide, old files migrate on rewrite
+            for phys, target in widening.items():
+                logical = renames.get(phys, phys)
+                if (
+                    logical in df.columns
+                    and df.schema[logical].dataType.simpleString() != target
+                ):
+                    df = df.withColumn(
+                        logical, F.col(logical).cast(target)
+                    )
         if renames or dropped:
             # every write funnels through here, so this is THE point
             # where logical frames become physical files (column
@@ -783,6 +815,49 @@ def _fill_addenda(
     return df
 
 
+def _apply_widening(
+    df: DataFrame, widening: dict, renames: dict
+) -> DataFrame:
+    """Cast declared-widened columns (`tx_widen_column`) to their target
+    type under their logical name — per file-group, AFTER mapping/fill,
+    so every group unions with a uniform schema.  Casting an already-
+    wide column is a no-op projection."""
+    for phys in sorted(widening):
+        logical = renames.get(phys, phys)
+        if logical in df.columns:
+            df = df.withColumn(
+                logical, F.col(logical).cast(widening[phys])
+            )
+    return df
+
+
+def _group_files_by_schema_sig(
+    table_path: str,
+    files: list[str],
+    addenda: dict,
+    widening: dict,
+) -> dict[tuple, list[str]]:
+    """Group files by (which declared-added columns their footer
+    carries, the physical type of each declared-widened column) — one
+    driver-side footer read per file, metadata-sized, and only on
+    tables that declared addenda/widenings.  Each group then reads with
+    a uniform schema: fills what it lacks, casts what it narrows."""
+    import pyarrow.parquet as _pq
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        schema = _pq.read_schema(os.path.join(table_path, f))
+        names = set(schema.names)
+        present = tuple(sorted(names & set(addenda)))
+        types = tuple(
+            (p, str(schema.field(p).type))
+            for p in sorted(widening)
+            if p in names
+        )
+        groups.setdefault((present, types), []).append(f)
+    return groups
+
+
 def _raw_files_scan_logical(
     spark: SparkSession,
     table_path: str,
@@ -797,6 +872,7 @@ def _raw_files_scan_logical(
     log = TransactionLog(table_path)
     renames, dropped = log.column_mapping(upto=upto)
     addenda = log.schema_addenda(upto=upto)
+    widening = log.type_widening(upto=upto)
 
     def one(fs: list[str], present: frozenset):
         df = (
@@ -807,20 +883,16 @@ def _raw_files_scan_logical(
         df = _map_to_logical(df, renames, dropped)
         if addenda:
             df = _fill_addenda(df, addenda, renames, present)
+        if widening:
+            df = _apply_widening(df, widening, renames)
         return df
 
-    if not addenda:
+    if not addenda and not widening:
         return one(list(files), frozenset())
-    import pyarrow.parquet as _pq
-
-    groups: dict[frozenset, list[str]] = {}
-    for f in files:
-        names = frozenset(
-            set(_pq.read_schema(os.path.join(table_path, f)).names)
-            & set(addenda)
-        )
-        groups.setdefault(names, []).append(f)
-    parts = [one(groups[p], p) for p in sorted(groups, key=sorted)]
+    groups = _group_files_by_schema_sig(table_path, files, addenda, widening)
+    parts = [
+        one(groups[sig], frozenset(sig[0])) for sig in sorted(groups)
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -855,7 +927,7 @@ def _read_with_dvs(
     dvmap: dict[str, str],
     merge_schema: bool = False,
     mapping_upto: int | None = None,
-    _addenda: dict | None = None,
+    _grouped: bool = False,
 ) -> DataFrame:
     """Snapshot scan of ``files`` with deletion vectors applied — the
     merge-on-read path.  Files WITHOUT a DV stream through a plain scan
@@ -875,33 +947,25 @@ def _read_with_dvs(
     so the pre-add/post-add distinction is exact per file, Delta's
     semantics."""
     log = TransactionLog(table_path)
-    addenda = (
-        log.schema_addenda(upto=mapping_upto)
-        if _addenda is None
-        else _addenda
-    )
-    if addenda:
-        import pyarrow.parquet as _pq
-
+    addenda = {} if _grouped else log.schema_addenda(upto=mapping_upto)
+    widening = {} if _grouped else log.type_widening(upto=mapping_upto)
+    if addenda or widening:
         renames, _dropped = log.column_mapping(upto=mapping_upto)
-        groups: dict[frozenset, list[str]] = {}
-        for f in files:
-            names = frozenset(
-                set(_pq.read_schema(os.path.join(table_path, f)).names)
-                & set(addenda)
-            )
-            groups.setdefault(names, []).append(f)
+        groups = _group_files_by_schema_sig(
+            table_path, files, addenda, widening
+        )
         parts = []
-        for present in sorted(groups, key=sorted):
-            fs = groups[present]
+        for sig in sorted(groups):
+            fs = groups[sig]
             sub = _read_with_dvs(
                 spark, table_path, fs,
                 {f: dvmap[f] for f in fs if f in dvmap},
                 merge_schema=merge_schema,
                 mapping_upto=mapping_upto,
-                _addenda={},
+                _grouped=True,
             )
-            sub = _fill_addenda(sub, addenda, renames, present)
+            sub = _fill_addenda(sub, addenda, renames, frozenset(sig[0]))
+            sub = _apply_widening(sub, widening, renames)
             parts.append(sub)
         out = parts[0]
         for p in parts[1:]:
@@ -986,7 +1050,11 @@ def tx_read(
             log.schema_addenda(upto=version), renames, frozenset(),
         )
     dvmap = log.dvs(upto=version)
-    if dvmap or log.schema_addenda(upto=version):
+    if (
+        dvmap
+        or log.schema_addenda(upto=version)
+        or log.type_widening(upto=version)
+    ):
         return _read_with_dvs(
             spark, table_path, files, dvmap, merge_schema=merge_schema,
             mapping_upto=version,
@@ -2624,12 +2692,17 @@ def tx_export_symlink_manifest(
             "a file-list manifest cannot express them; run tx_purge_dvs() "
             "first"
         )
-    if log.column_mapping_raw(upto=v) or log.schema_addenda(upto=v):
+    if (
+        log.column_mapping_raw(upto=v)
+        or log.schema_addenda(upto=v)
+        or log.type_widening(upto=v)
+    ):
         raise ValueError(
-            f"version {v} of {table_path} has column mapping or declared "
-            "added columns in force — external engines reading the raw "
-            "file list would see physical (pre-rename/dropped/unfilled) "
-            "columns; rewrite the table first or read via tx_read"
+            f"version {v} of {table_path} has column mapping, declared "
+            "added columns, or type widening in force — external engines "
+            "reading the raw file list would see physical (pre-rename/"
+            "dropped/unfilled/narrow) columns; rewrite the table first "
+            "or read via tx_read"
         )
     root = out_dir or os.path.join(table_path, "_symlink_format_manifest")
     os.makedirs(root, exist_ok=True)
@@ -2787,13 +2860,18 @@ def tx_export_delta_log(
             "this export writes plain add actions (no deletionVector "
             "reader feature); run tx_purge_dvs() first"
         )
-    if log.column_mapping_raw(upto=v) or log.schema_addenda(upto=v):
+    if (
+        log.column_mapping_raw(upto=v)
+        or log.schema_addenda(upto=v)
+        or log.type_widening(upto=v)
+    ):
         raise ValueError(
-            f"version {v} of {table_path} has column mapping or declared "
-            "added columns in force — this export does not emit "
-            "delta.columnMapping metadata and external readers would see "
-            "physical (pre-rename/dropped/unfilled) columns; rewrite the "
-            "table first or read via tx_read"
+            f"version {v} of {table_path} has column mapping, declared "
+            "added columns, or type widening in force — this export does "
+            "not emit delta.columnMapping/typeWidening metadata and "
+            "external readers would see physical (pre-rename/dropped/"
+            "unfilled/narrow) columns; rewrite the table first or read "
+            "via tx_read"
         )
     root = out_dir or os.path.join(table_path, "_delta_export", f"v{v:05d}")
     log_dir = os.path.join(root, "_delta_log")
@@ -2992,6 +3070,10 @@ def tx_table_schema(table_path: str) -> dict[str, str] | None:
         }
     for phys, spec in log.schema_addenda().items():
         out.setdefault(renames.get(phys, phys), spec["type"])
+    for phys, target in log.type_widening().items():
+        logical = renames.get(phys, phys)
+        if logical in out:
+            out[logical] = target  # files may still be narrower
     return out
 
 
@@ -3028,10 +3110,17 @@ def _check_schema(
     optional = {
         _ren.get(p, p) for p in _log.schema_addenda()
     }
+    # declared-widened columns accept any narrower-on-the-ladder batch
+    # type (stage_dataframe upcasts before writing)
+    widened = {
+        _ren.get(p, p): t for p, t in _log.type_widening().items()
+    }
     missing = sorted(set(table) - set(batch) - optional)
     extra = sorted(set(batch) - set(table))
     conflicts = sorted(
-        c for c in set(table) & set(batch) if table[c] != batch[c]
+        c for c in set(table) & set(batch)
+        if table[c] != batch[c]
+        and not (c in widened and _widens_to(batch[c], table[c]))
     )
     problems = []
     if missing:
@@ -3341,6 +3430,8 @@ def tx_restore(
             != log.column_mapping_raw(upto=v)
         ) or (
             log.schema_addenda(upto=version) != log.schema_addenda(upto=v)
+        ) or (
+            log.type_widening(upto=version) != log.type_widening(upto=v)
         )
         if not adds and not removes and not dv_changed and not cm_changed:
             return {
@@ -3364,6 +3455,9 @@ def tx_restore(
         sa_target = log.schema_addenda(upto=version)
         if sa_target != log.schema_addenda(upto=v):
             meta["schema_addenda"] = sa_target
+        tw_target = log.type_widening(upto=version)
+        if tw_target != log.type_widening(upto=v):
+            meta["type_widening"] = tw_target
         if log.try_commit(
             v + 1, adds, removes, op="restore",
             meta=meta,
@@ -3943,6 +4037,75 @@ def tx_rename_column(
     )
 
 
+#: lossless widening ladder (Delta's type-widening matrix, conservative
+#: subset): integral upward, float->double, integral->double
+_WIDEN_LADDER = {
+    "tinyint": ("smallint", "int", "bigint", "double"),
+    "smallint": ("int", "bigint", "double"),
+    "int": ("bigint", "double"),
+    "float": ("double",),
+}
+
+
+def _widens_to(narrow: str, wide: str) -> bool:
+    return wide in _WIDEN_LADDER.get(narrow, ())
+
+
+def tx_widen_column(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    new_type: str,
+    max_retries: int = 5,
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN col TYPE new_type`` for LOSSLESS
+    widenings (integral upward, float→double, integral→double) as ONE
+    metadata commit — Delta's type-widening feature.  No file is
+    rewritten: files keep the physical type they were written with,
+    readers group by footer type and cast behind the scan, writers may
+    supply any narrower-on-the-ladder type (upcast at staging, so new
+    files are born wide), and every rewrite migrates old files.  Zone
+    maps, Bloom filters and partition directory values are all
+    numeric/str-normalized, so data skipping survives the widening
+    unchanged.  Returns the committing version."""
+    log = TransactionLog(table_path)
+    schema = tx_table_schema(table_path)
+    if schema is None:
+        raise ValueError(f"cannot widen on empty/absent table {table_path}")
+    if col not in schema:
+        raise ValueError(f"no column {col!r} in table schema {sorted(schema)}")
+    if col == ROW_ID_COL:
+        raise ValueError(f"{ROW_ID_COL} is table-managed")
+    cur = schema[col]
+    if cur == new_type:
+        raise ValueError(f"column {col!r} is already {new_type}")
+    if not _widens_to(cur, new_type):
+        raise ValueError(
+            f"cannot widen {col!r} from {cur} to {new_type}: only "
+            f"lossless widenings are allowed "
+            f"({ {k: list(v) for k, v in _WIDEN_LADDER.items()} })"
+        )
+    for _ in range(max_retries):
+        v = log.version()
+        renames, _dropped = log.column_mapping(upto=v)
+        physical = {l: p for p, l in renames.items()}.get(col, col)
+        tw = log.type_widening(upto=v)
+        tw[physical] = new_type
+        meta: dict = {"type_widening": tw}
+        sa = log.schema_addenda(upto=v)
+        if physical in sa:
+            # widening a declared-added column updates its fill rule too
+            sa = {**sa, physical: {**sa[physical], "type": new_type}}
+            meta["schema_addenda"] = sa
+        if log.try_commit(
+            v + 1, [], [], op="widen_column", meta=meta,
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"widen_column gave up after {max_retries} commit conflicts"
+    )
+
+
 def tx_add_column(
     spark: SparkSession,
     table_path: str,
@@ -4136,6 +4299,9 @@ def tx_clone(
     sa = src.schema_addenda(upto=version)
     if sa:
         meta["schema_addenda"] = sa
+    tw = src.type_widening(upto=version)
+    if tw:
+        meta["type_widening"] = tw
     os.makedirs(clone_path, exist_ok=True)
     if not dst.try_commit(
         0, adds, [], op="clone", meta=meta or None
@@ -4228,6 +4394,7 @@ def tx_detail(table_path: str) -> dict:
         "generated_cols": log.generated_cols(upto=v),
         "column_mapping": log.column_mapping_raw(upto=v),
         "schema_addenda": log.schema_addenda(upto=v),
+        "type_widening": log.type_widening(upto=v),
         "row_id_hwm": log.row_id_hwm(upto=v),
         "checkpoint_version": ckpt[0] if ckpt else None,
     }

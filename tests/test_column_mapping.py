@@ -420,3 +420,132 @@ def test_alter_verbs_race_with_appends(spark, tmp_path):
     tx_append_partitioned(spark, batch, t, partition_by="p")
     assert tx_read(spark, t).count() == 15
     assert tx_read(spark, t).filter("lang = 'fr'").count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Type widening (ALTER COLUMN TYPE, metadata-only)
+# ---------------------------------------------------------------------------
+
+
+def test_widen_column_reads_and_writes_wide(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_widen_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(12)],
+        "id int, p int, score double",
+    )
+    tx_append_partitioned(spark, df, t, partition_by="p")
+    files0 = set(TransactionLog(t).live_files())
+    tx_widen_column(spark, t, "id", "bigint")
+    assert set(TransactionLog(t).live_files()) == files0  # no rewrite
+    got = tx_read(spark, t)
+    assert dict(got.dtypes)["id"] == "bigint"
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(12))
+    assert tx_table_schema(t)["id"] == "bigint"
+    # a narrower batch upcasts at staging; a wide batch writes as-is
+    tx_append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(12, 15)],
+            "id int, p int, score double",
+        ),
+        t, partition_by="p",
+    )
+    tx_append_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(15, 18)],
+            "id bigint, p int, score double",
+        ),
+        t, partition_by="p",
+    )
+    got = tx_read(spark, t)
+    assert dict(got.dtypes)["id"] == "bigint"
+    assert got.count() == 18
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(18))
+    # post-widen files are PHYSICALLY wide; pre-widen files still narrow
+    import pyarrow.parquet as pq
+
+    types = {
+        str(pq.read_schema(os.path.join(t, rel)).field("id").type)
+        for rel in TransactionLog(t).live_files()
+    }
+    assert types == {"int32", "int64"}
+    # rewrite migrates everything to the wide type
+    tx_compact(spark, t)
+    types = {
+        str(pq.read_schema(os.path.join(t, rel)).field("id").type)
+        for rel in TransactionLog(t).live_files()
+    }
+    assert types == {"int64"}
+    assert tx_read(spark, t).agg(F.sum("id")).collect()[0][0] == sum(range(18))
+
+
+def test_widen_guards_and_dml(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_widen_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(12)],
+        "id int, p int, score float",
+    )
+    tx_append_partitioned(spark, df, t, partition_by="p")
+    with pytest.raises(ValueError, match="lossless"):
+        tx_widen_column(spark, t, "id", "smallint")  # narrowing refused
+    with pytest.raises(ValueError, match="lossless"):
+        tx_widen_column(spark, t, "score", "int")
+    with pytest.raises(ValueError, match="no column"):
+        tx_widen_column(spark, t, "nope", "bigint")
+    tx_widen_column(spark, t, "score", "double")
+    with pytest.raises(ValueError, match="already"):
+        tx_widen_column(spark, t, "score", "double")
+    # DML over the widened view: predicate + SET keep the wide type
+    n = tx_update_where(spark, t, {"score": "score * 2"}, "id >= 6")
+    assert n == 6
+    got = tx_read(spark, t)
+    assert dict(got.dtypes)["score"] == "double"
+    assert got.filter("score >= 12").count() == 6
+    # time travel shows the narrow type before the widening
+    assert dict(tx_read(spark, t, version=0).dtypes)["score"] == "float"
+
+
+def test_widen_stacks_with_rename_addendum_and_carries(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_add_column,
+        tx_widen_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(6)], "id int, p int"
+    )
+    tx_append_partitioned(spark, df, t, partition_by="p")
+    v0 = TransactionLog(t).version()
+    tx_rename_column(spark, t, "id", "doc_id")
+    tx_widen_column(spark, t, "doc_id", "bigint")  # via the logical name
+    tx_add_column(spark, t, "views", "int", default="0")
+    tx_widen_column(spark, t, "views", "bigint")  # widen an addendum
+    got = tx_read(spark, t)
+    assert dict(got.dtypes)["doc_id"] == "bigint"
+    assert dict(got.dtypes)["views"] == "bigint"
+    assert got.filter("views = 0").count() == 6
+    log = TransactionLog(t)
+    assert log.type_widening() == {"id": "bigint", "views": "bigint"}
+    assert log.schema_addenda()["views"]["type"] == "bigint"
+    log.checkpoint()
+    assert TransactionLog(t).type_widening() == {
+        "id": "bigint", "views": "bigint",
+    }
+    c = str(tmp_path / "clone")
+    tx_clone(spark, t, c)
+    assert dict(tx_read(spark, c).dtypes)["doc_id"] == "bigint"
+    tx_restore(spark, t, v0)
+    assert dict(tx_read(spark, t).dtypes)["id"] == "int"
+    assert TransactionLog(t).type_widening() == {}
+    with pytest.raises(ValueError, match="type widening"):
+        tx_export_delta_log(c)
