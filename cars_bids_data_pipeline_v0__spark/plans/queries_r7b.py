@@ -606,3 +606,94 @@ def q259(spark, sf_dir):
         )
         .orderBy("lang", "tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# q260 — type-widening lifecycle (declare + mixed eras + DML migration)
+# ---------------------------------------------------------------------------
+
+
+def _q260_oracle() -> str:
+    return """
+    WITH final AS (
+        SELECT p_brand,
+               CASE WHEN p_partkey % 4 = 0 THEN p_size + 1000000
+                    ELSE p_size END AS sz
+        FROM part WHERE p_partkey % 2 = 0
+        UNION ALL
+        SELECT p_brand, p_size AS sz FROM part WHERE p_partkey % 2 = 1
+    )
+    SELECT p_brand,
+           count(*) AS n_parts,
+           CAST(sum(sz) AS BIGINT) AS total_size
+    FROM final GROUP BY p_brand ORDER BY p_brand
+    """
+
+
+@register(
+    "q260_type_widening_audit",
+    _q260_oracle(),
+    doc=(
+        "ALTER COLUMN TYPE (lossless widening) under the value-hash "
+        "gate: the builder appends half of part with its native int "
+        "p_size, widens p_size to bigint (one metadata commit — files "
+        "keep their int32 footers), appends the other half born wide, "
+        "then UPDATEs p_size + 1000000 for p_partkey %% 4 = 0 — DML "
+        "over the mixed-era view, whose rewrite migrates the touched "
+        "narrow files.  Per-brand counts and bigint sums must equal "
+        "DuckDB's CASE-derived end state "
+        "(sources/txlog.py::tx_widen_column, _apply_widening, "
+        "_group_files_by_schema_sig).  Scale: widening a 100 TB "
+        "table's key column is a KB of JSON, and data skipping "
+        "survives because stats and directory values are "
+        "numeric/str-normalized"
+    ),
+)
+def q260(spark, sf_dir):
+    from ..sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_read,
+        tx_update_where,
+        tx_widen_column,
+    )
+    from .queries_r7 import _scratch_path
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    path = _scratch_path(sf_dir, "q260", "part")
+    log = TransactionLog(path)
+    if log.version() < 0:
+        tx_append_partitioned(
+            spark,
+            part.filter(F.col("p_partkey") % 2 == 0),
+            path,
+            partition_by="p_brand",
+            txn={"app": "q260", "batch": 0},
+        )
+    if log.version() < 1:
+        tx_widen_column(spark, path, "p_size", "bigint")
+    if log.version() < 2:
+        tx_append_partitioned(
+            spark,
+            part.filter(F.col("p_partkey") % 2 == 1)
+            .withColumn("p_size", F.col("p_size").cast("bigint")),
+            path,
+            partition_by="p_brand",
+            txn={"app": "q260", "batch": 1},
+        )
+    if log.version() < 3:
+        tx_update_where(
+            spark, path, {"p_size": "p_size + 1000000"},
+            "p_partkey % 4 = 0",
+        )
+    return (
+        tx_read(spark, path)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").alias("total_size"),
+        )
+        .orderBy("p_brand")
+    )
