@@ -442,6 +442,9 @@ _CDF_OPS = st.lists(
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("zorder"), st.just(0)),
         st.tuples(st.just("restore"), st.just(0)),
+        st.tuples(st.just("rename"), st.just(0)),
+        st.tuples(st.just("widen"), st.just(0)),
+        st.tuples(st.just("addcol"), st.just(0)),
     ),
     min_size=1,
     max_size=6,
@@ -452,8 +455,13 @@ _CDF_OPS = st.lists(
 @given(_CDF_OPS)
 def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
     """For ANY op sequence (append / cow delete / DV delete / DV purge /
-    compact / restore), folding the change feed — inserts minus deletes,
-    as a MULTISET — equals the final snapshot.  This is the defining CDF
+    compact / restore / RENAME / WIDEN / ADD COLUMN), folding the
+    change feed — inserts minus deletes, as a MULTISET — equals the
+    final snapshot.  The ALTER verbs are pure metadata commits, so they
+    must emit NOTHING into the feed while every row before and after
+    them reads under the latest logical view (names, wide types,
+    defaults filled) — the invariant that makes incremental consumers
+    survive schema evolution.  This is the defining CDF
     invariant: if it holds, every downstream incremental consumer
     (materialized views, replicas) converges to the table.  DV ops are
     the adversarial cases: a DV delete must surface EXACTLY once, and
@@ -461,6 +469,7 @@ def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
     ALL."""
     from cars_bids_data_pipeline_v0__spark.sources.txlog import (
         TransactionLog,
+        tx_add_column,
         tx_append_partitioned,
         tx_changes,
         tx_compact,
@@ -468,12 +477,19 @@ def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
         tx_optimize_zorder,
         tx_purge_dvs,
         tx_read,
+        tx_rename_column,
         tx_restore,
+        tx_table_schema,
+        tx_widen_column,
     )
 
     tmp_path = tmp_path_factory.mktemp("cdf")
     t = str(tmp_path / "tbl")
     next_id = [0]
+
+    def idcol():
+        # the id column's CURRENT logical name (renames append an "x")
+        return next(c for c in tx_table_schema(t) if c.startswith("id"))
 
     def do(op, arg):
         log = TransactionLog(t)
@@ -482,40 +498,55 @@ def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
             next_id[0] += arg + 1
             df = spark.createDataFrame(
                 [(i, i % 2) for i in range(lo, next_id[0])],
-                "id long, p int",
+                "id int, p int",
             )
+            if log.version() >= 0:
+                df = df.withColumnRenamed("id", idcol())
+                if "extra" in tx_table_schema(t):
+                    df = df.withColumn("extra", F.lit("w"))
             tx_append_partitioned(spark, df, t, partition_by="p")
         elif op == "delete" and log.version() >= 0:
             tx_delete_where(
-                spark, t, f"id % 5 = {arg}", partition_by="p"
+                spark, t, f"{idcol()} % 5 = {arg}", partition_by="p"
             )
         elif op == "delete_dv" and log.version() >= 0:
             tx_delete_where(
-                spark, t, f"id % 7 = {arg}", partition_by="p", mode="dv"
+                spark, t, f"{idcol()} % 7 = {arg}", partition_by="p",
+                mode="dv",
             )
         elif op == "purge_dv" and log.version() >= 0:
             tx_purge_dvs(spark, t, partition_by="p")
         elif op == "compact" and log.version() >= 0:
             tx_compact(spark, t, partition_by="p")
         elif op == "zorder" and log.version() >= 0:
-            tx_optimize_zorder(spark, t, zorder_by=["id"], num_files=2)
+            tx_optimize_zorder(spark, t, zorder_by=[idcol()], num_files=2)
         elif op == "restore" and log.version() >= 1:
             tx_restore(spark, t, log.version() - 1)
+        elif op == "rename" and log.version() >= 0:
+            tx_rename_column(spark, t, idcol(), idcol() + "x")
+        elif op == "widen" and log.version() >= 0:
+            if tx_table_schema(t)[idcol()] == "int":
+                tx_widen_column(spark, t, idcol(), "bigint")
+        elif op == "addcol" and log.version() >= 0:
+            if "extra" not in tx_table_schema(t):
+                tx_add_column(spark, t, "extra", "string", default="'e'")
 
     # seed so delete/compact/restore always have a table to act on
     do("append", 3)
     for op, arg in ops:
         do(op, arg)
 
+    final = tx_read(spark, t)
+    cols = sorted(final.columns)
     snap = sorted(
-        (r["id"], r["p"]) for r in tx_read(spark, t).collect()
+        tuple(r[c] for c in cols) for r in final.collect()
     )
     ch = tx_changes(spark, t).collect()
     from collections import Counter
 
     folded = Counter()
     for r in ch:
-        key = (r["id"], r["p"])
+        key = tuple(r[c] for c in cols)
         if r["_change_type"] == "insert":
             folded[key] += 1
         else:
