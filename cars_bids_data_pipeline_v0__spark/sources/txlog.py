@@ -2845,6 +2845,13 @@ def tx_export_delta_log(
     are written temp-then-rename, so a reader never sees a torn log, and
     re-exporting an existing version is a no-op (immutability).
 
+    Tables with renames/drops in force export as Delta
+    ``columnMapping=name`` tables (reader 2 / writer 5, every schema
+    field carrying ``delta.columnMapping.physicalName``) — the files are
+    complete under pure name state, so external Delta readers resolve
+    them exactly.  Declared added columns and type widenings still
+    refuse: there the files genuinely lack/narrow data.
+
     Returns the export's table root (the directory to hand to a Delta
     reader).
     """
@@ -2860,19 +2867,18 @@ def tx_export_delta_log(
             "this export writes plain add actions (no deletionVector "
             "reader feature); run tx_purge_dvs() first"
         )
-    if (
-        log.column_mapping_raw(upto=v)
-        or log.schema_addenda(upto=v)
-        or log.type_widening(upto=v)
-    ):
+    if log.schema_addenda(upto=v) or log.type_widening(upto=v):
         raise ValueError(
-            f"version {v} of {table_path} has column mapping, declared "
-            "added columns, or type widening in force — this export does "
-            "not emit delta.columnMapping/typeWidening metadata and "
-            "external readers would see physical (pre-rename/dropped/"
-            "unfilled/narrow) columns; rewrite the table first or read "
-            "via tx_read"
+            f"version {v} of {table_path} has declared added columns or "
+            "type widening in force — the physical files genuinely lack/"
+            "narrow those columns and this export does not emit the "
+            "defaultValues/typeWidening reader features; rewrite the "
+            "table first or read via tx_read"
         )
+    # pure NAME state (renames/drops) exports fine: the files are
+    # complete and correct, only their column names differ — exactly
+    # what Delta's columnMapping=name mode describes (emitted below)
+    renames, dropped = log.column_mapping(upto=v)
     root = out_dir or os.path.join(table_path, "_delta_export", f"v{v:05d}")
     log_dir = os.path.join(root, "_delta_log")
     commit = os.path.join(log_dir, f"{0:020d}.json")
@@ -2916,12 +2922,43 @@ def tx_export_delta_log(
         schema = StructType.fromJson(json.loads(meta[_SPARK_META]))
     else:
         schema = from_arrow_schema(arrow_schema)
+    configuration: dict[str, str] = {}
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if renames or dropped:
+        # Delta columnMapping (name mode, PROTOCOL.md): every field in
+        # the schemaString carries its LOGICAL name plus the physical
+        # name readers must resolve in the parquet files; dropped
+        # physical columns simply do not appear in the schema.  Name
+        # mode requires reader 2 / writer 5.
+        from pyspark.sql.types import StructField
+
+        fields = []
+        col_id = 0
+        for f in schema.fields:
+            if f.name in dropped:
+                continue
+            col_id += 1
+            fields.append(
+                StructField(
+                    renames.get(f.name, f.name),
+                    f.dataType,
+                    f.nullable,
+                    {
+                        "delta.columnMapping.id": col_id,
+                        "delta.columnMapping.physicalName": f.name,
+                    },
+                )
+            )
+        schema = StructType(fields)
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(col_id),
+        }
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
     now_ms = int(_time.time() * 1000)
 
     lines = [
-        json.dumps(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        ),
+        json.dumps({"protocol": protocol}),
         json.dumps(
             {
                 "metaData": {
@@ -2931,7 +2968,7 @@ def tx_export_delta_log(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema.json(),
                     "partitionColumns": [],
-                    "configuration": {},
+                    "configuration": configuration,
                     "createdTime": now_ms,
                 }
             }
@@ -2983,6 +3020,7 @@ def tx_read_delta_export(spark: SparkSession, export_root: str) -> DataFrame:
     snapshot."""
     commit = os.path.join(export_root, "_delta_log", f"{0:020d}.json")
     paths: list[str] = []
+    meta_data: dict | None = None
     with open(commit) as f:
         for line in f:
             action = json.loads(line)
@@ -2992,9 +3030,30 @@ def tx_read_delta_export(spark: SparkSession, export_root: str) -> DataFrame:
                         action["add"]["path"][len("file://"):]
                     )
                 )
+            if "metaData" in action:
+                meta_data = action["metaData"]
     if not paths:
         raise ValueError(f"no add actions in {commit}")
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if (
+        meta_data is not None
+        and meta_data.get("configuration", {}).get(
+            "delta.columnMapping.mode"
+        ) == "name"
+    ):
+        # resolve physicalName -> logical name per the schemaString,
+        # exactly what a real Delta reader does in name mode; fields
+        # absent from the schema (dropped columns) are projected out
+        fields = json.loads(meta_data["schemaString"])["fields"]
+        df = df.select(
+            *[
+                F.col(
+                    f["metadata"]["delta.columnMapping.physicalName"]
+                ).alias(f["name"])
+                for f in fields
+            ]
+        )
+    return df
 
 
 def tx_register_view(

@@ -253,8 +253,6 @@ def test_raw_file_surfaces_refuse_under_mapping(spark, tmp_path):
     tx_rename_column(spark, t, "body", "text")
     with pytest.raises(ValueError, match="column mapping"):
         tx_export_symlink_manifest(t)
-    with pytest.raises(ValueError, match="column mapping"):
-        tx_export_delta_log(t)
     register_txlog_source(spark)
     with pytest.raises(Exception, match="column mapping"):
         spark.read.format("txlog").option("path", t).load().collect()
@@ -549,3 +547,40 @@ def test_widen_stacks_with_rename_addendum_and_carries(spark, tmp_path):
     assert TransactionLog(t).type_widening() == {}
     with pytest.raises(ValueError, match="type widening"):
         tx_export_delta_log(c)
+
+
+def test_delta_export_emits_column_mapping(spark, tmp_path):
+    """Pure name state (renames/drops) exports as a real Delta
+    columnMapping=name table: reader 2 / writer 5 protocol, every field
+    carrying its physicalName, dropped columns absent — and the
+    dependency-free reader resolves it back to the logical view."""
+    import json as _json
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_read_delta_export,
+    )
+
+    t = _tbl(spark, tmp_path)
+    tx_rename_column(spark, t, "body", "text")
+    tx_drop_column(spark, t, "score")
+    root = tx_export_delta_log(t)
+    commit = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    actions = [_json.loads(line) for line in open(commit)]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    md = next(a["metaData"] for a in actions if "metaData" in a)
+    assert md["configuration"]["delta.columnMapping.mode"] == "name"
+    fields = _json.loads(md["schemaString"])["fields"]
+    by_name = {f["name"]: f for f in fields}
+    assert set(by_name) == {"id", "text", "p"}  # logical; score dropped
+    assert (
+        by_name["text"]["metadata"]["delta.columnMapping.physicalName"]
+        == "body"
+    )
+    assert all(
+        "delta.columnMapping.id" in f["metadata"] for f in fields
+    )
+    got = tx_read_delta_export(spark, root)
+    assert sorted(got.columns) == ["id", "p", "text"]
+    cols = sorted(got.columns)
+    assert _rows(got.select(cols)) == _rows(tx_read(spark, t).select(cols))
