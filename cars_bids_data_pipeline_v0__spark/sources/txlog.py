@@ -4395,7 +4395,9 @@ def tx_history(spark: SparkSession, table_path: str) -> DataFrame:
         meta = act.get("meta") or {}
         changed = sorted(
             k for k in (
-                "constraints", "generated_cols", "dv_state", "row_id_hwm"
+                "constraints", "generated_cols", "dv_state", "row_id_hwm",
+                "column_mapping", "schema_addenda", "partition_spec",
+                "type_widening",
             ) if k in meta
         )
         txn = act.get("txn")
