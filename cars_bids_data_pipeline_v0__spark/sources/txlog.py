@@ -59,6 +59,25 @@ _ALTER_STATE_CACHE: dict[tuple, tuple] = {}
 _COMMIT_BODY_CACHE: dict[tuple, dict] = {}
 
 
+def _normalize_column_mapping(cm: dict | None) -> dict | None:
+    """Collapse a no-op column mapping to ``None``: identity renames
+    (physical == logical — rename-then-rename-back) carry no
+    information, and an empty mapping (a restore across a rename
+    commits ``{"renames": {}, "dropped": []}`` to RESET the latest-wins
+    state) must not read as "mapping in force" forever — the export /
+    pyds refusal sites test raw truthiness, so a truthy empty dict
+    would permanently lock a table no mapping actually constrains."""
+    if cm is None:
+        return None
+    renames = {
+        p: l for p, l in (cm.get("renames") or {}).items() if p != l
+    }
+    dropped = sorted(cm.get("dropped") or ())
+    if not renames and not dropped:
+        return None
+    return {"renames": renames, "dropped": dropped}
+
+
 class TransactionLog:
     """The filesystem-level commit log for one table path."""
 
@@ -152,7 +171,10 @@ class TransactionLog:
             live = {a["path"]: dict(a) for a in ckpt[1].get("live", [])}
         for act in self.actions(upto, since=start):
             for a in act.get("add", []):
-                live[a["path"]] = a
+                # copy: commit bodies are shared via _COMMIT_BODY_CACHE,
+                # so handing out the cached dict would let any caller
+                # mutation silently corrupt every later snapshot
+                live[a["path"]] = dict(a)
             for r in act.get("remove", []):
                 live.pop(r, None)
         return live
@@ -243,6 +265,7 @@ class TransactionLog:
                 ps = dict(m["partition_spec"])
             if "type_widening" in m:
                 tw = dict(m["type_widening"])
+        cm = _normalize_column_mapping(cm)
         if key is not None:
             if len(_ALTER_STATE_CACHE) > 8192:
                 _ALTER_STATE_CACHE.clear()
@@ -616,6 +639,14 @@ class TransactionLog:
                         # change must never let a reader prune this
                         # file against the wrong column's values
                         action["partition_col"] = partition_by
+                    # the file's PHYSICAL schema ({footer column name:
+                    # pyarrow type string}), recorded at stage time so
+                    # ALTERed-table reads (_group_files_by_schema_sig)
+                    # group from log metadata alone — one local footer
+                    # read per file at WRITE time buys zero driver-side
+                    # footer I/O on every later read of a table with
+                    # schema_addenda/type_widening in force
+                    action["cols"] = _footer_cols(src)
                     if stats_cols:
                         stats = _footer_stats(src, stats_cols)
                         if stats:
@@ -831,28 +862,63 @@ def _apply_widening(
     return df
 
 
+#: memoized parquet footer schemas, keyed (absolute path, mtime_ns,
+#: size) — data files are immutable once staged (vacuum deletes, never
+#: rewrites in place), so a footer signature can never go stale
+_FOOTER_COLS_CACHE: dict[tuple, dict[str, str]] = {}
+
+
+def _footer_cols(path: str) -> dict[str, str]:
+    """``{footer column name: pyarrow type string}`` for one parquet
+    file — the physical schema signature.  Memoized per (path, mtime,
+    size) like commit bodies, so legacy files (actions staged before
+    the ``cols`` field existed) cost one footer read per process, not
+    one per query."""
+    import pyarrow.parquet as _pq
+
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _FOOTER_COLS_CACHE:
+        return dict(_FOOTER_COLS_CACHE[key])
+    schema = _pq.read_schema(path)
+    cols = {n: str(schema.field(n).type) for n in schema.names}
+    if key is not None:
+        if len(_FOOTER_COLS_CACHE) > 65536:
+            _FOOTER_COLS_CACHE.clear()
+        _FOOTER_COLS_CACHE[key] = cols
+    return dict(cols)
+
+
 def _group_files_by_schema_sig(
     table_path: str,
     files: list[str],
     addenda: dict,
     widening: dict,
+    cols_by_file: dict[str, dict | None] | None = None,
 ) -> dict[tuple, list[str]]:
     """Group files by (which declared-added columns their footer
-    carries, the physical type of each declared-widened column) — one
-    driver-side footer read per file, metadata-sized, and only on
-    tables that declared addenda/widenings.  Each group then reads with
-    a uniform schema: fills what it lacks, casts what it narrows."""
-    import pyarrow.parquet as _pq
+    carries, the physical type of each declared-widened column) so each
+    group reads with a uniform schema: fills what it lacks, casts what
+    it narrows.
 
+    The signature comes from the add action's ``cols`` field
+    (``cols_by_file``, recorded at `stage_dataframe` time) — LOG
+    metadata, zero filesystem I/O.  Only legacy actions staged before
+    the field existed fall back to a driver-side footer read, and that
+    read is memoized per file identity (`_footer_cols`), so an ALTERed
+    100 TB table costs at most one footer pass per process ever, not
+    O(live files) serial driver I/O on every query."""
     groups: dict[tuple, list[str]] = {}
     for f in files:
-        schema = _pq.read_schema(os.path.join(table_path, f))
-        names = set(schema.names)
-        present = tuple(sorted(names & set(addenda)))
+        cols = (cols_by_file or {}).get(f)
+        if not cols:
+            cols = _footer_cols(os.path.join(table_path, f))
+        present = tuple(sorted(set(cols) & set(addenda)))
         types = tuple(
-            (p, str(schema.field(p).type))
-            for p in sorted(widening)
-            if p in names
+            (p, cols[p]) for p in sorted(widening) if p in cols
         )
         groups.setdefault((present, types), []).append(f)
     return groups
@@ -889,7 +955,13 @@ def _raw_files_scan_logical(
 
     if not addenda and not widening:
         return one(list(files), frozenset())
-    groups = _group_files_by_schema_sig(table_path, files, addenda, widening)
+    groups = _group_files_by_schema_sig(
+        table_path, files, addenda, widening,
+        cols_by_file={
+            f: a.get("cols")
+            for f, a in log.live_actions(upto=upto).items()
+        },
+    )
     parts = [
         one(groups[sig], frozenset(sig[0])) for sig in sorted(groups)
     ]
@@ -952,7 +1024,11 @@ def _read_with_dvs(
     if addenda or widening:
         renames, _dropped = log.column_mapping(upto=mapping_upto)
         groups = _group_files_by_schema_sig(
-            table_path, files, addenda, widening
+            table_path, files, addenda, widening,
+            cols_by_file={
+                f: a.get("cols")
+                for f, a in log.live_actions(upto=mapping_upto).items()
+            },
         )
         parts = []
         for sig in sorted(groups):
@@ -1271,18 +1347,35 @@ def tx_compact(
             dvmap = {f: dv for f, dv in dvmap.items() if f in live}
             if not live:
                 return 0
-        partitioned = any(p is not None for p in live.values())
+        spec = partition_by or log.partition_spec(upto=v)
+        # the spec is a LOGICAL column name; add actions record the
+        # PHYSICAL layout column (stage_dataframe inverse-renames
+        # before recording), so translate before comparing — otherwise
+        # a spec naming a renamed column reads permanently off-spec and
+        # every compaction rewrites the full table without converging
+        renames, _dropped = log.column_mapping(upto=v)
+        spec_phys = (
+            {l: p for p, l in renames.items()}.get(spec, spec)
+            if spec is not None
+            else None
+        )
+        # layout decision honors the DECLARED spec, not only existing
+        # files' partition values: an all-unpartitioned table with a
+        # freshly declared spec must MIGRATE to the spec layout here,
+        # or off_spec never clears and compaction never converges
+        partitioned = (
+            any(p is not None for p in live.values()) or spec is not None
+        )
         # already one file per partition value AND no deletion vectors to
         # materialize AND no file laid out under an out-of-spec column
         # (partition evolution: a declared-spec mismatch is itself a
         # reason to rewrite — compaction is how old layouts migrate)
         n_parts = len({p for p in live.values()}) if partitioned else 1
-        spec = partition_by or log.partition_spec(upto=v)
         acts_v = log.live_actions(upto=v)
         if partitions is not None:
             acts_v = {f: a for f, a in acts_v.items() if f in live}
-        off_spec = spec is not None and any(
-            a.get("partition_col") != spec for a in acts_v.values()
+        off_spec = spec_phys is not None and any(
+            a.get("partition_col") != spec_phys for a in acts_v.values()
         )
         if len(live) <= n_parts and not dvmap and not off_spec:
             return 0
@@ -4075,13 +4168,19 @@ def tx_rename_column(
     for _ in range(max_retries):
         v = log.version()
         renames, dropped = log.column_mapping(upto=v)
-        if new in dropped or (new in renames and renames[new] != new):
+        physical = {l: p for p, l in renames.items()}.get(old, old)
+        # colliding with a name still physically present in files is
+        # refused — EXCEPT renaming a column back to its OWN physical
+        # name (rename-then-rename-back), which retires the mapping
+        # entry instead of clashing with it
+        if new in dropped or (
+            new in renames and renames[new] != new and new != physical
+        ):
             raise ValueError(
                 f"name {new!r} still exists physically in table files "
                 "(dropped or renamed-away) — compact cannot retire it; "
                 "pick another name"
             )
-        physical = {l: p for p, l in renames.items()}.get(old, old)
         renames = {p: l for p, l in renames.items() if l != old}
         renames[physical] = new
         if log.try_commit(
