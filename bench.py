@@ -45,8 +45,15 @@ HEADLINE = [
     "q211_jaccard_df_capped",
 ]
 
-# medianed over 5 samples instead of 3 — see main()
-EXTRA_RUNS_QUERIES = ["q53_ngram_jaccard_pairs", "q56_minhash_lsh_near_dup"]
+# medianed over 5 samples instead of 3 — see main().  q211 joined in
+# round 8: its r7 reading (+35% on UNCHANGED code) was the same
+# contention-integrates-over-long-entries artifact the q53/q56 medians
+# were widened for.
+EXTRA_RUNS_QUERIES = [
+    "q53_ngram_jaccard_pairs",
+    "q56_minhash_lsh_near_dup",
+    "q211_jaccard_df_capped",
+]
 
 # timed and reported per-query but EXCLUDED from the headline total: the
 # round-1 baseline predates these entries, and the cross-round ratio must
@@ -231,6 +238,10 @@ SF1_QUERIES = [
     "q53_ngram_jaccard_pairs",
     "q56_minhash_lsh_near_dup",
     "q54_cosine_topk",
+    # round-7 governance ops on the measured curve (VERDICT r7 #5):
+    # the broadcast-eval-index and cell-scoped-prune claims as numbers
+    "q254_benchmark_decontamination",
+    "q224_semantic_dedup",
 ]
 SF1_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf1")
 SF5_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf5")
@@ -284,8 +295,11 @@ def ensure_sf1(spark, src: str = "/root/testdata/sf0.1") -> None:
 
     from pyspark.sql import functions as F
 
+    # version-tagged marker: a construction change (v2: shifted
+    # embeddings) must regenerate a cached corpus built the old way
+    tag = "derived 10x from sf0.1 v2 (shifted embeddings)"
     marker = Path(SF1_DIR) / "_GENERATED"
-    if marker.exists():
+    if marker.exists() and marker.read_text().startswith(tag):
         return
     shutil.rmtree(SF1_DIR, ignore_errors=True)
     Path(SF1_DIR).mkdir(parents=True, exist_ok=True)
@@ -295,13 +309,23 @@ def ensure_sf1(spark, src: str = "/root/testdata/sf0.1") -> None:
     e = spark.read.parquet(f"{src}/embeddings.parquet").crossJoin(
         F.broadcast(copies)
     )
+    # per-copy CIRCULAR SHIFT of the embedding (an orthogonal permutation):
+    # within-copy cosines are preserved bit-for-bit (copy 0 is the
+    # original corpus), while cross-copy cosines of the "same" vector
+    # decorrelate to the random baseline.  The earlier per-copy SCALE was
+    # cosine-invariant, which made every vector 9 exact cosine-duplicates
+    # across copies — semantic-dedup pair counts then grew ~copy² by
+    # construction, poisoning q224's scaling curve with a data artifact.
+    dim = F.size("embedding")
+    sh = F.col("__copy")
+    shifted = F.concat(
+        F.slice("embedding", sh + F.lit(1), dim - sh),
+        F.slice("embedding", F.lit(1), sh),
+    )
     e.select(
         (F.col("vec_id") + F.col("__copy").cast("long") * 10_000_000)
         .alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x: x * (1.0 + F.col("__copy").cast("float") * 1e-4),
-        ).cast("array<float>").alias("embedding"),
+        shifted.cast("array<float>").alias("embedding"),
         "label",
     ).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
 
@@ -317,7 +341,7 @@ def ensure_sf1(spark, src: str = "/root/testdata/sf0.1") -> None:
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "events"]:
         shutil.copy(f"{src}/{t}.parquet", f"{SF1_DIR}/{t}.parquet")
-    marker.write_text("derived 10x from sf0.1; see ensure_sf1()\n")
+    marker.write_text(tag + "; see ensure_sf1()\n")
 
 
 # 50× leg: the three dedup headliners only (they read nothing but

@@ -1401,17 +1401,16 @@ _DRIVER_FRONT: list[str] = []
 
 _WINDOW = 50
 
-# Pinned re-fronts (round-6 VERDICT directive 5): when spare slots exist
-# after the unproven block, these names take them FIRST — the driver
-# re-confirms the probabilistic families' deterministic portable twins
-# post-salting-guard without waiting for staleness rotation to come back
-# around.  Harmless once re-proven: their bumped last-round pushes them
-# to the back of the staleness order and the pins stop mattering.
+# Pinned re-fronts: when spare slots exist after the unproven block,
+# these names take them FIRST — used when a PROVEN query's semantics
+# changed this round and the old hash evidence no longer describes the
+# current code.  Round 8: q254 gained planted contamination (VERDICT r7
+# directive 4 — its previous driver hash certified an EMPTY answer), so
+# it must re-prove under the new non-vacuous oracle.  The round-6 pins
+# (q90–q93, post-salting-guard re-confirmation) were re-proven in r7
+# and have rotated back into normal staleness cycling.
 _REFRONT: list[str] = [
-    "q90_minhash_lsh_portable",
-    "q91_simhash_portable",
-    "q92_dup_clusters_portable",
-    "q93_embedding_near_dup_portable",
+    "q254_benchmark_decontamination",
 ]
 
 

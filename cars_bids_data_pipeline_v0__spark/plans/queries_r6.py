@@ -220,9 +220,17 @@ def q223(spark, sf_dir):
 # uses, so one clustering serves retrieval AND dedup.  Deterministic
 # survivor rule: a vector is dropped iff some SMALLER-id cell-mate
 # matches at >= threshold; its keeper is the smallest such id.
-_Q224_NLIST = 8
+_Q224_NLIST = 8   # floor; nlist scales with the corpus (see _Q224_PER_CELL)
 _Q224_TAU = 0.99  # corpus max natural cosine ~0.51; planted twins ~0.9997
 _Q224_EVERY = 20  # plant: every 20th vector re-added, perturbed, id+1e6
+# SemDeDup's pair work is |corpus|²/nlist: with a FIXED nlist that is
+# quadratic in the corpus — the paper scales k with the corpus (k≈10k
+# for LAION).  nlist = max(floor, ceil(n/256)) keeps cells ~256 vectors,
+# so pair work is ~n·256 — linear — and the cell join fans out across
+# the cluster instead of 8 hot partitions.  At sf<=0.1 (n<=2048) the
+# adaptive value equals the floor, so small-SF oracle results are
+# bit-identical to the fixed-nlist vintage.
+_Q224_PER_CELL = 256
 
 
 def _q224_oracle() -> str:
@@ -249,7 +257,11 @@ def _q224_oracle() -> str:
                list_transform(v, (x, i) -> x * (1 + 0.005 * (((i - 1) % 7) - 3)))
         FROM base WHERE id % {_Q224_EVERY} = 0
     ), cents AS (
-        SELECT id AS cid, v AS cv FROM base WHERE id < {_Q224_NLIST}
+        SELECT id AS cid, v AS cv FROM base
+        WHERE id < (SELECT greatest({_Q224_NLIST},
+                                    CAST(ceil(count(*) / {_Q224_PER_CELL}.0)
+                                         AS BIGINT))
+                    FROM base)
     ), assign AS (
         SELECT id, v, cid AS cell FROM (
             SELECT c2.id, c2.v, c.cid, row_number() OVER (
@@ -298,13 +310,29 @@ def q224(spark, sf_dir):
             "v", lambda x, i: x * (1.0 + 0.005 * ((i % 7) - 3.0))
         ).alias("v"),
     )
-    corpus = base.unionByName(planted)
+    from ..operators.dedup_docs import fan_out
 
+    # fan_out: the assignment fold (|corpus|·nlist cosines) is a narrow
+    # map — an under-partitioned parquet (one row group) would otherwise
+    # run it on two cores at 10× volume
+    corpus = fan_out(base.unionByName(planted))
+
+    # adaptive codebook size: cells stay ~_Q224_PER_CELL vectors, so the
+    # within-cell pair join is linear in the corpus, not |corpus|²/8
+    # (one bounded driver scalar + a <=nlist-row collect, never data)
+    import math as _math
+
+    n_base = base.count()
+    nlist = max(_Q224_NLIST, _math.ceil(n_base / _Q224_PER_CELL))
     cents = (
-        base.filter(F.col("vec_id") < _Q224_NLIST).orderBy("vec_id").collect()
+        base.filter(F.col("vec_id") < nlist).orderBy("vec_id").collect()
     )
     centroids = [list(r.v) for r in cents]
-    assigned = assign_cells(corpus, centroids, vec_col="v")
+    from ..cache import track_persist
+
+    # persist: both sides of the cell self-join read the assignment —
+    # without this the |corpus|·nlist cosine fold runs twice
+    assigned = track_persist(assign_cells(corpus, centroids, vec_col="v"))
 
     a = assigned.select(
         F.col("vec_id").alias("keeper"),

@@ -40,17 +40,34 @@ from .queries import _t, register
 _Q254_EVAL_MOD = 97     # doc_id % 97 == 0 -> the held-out benchmark set
 _Q254_NGRAM = 8         # long shingles: decontamination wants few false hits
 _Q254_MIN_HITS = 2      # flag a train doc at >= 2 distinct overlapping grams
+_Q254_TRAIN_MOD = 89    # doc_id % 89 == 3 -> train docs carrying the plant
+# Planted contamination (the q211 planted-adversarial-input discipline):
+# a 10-word phrase appended to every eval doc AND to a small train
+# subset, so its 3 interior 8-grams are provably shared and the oracle
+# hash certifies a NON-EMPTY flag set — a decontamination gate that has
+# only ever certified "nothing overlaps" proves nothing about finding.
+_Q254_PLANT = (
+    "galvanized zeppelin auditors certify that benchmark overlap "
+    "detection actually fires here"
+)
 
 
 @register(
     "q254_benchmark_decontamination",
     f"""
-    WITH toks AS (
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_Q254_EVAL_MOD} = 0
+                      OR doc_id % {_Q254_TRAIN_MOD} = 3
+                    THEN text || ' {_Q254_PLANT}'
+                    ELSE text END AS text
+        FROM documents
+    ), toks AS (
         SELECT doc_id,
                regexp_split_to_array(
                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                    '\\s+') AS t
-        FROM documents
+        FROM docs
     ), sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -79,14 +96,29 @@ _Q254_MIN_HITS = 2      # flag a train doc at >= 2 distinct overlapping grams
         "Benchmark decontamination: flag training documents sharing "
         ">=2 distinct 8-word shingles with the held-out eval split "
         "(doc_id % 97 == 0).  The eval inverted index is tiny and "
-        "BROADCAST, so the 100 TB train side is shingled in one "
-        "narrow scan and joined map-side — no shuffle of the corpus; "
-        "output is per-train-doc distinct (grams, eval docs) hit "
-        "counts, the audit table a data curator drops rows from"
+        "BROADCAST (genuinely-small eval suites only — a mod-split "
+        "'eval' at 100 TB would not broadcast; real benchmarks are "
+        "MBs), so the train side is shingled in one narrow scan and "
+        "joined map-side — no shuffle of the corpus; output is "
+        "per-train-doc distinct (grams, eval docs) hit counts, the "
+        "audit table a data curator drops rows from.  A planted "
+        "10-word phrase shared between eval docs and a %89 train "
+        "subset makes the hash certify FOUND contamination (q211's "
+        "planted-input discipline), not just absence"
     ),
 )
 def q254(spark, sf_dir):
-    docs = fan_out(_t(spark, sf_dir, "documents"))
+    raw = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % _Q254_EVAL_MOD == 0)
+            | (F.col("doc_id") % _Q254_TRAIN_MOD == 3),
+            F.concat(F.col("text"), F.lit(" " + _Q254_PLANT)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    docs = fan_out(raw)
     inv = docs.select(
         "doc_id", F.explode(word_shingles("text", _Q254_NGRAM)).alias("shingle")
     )

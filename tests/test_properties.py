@@ -556,6 +556,62 @@ def test_tx_changes_replay_reconstructs_snapshot(spark, tmp_path_factory, ops):
     assert replay == snap
 
 
+def test_tx_changes_midwindow_rename_end_of_window_names(
+    spark, tmp_path_factory
+):
+    """CDF × column mapping (Delta's contract, VERDICT r7 directive 6):
+    a rename INSIDE the change window must (1) report every row —
+    including pre-rename versions' rows — under the END-of-window
+    logical schema, (2) emit nothing itself, and (3) never double-
+    report across `since` pins on either side of the rename."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_changes,
+        tx_rename_column,
+        tx_update_where,
+    )
+
+    t = str(tmp_path_factory.mktemp("cdf_ren") / "tbl")
+    df0 = spark.createDataFrame(
+        [(i, f"d{i}", i % 2) for i in range(6)], "id int, body string, p int"
+    )
+    tx_append_partitioned(spark, df0, t, partition_by="p")       # v0
+    v0 = TransactionLog(t).version()
+    tx_rename_column(spark, t, "body", "text")                   # v1
+    v1 = TransactionLog(t).version()
+    df1 = spark.createDataFrame(
+        [(i, f"d{i}", i % 2) for i in range(6, 10)],
+        "id int, text string, p int",
+    )
+    tx_append_partitioned(spark, df1, t, partition_by="p")       # v2
+
+    full = tx_changes(spark, t)  # window spans the rename
+    assert "text" in full.columns and "body" not in full.columns
+    rows = full.collect()
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert len(rows) == 10  # 6 pre-rename + 4 post, each exactly once
+    pre = [r for r in rows if r["id"] < 6]
+    assert len(pre) == 6 and all(r["_commit_version"] == 0 for r in pre)
+    assert {r["text"] for r in pre} == {f"d{i}" for i in range(6)}
+
+    # since pinned BEFORE the rename: the rename emits nothing, the
+    # post-rename append reports once — and pinning AFTER the rename
+    # yields the same set (no double-report straddling the commit)
+    for since in (v0, v1):
+        ch = tx_changes(spark, t, since=since)
+        got = sorted(r["id"] for r in ch.collect())
+        assert got == [6, 7, 8, 9], f"since={since}: {got}"
+        assert "text" in ch.columns and "body" not in ch.columns
+
+    # an update of PRE-rename rows after the rename pairs under the
+    # new name (preimage value read through the end-of-window mapping)
+    tx_update_where(spark, t, {"text": "'edited'"}, "id = 1")    # v3
+    ch = tx_changes(spark, t, since=v1 + 1)
+    got = {(r["_change_type"], r["text"]) for r in ch.filter("id = 1").collect()}
+    assert got == {("delete", "d1"), ("insert", "edited")}
+
+
 # --- MERGE INTO semantics vs a pure-python reference model -----------------
 
 
