@@ -304,29 +304,51 @@ class TransactionLog:
             set(raw.get("dropped") or ()),
         )
 
+    def _commit_ts(self, v: int) -> float:
+        """Wall time of one commit — from the body's ``ts`` (memoized
+        via the shared commit-body cache), file mtime for pre-field
+        commits."""
+        cp = self._commit_path(v)
+        try:
+            st = os.stat(cp)
+            key = (cp, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = None
+        body = _COMMIT_BODY_CACHE.get(key) if key is not None else None
+        if body is None:
+            with open(cp) as f:
+                body = json.load(f)
+            if key is not None:
+                if len(_COMMIT_BODY_CACHE) > 65536:
+                    _COMMIT_BODY_CACHE.clear()
+                _COMMIT_BODY_CACHE[key] = body
+        cts = body.get("ts")
+        if cts is None:
+            cts = os.path.getmtime(cp)
+        return float(cts)
+
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution: the newest version whose commit
-        time is <= ``ts`` (Delta's rule).  Commit times are recorded in
-        the commit body at write time; a commit predating that field
-        falls back to its file's mtime.  Raises if the table's FIRST
-        commit is after ``ts`` — there is no snapshot to read."""
-        best = -1
-        for v in self.versions():
-            with open(self._commit_path(v)) as f:
-                body = json.load(f)
-            cts = body.get("ts")
-            if cts is None:
-                cts = os.path.getmtime(self._commit_path(v))
-            if float(cts) <= ts:
-                best = v
-            else:
-                break  # commit times are monotone with versions
-        if best < 0:
+        time is <= ``ts`` (Delta's rule).  Commit times are monotone
+        with versions, so this BINARY-SEARCHES the version list —
+        O(log commits) memoized body reads, not a scan-from-zero of
+        every commit file (a million-commit table resolves a timestamp
+        in ~20 reads).  Raises if the table's FIRST commit is after
+        ``ts`` — there is no snapshot to read."""
+        vs = self.versions()
+        if not vs or self._commit_ts(vs[0]) > ts:
             raise ValueError(
                 f"no snapshot of {self.path} exists at or before "
                 f"timestamp {ts}"
             )
-        return best
+        lo, hi = 0, len(vs) - 1
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if self._commit_ts(vs[mid]) <= ts:
+                lo = mid
+            else:
+                hi = mid - 1
+        return vs[lo]
 
     def schema_addenda(self, upto: int | None = None) -> dict[str, dict]:
         """``{physical column: {"type": simpleString, "default": SQL or
@@ -640,13 +662,16 @@ class TransactionLog:
                         # file against the wrong column's values
                         action["partition_col"] = partition_by
                     # the file's PHYSICAL schema ({footer column name:
-                    # pyarrow type string}), recorded at stage time so
-                    # ALTERed-table reads (_group_files_by_schema_sig)
-                    # group from log metadata alone — one local footer
-                    # read per file at WRITE time buys zero driver-side
-                    # footer I/O on every later read of a table with
-                    # schema_addenda/type_widening in force
-                    action["cols"] = _footer_cols(src)
+                    # pyarrow type string}) and row count, recorded at
+                    # stage time so ALTERed-table reads
+                    # (_group_files_by_schema_sig), DESCRIBE HISTORY,
+                    # and row-tracking id accounting all work from log
+                    # metadata alone — one local footer read per file
+                    # at WRITE time buys zero driver-side footer I/O on
+                    # every later read
+                    cols, n_rows = _footer_meta(src)
+                    action["cols"] = cols
+                    action["rows"] = n_rows
                     if stats_cols:
                         stats = _footer_stats(src, stats_cols)
                         if stats:
@@ -868,12 +893,13 @@ def _apply_widening(
 _FOOTER_COLS_CACHE: dict[tuple, dict[str, str]] = {}
 
 
-def _footer_cols(path: str) -> dict[str, str]:
-    """``{footer column name: pyarrow type string}`` for one parquet
-    file — the physical schema signature.  Memoized per (path, mtime,
-    size) like commit bodies, so legacy files (actions staged before
-    the ``cols`` field existed) cost one footer read per process, not
-    one per query."""
+def _footer_meta(path: str) -> tuple[dict[str, str], int]:
+    """``({footer column name: pyarrow type string}, num_rows)`` for one
+    parquet file — the physical schema signature plus row count, from a
+    single footer read.  Memoized per (path, mtime, size) like commit
+    bodies, so legacy files (actions staged before the ``cols``/``rows``
+    fields existed) cost one footer read per process, not one per
+    query."""
     import pyarrow.parquet as _pq
 
     try:
@@ -882,14 +908,22 @@ def _footer_cols(path: str) -> dict[str, str]:
     except OSError:
         key = None
     if key is not None and key in _FOOTER_COLS_CACHE:
-        return dict(_FOOTER_COLS_CACHE[key])
-    schema = _pq.read_schema(path)
+        cols, n = _FOOTER_COLS_CACHE[key]
+        return dict(cols), n
+    meta = _pq.ParquetFile(path)
+    schema = meta.schema_arrow
     cols = {n: str(schema.field(n).type) for n in schema.names}
+    n_rows = int(meta.metadata.num_rows)
     if key is not None:
         if len(_FOOTER_COLS_CACHE) > 65536:
             _FOOTER_COLS_CACHE.clear()
-        _FOOTER_COLS_CACHE[key] = cols
-    return dict(cols)
+        _FOOTER_COLS_CACHE[key] = (cols, n_rows)
+    return dict(cols), n_rows
+
+
+def _footer_cols(path: str) -> dict[str, str]:
+    """Schema-signature face of `_footer_meta`."""
+    return _footer_meta(path)[0]
 
 
 def _group_files_by_schema_sig(
@@ -3179,11 +3213,13 @@ def tx_register_view(
 
 
 def _staged_row_count(log: TransactionLog, adds: list[dict]) -> int:
-    """Rows in staged files, from parquet FOOTERS only (no scan)."""
-    import pyarrow.parquet as _pq
-
+    """Rows in staged files — from the add actions' recorded counts
+    (stage-time footer metadata); memoized footer fallback for actions
+    built before the field existed.  Never a data scan."""
     return sum(
-        _pq.ParquetFile(os.path.join(log.path, a["path"])).metadata.num_rows
+        a["rows"]
+        if "rows" in a
+        else _footer_meta(os.path.join(log.path, a["path"]))[1]
         for a in adds
     )
 
@@ -4470,14 +4506,13 @@ def tx_clone(
 
 def tx_history(spark: SparkSession, table_path: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per commit — version, wall time, op,
-    files added/removed, rows added (from the bytes/row metadata the add
-    actions already carry; footer fallback for pre-field commits is NOT
-    attempted: unknown reads as null rather than costing I/O), txn
-    token, and which metadata the commit changed.  Pure log read,
-    O(commits); the operational answer to 'what happened to this
-    table?' that the reference's append-only S3 layout cannot give."""
-    import pyarrow.parquet as _pq
-
+    files added/removed, rows added (from the row counts the add actions
+    carry since stage time; memoized-footer fallback for pre-field
+    commits, null if a historical file was vacuumed), txn token, and
+    which metadata the commit changed.  Pure log read, O(commits) with
+    zero file I/O on row-carrying logs; the operational answer to 'what
+    happened to this table?' that the reference's append-only S3 layout
+    cannot give."""
     log = TransactionLog(table_path)
     rows = []
     for act in log.actions():
@@ -4485,9 +4520,12 @@ def tx_history(spark: SparkSession, table_path: str) -> DataFrame:
         n_rows = 0
         rows_known = True
         for a in adds:
+            if "rows" in a:
+                n_rows += int(a["rows"])
+                continue
             full = os.path.join(table_path, a["path"])
             try:
-                n_rows += _pq.ParquetFile(full).metadata.num_rows
+                n_rows += _footer_meta(full)[1]
             except OSError:
                 rows_known = False
                 break

@@ -47,18 +47,25 @@ def _clear_caches():
 
 @pytest.fixture()
 def footer_counter(monkeypatch):
-    """Wrap pyarrow.parquet.read_schema with a call counter + path log."""
+    """Count every driver-side parquet footer open (read_schema AND
+    ParquetFile — _footer_meta uses the latter) with a path log."""
     import pyarrow.parquet as pq
 
     calls = {"n": 0, "paths": []}
-    real = pq.read_schema
+    real_rs, real_pf = pq.read_schema, pq.ParquetFile
 
-    def counting(path, *a, **kw):
+    def counting_rs(path, *a, **kw):
         calls["n"] += 1
         calls["paths"].append(str(path))
-        return real(path, *a, **kw)
+        return real_rs(path, *a, **kw)
 
-    monkeypatch.setattr(pq, "read_schema", counting)
+    def counting_pf(path, *a, **kw):
+        calls["n"] += 1
+        calls["paths"].append(str(path))
+        return real_pf(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "read_schema", counting_rs)
+    monkeypatch.setattr(pq, "ParquetFile", counting_pf)
     return calls
 
 
@@ -104,6 +111,8 @@ def test_stage_records_schema_signature(spark, tmp_path):
         assert cols is not None
         assert set(cols) == {"id", "s", "p", "q"}
         assert cols["id"] == "int32" and cols["s"] == "string"
+        assert a.get("rows", 0) > 0
+    assert sum(a["rows"] for a in acts.values()) == 6
 
 
 def test_legacy_actions_fall_back_to_memoized_footer_read(
@@ -125,6 +134,7 @@ def test_legacy_actions_fall_back_to_memoized_footer_read(
             body = json.load(f)
         for a in body.get("add", []):
             a.pop("cols", None)
+            a.pop("rows", None)
         with open(p, "w") as f:
             json.dump(body, f)
     _clear_caches()
@@ -205,6 +215,50 @@ def test_rename_then_rename_back_is_identity_mapping(spark, tmp_path):
     # and a fresh rename still works on the clean slate
     tx_rename_column(spark, t, "s", "text")
     assert "text" in tx_read(spark, t).columns
+
+
+def test_history_and_row_accounting_need_no_footer_io(
+    spark, tmp_path, footer_counter
+):
+    """DESCRIBE HISTORY and row-tracking accounting consume the row
+    counts recorded in add actions — zero driver-side footer opens on a
+    rows-carrying log."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_history
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(
+        spark, _mk(spark, 0, 8), t, partition_by="p", assign_row_ids=True
+    )
+    tx_append_partitioned(spark, _mk(spark, 8, 12), t, partition_by="p")
+    _clear_caches()
+    footer_counter["n"] = 0
+    hist = tx_history(spark, t).orderBy("version").collect()
+    assert [r["rows_added"] for r in hist] == [8, 4]
+    assert footer_counter["n"] == 0
+    # row ids continued across the appends (accounting from the log)
+    got = tx_read(spark, t)
+    ids = sorted(r["_row_id"] for r in got.collect())
+    assert ids == list(range(12))
+
+
+def test_version_at_timestamp_binary_search(spark, tmp_path):
+    """TIMESTAMP AS OF resolves by bisection over monotone commit times
+    — same answers as a linear scan at every probe point."""
+    t = str(tmp_path / "tbl")
+    log = TransactionLog(t)
+    for v in range(6):
+        adds = log.stage_dataframe(_mk(spark, v, v + 1))
+        assert log.try_commit(v, adds, [], op="append")
+    ts = [log._commit_ts(v) for v in range(6)]
+    assert ts == sorted(ts)
+    for v in range(6):
+        assert log.version_at_timestamp(ts[v]) >= v  # ties roll forward
+        if v + 1 < 6 and ts[v + 1] > ts[v]:
+            mid = (ts[v] + ts[v + 1]) / 2
+            assert log.version_at_timestamp(mid) == v
+    assert log.version_at_timestamp(ts[-1] + 60) == 5
+    with pytest.raises(ValueError, match="at or before"):
+        log.version_at_timestamp(ts[0] - 60)
 
 
 def test_live_actions_returns_copies(spark, tmp_path):
