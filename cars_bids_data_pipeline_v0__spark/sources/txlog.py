@@ -4573,6 +4573,7 @@ def tx_detail(table_path: str) -> dict:
         if a.get("partition") is not None
     })
     known_bytes = [a["bytes"] for a in acts.values() if "bytes" in a]
+    known_rows = [a["rows"] for a in acts.values() if "rows" in a]
     ckpt = log._latest_checkpoint_body()
     return {
         "table": table_path,
@@ -4580,6 +4581,11 @@ def tx_detail(table_path: str) -> dict:
         "version": v,
         "num_files": len(acts),
         "size_bytes": sum(known_bytes) if len(known_bytes) == len(acts)
+        else None,
+        # physical row count BEFORE deletion vectors (live-file sum from
+        # the stage-time metadata; None when any pre-field action lacks
+        # it — unknown must not read as a number)
+        "num_rows": sum(known_rows) if len(known_rows) == len(acts)
         else None,
         "partition_values": parts,
         "partition_spec": log.partition_spec(upto=v),
