@@ -427,3 +427,39 @@ def q264(spark, sf_dir):
         )
         .orderBy("nation_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — metadata-only COUNT(*) over the ALTER lifecycle table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q265_metadata_count",
+    """
+    SELECT CAST((SELECT count(*) FROM supplier WHERE s_suppkey % 2 = 0)
+                AS BIGINT) AS rows_v0,
+           CAST((SELECT count(*) FROM supplier
+                 WHERE s_suppkey % 10 <> 6) AS BIGINT) AS rows_now
+    """,
+    doc=(
+        "SELECT COUNT(*) from metadata alone (the Delta/Iceberg count "
+        "optimization): tx_count over the q261 lifecycle table — live "
+        "rows = sum of add-action row counts minus deletion-vector "
+        "cardinalities, a pure log replay with zero executor work — "
+        "must equal DuckDB's recount of the raw source at BOTH the "
+        "current version (post-UPDATE/DELETE, mixed int32/int64 "
+        "physical eras) and time-travelled v0.  At 100 TB this is the "
+        "difference between answering COUNT(*) in milliseconds from "
+        "KBs of JSON and scanning the table "
+        "(sources/txlog.py::tx_count)"
+    ),
+)
+def q265(spark, sf_dir):
+    from ..sources.txlog import tx_count
+
+    path = _q261_build(spark, sf_dir)
+    return spark.createDataFrame(
+        [(tx_count(path, version=0), tx_count(path))],
+        "rows_v0 long, rows_now long",
+    )

@@ -4557,6 +4557,43 @@ def tx_history(spark: SparkSession, table_path: str) -> DataFrame:
     ).orderBy(F.col("version").desc())
 
 
+def tx_count(
+    table_path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> int:
+    """Metadata-only ``SELECT COUNT(*)`` — the Delta/Iceberg count
+    optimization: live rows = Σ add-action row counts − Σ deletion-vector
+    cardinalities, resolved entirely from the commit log plus (at most)
+    the DV parquets' FOOTERS (a DV file's num_rows IS its deleted-row
+    count; DV volume is proportional to rows deleted, never table size).
+    Add actions staged before the ``rows`` field fall back to one
+    memoized data-footer read each.  At 100 TB a snapshot count is a log
+    replay and a handful of stat calls — zero executor work, no scan.
+    Supports the same time travel as `tx_read` (version= / timestamp=);
+    returns 0 for an empty or absent table."""
+    log = TransactionLog(table_path)
+    if log.version() < 0:
+        return 0
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = log.version_at_timestamp(timestamp)
+    acts = log.live_actions(upto=version)
+    total = sum(
+        a["rows"]
+        if "rows" in a
+        else _footer_meta(os.path.join(table_path, a["path"]))[1]
+        for a in acts.values()
+    )
+    deleted = sum(
+        _footer_meta(os.path.join(table_path, dv))[1]
+        for f, dv in log.dvs(upto=version).items()
+        if f in acts
+    )
+    return int(total - deleted)
+
+
 def tx_detail(table_path: str) -> dict:
     """DESCRIBE DETAIL: the current table summary in one dict — version,
     live file count/bytes, partition values, deletion vectors in force,

@@ -261,6 +261,41 @@ def test_version_at_timestamp_binary_search(spark, tmp_path):
         log.version_at_timestamp(ts[0] - 60)
 
 
+def test_tx_count_is_metadata_only_and_tracks_lifecycle(
+    spark, tmp_path, footer_counter
+):
+    """Metadata COUNT(*) equals the scan count through appends, DV
+    deletes, purge, and time travel — with zero data-file footer opens
+    on a rows-carrying log (DV footers only, bounded by deletes)."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_count,
+        tx_purge_dvs,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _mk(spark, 0, 10), t, partition_by="p")
+    v0 = TransactionLog(t).version()
+    tx_append_partitioned(spark, _mk(spark, 10, 16), t, partition_by="p")
+    tx_delete_where(spark, t, "id % 4 = 1", mode="dv")
+    _clear_caches()
+    footer_counter["paths"].clear()
+    for version in (None, v0):
+        assert tx_count(t, version=version) == tx_read(
+            spark, t, version=version
+        ).count()
+    data_files = set(TransactionLog(t).live_files())
+    opened = {
+        os.path.relpath(p, t) for p in footer_counter["paths"]
+        if p.startswith(t)
+    }
+    assert not (opened & data_files)  # only DV footers were opened
+    tx_purge_dvs(spark, t, partition_by="p")
+    assert tx_count(t) == tx_read(spark, t).count()
+    with pytest.raises(ValueError, match="version OR timestamp"):
+        tx_count(t, version=0, timestamp=1.0)
+    assert tx_count(str(tmp_path / "absent")) == 0
+
+
 def test_live_actions_returns_copies(spark, tmp_path):
     """ADVICE r7: mutating a returned action must not corrupt later
     snapshots (commit bodies are shared via the module cache)."""
