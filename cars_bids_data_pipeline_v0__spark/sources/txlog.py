@@ -3110,8 +3110,17 @@ def tx_export_delta_log(
             }
         ),
     ]
+    acts = log.live_actions(upto=v)
     for rel in live:
         abspath = os.path.abspath(os.path.join(table_path, rel))
+        # Delta per-file statistics (spec: a JSON STRING under add.stats)
+        # — numRecords from the stage-time row count the action carries
+        # (memoized footer fallback for pre-field actions); real Delta
+        # readers use it for metadata-only COUNT(*) exactly like
+        # tx_count does
+        n_rows = acts.get(rel, {}).get("rows")
+        if n_rows is None:
+            n_rows = _footer_meta(abspath)[1]
         lines.append(
             json.dumps(
                 {
@@ -3124,6 +3133,7 @@ def tx_export_delta_log(
                             os.path.getmtime(abspath) * 1000
                         ),
                         "dataChange": True,
+                        "stats": json.dumps({"numRecords": int(n_rows)}),
                     }
                 }
             )

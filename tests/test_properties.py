@@ -612,6 +612,106 @@ def test_tx_changes_midwindow_rename_end_of_window_names(
     assert got == {("delete", "d1"), ("insert", "edited")}
 
 
+# --- compaction convergence under spec/rename churn -------------------------
+
+_COMPACT_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append_flat"), st.integers(0, 2)),
+        st.tuples(st.just("append_part"), st.integers(0, 2)),
+        st.tuples(st.just("spec_p"), st.just(0)),
+        st.tuples(st.just("spec_none"), st.just(0)),
+        st.tuples(st.just("rename_p"), st.just(0)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_COMPACT_OPS)
+def test_tx_compact_converges_under_spec_churn(
+    spark, tmp_path_factory, ops
+):
+    """For ANY interleaving of flat/partitioned appends, spec
+    declarations (including explicit-unpartitioned), a layout-column
+    rename, and compactions: one final tx_compact reaches a FIXPOINT —
+    the very next compact is a no-op — and the data survives byte-for-
+    byte.  Pins the round-8 ADVICE fixes: spec-driven migration of
+    all-unpartitioned tables, and the logical→physical translation of
+    a spec naming a renamed column (either would otherwise
+    rewrite-forever)."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_append_partitioned,
+        tx_compact,
+        tx_read,
+        tx_rename_column,
+        tx_set_partition_spec,
+        tx_table_schema,
+    )
+
+    t = str(tmp_path_factory.mktemp("cmp") / "tbl")
+    next_id = [0]
+
+    def pcol():
+        sch = tx_table_schema(t)
+        return next(
+            (c for c in (sch or {}) if c.startswith("p")), "p"
+        )
+
+    def do(op, arg):
+        log = TransactionLog(t)
+        if op.startswith("append"):
+            lo = next_id[0]
+            next_id[0] += arg + 1
+            df = spark.createDataFrame(
+                [(i, i % 2) for i in range(lo, next_id[0])],
+                "id int, p int",
+            )
+            if log.version() >= 0:
+                df = df.withColumnRenamed("p", pcol())
+            if op == "append_flat":
+                adds = log.stage_dataframe(df)
+                for _ in range(5):
+                    if log.try_commit(
+                        log.version() + 1, adds, [], op="append"
+                    ):
+                        return
+                raise AssertionError("flat append could not commit")
+            tx_append_partitioned(spark, df, t, partition_by=pcol())
+        elif log.version() < 0:
+            return  # ALTER verbs need a table
+        elif op == "spec_p":
+            tx_set_partition_spec(spark, t, pcol())
+        elif op == "spec_none":
+            tx_set_partition_spec(spark, t, None)
+        elif op == "rename_p":
+            cur = pcol()
+            spec = TransactionLog(t).partition_spec()
+            layout = {
+                a.get("partition_col")
+                for a in TransactionLog(t).live_actions().values()
+                if a.get("partition_col") is not None
+            }
+            if cur != spec and cur not in layout:
+                tx_rename_column(spark, t, cur, cur + "x")
+        elif op == "compact":
+            tx_compact(spark, t)
+
+    do("append_flat", 2)  # seed
+    for op, arg in ops:
+        do(op, arg)
+
+    before = sorted(
+        tuple(r) for r in tx_read(spark, t).collect()
+    )
+    tx_compact(spark, t)  # reach the fixpoint...
+    assert tx_compact(spark, t) == 0  # ...and STAY there
+    after = sorted(tuple(r) for r in tx_read(spark, t).collect())
+    assert after == before
+
+
 # --- MERGE INTO semantics vs a pure-python reference model -----------------
 
 

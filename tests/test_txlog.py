@@ -964,6 +964,12 @@ def test_tx_export_delta_log_shape_and_roundtrip(spark, silver, tmp_path):
         assert add["path"].startswith("file://")
         assert add["partitionValues"] == {}
         assert add["size"] > 0 and add["dataChange"] is True
+    # per-file stats (spec: JSON string): numRecords sums to the
+    # snapshot row count — the metadata-only COUNT(*) a Delta reader
+    # (and tx_count) resolves without scanning
+    assert sum(
+        _json.loads(a["stats"])["numRecords"] for a in adds
+    ) == tx_read(spark, table).count()
 
     # round-trip: the add URIs resolve to exactly the live snapshot
     got = {
