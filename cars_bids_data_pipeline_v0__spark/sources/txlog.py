@@ -1605,6 +1605,30 @@ def checkpoint_epoch_app_id(stream_id: str, checkpoint_dir: str) -> str:
         return f"{stream_id}:{f.read().strip()}"
 
 
+def tx_auto_checkpoint(table_path: str, every: int = 20) -> int | None:
+    """Checkpoint iff the log has grown ``every`` commits past the
+    newest checkpoint (Delta's ``checkpointInterval`` policy).  The
+    decision is one directory listing + the existing checkpoint lookup;
+    a no-op costs no reads of commit bodies.  Returns the checkpointed
+    version, or ``None`` when nothing was due.
+
+    Matters wherever commit count grows without bound — streaming
+    sinks above all: without periodic checkpoints a year-old ingest
+    table replays every commit it ever made on each snapshot assembly,
+    with them replay is O(every).  Safe concurrently with writers
+    (checkpoints derive from an already-committed prefix; see
+    `TransactionLog.checkpoint`)."""
+    log = TransactionLog(table_path)
+    v = log.version()
+    if v < 0:
+        return None
+    ckpt = log._latest_checkpoint_body(v)
+    base = ckpt[0] if ckpt is not None else -1
+    if v - base < every:
+        return None
+    return log.checkpoint()
+
+
 def tx_stream_merge_sink(
     table_path: str,
     key: str = "auction_id",
@@ -1614,6 +1638,7 @@ def tx_stream_merge_sink(
     export_manifest: bool = False,
     export_delta: bool = False,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int | None = 20,
 ):
     """Exactly-once streaming merge sink: a ``foreachBatch`` function whose
     every micro-batch is one fenced transactional merge.
@@ -1687,6 +1712,11 @@ def tx_stream_merge_sink(
                 os.path.join(table_path, "_delta_export"),
                 os.path.basename(root),
             )
+        # bound log replay for long-lived streams: a checkpoint every
+        # `checkpoint_every` commits keeps snapshot assembly O(interval)
+        # no matter how many batches the stream has ever committed
+        if checkpoint_every is not None and v >= 0:
+            tx_auto_checkpoint(table_path, every=checkpoint_every)
 
     return process
 
@@ -1701,6 +1731,7 @@ def tx_stream_cdc_apply_sink(
     checkpoint_dir: str | None = None,
     partition_by: str | None = None,
     guard_sequence: bool = True,
+    checkpoint_every: int | None = 20,
 ):
     """Exactly-once CDC APPLY sink: a ``foreachBatch`` function that folds
     a change stream (rows tagged ``op_col`` ∈ {insert/update/…,
@@ -1782,6 +1813,8 @@ def tx_stream_cdc_apply_sink(
             partition_by=partition_by,
             txn={"app": app_id, "batch": int(batch_id)},
         )
+        if checkpoint_every is not None:
+            tx_auto_checkpoint(table_path, every=checkpoint_every)
 
     return process
 

@@ -296,6 +296,31 @@ def test_tx_count_is_metadata_only_and_tracks_lifecycle(
     assert tx_count(str(tmp_path / "absent")) == 0
 
 
+def test_auto_checkpoint_policy(spark, tmp_path):
+    """tx_auto_checkpoint fires only when the log grew `every` commits
+    past the newest checkpoint — bounded replay for unbounded streams,
+    a metadata no-op otherwise."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_auto_checkpoint,
+    )
+
+    t = str(tmp_path / "tbl")
+    assert tx_auto_checkpoint(t) is None  # absent table: no-op
+    log = TransactionLog(t)
+    for v in range(5):
+        adds = log.stage_dataframe(_mk(spark, v, v + 1))
+        assert log.try_commit(v, adds, [], op="append")
+    assert tx_auto_checkpoint(t, every=10) is None  # not due yet
+    assert tx_auto_checkpoint(t, every=3) == 4      # due: checkpoints v4
+    assert tx_auto_checkpoint(t, every=3) is None   # just checkpointed
+    for v in range(5, 8):
+        adds = log.stage_dataframe(_mk(spark, v, v + 1))
+        assert log.try_commit(v, adds, [], op="append")
+    assert tx_auto_checkpoint(t, every=3) == 7      # grew 3 past base
+    # reads replay from the checkpoint and still see everything
+    assert tx_read(spark, t).count() == 8
+
+
 def test_live_actions_returns_copies(spark, tmp_path):
     """ADVICE r7: mutating a returned action must not corrupt later
     snapshots (commit bodies are shared via the module cache)."""
