@@ -764,7 +764,11 @@ class TransactionLog:
                 pass
 
     def vacuum(
-        self, keep_history: bool = True, dry_run: bool = False
+        self,
+        keep_history: bool = True,
+        dry_run: bool = False,
+        retention_hours: float | None = None,
+        now: float | None = None,
     ) -> int | list[str]:
         """Delete unreferenced data files: always the orphans of failed
         commits; with ``keep_history=False`` also files removed as of the
@@ -772,17 +776,47 @@ class TransactionLog:
         number of files deleted — or, with ``dry_run=True``, the
         would-be-deleted relative paths WITHOUT touching anything (the
         operational safety valve every retention runbook starts with).
+
+        ``retention_hours`` is the production middle ground — Delta's
+        ``VACUUM ... RETAIN N HOURS`` tombstone-expiry rule: a file is
+        deleted iff it is not live AND its newest REMOVE commit is older
+        than the window (a later re-add — e.g. a restore — clears the
+        tombstone).  Time travel to any snapshot within the window keeps
+        working; older snapshots referencing expired files fail loudly
+        (`tx_restore`/`tx_changes` check before acting).  Takes
+        precedence over ``keep_history``; pass ``now`` to pin the clock
+        (tests).
+
         Run only when no writer is mid-commit (standard retention
         caveat).  NOTE: a shallow clone (`tx_clone`) references this
-        table's files by absolute path; vacuuming the SOURCE with
-        ``keep_history=False`` can break clones — the documented
+        table's files by absolute path; vacuuming the SOURCE beyond its
+        clones' needs can break them — the documented
         Delta-shallow-clone caveat."""
         ever = {
             a["path"]
             for act in self.actions()
             for a in act.get("add", [])
         }
-        keep = ever if keep_history else set(self.live_files())
+        if retention_hours is not None:
+            import time as _time
+
+            cutoff = (
+                now if now is not None else _time.time()
+            ) - retention_hours * 3600.0
+            # newest remove time per file, cleared by any later re-add
+            removed_at: dict[str, float] = {}
+            for act in self.actions():
+                ts = act.get("ts")
+                if ts is None:
+                    ts = self._commit_ts(int(act["version"]))
+                for a in act.get("add", []):
+                    removed_at.pop(a["path"], None)
+                for r in act.get("remove", []):
+                    removed_at[r] = float(ts)
+            expired = {f for f, t in removed_at.items() if t < cutoff}
+            keep = ever - expired
+        else:
+            keep = ever if keep_history else set(self.live_files())
         deleted = 0
         victims: list[str] = []
         if os.path.isdir(self.data_dir):
@@ -798,14 +832,30 @@ class TransactionLog:
         # ever referenced (any commit's dv_state snapshot or a surviving
         # checkpoint) with history, only the in-force set without
         ever_dv: set[str] = set()
+        dv_removed_at: dict[str, float] = {}
+        prev_dvs: set[str] = set()
         for act in self.actions():
             m = act.get("meta")
             if m and "dv_state" in m:
-                ever_dv |= set(m["dv_state"].values())
+                cur = set(m["dv_state"].values())
+                ever_dv |= cur
+                ts = act.get("ts")
+                if ts is None:
+                    ts = self._commit_ts(int(act["version"]))
+                for dv in prev_dvs - cur:
+                    dv_removed_at[dv] = float(ts)
+                for dv in cur:
+                    dv_removed_at.pop(dv, None)
+                prev_dvs = cur
         ckpt = self._latest_checkpoint_body()
         if ckpt is not None:
             ever_dv |= set(ckpt[1].get("dvs", {}).values())
-        keep_dv = ever_dv if keep_history else set(self.dvs().values())
+        if retention_hours is not None:
+            keep_dv = ever_dv - {
+                dv for dv, t in dv_removed_at.items() if t < cutoff
+            }
+        else:
+            keep_dv = ever_dv if keep_history else set(self.dvs().values())
         dv_dir = os.path.join(self.path, _DV_DIR)
         if os.path.isdir(dv_dir):
             for name in os.listdir(dv_dir):

@@ -321,6 +321,53 @@ def test_auto_checkpoint_policy(spark, tmp_path):
     assert tx_read(spark, t).count() == 8
 
 
+def test_vacuum_retention_window(spark, tmp_path):
+    """VACUUM RETAIN N HOURS (Delta's tombstone-expiry rule): files
+    removed longer ago than the window are deleted, files removed
+    inside it (and live files) survive, and a re-add clears the
+    tombstone.  The clock is pinned via `now` for determinism."""
+    t = str(tmp_path / "tbl")
+    log = TransactionLog(t)
+    a0 = log.stage_dataframe(_mk(spark, 0, 4))
+    assert log.try_commit(0, a0, [], op="append")
+    old_files = [a["path"] for a in a0]
+    a1 = log.stage_dataframe(_mk(spark, 0, 4))
+    # v1 rewrites: removes v0's files (their tombstone time = v1's ts)
+    assert log.try_commit(1, a1, old_files, op="replace")
+    t1 = log._commit_ts(1)
+    # window still covers the remove: nothing to delete
+    assert log.vacuum(retention_hours=1.0, now=t1 + 60, dry_run=True) == []
+    # window expired: exactly the removed files are listed, then deleted
+    victims = log.vacuum(
+        retention_hours=1.0, now=t1 + 7200, dry_run=True
+    )
+    assert sorted(victims) == sorted(old_files)
+    assert log.vacuum(retention_hours=1.0, now=t1 + 7200) == len(old_files)
+    assert tx_read(spark, t).count() == 4  # live snapshot intact
+    # live files never expire no matter how old
+    assert log.vacuum(retention_hours=0.0, now=t1 + 10**9) == 0
+
+
+def test_vacuum_retention_readd_clears_tombstone(spark, tmp_path):
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned,
+        tx_restore,
+    )
+
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _mk(spark, 0, 4), t, partition_by="p")
+    log = TransactionLog(t)
+    v0_files = sorted(log.live_files())
+    a1 = log.stage_dataframe(_mk(spark, 0, 4))
+    assert log.try_commit(1, a1, v0_files, op="replace")
+    tx_restore(spark, t, 0)  # re-adds v0's files: tombstones cleared
+    t2 = TransactionLog(t)._commit_ts(2)
+    assert TransactionLog(t).vacuum(
+        retention_hours=0.0, now=t2 + 10**9, dry_run=True
+    ) == sorted(a["path"] for a in a1)  # only v1's files expire
+    assert tx_read(spark, t).count() == 4
+
+
 def test_live_actions_returns_copies(spark, tmp_path):
     """ADVICE r7: mutating a returned action must not corrupt later
     snapshots (commit bodies are shared via the module cache)."""
