@@ -42,8 +42,8 @@ _Q254_NGRAM = 8         # long shingles: decontamination wants few false hits
 _Q254_MIN_HITS = 2      # flag a train doc at >= 2 distinct overlapping grams
 _Q254_TRAIN_MOD = 89    # doc_id % 89 == 3 -> train docs carrying the plant
 # Planted contamination (the q211 planted-adversarial-input discipline):
-# a 10-word phrase appended to every eval doc AND to a small train
-# subset, so its 3 interior 8-grams are provably shared and the oracle
+# an 11-word phrase appended to every eval doc AND to a small train
+# subset, so its 4 interior 8-grams are provably shared and the oracle
 # hash certifies a NON-EMPTY flag set — a decontamination gate that has
 # only ever certified "nothing overlaps" proves nothing about finding.
 _Q254_PLANT = (
@@ -102,7 +102,7 @@ _Q254_PLANT = (
         "joined map-side — no shuffle of the corpus; output is "
         "per-train-doc distinct (grams, eval docs) hit counts, the "
         "audit table a data curator drops rows from.  A planted "
-        "10-word phrase shared between eval docs and a %89 train "
+        "11-word phrase shared between eval docs and a %89 train "
         "subset makes the hash certify FOUND contamination (q211's "
         "planted-input discipline), not just absence"
     ),

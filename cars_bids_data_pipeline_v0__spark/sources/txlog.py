@@ -58,6 +58,41 @@ _ALTER_STATE_CACHE: dict[tuple, tuple] = {}
 #: (commit path, mtime_ns, size) -> parsed commit body (shared, read-only)
 _COMMIT_BODY_CACHE: dict[tuple, dict] = {}
 
+#: (checkpoint path, mtime_ns, size) -> parsed checkpoint body (shared,
+#: read-only — checkpoints are written once via atomic rename)
+_CHECKPOINT_BODY_CACHE: dict[tuple, dict] = {}
+
+
+def _load_json_cached(path: str, cache: dict[tuple, dict]) -> dict:
+    """Parse a write-once JSON file, memoized per (path, mtime, size).
+    CONTRACT: callers must treat the returned body as immutable — it is
+    shared process-wide (hand out copies via `_copy_tree`)."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    body = cache.get(key) if key is not None else None
+    if body is None:
+        with open(path) as f:
+            body = json.load(f)
+        if key is not None:
+            if len(cache) > 65536:
+                cache.clear()
+            cache[key] = body
+    return body
+
+
+def _copy_tree(v):
+    """Deep copy of a JSON tree (dicts/lists/scalars) — what
+    `live_actions` hands out, so no caller mutation however nested can
+    reach the shared commit-body / checkpoint caches."""
+    if isinstance(v, dict):
+        return {k: _copy_tree(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_copy_tree(x) for x in v]
+    return v
+
 
 def _normalize_column_mapping(cm: dict | None) -> dict | None:
     """Collapse a no-op column mapping to ``None``: identity renames
@@ -121,21 +156,9 @@ class TransactionLog:
                 continue
             if upto is not None and v > upto:
                 break
-            cp = self._commit_path(v)
-            try:
-                st = os.stat(cp)
-                key = (cp, st.st_mtime_ns, st.st_size)
-            except OSError:
-                key = None
-            body = _COMMIT_BODY_CACHE.get(key) if key is not None else None
-            if body is None:
-                with open(cp) as f:
-                    body = json.load(f)
-                if key is not None:
-                    if len(_COMMIT_BODY_CACHE) > 65536:
-                        _COMMIT_BODY_CACHE.clear()
-                    _COMMIT_BODY_CACHE[key] = body
-            out.append(body)
+            out.append(
+                _load_json_cached(self._commit_path(v), _COMMIT_BODY_CACHE)
+            )
         return out
 
     def live_files(self, upto: int | None = None) -> dict[str, str | None]:
@@ -168,13 +191,16 @@ class TransactionLog:
         ckpt = self._latest_checkpoint_body(upto)
         if ckpt is not None:
             start = ckpt[0]
-            live = {a["path"]: dict(a) for a in ckpt[1].get("live", [])}
+            live = {
+                a["path"]: _copy_tree(a) for a in ckpt[1].get("live", [])
+            }
         for act in self.actions(upto, since=start):
             for a in act.get("add", []):
-                # copy: commit bodies are shared via _COMMIT_BODY_CACHE,
-                # so handing out the cached dict would let any caller
+                # DEEP copy: commit bodies are shared via the module
+                # caches, so handing out the cached dict (or its nested
+                # cols/stats/bloom sub-dicts) would let any caller
                 # mutation silently corrupt every later snapshot
-                live[a["path"]] = dict(a)
+                live[a["path"]] = _copy_tree(a)
             for r in act.get("remove", []):
                 live.pop(r, None)
         return live
@@ -309,19 +335,7 @@ class TransactionLog:
         via the shared commit-body cache), file mtime for pre-field
         commits."""
         cp = self._commit_path(v)
-        try:
-            st = os.stat(cp)
-            key = (cp, st.st_mtime_ns, st.st_size)
-        except OSError:
-            key = None
-        body = _COMMIT_BODY_CACHE.get(key) if key is not None else None
-        if body is None:
-            with open(cp) as f:
-                body = json.load(f)
-            if key is not None:
-                if len(_COMMIT_BODY_CACHE) > 65536:
-                    _COMMIT_BODY_CACHE.clear()
-                _COMMIT_BODY_CACHE[key] = body
+        body = _load_json_cached(cp, _COMMIT_BODY_CACHE)
         cts = body.get("ts")
         if cts is None:
             cts = os.path.getmtime(cp)
@@ -438,13 +452,12 @@ class TransactionLog:
     def _checkpoint_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
 
-    def _latest_checkpoint_body(
-        self, upto: int | None = None
-    ) -> tuple[int, dict] | None:
-        """Newest readable checkpoint body at or below ``upto``."""
+    def _checkpoint_versions(self) -> list[int]:
+        """Checkpoint versions newest-first, from filenames alone —
+        no body is opened."""
         if not os.path.isdir(self.log_dir):
-            return None
-        versions = sorted(
+            return []
+        return sorted(
             (
                 int(n.split(".")[0])
                 for n in os.listdir(self.log_dir)
@@ -452,13 +465,23 @@ class TransactionLog:
             ),
             reverse=True,
         )
-        for v in versions:
+
+    def _latest_checkpoint_body(
+        self, upto: int | None = None
+    ) -> tuple[int, dict] | None:
+        """Newest readable checkpoint body at or below ``upto`` —
+        parsed bodies memoized per file identity (checkpoints are
+        write-once via atomic rename), so replay-start lookups on the
+        hot read path cost a stat + dict hit, not a JSON parse of the
+        full live-file list.  CONTRACT: treat the body as immutable."""
+        for v in self._checkpoint_versions():
             if upto is not None and v > upto:
                 continue
             try:
-                with open(self._checkpoint_path(v)) as f:
-                    return v, json.load(f)
-            except (OSError, json.JSONDecodeError):
+                return v, _load_json_cached(
+                    self._checkpoint_path(v), _CHECKPOINT_BODY_CACHE
+                )
+            except (OSError, json.JSONDecodeError, ValueError):
                 continue  # torn checkpoint: fall back to older one / replay
         return None
 
@@ -669,7 +692,7 @@ class TransactionLog:
                     # metadata alone — one local footer read per file
                     # at WRITE time buys zero driver-side footer I/O on
                     # every later read
-                    cols, n_rows = _footer_meta(src)
+                    cols, n_rows = _footer_meta(src, memo=False)
                     action["cols"] = cols
                     action["rows"] = n_rows
                     if stats_cols:
@@ -792,29 +815,44 @@ class TransactionLog:
         table's files by absolute path; vacuuming the SOURCE beyond its
         clones' needs can break them — the documented
         Delta-shallow-clone caveat."""
-        ever = {
-            a["path"]
-            for act in self.actions()
-            for a in act.get("add", [])
-        }
-        if retention_hours is not None:
+        # ONE pass over the (memoized) action stream builds everything
+        # the file and DV retention decisions need
+        ever: set[str] = set()
+        removed_at: dict[str, float] = {}
+        ever_dv: set[str] = set()
+        dv_removed_at: dict[str, float] = {}
+        prev_dvs: set[str] = set()
+        retained = retention_hours is not None
+        for act in self.actions():
+            ts = None
+            if retained:
+                ts = act.get("ts")
+                if ts is None:
+                    ts = self._commit_ts(int(act["version"]))
+            for a in act.get("add", []):
+                ever.add(a["path"])
+                removed_at.pop(a["path"], None)
+            if retained:
+                # newest remove time per file, cleared by a later re-add
+                for r in act.get("remove", []):
+                    removed_at[r] = float(ts)
+            m = act.get("meta")
+            if m and "dv_state" in m:
+                cur = set(m["dv_state"].values())
+                ever_dv |= cur
+                if retained:
+                    for dv in prev_dvs - cur:
+                        dv_removed_at[dv] = float(ts)
+                    for dv in cur:
+                        dv_removed_at.pop(dv, None)
+                prev_dvs = cur
+        if retained:
             import time as _time
 
             cutoff = (
                 now if now is not None else _time.time()
             ) - retention_hours * 3600.0
-            # newest remove time per file, cleared by any later re-add
-            removed_at: dict[str, float] = {}
-            for act in self.actions():
-                ts = act.get("ts")
-                if ts is None:
-                    ts = self._commit_ts(int(act["version"]))
-                for a in act.get("add", []):
-                    removed_at.pop(a["path"], None)
-                for r in act.get("remove", []):
-                    removed_at[r] = float(ts)
-            expired = {f for f, t in removed_at.items() if t < cutoff}
-            keep = ever - expired
+            keep = ever - {f for f, t in removed_at.items() if t < cutoff}
         else:
             keep = ever if keep_history else set(self.live_files())
         deleted = 0
@@ -831,26 +869,10 @@ class TransactionLog:
         # deletion-vector files follow the same retention rule: every DV
         # ever referenced (any commit's dv_state snapshot or a surviving
         # checkpoint) with history, only the in-force set without
-        ever_dv: set[str] = set()
-        dv_removed_at: dict[str, float] = {}
-        prev_dvs: set[str] = set()
-        for act in self.actions():
-            m = act.get("meta")
-            if m and "dv_state" in m:
-                cur = set(m["dv_state"].values())
-                ever_dv |= cur
-                ts = act.get("ts")
-                if ts is None:
-                    ts = self._commit_ts(int(act["version"]))
-                for dv in prev_dvs - cur:
-                    dv_removed_at[dv] = float(ts)
-                for dv in cur:
-                    dv_removed_at.pop(dv, None)
-                prev_dvs = cur
         ckpt = self._latest_checkpoint_body()
         if ckpt is not None:
             ever_dv |= set(ckpt[1].get("dvs", {}).values())
-        if retention_hours is not None:
+        if retained:
             keep_dv = ever_dv - {
                 dv for dv, t in dv_removed_at.items() if t < cutoff
             }
@@ -943,23 +965,26 @@ def _apply_widening(
 _FOOTER_COLS_CACHE: dict[tuple, dict[str, str]] = {}
 
 
-def _footer_meta(path: str) -> tuple[dict[str, str], int]:
+def _footer_meta(path: str, memo: bool = True) -> tuple[dict[str, str], int]:
     """``({footer column name: pyarrow type string}, num_rows)`` for one
     parquet file — the physical schema signature plus row count, from a
     single footer read.  Memoized per (path, mtime, size) like commit
     bodies, so legacy files (actions staged before the ``cols``/``rows``
     fields existed) cost one footer read per process, not one per
-    query."""
+    query.  ``memo=False`` for throwaway paths (staging temp dirs) so
+    dead entries never pollute the cache toward its clear-all bound."""
     import pyarrow.parquet as _pq
 
-    try:
-        st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = None
-    if key is not None and key in _FOOTER_COLS_CACHE:
-        cols, n = _FOOTER_COLS_CACHE[key]
-        return dict(cols), n
+    key = None
+    if memo:
+        try:
+            st = os.stat(path)
+            key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        except OSError:
+            pass
+        if key is not None and key in _FOOTER_COLS_CACHE:
+            cols, n = _FOOTER_COLS_CACHE[key]
+            return dict(cols), n
     meta = _pq.ParquetFile(path)
     schema = meta.schema_arrow
     cols = {n: str(schema.field(n).type) for n in schema.names}
@@ -1672,8 +1697,11 @@ def tx_auto_checkpoint(table_path: str, every: int = 20) -> int | None:
     v = log.version()
     if v < 0:
         return None
-    ckpt = log._latest_checkpoint_body(v)
-    base = ckpt[0] if ckpt is not None else -1
+    # filename-only version check: the per-batch no-op never opens a
+    # checkpoint body (which is O(live files) of JSON)
+    base = next(
+        (cv for cv in log._checkpoint_versions() if cv <= v), -1
+    )
     if v - base < every:
         return None
     return log.checkpoint()
@@ -4665,22 +4693,31 @@ def tx_count(
     replay and a handful of stat calls — zero executor work, no scan.
     Supports the same time travel as `tx_read` (version= / timestamp=);
     returns 0 for an empty or absent table."""
+    if timestamp is not None and version is not None:
+        raise ValueError("pass version OR timestamp, not both")
     log = TransactionLog(table_path)
     if log.version() < 0:
         return 0
     if timestamp is not None:
-        if version is not None:
-            raise ValueError("pass version OR timestamp, not both")
         version = log.version_at_timestamp(timestamp)
+
+    def footer_rows(rel: str) -> int:
+        try:
+            return _footer_meta(os.path.join(table_path, rel))[1]
+        except OSError:
+            raise ValueError(
+                f"tx_count at version {version} needs {rel}, already "
+                "vacuumed away — historical counts require "
+                "vacuum(keep_history=True) or a rows-carrying log"
+            )
+
     acts = log.live_actions(upto=version)
     total = sum(
-        a["rows"]
-        if "rows" in a
-        else _footer_meta(os.path.join(table_path, a["path"]))[1]
+        a["rows"] if "rows" in a else footer_rows(a["path"])
         for a in acts.values()
     )
     deleted = sum(
-        _footer_meta(os.path.join(table_path, dv))[1]
+        footer_rows(dv)
         for f, dv in log.dvs(upto=version).items()
         if f in acts
     )

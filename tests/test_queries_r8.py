@@ -47,8 +47,8 @@ def test_clean_corpus_has_no_contamination(spark):
 
 def test_planted_overlap_is_found_and_attributed(spark):
     """Planting the q254 phrase on eval + train subsets makes exactly
-    the planted non-eval train docs surface, each via >=3 shared
-    interior shingles (10-word plant -> 3 complete 8-grams)."""
+    the planted non-eval train docs surface, each via >=4 shared
+    interior shingles (11-word plant -> 4 complete 8-grams)."""
     docs = _t(spark, SF_DIR, "documents").select(
         "doc_id",
         F.when(
