@@ -1411,6 +1411,8 @@ _WINDOW = 50
 # (q90–q93, post-salting-guard re-confirmation) were re-proven in r7
 # and have rotated back into normal staleness cycling.
 _REFRONT: list[str] = [
+    # RETIRE in round 9: once CORRECTNESS_r08 hash-proves the planted
+    # oracle, the pin only wastes a refresh slot (empty this list).
     "q254_benchmark_decontamination",
 ]
 
