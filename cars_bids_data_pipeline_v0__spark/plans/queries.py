@@ -1405,16 +1405,11 @@ _WINDOW = 50
 # Pinned re-fronts: when spare slots exist after the unproven block,
 # these names take them FIRST — used when a PROVEN query's semantics
 # changed this round and the old hash evidence no longer describes the
-# current code.  Round 8: q254 gained planted contamination (VERDICT r7
-# directive 4 — its previous driver hash certified an EMPTY answer), so
-# it must re-prove under the new non-vacuous oracle.  The round-6 pins
-# (q90–q93, post-salting-guard re-confirmation) were re-proven in r7
-# and have rotated back into normal staleness cycling.
-_REFRONT: list[str] = [
-    # RETIRE in round 9: once CORRECTNESS_r08 hash-proves the planted
-    # oracle, the pin only wastes a refresh slot (empty this list).
-    "q254_benchmark_decontamination",
-]
+# current code.  Empty since round 9: the round-8 q254 pin (planted
+# contamination under the hash) was served by CORRECTNESS_r08 and
+# retired per its own retirement note; all slots go to staleness
+# refresh until the next semantics change.
+_REFRONT: list[str] = []
 
 
 def _proven_last_round() -> dict[str, int]:

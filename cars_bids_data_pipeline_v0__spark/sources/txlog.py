@@ -261,11 +261,15 @@ class TransactionLog:
             pass
         if key is not None and key in _ALTER_STATE_CACHE:
             cm, sa, ps, tw = _ALTER_STATE_CACHE[key]
+            # deep copies (the live_actions `_copy_tree` rule): a shallow
+            # dict(cm) would still alias the nested 'renames'/'dropped'
+            # containers with the cache, so a caller mutating
+            # tx_detail()['column_mapping'] would corrupt memoized state
             return (
-                dict(cm) if cm is not None else None,
-                {k: dict(s) for k, s in sa.items()},
-                dict(ps) if ps is not None else None,
-                dict(tw),
+                _copy_tree(cm),
+                _copy_tree(sa),
+                _copy_tree(ps),
+                _copy_tree(tw),
             )
         cm: dict | None = None
         sa: dict = {}
@@ -297,10 +301,10 @@ class TransactionLog:
                 _ALTER_STATE_CACHE.clear()
             _ALTER_STATE_CACHE[key] = (cm, sa, ps, tw)
         return (
-            dict(cm) if cm is not None else None,
-            {k: dict(s) for k, s in sa.items()},
-            dict(ps) if ps is not None else None,
-            dict(tw),
+            _copy_tree(cm),
+            _copy_tree(sa),
+            _copy_tree(ps),
+            _copy_tree(tw),
         )
 
     def column_mapping_raw(self, upto: int | None = None) -> dict | None:
@@ -330,39 +334,69 @@ class TransactionLog:
             set(raw.get("dropped") or ()),
         )
 
-    def _commit_ts(self, v: int) -> float:
-        """Wall time of one commit — from the body's ``ts`` (memoized
-        via the shared commit-body cache), file mtime for pre-field
-        commits."""
-        cp = self._commit_path(v)
-        body = _load_json_cached(cp, _COMMIT_BODY_CACHE)
+    def _commit_ts_field(self, v: int) -> float | None:
+        """The body's recorded ``ts`` (memoized via the shared
+        commit-body cache), or ``None`` for pre-field commits."""
+        body = _load_json_cached(self._commit_path(v), _COMMIT_BODY_CACHE)
         cts = body.get("ts")
+        return None if cts is None else float(cts)
+
+    def _commit_ts(self, v: int) -> float:
+        """Wall time of one commit — from the body's ``ts``, file mtime
+        for pre-field commits."""
+        cts = self._commit_ts_field(v)
         if cts is None:
-            cts = os.path.getmtime(cp)
-        return float(cts)
+            cts = float(os.path.getmtime(self._commit_path(v)))
+        return cts
 
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution: the newest version whose commit
-        time is <= ``ts`` (Delta's rule).  Commit times are monotone
-        with versions, so this BINARY-SEARCHES the version list —
-        O(log commits) memoized body reads, not a scan-from-zero of
-        every commit file (a million-commit table resolves a timestamp
-        in ~20 reads).  Raises if the table's FIRST commit is after
-        ``ts`` — there is no snapshot to read."""
+        time is <= ``ts`` (Delta's rule).  Recorded ``ts`` fields are
+        monotone with versions, so this BINARY-SEARCHES the version
+        list — O(log commits) memoized body reads, not a scan-from-zero
+        of every commit file (a million-commit table resolves a
+        timestamp in ~20 reads).  The mtime FALLBACK regime is not
+        monotone-safe (a copied table gives pre-``ts`` commits fresh
+        mtimes), so the moment any probed commit lacks the field the
+        search degrades to the linear scan instead of silently bisecting
+        to an arbitrary wrong version.  Raises if the table's FIRST
+        commit is after ``ts`` — there is no snapshot to read."""
         vs = self.versions()
-        if not vs or self._commit_ts(vs[0]) > ts:
+        if not vs:
+            raise ValueError(
+                f"no snapshot of {self.path} exists at or before "
+                f"timestamp {ts}"
+            )
+        degraded = self._commit_ts_field(vs[0]) is None
+        if not degraded and self._commit_ts(vs[0]) > ts:
             raise ValueError(
                 f"no snapshot of {self.path} exists at or before "
                 f"timestamp {ts}"
             )
         lo, hi = 0, len(vs) - 1
-        while lo < hi:
+        while not degraded and lo < hi:
             mid = (lo + hi + 1) // 2
-            if self._commit_ts(vs[mid]) <= ts:
+            tm = self._commit_ts_field(vs[mid])
+            if tm is None:
+                degraded = True
+                break
+            if tm <= ts:
                 lo = mid
             else:
                 hi = mid - 1
-        return vs[lo]
+        if not degraded:
+            return vs[lo]
+        # mixed/mtime regime: scan every commit, newest qualifying wins
+        best = None
+        for v in vs:
+            if self._commit_ts(v) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot of {self.path} exists at or before "
+                f"timestamp {ts}"
+            )
+        return best
 
     def schema_addenda(self, upto: int | None = None) -> dict[str, dict]:
         """``{physical column: {"type": simpleString, "default": SQL or
@@ -804,7 +838,10 @@ class TransactionLog:
         ``VACUUM ... RETAIN N HOURS`` tombstone-expiry rule: a file is
         deleted iff it is not live AND its newest REMOVE commit is older
         than the window (a later re-add — e.g. a restore — clears the
-        tombstone).  Time travel to any snapshot within the window keeps
+        tombstone) AND its mtime is older than the window (Delta's
+        modification-time eligibility: a concurrent writer's freshly
+        staged, not-yet-committed files are younger than any sane
+        window, so a retention vacuum never races an in-flight commit).  Time travel to any snapshot within the window keeps
         working; older snapshots referencing expired files fail loudly
         (`tx_restore`/`tx_changes` check before acting).  Takes
         precedence over ``keep_history``; pass ``now`` to pin the clock
@@ -821,7 +858,7 @@ class TransactionLog:
         removed_at: dict[str, float] = {}
         ever_dv: set[str] = set()
         dv_removed_at: dict[str, float] = {}
-        prev_dvs: set[str] = set()
+        dv_map: dict[str, str] = {}  # data file -> DV in force (replay)
         retained = retention_hours is not None
         for act in self.actions():
             ts = None
@@ -833,19 +870,29 @@ class TransactionLog:
                 ever.add(a["path"])
                 removed_at.pop(a["path"], None)
             if retained:
-                # newest remove time per file, cleared by a later re-add
+                # newest remove time per file, cleared by a later re-add.
+                # Removing a DV-carrying file also retires its DV (the
+                # `dvs()` liveness-intersection rule) even when the
+                # commit carries no dv_state snapshot — compact/COW
+                # rewrites do exactly that — so the DV gets a tombstone
+                # time here too, not kept forever.
                 for r in act.get("remove", []):
                     removed_at[r] = float(ts)
+                    dv = dv_map.pop(r, None)
+                    if dv is not None and dv not in dv_map.values():
+                        dv_removed_at[dv] = float(ts)
             m = act.get("meta")
             if m and "dv_state" in m:
-                cur = set(m["dv_state"].values())
+                new_map = dict(m["dv_state"])
+                cur = set(new_map.values())
                 ever_dv |= cur
                 if retained:
-                    for dv in prev_dvs - cur:
+                    for dv in set(dv_map.values()) - cur:
                         dv_removed_at[dv] = float(ts)
                     for dv in cur:
                         dv_removed_at.pop(dv, None)
-                prev_dvs = cur
+                dv_map = new_map
+        cutoff = None
         if retained:
             import time as _time
 
@@ -855,16 +902,35 @@ class TransactionLog:
             keep = ever - {f for f, t in removed_at.items() if t < cutoff}
         else:
             keep = ever if keep_history else set(self.live_files())
+
+        def _old_enough(abs_path: str) -> bool:
+            # Delta's VACUUM eligibility is modification-time based: in
+            # retention mode a candidate younger than the window is
+            # NEVER deleted, so a concurrent writer's freshly staged,
+            # not-yet-committed parquets (not in any add action — the
+            # orphan set) survive a vacuum running beside the commit.
+            if cutoff is None:
+                return True
+            try:
+                return os.path.getmtime(abs_path) < cutoff
+            except OSError:
+                return False
+
         deleted = 0
         victims: list[str] = []
         if os.path.isdir(self.data_dir):
             for name in os.listdir(self.data_dir):
                 rel = f"{_DATA_DIR}/{name}"
-                if name.endswith(".parquet") and rel not in keep:
+                ap = os.path.join(self.data_dir, name)
+                if (
+                    name.endswith(".parquet")
+                    and rel not in keep
+                    and _old_enough(ap)
+                ):
                     if dry_run:
                         victims.append(rel)
                         continue
-                    os.remove(os.path.join(self.data_dir, name))
+                    os.remove(ap)
                     deleted += 1
         # deletion-vector files follow the same retention rule: every DV
         # ever referenced (any commit's dv_state snapshot or a surviving
@@ -882,11 +948,16 @@ class TransactionLog:
         if os.path.isdir(dv_dir):
             for name in os.listdir(dv_dir):
                 rel = f"{_DV_DIR}/{name}"
-                if name.endswith(".parquet") and rel not in keep_dv:
+                ap = os.path.join(dv_dir, name)
+                if (
+                    name.endswith(".parquet")
+                    and rel not in keep_dv
+                    and _old_enough(ap)
+                ):
                     if dry_run:
                         victims.append(rel)
                         continue
-                    os.remove(os.path.join(dv_dir, name))
+                    os.remove(ap)
                     deleted += 1
         return sorted(victims) if dry_run else deleted
 
@@ -962,7 +1033,7 @@ def _apply_widening(
 #: memoized parquet footer schemas, keyed (absolute path, mtime_ns,
 #: size) — data files are immutable once staged (vacuum deletes, never
 #: rewrites in place), so a footer signature can never go stale
-_FOOTER_COLS_CACHE: dict[tuple, dict[str, str]] = {}
+_FOOTER_META_CACHE: dict[tuple, tuple[dict[str, str], int]] = {}
 
 
 def _footer_meta(path: str, memo: bool = True) -> tuple[dict[str, str], int]:
@@ -982,17 +1053,17 @@ def _footer_meta(path: str, memo: bool = True) -> tuple[dict[str, str], int]:
             key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
         except OSError:
             pass
-        if key is not None and key in _FOOTER_COLS_CACHE:
-            cols, n = _FOOTER_COLS_CACHE[key]
+        if key is not None and key in _FOOTER_META_CACHE:
+            cols, n = _FOOTER_META_CACHE[key]
             return dict(cols), n
     meta = _pq.ParquetFile(path)
     schema = meta.schema_arrow
     cols = {n: str(schema.field(n).type) for n in schema.names}
     n_rows = int(meta.metadata.num_rows)
     if key is not None:
-        if len(_FOOTER_COLS_CACHE) > 65536:
-            _FOOTER_COLS_CACHE.clear()
-        _FOOTER_COLS_CACHE[key] = (cols, n_rows)
+        if len(_FOOTER_META_CACHE) > 65536:
+            _FOOTER_META_CACHE.clear()
+        _FOOTER_META_CACHE[key] = (cols, n_rows)
     return dict(cols), n_rows
 
 

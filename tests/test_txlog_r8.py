@@ -40,7 +40,7 @@ def _rows(df):
 
 
 def _clear_caches():
-    TX._FOOTER_COLS_CACHE.clear()
+    TX._FOOTER_META_CACHE.clear()
     TX._COMMIT_BODY_CACHE.clear()
     TX._ALTER_STATE_CACHE.clear()
 

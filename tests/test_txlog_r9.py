@@ -1,0 +1,160 @@
+"""Round-9 txlog hardening (ADVICE r8): retention vacuum respects
+Delta's modification-time eligibility (fresh uncommitted files survive
+a vacuum racing an in-flight commit), implicitly-retired DVs get
+tombstone times (no storage leak under retention), `_alter_state`
+hands out deep copies, and TIMESTAMP AS OF degrades to a linear scan
+on mixed ts/mtime logs instead of bisecting to a wrong version."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from cars_bids_data_pipeline_v0__spark.sources import txlog as TX
+from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+    TransactionLog,
+    tx_append_partitioned,
+    tx_delete_where,
+    tx_purge_dvs,
+    tx_read,
+    tx_rename_column,
+)
+
+
+def _mk(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"doc{i}", i % 3) for i in range(lo, hi)],
+        "id int, s string, p int",
+    )
+
+
+def test_retention_vacuum_spares_fresh_uncommitted_files(spark, tmp_path):
+    """ADVICE r8 (medium): a retention vacuum running beside an
+    in-flight commit must NOT delete its freshly staged, not-yet-
+    committed parquets — Delta's rule deletes unreferenced files only
+    when OLDER than the window."""
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _mk(spark, 0, 6), t, partition_by="p")
+    log = TransactionLog(t)
+    staged = log.stage_dataframe(_mk(spark, 6, 12))  # in-flight commit
+    staged_rel = sorted(a["path"] for a in staged)
+    now = time.time()
+    # the staged files are seconds old — inside any sane window
+    assert (
+        log.vacuum(retention_hours=1.0, now=now, dry_run=True) == []
+    )
+    assert log.vacuum(retention_hours=1.0, now=now) == 0
+    for rel in staged_rel:
+        assert os.path.exists(os.path.join(t, rel))
+    # the in-flight commit can still land
+    assert log.try_commit(log.version() + 1, staged, [], op="append")
+    assert tx_read(spark, t).count() == 12
+    # a TRUE orphan (never committed) does expire once older than the
+    # window — pin the clock far forward to age everything out
+    orphan = log.stage_dataframe(_mk(spark, 12, 13))
+    victims = log.vacuum(
+        retention_hours=1.0, now=now + 7200, dry_run=True
+    )
+    assert victims == sorted(a["path"] for a in orphan)
+    assert log.vacuum(retention_hours=1.0, now=now + 7200) == len(orphan)
+    assert tx_read(spark, t).count() == 12
+
+
+def test_retention_vacuum_expires_implicitly_retired_dvs(spark, tmp_path):
+    """ADVICE r8 (low): a DV retired by removing its data file (purge/
+    compact commits carry no dv_state snapshot) must still get a
+    tombstone time, so retention vacuum reaps it instead of keeping the
+    DV parquet forever."""
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _mk(spark, 0, 10), t, partition_by="p")
+    tx_delete_where(spark, t, "id < 3", mode="dv")
+    log = TransactionLog(t)
+    dv_rels = sorted(log.dvs().values())
+    assert dv_rels
+    # purge rewrites the DV-carrying files WITHOUT a dv_state commit —
+    # the implicit-retirement path the old replay missed
+    assert tx_purge_dvs(spark, t, partition_by="p") >= 1
+    assert log.dvs() == {}
+    purge_ts = log._commit_ts(log.version())
+    # inside the window: the retired DV survives
+    inside = log.vacuum(
+        retention_hours=1.0, now=purge_ts + 60, dry_run=True
+    )
+    assert not any(v in dv_rels for v in inside)
+    # window expired: the DV parquet is among the victims and is reaped
+    victims = log.vacuum(
+        retention_hours=1.0, now=purge_ts + 7200, dry_run=True
+    )
+    assert set(dv_rels) <= set(victims)
+    log.vacuum(retention_hours=1.0, now=purge_ts + 7200)
+    for rel in dv_rels:
+        assert not os.path.exists(os.path.join(t, rel))
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == list(
+        range(3, 10)
+    )
+
+
+def test_alter_state_returns_deep_copies(spark, tmp_path):
+    """ADVICE r8 (low): mutating tx_detail()['column_mapping'] (or the
+    raw accessors' nested dicts) must not corrupt the memoized ALTER
+    state — same `_copy_tree` rule live_actions got in round 8."""
+    t = str(tmp_path / "tbl")
+    tx_append_partitioned(spark, _mk(spark, 0, 6), t, partition_by="p")
+    tx_rename_column(spark, t, "s", "body")
+    log = TransactionLog(t)
+    raw = log.column_mapping_raw()
+    assert raw["renames"] == {"s": "body"}
+    raw["renames"]["s"] = "CORRUPTED"
+    raw.setdefault("dropped", []).append("ghost")
+    again = TransactionLog(t).column_mapping_raw()
+    assert again["renames"] == {"s": "body"}
+    assert "ghost" not in (again.get("dropped") or [])
+    renames, dropped = TransactionLog(t).column_mapping()
+    assert renames == {"s": "body"} and "ghost" not in dropped
+    assert "body" in tx_read(spark, t).columns
+
+
+def test_version_at_timestamp_mixed_ts_regime_falls_back_linear(
+    spark, tmp_path
+):
+    """ADVICE r8 (low): on a log where a pre-'ts' commit got a FRESH
+    mtime (a copied table), bisection's monotonicity assumption breaks;
+    the resolver must detect the tsless probe and fall back to the
+    linear scan instead of silently returning a wrong version."""
+    t = str(tmp_path / "tbl")
+    log = TransactionLog(t)
+    for v in range(5):
+        adds = log.stage_dataframe(_mk(spark, v, v + 1))
+        assert log.try_commit(v, adds, [], op="append")
+    ts = {v: log._commit_ts(v) for v in range(5)}
+    assert ts[4] > ts[0]
+    # strip 'ts' from the middle commit and give it a far-future mtime
+    # (what a naive file copy of an old-format log produces)
+    cp = log._commit_path(2)
+    body = json.loads(open(cp).read())
+    body.pop("ts", None)
+    with open(cp, "w") as fh:
+        fh.write(json.dumps(body))
+    future = time.time() + 10**6
+    os.utime(cp, (future, future))
+    TX._COMMIT_BODY_CACHE.clear()
+    fresh = TransactionLog(t)
+    # v2's clock is now the far future, so a query between v1 and v4
+    # must NOT resolve to v2 or beyond-it garbage: newest qualifying
+    # version under the scan is the correct answer
+    assert fresh.version_at_timestamp(ts[1] + 1e-4) == 1
+    # a query after every real commit resolves to the newest REAL-time
+    # qualifying version (v2's fake mtime disqualifies only itself)
+    assert fresh.version_at_timestamp(ts[4] + 1.0) == 4
+    with pytest.raises(ValueError):
+        fresh.version_at_timestamp(ts[0] - 10.0)
+
+
+def test_footer_meta_cache_shape():
+    """ADVICE r8 (low): the renamed cache stores (cols, n_rows) tuples
+    and its annotation says so."""
+    assert not hasattr(TX, "_FOOTER_COLS_CACHE")
+    assert isinstance(TX._FOOTER_META_CACHE, dict)
