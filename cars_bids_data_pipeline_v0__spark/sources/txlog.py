@@ -62,6 +62,11 @@ _COMMIT_BODY_CACHE: dict[tuple, dict] = {}
 #: read-only — checkpoints are written once via atomic rename)
 _CHECKPOINT_BODY_CACHE: dict[tuple, dict] = {}
 
+#: abspath(table) -> (version, commit-file sig, shared live snapshot) —
+#: Delta's in-memory Snapshot: later versions extend it by replaying
+#: only the delta commits (see _live_actions_shared)
+_SNAPSHOT_CACHE: dict[str, tuple[int, tuple, dict[str, dict]]] = {}
+
 
 def _load_json_cached(path: str, cache: dict[tuple, dict]) -> dict:
     """Parse a write-once JSON file, memoized per (path, mtime, size).
@@ -162,48 +167,107 @@ class TransactionLog:
         return out
 
     def live_files(self, upto: int | None = None) -> dict[str, str | None]:
-        """``{relative file path: partition value or None}`` at a version.
+        """``{relative file path: partition value or None}`` at a version
+        — a cheap projection of the shared snapshot (see
+        `_live_actions_shared` for the replay/caching contract)."""
+        return {
+            f: a.get("partition")
+            for f, a in self._live_actions_shared(upto).items()
+        }
 
-        Starts from the newest checkpoint at or below the target version
-        (one file read) and replays only the commits after it — replay
-        cost stays O(commits since checkpoint), not O(table age)."""
+    def _commit_sig(self, v: int) -> tuple | None:
+        """File identity of one commit — the staleness key snapshots
+        validate against (a recreated table at the same path reuses
+        version NUMBERS but never the same commit file identity)."""
+        try:
+            st = os.stat(self._commit_path(v))
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    def _live_actions_shared(
+        self, upto: int | None = None
+    ) -> dict[str, dict]:
+        """The live snapshot ``{relative file path: add-action dict}`` at
+        a version, SHARED — Delta's in-memory Snapshot: computed once,
+        then INCREMENTALLY extended by replaying only the commits after
+        the cached version (commit immutability makes a snapshot at a
+        version eternally valid; the cache key carries the commit file's
+        identity so a recreated table can never alias a stale one).
+
+        CONTRACT: callers must treat the mapping and the action dicts as
+        immutable — they are shared with the commit-body/checkpoint
+        caches and with every other caller.  All internal metadata verbs
+        (count, pruning, OPTIMIZE policy, checkpoint, restore, clone,
+        export, read planning) consume this; the public `live_actions`
+        deep-copies on handout.  Measured at 100k live files this turns
+        every verb after the first from ~1.2 s of JSON replay + copy
+        into a dict lookup (tools/bench_metadata_plane.py)."""
+        v = self.version() if upto is None else upto
+        if v < 0:
+            if upto is not None:
+                return {}
+            # fully truncated log (no commit files left): the newest
+            # checkpoint IS the snapshot — the pre-cache code path
+            ckpt = self._latest_checkpoint_body(None)
+            if ckpt is None:
+                return {}
+            return {a["path"]: a for a in ckpt[1].get("live", [])}
+        key = os.path.abspath(self.path)
+        ent = _SNAPSHOT_CACHE.get(key)
+        if ent is not None:
+            cv, sig, snap = ent
+            if cv <= v and self._commit_sig(cv) == sig:
+                if cv == v:
+                    return snap
+                live = dict(snap)
+                for act in self.actions(v, since=cv):
+                    for a in act.get("add", []):
+                        live[a["path"]] = a
+                    for r in act.get("remove", []):
+                        live.pop(r, None)
+                self._snapshot_store(key, v, live)
+                return live
         start = -1
-        live: dict[str, str | None] = {}
-        ckpt = self._latest_checkpoint(upto)
+        live = {}
+        ckpt = self._latest_checkpoint_body(v)
         if ckpt is not None:
-            start, live = ckpt
-        for act in self.actions(upto, since=start):
+            start = ckpt[0]
+            live = {a["path"]: a for a in ckpt[1].get("live", [])}
+        for act in self.actions(v, since=start):
             for a in act.get("add", []):
-                live[a["path"]] = a.get("partition")
+                live[a["path"]] = a
             for r in act.get("remove", []):
                 live.pop(r, None)
+        self._snapshot_store(key, v, live)
         return live
+
+    def _snapshot_store(
+        self, key: str, v: int, live: dict[str, dict]
+    ) -> None:
+        """Cache a computed snapshot, keeping only the NEWEST version per
+        table (time-travel reads must never evict the hot head)."""
+        ent = _SNAPSHOT_CACHE.get(key)
+        if ent is not None and ent[0] > v:
+            return
+        sig = self._commit_sig(v)
+        if sig is None:
+            return
+        if len(_SNAPSHOT_CACHE) > 64:
+            _SNAPSHOT_CACHE.clear()
+        _SNAPSHOT_CACHE[key] = (v, sig, live)
 
     def live_actions(self, upto: int | None = None) -> dict[str, dict]:
         """``{relative file path: full add-action dict}`` at a version —
         the metadata face of `live_files` (stats, bloom, partition ride
-        along).  Same checkpoint discipline: replay starts from the
-        newest checkpoint at or below the target, whose live entries
-        carry the full action dicts, so pruning metadata lookups are
-        O(commits since checkpoint), not O(table age)."""
-        start = -1
-        live: dict[str, dict] = {}
-        ckpt = self._latest_checkpoint_body(upto)
-        if ckpt is not None:
-            start = ckpt[0]
-            live = {
-                a["path"]: _copy_tree(a) for a in ckpt[1].get("live", [])
-            }
-        for act in self.actions(upto, since=start):
-            for a in act.get("add", []):
-                # DEEP copy: commit bodies are shared via the module
-                # caches, so handing out the cached dict (or its nested
-                # cols/stats/bloom sub-dicts) would let any caller
-                # mutation silently corrupt every later snapshot
-                live[a["path"]] = _copy_tree(a)
-            for r in act.get("remove", []):
-                live.pop(r, None)
-        return live
+        along).  DEEP copies: the snapshot's action dicts are shared via
+        the module caches, so handing out the cached dict (or its nested
+        cols/stats/bloom sub-dicts) would let any caller mutation
+        silently corrupt every later snapshot."""
+        return {
+            f: _copy_tree(a)
+            for f, a in self._live_actions_shared(upto).items()
+        }
 
     def constraints(self, upto: int | None = None) -> dict[str, str]:
         """``{constraint name: SQL boolean predicate}`` in force at a
@@ -543,7 +607,7 @@ class TransactionLog:
         # full add-action dicts (partition + stats + bloom), so pruning
         # metadata survives log truncation and pruners can start replay
         # from the checkpoint like live_files does
-        acts = self.live_actions(upto=v)
+        acts = self._live_actions_shared(upto=v)
         live = [acts[p] for p in sorted(acts)]
         # SetTransaction-style compaction of idempotence tokens: the
         # per-app LATEST batch id (batch ids per app are monotone — the
@@ -1139,7 +1203,7 @@ def _raw_files_scan_logical(
         table_path, files, addenda, widening,
         cols_by_file={
             f: a.get("cols")
-            for f, a in log.live_actions(upto=upto).items()
+            for f, a in log._live_actions_shared(upto=upto).items()
         },
     )
     parts = [
@@ -1207,7 +1271,7 @@ def _read_with_dvs(
             table_path, files, addenda, widening,
             cols_by_file={
                 f: a.get("cols")
-                for f, a in log.live_actions(upto=mapping_upto).items()
+                for f, a in log._live_actions_shared(upto=mapping_upto).items()
             },
         )
         parts = []
@@ -1551,7 +1615,7 @@ def tx_compact(
         # (partition evolution: a declared-spec mismatch is itself a
         # reason to rewrite — compaction is how old layouts migrate)
         n_parts = len({p for p in live.values()}) if partitioned else 1
-        acts_v = log.live_actions(upto=v)
+        acts_v = log._live_actions_shared(upto=v)
         if partitions is not None:
             acts_v = {f: a for f, a in acts_v.items() if f in live}
         off_spec = spec_phys is not None and any(
@@ -1567,7 +1631,7 @@ def tx_compact(
             # live files themselves > the legacy merge-sink date column
             recorded = {
                 a.get("partition_col")
-                for a in log.live_actions(upto=v).values()
+                for a in log._live_actions_shared(upto=v).values()
                 if a.get("partition_col") is not None
             }
             adds = log.stage_dataframe(
@@ -1615,7 +1679,7 @@ def tx_optimize_auto(
     if v < 0:
         return []
     by_part: dict[str | None, int] = {}
-    for act in log.live_actions(upto=v).values():
+    for act in log._live_actions_shared(upto=v).values():
         size = act.get("bytes")
         if size is None or size < small_file_bytes:
             p = act.get("partition")
@@ -1678,7 +1742,7 @@ def tx_optimize_zorder(
         # preserve every previously-sketched column: rewriting with only
         # z-column stats would silently degrade zone maps / Bloom
         # skipping on the other columns (review finding)
-        meta = log.live_actions(upto=v)
+        meta = log._live_actions_shared(upto=v)
         prev_stats = {
             c for a in meta.values() for c in (a.get("stats") or {})
         }
@@ -2095,7 +2159,7 @@ def tx_prunable_files_bloom(
     False positives only ever COST a read; `tx_scan_eq` re-filters
     exactly."""
     log = TransactionLog(table_path)
-    live = log.live_actions(upto=version)
+    live = log._live_actions_shared(upto=version)
     keep, pruned = [], 0
     for rel in sorted(live):
         b = (live[rel].get("bloom") or {}).get(col)
@@ -2194,7 +2258,7 @@ def tx_prunable_files(
     column are always kept — pruning must never be lossy).  Returns
     (files to read, number pruned)."""
     log = TransactionLog(table_path)
-    live = log.live_actions(upto=version)
+    live = log._live_actions_shared(upto=version)
     keep, pruned = [], 0
     for f in sorted(live):
         mm = (live[f].get("stats") or {}).get(col)
@@ -3292,7 +3356,7 @@ def tx_export_delta_log(
             }
         ),
     ]
-    acts = log.live_actions(upto=v)
+    acts = log._live_actions_shared(upto=v)
     for rel in live:
         abspath = os.path.abspath(os.path.join(table_path, rel))
         # Delta per-file statistics (spec: a JSON STRING under add.stats)
@@ -3779,7 +3843,7 @@ def tx_restore(
             f"cannot restore {table_path} to version {version}: "
             f"history is [0, {latest}]"
         )
-    target = log.live_actions(upto=version)
+    target = log._live_actions_shared(upto=version)
     # the DV state of the target snapshot comes back too — a restore that
     # rolled back a DV delete but kept the vectors (or vice versa) would
     # resurrect/lose rows silently
@@ -4334,7 +4398,7 @@ def _column_mapping_guard(log: TransactionLog, col: str, verb: str) -> None:
     spec = log.partition_spec()
     layout_cols = {
         a.get("partition_col")
-        for a in log.live_actions().values()
+        for a in log._live_actions_shared().values()
         if a.get("partition_col") is not None
     }
     if col == spec or col in layout_cols:
@@ -4645,7 +4709,7 @@ def tx_clone(
     dst = TransactionLog(clone_path)
     if dst.version() >= 0:
         raise ValueError(f"clone target {clone_path} already exists")
-    acts = src.live_actions(upto=version)
+    acts = src._live_actions_shared(upto=version)
     adds = []
     for rel in sorted(acts):
         a = dict(acts[rel])
@@ -4782,7 +4846,7 @@ def tx_count(
                 "vacuum(keep_history=True) or a rows-carrying log"
             )
 
-    acts = log.live_actions(upto=version)
+    acts = log._live_actions_shared(upto=version)
     total = sum(
         a["rows"] if "rows" in a else footer_rows(a["path"])
         for a in acts.values()
@@ -4805,7 +4869,7 @@ def tx_detail(table_path: str) -> dict:
     v = log.version()
     if v < 0:
         return {"table": table_path, "version": -1, "exists": False}
-    acts = log.live_actions(upto=v)
+    acts = log._live_actions_shared(upto=v)
     parts = sorted({
         a.get("partition") for a in acts.values()
         if a.get("partition") is not None

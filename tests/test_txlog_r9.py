@@ -158,3 +158,48 @@ def test_footer_meta_cache_shape():
     and its annotation says so."""
     assert not hasattr(TX, "_FOOTER_COLS_CACHE")
     assert isinstance(TX._FOOTER_META_CACHE, dict)
+
+
+def test_snapshot_cache_extends_and_never_aliases(spark, tmp_path):
+    """The in-memory snapshot (Delta's Snapshot incrementalization):
+    later versions extend the cached snapshot by replaying only the
+    delta commits; time travel to an older version never evicts the hot
+    head; a RECREATED table at the same path (same version numbers, new
+    commit files) can never alias the stale snapshot."""
+    t = str(tmp_path / "tbl")
+    log = TransactionLog(t)
+    a0 = log.stage_dataframe(_mk(spark, 0, 4))
+    assert log.try_commit(0, a0, [], op="append")
+    assert set(log.live_files()) == {a["path"] for a in a0}
+    # incremental extension: v1 adds + removes on top of the cached v0
+    a1 = log.stage_dataframe(_mk(spark, 4, 8))
+    assert log.try_commit(1, a1, [a0[0]["path"]], op="replace")
+    live1 = log._live_actions_shared()
+    assert set(live1) == ({a["path"] for a in a0[1:]}
+                          | {a["path"] for a in a1})
+    # time travel: older snapshot is correct AND the head stays cached
+    assert set(log._live_actions_shared(upto=0)) == {
+        a["path"] for a in a0
+    }
+    assert set(TransactionLog(t)._live_actions_shared()) == set(live1)
+    # public surface still hands out deep copies
+    pub = TransactionLog(t).live_actions()
+    next(iter(pub.values()))["partition"] = "CORRUPTED"
+    assert "CORRUPTED" not in {
+        a.get("partition")
+        for a in TransactionLog(t)._live_actions_shared().values()
+    }
+    # recreate the table at the same path: same version numbers, fresh
+    # commit identities -> the stale snapshot must not survive
+    import shutil
+
+    shutil.rmtree(t)
+    log2 = TransactionLog(t)
+    b0 = log2.stage_dataframe(_mk(spark, 100, 103))
+    assert log2.try_commit(0, b0, [], op="append")
+    b1 = log2.stage_dataframe(_mk(spark, 103, 106))
+    assert log2.try_commit(1, b1, [], op="append")
+    assert set(log2._live_actions_shared()) == (
+        {a["path"] for a in b0} | {a["path"] for a in b1}
+    )
+    assert tx_read(spark, t).count() == 6

@@ -1,0 +1,202 @@
+"""Measure the txlog METADATA plane on a file-count curve — the one
+100×-scale claim round 8 left extrapolated (VERDICT r8 directive 1).
+
+At 100 TB the DATA plane is executor work; the metadata plane (snapshot
+assembly, checkpoint write/read, metadata-only COUNT, zone-map pruning,
+auto-OPTIMIZE's policy pass) is DRIVER work over the commit log, and its
+cost grows with the number of live add actions, not table bytes.  Delta's
+regime is millions of add actions read from parquet checkpoints; this
+tool synthesizes tables of N fabricated-but-shape-exact add actions
+(plus a few real parquet files so a pruned scan can actually read) and
+times every driver-side verb on the curve N = 1k / 10k / 100k.
+
+Fabricated actions carry the full production shape — partition,
+partition_col, bytes, cols, rows, zone-map stats — so replay, checkpoint
+and pruning do exactly the work a real ingest's log would make them do;
+only the parquet bytes behind the non-hot files are absent, and nothing
+in the metadata plane ever opens them (tx_count reads the `rows` field;
+`_footer_meta` fallbacks would raise, which doubles as an honesty check).
+
+Used ad hoc (`python tools/bench_metadata_plane.py`) and by `bench.py`
+(the `file_count_curve` section of BENCH_r{N}.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+
+def _clear_metadata_caches():
+    from cars_bids_data_pipeline_v0__spark.sources import txlog as TX
+
+    TX._COMMIT_BODY_CACHE.clear()
+    TX._CHECKPOINT_BODY_CACHE.clear()
+    TX._ALTER_STATE_CACHE.clear()
+    TX._FOOTER_META_CACHE.clear()
+    TX._SNAPSHOT_CACHE.clear()
+
+
+def synth_log_table(
+    spark,
+    path: str,
+    n_files: int,
+    files_per_commit: int = 500,
+    n_real: int = 3,
+    rows_per_file: int = 100,
+) -> dict:
+    """Build a table whose log holds ``n_files`` live add actions:
+    ``n_real`` REAL parquet files (ids 0..) in the hot key range plus
+    fabricated actions with disjoint high id zone maps, spread over
+    ``ceil(n/files_per_commit)`` commits (the many-files-per-commit
+    shape a streaming ingest produces)."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        _DATA_DIR,
+        TransactionLog,
+    )
+
+    log = TransactionLog(path)
+    hot = spark.range(0, n_real * rows_per_file).selectExpr(
+        "CAST(id AS INT) AS id",
+        "CAST(id % 7 AS INT) AS p",
+        "repeat('x', 32) AS s",
+    ).repartition(n_real)
+    adds = log.stage_dataframe(hot, stats_cols=["id"])
+    assert log.try_commit(0, adds, [], op="append")
+    made = len(adds)
+    v = 1
+    next_id = 10_000_000  # fabricated zone maps sit far above the hot range
+    while made < n_files:
+        batch = []
+        for _ in range(min(files_per_commit, n_files - made)):
+            batch.append(
+                {
+                    "path": f"{_DATA_DIR}/{uuid.uuid4().hex}.parquet",
+                    "partition": str(made % 64),
+                    "partition_col": "p",
+                    "bytes": 128 * 1024 * 1024,  # not small-file-policy bait
+                    "cols": {"id": "int32", "p": "int32", "s": "string"},
+                    "rows": rows_per_file,
+                    "stats": {"id": [next_id, next_id + rows_per_file - 1]},
+                }
+            )
+            next_id += rows_per_file
+            made += 1
+        assert log.try_commit(v, batch, [], op="append")
+        v += 1
+    return {"n_files": made, "n_commits": v, "n_real": len(adds)}
+
+
+def measure_point(spark, path: str, n_files: int, **synth_kw) -> dict:
+    """One curve point: synthesize, then time each metadata verb.
+    Cold = module caches cleared first (a fresh driver's first touch)."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        TransactionLog,
+        tx_count,
+        tx_optimize_auto,
+        tx_prunable_files,
+        tx_scan,
+    )
+
+    info = synth_log_table(spark, path, n_files, **synth_kw)
+    log = TransactionLog(path)
+    out = {"n_files": info["n_files"], "n_commits": info["n_commits"]}
+
+    _clear_metadata_caches()
+    t0 = time.perf_counter()
+    live = log.live_actions()
+    out["cold_replay_sec"] = round(time.perf_counter() - t0, 4)
+    assert len(live) == n_files
+
+    t0 = time.perf_counter()
+    log.checkpoint()
+    out["checkpoint_write_sec"] = round(time.perf_counter() - t0, 4)
+    ckpt = [
+        f for f in os.listdir(log.log_dir) if ".checkpoint." in f
+    ]
+    out["checkpoint_bytes"] = sum(
+        os.path.getsize(os.path.join(log.log_dir, f)) for f in ckpt
+    )
+
+    _clear_metadata_caches()
+    t0 = time.perf_counter()
+    live = TransactionLog(path).live_actions()
+    out["cold_snapshot_from_checkpoint_sec"] = round(
+        time.perf_counter() - t0, 4
+    )
+    assert len(live) == n_files
+
+    t0 = time.perf_counter()
+    TransactionLog(path)._live_actions_shared()
+    out["warm_snapshot_sec"] = round(time.perf_counter() - t0, 4)
+
+    _clear_metadata_caches()
+    t0 = time.perf_counter()
+    n = tx_count(path)
+    out["cold_tx_count_sec"] = round(time.perf_counter() - t0, 4)
+    assert n == n_files * 100
+
+    t0 = time.perf_counter()
+    keep, pruned = tx_prunable_files(path, "id", 0, 1000)
+    out["prune_filelist_sec"] = round(time.perf_counter() - t0, 4)
+    assert pruned == n_files - info["n_real"], (pruned, n_files)
+
+    t0 = time.perf_counter()
+    got = tx_scan(spark, path, "id", 0, 1000).count()
+    out["pruned_scan_sec"] = round(time.perf_counter() - t0, 4)
+    assert got == info["n_real"] * 100  # every hot row, zero fabricated files opened
+
+    t0 = time.perf_counter()
+    picked = tx_optimize_auto(spark, path)
+    out["optimize_decision_sec"] = round(time.perf_counter() - t0, 4)
+    assert picked == []
+
+    # incremental extension: one more commit on a hot snapshot must cost
+    # O(delta), not O(live files) — the long-lived-driver (streaming)
+    # path (measured LAST: it changes the live count)
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import _DATA_DIR
+
+    log2 = TransactionLog(path)
+    v = log2.version()
+    assert log2.try_commit(
+        v + 1,
+        [{
+            "path": f"{_DATA_DIR}/{uuid.uuid4().hex}.parquet",
+            "partition": "0", "partition_col": "p",
+            "bytes": 128 * 1024 * 1024, "rows": 100,
+            "cols": {"id": "int32", "p": "int32", "s": "string"},
+            "stats": {"id": [999_999_999, 999_999_999]},
+        }],
+        [], op="append",
+    )
+    t0 = time.perf_counter()
+    live = log2._live_actions_shared()
+    out["incremental_extend_sec"] = round(time.perf_counter() - t0, 4)
+    assert len(live) == n_files + 1
+    return out
+
+
+def run_curve(spark, points=(1_000, 10_000, 100_000)) -> list[dict]:
+    out = []
+    for n in points:
+        root = tempfile.mkdtemp(prefix="metaplane_")
+        try:
+            out.append(measure_point(spark, os.path.join(root, "t"), n))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from cars_bids_data_pipeline_v0__spark.session import get_session
+
+    spark = get_session(master="local[8]", shuffle_partitions=8)
+    curve = run_curve(spark)
+    print(json.dumps({"file_count_curve": curve}, indent=2))
