@@ -482,6 +482,7 @@ def sweep_sf1(spark) -> dict:
         bench_pipeline_10x(spark) for _ in range(2)
     )
     out["dml_lifecycle_lineitem"] = bench_dml_lifecycle_10x(spark)
+    out["corpus_release_50k_docs"] = bench_corpus_release(spark)
     out.update(bench_ann_index(spark))
     corpus = Path(SF1_DIR, "_GENERATED")
     return {
@@ -499,6 +500,45 @@ def bench_dml_lifecycle_10x(spark) -> float:
     """The same DML lifecycle at 10x volume (sf1 lineitem, 600k rows) —
     min-of-2 warm samples (the scale-leg contention discipline)."""
     return min(_dml_lifecycle(spark, SF1_DIR) for _ in range(2))
+
+
+def bench_corpus_release(spark) -> float:
+    """The release capstone at sf1 (50k docs): seed the release table
+    with the even half (untimed), then time a FULL-corpus incremental
+    release — q59 gate → dedup_incoming vs the released half → Q-Q
+    decile gate → chunk → pack → training-shard write → fenced append.
+    Fresh state per sample (stateful, like the DML lifecycle);
+    min-of-2."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cars_bids_data_pipeline_v0__spark.cache import release_build_caches
+    from cars_bids_data_pipeline_v0__spark.plans.release import (
+        release_corpus,
+    )
+
+    best = None
+    for _ in range(2):
+        tmp = tempfile.mkdtemp(prefix="bench_release_")
+        try:
+            docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet")
+            tbl, shards = f"{tmp}/released", f"{tmp}/shards"
+            release_corpus(
+                spark, docs.filter(F.col("doc_id") % 2 == 0), tbl, shards
+            )
+            release_build_caches()
+            t0 = time.time()
+            m = release_corpus(spark, docs, tbl, shards)
+            m.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            release_build_caches()
+            spark.catalog.clearCache()
+    return round(best, 3)
 
 
 def bench_ann_index(spark) -> dict:

@@ -270,12 +270,22 @@ def dedup_incoming(
         .drop("__fp")
     )
 
-    # stage 2: near-dup anti-join via a new-index × corpus-index join
+    # stage 2: near-dup anti-join via a new-index × corpus-index join.
+    # The shingle array is PERSISTED before the explode (the
+    # ngram_jaccard_pairs discipline): fused into one codegen stage,
+    # explode(word_shingles(...)) re-evaluates the whole shingle
+    # expression per OUTPUT row — measured 50 s vs 3.5 s for the same
+    # 50k-doc index at sf1
     def index_of(df: DataFrame) -> DataFrame:
-        sh = fan_out(df).select(
-            F.col(id_col).alias("id"),
-            word_shingles(text_col, n).alias("sh"),
-        ).withColumn("sh_size", F.size("sh"))
+        sh = track(
+            fan_out(df)
+            .select(
+                F.col(id_col).alias("id"),
+                word_shingles(text_col, n).alias("sh"),
+            )
+            .withColumn("sh_size", F.size("sh"))
+            .persist()
+        )
         return sh.select(
             "id", "sh_size", F.explode("sh").alias("__s")
         ).select("id", "sh_size", F.xxhash64("__s").alias("shingle"))

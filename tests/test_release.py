@@ -1,0 +1,204 @@
+"""The release capstone (VERDICT r8 directive 6): streaming ingest →
+incremental quantile-normalized deduplicated release → training shards.
+
+Chain under test: JSON batches → `corpus_ingest_stream` (epoch-fenced
+exactly-once ACID ingest) → `release_corpus` (q59 gate → dedup_incoming
+vs the released table → q191 Q-Q decile gate → chunk → pack →
+`write_training_shards`), with the loader manifest and the incremental
+re-release semantics asserted."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cars_bids_data_pipeline_v0__spark.operators.chunking import (
+    chunk_documents,
+)
+from cars_bids_data_pipeline_v0__spark.plans.release import (
+    quantile_release_gate,
+    release_corpus,
+)
+from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_read
+from cars_bids_data_pipeline_v0__spark.streaming.incremental import (
+    corpus_ingest_stream,
+)
+
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog while many other "
+    "animals watch from the tall green grass near the old stone wall"
+).split()
+
+
+def _text(seed: int, n_tokens: int) -> str:
+    # every 3rd token is doc-unique so every 3-gram shingle contains one
+    # — distinct docs share ZERO shingles (no accidental near-dups from
+    # the tiny cycling vocabulary), while same-(seed, length) docs stay
+    # byte-identical (the intentional exact-dup pairs)
+    return " ".join(
+        f"w{seed}x{i}" if i % 3 == 0
+        else _WORDS[(seed * 7 + i * 3) % len(_WORDS)]
+        for i in range(n_tokens)
+    )
+
+
+def _docs_batch_1():
+    # source "web": lengths 8..30 tokens (12 docs); source "books":
+    # lengths 40..62 (12 docs) — disjoint length regimes so the Q-Q
+    # gate's per-source cut differs from any global cut
+    docs = []
+    for i in range(12):
+        docs.append(
+            {"doc_id": 100 + i, "text": _text(i, 8 + 2 * i),
+             "source": "web"}
+        )
+        docs.append(
+            {"doc_id": 200 + i, "text": _text(20 + i, 40 + 2 * i),
+             "source": "books"}
+        )
+    # quality-gate bait: too short, and an exact dup of doc 105
+    docs.append({"doc_id": 900, "text": "tiny", "source": "web"})
+    docs.append(
+        {"doc_id": 901, "text": _text(5, 18), "source": "web"}
+    )  # exact dup of doc_id 105 (same seed/length)
+    return docs
+
+
+def _write_batch(docs_dir: str, name: str, docs) -> None:
+    os.makedirs(docs_dir, exist_ok=True)
+    tmp = os.path.join(docs_dir, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        for d in docs:
+            fh.write(json.dumps(d) + "\n")
+    os.rename(tmp, os.path.join(docs_dir, name))
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def test_quantile_release_gate_drops_bottom_decile_per_source(spark):
+    rows = [(i, "web", 10 + i) for i in range(20)] + [
+        (100 + i, "books", 1000 + i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    kept = quantile_release_gate(df, "n_chars", "source")
+    got = {r["doc_id"] for r in kept.collect()}
+    # each source loses exactly its own below-p10 rows — the short
+    # "web" docs are NOT gutted by the long "books" distribution
+    assert {i for i in range(2, 20)} <= got
+    assert {100 + i for i in range(2, 20)} <= got
+    assert 0 not in got and 100 not in got
+    # the normalized score is the GLOBAL cut at the within-source
+    # decile: the web p50-ish row and the books p50-ish row normalize
+    # to the SAME value
+    norm = {
+        r["doc_id"]: r["score_norm"] for r in kept.collect()
+    }
+    assert norm[10] == norm[110]
+
+
+def test_stream_ingest_then_release_capstone(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs")
+    ingest = str(tmp_path / "ingest_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    release_tbl = str(tmp_path / "release_tbl")
+    shards = str(tmp_path / "shards")
+
+    # --- streaming ingest: two micro-batches through the ACID table ---
+    _write_batch(docs_dir, "b1.json", _docs_batch_1())
+    q = corpus_ingest_stream(
+        spark, docs_dir, ingest, ckpt, schema=_SCHEMA, min_tokens=5
+    )
+    q.awaitTermination(120)
+    batch2 = [
+        {"doc_id": 300 + i, "text": _text(50 + i, 30 + 3 * i),
+         "source": "web"}
+        for i in range(6)
+    ] + [
+        {"doc_id": 902, "text": _text(3, 14), "source": "web"}
+    ]  # exact re-delivery of doc 103's content: must not land twice
+    _write_batch(docs_dir, "b2.json", batch2)
+    q2 = corpus_ingest_stream(
+        spark, docs_dir, ingest, ckpt, schema=_SCHEMA, min_tokens=5
+    )
+    q2.awaitTermination(120)
+
+    corpus = tx_read(spark, ingest)
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert 900 not in ids  # quality gate
+    assert 901 not in ids and 902 not in ids  # exact dups never landed
+    assert {100, 111, 200, 211, 300, 305} <= ids
+
+    # --- release run 1: full chain to training shards -----------------
+    manifest = release_corpus(
+        spark,
+        corpus,
+        release_tbl,
+        shards,
+        chunk_size=16,
+        overlap=4,
+        budget=32,
+        num_shards=4,
+    )
+    rows = manifest.collect()
+    assert rows, "first release must write shards"
+    released = tx_read(spark, release_tbl)
+    rel_ids = {r["doc_id"] for r in released.select("doc_id").collect()}
+    # Q-Q gate drops each source's bottom decile, nothing else missing
+    assert rel_ids <= ids and len(rel_ids) >= len(ids) - 6
+    assert "score_norm" in released.columns
+    # the manifest counts the exact chunk rows the released docs produce
+    expect_chunks = chunk_documents(
+        released, chunk_size=16, overlap=4
+    ).count()
+    assert sum(r["n_rows"] for r in rows) == expect_chunks
+    assert os.path.isdir(os.path.join(shards, "release=0"))
+    # every shard's packs respect the budget's pack-count lower bound
+    assert all(r["n_packs"] >= 1 and r["n_files"] >= 1 for r in rows)
+
+    # --- release run 2: all-dup re-release is a no-op ------------------
+    again = release_corpus(
+        spark, corpus, release_tbl, shards,
+        chunk_size=16, overlap=4, budget=32, num_shards=4,
+    )
+    assert again.collect() == []
+    assert not os.path.isdir(os.path.join(shards, "release=1"))
+    assert tx_read(spark, release_tbl).count() == len(rel_ids)
+
+    # --- release run 3: one genuinely new doc → one-doc increment ------
+    new_doc = spark.createDataFrame(
+        [(400, _text(80, 45), "books")], "doc_id long, text string, source string"
+    )
+    inc = release_corpus(
+        spark,
+        corpus.unionByName(new_doc),
+        release_tbl,
+        shards,
+        chunk_size=16,
+        overlap=4,
+        budget=32,
+        num_shards=4,
+    )
+    inc_rows = inc.collect()
+    inc_chunks = chunk_documents(
+        new_doc, chunk_size=16, overlap=4
+    ).count()
+    assert sum(r["n_rows"] for r in inc_rows) == inc_chunks
+    assert 400 in {
+        r["doc_id"]
+        for r in tx_read(spark, release_tbl).select("doc_id").collect()
+    }
+    # increments are versioned dirs: the first artifact is untouched
+    assert os.path.isdir(os.path.join(shards, "release=0"))
+    assert len(
+        [d for d in os.listdir(shards) if d.startswith("release=")]
+    ) == 2
