@@ -206,3 +206,153 @@ def q266(spark, sf_dir):
     for r in tok_rows[1:]:
         toks = toks.unionByName(r)
     return vocab.join(F.broadcast(toks), "step").orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# q267 — DSIR importance weights (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+# Data Selection via Importance Resampling: score every document by
+# log(p_target(doc)/p_raw(doc)) under hashed-ngram bag models — the
+# standard cheap way to select pretraining data "like" a target corpus
+# without training a classifier.  Features are word unigrams+bigrams
+# hashed into B buckets (portable md5 hashing, q90-q93 discipline, so
+# DuckDB reproduces the exact bucket ids); both distributions are
+# Laplace-smoothed bucket frequencies; the target slice is the
+# English-labelled documents.
+_Q267_B = 512
+_Q267_TOPK = 20
+
+
+def _q267_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> regexp_matches(x, '^[a-z]+$')) AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, lang, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM toks WHERE len(t) >= 2
+    ), hashed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('dsir:' || g), 1, 15)) AS BIGINT)
+                   % {_Q267_B} AS b
+        FROM grams
+    ), raw_counts AS (
+        SELECT b, count(*) AS c_r FROM hashed GROUP BY b
+    ), tgt_counts AS (
+        SELECT b, count(*) AS c_t FROM hashed WHERE lang = 'en' GROUP BY b
+    ), totals AS (
+        SELECT CAST(count(*) AS DOUBLE) AS r_total,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+                   AS t_total
+        FROM hashed
+    ), bucket_w AS (
+        SELECT r.b,
+               ln((coalesce(t.c_t, 0) + 1.0) / (tt.t_total + {_Q267_B}))
+             - ln((r.c_r + 1.0) / (tt.r_total + {_Q267_B})) AS w
+        FROM raw_counts r
+        LEFT JOIN tgt_counts t USING (b)
+        CROSS JOIN totals tt
+    )
+    SELECT doc_id, lang,
+           round(sum(w), 4) AS dsir_weight
+    FROM hashed JOIN bucket_w USING (b)
+    GROUP BY doc_id, lang
+    ORDER BY round(sum(w), 4) DESC, doc_id
+    LIMIT {_Q267_TOPK}
+    """
+
+
+@register(
+    "q267_dsir_importance_weights",
+    _q267_oracle(),
+    doc=(
+        "DSIR data selection (Xie et al. 2023): per-doc importance "
+        "weight log p_target/p_raw under Laplace-smoothed hashed-ngram "
+        "(uni+bi, 512 buckets) bag models, target = English-labelled "
+        "docs; top-20 under a (rounded weight, doc_id) total order.  "
+        "Plan: one gram explode, two bucket-count aggregates "
+        "(512-bounded, map-side combining), the <=512-row weight table "
+        "broadcast back onto the gram stream, one per-doc sum — at "
+        "100 TB the corpus is scanned once and nothing shuffled exceeds "
+        "the bucket space except the final per-doc aggregate, keyed by "
+        "doc_id.  Portable md5 bucket hashing keeps the oracle "
+        "bit-exact (q90-q93 discipline)"
+    ),
+)
+def q267(spark, sf_dir):
+    from ..operators.dedup_docs import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda t: t.rlike("^[a-z]+$"),
+    )
+    base = d.select("doc_id", "lang", toks.alias("t"))
+    uni = base.select("doc_id", "lang", F.explode("t").alias("g"))
+    bi = base.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i),
+                    F.lit(" "),
+                    F.element_at("t", i + 1),
+                ),
+            )
+        ).alias("g"),
+    )
+    hashed = (
+        uni.unionByName(bi)
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                portable_hash60("g", "dsir:"), F.lit(_Q267_B)
+            ).alias("b"),
+        )
+    )
+    raw_counts = hashed.groupBy("b").agg(F.count("*").alias("c_r"))
+    tgt_counts = (
+        hashed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("c_t"))
+    )
+    totals = hashed.agg(
+        F.count("*").cast("double").alias("r_total"),
+        F.count(F.when(F.col("lang") == "en", 1))
+        .cast("double")
+        .alias("t_total"),
+    )
+    bucket_w = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+                    / (F.col("t_total") + _Q267_B)
+                )
+                - F.log(
+                    (F.col("c_r") + 1.0) / (F.col("r_total") + _Q267_B)
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        hashed.join(F.broadcast(bucket_w), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum("w"), 4).alias("dsir_weight"))
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+        .limit(_Q267_TOPK)
+    )
