@@ -203,3 +203,102 @@ def test_snapshot_cache_extends_and_never_aliases(spark, tmp_path):
         {a["path"] for a in b0} | {a["path"] for a in b1}
     )
     assert tx_read(spark, t).count() == 6
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: the snapshot cache is indistinguishable from pure replay
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+# op space: commit (adds ⊆ fresh names, removes ⊆ currently-live),
+# checkpoint, cache-clear, time-travel read, recreate-table
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("commit"),
+            st.integers(min_value=0, max_value=3),  # n adds
+            st.integers(min_value=0, max_value=2),  # n removes
+        ),
+        st.just(("checkpoint",)),
+        st.just(("clear",)),
+        st.tuples(st.just("read_at"), st.integers(min_value=0, max_value=30)),
+        st.just(("recreate",)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_OPS)
+def test_snapshot_cache_equals_pure_replay(tmp_path_factory, ops):
+    """Model-based check of `_live_actions_shared` (the cache every
+    metadata verb now rides): under ANY interleaving of commits,
+    checkpoints, module-cache clears, time-travel reads, and full table
+    recreation at the same path, the shared snapshot equals a pure
+    fold over the commit history — and hands back the right version
+    even when an older `upto` was read in between (the
+    keep-newest-store rule)."""
+    import shutil
+    import uuid as _uuid
+
+    t = str(tmp_path_factory.mktemp("snapprop") / "tbl")
+    log = TX.TransactionLog(t)
+    history: list[tuple[list[str], list[str]]] = []  # per-version adds/removes
+
+    def model_live(upto: int) -> set[str]:
+        live: set[str] = set()
+        for adds, removes in history[: upto + 1]:
+            live |= set(adds)
+            live -= set(removes)
+        return live
+
+    def check(upto: int | None = None):
+        v = len(history) - 1 if upto is None else upto
+        if v < 0 or v >= len(history):
+            return
+        got = TX.TransactionLog(t)._live_actions_shared(upto=v)
+        assert set(got) == model_live(v), f"v={v}"
+        # shape: every action still carries its fabricated payload
+        for a in got.values():
+            assert a["rows"] == 7
+
+    for op in ops:
+        if op[0] == "commit":
+            _, n_add, n_rm = op
+            live_now = sorted(model_live(len(history) - 1))
+            adds = [
+                {
+                    "path": f"data/{_uuid.uuid4().hex}.parquet",
+                    "partition": None,
+                    "bytes": 10,
+                    "rows": 7,
+                }
+                for _ in range(n_add)
+            ]
+            removes = live_now[:n_rm]
+            v = len(history)
+            assert log.try_commit(v, adds, removes, op="append")
+            history.append(([a["path"] for a in adds], removes))
+            check()
+        elif op[0] == "checkpoint":
+            if history:
+                log.checkpoint()
+                check()
+        elif op[0] == "clear":
+            TX._COMMIT_BODY_CACHE.clear()
+            TX._CHECKPOINT_BODY_CACHE.clear()
+            TX._SNAPSHOT_CACHE.clear()
+            check()
+        elif op[0] == "read_at":
+            if history:
+                check(upto=min(op[1], len(history) - 1))
+                check()  # the head must survive older-upto reads
+        elif op[0] == "recreate":
+            shutil.rmtree(t, ignore_errors=True)
+            log = TX.TransactionLog(t)
+            history = []
+    # final sweep: every historical version still resolves exactly
+    for v in range(len(history)):
+        check(upto=v)
