@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..cache import track_persist
 from ..operators.chunking import chunk_documents
-from ..operators.dedup_docs import dedup_incoming
+from ..operators.dedup_docs import dedup_exact, dedup_incoming
 from ..operators.packing import pack_chunks
 from ..sources.sinks import write_training_shards
 from ..sources.txlog import TransactionLog, tx_append_partitioned, tx_read
@@ -115,6 +115,7 @@ def release_corpus(
     overlap: int = 32,
     budget: int = 256,
     num_shards: int = 8,
+    txn: dict | None = None,
 ) -> DataFrame:
     """One incremental release run (see module docstring for the chain).
     Each increment writes its shards under
@@ -124,13 +125,22 @@ def release_corpus(
     Returns the loader manifest ``(shard, n_files, n_rows, n_packs)``
     of THIS increment, read back from the written shards; releasing the
     same candidates twice writes nothing the second time (everything
-    dedups against the release table the first run appended to)."""
+    dedups against the release table the first run appended to).
+
+    The Q-Q gate is BATCH-RELATIVE (cuts computed over this run's gated
+    candidates): a doc cut in one increment can legitimately clear a
+    later increment's cut if the candidate population shifted — the
+    gate tracks the distribution, it is not a per-doc verdict ledger."""
     gated = quality_gate(
         candidates, text_col, min_tokens, min_alpha_ratio,
         max_stopword_ratio,
     )
     if "n_chars" not in gated.columns:
         gated = gated.withColumn("n_chars", F.length(text_col))
+    # within-batch exact dedup (min-id survivor): a release must never
+    # emit two identical documents even when the candidates arrive raw
+    # (dedup_incoming only guards against the already-RELEASED corpus)
+    gated = dedup_exact(gated, text_col=text_col, id_col=id_col)
     prev = tx_read(spark, release_table)
     fresh = (
         dedup_incoming(
@@ -176,5 +186,75 @@ def release_corpus(
     # record the release increment under the ACID log, partitioned by
     # source (the natural prune key for later per-source re-releases) —
     # the NEXT run's dedup_incoming target
-    tx_append_partitioned(spark, kept, release_table, partition_by=source_col)
+    tx_append_partitioned(
+        spark, kept, release_table, partition_by=source_col, txn=txn
+    )
     return manifest
+
+
+def release_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    release_table: str,
+    shards_dir: str,
+    checkpoint_dir: str,
+    stream_id: str = "corpus-release",
+    schema=None,
+    **release_kw,
+):
+    """Continuous curation: every micro-batch of candidate documents
+    becomes ONE release increment (`release_corpus` — gate → dedup vs
+    everything already released → Q-Q gate → versioned shards → fenced
+    append).  Exactly-once by two independent layers, the
+    `corpus_ingest_stream` discipline:
+
+    * the append carries an epoch-scoped idempotence token, so a
+      same-checkpoint crash-replay of a committed batch is fenced to a
+      no-op before any work;
+    * a LOST checkpoint (fresh epoch, batch ids restart, files
+      re-delivered) is not falsely fenced — content-level
+      dedup_incoming then drops everything already released and an
+      all-dup re-delivery writes nothing at all.
+
+    A crash BETWEEN the shard write and the append self-heals: the
+    release-table version did not advance, so the retry rebuilds the
+    same ``release=N`` directory (write_training_shards overwrites) and
+    then commits."""
+    from pyspark.sql import types as T
+
+    from ..cache import release_build_caches
+    from ..sources.txlog import TransactionLog, checkpoint_epoch_app_id
+
+    app_id = checkpoint_epoch_app_id(stream_id, checkpoint_dir)
+    schema = schema or T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(docs_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        log = TransactionLog(release_table)
+        try:
+            if log.txn_seen(app_id, int(batch_id)):
+                return  # same-checkpoint replay of a committed increment
+            release_corpus(
+                batch_df.sparkSession,
+                batch_df,
+                release_table,
+                shards_dir,
+                txn={"app": app_id, "batch": int(batch_id)},
+                **release_kw,
+            )
+        finally:
+            # the one indefinitely-lived consumer must drain per batch
+            release_build_caches()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -202,3 +202,78 @@ def test_stream_ingest_then_release_capstone(spark, tmp_path):
     assert len(
         [d for d in os.listdir(shards) if d.startswith("release=")]
     ) == 2
+
+
+def test_release_stream_exactly_once_and_checkpoint_loss(spark, tmp_path):
+    """Continuous curation: each micro-batch is one fenced release
+    increment; a lost checkpoint's re-delivery releases nothing new
+    (content dedup), and increments land in versioned shard dirs."""
+    import shutil
+
+    from cars_bids_data_pipeline_v0__spark.plans.release import (
+        release_stream,
+    )
+
+    docs_dir = str(tmp_path / "cands")
+    release_tbl = str(tmp_path / "rel_tbl")
+    shards = str(tmp_path / "rel_shards")
+    ckpt = str(tmp_path / "rel_ckpt")
+
+    kw = dict(chunk_size=16, overlap=4, budget=32, num_shards=4)
+    _write_batch(docs_dir, "c1.json", _docs_batch_1())
+    q = release_stream(spark, docs_dir, release_tbl, shards, ckpt, **kw)
+    q.awaitTermination(120)
+    rel1 = {
+        r["doc_id"]
+        for r in tx_read(spark, release_tbl).select("doc_id").collect()
+    }
+    assert rel1 and 900 not in rel1 and 901 not in rel1
+    assert os.path.isdir(os.path.join(shards, "release=0"))
+
+    # batch 2: re-deliveries of RELEASED batch-1 docs (mid-distribution,
+    # so the Q-Q gate released them) plus two genuinely new docs.
+    # Batch-1 docs the gate CUT are deliberately not re-sent: the
+    # quantile gate is batch-relative, so a cut doc re-arriving in a
+    # different population may legitimately clear the new cut.
+    redeliver = [5, 6, 7]
+    batch2 = [
+        {"doc_id": 500 + i, "text": _text(90 + i, 25 + i), "source": "web"}
+        for i in range(2)
+    ] + [
+        {"doc_id": 100 + i, "text": _text(i, 8 + 2 * i), "source": "web"}
+        for i in redeliver
+    ] + [
+        {"doc_id": 200 + i, "text": _text(20 + i, 40 + 2 * i),
+         "source": "books"}
+        for i in redeliver
+    ]
+    for d in batch2[2:]:
+        assert d["doc_id"] in rel1, "test precondition: re-send released docs"
+
+    _write_batch(docs_dir, "c2.json", batch2)
+    q2 = release_stream(spark, docs_dir, release_tbl, shards, ckpt, **kw)
+    q2.awaitTermination(120)
+    rel2 = {
+        r["doc_id"]
+        for r in tx_read(spark, release_tbl).select("doc_id").collect()
+    }
+    assert {500, 501} <= rel2
+    # the re-delivered batch-1 docs did not release twice
+    assert len(rel2) == len(rel1) + 2
+    dirs_before = sorted(
+        d for d in os.listdir(shards) if d.startswith("release=")
+    )
+
+    # checkpoint loss: every file re-delivers under a fresh epoch —
+    # content dedup must drop everything, nothing new lands anywhere
+    shutil.rmtree(ckpt)
+    q3 = release_stream(spark, docs_dir, release_tbl, shards, ckpt, **kw)
+    q3.awaitTermination(120)
+    rel3 = {
+        r["doc_id"]
+        for r in tx_read(spark, release_tbl).select("doc_id").collect()
+    }
+    assert rel3 == rel2
+    assert sorted(
+        d for d in os.listdir(shards) if d.startswith("release=")
+    ) == dirs_before
