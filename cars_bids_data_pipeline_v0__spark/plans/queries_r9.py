@@ -89,6 +89,84 @@ def _q266_oracle() -> str:
     return "".join(parts)
 
 
+
+def _bpe_corpus_words(spark, sf_dir):
+    """The persisted global word-frequency table BPE trains on — the
+    single corpus-sized scan every BPE query shares."""
+    from ..cache import track_persist
+
+    d = _t(spark, sf_dir, "documents")
+    return track_persist(
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        # the vocab table is tiny next to the corpus (tens of kB per
+        # million corpus tokens); 4 partitions keep the K-step loop's
+        # ~25 micro-shuffles from paying 32-task scheduler overhead each
+        .repartition(4)
+    )
+
+
+def _bpe_pair_counts(w):
+    return (
+        w.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def _train_bpe(words, k: int) -> list[tuple[int, str, int]]:
+    """K BPE merges over a word-frequency table -> [(step, raw_pair,
+    pair_freq)].  The loop is inherently sequential (merge s+1's counts
+    depend on merge s), so each step's argmax comes back to the driver
+    as ONE bounded-aggregate row (the allowed .collect() class —
+    centroid-fetch precedent) and the merge applies as a LITERAL
+    replace: a narrow projection, no broadcast-join chain.  Keeping the
+    argmax in-plan instead (1-row crossJoin per step) nested K broadcast
+    stages and re-evaluated the merge lineage per consumer — measured
+    18–41 s at sf0.01 vs ~5 s this way.  Distributed work per step: one
+    vocab-sized pair-count shuffle; the corpus is scanned exactly once
+    (the persisted word table)."""
+    merges: list[tuple[int, str, int]] = []
+    w_cur = words
+    for s in range(1, k + 1):
+        # argmax via min(struct(-freq, pair)): partial-combines map-side
+        # (a row_number window would single-partition the pair table)
+        row = (
+            _bpe_pair_counts(w_cur)
+            .agg(
+                F.min(
+                    F.struct((-F.col("freq")).alias("nf"), F.col("pair"))
+                ).alias("m")
+            )
+            .select(
+                F.col("m.pair").alias("p"),
+                (-F.col("m.nf")).cast("long").alias("f"),
+            )
+            .first()
+        )
+        merges.append((s, row["p"], int(row["f"])))
+        w_cur = w_cur.select(
+            F.replace(F.col("word"), F.lit(row["p"]), F.lit(chr(s))).alias(
+                "word"
+            ),
+            "freq",
+        )
+    return merges
+
+
 @register(
     "q266_bpe_vocab_training",
     _q266_oracle(),
@@ -109,73 +187,9 @@ def _q266_oracle() -> str:
     ),
 )
 def q266(spark, sf_dir):
-    from ..cache import track_persist
+    words = _bpe_corpus_words(spark, sf_dir)
+    merges = _train_bpe(words, _Q266_MERGES)
 
-    d = _t(spark, sf_dir, "documents")
-    words = track_persist(
-        d.select(
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
-        )
-        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        # the vocab table is tiny next to the corpus (tens of kB per
-        # million corpus tokens); 4 partitions keep the K-step loop's
-        # ~25 micro-shuffles from paying 32-task scheduler overhead each
-        .repartition(4)
-    )
-
-    def pair_counts(w):
-        return (
-            w.filter(F.length("word") >= 2)
-            .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("word") - 1),
-                        lambda i: F.col("word").substr(i, F.lit(2)),
-                    )
-                ).alias("pair"),
-                "freq",
-            )
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("freq"))
-        )
-
-    # The training loop is inherently sequential (merge s+1's counts
-    # depend on merge s), so each step's argmax comes back to the driver
-    # as ONE bounded-aggregate row (the allowed .collect() class —
-    # centroid-fetch precedent) and the merge applies as a LITERAL
-    # replace: a narrow projection, no broadcast-join chain.  Keeping
-    # the argmax in-plan instead (1-row crossJoin per step) nested K
-    # broadcast stages and re-evaluated the merge lineage per consumer
-    # — measured 18–41 s at sf0.01 vs ~5 s this way.  Distributed work
-    # per step: one vocab-sized pair-count shuffle; the corpus is
-    # scanned exactly once (the persisted word table).
-    merges: list[tuple[int, str, int]] = []
-    w_cur = words
-    for s in range(1, _Q266_MERGES + 1):
-        # argmax via min(struct(-freq, pair)): partial-combines map-side
-        # (a row_number window would single-partition the pair table)
-        row = (
-            pair_counts(w_cur)
-            .agg(
-                F.min(
-                    F.struct((-F.col("freq")).alias("nf"), F.col("pair"))
-                ).alias("m")
-            )
-            .select(
-                F.col("m.pair").alias("p"),
-                (-F.col("m.nf")).cast("long").alias("f"),
-            )
-            .first()
-        )
-        merges.append((s, row["p"], int(row["f"])))
-        w_cur = w_cur.select(
-            F.replace(F.col("word"), F.lit(row["p"]), F.lit(chr(s))).alias(
-                "word"
-            ),
-            "freq",
-        )
     # merge table (6 rows, sentinels rendered) + the token-count curve:
     # each step's count re-derives its word table from the persisted
     # base through s narrow literal replaces — one final job, no shuffle
@@ -355,4 +369,115 @@ def q267(spark, sf_dir):
         .agg(F.round(F.sum("w"), 4).alias("dsir_weight"))
         .orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
         .limit(_Q267_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q268 — tokenizer fertility by language under the trained BPE vocab
+# ---------------------------------------------------------------------------
+
+# The metric a curator actually reads off a trained tokenizer: how many
+# symbols each language's text costs under the shared vocabulary
+# (UniMax/NLLB-style mixture decisions key on exactly this).  Train the
+# q266 vocabulary on the GLOBAL word table, then encode each language's
+# word stream with the merge chain and count symbols — all-integer
+# output, so the oracle comparison is exact by construction.
+
+
+def _q268_oracle() -> str:
+    parts = [
+        """
+    WITH words0 AS (
+        SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+        GROUP BY w
+    )"""
+    ]
+    for s in range(1, _Q266_MERGES + 1):
+        parts.append(
+            f""", p{s} AS (
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(word) - 1),
+                       i -> substr(word, i, 2))) AS pair,
+                   freq
+            FROM words{s - 1} WHERE len(word) >= 2
+        ) GROUP BY pair
+    ), t{s} AS (
+        SELECT pair FROM p{s} ORDER BY freq DESC, pair LIMIT 1
+    ), words{s} AS (
+        SELECT replace(word, (SELECT pair FROM t{s}), chr({s})) AS word,
+               freq
+        FROM words{s - 1}
+    )"""
+        )
+    enc = "word"
+    for s in range(1, _Q266_MERGES + 1):
+        enc = f"replace({enc}, (SELECT pair FROM t{s}), chr({s}))"
+    parts.append(
+        f""", lang_words AS (
+        SELECT lang, w AS word, count(*) AS freq FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+        GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(sum(len(word) * freq) AS BIGINT) AS n_chars,
+           CAST(sum(len({enc}) * freq) AS BIGINT) AS n_symbols
+    FROM lang_words
+    GROUP BY lang
+    ORDER BY lang"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q268_bpe_fertility_by_lang",
+    _q268_oracle(),
+    doc=(
+        "tokenizer fertility audit: the q266-trained 6-merge vocabulary "
+        "(global word table, one corpus scan) applied to each "
+        "language's word stream — words, characters, and encoded "
+        "symbols per language, the all-integer compression readout "
+        "mixture policies (UniMax-style) key on.  The encode is the "
+        "merge chain as 6 chained literal replaces over the per-"
+        "(lang, word) frequency table: narrow projections over a "
+        "vocab×langs-sized frame, never a corpus rescan"
+    ),
+)
+def q268(spark, sf_dir):
+    words = _bpe_corpus_words(spark, sf_dir)
+    merges = _train_bpe(words, _Q266_MERGES)
+    d = _t(spark, sf_dir, "documents")
+    lang_words = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    enc = F.col("word")
+    for s, p, _f in merges:
+        enc = F.replace(enc, F.lit(p), F.lit(chr(s)))
+    return (
+        lang_words.groupBy("lang")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.length("word") * F.col("freq"))
+            .cast("long")
+            .alias("n_chars"),
+            F.sum(F.length(enc) * F.col("freq"))
+            .cast("long")
+            .alias("n_symbols"),
+        )
+        .orderBy("lang")
     )
