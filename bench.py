@@ -242,6 +242,10 @@ SF1_QUERIES = [
     # the broadcast-eval-index and cell-scoped-prune claims as numbers
     "q254_benchmark_decontamination",
     "q224_semantic_dedup",
+    # round-9: DSIR selection on the curve — gram explode + bucket-
+    # bounded aggregates should stay ~flat (measured 2.8 -> 3.6 s for
+    # 10x at introduction)
+    "q267_dsir_importance_weights",
 ]
 SF1_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf1")
 SF5_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf5")
