@@ -88,6 +88,68 @@ def _load_json_cached(path: str, cache: dict[tuple, dict]) -> dict:
     return body
 
 
+#: live-action count at or above which `checkpoint()` moves the live
+#: list out of the JSON body into a parquet sidecar (Delta's own
+#: checkpoint format choice): the 22 MB JSON body at 100k files costs
+#: ~1.4 s to parse cold, the sidecar ~0.4 s — and the JSON body stays
+#: KB-sized at any table size.  Small tables keep the inline list
+#: (one file, human-greppable, zero extra I/O).
+_PARQUET_CKPT_MIN = 10_000
+
+
+def _read_live_sidecar(path: str) -> list[dict]:
+    """Rebuild the live add-action list from a checkpoint's parquet
+    sidecar.  Field-exact by construction: each row is (path, the rest
+    of the action as JSON), so reconstruction is byte-faithful to what
+    the inline list would have carried.  Any read/parse failure is
+    normalized to ValueError so `_latest_checkpoint_body`'s
+    torn-checkpoint fallback treats the whole checkpoint as unreadable."""
+    import pyarrow.parquet as _pq
+
+    try:
+        t = _pq.read_table(path)
+        paths = t.column("path").to_pylist()
+        rests = t.column("rest_json").to_pylist()
+    except Exception as exc:  # torn/missing sidecar = torn checkpoint
+        raise ValueError(f"unreadable checkpoint sidecar {path}") from exc
+    # ONE json parse of the assembled array, not one per row: 100k
+    # small json.loads calls cost ~1.2 s of per-call overhead where the
+    # single big parse costs ~0.3 s (measured on the 100k-file curve)
+    try:
+        actions = json.loads("[" + ",".join(rests) + "]")
+    except (TypeError, json.JSONDecodeError) as exc:
+        raise ValueError(f"corrupt checkpoint sidecar {path}") from exc
+    for p, a in zip(paths, actions):
+        a["path"] = p
+    return actions
+
+
+def _load_checkpoint_cached(path: str) -> dict:
+    """Checkpoint-body loader: like `_load_json_cached`, plus sidecar
+    resolution — a body whose live list was externalized to parquet
+    (``live_parquet``) is reconstructed ONCE and the merged body cached
+    under the JSON file's identity.  CONTRACT: immutable, shared."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    body = _CHECKPOINT_BODY_CACHE.get(key) if key is not None else None
+    if body is None:
+        with open(path) as f:
+            body = json.load(f)
+        side = body.get("live_parquet")
+        if side:
+            body["live"] = _read_live_sidecar(
+                os.path.join(os.path.dirname(path), side)
+            )
+        if key is not None:
+            if len(_CHECKPOINT_BODY_CACHE) > 65536:
+                _CHECKPOINT_BODY_CACHE.clear()
+            _CHECKPOINT_BODY_CACHE[key] = body
+    return body
+
+
 def _copy_tree(v):
     """Deep copy of a JSON tree (dicts/lists/scalars) — what
     `live_actions` hands out, so no caller mutation however nested can
@@ -576,9 +638,7 @@ class TransactionLog:
             if upto is not None and v > upto:
                 continue
             try:
-                return v, _load_json_cached(
-                    self._checkpoint_path(v), _CHECKPOINT_BODY_CACHE
-                )
+                return v, _load_checkpoint_cached(self._checkpoint_path(v))
             except (OSError, json.JSONDecodeError, ValueError):
                 continue  # torn checkpoint: fall back to older one / replay
         return None
@@ -628,7 +688,39 @@ class TransactionLog:
                     txns.get(t["app"], -1), int(t["batch"])
                 )
         tmp = self._checkpoint_path(v) + f".tmp-{uuid.uuid4().hex}"
-        body = {"version": v, "live": live, "txns": txns}
+        body = {"version": v, "txns": txns}
+        if len(live) >= _PARQUET_CKPT_MIN:
+            # Delta's checkpoint format choice: the live list (the only
+            # table-sized part of the body) goes to a parquet sidecar,
+            # written BEFORE the JSON rename — readers only consult a
+            # sidecar the (atomically published) JSON names, and a torn
+            # sidecar makes the whole checkpoint fall back like any
+            # torn checkpoint
+            import pyarrow as _pa
+            import pyarrow.parquet as _pqw
+
+            side = f"{v:020d}.checkpoint.live.parquet"
+            side_tmp = os.path.join(
+                self.log_dir, side + f".tmp-{uuid.uuid4().hex}"
+            )
+            _pqw.write_table(
+                _pa.table(
+                    {
+                        "path": [a["path"] for a in live],
+                        "rest_json": [
+                            json.dumps(
+                                {k: x for k, x in a.items() if k != "path"}
+                            )
+                            for a in live
+                        ],
+                    }
+                ),
+                side_tmp,
+            )
+            os.replace(side_tmp, os.path.join(self.log_dir, side))
+            body["live_parquet"] = side
+        else:
+            body["live"] = live
         cons = self.constraints(upto=v)
         if cons:
             body["constraints"] = cons

@@ -302,3 +302,93 @@ def test_snapshot_cache_equals_pure_replay(tmp_path_factory, ops):
     # final sweep: every historical version still resolves exactly
     for v in range(len(history)):
         check(upto=v)
+
+
+def test_parquet_checkpoint_sidecar_roundtrip_and_torn_fallback(
+    spark, tmp_path, monkeypatch
+):
+    """Delta-format checkpoints: at >= _PARQUET_CKPT_MIN live actions
+    the live list moves to a parquet sidecar.  The reconstructed
+    snapshot must be FIELD-EXACT vs pure replay, survive log
+    truncation, and a torn sidecar must demote the whole checkpoint
+    (fall back to replay) instead of half-reading."""
+    import uuid as _uuid
+
+    monkeypatch.setattr(TX, "_PARQUET_CKPT_MIN", 5)
+    t = str(tmp_path / "tbl")
+    log = TX.TransactionLog(t)
+    adds = [
+        {
+            "path": f"data/{_uuid.uuid4().hex}.parquet",
+            "partition": str(i % 3),
+            "partition_col": "p",
+            "bytes": 100 + i,
+            "rows": 10 + i,
+            "cols": {"id": "int64"},
+            "stats": {"id": [i, i + 9]},
+        }
+        for i in range(8)
+    ]
+    assert log.try_commit(0, adds[:5], [], op="append")
+    assert log.try_commit(1, adds[5:], [adds[0]["path"]], op="replace")
+    expect = TX.TransactionLog(t)._live_actions_shared()
+    log.checkpoint()
+    side = [
+        n for n in os.listdir(log.log_dir) if n.endswith(".live.parquet")
+    ]
+    assert side, "sidecar must exist above the threshold"
+    body = json.loads(
+        open(
+            os.path.join(log.log_dir, "00000000000000000001.checkpoint.json")
+        ).read()
+    )
+    assert "live" not in body and body["live_parquet"] == side[0]
+    # cold read: reconstructed snapshot == pure replay, field-exact
+    TX._COMMIT_BODY_CACHE.clear()
+    TX._CHECKPOINT_BODY_CACHE.clear()
+    TX._SNAPSHOT_CACHE.clear()
+    got = TX.TransactionLog(t)._live_actions_shared()
+    assert got == expect
+    # checkpoint survives log truncation (pruning metadata intact)
+    for v in (0, 1):
+        os.remove(log._commit_path(v))
+    TX._COMMIT_BODY_CACHE.clear()
+    TX._CHECKPOINT_BODY_CACHE.clear()
+    TX._SNAPSHOT_CACHE.clear()
+    truncated = TX.TransactionLog(t)._live_actions_shared()
+    assert truncated == expect
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_prunable_files,
+    )
+    keep, pruned = tx_prunable_files(t, "id", lo=0, hi=5)
+    assert pruned > 0 and keep
+
+
+def test_parquet_checkpoint_torn_sidecar_demotes_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    import uuid as _uuid
+
+    monkeypatch.setattr(TX, "_PARQUET_CKPT_MIN", 5)
+    t = str(tmp_path / "tbl")
+    log = TX.TransactionLog(t)
+    adds = [
+        {"path": f"data/{_uuid.uuid4().hex}.parquet", "partition": None,
+         "bytes": 1, "rows": 1}
+        for i in range(6)
+    ]
+    assert log.try_commit(0, adds, [], op="append")
+    log.checkpoint()
+    side = [
+        n for n in os.listdir(log.log_dir) if n.endswith(".live.parquet")
+    ][0]
+    # tear the sidecar: the checkpoint must be skipped wholesale and
+    # the snapshot rebuilt from the (still present) commit log
+    with open(os.path.join(log.log_dir, side), "w") as fh:
+        fh.write("not parquet")
+    TX._COMMIT_BODY_CACHE.clear()
+    TX._CHECKPOINT_BODY_CACHE.clear()
+    TX._SNAPSHOT_CACHE.clear()
+    fresh = TX.TransactionLog(t)
+    assert fresh._latest_checkpoint_body() is None
+    assert set(fresh._live_actions_shared()) == {a["path"] for a in adds}
