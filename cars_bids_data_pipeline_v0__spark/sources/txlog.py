@@ -296,6 +296,23 @@ class TransactionLog:
         if ckpt is not None:
             start = ckpt[0]
             live = {a["path"]: a for a in ckpt[1].get("live", [])}
+        else:
+            # fail-loud time travel below a truncated log's horizon: no
+            # checkpoint at or below v AND the retained commits do not
+            # start at 0 means version v cannot be faithfully rebuilt —
+            # a silent partial replay here would return a wrong (often
+            # empty) snapshot (tx_truncate_log's documented trade, the
+            # Delta logRetentionDuration semantics)
+            vs = self.versions()
+            if (vs and vs[0] > 0) or (
+                not vs and self._checkpoint_versions()
+            ):
+                raise ValueError(
+                    f"cannot reconstruct version {v} of {self.path}: "
+                    f"the commit log was truncated below version "
+                    f"{vs[0] if vs else 'all retained commits'} and no "
+                    f"checkpoint exists at or below {v}"
+                )
         for act in self.actions(v, since=start):
             for a in act.get("add", []):
                 live[a["path"]] = a
@@ -1009,12 +1026,26 @@ class TransactionLog:
         clones' needs can break them — the documented
         Delta-shallow-clone caveat."""
         # ONE pass over the (memoized) action stream builds everything
-        # the file and DV retention decisions need
+        # the file and DV retention decisions need.  ``ever`` seeds from
+        # every RETAINED checkpoint's live list first: after a log
+        # truncation (tx_truncate_log) the add actions of
+        # checkpoint-covered files no longer exist as commit bodies, and
+        # an action-only ``ever`` would mark live files as orphans and
+        # DELETE them.  Checkpoint-seeded files lack remove timestamps,
+        # so under retention they are simply never expired — storage
+        # conservatism, never a correctness risk.
         ever: set[str] = set()
         removed_at: dict[str, float] = {}
         ever_dv: set[str] = set()
         dv_removed_at: dict[str, float] = {}
         dv_map: dict[str, str] = {}  # data file -> DV in force (replay)
+        for cv in self._checkpoint_versions():
+            try:
+                cbody = _load_checkpoint_cached(self._checkpoint_path(cv))
+            except (OSError, json.JSONDecodeError, ValueError):
+                continue
+            ever |= {a["path"] for a in cbody.get("live", [])}
+            ever_dv |= set(cbody.get("dvs", {}).values())
         retained = retention_hours is not None
         for act in self.actions():
             ts = None
@@ -3833,16 +3864,39 @@ def tx_fsck(table_path: str) -> dict:
         "txn_regressions": [],
     }
     versions = log.versions()
+    cks = log._checkpoint_versions()
     if versions and versions != list(range(versions[0], versions[-1] + 1)):
         report["contiguous_versions"] = False
+    truncated = False
     if versions and versions[0] != 0:
-        report["contiguous_versions"] = False
+        # a log whose commits start above 0 is LEGITIMATE iff a
+        # checkpoint covers the missing prefix (tx_truncate_log's
+        # retention) — anything else is a lost commit
+        if cks and max(cks) >= versions[0] - 1:
+            truncated = True
+            report["log_truncated_below"] = versions[0]
+        else:
+            report["contiguous_versions"] = False
 
-    # raw replay (no checkpoints) + add/remove sanity
+    # raw replay + add/remove sanity — from scratch on a full log, from
+    # the newest checkpoint on a retention-truncated one (the truncated
+    # prefix is only reconstructable via the checkpoint, by design)
     live: dict[str, str | None] = {}
     ever_added: set[str] = set()
     last_batch: dict[str, int] = {}
+    start = -1
+    if truncated:
+        found = log._latest_checkpoint_body()
+        if found is not None:
+            start = found[0]
+            for a in found[1].get("live", []):
+                live[a["path"]] = a.get("partition")
+                ever_added.add(a["path"])
+            for app, b in (found[1].get("txns") or {}).items():
+                last_batch[app] = int(b)
     for v in versions:
+        if v <= start:
+            continue
         with open(log._commit_path(v)) as f:
             act = json.load(f)
         for a in act.get("add", []):
@@ -3863,7 +3917,12 @@ def tx_fsck(table_path: str) -> dict:
                 )
             last_batch[txn["app"]] = txn["batch"]
 
-    if dict(log.live_files()) != live:
+    try:
+        if dict(log.live_files()) != live:
+            report["checkpoint_divergence"] = True
+    except ValueError:
+        # snapshot assembly itself refuses (truncated below any
+        # checkpoint): the strongest possible divergence signal
         report["checkpoint_divergence"] = True
 
     for path in sorted(live):
@@ -4949,6 +5008,62 @@ def tx_count(
         if f in acts
     )
     return int(total - deleted)
+
+
+def tx_truncate_log(
+    table_path: str, keep_checkpoints: int = 1
+) -> dict:
+    """Log retention (Delta's ``logRetentionDuration`` verb, count-based):
+    keep the newest ``keep_checkpoints`` checkpoints, delete every older
+    checkpoint (with its parquet sidecar) and every commit body already
+    compacted into the oldest KEPT checkpoint — a forever-running ingest
+    stream's log stays O(commits since checkpoint) on DISK, not just in
+    replay cost.
+
+    The documented trade (same as Delta's): time travel and CDF below
+    the oldest kept checkpoint become impossible — and FAIL LOUDLY
+    (`_live_actions_shared` raises on an unreconstructable version
+    instead of silently replaying a partial log).  The newest commit
+    file is always kept as the version anchor, so the next writer still
+    claims the right version.  Returns
+    ``{"horizon", "commits_deleted", "checkpoints_deleted"}``."""
+    if keep_checkpoints < 1:
+        raise ValueError("keep_checkpoints must be >= 1")
+    log = TransactionLog(table_path)
+    cks = log._checkpoint_versions()  # newest-first
+    if not cks:
+        return {
+            "horizon": None, "commits_deleted": 0,
+            "checkpoints_deleted": 0,
+        }
+    horizon = min(cks[:keep_checkpoints])
+    vs = log.versions()
+    latest = vs[-1] if vs else -1
+    commits_deleted = 0
+    for v in vs:
+        # strictly below-or-at the horizon AND not the version anchor:
+        # replay starts AFTER the checkpoint, so these bodies are dead
+        if v <= horizon and v != latest:
+            try:
+                os.remove(log._commit_path(v))
+                commits_deleted += 1
+            except OSError:
+                pass
+    checkpoints_deleted = 0
+    for cv in cks[keep_checkpoints:]:
+        for suffix in (".checkpoint.json", ".checkpoint.live.parquet"):
+            try:
+                os.remove(
+                    os.path.join(log.log_dir, f"{cv:020d}{suffix}")
+                )
+                checkpoints_deleted += 1
+            except OSError:
+                pass
+    return {
+        "horizon": horizon,
+        "commits_deleted": commits_deleted,
+        "checkpoints_deleted": checkpoints_deleted,
+    }
 
 
 def tx_detail(table_path: str) -> dict:

@@ -392,3 +392,77 @@ def test_parquet_checkpoint_torn_sidecar_demotes_checkpoint(
     fresh = TX.TransactionLog(t)
     assert fresh._latest_checkpoint_body() is None
     assert set(fresh._live_actions_shared()) == {a["path"] for a in adds}
+
+
+def test_tx_truncate_log_retention_and_loud_history_horizon(
+    spark, tmp_path
+):
+    """Log retention: commits compacted into the kept checkpoint are
+    deleted from disk, older checkpoints (and sidecars) go with them,
+    the head still reads, the NEXT version number is preserved, vacuum
+    cannot orphan-delete checkpoint-covered live files, and time travel
+    below the horizon fails loudly instead of replaying a partial log."""
+    import pytest as _pytest
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_truncate_log,
+    )
+
+    t = str(tmp_path / "tbl")
+    log = TransactionLog(t)
+    paths_v = {}
+    for v in range(6):
+        adds = log.stage_dataframe(_mk(spark, v * 3, v * 3 + 3))
+        assert log.try_commit(v, adds, [], op="append")
+        paths_v[v] = [a["path"] for a in adds]
+        if v in (2, 4):
+            log.checkpoint()
+    info = tx_truncate_log(t, keep_checkpoints=1)
+    assert info["horizon"] == 4
+    # commits 0..4 gone (none was the anchor), checkpoint 2 + nothing else
+    assert sorted(log.versions()) == [5]
+    assert log._checkpoint_versions() == [4]
+    assert info["commits_deleted"] == 5 and info["checkpoints_deleted"] >= 1
+    # head reads fine and sees every row ever appended
+    assert tx_read(spark, t).count() == 18
+    # vacuum must NOT treat checkpoint-covered live files as orphans
+    assert log.vacuum(dry_run=True) == []
+    assert log.vacuum() == 0
+    assert tx_read(spark, t).count() == 18
+    # version continuity: the next commit claims version 6, not 0
+    more = log.stage_dataframe(_mk(spark, 100, 101))
+    assert log.try_commit(log.version() + 1, more, [], op="append")
+    assert log.version() == 6
+    # time travel at/above the horizon works; below it fails loudly
+    want_v4 = {p for v in range(5) for p in paths_v[v]}
+    assert set(TransactionLog(t)._live_actions_shared(upto=4)) == want_v4
+    with _pytest.raises(ValueError, match="truncated"):
+        TransactionLog(t)._live_actions_shared(upto=1)
+
+
+def test_tx_fsck_accepts_legit_truncation_flags_forged_gap(
+    spark, tmp_path
+):
+    """fsck distinguishes tx_truncate_log retention (checkpoint covers
+    the missing prefix — healthy, reported informationally) from a
+    forged gap (lost commit — not ok)."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_fsck,
+        tx_truncate_log,
+    )
+
+    t = str(tmp_path / "tbl")
+    log = TransactionLog(t)
+    for v in range(4):
+        adds = log.stage_dataframe(_mk(spark, v, v + 2))
+        assert log.try_commit(v, adds, [], op="append")
+        if v == 2:
+            log.checkpoint()
+    tx_truncate_log(t, keep_checkpoints=1)
+    rep = tx_fsck(t)
+    assert rep["ok"], rep
+    assert rep["log_truncated_below"] == 3
+    # forged gap in the RETAINED range: still caught
+    os.remove(log._commit_path(3))
+    rep2 = tx_fsck(t)
+    assert not rep2["ok"]
