@@ -756,6 +756,7 @@ def corpus_ingest_stream(
     stream_id: str = "corpus-ingest",
     export_manifest: bool = True,
     schema: T.StructType | None = None,
+    log_retention_checkpoints: int | None = None,
 ):
     """Steady-state streaming corpus ingestion — the round-4 capstone
     composing the pieces a production training-data loop runs forever:
@@ -858,6 +859,16 @@ def corpus_ingest_stream(
             # checkpoint) on a forever-running stream
             if log.version() >= 0 and log.version() % 10 == 0:
                 log.checkpoint()
+                # opt-in log retention (tx_truncate_log): the stream's
+                # log stays bounded ON DISK too, trading time travel
+                # below the kept checkpoints (which then fails loudly)
+                if log_retention_checkpoints is not None:
+                    from ..sources.txlog import tx_truncate_log
+
+                    tx_truncate_log(
+                        table_path,
+                        keep_checkpoints=log_retention_checkpoints,
+                    )
         finally:
             # refresh the manifest on EVERY exit path (fenced replays and
             # all-dup batches included): a crash between a commit and its

@@ -466,3 +466,60 @@ def test_tx_fsck_accepts_legit_truncation_flags_forged_gap(
     os.remove(log._commit_path(3))
     rep2 = tx_fsck(t)
     assert not rep2["ok"]
+
+
+def test_ingest_stream_opt_in_log_retention(spark, tmp_path):
+    """corpus_ingest_stream(log_retention_checkpoints=1): a long-lived
+    stream's auto-checkpoint cadence also truncates the log on disk —
+    bounded commit files, intact head, fenced replays still work."""
+    import json as _json
+
+    from cars_bids_data_pipeline_v0__spark.streaming.incremental import (
+        corpus_ingest_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(docs_dir)
+    # 12 single-doc batches -> 12 commits -> auto-checkpoint at v10
+    # (plus retention) under availableNow
+    total = 0
+    for b in range(12):
+        with open(os.path.join(docs_dir, f"b{b}.json"), "w") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "doc_id": b,
+                        "text": " ".join(
+                            f"u{b}w{j}" if j % 3 == 0 else "steady corpus"
+                            for j in range(12)
+                        ),
+                    }
+                )
+                + "\n"
+            )
+        total += 1
+        q = corpus_ingest_stream(
+            spark, docs_dir, table, ckpt,
+            log_retention_checkpoints=1, export_manifest=False,
+        )
+        q.awaitTermination(120)
+    log = TransactionLog(table)
+    assert tx_read(spark, table).count() == total
+    # retention ran at the checkpoint cadence: commits below the kept
+    # checkpoint are gone from disk, far fewer than 12 remain
+    assert len(log._checkpoint_versions()) == 1
+    assert len(log.versions()) < total
+    assert min(log.versions()) > 0
+    # the stream keeps working after truncation
+    with open(os.path.join(docs_dir, "bz.json"), "w") as fh:
+        fh.write(_json.dumps({"doc_id": 99, "text": " ".join(
+            f"z{j}" if j % 3 == 0 else "fresh words" for j in range(12)
+        )}) + "\n")
+    q = corpus_ingest_stream(
+        spark, docs_dir, table, ckpt,
+        log_retention_checkpoints=1, export_manifest=False,
+    )
+    q.awaitTermination(120)
+    assert tx_read(spark, table).count() == total + 1
