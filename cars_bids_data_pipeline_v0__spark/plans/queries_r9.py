@@ -284,24 +284,9 @@ def _q267_oracle() -> str:
     """
 
 
-@register(
-    "q267_dsir_importance_weights",
-    _q267_oracle(),
-    doc=(
-        "DSIR data selection (Xie et al. 2023): per-doc importance "
-        "weight log p_target/p_raw under Laplace-smoothed hashed-ngram "
-        "(uni+bi, 512 buckets) bag models, target = English-labelled "
-        "docs; top-20 under a (rounded weight, doc_id) total order.  "
-        "Plan: one gram explode, two bucket-count aggregates "
-        "(512-bounded, map-side combining), the <=512-row weight table "
-        "broadcast back onto the gram stream, one per-doc sum — at "
-        "100 TB the corpus is scanned once and nothing shuffled exceeds "
-        "the bucket space except the final per-doc aggregate, keyed by "
-        "doc_id.  Portable md5 bucket hashing keeps the oracle "
-        "bit-exact (q90-q93 discipline)"
-    ),
-)
-def q267(spark, sf_dir):
+def _q267_doc_weights(spark, sf_dir):
+    """``(doc_id, lang, w)`` — the unrounded per-doc DSIR log-ratio
+    weight frame q267 ranks and q269 resamples from."""
     from ..operators.dedup_docs import portable_hash60
 
     d = _t(spark, sf_dir, "documents")
@@ -366,10 +351,39 @@ def q267(spark, sf_dir):
     return (
         hashed.join(F.broadcast(bucket_w), "b")
         .groupBy("doc_id", "lang")
-        .agg(F.round(F.sum("w"), 4).alias("dsir_weight"))
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+@register(
+    "q267_dsir_importance_weights",
+    _q267_oracle(),
+    doc=(
+        "DSIR data selection (Xie et al. 2023): per-doc importance "
+        "weight log p_target/p_raw under Laplace-smoothed hashed-ngram "
+        "(uni+bi, 512 buckets) bag models, target = English-labelled "
+        "docs; top-20 under a (rounded weight, doc_id) total order.  "
+        "Plan: one gram explode, two bucket-count aggregates "
+        "(512-bounded, map-side combining), the <=512-row weight table "
+        "broadcast back onto the gram stream, one per-doc sum — at "
+        "100 TB the corpus is scanned once and nothing shuffled exceeds "
+        "the bucket space except the final per-doc aggregate, keyed by "
+        "doc_id.  Portable md5 bucket hashing keeps the oracle "
+        "bit-exact (q90-q93 discipline)"
+    ),
+)
+def q267(spark, sf_dir):
+    return (
+        _q267_doc_weights(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("w"), 4).alias("dsir_weight"),
+        )
         .orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
         .limit(_Q267_TOPK)
     )
+
 
 
 # ---------------------------------------------------------------------------
@@ -480,4 +494,76 @@ def q268(spark, sf_dir):
             .alias("n_symbols"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q269 — DSIR importance RESAMPLING (the selection half of Xie 2023)
+# ---------------------------------------------------------------------------
+
+# Scoring (q267) is half of DSIR; the paper's second half SAMPLES
+# without replacement with probability ∝ exp(weight).  The Gumbel-max
+# trick makes that a deterministic top-k: key_i = w_i + Gumbel(u_i)
+# with u_i a pseudo-uniform derived from the doc id's portable hash —
+# RNG-free, engine-reproducible (the q19/q137 discipline), and
+# embarrassingly parallel (one narrow map + a top-k).
+_Q269_K = 15
+_Q269_HASH_SPACE = float(1 << 60)
+
+
+def _q269_oracle() -> str:
+    base = _q267_oracle()
+    # reuse q267's scoring CTE chain up to the per-doc weight, then race
+    head = base[: base.rindex("SELECT doc_id, lang,")]
+    return (
+        head
+        + f""", doc_w AS (
+        SELECT doc_id, lang, sum(w) AS w
+        FROM hashed JOIN bucket_w USING (b)
+        GROUP BY doc_id, lang
+    ), raced AS (
+        SELECT doc_id, lang,
+               round(w - ln(-ln(
+                   (CAST(('0x' || substr(md5('gum:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                   / ({_Q269_HASH_SPACE} + 2.0)
+               )), 4) AS race_key
+        FROM doc_w
+    )
+    SELECT doc_id, lang, race_key
+    FROM raced
+    ORDER BY race_key DESC, doc_id
+    LIMIT {_Q269_K}
+    """
+    )
+
+
+@register(
+    "q269_dsir_importance_resampling",
+    _q269_oracle(),
+    doc=(
+        "DSIR's selection half (Xie 2023): sample-without-replacement "
+        "with probability proportional to exp(importance weight) via "
+        "the Gumbel-max trick — race_key = weight + Gumbel(u), u a "
+        "pseudo-uniform from the doc id's portable md5 hash (RNG-free, "
+        "engine-reproducible, the q19/q137 assignment discipline), "
+        "top-15 under a (rounded key, doc_id) total order.  Plan adds "
+        "one narrow map and a TakeOrdered to q267's scoring shape — "
+        "at 100 TB the selection costs nothing beyond the scoring scan"
+    ),
+)
+def q269(spark, sf_dir):
+    from ..operators.dedup_docs import portable_hash60
+
+    doc_w = _q267_doc_weights(spark, sf_dir)
+    u = (
+        portable_hash60(F.col("doc_id").cast("string"), "gum:") + F.lit(1.0)
+    ) / F.lit(_Q269_HASH_SPACE + 2.0)
+    return (
+        doc_w.select(
+            "doc_id",
+            "lang",
+            F.round(F.col("w") - F.log(-F.log(u)), 4).alias("race_key"),
+        )
+        .orderBy(F.col("race_key").desc(), F.col("doc_id"))
+        .limit(_Q269_K)
     )
