@@ -82,10 +82,21 @@ def _codebook_lit(codebooks: Codebooks) -> Column:
 
 
 def _subvectors(v: Column, m: int, ds: int) -> Column:
-    """Split a vector column into the array of its m subvectors."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda mi: F.slice(v, mi * ds + 1, ds),
+    """Split a vector column into the array of its m subvectors.
+
+    ``v`` is let-bound through a single-element ``transform`` so the
+    inner lambda's ``slice`` reads a bound variable — inlining ``v``
+    (usually a cast-transform chain) into the lambda body re-evaluates
+    it once per subvector (the word_shingles round-10 fix, bounded ×m
+    here)."""
+    return F.flatten(
+        F.transform(
+            F.array(v),
+            lambda vb: F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda mi: F.slice(vb, mi * ds + 1, ds),
+            ),
+        )
     )
 
 

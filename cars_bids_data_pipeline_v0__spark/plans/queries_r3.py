@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..cache import track
+from ..cache import track, track_persist
 from .queries import _t, register
 
 # ---------------------------------------------------------------------------
@@ -1006,8 +1006,16 @@ def q140(spark, sf_dir):
     from ..operators.dedup_docs import word_shingles
 
     d = _t(spark, sf_dir, "documents")
+    # explode-fusion barrier (ARCHITECTURE.md round-9): materialize the
+    # shingle ARRAY before exploding — fused explode(word_shingles(text))
+    # re-evaluates the whole shingle builder per output row
+    sh_arr = track_persist(d.select("source", word_shingles("text", 3).alias("sh")))
     src_sh = track(
-        d.select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
+        # shuffle/join on the 64-bit shingle hash, never the 3-word
+        # string (the q53 inverted-index discipline) — counts only need
+        # equality, and collisions are ~|vocab|²/2⁶⁴
+        sh_arr.select("source", F.explode("sh").alias("__s"))
+        .select("source", F.xxhash64("__s").alias("shingle"))
         .distinct()
         # persisted: feeds both sides of the self-join AND the size agg —
         # without it the shingle explode+distinct shuffle runs 3×

@@ -119,9 +119,14 @@ def q254(spark, sf_dir):
         .alias("text"),
     )
     docs = fan_out(raw)
-    inv = docs.select(
-        "doc_id", F.explode(word_shingles("text", _Q254_NGRAM)).alias("shingle")
+    # explode-fusion barrier (ARCHITECTURE.md round-9): materialize the
+    # shingle ARRAY before exploding — fused explode(word_shingles(text))
+    # re-evaluates the builder per output row; the persisted frame also
+    # feeds BOTH the train and eval branches from one corpus scan
+    sh_arr = track_persist(
+        docs.select("doc_id", word_shingles("text", _Q254_NGRAM).alias("sh"))
     )
+    inv = sh_arr.select("doc_id", F.explode("sh").alias("shingle"))
     train = inv.where(F.col("doc_id") % _Q254_EVAL_MOD != 0)
     ev = inv.where(F.col("doc_id") % _Q254_EVAL_MOD == 0)
     hits = (

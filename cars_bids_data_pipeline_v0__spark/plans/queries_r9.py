@@ -3,10 +3,12 @@ stubbed-at-one-step LLM-data operator (VERDICT r8 directive 5).
 
 * **q266 BPE vocabulary training, K=6 merges**: q225 proved ONE
   count→argmax→merge→recount cycle; this runs the full training loop to
-  a 6-entry merge table plus the encoded-corpus token-count curve, all
-  in ONE declarative plan (no driver collect, no per-iteration action).
-  The DuckDB twin unrolls the same K stages as chained CTEs, so the
-  whole trained vocabulary sits under the driver's value hash.
+  a 6-entry merge table plus the encoded-corpus token-count curve.  The
+  corpus is scanned once (persisted word table); each merge step's
+  argmax is ONE bounded-aggregate driver row (see ``_train_bpe`` for
+  the measured in-plan-vs-driver trade).  The DuckDB twin unrolls the
+  same K stages as chained CTEs, so the whole trained vocabulary sits
+  under the driver's value hash.
 
 Reference parity: none — the reference has no tokenizer surface; this
 extends the LLM-pipeline text family (SURVEY §2 addenda).
@@ -171,13 +173,17 @@ def _train_bpe(words, k: int) -> list[tuple[int, str, int]]:
     "q266_bpe_vocab_training",
     _q266_oracle(),
     doc=(
-        "full BPE tokenizer training to a 6-merge vocabulary in one "
-        "declarative plan: word-frequency table built from ONE corpus "
-        "scan, then each merge is an O(|vocab|) pair count "
+        "full BPE tokenizer training to a 6-merge vocabulary: the "
+        "word-frequency table is built from ONE corpus scan and "
+        "persisted; each merge is then an O(|vocab|) pair count "
         "(map-side-combining sum over an alphabet²+K-bounded pair "
-        "space), a 1-row argmax kept in-plan via min(struct(-freq, "
-        "pair)) and applied with a broadcast join + literal replace — "
-        "no driver collect, no per-iteration job barrier.  Output is "
+        "space) whose argmax comes back to the driver as ONE "
+        "bounded-aggregate row per step (min(struct(-freq, pair)) — "
+        "the centroid-fetch .collect() class) and applies as a literal "
+        "replace, a narrow projection.  Keeping the argmax in-plan "
+        "instead nested K broadcast stages and re-evaluated the merge "
+        "lineage per consumer — measured 18-41 s vs ~5 s this way "
+        "(see _train_bpe).  Output is "
         "the merge table itself plus the encoded-corpus token count "
         "after every merge (the compression curve a tokenizer trainer "
         "reports).  At 100 TB the corpus-sized work is exactly the "
@@ -286,7 +292,17 @@ def _q267_oracle() -> str:
 
 def _q267_doc_weights(spark, sf_dir):
     """``(doc_id, lang, w)`` — the unrounded per-doc DSIR log-ratio
-    weight frame q267 ranks and q269 resamples from."""
+    weight frame q267 ranks and q269 resamples from.
+
+    Explode-fusion barrier (ARCHITECTURE.md round-9 audit rule): the
+    uni+bigram gram array is MATERIALIZED behind a persist before the
+    explode, so the generator input is an attribute reference — fused
+    codegen would otherwise re-evaluate the tokenize+transform builder
+    per OUTPUT row, a quadratic-in-document-length tax.  The barrier
+    also means the corpus is scanned exactly once; both downstream
+    passes (bucket weights, per-doc scoring) re-read the persisted
+    gram frame, not the parquet."""
+    from ..cache import track_persist
     from ..operators.dedup_docs import portable_hash60
 
     d = _t(spark, sf_dir, "documents")
@@ -294,59 +310,52 @@ def _q267_doc_weights(spark, sf_dir):
         F.split(F.lower(F.col("text")), r"\s+"),
         lambda t: t.rlike("^[a-z]+$"),
     )
-    base = d.select("doc_id", "lang", toks.alias("t"))
-    uni = base.select("doc_id", "lang", F.explode("t").alias("g"))
-    bi = base.filter(F.size("t") >= 2).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat(
-                    F.element_at("t", i),
-                    F.lit(" "),
-                    F.element_at("t", i + 1),
-                ),
-            )
-        ).alias("g"),
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat(
+            F.element_at("t", i),
+            F.lit(" "),
+            F.element_at("t", i + 1),
+        ),
     )
-    hashed = (
-        uni.unionByName(bi)
-        .select(
+    base = track_persist(
+        d.select("doc_id", "lang", toks.alias("t")).select(
             "doc_id",
             "lang",
-            F.pmod(
-                portable_hash60("g", "dsir:"), F.lit(_Q267_B)
-            ).alias("b"),
+            F.when(F.size("t") >= 2, F.concat(F.col("t"), bigrams))
+            .otherwise(F.col("t"))
+            .alias("grams"),
         )
     )
-    raw_counts = hashed.groupBy("b").agg(F.count("*").alias("c_r"))
-    tgt_counts = (
-        hashed.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count("*").alias("c_t"))
+    hashed = base.select(
+        "doc_id",
+        "lang",
+        F.explode("grams").alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(portable_hash60("g", "dsir:"), F.lit(_Q267_B)).alias("b"),
     )
-    totals = hashed.agg(
-        F.count("*").cast("double").alias("r_total"),
-        F.count(F.when(F.col("lang") == "en", 1))
-        .cast("double")
-        .alias("t_total"),
+    # one 512-bounded aggregate yields both distributions; the totals
+    # are the bucket-count sums (identical to counting the gram stream)
+    bucket = hashed.groupBy("b").agg(
+        F.count("*").alias("c_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
     )
-    bucket_w = (
-        raw_counts.join(tgt_counts, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
-                    / (F.col("t_total") + _Q267_B)
-                )
-                - F.log(
-                    (F.col("c_r") + 1.0) / (F.col("r_total") + _Q267_B)
-                )
-            ).alias("w"),
-        )
+    totals = bucket.agg(
+        F.sum("c_r").cast("double").alias("r_total"),
+        F.sum("c_t").cast("double").alias("t_total"),
+    )
+    bucket_w = bucket.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log(
+                (F.col("c_t") + 1.0) / (F.col("t_total") + _Q267_B)
+            )
+            - F.log(
+                (F.col("c_r") + 1.0) / (F.col("r_total") + _Q267_B)
+            )
+        ).alias("w"),
     )
     return (
         hashed.join(F.broadcast(bucket_w), "b")

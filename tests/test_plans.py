@@ -195,6 +195,135 @@ def test_no_undocumented_global_windows_anywhere(spark, registry):
     assert offenders == [], f"global (single-partition) windows in: {offenders}"
 
 
+# --- lambda re-evaluation audit (ARCHITECTURE.md round-9/round-10) ---------
+#
+# An element access (slice/element_at/substr) INSIDE A LAMBDA BODY whose
+# first argument is an inlined expression (not a bare attribute or a
+# bound lambda variable) re-evaluates that expression once per lambda
+# ITERATION.  Measured three times: the round-9 explode-fusion fix
+# (50 s → 3.5 s at sf1), the round-10 generator probes (80.9 s bigram /
+# 20.2 s 3-gram vs sub-second with a barrier), and the round-10
+# word_shingles projection fix (53 s → 7 s materializing the sf1
+# shingle table — the tax needs no Generate at all; a transform lambda
+# slicing an inlined tokenize chain in a plain Project pays it too).
+# Linear shapes are fine: explode(filter(split(text))) evaluates once
+# per input row, and element access over a bare attribute or a bound
+# lambda variable costs nothing.  Two fixes: persist the array and
+# explode/consume the attribute (track_persist), or let-bind the
+# expensive input through a single-element transform so inner lambdas
+# read a bound variable (word_shingles, pq._subvectors).
+_DOCUMENTED_FUSED_GENERATES: set[str] = set()
+
+_ELEMENT_ACCESS = ("slice(", "element_at(", "substr(")
+
+
+def _balanced_span(text: str, start: int) -> str:
+    """Contents of the paren group opening at ``start`` (index of the
+    char right AFTER the '(')."""
+    j = start
+    depth = 1
+    while j < len(text) and depth:
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+        j += 1
+    return text[start: j - 1]
+
+
+def _first_top_level_arg(args: str) -> str:
+    depth = 0
+    for i, ch in enumerate(args):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return args[:i]
+    return args
+
+
+def _fused_generate_offenses(plan: str) -> list[str]:
+    """Element-access calls INSIDE A LAMBDA BODY — anywhere in the plan
+    — whose first argument is an expression (contains a call) rather
+    than a bare attribute or bound lambda variable.  Only lambda bodies
+    matter: a top-level ``slice(chain, 1, n)`` evaluates its input once
+    per input row (inherent cost), but inside ``transform``'s lambda
+    the chain is re-evaluated once per ITERATION — the measured
+    quadratic tax."""
+    import re
+
+    out = []
+    for lm in re.finditer(r"lambdafunction\(", plan):
+        body = _balanced_span(plan, lm.end())
+        for fn in _ELEMENT_ACCESS:
+            start = 0
+            while True:
+                i = body.find(fn, start)
+                if i < 0:
+                    break
+                start = i + len(fn)
+                # word boundary: don't match regexp_substr( etc.
+                if i > 0 and (body[i - 1].isalnum() or body[i - 1] in "_."):
+                    continue
+                first = _first_top_level_arg(
+                    _balanced_span(body, i + len(fn))
+                )
+                if "(" in first:
+                    out.append(f"{fn}{first[:120]}")
+    return out
+
+
+def test_fused_generate_detector_on_known_shapes(spark):
+    # the detector must catch the measured-pathological shape and pass
+    # the measured-linear ones (round-10 probes A/B/E/F)
+    df = spark.range(10).select(
+        F.concat_ws(
+            " ", F.col("id").cast("string"), F.lit("a b c d")
+        ).alias("text")
+    )
+    sl = F.split(F.lower("text"), r"\s+")
+    bad = df.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(sl) - 2),
+                lambda i: F.array_join(F.slice(sl, i, 3), " "),
+            )
+        ).alias("g")
+    )
+    assert _fused_generate_offenses(plan_of(bad)), "pathological shape missed"
+
+    ok1 = df.select(F.explode(sl).alias("g"))  # linear: no element access
+    assert not _fused_generate_offenses(plan_of(ok1))
+    arr = df.select(sl.alias("t"))
+    ok2 = arr.select(  # element access over a bare attribute: free
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.array_join(F.slice(F.col("t"), i, 3), " "),
+            )
+        ).alias("g")
+    )
+    assert not _fused_generate_offenses(plan_of(ok2))
+
+
+def test_no_fused_heavy_generates_anywhere(spark, registry):
+    from cars_bids_data_pipeline_v0__spark.cache import release_build_caches
+
+    offenders = []
+    for name, spec in sorted(registry.items()):
+        plan = plan_of(spec.builder(spark, SF))
+        bad = _fused_generate_offenses(plan)
+        if bad and name not in _DOCUMENTED_FUSED_GENERATES:
+            offenders.append((name, bad[0]))
+        spark.catalog.clearCache()
+        release_build_caches()
+    assert offenders == [], (
+        "generator args re-evaluate an inlined derivation per element "
+        f"(persist the array, explode the attribute): {offenders}"
+    )
+
+
 def test_registry_output_schemas_are_flat(spark, registry):
     # The driver's correctness gate canonicalizes results through pandas
     # and hashes row values; array/map/struct columns are unhashable
