@@ -397,6 +397,10 @@ def sweep_sf5(spark) -> dict:
             release_build_caches()
             spark.catalog.clearCache()
         out[name] = round(best, 3)
+    # the release capstone's 50x point (round-9 VERDICT directive 6):
+    # pins the gate→dedup→chunk→pack→shard chain's scaling slope the
+    # way q52/q53/q56 already are
+    out["corpus_release_250k_docs"] = bench_corpus_release(spark, SF5_DIR)
     corpus = Path(SF5_DIR, "_GENERATED")
     return {
         "queries": out,
@@ -506,13 +510,14 @@ def bench_dml_lifecycle_10x(spark) -> float:
     return min(_dml_lifecycle(spark, SF1_DIR) for _ in range(2))
 
 
-def bench_corpus_release(spark) -> float:
-    """The release capstone at sf1 (50k docs): seed the release table
-    with the even half (untimed), then time a FULL-corpus incremental
-    release — q59 gate → dedup_incoming vs the released half → Q-Q
-    decile gate → chunk → pack → training-shard write → fenced append.
-    Fresh state per sample (stateful, like the DML lifecycle);
-    min-of-2."""
+def bench_corpus_release(spark, sf_dir: str | None = None) -> float:
+    """The release capstone at sf1 (50k docs) or, given ``sf_dir``, any
+    other corpus (the sf5 leg passes the 250k-doc corpus): seed the
+    release table with the even half (untimed), then time a FULL-corpus
+    incremental release — q59 gate → dedup_incoming vs the released
+    half → Q-Q decile gate → chunk → pack → training-shard write →
+    fenced append.  Fresh state per sample (stateful, like the DML
+    lifecycle); min-of-2."""
     import shutil
     import tempfile
 
@@ -523,11 +528,12 @@ def bench_corpus_release(spark) -> float:
         release_corpus,
     )
 
+    sf_dir = sf_dir or SF1_DIR
     best = None
     for _ in range(2):
         tmp = tempfile.mkdtemp(prefix="bench_release_")
         try:
-            docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet")
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             tbl, shards = f"{tmp}/released", f"{tmp}/shards"
             release_corpus(
                 spark, docs.filter(F.col("doc_id") % 2 == 0), tbl, shards
@@ -543,6 +549,38 @@ def bench_corpus_release(spark) -> float:
             release_build_caches()
             spark.catalog.clearCache()
     return round(best, 3)
+
+
+def bench_bpe_k_curve(spark) -> dict:
+    """BPE training cost vs merge count K at sf1 (round-9 VERDICT
+    directive 3).  The sf1 word table is tiny (30 `[a-z]+` words — the
+    synthetic corpus suffixes tokens with `#N`), so per-merge cost here
+    IS the job-scheduling floor a real K≈10³ train would pay per
+    round trip; `batch` amortizes it (greedy symbol-disjoint top-B per
+    iteration, see ``_train_bpe``).  Measured at introduction:
+    0.315 s/merge batch=1 vs 0.054 s/merge batch=8 (5.8×)."""
+    from cars_bids_data_pipeline_v0__spark.cache import release_build_caches
+    from cars_bids_data_pipeline_v0__spark.plans.queries_r9 import (
+        _bpe_corpus_words,
+        _train_bpe,
+    )
+
+    t0 = time.time()
+    words = _bpe_corpus_words(spark, SF1_DIR)
+    words.count()
+    out = {"word_table_sec": round(time.time() - t0, 3)}
+    for k, b in ((64, 1), (64, 8), (256, 8)):
+        t0 = time.time()
+        merges = _train_bpe(words, k, batch=b)
+        dt = time.time() - t0
+        out[f"k{k}_batch{b}"] = {
+            "sec": round(dt, 3),
+            "merges": len(merges),
+            "sec_per_merge": round(dt / max(len(merges), 1), 4),
+        }
+    release_build_caches()
+    spark.catalog.clearCache()
+    return out
 
 
 def bench_ann_index(spark) -> dict:
@@ -679,7 +717,17 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_METAPLANE", "1") != "0":
         from tools.bench_metadata_plane import run_curve
 
-        metaplane = run_curve(spark, points=(1_000, 10_000, 100_000))
+        # the 1M point closes the last 100×-scale extrapolation
+        # (round-9 VERDICT directive 2): ~75 s, dominated by synthesis
+        metaplane = run_curve(
+            spark, points=(1_000, 10_000, 100_000, 1_000_000)
+        )
+
+    bpe_curve = (
+        bench_bpe_k_curve(spark)
+        if os.environ.get("SPARK_GRAFT_BPE_CURVE", "1") != "0"
+        else None
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # headline value = the SAME query set rounds 1-3 totalled, so the
@@ -702,6 +750,7 @@ def main() -> None:
                 "sf1": sf1,
                 "sf5": sf5,
                 "file_count_curve": metaplane,
+                "bpe_k_curve": bpe_curve,
             }
         )
     )

@@ -129,7 +129,9 @@ def _bpe_pair_counts(w):
     )
 
 
-def _train_bpe(words, k: int) -> list[tuple[int, str, int]]:
+def _train_bpe(
+    words, k: int, batch: int = 1
+) -> list[tuple[int, str, int]]:
     """K BPE merges over a word-frequency table -> [(step, raw_pair,
     pair_freq)].  The loop is inherently sequential (merge s+1's counts
     depend on merge s), so each step's argmax comes back to the driver
@@ -140,32 +142,77 @@ def _train_bpe(words, k: int) -> list[tuple[int, str, int]]:
     stages and re-evaluated the merge lineage per consumer — measured
     18–41 s at sf0.01 vs ~5 s this way.  Distributed work per step: one
     vocab-sized pair-count shuffle; the corpus is scanned exactly once
-    (the persisted word table)."""
+    (the persisted word table).
+
+    ``batch > 1`` is the scale path for real vocabularies (K≈10³): the
+    round-10 K-curve measured ~0.3–0.45 s/merge at sf1 — ALL
+    job-scheduling floor (the sf1 word table is 30 rows) — so a
+    K=1000 train is ~6 min of round trips at batch=1.  Per iteration
+    the top ``batch`` pairs come back in one bounded collect and a
+    GREEDY SYMBOL-DISJOINT prefix is applied in rank order (the
+    standard distributed-BPE trick): a kept pair shares no symbol with
+    any earlier-kept pair, so the literal replaces commute and none
+    changes another kept pair's count.  Equal to sequential training
+    whenever the next argmaxes are symbol-disjoint and strictly
+    out-count every pair a kept merge creates (tests construct exactly
+    that; created pairs are bounded by their creator's count, so
+    rank-adjacent disjoint pairs with distinct counts always qualify).
+    The oracled q266 stays batch=1 — bit-exact sequential semantics."""
     merges: list[tuple[int, str, int]] = []
     w_cur = words
-    for s in range(1, k + 1):
-        # argmax via min(struct(-freq, pair)): partial-combines map-side
-        # (a row_number window would single-partition the pair table)
-        row = (
-            _bpe_pair_counts(w_cur)
-            .agg(
-                F.min(
-                    F.struct((-F.col("freq")).alias("nf"), F.col("pair"))
-                ).alias("m")
+    s = 1
+    while s <= k:
+        if batch <= 1:
+            # argmax via min(struct(-freq, pair)): partial-combines
+            # map-side (a row_number window would single-partition the
+            # pair table)
+            row = (
+                _bpe_pair_counts(w_cur)
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("freq")).alias("nf"), F.col("pair")
+                        )
+                    ).alias("m")
+                )
+                .select(
+                    F.col("m.pair").alias("p"),
+                    (-F.col("m.nf")).cast("long").alias("f"),
+                )
+                .first()
             )
-            .select(
-                F.col("m.pair").alias("p"),
-                (-F.col("m.nf")).cast("long").alias("f"),
+            if row["p"] is None:
+                # vocabulary exhausted: every word is a single symbol,
+                # the pair table is empty and min() returns NULL — a
+                # real tokenizer trainer stops here (hit at K>~2|vocab|
+                # on small corpora; round-10 K-curve)
+                break
+            kept = [(row["p"], int(row["f"]))]
+        else:
+            top = (
+                _bpe_pair_counts(w_cur)
+                .orderBy(F.col("freq").desc(), F.col("pair"))
+                .limit(batch)
+                .collect()
             )
-            .first()
-        )
-        merges.append((s, row["p"], int(row["f"])))
-        w_cur = w_cur.select(
-            F.replace(F.col("word"), F.lit(row["p"]), F.lit(chr(s))).alias(
-                "word"
-            ),
-            "freq",
-        )
+            if not top:
+                break
+            kept = []
+            used: set[str] = set()
+            for r in top:
+                if s + len(kept) > k:
+                    break
+                syms = set(r["pair"])
+                if kept and (syms & used):
+                    continue
+                kept.append((r["pair"], int(r["freq"])))
+                used |= syms
+        repl = F.col("word")
+        for p, f in kept:
+            merges.append((s, p, f))
+            repl = F.replace(repl, F.lit(p), F.lit(chr(s)))
+            s += 1
+        w_cur = w_cur.select(repl.alias("word"), "freq")
     return merges
 
 

@@ -62,6 +62,12 @@ _COMMIT_BODY_CACHE: dict[tuple, dict] = {}
 #: read-only — checkpoints are written once via atomic rename)
 _CHECKPOINT_BODY_CACHE: dict[tuple, dict] = {}
 
+#: (checkpoint path, mtime_ns, size) -> checkpoint body WITHOUT the
+#: sidecar-externalized live list resolved — the metadata-only view
+#: (constraints/txns/dvs/hwm/mappings) that never pays the 1M-row
+#: sidecar read (see _load_checkpoint_meta)
+_CHECKPOINT_META_CACHE: dict[tuple, dict] = {}
+
 #: abspath(table) -> (version, commit-file sig, shared live snapshot) —
 #: Delta's in-memory Snapshot: later versions extend it by replaying
 #: only the delta commits (see _live_actions_shared)
@@ -147,6 +153,40 @@ def _load_checkpoint_cached(path: str) -> dict:
             if len(_CHECKPOINT_BODY_CACHE) > 65536:
                 _CHECKPOINT_BODY_CACHE.clear()
             _CHECKPOINT_BODY_CACHE[key] = body
+    return body
+
+
+def _load_checkpoint_meta(path: str) -> dict:
+    """Checkpoint body WITHOUT resolving a sidecar-externalized live
+    list — the metadata-only view.  Every checkpoint field except
+    ``live`` (txns, dvs, constraints, row_id_hwm, mappings, specs) is in
+    the JSON itself, which the sidecar format keeps SMALL by
+    construction; consumers of those fields must not pay the
+    1M-action sidecar read (measured 19.5 s cold at 1M live files).
+
+    Sidecar validity: the JSON is renamed into place only AFTER the
+    sidecar it names is fully written, so a published checkpoint's
+    sidecar exists and is complete barring external corruption — this
+    loader stats it (existence) and leaves content verification to the
+    readers that actually open it (`_read_live_sidecar` normalizes any
+    tear to the torn-checkpoint fallback)."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    body = _CHECKPOINT_META_CACHE.get(key) if key is not None else None
+    if body is None:
+        with open(path) as f:
+            body = json.load(f)
+        side = body.get("live_parquet")
+        if side:
+            # a missing sidecar = torn checkpoint, same as a torn body
+            os.stat(os.path.join(os.path.dirname(path), side))
+        if key is not None:
+            if len(_CHECKPOINT_META_CACHE) > 65536:
+                _CHECKPOINT_META_CACHE.clear()
+            _CHECKPOINT_META_CACHE[key] = body
     return body
 
 
@@ -357,7 +397,7 @@ class TransactionLog:
         pruning metadata does."""
         out: dict[str, str] = {}
         start = -1
-        ckpt = self._latest_checkpoint_body(upto)
+        ckpt = self._latest_checkpoint_meta(upto)
         if ckpt is not None:
             start = ckpt[0]
             out = dict(ckpt[1].get("constraints", {}))
@@ -419,7 +459,7 @@ class TransactionLog:
         ps: dict | None = None
         tw: dict = {}
         start = -1
-        ckpt = self._latest_checkpoint_body(v)
+        ckpt = self._latest_checkpoint_meta(v)
         if ckpt is not None:
             start = ckpt[0]
             cm = ckpt[1].get("column_mapping")
@@ -567,7 +607,7 @@ class TransactionLog:
         checkpoint-carried (the constraints pattern)."""
         out: dict[str, str] = {}
         start = -1
-        ckpt = self._latest_checkpoint_body(upto)
+        ckpt = self._latest_checkpoint_meta(upto)
         if ckpt is not None:
             start = ckpt[0]
             out = dict(ckpt[1].get("generated_cols", {}))
@@ -585,7 +625,7 @@ class TransactionLog:
         log truncation."""
         hwm = 0
         start = -1
-        ckpt = self._latest_checkpoint_body(upto)
+        ckpt = self._latest_checkpoint_meta(upto)
         if ckpt is not None:
             start = ckpt[0]
             hwm = int(ckpt[1].get("row_id_hwm", 0))
@@ -604,7 +644,7 @@ class TransactionLog:
         pre-checkpoint log truncation."""
         out: dict[str, str] = {}
         start = -1
-        ckpt = self._latest_checkpoint_body(upto)
+        ckpt = self._latest_checkpoint_meta(upto)
         if ckpt is not None:
             start = ckpt[0]
             out = dict(ckpt[1].get("dvs", {}))
@@ -660,6 +700,24 @@ class TransactionLog:
                 continue  # torn checkpoint: fall back to older one / replay
         return None
 
+    def _latest_checkpoint_meta(
+        self, upto: int | None = None
+    ) -> tuple[int, dict] | None:
+        """Newest readable checkpoint's METADATA body at or below
+        ``upto`` — same selection rule as `_latest_checkpoint_body`,
+        but a sidecar-externalized live list stays unresolved (only
+        ``live_parquet`` names it).  For consumers of txns / dvs /
+        constraints / hwm / mappings only.  CONTRACT: immutable; never
+        read ``live`` from this body."""
+        for v in self._checkpoint_versions():
+            if upto is not None and v > upto:
+                continue
+            try:
+                return v, _load_checkpoint_meta(self._checkpoint_path(v))
+            except (OSError, json.JSONDecodeError, ValueError):
+                continue  # torn checkpoint: fall back to older one
+        return None
+
     def _latest_checkpoint(
         self, upto: int | None = None
     ) -> tuple[int, dict[str, str | None]] | None:
@@ -694,7 +752,7 @@ class TransactionLog:
         # is O(commits since last checkpoint), not O(table age).
         txns: dict[str, int] = {}
         start = -1
-        prev = self._latest_checkpoint_body(upto=v)
+        prev = self._latest_checkpoint_meta(upto=v)
         if prev is not None and "txns" in prev[1]:
             start = prev[0]
             txns = {a: int(b) for a, b in prev[1]["txns"].items()}
@@ -720,22 +778,60 @@ class TransactionLog:
             side_tmp = os.path.join(
                 self.log_dir, side + f".tmp-{uuid.uuid4().hex}"
             )
-            _pqw.write_table(
-                _pa.table(
-                    {
-                        "path": [a["path"] for a in live],
-                        "rest_json": [
-                            json.dumps(
-                                {k: x for k, x in a.items() if k != "path"}
-                            )
-                            for a in live
-                        ],
-                    }
-                ),
-                side_tmp,
-            )
+            cols = {
+                "path": [a["path"] for a in live],
+                "rest_json": [
+                    json.dumps(
+                        {k: x for k, x in a.items() if k != "path"}
+                    )
+                    for a in live
+                ],
+            }
+            # TYPED zone/size columns alongside the byte-faithful
+            # rest_json: scan planning and metadata-only COUNT read
+            # these COLUMNARLY instead of JSON-parsing a million action
+            # dicts on the driver (the round-10 1M-point finding:
+            # 19.5 s cold snapshot vs ~0.1 s columnar).  zone_cols in
+            # the body names which stats columns qualified (all-numeric
+            # min/max, exact under float64 — large ints mixed with
+            # floats disqualify rather than round).
+            cols["zrows"] = [a.get("rows") for a in live]
+            zone_cols = []
+            stat_keys = {k for a in live for k in (a.get("stats") or {})}
+            for c in sorted(stat_keys):
+                mins, maxs = [], []
+                ok, has_float, has_big_int = True, False, False
+                for a in live:
+                    mm = (a.get("stats") or {}).get(c)
+                    if mm is None:
+                        mins.append(None)
+                        maxs.append(None)
+                        continue
+                    m0, m1 = mm
+                    for x in (m0, m1):
+                        if isinstance(x, bool) or not isinstance(
+                            x, (int, float)
+                        ):
+                            ok = False
+                            break
+                        if isinstance(x, float):
+                            has_float = True
+                        elif abs(x) > 2**53:
+                            has_big_int = True
+                    if not ok:
+                        break
+                    mins.append(m0)
+                    maxs.append(m1)
+                if ok and has_float and has_big_int:
+                    ok = False  # float64 would round the int
+                if ok:
+                    cols[f"zmin:{c}"] = mins
+                    cols[f"zmax:{c}"] = maxs
+                    zone_cols.append(c)
+            _pqw.write_table(_pa.table(cols), side_tmp)
             os.replace(side_tmp, os.path.join(self.log_dir, side))
             body["live_parquet"] = side
+            body["zone_cols"] = zone_cols
         else:
             body["live"] = live
         cons = self.constraints(upto=v)
@@ -971,7 +1067,7 @@ class TransactionLog:
         a full-log scan for correctness."""
         start = -1
         latest: dict[str, int] = {}
-        found = self._latest_checkpoint_body()
+        found = self._latest_checkpoint_meta()
         if found is not None and "txns" in found[1]:
             start = found[0]
             latest = {
@@ -1122,7 +1218,7 @@ class TransactionLog:
         # deletion-vector files follow the same retention rule: every DV
         # ever referenced (any commit's dv_state snapshot or a surviving
         # checkpoint) with history, only the in-force set without
-        ckpt = self._latest_checkpoint_body()
+        ckpt = self._latest_checkpoint_meta()
         if ckpt is not None:
             ever_dv |= set(ckpt[1].get("dvs", {}).values())
         if retained:
@@ -2369,6 +2465,110 @@ def _footer_stats(parquet_path: str, cols: list[str]) -> dict:
     return out
 
 
+def _numeric_bound(x) -> bool:
+    return (
+        x is None
+        or (
+            isinstance(x, (int, float))
+            and not isinstance(x, bool)
+            # a >2^53 int bound against a float64 zone column would
+            # round in the comparison — dict path compares exactly
+            and not (isinstance(x, int) and abs(x) > 2**53)
+        )
+    )
+
+
+def _sidecar_prunable(
+    log: TransactionLog, col: str, lo, hi, upto: int | None
+) -> tuple[list[str], int] | None:
+    """Zone-map pruning COLUMNARLY off a checkpoint's parquet sidecar —
+    scan planning without snapshot materialization.
+
+    The round-10 1M-live-file measurement: assembling the dict snapshot
+    costs 19.5 s cold (parquet → python dicts on the driver) while the
+    pruning decision itself needs three columns of it.  When the newest
+    checkpoint at/below the target version externalized its live list
+    AND recorded typed zone columns for ``col`` (``zone_cols``), read
+    (path, zmin:col, zmax:col), evaluate the range overlap in Arrow,
+    and reconcile the post-checkpoint commit TAIL (O(delta) dicts).
+    Exactness: zone columns are written only when every stat value is
+    numeric (float64-exact), and non-numeric bounds fall back.
+
+    Returns None when the fast path doesn't apply — warm snapshot
+    already cached (dict lookup beats file IO), inline checkpoint,
+    unqualified column, non-numeric bounds — and the caller runs the
+    dict path unchanged."""
+    if not (_numeric_bound(lo) and _numeric_bound(hi)):
+        return None
+    v = log.version() if upto is None else upto
+    if v < 0:
+        return None
+    ent = _SNAPSHOT_CACHE.get(os.path.abspath(log.path))
+    if ent is not None and ent[0] <= v and log._commit_sig(ent[0]) == ent[1]:
+        return None  # warm snapshot: the dict path is a lookup + tail
+    found = log._latest_checkpoint_meta(v)
+    if found is None:
+        return None
+    cv, body = found
+    side = body.get("live_parquet")
+    if not side or col not in (body.get("zone_cols") or []):
+        return None
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    try:
+        t = pq.read_table(
+            os.path.join(log.log_dir, side),
+            columns=["path", f"zmin:{col}", f"zmax:{col}"],
+        )
+    except Exception:
+        return None  # torn/old-format sidecar: dict path decides
+    paths = t.column("path")
+    zmin = t.column(f"zmin:{col}")
+    zmax = t.column(f"zmax:{col}")
+    # post-checkpoint tail: last action per path wins (replay order)
+    delta: dict[str, dict | None] = {}
+    for act in log.actions(v, since=cv):
+        for a in act.get("add", []):
+            delta[a["path"]] = a
+        for r in act.get("remove", []):
+            delta[r] = None
+    parts = []
+    if lo is not None:
+        parts.append(pc.fill_null(pc.less(zmax, lo), False))
+    if hi is not None:
+        parts.append(pc.fill_null(pc.greater(zmin, hi), False))
+    if parts:
+        prune = parts[0]
+        for p in parts[1:]:
+            prune = pc.or_(prune, p)
+    else:
+        prune = pa.array([False] * len(paths), type=pa.bool_())
+    keep_mask = pc.invert(prune)
+    if delta:
+        outside = pc.invert(
+            pc.is_in(paths, value_set=pa.array(list(delta), pa.string()))
+        )
+        keep_mask = pc.and_(keep_mask, outside)
+        prune = pc.and_(prune, outside)
+    keep = pc.array_filter(paths, keep_mask).to_pylist()
+    pruned = pc.sum(prune).as_py() or 0
+    for f, a in delta.items():
+        if a is None:
+            continue
+        mm = (a.get("stats") or {}).get(col)
+        if mm is not None and (
+            (lo is not None and mm[1] < lo)
+            or (hi is not None and mm[0] > hi)
+        ):
+            pruned += 1
+            continue
+        keep.append(f)
+    keep.sort()
+    return keep, pruned
+
+
 def tx_prunable_files(
     table_path: str,
     col: str,
@@ -2379,8 +2579,13 @@ def tx_prunable_files(
     """Zone-map file pruning: live files whose recorded [min, max] for
     ``col`` overlaps [lo, hi] (files with no recorded stats for the
     column are always kept — pruning must never be lossy).  Returns
-    (files to read, number pruned)."""
+    (files to read, number pruned).  Cold reads against a
+    sidecar-checkpointed table plan columnarly without materializing
+    the snapshot (see `_sidecar_prunable`)."""
     log = TransactionLog(table_path)
+    fast = _sidecar_prunable(log, col, lo, hi, version)
+    if fast is not None:
+        return fast
     live = log._live_actions_shared(upto=version)
     keep, pruned = [], 0
     for f in sorted(live):
@@ -4997,6 +5202,9 @@ def tx_count(
                 "vacuum(keep_history=True) or a rows-carrying log"
             )
 
+    fast = _sidecar_count(log, version, footer_rows)
+    if fast is not None:
+        return fast
     acts = log._live_actions_shared(upto=version)
     total = sum(
         a["rows"] if "rows" in a else footer_rows(a["path"])
@@ -5007,6 +5215,81 @@ def tx_count(
         for f, dv in log.dvs(upto=version).items()
         if f in acts
     )
+    return int(total - deleted)
+
+
+def _sidecar_count(log: TransactionLog, upto: int | None, footer_rows):
+    """Metadata-only COUNT columnarly off the checkpoint sidecar — the
+    tx_count sibling of `_sidecar_prunable` (round-10: 8.7 s → ~0.1 s
+    cold at 1M live files).  Σ zrows over sidecar rows still live,
+    adjusted by the post-checkpoint commit tail, minus DV cardinalities
+    (DV state comes from the checkpoint's METADATA body + tail — never
+    the live list).  Returns None when it doesn't apply: warm snapshot,
+    inline checkpoint, any action without a recorded row count (the
+    footer-fallback class needs the dict path)."""
+    v = log.version() if upto is None else upto
+    if v < 0:
+        return None
+    ent = _SNAPSHOT_CACHE.get(os.path.abspath(log.path))
+    if ent is not None and ent[0] <= v and log._commit_sig(ent[0]) == ent[1]:
+        return None
+    found = log._latest_checkpoint_meta(v)
+    if found is None:
+        return None
+    cv, body = found
+    side = body.get("live_parquet")
+    if not side:
+        return None
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    try:
+        t = pq.read_table(
+            os.path.join(log.log_dir, side), columns=["path", "zrows"]
+        )
+    except Exception:
+        return None  # old-format sidecar (no zrows) or torn: dict path
+    if "zrows" not in t.schema.names:
+        return None
+    paths = t.column("path")
+    zrows = t.column("zrows")
+    if zrows.null_count:
+        return None  # pre-rows actions need memoized footer reads
+    delta: dict[str, dict | None] = {}
+    for act in log.actions(v, since=cv):
+        for a in act.get("add", []):
+            delta[a["path"]] = a
+        for r in act.get("remove", []):
+            delta[r] = None
+    if any(a is not None and "rows" not in a for a in delta.values()):
+        return None
+    keep_mask = None
+    if delta:
+        keep_mask = pc.invert(
+            pc.is_in(paths, value_set=pa.array(list(delta), pa.string()))
+        )
+    total = pc.sum(
+        pc.array_filter(zrows, keep_mask) if keep_mask is not None else zrows
+    ).as_py() or 0
+    total += sum(a["rows"] for a in delta.values() if a is not None)
+    raw_dvs = log.dv_state_raw(upto=v)
+    deleted = 0
+    if raw_dvs:
+        sidecar_live = None
+        for f, dv in raw_dvs.items():
+            if f in delta:
+                live = delta[f] is not None
+            else:
+                if sidecar_live is None:
+                    sidecar_live = set(
+                        pc.array_filter(paths, keep_mask).to_pylist()
+                        if keep_mask is not None
+                        else paths.to_pylist()
+                    )
+                live = f in sidecar_live
+            if live:
+                deleted += footer_rows(dv)
     return int(total - deleted)
 
 

@@ -289,6 +289,7 @@ def test_snapshot_cache_equals_pure_replay(tmp_path_factory, ops):
         elif op[0] == "clear":
             TX._COMMIT_BODY_CACHE.clear()
             TX._CHECKPOINT_BODY_CACHE.clear()
+            TX._CHECKPOINT_META_CACHE.clear()
             TX._SNAPSHOT_CACHE.clear()
             check()
         elif op[0] == "read_at":
@@ -346,6 +347,7 @@ def test_parquet_checkpoint_sidecar_roundtrip_and_torn_fallback(
     # cold read: reconstructed snapshot == pure replay, field-exact
     TX._COMMIT_BODY_CACHE.clear()
     TX._CHECKPOINT_BODY_CACHE.clear()
+    TX._CHECKPOINT_META_CACHE.clear()
     TX._SNAPSHOT_CACHE.clear()
     got = TX.TransactionLog(t)._live_actions_shared()
     assert got == expect
@@ -354,6 +356,7 @@ def test_parquet_checkpoint_sidecar_roundtrip_and_torn_fallback(
         os.remove(log._commit_path(v))
     TX._COMMIT_BODY_CACHE.clear()
     TX._CHECKPOINT_BODY_CACHE.clear()
+    TX._CHECKPOINT_META_CACHE.clear()
     TX._SNAPSHOT_CACHE.clear()
     truncated = TX.TransactionLog(t)._live_actions_shared()
     assert truncated == expect
@@ -388,6 +391,7 @@ def test_parquet_checkpoint_torn_sidecar_demotes_checkpoint(
         fh.write("not parquet")
     TX._COMMIT_BODY_CACHE.clear()
     TX._CHECKPOINT_BODY_CACHE.clear()
+    TX._CHECKPOINT_META_CACHE.clear()
     TX._SNAPSHOT_CACHE.clear()
     fresh = TX.TransactionLog(t)
     assert fresh._latest_checkpoint_body() is None

@@ -36,6 +36,7 @@ def _clear_metadata_caches():
 
     TX._COMMIT_BODY_CACHE.clear()
     TX._CHECKPOINT_BODY_CACHE.clear()
+    TX._CHECKPOINT_META_CACHE.clear()
     TX._ALTER_STATE_CACHE.clear()
     TX._FOOTER_META_CACHE.clear()
     TX._SNAPSHOT_CACHE.clear()
@@ -140,6 +141,16 @@ def measure_point(spark, path: str, n_files: int, **synth_kw) -> dict:
     out["cold_tx_count_sec"] = round(time.perf_counter() - t0, 4)
     assert n == n_files * 100
 
+    # COLD pruning = the scan-planning crossover path (round-10): with
+    # caches empty it must plan columnarly off the checkpoint sidecar,
+    # never assembling the snapshot (at 1M live files: ~0.3 s vs 19.5 s)
+    _clear_metadata_caches()
+    t0 = time.perf_counter()
+    keep, pruned = tx_prunable_files(path, "id", 0, 1000)
+    out["cold_prune_filelist_sec"] = round(time.perf_counter() - t0, 4)
+    assert pruned == n_files - info["n_real"], (pruned, n_files)
+
+    TransactionLog(path)._live_actions_shared()  # warm the snapshot
     t0 = time.perf_counter()
     keep, pruned = tx_prunable_files(path, "id", 0, 1000)
     out["prune_filelist_sec"] = round(time.perf_counter() - t0, 4)
@@ -180,12 +191,22 @@ def measure_point(spark, path: str, n_files: int, **synth_kw) -> dict:
     return out
 
 
-def run_curve(spark, points=(1_000, 10_000, 100_000)) -> list[dict]:
+def run_curve(
+    spark, points=(1_000, 10_000, 100_000, 1_000_000)
+) -> list[dict]:
     out = []
     for n in points:
         root = tempfile.mkdtemp(prefix="metaplane_")
         try:
-            out.append(measure_point(spark, os.path.join(root, "t"), n))
+            # the 1M point synthesizes with a bulk-ingest commit shape
+            # (5k adds/commit, 200 commits) — 2000 synth commits at the
+            # default 500/commit would dominate the measurement setup
+            fpc = 5_000 if n >= 1_000_000 else 500
+            out.append(
+                measure_point(
+                    spark, os.path.join(root, "t"), n, files_per_commit=fpc
+                )
+            )
         finally:
             shutil.rmtree(root, ignore_errors=True)
     return out
