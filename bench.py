@@ -491,6 +491,13 @@ def sweep_sf1(spark) -> dict:
     )
     out["dml_lifecycle_lineitem"] = bench_dml_lifecycle_10x(spark)
     out["corpus_release_50k_docs"] = bench_corpus_release(spark)
+    # the capstone with DSIR selection ON (round-9 VERDICT directive 4):
+    # score vs the src0 target domain, resample to a 500k-token budget
+    out["corpus_release_dsir_50k_docs"] = bench_corpus_release(
+        spark,
+        dsir_target="source = 'src0'",
+        dsir_token_budget=500_000,
+    )
     out.update(bench_ann_index(spark))
     corpus = Path(SF1_DIR, "_GENERATED")
     return {
@@ -510,7 +517,9 @@ def bench_dml_lifecycle_10x(spark) -> float:
     return min(_dml_lifecycle(spark, SF1_DIR) for _ in range(2))
 
 
-def bench_corpus_release(spark, sf_dir: str | None = None) -> float:
+def bench_corpus_release(
+    spark, sf_dir: str | None = None, **release_kw
+) -> float:
     """The release capstone at sf1 (50k docs) or, given ``sf_dir``, any
     other corpus (the sf5 leg passes the 250k-doc corpus): seed the
     release table with the even half (untimed), then time a FULL-corpus
@@ -536,11 +545,12 @@ def bench_corpus_release(spark, sf_dir: str | None = None) -> float:
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             tbl, shards = f"{tmp}/released", f"{tmp}/shards"
             release_corpus(
-                spark, docs.filter(F.col("doc_id") % 2 == 0), tbl, shards
+                spark, docs.filter(F.col("doc_id") % 2 == 0), tbl, shards,
+                **release_kw,
             )
             release_build_caches()
             t0 = time.time()
-            m = release_corpus(spark, docs, tbl, shards)
+            m = release_corpus(spark, docs, tbl, shards, **release_kw)
             m.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)

@@ -339,75 +339,20 @@ def _q267_oracle() -> str:
 
 def _q267_doc_weights(spark, sf_dir):
     """``(doc_id, lang, w)`` — the unrounded per-doc DSIR log-ratio
-    weight frame q267 ranks and q269 resamples from.
-
-    Explode-fusion barrier (ARCHITECTURE.md round-9 audit rule): the
-    uni+bigram gram array is MATERIALIZED behind a persist before the
-    explode, so the generator input is an attribute reference — fused
-    codegen would otherwise re-evaluate the tokenize+transform builder
-    per OUTPUT row, a quadratic-in-document-length tax.  The barrier
-    also means the corpus is scanned exactly once; both downstream
-    passes (bucket weights, per-doc scoring) re-read the persisted
-    gram frame, not the parquet."""
-    from ..cache import track_persist
-    from ..operators.dedup_docs import portable_hash60
+    weight frame q267 ranks and q269 resamples from.  Delegates to the
+    reusable operator (`operators/dsir.py` — explode-fusion persist
+    barrier, one 512-bounded aggregate, broadcast weight table; also
+    the release capstone's selection stage), carrying ``lang`` through
+    the per-doc aggregate; target slice = English-labelled docs."""
+    from ..operators.dsir import dsir_weights
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"),
-        lambda t: t.rlike("^[a-z]+$"),
-    )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size("t") - 1),
-        lambda i: F.concat(
-            F.element_at("t", i),
-            F.lit(" "),
-            F.element_at("t", i + 1),
-        ),
-    )
-    base = track_persist(
-        d.select("doc_id", "lang", toks.alias("t")).select(
-            "doc_id",
-            "lang",
-            F.when(F.size("t") >= 2, F.concat(F.col("t"), bigrams))
-            .otherwise(F.col("t"))
-            .alias("grams"),
-        )
-    )
-    hashed = base.select(
-        "doc_id",
-        "lang",
-        F.explode("grams").alias("g"),
-    ).select(
-        "doc_id",
-        "lang",
-        F.pmod(portable_hash60("g", "dsir:"), F.lit(_Q267_B)).alias("b"),
-    )
-    # one 512-bounded aggregate yields both distributions; the totals
-    # are the bucket-count sums (identical to counting the gram stream)
-    bucket = hashed.groupBy("b").agg(
-        F.count("*").alias("c_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
-    )
-    totals = bucket.agg(
-        F.sum("c_r").cast("double").alias("r_total"),
-        F.sum("c_t").cast("double").alias("t_total"),
-    )
-    bucket_w = bucket.crossJoin(F.broadcast(totals)).select(
-        "b",
-        (
-            F.log(
-                (F.col("c_t") + 1.0) / (F.col("t_total") + _Q267_B)
-            )
-            - F.log(
-                (F.col("c_r") + 1.0) / (F.col("r_total") + _Q267_B)
-            )
-        ).alias("w"),
-    )
-    return (
-        hashed.join(F.broadcast(bucket_w), "b")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("w").alias("w"))
+    return dsir_weights(
+        d,
+        F.col("lang") == "en",
+        n_buckets=_Q267_B,
+        weight_col="w",
+        carry_cols=["lang"],
     )
 
 
@@ -608,17 +553,16 @@ def _q269_oracle() -> str:
     ),
 )
 def q269(spark, sf_dir):
-    from ..operators.dedup_docs import portable_hash60
+    from ..operators.dsir import dsir_race_key
 
     doc_w = _q267_doc_weights(spark, sf_dir)
-    u = (
-        portable_hash60(F.col("doc_id").cast("string"), "gum:") + F.lit(1.0)
-    ) / F.lit(_Q269_HASH_SPACE + 2.0)
     return (
         doc_w.select(
             "doc_id",
             "lang",
-            F.round(F.col("w") - F.log(-F.log(u)), 4).alias("race_key"),
+            F.round(
+                dsir_race_key(F.col("w"), F.col("doc_id")), 4
+            ).alias("race_key"),
         )
         .orderBy(F.col("race_key").desc(), F.col("doc_id"))
         .limit(_Q269_K)

@@ -7,6 +7,8 @@ an accumulated/ingested corpus into a versioned training artifact
     work)  →  q191 quantile-normalized length gate (drop each source's
     bottom decile — fair across sources with different length
     distributions — and record the Q-Q-normalized score)  →
+    optional DSIR selection (q267/q269's operator: importance-score vs
+    a target domain, Gumbel-max resample to a token budget)  →
     chunk → pack → `write_training_shards` (loader manifest)  →
     fenced append of the released docs to the ACID release table so the
     NEXT release dedups against them.
@@ -111,6 +113,8 @@ def release_corpus(
     near_dup_threshold: float = 0.8,
     dedup_df_cap: int | None = 64,
     min_decile: int = 1,
+    dsir_target: str | None = None,
+    dsir_token_budget: int | None = None,
     chunk_size: int = 128,
     overlap: int = 32,
     budget: int = 256,
@@ -130,7 +134,18 @@ def release_corpus(
     The Q-Q gate is BATCH-RELATIVE (cuts computed over this run's gated
     candidates): a doc cut in one increment can legitimately clear a
     later increment's cut if the candidate population shifted — the
-    gate tracks the distribution, it is not a per-doc verdict ledger."""
+    gate tracks the distribution, it is not a per-doc verdict ledger.
+
+    DSIR selection (``dsir_target`` + ``dsir_token_budget``) is
+    likewise PER-INCREMENT: each run scores this increment's fresh
+    survivors and releases the Gumbel-max race's leaders up to the
+    token budget.  Re-submitting the same candidates therefore releases
+    the docs the budget CUT last time (still fresh, next-best in the
+    race) — the ledger of what's released is the table itself, and no
+    doc is ever released twice (dedup_incoming guards that).  True
+    crash-replays stay no-ops via the txn fence BEFORE any selection
+    runs; only the selection-less capstone has the stronger
+    "all-dup re-delivery writes nothing" property."""
     gated = quality_gate(
         candidates, text_col, min_tokens, min_alpha_ratio,
         max_stopword_ratio,
@@ -164,6 +179,27 @@ def release_corpus(
             min_decile=min_decile, reference=gated,
         )
     )
+    # DSIR selection (Xie 2023, the paper's actual end-to-end: score →
+    # resample → release): when a target-domain predicate and a token
+    # budget are given, keep the Gumbel-max race's leading docs ∝
+    # exp(importance weight) until the budget fills — the bag models
+    # are estimated over THIS increment's gated survivors (the corpus
+    # slice actually competing for the budget), so a domain-skewed
+    # increment reweights itself.  RNG-free and deterministic: a
+    # crash-retry of the same increment selects the same docs, which
+    # the exactly-once release contract requires.
+    if dsir_target is not None and dsir_token_budget is not None:
+        from ..operators.dsir import dsir_resample
+
+        kept = track_persist(
+            dsir_resample(
+                kept,
+                F.expr(dsir_target),
+                dsir_token_budget,
+                text_col=text_col,
+                id_col=id_col,
+            ).drop("dsir_w", "race_key")
+        )
     # empty increment (an all-dup re-release): write nothing, append
     # nothing — the manifest read from the shard dir still reports the
     # PREVIOUS release's artifact untouched
