@@ -143,6 +143,7 @@ def dsir_resample(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
+    key_decimals: int | None = None,
 ) -> DataFrame:
     """DSIR selection to a TOKEN budget: score ``df``, race by
     Gumbel-max, and keep the race's leading documents whose cumulative
@@ -153,7 +154,13 @@ def dsir_resample(
 
     Deterministic and RNG-free: same input → same selection, on any
     cluster layout (the q19/q137 discipline); the cutoff is exact, not
-    a sampled rate — the budget-solver trade q170 documents."""
+    a sampled rate — the budget-solver trade q170 documents.
+
+    ``key_decimals`` rounds the race key BEFORE ordering (doc id still
+    breaks ties): the weight is a float sum whose last-ulp depends on
+    aggregation order, so a cross-engine oracle (q270) must race on
+    rounded keys to be bit-reproducible — in-engine callers (the
+    release capstone) don't need it."""
     from .text import token_count
     from ..operators.rankstats import prefix_sums_by_value
 
@@ -161,11 +168,12 @@ def dsir_resample(
         df, is_target, text_col=text_col, id_col=id_col,
         n_buckets=n_buckets,
     )
+    race = dsir_race_key(F.col("dsir_w"), F.col(id_col))
+    if key_decimals is not None:
+        race = F.round(race, key_decimals)
     scored = (
         df.join(w, id_col)
-        .withColumn(
-            "race_key", dsir_race_key(F.col("dsir_w"), F.col(id_col))
-        )
+        .withColumn("race_key", race)
         .withColumn("__toks", token_count(text_col))
         # descending race as an ascending total order (struct fields
         # compare in sequence; id breaks float ties deterministically)

@@ -1384,6 +1384,7 @@ def _load_extensions() -> None:
     from . import queries_r7b  # noqa: F401
     from . import queries_r8  # noqa: F401
     from . import queries_r9  # noqa: F401
+    from . import queries_r10  # noqa: F401
 
 
 # Driver-sampling rotation.  The correctness driver hash-checks the FIRST 50
