@@ -159,3 +159,251 @@ def q271(spark, sf_dir):
         "n_chars",
         F.round("score_norm", 4).alias("score_norm"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q272 — UniMax mixture allocation (Chung et al. 2023, arXiv:2304.09151)
+# ---------------------------------------------------------------------------
+
+# The multilingual mixture policy the BPE fertility readout (q268) feeds:
+# give every language an equal share of the token budget, EXCEPT a
+# language may repeat at most EPOCH_CAP epochs of its available data —
+# capped languages release their unused share to the rest
+# (waterfilling, languages processed ascending by availability so every
+# cap decision is final).  Budget 45k vs the sf0.01 corpus's ~27k
+# available tokens makes the cap bind for the four small languages
+# while `en` takes the released remainder — a non-degenerate fill.
+_Q272_BUDGET = 45_000
+_Q272_CAP = 2.0  # max epochs over a language's available tokens
+
+
+@register(
+    "q272_unimax_mixture_allocation",
+    f"""
+    WITH RECURSIVE avail AS (
+        SELECT lang,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS available_tokens
+        FROM documents GROUP BY lang
+    ), ordered AS (
+        SELECT lang, available_tokens,
+               row_number() OVER (ORDER BY available_tokens, lang) AS rk,
+               count(*) OVER () AS n_langs
+        FROM avail
+    ), fill AS (
+        SELECT 0 AS rk, CAST({_Q272_BUDGET} AS DOUBLE) AS remaining,
+               CAST(NULL AS VARCHAR) AS lang,
+               CAST(NULL AS BIGINT) AS available_tokens,
+               CAST(NULL AS DOUBLE) AS alloc
+        UNION ALL
+        SELECT o.rk,
+               f.remaining - least(o.available_tokens * {_Q272_CAP},
+                                   f.remaining / (o.n_langs - f.rk)),
+               o.lang, o.available_tokens,
+               least(o.available_tokens * {_Q272_CAP},
+                     f.remaining / (o.n_langs - f.rk))
+        FROM fill f JOIN ordered o ON o.rk = f.rk + 1
+    )
+    SELECT lang, available_tokens,
+           CAST(floor(alloc + 0.5) AS BIGINT) AS alloc_tokens,
+           floor(alloc / available_tokens * 1000000 + 0.5) / 1000000
+               AS epochs
+    FROM fill WHERE lang IS NOT NULL ORDER BY lang
+    """,
+    doc=(
+        "UniMax mixture allocation (Chung 2023): equal token-budget "
+        "shares per language with an epoch cap — capped languages "
+        "release their unused share, waterfilled ascending by "
+        "availability so each cap decision is final.  The distributed "
+        "work is the per-language token aggregate (one "
+        "partial-merging corpus scan); the fill itself is O(|langs|) "
+        "driver arithmetic over that bounded config table (the "
+        "q170/centroid-fetch .collect() class — |langs| rows, never "
+        "corpus data), matching the recursive-CTE oracle step for "
+        "step in IEEE-754.  Rounding is explicit half-up both sides "
+        "(Python round() is banker's — floor(x+0.5) avoids the .5 "
+        "tie divergence)"
+    ),
+)
+def q272(spark, sf_dir):
+    import math
+
+    from ..operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("available_tokens")
+    )
+    rows = sorted(
+        avail.collect(), key=lambda r: (r["available_tokens"], r["lang"])
+    )
+    remaining = float(_Q272_BUDGET)
+    out = []
+    for i, r in enumerate(rows):
+        k = len(rows) - i
+        alloc = min(r["available_tokens"] * _Q272_CAP, remaining / k)
+        remaining -= alloc
+        out.append(
+            (
+                r["lang"],
+                r["available_tokens"],
+                int(math.floor(alloc + 0.5)),
+                math.floor(alloc / r["available_tokens"] * 1_000_000 + 0.5)
+                / 1_000_000,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "lang string, available_tokens long, alloc_tokens long, "
+        "epochs double",
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q273 — n-gram novelty rate (first-occurrence fraction per document)
+# ---------------------------------------------------------------------------
+
+# The RefinedWeb-style curation signal between exact-dup and Jaccard:
+# what fraction of a document's distinct 3-grams has never appeared in
+# any EARLIER document (doc_id order = arrival order).  Boilerplate-
+# heavy or templated docs trend to 0 novelty as the corpus grows; the
+# signal needs only one min-aggregate over the inverted index — no
+# pair join at all, so it scales strictly better than any pairwise
+# dedup while catching the same template rot.
+
+
+@register(
+    "q273_ngram_novelty",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS g
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       '\\s+') AS t
+            FROM documents
+        )
+    ), firsts AS (
+        SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE f.first_doc = sh.doc_id)
+                AS BIGINT) AS n_novel,
+           round(count(*) FILTER (WHERE f.first_doc = sh.doc_id)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM sh JOIN firsts f USING (g)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+    doc=(
+        "per-document 3-gram novelty (RefinedWeb-style): the fraction "
+        "of a doc's distinct shingles first seen in THIS doc under "
+        "arrival (doc_id) order — templated/boilerplate docs trend to "
+        "zero as the corpus grows.  One inverted-index min-aggregate "
+        "(map-side combining) plus a broadcast-back join keyed by the "
+        "64-bit shingle hash — NO pairwise join anywhere, so the cost "
+        "is index-sized at any corpus scale (strictly cheaper than "
+        "q53's pair machinery, catching the same template rot); the "
+        "shingle array is materialized behind the round-10 persist "
+        "barrier before exploding"
+    ),
+)
+def q273(spark, sf_dir):
+    from ..cache import track_persist
+    from ..operators.dedup_docs import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh_arr = track_persist(
+        d.select("doc_id", word_shingles("text", 3).alias("sh"))
+    )
+    inv = track_persist(
+        sh_arr.select("doc_id", F.explode("sh").alias("__s")).select(
+            "doc_id", F.xxhash64("__s").alias("g")
+        )
+    )
+    firsts = inv.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        inv.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q274 — context-window truncation audit
+# ---------------------------------------------------------------------------
+
+# The question asked before choosing a packing policy: at context
+# length L, how much of each source survives naive truncate-at-L vs
+# how much the chunker must carry?  L=64 sits inside this corpus's
+# 10..110-token range so both regimes are populated.
+_Q274_L = 64
+
+
+@register(
+    "q274_context_truncation_audit",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(count(*) FILTER (WHERE n > {_Q274_L}) AS BIGINT)
+               AS docs_over_l,
+           CAST(sum(greatest(n - {_Q274_L}, 0)) AS BIGINT)
+               AS tokens_lost,
+           round(1.0 - sum(greatest(n - {_Q274_L}, 0)) * 1.0 / sum(n), 6)
+               AS kept_frac
+    FROM (
+        SELECT source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n
+        FROM documents
+    )
+    GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "context-window truncation audit at L=64: per source, how many "
+        "documents exceed the context and how many tokens a naive "
+        "truncate-at-L policy would discard (vs the chunker carrying "
+        "them) — the readout that decides chunk_documents' overlap "
+        "budget.  One partial-merging aggregate over one scan; "
+        "|sources|-bounded output"
+    ),
+)
+def q274(spark, sf_dir):
+    from ..operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    n = token_count("text")
+    lost = F.greatest(n - _Q274_L, F.lit(0))
+    return (
+        d.select("source", n.alias("n"), lost.alias("lost"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.count(F.when(F.col("n") > _Q274_L, 1)).alias("docs_over_l"),
+            F.sum("lost").cast("long").alias("tokens_lost"),
+            F.round(
+                1.0 - F.sum("lost") / F.sum("n"), 6
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
