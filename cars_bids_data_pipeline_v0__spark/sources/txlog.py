@@ -796,6 +796,7 @@ class TransactionLog:
             # min/max, exact under float64 — large ints mixed with
             # floats disqualify rather than round).
             cols["zrows"] = [a.get("rows") for a in live]
+            cols["zpartition"] = [a.get("partition") for a in live]
             zone_cols = []
             stat_keys = {k for a in live for k in (a.get("stats") or {})}
             for c in sorted(stat_keys):
@@ -2567,6 +2568,103 @@ def _sidecar_prunable(
         keep.append(f)
     keep.sort()
     return keep, pruned
+
+
+def _sidecar_files_in_partitions(
+    log: TransactionLog, parts: set[str], upto: int | None
+) -> dict[str, str] | None:
+    """Partition-restricted live-file map columnarly off the checkpoint
+    sidecar — the probe-side sibling of `_sidecar_prunable`.  A
+    cell-partitioned ANN index probe needs the files of nprobe cells,
+    not the 1M-dict snapshot; the sidecar's `zpartition` column answers
+    with one filtered column read plus the O(delta) commit tail.
+    Returns None when it doesn't apply (warm snapshot, inline or
+    old-format checkpoint)."""
+    v = log.version() if upto is None else upto
+    if v < 0:
+        return None
+    ent = _SNAPSHOT_CACHE.get(os.path.abspath(log.path))
+    if ent is not None and ent[0] <= v and log._commit_sig(ent[0]) == ent[1]:
+        return None
+    found = log._latest_checkpoint_meta(v)
+    if found is None:
+        return None
+    cv, body = found
+    side = body.get("live_parquet")
+    if not side:
+        return None
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    try:
+        t = pq.read_table(
+            os.path.join(log.log_dir, side), columns=["path", "zpartition"]
+        )
+    except Exception:
+        return None  # old-format sidecar (no zpartition): dict path
+    if "zpartition" not in t.schema.names:
+        return None
+    paths = t.column("path")
+    zpart = t.column("zpartition")
+    delta: dict[str, dict | None] = {}
+    for act in log.actions(v, since=cv):
+        for a in act.get("add", []):
+            delta[a["path"]] = a
+        for r in act.get("remove", []):
+            delta[r] = None
+    if pa.types.is_null(zpart.type):
+        # fully unpartitioned table: no sidecar file can match a
+        # partition value — only the tail can contribute
+        mask = pa.chunked_array([[False] * len(paths)], pa.bool_())
+    else:
+        mask = pc.fill_null(
+            pc.is_in(
+                zpart, value_set=pa.array(sorted(parts), pa.string())
+            ),
+            False,
+        )
+    if delta:
+        mask = pc.and_(
+            mask,
+            pc.invert(
+                pc.is_in(
+                    paths, value_set=pa.array(list(delta), pa.string())
+                )
+            ),
+        )
+    out = dict(
+        zip(
+            pc.array_filter(paths, mask).to_pylist(),
+            pc.array_filter(zpart, mask).to_pylist(),
+        )
+    )
+    for f, a in delta.items():
+        if a is not None and a.get("partition") in parts:
+            out[f] = a.get("partition")
+    return out
+
+
+def tx_files_in_partitions(
+    table_path: str, partitions, version: int | None = None
+) -> dict[str, str]:
+    """``{relative file path: partition value}`` restricted to live
+    files whose partition is in ``partitions`` — the probe-side
+    projection of `live_files`.  Cold reads against a
+    sidecar-checkpointed table answer columnarly (so an ANN index probe
+    touches nprobe/nlist of the METADATA too, never the full-snapshot
+    dict); otherwise the snapshot filter."""
+    parts = {str(p) for p in partitions}
+    log = TransactionLog(table_path)
+    fast = _sidecar_files_in_partitions(log, parts, version)
+    if fast is not None:
+        return fast
+    live = log._live_actions_shared(upto=version)
+    return {
+        f: a.get("partition")
+        for f, a in live.items()
+        if a.get("partition") in parts
+    }
 
 
 def tx_prunable_files(

@@ -38,6 +38,7 @@ from ..sources.txlog import (
     TransactionLog,
     checkpoint_epoch_app_id,
     tx_append_partitioned,
+    tx_files_in_partitions,
 )
 
 CELL_COL = "__ivf_cell"
@@ -130,19 +131,18 @@ def ivf_index_probe(
 
     log = TransactionLog(index_path)
     cells = probed_cells(queries, centroids, nprobe, q_vec=q_vec)
-    live = log.live_files(upto=version)
-    wanted = [
-        os.path.join(index_path, f)
-        for f, part in sorted(live.items())
-        if part is not None and int(part) in cells
-    ]
+    # partition-restricted file list: columnar off the checkpoint
+    # sidecar when one covers the snapshot (the probe touches
+    # nprobe/nlist of the METADATA too — round-10), else the snapshot
+    live = tx_files_in_partitions(index_path, cells, version=version)
+    wanted = [os.path.join(index_path, f) for f in sorted(live)]
     if not wanted:
         # no committed vectors in any probed cell: keep the schema
         # IDENTICAL to the non-empty path (id types come from the data,
         # not an assumption) by running the normal plan over a zero-row
         # corpus — from any live file's footer when the index has one,
         # else from the query side's id type (empty index)
-        live_any = sorted(live)
+        live_any = sorted(log.live_files(upto=version))
         if live_any:
             corpus = (
                 spark.read.parquet(os.path.join(index_path, live_any[0]))
@@ -244,16 +244,12 @@ def ivf_pq_index_probe(
 
     log = TransactionLog(index_path)
     cells = probed_cells(queries, centroids, nprobe, q_vec=q_vec)
-    live = log.live_files(upto=version)
-    wanted = [
-        os.path.join(index_path, f)
-        for f, part in sorted(live.items())
-        if part is not None and int(part) in cells
-    ]
+    live = tx_files_in_partitions(index_path, cells, version=version)
+    wanted = [os.path.join(index_path, f) for f in sorted(live)]
     if not wanted:
         # schema-stable empty result: zero-row codes frame through the
         # normal ADC plan (see ivf_index_probe's empty-cell note)
-        live_any = sorted(live)
+        live_any = sorted(log.live_files(upto=version))
         if live_any:
             coded = spark.read.parquet(
                 os.path.join(index_path, live_any[0])

@@ -208,6 +208,69 @@ def test_zone_column_disqualifiers(tmp_path, monkeypatch):
     assert "m" not in body2["zone_cols"]
 
 
+def test_files_in_partitions_fastpath_equals_dict(sidecar_table):
+    t, log, adds = sidecar_table
+    parts = {"0", "2"}
+
+    def dict_path():
+        live = TX.TransactionLog(t)._live_actions_shared()
+        return {
+            f: a.get("partition")
+            for f, a in live.items()
+            if a.get("partition") in parts
+        }
+
+    _clear()
+    fast = TX._sidecar_files_in_partitions(
+        TX.TransactionLog(t), parts, None
+    )
+    assert fast is not None and fast == dict_path()
+    # tail: add into partition 0, add into an unprobed partition,
+    # remove a probed file, re-add a probed file under a new partition
+    victim = next(
+        f for f, p in dict_path().items() if p == "0"
+    )
+    moved = next(f for f, p in dict_path().items() if p == "2")
+    tail = [
+        dict(_add(300, None), partition="0"),
+        dict(_add(301, None), partition="1"),
+        dict(_add(302, None), path=moved, partition="1"),  # leaves parts
+    ]
+    assert log.try_commit(1, tail, [victim], op="replace")
+    _clear()
+    fast = TX._sidecar_files_in_partitions(
+        TX.TransactionLog(t), parts, None
+    )
+    assert fast is not None and fast == dict_path()
+    assert victim not in fast and moved not in fast
+    # public API: cold (fast) == warm (dict)
+    _clear()
+    cold = TX.tx_files_in_partitions(t, [0, 2])
+    TX.TransactionLog(t)._live_actions_shared()
+    assert TX.tx_files_in_partitions(t, [0, 2]) == cold == dict_path()
+
+
+def test_files_in_partitions_unpartitioned_table(tmp_path, monkeypatch):
+    # fully unpartitioned table -> all-null zpartition column (null
+    # Arrow type): the fast path must return {} plus any tail adds that
+    # DO carry a matching partition, not crash on the type
+    monkeypatch.setattr(TX, "_PARQUET_CKPT_MIN", 2)
+    t = str(tmp_path / "tbl")
+    log = TX.TransactionLog(t)
+    adds = [
+        dict(_add(i, {"id": [i, i]}), partition=None, partition_col=None)
+        for i in range(3)
+    ]
+    assert log.try_commit(0, adds, [], op="append")
+    log.checkpoint()
+    _clear()
+    assert TX.tx_files_in_partitions(t, ["0"]) == {}
+    extra = dict(_add(10, None), partition="0")
+    assert log.try_commit(1, [extra], [], op="append")
+    _clear()
+    assert TX.tx_files_in_partitions(t, ["0"]) == {extra["path"]: "0"}
+
+
 def test_meta_loader_never_touches_the_sidecar(sidecar_table, monkeypatch):
     """dv_state_raw/constraints/hwm consumers must not pay the sidecar
     read: poison the sidecar reader and drive them cold."""
