@@ -3009,8 +3009,9 @@ def tx_update_where(
     * the updated value is cast back to the column's existing type, so
       file schemas never drift,
     * updated rows must satisfy the table's CHECK constraints — the
-      batch is rejected BEFORE anything is staged if an assignment
-      breaks one.
+      violation counts ride the staging write (CollectMetrics) and a
+      breaking assignment discards the staged files and raises before
+      anything COMMITS.
 
     Scale: affected-file discovery is one scan with the predicate pushed
     to parquet (zone maps skip clean files); the rewrite reads only
@@ -3058,7 +3059,31 @@ def tx_update_where(
                 for c, e in set_exprs.items()
             }
         )
-        tx_check_constraints(updated.filter(pred), table_path, upto=v)
+        # constraint validation rides the staging write as
+        # CollectMetrics (the merge_into round-10 pattern): the rewrite
+        # is computed once, not twice; a violation discards the staged
+        # files before anything commits
+        cons = log.constraints(upto=v)
+        obs = None
+        if cons:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            updated = updated.observe(
+                obs,
+                *[
+                    F.sum(
+                        F.when(
+                            pred
+                            & ~F.coalesce(
+                                F.expr(sql).cast("boolean"), F.lit(False)
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ).cast("long").alias(f"__c_{name}")
+                    for name, sql in sorted(cons.items())
+                ],
+            )
         partitioned = any(live[rel] is not None for rel in affected)
         pcol = partition_by or (
             PARTITION_COL if PARTITION_COL in updated.columns else None
@@ -3067,6 +3092,23 @@ def tx_update_where(
             adds = log.stage_dataframe(updated, partition_by=pcol)
         else:
             adds = log.stage_dataframe(updated)
+        if obs is not None:
+            vals = obs.get  # staging was the plan's one action
+            bad = {
+                name: int(vals[f"__c_{name}"])
+                for name in sorted(cons)
+                if int(vals[f"__c_{name}"]) > 0
+            }
+            if bad:
+                log.discard(adds)
+                detail = ", ".join(
+                    f"{n} [{cons[n]}]: {c} row(s)"
+                    for n, c in bad.items()
+                )
+                raise ConstraintViolation(
+                    f"batch violates CHECK constraint(s) on "
+                    f"{table_path}: {detail}"
+                )
         if log.try_commit(v + 1, adds, sorted(affected), op="update"):
             return n_updated
         log.discard(adds)
