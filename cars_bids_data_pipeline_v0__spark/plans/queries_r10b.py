@@ -1,0 +1,424 @@
+"""Round-10 second batch (q275+): the model-quality / statistics side of
+the curation pipeline.
+
+* **q275 pretrained linear quality classifier** — the fastText-style
+  scorer every modern web pipeline (CCNet, DCLM, FineWeb-Edu) applies
+  after the rule gates: interpretable per-doc features feed a FIXED
+  (pretrained) linear model and a sigmoid.  Scoring is embarrassingly
+  parallel — weights are literals in the plan, features come from ONE
+  explode + two all-integer aggregations, so the score math is exact
+  rational arithmetic until the final sigmoid.
+
+* **q276 Poisson bootstrap** — THE distributed bootstrap: classical
+  resampling draws n rows with replacement (a global operation — cannot
+  shard), but the multinomial factorizes to independent Poisson(1) row
+  weights as n→∞, so every row computes its B replicate weights locally
+  and the replicate statistics are plain weighted aggregates.  RNG-free
+  here: the weight is the Poisson(1) inverse CDF of a portable
+  md5-uniform of (order, replicate), so any engine reproduces the same
+  resample bit-for-bit.
+
+* **q277 greedy k-center selection** — farthest-point traversal over
+  the embedding table: the diversity-selection / coreset primitive
+  (Sener & Savarese 2018's core-set active learning; also the classic
+  2-approximation to the k-center objective).  Inherently sequential in
+  k (center s+1 depends on centers 1..s), so each step is one bounded
+  argmax aggregate back to the driver (the centroid-fetch .collect()
+  class, q266's BPE precedent) while ALL distance work stays
+  distributed; the k-step loop never rescans more than one projection
+  of the corpus per step.
+
+Reference parity: none — LLM-pipeline extensions (SURVEY §2 addenda).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+# ---------------------------------------------------------------------------
+# q275 — pretrained linear quality classifier (fastText-style)
+# ---------------------------------------------------------------------------
+
+# Fixed "pretrained" model: interpretable features with hand-set weights
+# (the point is the SCORING operator, not the training).  Feature ranges
+# on the synthetic corpus: ttr 0.28-1.0, top_frac 0.05-0.30,
+# mean_word_len 3.7-5.3, stop_frac 0-0.22, ln(n_toks) 2.3-4.6 — the
+# intercept centers z near 0 so the decision is non-degenerate.
+_Q275_B = -6.8
+_Q275_W_TTR = 3.0  # lexical diversity up => quality up
+_Q275_W_TOP = -6.0  # single-token dominance => boilerplate
+_Q275_W_LEN = 0.8  # longer words => denser prose
+_Q275_W_STOP = 4.0  # stopword presence => natural language
+_Q275_W_LOGN = 0.5  # longer docs favored, log-damped
+_Q275_STOPWORDS = ("the", "a")
+
+
+@register(
+    "q275_quality_classifier",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), cnts AS (
+        SELECT doc_id, source, tok, count(*) AS cnt
+        FROM tok GROUP BY doc_id, source, tok
+    ), feats AS (
+        SELECT doc_id, source,
+               sum(cnt) AS n, count(*) AS d, max(cnt) AS top,
+               sum(len(tok) * cnt) AS chars,
+               sum(CASE WHEN tok IN {_Q275_STOPWORDS!r} THEN cnt
+                        ELSE 0 END) AS stop
+        FROM cnts GROUP BY doc_id, source
+    ), scored AS (
+        SELECT doc_id, source, CAST(n AS BIGINT) AS n_toks,
+               {_Q275_B} + {_Q275_W_TTR} * (d * 1.0 / n)
+                 + {_Q275_W_TOP} * (top * 1.0 / n)
+                 + {_Q275_W_LEN} * (chars * 1.0 / n)
+                 + {_Q275_W_STOP} * (stop * 1.0 / n)
+                 + {_Q275_W_LOGN} * ln(n) AS z
+        FROM feats
+    )
+    SELECT doc_id, source, n_toks,
+           round(1.0 / (1.0 + exp(-z)), 4) AS score,
+           z > 0 AS kept
+    FROM scored ORDER BY doc_id
+    """,
+    doc=(
+        "pretrained linear quality classifier (the fastText-style scorer "
+        "CCNet/DCLM/FineWeb apply after rule gates): per-doc type-token "
+        "ratio, top-token dominance, mean word length, stopword fraction "
+        "and log-length feed FIXED literal weights and a sigmoid.  "
+        "Features come from one explode + two all-integer aggregations "
+        "(map-side combining both times, keyed by doc id — never a "
+        "per-doc collect_list), so everything before the final sigmoid "
+        "is exact integer ratios and the score is reproducible across "
+        "engines; the decision is the SIGN of the raw linear score, "
+        "immune to rounding.  Scoring is embarrassingly parallel — at "
+        "100 TB this is one scan, two combines, zero joins"
+    ),
+)
+def q275(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    cnts = tok.groupBy("doc_id", "source", "tok").agg(
+        F.count("*").alias("cnt")
+    )
+    feats = cnts.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n"),
+        F.count("*").alias("d"),
+        F.max("cnt").alias("top"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("chars"),
+        F.sum(
+            F.when(F.col("tok").isin(*_Q275_STOPWORDS), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("stop"),
+    )
+    # z built with the oracle's exact literal/associativity shape so the
+    # float chain is bit-identical cross-engine (left-assoc sum of five
+    # weighted terms; each term literal * (int * 1.0 / int))
+    z = (
+        F.lit(_Q275_B)
+        + _Q275_W_TTR * (F.col("d") * 1.0 / F.col("n"))
+        + _Q275_W_TOP * (F.col("top") * 1.0 / F.col("n"))
+        + _Q275_W_LEN * (F.col("chars") * 1.0 / F.col("n"))
+        + _Q275_W_STOP * (F.col("stop") * 1.0 / F.col("n"))
+        + _Q275_W_LOGN * F.log(F.col("n").cast("double"))
+    )
+    return (
+        feats.select(
+            "doc_id",
+            "source",
+            F.col("n").cast("long").alias("n_toks"),
+            F.round(1.0 / (1.0 + F.exp(-z)), 4).alias("score"),
+            (z > 0).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q276 — Poisson bootstrap CI (the distributed bootstrap)
+# ---------------------------------------------------------------------------
+
+_Q276_B = 25  # bootstrap replicates
+_Q276_HASH_SPACE = float(1 << 60)
+# Poisson(1) CDF ladder for the inverse-CDF draw; computed once in
+# Python and embedded as the SAME repr-literals in both engines.  k is
+# capped at 6 (P(k>6) ~ 8e-5 — negligible bootstrap distortion, exact
+# determinism either way since both engines share the cap).
+_Q276_CDF = [
+    math.exp(-1) * sum(1.0 / math.factorial(i) for i in range(k + 1))
+    for k in range(6)
+]
+
+
+def _q276_k_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_Q276_CDF)
+    )
+    return f"CASE{branches} ELSE 6 END"
+
+
+def _q276_k_spark(u):
+    expr = F.lit(6)
+    for k, c in reversed(list(enumerate(_Q276_CDF))):
+        expr = F.when(u < F.lit(c), F.lit(k)).otherwise(expr)
+    return expr
+
+
+@register(
+    "q276_poisson_bootstrap_ci",
+    f"""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), expanded AS (
+        SELECT segment, cents, b,
+               (CAST(('0x' || substr(md5('boot:' || CAST(o_orderkey AS VARCHAR)
+                      || ':' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+                + 1.0) / {_Q276_HASH_SPACE + 2.0!r} AS u
+        FROM base CROSS JOIN (
+            SELECT unnest(generate_series(0, {_Q276_B - 1})) AS b
+        )
+    ), weighted AS (
+        SELECT segment, b, cents, {_q276_k_sql('u')} AS k FROM expanded
+    ), rep AS (
+        SELECT segment, b,
+               CAST(sum(k * cents) AS DOUBLE) / sum(k) / 100.0 AS rep_mean
+        FROM weighted GROUP BY segment, b
+    ), point AS (
+        SELECT segment, count(*) AS n_orders,
+               CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS mean_price
+        FROM base GROUP BY segment
+    )
+    SELECT p.segment, p.n_orders,
+           round(p.mean_price, 4) AS mean_price,
+           round(quantile_cont(r.rep_mean, 0.025), 4) AS boot_lo,
+           round(quantile_cont(r.rep_mean, 0.975), 4) AS boot_hi
+    FROM rep r JOIN point p USING (segment)
+    GROUP BY p.segment, p.n_orders, p.mean_price
+    ORDER BY p.segment
+    """,
+    doc=(
+        "Poisson bootstrap 95% CI of mean order value per market segment "
+        "— THE distributed bootstrap (classical resampling draws n rows "
+        "with replacement, a global op that cannot shard; the "
+        "multinomial factorizes to independent Poisson(1) row weights "
+        "as n grows, so every row computes its B=25 replicate weights "
+        "LOCALLY and replicate statistics are plain weighted "
+        "aggregates).  RNG-free: the weight is the Poisson(1) inverse "
+        "CDF of a portable md5-uniform of (order, replicate), so the "
+        "resample is bit-reproducible in any engine.  All replicate "
+        "sums are exact integer cents — the only floats are two final "
+        "divisions and the percentile interpolation (both engines "
+        "share the (n-1)p rule, q249 precedent).  At 100 TB: one "
+        "broadcast dim join, one B-fold flatMap, two partial-merging "
+        "aggregates — no shuffle grows beyond |segments|x B rows"
+    ),
+)
+def q276(spark, sf_dir):
+    from ..operators.dedup_docs import portable_hash60
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "segment",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    expanded = base.select(
+        "segment",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_Q276_B - 1))).alias("b"),
+        "o_orderkey",
+    ).select(
+        "segment",
+        "cents",
+        "b",
+        (
+            (
+                portable_hash60(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    ),
+                    "boot:",
+                )
+                + F.lit(1.0)
+            )
+            / F.lit(_Q276_HASH_SPACE + 2.0)
+        ).alias("u"),
+    )
+    weighted = expanded.select(
+        "segment", "b", "cents", _q276_k_spark(F.col("u")).alias("k")
+    )
+    rep = weighted.groupBy("segment", "b").agg(
+        (
+            F.sum(F.col("k") * F.col("cents")).cast("double")
+            / F.sum("k")
+            / 100.0
+        ).alias("rep_mean")
+    )
+    point = base.groupBy("segment").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum("cents").cast("double") / F.count("*") / 100.0).alias(
+            "mean_price"
+        ),
+    )
+    return (
+        rep.join(F.broadcast(point), "segment")
+        .groupBy("segment", "n_orders", "mean_price")
+        .agg(
+            F.expr("percentile(rep_mean, 0.025D)").alias("lo"),
+            F.expr("percentile(rep_mean, 0.975D)").alias("hi"),
+        )
+        .select(
+            "segment",
+            "n_orders",
+            F.round("mean_price", 4).alias("mean_price"),
+            F.round("lo", 4).alias("boot_lo"),
+            F.round("hi", 4).alias("boot_hi"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q277 — greedy k-center diversity selection (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+_Q277_K = 8
+
+
+def _q277_oracle() -> str:
+    """Unrolled farthest-point traversal (q266's unrolled-CTE pattern):
+    c1 = min vec_id; d_s = per-point min squared distance to centers
+    1..s; c_{s+1} = argmax(d_s) with vec_id tiebreak.  The squared
+    distance is the identity <v,v> - 2<v,c> + <c,c> — the SAME algebraic
+    shape the Spark side evaluates, so the float chains agree."""
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+            f" + list_dot_product({c}, {c})"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT e.vec_id, e.v, {dist('e.v', 'c1.v')} AS md"
+        " FROM e CROSS JOIN c1)",
+    ]
+    for s in range(2, _Q277_K + 1):
+        prev = f"d{s - 1}"
+        parts.append(
+            f"c{s} AS (SELECT vec_id, v, md FROM {prev}"
+            " ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if s < _Q277_K:
+            parts.append(
+                f"d{s} AS (SELECT p.vec_id, p.v,"
+                f" least(p.md, {dist('p.v', f'c{s}.v')}) AS md"
+                f" FROM {prev} p CROSS JOIN c{s})"
+            )
+    selects = [
+        "SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1"
+    ] + [
+        f"SELECT {s} AS step, vec_id, round(sqrt(md), 4) AS radius FROM c{s}"
+        for s in range(2, _Q277_K + 1)
+    ]
+    return (
+        ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY step"
+    )
+
+
+@register(
+    "q277_kcenter_selection",
+    _q277_oracle(),
+    doc=(
+        "greedy k-center diversity selection (farthest-point traversal, "
+        "the 2-approximate k-center / core-set primitive of Sener 2018): "
+        "seed = lowest vec_id, then 7 rounds of 'the point farthest "
+        "from every chosen center', emitting each round's covering "
+        "radius — the diminishing-returns curve that sizes a diverse "
+        "fine-tuning subset.  The loop is inherently sequential in k, "
+        "so each round is ONE bounded argmax aggregate "
+        "(min(struct(-dist, id, vec)) — the centroid-fetch .collect() "
+        "class, q266 precedent) while all distance math stays "
+        "distributed: per round one narrow projection computes "
+        "least-of-s squared distances via the <v,v> - 2<v,c> + <c,c> "
+        "identity with centers as plan literals (never a join).  At "
+        "100 TB: k corpus scans of one projection each, zero shuffles, "
+        "driver traffic = k rows.  DuckDB twin: the same traversal "
+        "unrolled as 8 CTE stages (q266's pattern)"
+    ),
+)
+def q277(spark, sf_dir):
+    from ..operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double(F.col("embedding")).alias("v")
+    )
+
+    def dist_to(center: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return (
+            SIM.dot(F.col("v"), F.col("v"))
+            - 2 * SIM.dot(F.col("v"), c)
+            + SIM.dot(c, c)
+        )
+
+    seed = e.orderBy("vec_id").select("vec_id", "v").first()
+    centers = [(1, int(seed["vec_id"]), None)]
+    chosen_vecs = [list(seed["v"])]
+    for step in range(2, _Q277_K + 1):
+        dists = [dist_to(cv) for cv in chosen_vecs]
+        md = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            e.agg(
+                F.min(
+                    F.struct(
+                        (-md).alias("nd"),
+                        F.col("vec_id").alias("vec_id"),
+                        F.col("v").alias("v"),
+                    )
+                ).alias("m")
+            )
+            .select("m.nd", "m.vec_id", "m.v")
+            .first()
+        )
+        centers.append((step, int(row["vec_id"]), float(-row["nd"])))
+        chosen_vecs.append(list(row["v"]))
+    # round in-plan (Spark HALF_UP == DuckDB round; Python round() is
+    # banker's and would diverge on boundary values)
+    return (
+        spark.createDataFrame(
+            centers, "step int, vec_id long, sq_dist double"
+        )
+        .select(
+            "step",
+            "vec_id",
+            F.round(F.sqrt("sq_dist"), 4).alias("radius"),
+        )
+        .orderBy("step")
+    )

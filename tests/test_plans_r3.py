@@ -86,12 +86,14 @@ def test_tx_stage_writes_are_distributed_no_collect(spark, tmp_path):
     # The audited sites (update this count WITH an audit when adding one):
     #   1 partition-value list (tx_merge_partitioned)
     #   2 per-file visible-hit counts (_visible_hits: delete/update)
-    #   3 merge cardinality probe (limit(1))
+    #   3 merge cardinality probe (delta-sized agg, limit(1))
     #   4 merge affected-file basenames (distinct file list)
-    #   5 merge action counts (<= 3 rows)
-    #   6 constraint-violation counts (one agg row)
+    #   5 constraint-violation counts (one agg row)
+    #   6 generated-column validation counts (one agg row)
     #   7 set_constraint born-valid probe (one agg row)
-    #   8 generated-column validation counts (one agg row)
-    #   9 add-column type/default validation probe (one literal row)
-    assert src.count(".collect()") == 9
+    #   8 add-column type/default validation probe (one literal row)
+    # (round 10 removed the separate merge action-count collect: the
+    # update/delete counts now ride the staging write as CollectMetrics
+    # — see tx_merge's single-pass rewrite.)
+    assert src.count(".collect()") == 8
     assert ".toPandas()" not in src and ".toLocalIterator()" not in src

@@ -1,0 +1,156 @@
+"""Round-10b query-surface tests: classifier monotonicity on planted
+docs, the Poisson-bootstrap law + determinism, and farthest-point
+traversal geometry — the semantics the DuckDB oracle can't see."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.plans import queries_r10b as R10B
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# q275 — quality classifier
+# ---------------------------------------------------------------------------
+
+
+def test_q275_planted_quality_ordering(spark):
+    """A one-token boilerplate doc must score below a diverse doc with
+    stopwords — the two ends of every feature the model weighs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam", "x"),
+            (2, "the quick brown fox jumps over a lazy sleeping dog", "x"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    orig = R10B._t
+    try:
+        R10B._t = lambda s, d, n: docs if n == "documents" else orig(s, d, n)
+        rows = {r["doc_id"]: r for r in R10B.q275(spark, SF_DIR).collect()}
+    finally:
+        R10B._t = orig
+    assert rows[1]["score"] < rows[2]["score"]
+    assert not rows[1]["kept"]  # top_frac=1.0, ttr=0.1 → deep negative z
+    assert 0.0 <= rows[1]["score"] <= 1.0 and 0.0 <= rows[2]["score"] <= 1.0
+
+
+def test_q275_score_matches_sigmoid_of_features(spark):
+    """Spot-check one corpus doc's score against a hand-computed
+    sigmoid over its integer features."""
+    out = R10B.q275(spark, SF_DIR)
+    row = out.orderBy("doc_id").first()
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") == row["doc_id"])
+        .first()
+    )
+    toks = d["text"].strip().split()
+    n = len(toks)
+    dist = len(set(toks))
+    top = max(toks.count(t) for t in set(toks))
+    chars = sum(len(t) for t in toks)
+    stop = sum(1 for t in toks if t in R10B._Q275_STOPWORDS)
+    z = (
+        R10B._Q275_B
+        + R10B._Q275_W_TTR * (dist / n)
+        + R10B._Q275_W_TOP * (top / n)
+        + R10B._Q275_W_LEN * (chars / n)
+        + R10B._Q275_W_STOP * (stop / n)
+        + R10B._Q275_W_LOGN * math.log(n)
+    )
+    assert abs(row["score"] - 1.0 / (1.0 + math.exp(-z))) < 5e-5
+    assert row["kept"] == (z > 0)
+
+
+# ---------------------------------------------------------------------------
+# q276 — Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_q276_poisson_weight_law(spark):
+    """The inverse-CDF draw must reproduce Poisson(1): mean(k) ~ 1 and
+    P(k=0) ~ 1/e over a large deterministic sample."""
+    n = 20_000
+    from cars_bids_data_pipeline_v0__spark.operators.dedup_docs import (
+        portable_hash60,
+    )
+
+    df = spark.range(n).select(
+        (
+            (portable_hash60(F.col("id").cast("string"), "law:") + F.lit(1.0))
+            / F.lit(R10B._Q276_HASH_SPACE + 2.0)
+        ).alias("u")
+    )
+    k = df.select(R10B._q276_k_spark(F.col("u")).alias("k"))
+    row = k.agg(
+        F.avg("k").alias("mean"),
+        F.avg((F.col("k") == 0).cast("double")).alias("p0"),
+        F.max("k").alias("kmax"),
+    ).first()
+    assert abs(row["mean"] - 1.0) < 0.03
+    assert abs(row["p0"] - math.exp(-1)) < 0.02
+    assert row["kmax"] <= 6
+
+
+def test_q276_ci_brackets_point_and_is_deterministic(spark):
+    out1 = {r["segment"]: r for r in R10B.q276(spark, SF_DIR).collect()}
+    out2 = {r["segment"]: r for r in R10B.q276(spark, SF_DIR).collect()}
+    assert out1.keys() == out2.keys() and len(out1) >= 2
+    for seg, r in out1.items():
+        assert r["boot_lo"] <= r["mean_price"] <= r["boot_hi"]
+        # RNG-free: byte-identical across runs
+        assert (r["boot_lo"], r["boot_hi"]) == (
+            out2[seg]["boot_lo"],
+            out2[seg]["boot_hi"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# q277 — greedy k-center
+# ---------------------------------------------------------------------------
+
+
+def test_q277_radius_curve_non_increasing(spark):
+    rows = R10B.q277(spark, SF_DIR).orderBy("step").collect()
+    assert len(rows) == R10B._Q277_K
+    assert rows[0]["radius"] is None
+    radii = [r["radius"] for r in rows[1:]]
+    assert all(
+        radii[i] >= radii[i + 1] - 1e-9 for i in range(len(radii) - 1)
+    ), radii
+    # k distinct centers
+    assert len({r["vec_id"] for r in rows}) == R10B._Q277_K
+
+
+def test_q277_picks_cluster_representatives(spark):
+    """Four tight clusters + duplicates: the first four centers must
+    cover all four clusters before any duplicate is picked (the
+    2-approximation's defining behavior)."""
+    pts = []
+    corners = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)]
+    vid = 0
+    for cx, cy in corners:
+        for dx in (0.0, 0.1, 0.2):  # cluster of 3 near-duplicates
+            pts.append((vid, [cx + dx, cy]))
+            vid += 1
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>"
+    )
+    orig = R10B._t
+    try:
+        R10B._t = lambda s, d, n: emb if n == "embeddings" else orig(s, d, n)
+        rows = (
+            R10B.q277(spark, SF_DIR)
+            .orderBy("step")
+            .limit(4)
+            .collect()
+        )
+    finally:
+        R10B._t = orig
+    cluster_of = {i: i // 3 for i in range(12)}
+    assert {cluster_of[r["vec_id"]] for r in rows} == {0, 1, 2, 3}
