@@ -43,18 +43,24 @@ from .queries import _t, register
 # q275 — pretrained linear quality classifier (fastText-style)
 # ---------------------------------------------------------------------------
 
-# Fixed "pretrained" model: interpretable features with hand-set weights
-# (the point is the SCORING operator, not the training).  Feature ranges
-# on the synthetic corpus: ttr 0.28-1.0, top_frac 0.05-0.30,
-# mean_word_len 3.7-5.3, stop_frac 0-0.22, ln(n_toks) 2.3-4.6 — the
-# intercept centers z near 0 so the decision is non-degenerate.
-_Q275_B = -6.8
-_Q275_W_TTR = 3.0  # lexical diversity up => quality up
-_Q275_W_TOP = -6.0  # single-token dominance => boilerplate
-_Q275_W_LEN = 0.8  # longer words => denser prose
-_Q275_W_STOP = 4.0  # stopword presence => natural language
-_Q275_W_LOGN = 0.5  # longer docs favored, log-damped
-_Q275_STOPWORDS = ("the", "a")
+# The fixed "pretrained" model lives in operators/quality_model (the
+# release capstone's model-gate stage); the oracle literals below are
+# the SAME dict so the hash gate certifies the operator's weights.
+# Feature ranges on the synthetic corpus: ttr 0.28-1.0, top_frac
+# 0.05-0.30, mean_word_len 3.7-5.3, stop_frac 0-0.22, ln(n_toks)
+# 2.3-4.6 — the intercept centers z near 0 so the decision is
+# non-degenerate.
+from ..operators.quality_model import (  # noqa: E402
+    DEFAULT_STOPWORDS as _Q275_STOPWORDS,
+    DEFAULT_WEIGHTS as _Q275_W,
+)
+
+_Q275_B = _Q275_W["intercept"]
+_Q275_W_TTR = _Q275_W["ttr"]
+_Q275_W_TOP = _Q275_W["top_frac"]
+_Q275_W_LEN = _Q275_W["mean_word_len"]
+_Q275_W_STOP = _Q275_W["stop_frac"]
+_Q275_W_LOGN = _Q275_W["log_n_toks"]
 
 
 @register(
@@ -103,45 +109,24 @@ _Q275_STOPWORDS = ("the", "a")
     ),
 )
 def q275(spark, sf_dir):
+    # delegates to operators/quality_model (the release capstone's model
+    # gate); the z float chain there is built with the oracle's exact
+    # literal/associativity shape so the hash gate certifies the
+    # OPERATOR, not a query-local copy
+    from ..operators.quality_model import linear_score, quality_features
+
     d = _t(spark, sf_dir, "documents")
-    tok = d.select(
+    z = linear_score(_Q275_W)
+    scored = quality_features(d, "text", "doc_id").select(
         "doc_id",
-        "source",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
-    )
-    cnts = tok.groupBy("doc_id", "source", "tok").agg(
-        F.count("*").alias("cnt")
-    )
-    feats = cnts.groupBy("doc_id", "source").agg(
-        F.sum("cnt").alias("n"),
-        F.count("*").alias("d"),
-        F.max("cnt").alias("top"),
-        F.sum(F.length("tok") * F.col("cnt")).alias("chars"),
-        F.sum(
-            F.when(F.col("tok").isin(*_Q275_STOPWORDS), F.col("cnt")).otherwise(
-                F.lit(0)
-            )
-        ).alias("stop"),
-    )
-    # z built with the oracle's exact literal/associativity shape so the
-    # float chain is bit-identical cross-engine (left-assoc sum of five
-    # weighted terms; each term literal * (int * 1.0 / int))
-    z = (
-        F.lit(_Q275_B)
-        + _Q275_W_TTR * (F.col("d") * 1.0 / F.col("n"))
-        + _Q275_W_TOP * (F.col("top") * 1.0 / F.col("n"))
-        + _Q275_W_LEN * (F.col("chars") * 1.0 / F.col("n"))
-        + _Q275_W_STOP * (F.col("stop") * 1.0 / F.col("n"))
-        + _Q275_W_LOGN * F.log(F.col("n").cast("double"))
+        F.col("n").cast("long").alias("n_toks"),
+        F.round(1.0 / (1.0 + F.exp(-z)), 4).alias("score"),
+        (z > 0).alias("kept"),
     )
     return (
-        feats.select(
-            "doc_id",
-            "source",
-            F.col("n").cast("long").alias("n_toks"),
-            F.round(1.0 / (1.0 + F.exp(-z)), 4).alias("score"),
-            (z > 0).alias("kept"),
-        )
+        d.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .select("doc_id", "source", "n_toks", "score", "kept")
         .orderBy("doc_id")
     )
 

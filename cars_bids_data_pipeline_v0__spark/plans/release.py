@@ -113,6 +113,8 @@ def release_corpus(
     near_dup_threshold: float = 0.8,
     dedup_df_cap: int | None = 64,
     min_decile: int = 1,
+    model_gate: bool = False,
+    model_weights: dict | None = None,
     dsir_target: str | None = None,
     dsir_token_budget: int | None = None,
     chunk_size: int = 128,
@@ -150,6 +152,22 @@ def release_corpus(
         candidates, text_col, min_tokens, min_alpha_ratio,
         max_stopword_ratio,
     )
+    # model gate (the FineWeb-Edu shape): after the rule gates, a
+    # pretrained linear classifier (operators/quality_model, the q275
+    # operator) cuts low-scoring docs — EARLY, so everything downstream
+    # (dedup's inverted index, the Q-Q table, DSIR's bag models) works
+    # on the model-approved slice only.  Deterministic (sign of an
+    # exact-integer-ratio linear score), so crash-retries of an
+    # increment gate identically.
+    if model_gate:
+        from ..operators.quality_model import score_quality
+
+        gated = score_quality(
+            gated, text_col=text_col, id_col=id_col,
+            weights=model_weights,
+        ).where(F.col("quality_kept")).drop(
+            "quality_score", "quality_kept"
+        )
     if "n_chars" not in gated.columns:
         gated = gated.withColumn("n_chars", F.length(text_col))
     # within-batch exact dedup (min-id survivor): a release must never

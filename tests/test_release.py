@@ -277,3 +277,50 @@ def test_release_stream_exactly_once_and_checkpoint_loss(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(shards) if d.startswith("release=")
     ) == dirs_before
+
+
+def test_release_model_gate_cuts_boilerplate(spark, tmp_path):
+    """model_gate=True (round-10b): the pretrained linear classifier
+    runs after the rule gates and before dedup — boilerplate docs (one
+    token repeated: top_frac=1, ttr→0) never reach the release table,
+    diverse stopword-bearing docs do, and a crash-style re-run gates
+    identically (the increment replay stays a no-op)."""
+    release_tbl = str(tmp_path / "rel_mg")
+    shards = str(tmp_path / "shards_mg")
+    good = [
+        (i, _text(i, 24 + i % 7), "web") for i in range(10)
+    ]  # diverse vocab + 'the'/'a' stopwords → positive score
+    spam = [
+        (100 + i, " ".join(["spam"] * 30), "web") for i in range(3)
+    ]  # exact dups of each other AND deep-negative score
+    junk = [
+        (200, " ".join(f"u{j}" for j in range(12)) + " " +
+         " ".join(["zz"] * 20), "web"),
+    ]  # no stopwords, heavy top-token dominance → cut by the model
+    corpus = spark.createDataFrame(
+        good + spam + junk, "doc_id long, text string, source string"
+    )
+    # custom weights: shift the decision boundary for THIS corpus's
+    # feature ranges (the default intercept is tuned for the synthetic
+    # testdata corpus) — also exercises the model_weights override
+    mw = {"intercept": -6.3}
+    manifest = release_corpus(
+        spark, corpus, release_tbl, shards,
+        model_gate=True, model_weights=mw,
+        chunk_size=16, overlap=4, budget=32, num_shards=2,
+    )
+    assert manifest.collect(), "model-gated release still writes shards"
+    released = tx_read(spark, release_tbl)
+    rel_ids = {r["doc_id"] for r in released.select("doc_id").collect()}
+    assert not rel_ids & {100, 101, 102, 200}, rel_ids
+    assert len(rel_ids & set(range(10))) >= 8  # Q-Q gate may trim p10
+    # helper columns never leak into the release table
+    assert "quality_score" not in released.columns
+    assert "quality_kept" not in released.columns
+    # replay: the same candidates release nothing new
+    again = release_corpus(
+        spark, corpus, release_tbl, shards,
+        model_gate=True, model_weights=mw,
+        chunk_size=16, overlap=4, budget=32, num_shards=2,
+    )
+    assert again.collect() == []
