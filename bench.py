@@ -246,6 +246,10 @@ SF1_QUERIES = [
     # bounded aggregates should stay ~flat (measured 2.8 -> 3.6 s for
     # 10x at introduction)
     "q267_dsir_importance_weights",
+    # round-10b: the model-gate scorer on the curve — one explode + two
+    # integer combines + a keyed join back; the release capstone runs
+    # this shape over every candidate when model_gate=True
+    "q275_quality_classifier",
 ]
 SF1_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf1")
 SF5_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf5")

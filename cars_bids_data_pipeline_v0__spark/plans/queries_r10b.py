@@ -63,10 +63,9 @@ _Q275_W_STOP = _Q275_W["stop_frac"]
 _Q275_W_LOGN = _Q275_W["log_n_toks"]
 
 
-@register(
-    "q275_quality_classifier",
-    f"""
-    WITH tok AS (
+# the scored CTE block shared by q275/q278/q279 (one definition — the
+# hash gate certifies the same math every query composes on)
+_Q275_SCORED_CTES = f"""tok AS (
         SELECT doc_id, source,
                unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
         FROM documents
@@ -88,7 +87,13 @@ _Q275_W_LOGN = _Q275_W["log_n_toks"]
                  + {_Q275_W_STOP} * (stop * 1.0 / n)
                  + {_Q275_W_LOGN} * ln(n) AS z
         FROM feats
-    )
+    )"""
+
+
+@register(
+    "q275_quality_classifier",
+    f"""
+    WITH {_Q275_SCORED_CTES}
     SELECT doc_id, source, n_toks,
            round(1.0 / (1.0 + exp(-z)), 4) AS score,
            z > 0 AS kept
@@ -406,4 +411,312 @@ def q277(spark, sf_dir):
             F.round(F.sqrt("sq_dist"), 4).alias("radius"),
         )
         .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q278 — curriculum schedule (quality-ordered equal-token phases)
+# ---------------------------------------------------------------------------
+
+# Curriculum learning's data side (Bengio 2009 applied to corpus
+# curation): order the corpus by the q275 model score (cleanest first)
+# and cut it into training phases of a fixed TOKEN budget — the
+# manifest a staged training run consumes.  Phase boundaries come from
+# the inclusive token prefix sum in score order.
+_Q278_PHASE_TOKENS = 6_000
+
+
+@register(
+    "q278_curriculum_schedule",
+    f"""
+    WITH {_Q275_SCORED_CTES}, s2 AS (
+        SELECT doc_id, n_toks,
+               round(1.0 / (1.0 + exp(-z)), 4) AS score
+        FROM scored
+    ), cum AS (
+        SELECT doc_id, n_toks, score,
+               sum(n_toks) OVER (
+                   ORDER BY score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_toks
+        FROM s2
+    )
+    SELECT CAST(floor((cum_toks - 1) / {_Q278_PHASE_TOKENS}) + 1 AS INT)
+               AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS phase_tokens,
+           max(score) AS score_hi,
+           min(score) AS score_lo
+    FROM cum GROUP BY 1 ORDER BY phase
+    """,
+    doc=(
+        "curriculum schedule: the corpus ordered by the q275 model "
+        "score (cleanest first) and cut into training phases of "
+        f"{_Q278_PHASE_TOKENS} tokens each — the manifest a staged "
+        "training run consumes (Bengio 2009's curriculum applied to "
+        "corpus curation).  Phase assignment is the inclusive token "
+        "prefix sum in (rounded score DESC, doc id) order, computed "
+        "with the two-phase distributed prefix sum "
+        "(rankstats.prefix_sums_by_value — one range exchange, never a "
+        "single-partition window; the q270 discipline).  Scores are "
+        "rounded to 4 decimals BEFORE ordering so the total order is "
+        "cross-engine-stable; phase math is all-integer after one "
+        "exact float division"
+    ),
+)
+def q278(spark, sf_dir):
+    from ..operators.quality_model import linear_score, quality_features
+    from ..operators.rankstats import prefix_sums_by_value
+
+    d = _t(spark, sf_dir, "documents")
+    z = linear_score(_Q275_W)
+    s2 = quality_features(d, "text", "doc_id").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_toks"),
+        F.round(1.0 / (1.0 + F.exp(-z)), 4).alias("score"),
+    )
+    ordered = s2.withColumn(
+        "__ord",
+        F.struct(
+            (-F.col("score")).alias("ns"), F.col("doc_id").alias("i")
+        ),
+    )
+    cum = prefix_sums_by_value(ordered, "__ord", ["n_toks"])
+    return (
+        cum.select(
+            (
+                F.floor(
+                    (F.col("cum_n_toks") - 1) / F.lit(_Q278_PHASE_TOKENS)
+                )
+                + 1
+            )
+            .cast("int")
+            .alias("phase"),
+            "n_toks",
+            "score",
+        )
+        .groupBy("phase")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("phase_tokens"),
+            F.max("score").alias("score_hi"),
+            F.min("score").alias("score_lo"),
+        )
+        .orderBy("phase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279 — Wilson lower bound on the per-source kept rate
+# ---------------------------------------------------------------------------
+
+# The proportion-ranking primitive (how you rank sources by a pass rate
+# without small-sample lies): the Wilson score interval's lower bound
+# at 95% — a source with 3/3 kept ranks BELOW one with 180/200.
+_Q279_Z = 1.96
+_Q279_Z2 = _Q279_Z * _Q279_Z
+
+
+@register(
+    "q279_source_kept_wilson",
+    f"""
+    WITH {_Q275_SCORED_CTES}, agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE z > 0) AS BIGINT) AS n_kept
+        FROM scored GROUP BY source
+    ), p AS (
+        SELECT source, n_docs, n_kept,
+               n_kept * 1.0 / n_docs AS ph
+        FROM agg
+    )
+    SELECT source, n_docs, n_kept,
+           round(ph, 6) AS kept_rate,
+           round((ph + {_Q279_Z2!r} / (2 * n_docs)
+                  - {_Q279_Z!r} * sqrt((ph * (1 - ph)
+                        + {_Q279_Z2!r} / (4 * n_docs)) / n_docs))
+                 / (1 + {_Q279_Z2!r} / n_docs), 6) AS wilson_lb
+    FROM p ORDER BY source
+    """,
+    doc=(
+        "Wilson 95% lower bound on each source's classifier pass rate — "
+        "the proportion-ranking primitive (a 3/3 source must rank below "
+        "a 180/200 source; a raw rate cannot say that).  One integer "
+        "aggregate per source on top of the q275 scored table; the "
+        "bound is a closed-form float chain written with the identical "
+        "literal shape in both engines.  |sources|-bounded output — "
+        "the source-health dashboard row at any corpus scale"
+    ),
+)
+def q279(spark, sf_dir):
+    from ..operators.quality_model import linear_score, quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    z = linear_score(_Q275_W)
+    scored = quality_features(d, "text", "doc_id").select(
+        "doc_id", (z > 0).alias("kept")
+    )
+    agg = (
+        d.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        )
+    )
+    ph = F.col("n_kept") * 1.0 / F.col("n_docs")
+    nd = F.col("n_docs")
+    wilson = (
+        ph
+        + F.lit(_Q279_Z2) / (2 * nd)
+        - F.lit(_Q279_Z)
+        * F.sqrt((ph * (1 - ph) + F.lit(_Q279_Z2) / (4 * nd)) / nd)
+    ) / (1 + F.lit(_Q279_Z2) / nd)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        F.round(ph, 6).alias("kept_rate"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q280 — MinHash estimation error (sketch-accuracy eval harness)
+# ---------------------------------------------------------------------------
+
+_Q280_K = 16
+_Q280_BANDS = 4
+
+
+def _q280_oracle() -> str:
+    from .queries_r2 import _Q90_BAND_CASE, _Q90_MH
+
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)"
+        for k in range(_Q280_K)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       '\\s+') AS t
+            FROM documents
+        )
+    ), inv AS (
+        SELECT id, unnest(s) AS shingle FROM sh
+    ), sig AS (
+        SELECT id,
+               {_Q90_MH}
+        FROM inv GROUP BY id
+    ), banded AS (
+        SELECT id, bt.band,
+               CASE bt.band
+                 {_Q90_BAND_CASE}
+               END AS bucket
+        FROM sig, (SELECT unnest(range({_Q280_BANDS})) AS band) bt
+    ), cands AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM banded x JOIN banded y USING (band, bucket)
+        WHERE x.id < y.id
+    ), pairs AS (
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(sha.s, shb.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sha.s, shb.s))), 6)
+                   AS jaccard,
+               ({matches}) * 1.0 / {_Q280_K} AS est
+        FROM cands
+        JOIN sh sha ON sha.id = id_a
+        JOIN sh shb ON shb.id = id_b
+        JOIN sig sa ON sa.id = id_a
+        JOIN sig sb ON sb.id = id_b
+    )
+    SELECT id_a, id_b, jaccard, est,
+           round(abs(jaccard - est), 6) AS abs_err
+    FROM pairs ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "q280_minhash_estimation_error",
+    _q280_oracle(),
+    doc=(
+        "sketch-accuracy eval harness for the MinHash signature: over "
+        "every LSH candidate pair, the signature's Jaccard ESTIMATE "
+        "(matching components / K) against the exact shingle-set "
+        "Jaccard, with the absolute error — the readout that sizes K "
+        "and the band layout before a production dedup run (q56's "
+        "xxhash64 path uses the same geometry).  The corpus is "
+        "shingled ONCE (persisted table feeds signatures, banding and "
+        "the exact verify); estimates are exact multiples of 1/K so "
+        "the comparison is float-stable cross-engine.  Portable "
+        "md5-derived hashes make every stage DuckDB-reproducible "
+        "(q90's discipline, k=16/4 bands)"
+    ),
+)
+def q280(spark, sf_dir):
+    from ..cache import track_persist
+    from ..operators.dedup_docs import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = track_persist(shingle_table(d, "text", "doc_id", 3))
+    sigs = minhash_signatures(
+        d, num_hashes=_Q280_K, shingles=sh, portable=True
+    )
+    cands = minhash_lsh_candidates(
+        d,
+        num_hashes=_Q280_K,
+        bands=_Q280_BANDS,
+        shingles=sh,
+        portable=True,
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(_Q280_K)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(_Q280_K)],
+    )
+    sha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    matches = None
+    for k in range(_Q280_K):
+        term = F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        cands.join(sha, "id_a")
+        .join(shb, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+            (matches * 1.0 / _Q280_K).alias("est"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "est",
+            F.round(F.abs(F.col("jaccard") - F.col("est")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("id_a", "id_b")
     )

@@ -154,3 +154,71 @@ def test_q277_picks_cluster_representatives(spark):
         R10B._t = orig
     cluster_of = {i: i // 3 for i in range(12)}
     assert {cluster_of[r["vec_id"]] for r in rows} == {0, 1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# q278 — curriculum schedule
+# ---------------------------------------------------------------------------
+
+
+def test_q278_phases_partition_corpus_and_scores_descend(spark):
+    out = R10B.q278(spark, SF_DIR).orderBy("phase").collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total_docs = docs.count()
+    assert sum(r["n_docs"] for r in out) == total_docs
+    # phases are contiguous 1..P
+    assert [r["phase"] for r in out] == list(range(1, len(out) + 1))
+    # the curriculum ordering: each phase's worst score is no better
+    # than the previous phase's best, and within-phase hi >= lo
+    for i, r in enumerate(out):
+        assert r["score_hi"] >= r["score_lo"]
+        if i > 0:
+            assert out[i - 1]["score_lo"] >= r["score_hi"] - 1e-9
+    # every full phase ends within one document of the token budget
+    for r in out[:-1]:
+        assert r["phase_tokens"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# q279 — Wilson lower bound
+# ---------------------------------------------------------------------------
+
+
+def test_q279_wilson_bound_properties(spark):
+    rows = R10B.q279(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_lb"] <= r["kept_rate"] <= 1.0
+        assert r["n_kept"] <= r["n_docs"]
+    # the small-sample penalty: a tiny all-kept source must lower-bound
+    # strictly below a large mostly-kept source
+    import math
+
+    def wilson(k, n, z=1.96):
+        ph = k / n
+        z2 = z * z
+        return (ph + z2 / (2 * n)
+                - z * math.sqrt((ph * (1 - ph) + z2 / (4 * n)) / n)) / (
+            1 + z2 / n)
+
+    assert wilson(3, 3) < wilson(180, 200)
+
+
+# ---------------------------------------------------------------------------
+# q280 — MinHash estimation error
+# ---------------------------------------------------------------------------
+
+
+def test_q280_estimates_are_sixteenths_and_err_consistent(spark):
+    rows = R10B.q280(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # estimate is an exact multiple of 1/16 in [0, 1]
+        assert abs(r["est"] * 16 - round(r["est"] * 16)) < 1e-9
+        assert 0.0 <= r["est"] <= 1.0
+        assert abs(r["abs_err"] - round(abs(r["jaccard"] - r["est"]), 6)) \
+            <= 1e-9
+    # LSH candidates with 4 bands of 4 rows: every exact-dup pair (the
+    # corpus plants some) must estimate 1.0 with zero error
+    dups = [r for r in rows if r["jaccard"] == 1.0]
+    assert all(r["est"] == 1.0 and r["abs_err"] == 0.0 for r in dups)
