@@ -502,6 +502,12 @@ def sweep_sf1(spark) -> dict:
         dsir_target="source = 'src0'",
         dsir_token_budget=500_000,
     )
+    # the capstone with the round-10b MODEL gate ON (FineWeb-Edu shape:
+    # classifier cuts before dedup/Q-Q) — measures the scorer inside
+    # the chain, not just the standalone q275 leg
+    out["corpus_release_mg_50k_docs"] = bench_corpus_release(
+        spark, model_gate=True,
+    )
     out.update(bench_ann_index(spark))
     corpus = Path(SF1_DIR, "_GENERATED")
     return {

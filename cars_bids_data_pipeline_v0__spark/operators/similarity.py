@@ -447,3 +447,50 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def kcenter_traverse(e: DataFrame, k: int) -> list[tuple]:
+    """Greedy k-center / farthest-point traversal (Sener 2018 core-sets,
+    the classic 2-approximation): seed = lowest id, then k-1 rounds of
+    "the point farthest from every chosen center".  Returns
+    ``[(step, vec_id, sq_dist_at_selection | None, vector)]``.
+
+    ``e`` must have columns ``vec_id`` and ``v`` (array<double>).
+    Inherently sequential in k, so each round is ONE bounded argmax
+    aggregate back to the driver (min(struct(-dist, id, vec)) — the
+    q266 centroid-fetch .collect() class) while all distance math stays
+    distributed: per round one narrow projection computes least-of-s
+    squared distances via the <v,v> - 2<v,c> + <c,c> identity with the
+    chosen centers as plan literals (never a join).  Driver traffic is
+    k rows; the corpus is scanned once per round."""
+
+    def dist_to(center: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return (
+            dot(F.col("v"), F.col("v"))
+            - 2 * dot(F.col("v"), c)
+            + dot(c, c)
+        )
+
+    seed = e.orderBy("vec_id").select("vec_id", "v").first()
+    centers: list[tuple] = [(1, int(seed["vec_id"]), None, list(seed["v"]))]
+    for step in range(2, k + 1):
+        dists = [dist_to(cv) for _, _, _, cv in centers]
+        md = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            e.agg(
+                F.min(
+                    F.struct(
+                        (-md).alias("nd"),
+                        F.col("vec_id").alias("vec_id"),
+                        F.col("v").alias("v"),
+                    )
+                ).alias("m")
+            )
+            .select("m.nd", "m.vec_id", "m.v")
+            .first()
+        )
+        centers.append(
+            (step, int(row["vec_id"]), float(-row["nd"]), list(row["v"]))
+        )
+    return centers

@@ -364,46 +364,20 @@ def _q277_oracle() -> str:
     ),
 )
 def q277(spark, sf_dir):
+    # delegates to operators/similarity.kcenter_traverse (shared with
+    # q281's assignment readout)
     from ..operators import similarity as SIM
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", SIM.as_double(F.col("embedding")).alias("v")
     )
-
-    def dist_to(center: list[float]):
-        c = F.array(*[F.lit(float(x)) for x in center])
-        return (
-            SIM.dot(F.col("v"), F.col("v"))
-            - 2 * SIM.dot(F.col("v"), c)
-            + SIM.dot(c, c)
-        )
-
-    seed = e.orderBy("vec_id").select("vec_id", "v").first()
-    centers = [(1, int(seed["vec_id"]), None)]
-    chosen_vecs = [list(seed["v"])]
-    for step in range(2, _Q277_K + 1):
-        dists = [dist_to(cv) for cv in chosen_vecs]
-        md = dists[0] if len(dists) == 1 else F.least(*dists)
-        row = (
-            e.agg(
-                F.min(
-                    F.struct(
-                        (-md).alias("nd"),
-                        F.col("vec_id").alias("vec_id"),
-                        F.col("v").alias("v"),
-                    )
-                ).alias("m")
-            )
-            .select("m.nd", "m.vec_id", "m.v")
-            .first()
-        )
-        centers.append((step, int(row["vec_id"]), float(-row["nd"])))
-        chosen_vecs.append(list(row["v"]))
+    centers = SIM.kcenter_traverse(e, _Q277_K)
     # round in-plan (Spark HALF_UP == DuckDB round; Python round() is
     # banker's and would diverge on boundary values)
     return (
         spark.createDataFrame(
-            centers, "step int, vec_id long, sq_dist double"
+            [(s, vid, d) for s, vid, d, _ in centers],
+            "step int, vec_id long, sq_dist double",
         )
         .select(
             "step",
@@ -719,4 +693,209 @@ def q280(spark, sf_dir):
             ),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q281 — k-center assignment (the clustering readout of q277)
+# ---------------------------------------------------------------------------
+
+
+def _q281_oracle() -> str:
+    """q277's unrolled traversal + the VORONOI ASSIGNMENT: every point
+    to its nearest center (struct-min over the 8 literal centers, step
+    breaks exact-dup ties), per-cell population and covering radius."""
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+            f" + list_dot_product({c}, {c})"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT e.vec_id, e.v, {dist('e.v', 'c1.v')} AS md"
+        " FROM e CROSS JOIN c1)",
+    ]
+    for s in range(2, _Q277_K + 1):
+        prev = f"d{s - 1}"
+        parts.append(
+            f"c{s} AS (SELECT vec_id, v, md FROM {prev}"
+            " ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if s < _Q277_K:
+            parts.append(
+                f"d{s} AS (SELECT p.vec_id, p.v,"
+                f" least(p.md, {dist('p.v', f'c{s}.v')}) AS md"
+                f" FROM {prev} p CROSS JOIN c{s})"
+            )
+    structs = ",\n               ".join(
+        f"{{'d': {dist('p.v', f'c{s}.v')}, 's': {s}}}"
+        for s in range(1, _Q277_K + 1)
+    )
+    crosses = " ".join(f"CROSS JOIN c{s}" for s in range(1, _Q277_K + 1))
+    centers = "\n        UNION ALL ".join(
+        f"SELECT {s} AS s, vec_id FROM c{s}"
+        for s in range(1, _Q277_K + 1)
+    )
+    # DuckDB's least() is numeric/varchar-only — list_min over a
+    # struct list gives the same field-order-lexicographic minimum
+    parts.append(
+        f"asg AS (SELECT p.vec_id,\n"
+        f"           list_min([{structs}]) AS m\n"
+        f"        FROM e p {crosses})"
+    )
+    parts.append(f"ctr AS ({centers})")
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT ctr.s AS step, ctr.vec_id AS center_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(sqrt(max(struct_extract(a.m, 'd'))), 4) AS cell_radius
+    FROM asg a JOIN ctr ON ctr.s = struct_extract(a.m, 's')
+    GROUP BY ctr.s, ctr.vec_id
+    ORDER BY step
+    """
+    )
+
+
+@register(
+    "q281_kcenter_assignment",
+    _q281_oracle(),
+    doc=(
+        "k-center Voronoi assignment — the clustering readout of q277's "
+        "traversal: every embedding assigned to its nearest of the 8 "
+        "selected centers (struct-min over literal centers, center step "
+        "breaks exact-duplicate ties), reporting per-cell population "
+        "and covering radius — the balance/coverage audit that decides "
+        "whether the core-set k was enough.  Assignment is one narrow "
+        "projection (centers are plan literals — never a join against "
+        "a center table) + one |k|-bounded aggregate; at 100 TB the "
+        "cost is a single corpus scan after the k bounded traversal "
+        "rounds.  DuckDB twin: the same traversal + a least()-of-"
+        "structs assignment (struct comparison is field-order "
+        "lexicographic in both engines)"
+    ),
+)
+def q281(spark, sf_dir):
+    from ..operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double(F.col("embedding")).alias("v")
+    )
+    centers = SIM.kcenter_traverse(e, _Q277_K)
+
+    def dist_to(center: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return (
+            SIM.dot(F.col("v"), F.col("v"))
+            - 2 * SIM.dot(F.col("v"), c)
+            + SIM.dot(c, c)
+        )
+
+    m = F.least(
+        *[
+            F.struct(dist_to(cv).alias("d"), F.lit(s).alias("s"))
+            for s, _, _, cv in centers
+        ]
+    )
+    ctr = spark.createDataFrame(
+        [(s, vid) for s, vid, _, _ in centers], "step int, center_id long"
+    )
+    cells = (
+        e.select(m.alias("m"))
+        .groupBy(F.col("m.s").alias("step"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.sqrt(F.max("m.d")), 4).alias("cell_radius"),
+        )
+    )
+    return (
+        cells.join(F.broadcast(ctr), "step")
+        .select("step", "center_id", "n_points", "cell_radius")
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q282 — two-sided trimmed mean (robust location per segment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q282_trimmed_mean_order_value",
+    """
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cuts AS (
+        SELECT segment,
+               quantile_cont(cents, 0.1) AS lo,
+               quantile_cont(cents, 0.9) AS hi
+        FROM base GROUP BY segment
+    )
+    SELECT b.segment,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE cents >= lo AND cents <= hi)
+                AS BIGINT) AS n_kept,
+           round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4)
+               AS raw_mean,
+           round(CAST(sum(cents) FILTER (WHERE cents >= lo AND cents <= hi)
+                      AS DOUBLE)
+                 / count(*) FILTER (WHERE cents >= lo AND cents <= hi)
+                 / 100.0, 4) AS trimmed_mean
+    FROM base b JOIN cuts USING (segment)
+    GROUP BY b.segment ORDER BY b.segment
+    """,
+    doc=(
+        "10% two-sided trimmed mean of order value per market segment — "
+        "the robust location estimate (outlier-immune where the raw "
+        "mean is not; complements q82's median and q114/q235's weighted "
+        "medians).  Per-segment p10/p90 cuts from one interpolated-"
+        "percentile aggregate broadcast back (|segments| rows), then "
+        "one conditional aggregate over exact integer cents — the only "
+        "floats are the shared (n-1)p interpolation (q249 precedent) "
+        "and two final divisions.  Two scans, both partial-merging; "
+        "nothing grows with corpus size but the scan"
+    ),
+)
+def q282(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "segment",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    cuts = base.groupBy("segment").agg(
+        F.expr("percentile(cents, 0.1D)").alias("lo"),
+        F.expr("percentile(cents, 0.9D)").alias("hi"),
+    )
+    inside = (F.col("cents") >= F.col("lo")) & (
+        F.col("cents") <= F.col("hi")
+    )
+    return (
+        base.join(F.broadcast(cuts), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.count(F.when(inside, 1)).alias("n_kept"),
+            F.round(
+                F.sum("cents").cast("double") / F.count("*") / 100.0, 4
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(F.when(inside, F.col("cents")))
+                .cast("double")
+                / F.count(F.when(inside, 1))
+                / 100.0,
+                4,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("segment")
     )

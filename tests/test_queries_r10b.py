@@ -222,3 +222,66 @@ def test_q280_estimates_are_sixteenths_and_err_consistent(spark):
     # corpus plants some) must estimate 1.0 with zero error
     dups = [r for r in rows if r["jaccard"] == 1.0]
     assert all(r["est"] == 1.0 and r["abs_err"] == 0.0 for r in dups)
+
+
+# ---------------------------------------------------------------------------
+# q281 — k-center assignment
+# ---------------------------------------------------------------------------
+
+
+def test_q281_cells_partition_corpus(spark):
+    rows = R10B.q281(spark, SF_DIR).orderBy("step").collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert sum(r["n_points"] for r in rows) == emb.count()
+    assert len(rows) == R10B._Q277_K
+    sel = {r["vec_id"] for r in R10B.q277(spark, SF_DIR).collect()}
+    assert {r["center_id"] for r in rows} == sel
+    # every center sits in its own cell: radius >= 0, population >= 1
+    for r in rows:
+        assert r["n_points"] >= 1 and r["cell_radius"] >= 0.0
+
+
+def test_q281_assignment_is_nearest_center(spark):
+    """Spot-check: a point's cell radius upper-bounds its distance to
+    the OWN center and no other center is strictly nearer (constructed
+    2-D case with unambiguous geometry)."""
+    pts = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.1, 0.0]),
+           (3, [9.9, 0.0]), (4, [5.0, 0.0]), (5, [10.0, 1.0]),
+           (6, [0.0, 1.0]), (7, [6.0, 0.0]), (8, [4.0, 0.0]),
+           (9, [10.0, 2.0])]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    orig = R10B._t
+    try:
+        R10B._t = lambda s, d, n: emb if n == "embeddings" else orig(s, d, n)
+        import cars_bids_data_pipeline_v0__spark.plans.queries_r10b as M
+        old_k = M._Q277_K
+        # k=2: centers are 0 (seed) and its farthest point; cells split
+        # at x=5 with the tie (vec 4, dist 25 both ways) to center 1
+        M._Q277_K = 2
+        try:
+            rows = {r["step"]: r for r in R10B.q281(spark, SF_DIR).collect()}
+        finally:
+            M._Q277_K = old_k
+    finally:
+        R10B._t = orig
+    assert rows[1]["center_id"] == 0
+    # farthest from 0 is (10, 2) = vec 9 (dist^2 104)
+    assert rows[2]["center_id"] == 9
+    assert rows[1]["n_points"] + rows[2]["n_points"] == 10
+
+
+# ---------------------------------------------------------------------------
+# q282 — trimmed mean
+# ---------------------------------------------------------------------------
+
+
+def test_q282_trim_bounds_and_counts(spark):
+    rows = R10B.q282(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # 10% two-sided trim keeps ~80% (interpolated cuts so not exact)
+        assert 0.7 * r["n_all"] <= r["n_kept"] <= r["n_all"]
+        assert r["trimmed_mean"] > 0
+        # trimming a right-skewed price distribution pulls the mean in;
+        # at minimum the trimmed mean stays within the raw envelope
+        assert r["trimmed_mean"] <= r["raw_mean"] * 1.5
