@@ -363,6 +363,10 @@ SF5_QUERIES = [
     "q52_exact_dup_groups",
     "q53_ngram_jaccard_pairs",
     "q56_minhash_lsh_near_dup",
+    # round-10b: the model-gate scorer's 50x point — scan-bound by
+    # design (one explode + two integer combines), so the slope should
+    # track q52's
+    "q275_quality_classifier",
 ]
 
 
@@ -509,6 +513,7 @@ def sweep_sf1(spark) -> dict:
         spark, model_gate=True,
     )
     out.update(bench_ann_index(spark))
+    out["kcenter_k32_20k_vecs"] = bench_kcenter(spark)
     corpus = Path(SF1_DIR, "_GENERATED")
     return {
         "queries": out,
@@ -779,3 +784,28 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def bench_kcenter(spark, k: int = 32) -> float:
+    """Greedy k-center traversal (round-10b, q277's operator) at the
+    sf1 embedding volume (20k × 64d), k=32: the cost is k bounded
+    argmax rounds — at any corpus size each round is one narrow
+    projection + one 1-row aggregate, so this leg measures the
+    job-scheduling floor the traversal pays per center (the BPE
+    batch=1 analogy; min-of-2)."""
+    from pyspark.sql import functions as F
+
+    from cars_bids_data_pipeline_v0__spark.operators import similarity as S
+
+    e = (
+        spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+        .select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    )
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        centers = S.kcenter_traverse(e, k)
+        assert len(centers) == k
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
