@@ -782,10 +782,6 @@ def main() -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
-    main()
-
-
 def bench_kcenter(spark, k: int = 32) -> float:
     """Greedy k-center traversal (round-10b, q277's operator) at the
     sf1 embedding volume (20k × 64d), k=32: the cost is k bounded
@@ -809,3 +805,7 @@ def bench_kcenter(spark, k: int = 32) -> float:
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 3)
+
+
+if __name__ == "__main__":
+    main()
