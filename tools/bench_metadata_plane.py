@@ -188,6 +188,20 @@ def measure_point(spark, path: str, n_files: int, **synth_kw) -> dict:
     live = log2._live_actions_shared()
     out["incremental_extend_sec"] = round(time.perf_counter() - t0, 4)
     assert len(live) == n_files + 1
+
+    # O(delta) RE-checkpoint (round-10b): with a prior flagged sidecar
+    # in place, the next checkpoint reuses its rows for every untouched
+    # path and computes only the delta — the write-side twin of the
+    # columnar cold-read fix (full sidecar rebuild at 1M measured
+    # 13–16 s; the extension should be read+write-bound, seconds)
+    t0 = time.perf_counter()
+    log2.checkpoint()
+    out["checkpoint_incremental_write_sec"] = round(
+        time.perf_counter() - t0, 4
+    )
+    _clear_metadata_caches()
+    live2 = TransactionLog(path).live_actions()
+    assert len(live2) == n_files + 1  # the extended sidecar replays true
     return out
 
 
