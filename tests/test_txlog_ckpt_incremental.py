@@ -241,3 +241,124 @@ def test_pruning_exact_after_incremental_checkpoint(base_table):
                 continue
             keep.append(f)
         assert fast == (keep, pruned), (lo, hi)
+
+
+def test_incremental_after_log_truncation(base_table, monkeypatch):
+    """checkpoint → truncate_log → commit → checkpoint: the extension
+    only replays commits AFTER the previous checkpoint, so a truncated
+    prefix is irrelevant — and the rest_json of rows reconstructed FROM
+    a sidecar (post-truncation snapshots) must still byte-match."""
+    t, log, adds = base_table
+    assert log.try_commit(1, [_add(70, {"id": [1, 2]})], [], op="append")
+    _clear()
+    log.checkpoint()  # v1, incremental
+    TX.tx_truncate_log(t, keep_checkpoints=1)
+    _clear()
+    assert log.try_commit(2, [_add(71, {"id": [3, 4]})], [], op="append")
+    _clear()
+    log.checkpoint()  # v2, incremental over the truncated log
+    body_inc, rows_inc = _sidecar_rows(log)
+    _force_full_rebuild(monkeypatch, log)
+    _bf, rows_full = _sidecar_rows(log)
+    assert rows_inc == rows_full
+    assert len(rows_inc["path"]) == len(adds) + 2
+
+
+def test_random_delta_rounds_equal_full_rebuild(tmp_path, monkeypatch):
+    """Model-based: several rounds of random add/remove/re-add deltas,
+    each followed by a checkpoint — after every round the incremental
+    sidecar must match the forced full rebuild on the TRUE invariant:
+    identical live rows (path/rest_json/zrows/zpartition), incremental
+    zone_cols a subset of the full rebuild's (monotone flags are
+    CONSERVATIVE: a column a since-removed file disqualified stays
+    disqualified until a full rebuild), and common zone columns
+    value-equal (int64 vs float64 typing may differ when the
+    float-introducing file was removed).  Paths are deterministic so
+    the fixed seed replays the same scenario every run."""
+    import random
+
+    rng = random.Random(20260816)
+    monkeypatch.setattr(TX, "_PARQUET_CKPT_MIN", 3)
+    t = str(tmp_path / "tbl")
+    log = TX.TransactionLog(t)
+    counter = iter(range(10_000))
+
+    def det_add(i, stats):
+        return _add(i, stats, path=f"data/f{next(counter):05d}.parquet")
+
+    pool = [det_add(i, {"id": [i * 10, i * 10 + 9]}) for i in range(12)]
+    assert log.try_commit(0, pool[:8], [], op="append")
+    _clear()
+    log.checkpoint()
+    live = {a["path"]: a for a in pool[:8]}
+    fresh = list(pool[8:])
+    v = 1
+    for _ in range(6):
+        adds, removes = [], []
+        for _ in range(rng.randint(1, 3)):
+            if fresh and rng.random() < 0.7:
+                a = fresh.pop()
+            else:
+                a = det_add(
+                    rng.randint(100, 999),
+                    rng.choice(
+                        [
+                            {"id": [rng.randint(0, 50), 60]},
+                            {"id": [0.5, float(rng.randint(1, 9))]},
+                            {"id": [1, 2], "w": [rng.randint(0, 9), 10]},
+                            None,
+                        ]
+                    ),
+                )
+            adds.append(a)
+        for p in rng.sample(sorted(live), k=min(2, len(live))):
+            if rng.random() < 0.5:
+                removes.append(p)
+            else:  # re-add with changed stats
+                r = dict(live[p])
+                r["stats"] = {"id": [rng.randint(0, 99), 100]}
+                adds.append(r)
+        assert log.try_commit(v, adds, removes, op="mixed")
+        v += 1
+        for p in removes:
+            live.pop(p)
+        for a in adds:
+            live[a["path"]] = a
+        _clear()
+        log.checkpoint()
+        body_inc, rows_inc = _sidecar_rows(log)
+        # forced full rebuild — restore the real method afterwards so
+        # the NEXT round extends incrementally again
+        real = TX.TransactionLog._extend_live_sidecar
+
+        def boom(self, prev_ck, acts, vv):
+            raise RuntimeError("disabled")
+
+        TX.TransactionLog._extend_live_sidecar = boom
+        try:
+            _clear()
+            log.checkpoint()
+        finally:
+            TX.TransactionLog._extend_live_sidecar = real
+        body_full, rows_full = _sidecar_rows(log)
+        tag = f"divergence at version {v - 1}"
+        for k in ("path", "rest_json", "zrows", "zpartition"):
+            assert rows_inc[k] == rows_full[k], (tag, k)
+        inc_cols = set(body_inc["zone_cols"])
+        full_cols = set(body_full["zone_cols"])
+        # full-only columns: monotone conservatism (a since-removed
+        # file disqualified it; the full rebuild re-qualifies) —
+        # allowed, pruning on it just falls back to the dict path.
+        # inc-only columns must be GHOSTS: every carrier was removed,
+        # so the retained column is all-null — and an all-null zone
+        # column prunes nothing, exactly like the dict path.
+        for c in inc_cols - full_cols:
+            assert all(x is None for x in rows_inc[f"zmin:{c}"]), (tag, c)
+        for c in inc_cols & full_cols:
+            for m in ("zmin", "zmax"):
+                a = [None if x is None else float(x)
+                     for x in rows_inc[f"{m}:{c}"]]
+                b = [None if x is None else float(x)
+                     for x in rows_full[f"{m}:{c}"]]
+                assert a == b, (tag, m, c)
+        assert sorted(rows_inc["path"]) == sorted(live)
