@@ -899,3 +899,125 @@ def q282(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q283 — Holt double-exponential smoothing (linear-trend forecast)
+# ---------------------------------------------------------------------------
+
+# The forecasting workhorse next to q244's seasonal-naive MASE: level +
+# trend smoothed by a SEQUENTIAL recurrence.  The corpus-sized work is
+# the daily aggregate; the recurrence itself is |days|-bounded and runs
+# IN-PLAN as one fold over the sorted day array (a single bounded
+# reduce — the q272 "config-table driver fill" class, but kept inside
+# the engine).  h_t = a·x_t + (1-a)(h+b); b_t = β(h_t - h) + (1-β)b.
+_Q283_A = 0.3
+_Q283_1A = 1.0 - _Q283_A
+_Q283_B = 0.1
+_Q283_1B = 1.0 - _Q283_B
+
+
+def _q283_oracle() -> str:
+    # the recursive term writes h' INLINE inside b' (the exact shape
+    # the Spark fold evaluates) so the float chains agree
+    hp = f"{_Q283_A!r} * s.x + {_Q283_1A!r} * (r.h + r.b)"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+    ), seq AS (
+        SELECT x, row_number() OVER (ORDER BY d) AS i,
+               count(*) OVER () AS n
+        FROM daily
+    ), rec AS (
+        SELECT CAST(1 AS BIGINT) AS i, s1.x AS h, s2.x - s1.x AS b,
+               CAST(0.0 AS DOUBLE) AS sse, s1.n AS n
+        FROM (SELECT x, n FROM seq WHERE i = 1) s1,
+             (SELECT x FROM seq WHERE i = 2) s2
+        UNION ALL
+        SELECT s.i,
+               {hp} AS h,
+               {_Q283_B!r} * (({hp}) - r.h) + {_Q283_1B!r} * r.b AS b,
+               r.sse + (s.x - (r.h + r.b)) * (s.x - (r.h + r.b)) AS sse,
+               r.n
+        FROM rec r JOIN seq s ON s.i = r.i + 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(h / 100, 4) AS level,
+           round(b / 100, 4) AS trend,
+           round((h + 7 * b) / 100, 4) AS forecast_7,
+           round(sqrt(sse / (n - 1)) / 100, 4) AS rmse_1step
+    FROM rec WHERE i = n
+    """
+
+
+@register(
+    "q283_holt_linear_forecast",
+    _q283_oracle(),
+    doc=(
+        "Holt double-exponential smoothing over daily revenue (level + "
+        "trend, a=0.3/beta=0.1) with the 7-day-ahead forecast and the "
+        "one-step-ahead RMSE — the forecasting workhorse q244's "
+        "seasonal-naive MASE benchmarks against.  The corpus-sized "
+        "work is ONE partial-merging daily aggregate over exact "
+        "integer cents; the inherently sequential recurrence then runs "
+        "IN-PLAN as a single fold over the sorted |days|-bounded array "
+        "(2.4k steps — never a corpus-sized window, never a driver "
+        "loop).  The DuckDB twin is the same recurrence as a recursive "
+        "CTE, with h_t written INLINE inside b_t in both engines so "
+        "the float chains are bit-identical"
+    ),
+)
+def q283(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            )
+            .cast("double")
+            .alias("x")
+        )
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("a")
+    )
+
+    def step(acc, e):
+        hp = _Q283_A * e["x"] + _Q283_1A * (acc["h"] + acc["b"])
+        bp = (
+            _Q283_B
+            * (
+                (_Q283_A * e["x"] + _Q283_1A * (acc["h"] + acc["b"]))
+                - acc["h"]
+            )
+            + _Q283_1B * acc["b"]
+        )
+        err = e["x"] - (acc["h"] + acc["b"])
+        return F.struct(
+            hp.alias("h"),
+            bp.alias("b"),
+            (acc["sse"] + err * err).alias("sse"),
+        )
+
+    x1 = F.element_at("a", 1)["x"]
+    x2 = F.element_at("a", 2)["x"]
+    init = F.struct(
+        x1.alias("h"), (x2 - x1).alias("b"), F.lit(0.0).alias("sse")
+    )
+    acc = F.aggregate(
+        F.slice(F.col("a"), F.lit(2), F.size("a") - 1), init, step
+    )
+    n = F.size("a")
+    return arr.select(
+        n.cast("long").alias("n_days"),
+        F.round(acc["h"] / 100, 4).alias("level"),
+        F.round(acc["b"] / 100, 4).alias("trend"),
+        F.round((acc["h"] + 7 * acc["b"]) / 100, 4).alias("forecast_7"),
+        F.round(F.sqrt(acc["sse"] / (n - 1)) / 100, 4).alias(
+            "rmse_1step"
+        ),
+    )

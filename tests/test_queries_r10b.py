@@ -285,3 +285,43 @@ def test_q282_trim_bounds_and_counts(spark):
         # trimming a right-skewed price distribution pulls the mean in;
         # at minimum the trimmed mean stays within the raw envelope
         assert r["trimmed_mean"] <= r["raw_mean"] * 1.5
+
+
+# ---------------------------------------------------------------------------
+# q283 — Holt linear-trend smoothing
+# ---------------------------------------------------------------------------
+
+
+def test_q283_exact_on_linear_series(spark):
+    """On a perfectly linear daily series the recurrence is a fixed
+    point: h stays on the line, b equals the slope, every one-step
+    error is exactly zero (h2 = a*x2 + (1-a)*(x1+m) = x2, inductively)."""
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i),
+         float(100_00 + 7_00 * i))  # $100 start, $7/day slope, in cents
+        for i in range(50)
+    ]
+    daily = spark.createDataFrame(rows, "d date, x double")
+    orders = daily.select(
+        F.col("d").cast("timestamp").alias("o_orderdate"),
+        (F.col("x") / 100.0).alias("o_totalprice"),
+    )
+    orig = R10B._t
+    try:
+        R10B._t = lambda s, dd, n: orders if n == "orders" else orig(s, dd, n)
+        row = R10B.q283(spark, SF_DIR).first()
+    finally:
+        R10B._t = orig
+    assert row["n_days"] == 50
+    assert row["trend"] == 7.0
+    assert row["rmse_1step"] == 0.0
+    assert row["level"] == 100.0 + 7.0 * 49
+    assert row["forecast_7"] == 100.0 + 7.0 * 56
+
+
+def test_q283_real_series_shape(spark):
+    row = R10B.q283(spark, SF_DIR).first()
+    assert row["n_days"] > 100
+    assert row["level"] > 0 and row["rmse_1step"] > 0
