@@ -1021,3 +1021,125 @@ def q283(spark, sf_dir):
             "rmse_1step"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 — Mann-Kendall trend test (non-parametric monotone trend)
+# ---------------------------------------------------------------------------
+
+# The distribution-free companion to q283's parametric smoothing: is
+# the daily series monotonically trending at all?  S = Σ_{i<j}
+# sign(x_j − x_i) over day pairs, variance with the tie correction,
+# normal-approximation z.  Everything through the variance is EXACT
+# integer arithmetic; the pair space is |days|², bounded by the
+# calendar — never by corpus size (the corpus-sized work is the one
+# daily aggregate).
+
+
+@register(
+    "q284_mann_kendall_trend",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM daily a JOIN daily b ON b.d > a.d
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+    ), ties AS (
+        SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT),
+                        0) AS tie_term
+        FROM (
+            SELECT CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY x HAVING count(*) > 1
+        )
+    )
+    SELECT s.s AS s_stat, n.n AS n_days,
+           CAST((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term)
+                AS BIGINT) AS var18,
+           round((s.s - CASE WHEN s.s > 0 THEN 1
+                             WHEN s.s < 0 THEN -1 ELSE 0 END)
+                 / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term)
+                        / 18.0), 4) AS z,
+           CASE WHEN s.s > 0 THEN 'increasing'
+                WHEN s.s < 0 THEN 'decreasing'
+                ELSE 'none' END AS direction
+    FROM s, n, ties
+    """,
+    doc=(
+        "Mann-Kendall non-parametric trend test over daily revenue — "
+        "the distribution-free 'is it trending at all' companion to "
+        "q283's parametric smoothing (the standard pairing in "
+        "hydrology/ops monitoring).  S, n and the tie-corrected "
+        "variance numerator are EXACT integer arithmetic over integer "
+        "cents; the only floats are one sqrt and one division, written "
+        "identically in both engines.  The pair join is |days|² — "
+        "bounded by the calendar, never by corpus size; the corpus-"
+        "sized work is the one partial-merging daily aggregate"
+    ),
+)
+def q284(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    from ..cache import track_persist
+
+    daily = track_persist(daily)
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    s_row = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n_row = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    joined = s_row.crossJoin(n_row).crossJoin(ties)
+    n, s = F.col("n"), F.col("s")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("long")
+    sgn = F.when(s > 0, 1).when(s < 0, -1).otherwise(0)
+    return joined.select(
+        s.alias("s_stat"),
+        n.alias("n_days"),
+        var18.alias("var18"),
+        F.round((s - sgn) / F.sqrt(var18 / 18.0), 4).alias("z"),
+        F.when(s > 0, "increasing")
+        .when(s < 0, "decreasing")
+        .otherwise("none")
+        .alias("direction"),
+    )

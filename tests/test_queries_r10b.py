@@ -325,3 +325,47 @@ def test_q283_real_series_shape(spark):
     row = R10B.q283(spark, SF_DIR).first()
     assert row["n_days"] > 100
     assert row["level"] > 0 and row["rmse_1step"] > 0
+
+
+# ---------------------------------------------------------------------------
+# q284 — Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+def test_q284_known_trends(spark):
+    """Strictly increasing series: S = n(n-1)/2 exactly, z > 0; the
+    reversed series mirrors to -S."""
+    import datetime as dt
+
+    def series(vals):
+        rows = [
+            (dt.date(2024, 1, 1) + dt.timedelta(days=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "d date, v double"
+        ).select(
+            F.col("d").cast("timestamp").alias("o_orderdate"),
+            F.col("v").alias("o_totalprice"),
+        )
+
+    orig = R10B._t
+    try:
+        up = series(range(1, 21))
+        R10B._t = lambda s, dd, n: up if n == "orders" else orig(s, dd, n)
+        r = R10B.q284(spark, SF_DIR).first()
+        assert r["s_stat"] == 20 * 19 // 2
+        assert r["direction"] == "increasing" and r["z"] > 0
+        down = series(range(20, 0, -1))
+        R10B._t = lambda s, dd, n: down if n == "orders" else orig(s, dd, n)
+        r2 = R10B.q284(spark, SF_DIR).first()
+        assert r2["s_stat"] == -r["s_stat"] and r2["z"] == -r["z"]
+    finally:
+        R10B._t = orig
+
+
+def test_q284_real_series(spark):
+    r = R10B.q284(spark, SF_DIR).first()
+    assert r["n_days"] > 100
+    assert abs(r["s_stat"]) <= r["n_days"] * (r["n_days"] - 1) // 2
+    assert r["var18"] > 0
