@@ -409,6 +409,15 @@ def sweep_sf5(spark) -> dict:
     # pins the gate→dedup→chunk→pack→shard chain's scaling slope the
     # way q52/q53/q56 already are
     out["corpus_release_250k_docs"] = bench_corpus_release(spark, SF5_DIR)
+    # one 50× point of the full-stack shape (all stages on) — the
+    # scaling companion to sf1's corpus_release_full leg
+    out["corpus_release_full_250k_docs"] = bench_corpus_release(
+        spark,
+        SF5_DIR,
+        model_gate=True,
+        dsir_target="source = 'src0'",
+        dsir_token_budget=2_500_000,
+    )
     corpus = Path(SF5_DIR, "_GENERATED")
     return {
         "queries": out,
@@ -512,6 +521,18 @@ def sweep_sf1(spark) -> dict:
     out["corpus_release_mg_50k_docs"] = bench_corpus_release(
         spark, model_gate=True,
     )
+    # the FULL production shape (round-10 VERDICT directive 3): every
+    # stage on in ONE run — rule gates → model gate → incremental dedup
+    # → Q-Q decile gate → DSIR selection → chunk → pack → shards.  The
+    # per-stage legs above isolate each stage's cost; this one measures
+    # their interaction (shared persist barriers, DSIR scoring the
+    # model-gated slice)
+    out["corpus_release_full_50k_docs"] = bench_corpus_release(
+        spark,
+        model_gate=True,
+        dsir_target="source = 'src0'",
+        dsir_token_budget=500_000,
+    )
     out.update(bench_ann_index(spark))
     out["kcenter_k32_20k_vecs"] = bench_kcenter(spark)
     corpus = Path(SF1_DIR, "_GENERATED")
@@ -608,11 +629,44 @@ def bench_bpe_k_curve(spark) -> dict:
     return out
 
 
+def bench_kcenter_curve(spark) -> dict:
+    """k-center traversal cost vs k and batch at sf1 (20k × 64d) —
+    round-10 VERDICT directive 2.  batch=1 pays one job round-trip per
+    center (~0.33 s floor, the BPE batch=1 analogue); the batched
+    traversal (top-B TakeOrdered + threshold prune, a (2/alpha)-approx)
+    amortizes it, which is what makes a real coreset k≈10³ feasible.
+    The batch=1 point is measured at k=64 only (it IS the slow shape —
+    measured at introduction: 21 s vs ~2 s batched)."""
+    from pyspark.sql import functions as F
+
+    from cars_bids_data_pipeline_v0__spark.operators import similarity as S
+
+    e = (
+        spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+        .select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    )
+    out = {}
+    for k, b in ((64, 1), (64, 16), (256, 16), (256, 64)):
+        t0 = time.time()
+        centers = S.kcenter_traverse(e, k, batch=b)
+        dt = time.time() - t0
+        assert len(centers) == k
+        out[f"k{k}_batch{b}"] = {
+            "sec": round(dt, 3),
+            "sec_per_center": round(dt / k, 4),
+        }
+    return out
+
+
 def bench_ann_index(spark) -> dict:
     """Streaming-index lifecycle at the sf1 embedding volume (20k
     vectors): codebook train, two-batch exactly-once build, and a
-    50-query probed-cells top-k.  One sample each — the per-round signal
-    for the ANN-index capstone's cost envelope."""
+    50-query probed-cells top-k.  Min-of-2 with a fresh index per
+    sample (the scale-leg contention discipline — these were the last
+    single-sample legs, and their r9→r10 ±27% swing read as a
+    regression until the round-11 A/B (tools/bench_ann_ab.py) showed
+    the file-list path costs <0.3 ms at this scale: the swing was box
+    noise single samples can't reject)."""
     import shutil
     import tempfile
 
@@ -627,32 +681,37 @@ def bench_ann_index(spark) -> dict:
     )
 
     corpus = spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
-    tmp = tempfile.mkdtemp(prefix="bench_ann_")
-    try:
-        t0 = time.time()
-        centroids = kmeans_centroids(corpus, nlist=16, iters=1)
-        train_s = round(time.time() - t0, 3)
-        index = f"{tmp}/index"
-        sink = ivf_index_sink(index, centroids, stream_id="bench")
-        t0 = time.time()
-        sink(corpus.filter(F.col("vec_id") % 2 == 0), 0)
-        sink(corpus.filter(F.col("vec_id") % 2 == 1), 1)
-        build_s = round(time.time() - t0, 3)
-        queries = corpus.filter(F.col("vec_id") % 397 == 0).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-        )
-        t0 = time.time()
-        ivf_index_probe(
-            spark, index, queries, centroids, k=10, nprobe=4
-        ).write.format("noop").mode("overwrite").save()
-        probe_s = round(time.time() - t0, 3)
-        return {
-            "ann_index_train": train_s,
-            "ann_index_build_2batch": build_s,
-            "ann_index_probe_50q": probe_s,
-        }
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    out = {}
+    for _ in range(2):
+        tmp = tempfile.mkdtemp(prefix="bench_ann_")
+        try:
+            t0 = time.time()
+            centroids = kmeans_centroids(corpus, nlist=16, iters=1)
+            train_s = time.time() - t0
+            index = f"{tmp}/index"
+            sink = ivf_index_sink(index, centroids, stream_id="bench")
+            t0 = time.time()
+            sink(corpus.filter(F.col("vec_id") % 2 == 0), 0)
+            sink(corpus.filter(F.col("vec_id") % 2 == 1), 1)
+            build_s = time.time() - t0
+            queries = corpus.filter(F.col("vec_id") % 397 == 0).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+            )
+            t0 = time.time()
+            ivf_index_probe(
+                spark, index, queries, centroids, k=10, nprobe=4
+            ).write.format("noop").mode("overwrite").save()
+            probe_s = time.time() - t0
+            for name, val in (
+                ("ann_index_train", train_s),
+                ("ann_index_build_2batch", build_s),
+                ("ann_index_probe_50q", probe_s),
+            ):
+                out[name] = round(min(out.get(name, val), val), 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -754,6 +813,11 @@ def main() -> None:
         else None
     )
 
+    kcenter_curve = None
+    if os.environ.get("SPARK_GRAFT_KCENTER_CURVE", "1") != "0":
+        ensure_sf1(spark)
+        kcenter_curve = bench_kcenter_curve(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # headline value = the SAME query set rounds 1-3 totalled, so the
     # cross-round/baseline ratio stays apples-to-apples; the ACID-path
@@ -762,23 +826,31 @@ def main() -> None:
     comparable = sum(
         v for k, v in timings.items() if k not in NON_COMPARABLE
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(comparable, 3),
-                "unit": "sec",
-                "queries": timings,
-                "runs": RUNS,
-                "stat": "median",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "sf1": sf1,
-                "sf5": sf5,
-                "file_count_curve": metaplane,
-                "bpe_k_curve": bpe_curve,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": round(comparable, 3),
+            "unit": "sec",
+            "queries": timings,
+            "runs": RUNS,
+            "stat": "median",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf1": sf1,
+            "sf5": sf5,
+            "file_count_curve": metaplane,
+            "bpe_k_curve": bpe_curve,
+            "kcenter_k_curve": kcenter_curve,
+        }
     )
+    print(payload)
+    # The driver's BENCH_r{N}.json captures a bounded tail of stdout;
+    # once the curve sections outgrew it the headline/sf1/sf5 numbers
+    # fell off the record and the judge had to re-run everything
+    # (round-10 VERDICT directive 7).  Persist the FULL payload to a
+    # repo file the round artifacts keep.
+    Path(__file__).resolve().parent.joinpath(
+        "BENCH_full_latest.json"
+    ).write_text(payload + "\n")
     spark.stop()
 
 

@@ -449,7 +449,9 @@ def embedding_near_dup_pairs(
     )
 
 
-def kcenter_traverse(e: DataFrame, k: int) -> list[tuple]:
+def kcenter_traverse(
+    e: DataFrame, k: int, batch: int = 1, alpha: float = 0.5
+) -> list[tuple]:
     """Greedy k-center / farthest-point traversal (Sener 2018 core-sets,
     the classic 2-approximation): seed = lowest id, then k-1 rounds of
     "the point farthest from every chosen center".  Returns
@@ -470,11 +472,56 @@ def kcenter_traverse(e: DataFrame, k: int) -> list[tuple]:
     projected once up front and ``<c,c>`` folds on the driver (same
     left-to-right order as the in-plan fold, so the identity
     ``<v,v> - 2<v,c> + <c,c>`` stays bit-equal to the oracle's).
-    Driver traffic is k rows; the corpus is scanned once per round."""
+    Driver traffic is k rows; the corpus is scanned once per round.
+
+    ``batch > 1`` amortizes the ~0.33 s/round job floor the same way
+    q266's symbol-disjoint BPE batching did (round-10 VERDICT
+    directive 2): each round takes the top-``batch`` points by current
+    distance in ONE bounded TakeOrdered (batch rows to the driver —
+    the same bounded-collect class as the argmax), then a driver-side
+    greedy prune accepts candidates far from both the existing centers
+    AND each other: candidate c is accepted iff
+    ``min(md(c), min_dist²(c, accepted-this-round)) ≥ alpha² · dmax²``
+    where dmax² is the round's global max (so the FIRST accepted point
+    is exactly the sequential pick).  Every accepted center therefore
+    sits ≥ alpha·R from all other centers and the final uncovered
+    radius R, and the Gonzalez pigeonhole gives a (2/alpha)-approx
+    (alpha=0.5 → 4-approx guaranteed; near-sequential in practice —
+    see tests/test_similarity_r11.py's constructed geometries).  The
+    running-min update folds ALL the round's accepted centers in ONE
+    projection (``least(md, d₁..dₘ)``), so a k=256/batch=16 run pays
+    16 job round-trips, not 256.  ``batch=1`` is byte-identical to the
+    sequential path (the oracled q277/q281 shape).  Driver-side
+    candidate pruning does O(batch²·dim) float ops — trivial for
+    batch ≤ 1024."""
+    # a coreset source is often one small parquet file → 1 input split;
+    # every round would then run on ONE core.  Spread it once up front
+    # (row-wise math is partitioning-invariant, argmax/TakeOrdered stay
+    # deterministic via the vec_id tiebreak), sized ~4k rows/partition
+    # so a small corpus is not shattered into per-round multi-task
+    # scheduling overhead (k rounds of 32-task jobs on 20k rows
+    # measured SLOWER than 1 task — the per-round compute is ms; the
+    # spread matters for the 100k×high-dim single-file case).  The
+    # sizing count only ever runs on a few-split input, never an
+    # at-scale table (those already exceed defaultParallelism and
+    # short-circuit).
+    spread = e.sparkSession.sparkContext.defaultParallelism
+    nparts = e.rdd.getNumPartitions()
+    if nparts < spread:
+        want = min(spread, max(1, e.count() // 4096))
+        if want > nparts:
+            e = e.repartition(want)
     vv = dot(F.col("v"), F.col("v"))
     cur = e.select("vec_id", "v", vv.alias("__vv"))
 
     def dist_to(center: list[float]) -> Column:
+        # HOF fold, NOT unrolled per-element arithmetic: an unrolled
+        # ``Σ v[i]·cᵢ`` is whole-stage-codegen'd, and because each
+        # round's center literals differ, EVERY round pays a fresh
+        # Janino class compile (~0.5 s) — measured 2.4× on the whole
+        # sequential traversal (k=32: 12 → 30 s).  The HOF fold is
+        # interpreted (CodegenFallback): slightly slower per row, zero
+        # compiles, and bit-identical values.
         c = F.array(*[F.lit(float(x)) for x in center])
         cc = 0.0
         for x in center:  # left fold — the in-plan accumulation order
@@ -485,33 +532,129 @@ def kcenter_traverse(e: DataFrame, k: int) -> list[tuple]:
     centers: list[tuple] = [(1, int(seed["vec_id"]), None, list(seed["v"]))]
     cur = cur.select("vec_id", "v", "__vv", dist_to(centers[0][3]).alias("__md"))
     prev_persisted = None
-    for step in range(2, k + 1):
-        cur = track(cur.persist())
-        row = (
-            cur.agg(
-                F.min(
-                    F.struct(
-                        (-F.col("__md")).alias("nd"),
-                        F.col("vec_id").alias("vec_id"),
-                        F.col("v").alias("v"),
-                    )
-                ).alias("m")
+    seq_round = 0
+    while len(centers) < k:
+        persisted_this_round = False
+        if batch <= 1:
+            # lazy persist: ONE job per round (the argmax materializes
+            # the cache) — but the logical plan still chains every
+            # round's projection, and the serialized task binary grows
+            # ~10–90 KB/round until the driver heap dies (measured OOM
+            # at k=64 on 20k rows, 8 GiB heap).  Every 8th round an
+            # eager localCheckpoint truncates the lineage to a
+            # LogicalRDD: plan depth stays ≤ 8 for ~1 extra job per 8
+            # rounds (checkpointing EVERY round measured 2× on k=32).
+            seq_round += 1
+            if seq_round % 8 == 0:
+                cur = cur.localCheckpoint(eager=True)
+                if prev_persisted is not None:
+                    prev_persisted.unpersist(blocking=False)
+                    prev_persisted = None
+            else:
+                cur = track(cur.persist())
+                persisted_this_round = True
+        else:
+            # localCheckpoint, not persist: persist() caches DATA but
+            # the logical plan still chains every prior round's
+            # projection, so plan size (and driver analysis + task
+            # binaries) grows O(round) → O(k²) total — measured OOM at
+            # k=256/batch=16 with unrolled distance expressions.
+            # Eager localCheckpoint truncates the lineage to a
+            # LogicalRDD each round (it costs a second job per round,
+            # which is why the batch=1 path keeps lazy persist:
+            # measured k=32 sequential 10.6 → 24 s under per-round
+            # checkpoints).  Losing replayability is safe HERE because
+            # ``__md`` is a pure function of (e, centers-so-far):
+            # recovery after executor loss is one rebuild of the
+            # distance column from the driver's center list, not a
+            # lineage replay.
+            cur = cur.localCheckpoint(eager=True)
+        if batch <= 1:
+            row = (
+                cur.agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("__md")).alias("nd"),
+                            F.col("vec_id").alias("vec_id"),
+                            F.col("v").alias("v"),
+                        )
+                    ).alias("m")
+                )
+                .select("m.nd", "m.vec_id", "m.v")
+                .first()
             )
-            .select("m.nd", "m.vec_id", "m.v")
-            .first()
-        )
-        if prev_persisted is not None:
-            prev_persisted.unpersist(blocking=False)
-        prev_persisted = cur
-        centers.append(
-            (step, int(row["vec_id"]), float(-row["nd"]), list(row["v"]))
-        )
-        cur = cur.select(
-            "vec_id",
-            "v",
-            "__vv",
-            F.least(F.col("__md"), dist_to(centers[-1][3])).alias("__md"),
-        )
+            accepted = [(int(row["vec_id"]), float(-row["nd"]), list(row["v"]))]
+            if persisted_this_round:
+                if prev_persisted is not None:
+                    prev_persisted.unpersist(blocking=False)
+                prev_persisted = cur
+        else:
+            rows = (
+                cur.orderBy(F.col("__md").desc(), F.col("vec_id").asc())
+                .select("vec_id", "__md", "v")
+                .limit(min(batch, k - len(centers)))
+                .collect()
+            )
+            if not rows:
+                break
+            thresh = (alpha * alpha) * float(rows[0]["__md"])
+            accepted = []
+            for r in rows:
+                eff = float(r["__md"])
+                rv = r["v"]
+                for _, _, av in accepted:
+                    d2 = 0.0
+                    for x, y in zip(rv, av):
+                        d = x - y
+                        d2 += d * d
+                    if d2 < eff:
+                        eff = d2
+                        if eff < thresh:
+                            break
+                if eff >= thresh:
+                    accepted.append((int(r["vec_id"]), eff, list(rv)))
+        for cid, eff, cv in accepted:
+            centers.append((len(centers) + 1, cid, eff, cv))
+        if len(accepted) == 1:
+            upd = F.least(F.col("__md"), dist_to(accepted[0][2]))
+        else:
+            # m new centers in ONE compact fold over an array-of-structs
+            # literal: m unrolled distance expressions made the
+            # projection O(m·dim) expression NODES, which at batch=64
+            # overflowed Janino's method limits (codegen compile
+            # failure → interpreted fallback of a giant tree).  The
+            # fold keeps the tree O(m) literals + one lambda; eval is
+            # the same m·dim multiplies.  `least` is an exact min, so
+            # fold order can't change the value.
+            def _cc(c: list[float]) -> float:
+                acc = 0.0
+                for x in c:
+                    acc = acc + float(x) * float(x)
+                return acc
+
+            pairs = F.array(
+                *[
+                    F.struct(
+                        F.array(
+                            *[F.lit(float(x)) for x in cv]
+                        ).alias("c"),
+                        F.lit(_cc(cv)).alias("cc"),
+                    )
+                    for _, _, cv in accepted
+                ]
+            )
+            upd = F.aggregate(
+                pairs,
+                F.col("__md"),
+                lambda acc, p: F.least(
+                    acc,
+                    F.col("__vv") - 2 * dot(F.col("v"), p["c"]) + p["cc"],
+                ),
+            )
+        # batched rounds' checkpointed blocks (MEMORY_AND_DISK) are
+        # dropped by the ContextCleaner once the next checkpoint
+        # materializes and the old frame goes unreferenced
+        cur = cur.select("vec_id", "v", "__vv", upd.alias("__md"))
     if prev_persisted is not None:
         prev_persisted.unpersist(blocking=False)
     return centers

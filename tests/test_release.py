@@ -324,3 +324,94 @@ def test_release_model_gate_cuts_boilerplate(spark, tmp_path):
         chunk_size=16, overlap=4, budget=32, num_shards=2,
     )
     assert again.collect() == []
+
+
+def test_release_full_stack_stage_order_and_interaction(
+    spark, tmp_path, monkeypatch
+):
+    """The FULL production shape in one run (round-10 VERDICT directive
+    3): model gate + DSIR selection + incremental dedup + Q-Q gate all
+    on.  Pins (a) the stage ORDER — rule gate → model gate → exact
+    dedup → incremental dedup → Q-Q gate → DSIR — by tracing the actual
+    call sequence, and (b) the stage INTERACTIONS: DSIR's bag models
+    see the model-gated slice (release.py's documented design), dedup
+    runs against the previously-released table, and the DSIR budget
+    bounds this increment's released tokens."""
+    import cars_bids_data_pipeline_v0__spark.operators.dsir as dsir_mod
+    import cars_bids_data_pipeline_v0__spark.operators.quality_model as qm_mod
+    import cars_bids_data_pipeline_v0__spark.plans.release as rel_mod
+
+    calls: list[str] = []
+
+    def trace(mod, name, label):
+        real = getattr(mod, name)
+
+        def wrapped(*a, **k):
+            calls.append(label)
+            return real(*a, **k)
+
+        monkeypatch.setattr(mod, name, wrapped)
+
+    trace(rel_mod, "quality_gate", "rule")
+    trace(qm_mod, "score_quality", "model")
+    trace(rel_mod, "dedup_exact", "exact")
+    trace(rel_mod, "dedup_incoming", "incr")
+    trace(rel_mod, "quantile_release_gate", "qq")
+    trace(dsir_mod, "dsir_resample", "dsir")
+
+    release_tbl = str(tmp_path / "rel_full")
+    shards = str(tmp_path / "shards_full")
+    kw = dict(
+        model_gate=True,
+        model_weights={"intercept": -6.3},
+        dsir_target="source = 'web'",
+        dsir_token_budget=400,
+        chunk_size=16,
+        overlap=4,
+        budget=32,
+        num_shards=2,
+    )
+    docs = []
+    for i in range(10):
+        docs.append((i, _text(i, 24 + i % 7), "web"))
+        docs.append((50 + i, _text(30 + i, 30 + i % 5), "books"))
+    spam = [(100 + i, " ".join(["spam"] * 30), "web") for i in range(3)]
+    corpus = spark.createDataFrame(
+        docs + spam, "doc_id long, text string, source string"
+    )
+    # seed release: the even-id half (the bench_corpus_release shape)
+    release_corpus(
+        spark, corpus.filter(F.col("doc_id") % 2 == 0),
+        release_tbl, shards, **kw,
+    )
+    seeded = {
+        r["doc_id"]
+        for r in tx_read(spark, release_tbl).select("doc_id").collect()
+    }
+    assert seeded and all(d % 2 == 0 for d in seeded)
+
+    calls.clear()
+    manifest = release_corpus(spark, corpus, release_tbl, shards, **kw)
+
+    # (a) exact stage order of the incremental run
+    assert calls == ["rule", "model", "exact", "incr", "qq", "dsir"]
+
+    # (b) interactions
+    released = tx_read(spark, release_tbl)
+    rel_ids = {r["doc_id"] for r in released.select("doc_id").collect()}
+    new_ids = rel_ids - seeded
+    # model gate cut the spam before anything downstream
+    assert not rel_ids & {100, 101, 102}
+    # incremental dedup: nothing seeded was re-released (ids unique)
+    assert released.count() == len(rel_ids)
+    # DSIR budget bounds the increment's whitespace tokens
+    toks = (
+        released.filter(F.col("doc_id").isin([int(x) for x in new_ids]))
+        .select(
+            F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("t")
+        )
+        .first()["t"]
+    )
+    assert toks is not None and toks <= kw["dsir_token_budget"]
+    # the increment still produced a loader manifest
+    assert manifest.collect()

@@ -1,0 +1,318 @@
+"""Delta-protocol replay of `tx_export_delta_log` (round-11, VERDICT
+r10 directive 5).
+
+delta-spark is not installable in this container, so the export's
+reader contract was previously closed from first principles plus the
+engine's own `tx_read_delta_export` (which shares assumptions with the
+writer).  This module replays the exported ``_delta_log`` with an
+INDEPENDENT minimal Delta reader written here from the protocol spec
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): strict
+per-action required-field validation, snapshot reconstruction, and a
+pyarrow-only (no Spark) read of the resulting file list — then equality
+against `tx_read`.  If delta-spark ever becomes installable, the final
+test auto-activates a real ``spark.read.format("delta")`` round-trip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+    tx_append_partitioned,
+    tx_drop_column,
+    tx_export_delta_log,
+    tx_read,
+    tx_rename_column,
+)
+
+# ---------------------------------------------------------------------------
+# the independent reader: PROTOCOL.md, nothing from sources/txlog.py
+# ---------------------------------------------------------------------------
+
+# PROTOCOL.md "Primitive Types" → arrow type-string prefixes we accept
+# for schema agreement checks (arrow spells several differently)
+_DELTA_TO_ARROW_PREFIX = {
+    "string": ("string", "large_string"),
+    "long": ("int64",),
+    "integer": ("int32",),
+    "short": ("int16",),
+    "byte": ("int8",),
+    "float": ("float",),
+    "double": ("double",),
+    "boolean": ("bool",),
+    "binary": ("binary", "large_binary"),
+    "date": ("date32",),
+    "timestamp": ("timestamp",),
+    "timestamp_ntz": ("timestamp",),
+}
+
+
+def replay_delta_log(export_root: str) -> dict:
+    """Parse + validate a single-version Delta log per PROTOCOL.md.
+
+    Returns ``{"protocol": ..., "metaData": ..., "adds": [...],
+    "schema": <parsed schemaString>, "files": [abs paths],
+    "num_records": int-or-None}`` after checking every REQUIRED field
+    the spec lists for each action kind.  Raises AssertionError with a
+    spec-anchored message on any violation.
+    """
+    log_dir = os.path.join(export_root, "_delta_log")
+    # spec: Delta log entries are zero-padded 20-digit versioned JSON
+    commit = os.path.join(log_dir, f"{0:020d}.json")
+    assert os.path.isfile(commit), f"missing first log entry {commit}"
+
+    protocol = None
+    meta = None
+    adds = []
+    removes = []
+    with open(commit) as fh:
+        for ln, line in enumerate(fh, 1):
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            # spec: each log-entry line holds exactly one action
+            assert len(action) == 1, f"line {ln}: multi-action object"
+            kind, body = next(iter(action.items()))
+            if kind == "protocol":
+                # spec (Protocol Evolution): both fields required
+                assert isinstance(body.get("minReaderVersion"), int)
+                assert isinstance(body.get("minWriterVersion"), int)
+                # this reader implements reader versions 1 and 2
+                # (2 = column mapping); 3 would need readerFeatures
+                assert body["minReaderVersion"] in (1, 2), body
+                protocol = body
+            elif kind == "metaData":
+                # spec (Change Metadata): required fields
+                assert isinstance(body.get("id"), str) and body["id"]
+                fmt = body.get("format")
+                assert isinstance(fmt, dict), "format required"
+                assert fmt.get("provider") == "parquet", fmt
+                assert isinstance(body.get("schemaString"), str)
+                assert isinstance(body.get("partitionColumns"), list)
+                # configuration is required by the spec's field table
+                assert isinstance(body.get("configuration"), dict)
+                meta = body
+            elif kind == "add":
+                # spec (Add File and Remove File): required add fields
+                assert isinstance(body.get("path"), str) and body["path"]
+                assert isinstance(body.get("partitionValues"), dict), (
+                    "partitionValues is REQUIRED on add actions"
+                )
+                assert isinstance(body.get("size"), int)
+                assert isinstance(body.get("modificationTime"), int)
+                assert isinstance(body.get("dataChange"), bool)
+                if "stats" in body:
+                    # spec: stats is a JSON *string*
+                    assert isinstance(body["stats"], str)
+                    json.loads(body["stats"])
+                adds.append(body)
+            elif kind == "remove":
+                removes.append(body)
+            elif kind in ("commitInfo", "txn", "cdc", "domainMetadata"):
+                pass  # optional / informational action kinds
+            else:
+                raise AssertionError(f"unknown action kind {kind!r}")
+
+    assert protocol is not None, "protocol action required in version 0"
+    assert meta is not None, "metaData action required in version 0"
+
+    # snapshot reconstruction: adds minus removes, keyed by path
+    removed = {r.get("path") for r in removes}
+    live = [a for a in adds if a["path"] not in removed]
+    assert live, "snapshot reconstructed empty"
+
+    schema = json.loads(meta["schemaString"])
+    assert schema.get("type") == "struct" and schema.get("fields")
+    for f in schema["fields"]:
+        # spec (Schema Serialization Format): struct field required keys
+        assert {"name", "type", "nullable", "metadata"} <= set(f)
+
+    cm_mode = meta["configuration"].get("delta.columnMapping.mode")
+    if cm_mode == "name":
+        # spec (Column Mapping): requires reader 2+/writer 5+ (or table
+        # features); every field must carry id + physicalName
+        assert protocol["minReaderVersion"] >= 2
+        assert protocol["minWriterVersion"] >= 5
+        for f in schema["fields"]:
+            assert "delta.columnMapping.id" in f["metadata"]
+            assert "delta.columnMapping.physicalName" in f["metadata"]
+    else:
+        assert cm_mode is None, f"unsupported mapping mode {cm_mode}"
+
+    files = []
+    for a in live:
+        p = a["path"]
+        # spec: path is a relative path OR an absolute URI
+        assert p.startswith("file://"), p
+        files.append(urllib.parse.unquote(p[len("file://"):]))
+
+    num = None
+    if all("stats" in a for a in live):
+        num = sum(
+            json.loads(a["stats"])["numRecords"] for a in live
+        )
+    return {
+        "protocol": protocol,
+        "metaData": meta,
+        "adds": live,
+        "schema": schema,
+        "files": files,
+        "num_records": num,
+    }
+
+
+def read_via_pyarrow(replayed: dict):
+    """Materialize the replayed snapshot with pyarrow only: read every
+    add file, verify its footer schema agrees with the metaData
+    schemaString (via physicalName under column mapping), rename
+    physical → logical, and return a list of row dicts."""
+    fields = replayed["schema"]["fields"]
+    cm = (
+        replayed["metaData"]["configuration"].get(
+            "delta.columnMapping.mode"
+        )
+        == "name"
+    )
+    phys = {
+        (f["metadata"]["delta.columnMapping.physicalName"] if cm
+         else f["name"]): f["name"]
+        for f in fields
+    }
+    types = {
+        (f["metadata"]["delta.columnMapping.physicalName"] if cm
+         else f["name"]): f["type"]
+        for f in fields
+    }
+    rows = []
+    total_size = 0
+    for path, add in zip(replayed["files"], replayed["adds"]):
+        assert os.path.getsize(path) == add["size"], "size field lies"
+        total_size += add["size"]
+        t = pq.read_table(path, columns=list(phys))
+        for pname in phys:
+            dt = str(t.schema.field(pname).type)
+            want = types[pname]
+            if isinstance(want, str):  # primitive types only, here
+                prefixes = _DELTA_TO_ARROW_PREFIX.get(want)
+                assert prefixes and dt.startswith(prefixes), (
+                    pname, want, dt,
+                )
+        t = t.rename_columns([phys[c] for c in t.column_names])
+        rows.extend(t.to_pylist())
+    assert total_size > 0
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def _seed(spark, path: str, n: int = 64):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        F.concat(F.lit("row-"), F.col("id")).alias("body"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+    tx_append_partitioned(spark, df, path, partition_by="p")
+    return df
+
+
+def test_delta_protocol_replay_plain_table(spark, tmp_path):
+    t = str(tmp_path / "t_plain")
+    _seed(spark, t)
+    root = tx_export_delta_log(t)
+    rep = replay_delta_log(root)
+    assert rep["protocol"] == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    assert rep["metaData"]["partitionColumns"] == []
+    rows = read_via_pyarrow(rep)
+    assert rep["num_records"] == len(rows) == 64
+    want = sorted(
+        (r["k"], r["p"], r["body"], r["score"])
+        for r in tx_read(spark, t).collect()
+    )
+    got = sorted(
+        (r["k"], r["p"], r["body"], r["score"]) for r in rows
+    )
+    assert got == want
+
+
+def test_delta_protocol_replay_column_mapping(spark, tmp_path):
+    t = str(tmp_path / "t_cm")
+    _seed(spark, t)
+    tx_rename_column(spark, t, "body", "text")
+    tx_drop_column(spark, t, "score")
+    root = tx_export_delta_log(t)
+    rep = replay_delta_log(root)
+    assert rep["protocol"]["minReaderVersion"] == 2
+    assert rep["protocol"]["minWriterVersion"] == 5
+    names = [f["name"] for f in rep["schema"]["fields"]]
+    assert "text" in names and "body" not in names
+    assert "score" not in names
+    # the physical name under the logical 'text' resolves to the file
+    # column 'body'
+    f_text = next(f for f in rep["schema"]["fields"] if f["name"] == "text")
+    assert (
+        f_text["metadata"]["delta.columnMapping.physicalName"] == "body"
+    )
+    rows = read_via_pyarrow(rep)
+    want = sorted(
+        (r["k"], r["p"], r["text"])
+        for r in tx_read(spark, t).select("k", "p", "text").collect()
+    )
+    got = sorted((r["k"], r["p"], r["text"]) for r in rows)
+    assert got == want
+
+
+def test_delta_protocol_replay_after_second_export_version(
+    spark, tmp_path
+):
+    """A second commit exports as its OWN single-version Delta table;
+    both replays must be internally consistent and the newer one must
+    see the appended rows."""
+    t = str(tmp_path / "t_twice")
+    _seed(spark, t, n=32)
+    root1 = tx_export_delta_log(t)
+    more = spark.range(100, 116).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        F.concat(F.lit("row-"), F.col("id")).alias("body"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+    tx_append_partitioned(spark, more, t, partition_by="p")
+    root2 = tx_export_delta_log(t)
+    assert root1 != root2
+    r1, r2 = replay_delta_log(root1), replay_delta_log(root2)
+    assert r1["num_records"] == 32
+    assert r2["num_records"] == 48
+    # immutability: re-export of an existing version is byte-stable
+    root1_again = tx_export_delta_log(
+        t, version=int(os.path.basename(root1)[1:])
+    )
+    assert root1_again == root1
+    assert replay_delta_log(root1_again)["num_records"] == 32
+
+
+def test_delta_spark_readback_if_installed(spark, tmp_path):
+    """Auto-activating real-reader check (env-blocked today): when
+    delta-spark is importable, the export must load via
+    ``spark.read.format("delta")``.  Skips otherwise — the protocol
+    replay above is the container-local evidence."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        pytest.skip("delta-spark not installed in this environment")
+    t = str(tmp_path / "t_real")
+    _seed(spark, t)
+    root = tx_export_delta_log(t)
+    got = spark.read.format("delta").load(root)
+    assert got.count() == tx_read(spark, t).count()
