@@ -1,0 +1,735 @@
+"""Round-11 batch (q285+): corpus-statistics and curation-audit
+operators over the documents/embeddings tables.
+
+* **q285 Heaps' law fit** — vocabulary-growth exponent V(n) ≈ K·n^β
+  over the corpus read in doc-id order: the standard health check that
+  a corpus keeps contributing NEW vocabulary (β for natural text sits
+  near 0.5; β → 0 flags a templated/looping corpus).  Cumulative sums
+  run through the two-phase distributed prefix sum (never a
+  single-partition window); the log-log OLS is a mergeable regr_*
+  aggregate, exactly as q233's Zipf fit.
+* **q286 DoReMi-style domain reweight** — one multiplicative-weights
+  step over sources: unigram cross-entropy of each source against the
+  corpus LM as the loss proxy, excess over the best source, and
+  w ∝ share·exp(η·excess) renormalized (Xie 2023 DoReMi's update
+  shape, deterministic and RNG-free).
+* **q287 cross-lingual template prefixes** — normalized 8-token
+  prefixes shared across languages: the translation-template /
+  boilerplate signal exact-dedup misses because the tails differ.
+* **q288 pack-efficiency audit** — per-shard utilization of the
+  q97/q100 chunk→pack chain: packs per shard, non-final-pack fill
+  rates, wasted-token fraction — the loader-side QA readout.
+* **q289 quality-score calibration** — q275's classifier score cut
+  into global deciles × the q59 rule gate's verdict: the reliability
+  table that says whether the model ORDER agrees with the rules
+  (FineWeb-style threshold picking needs exactly this readout).
+* **q290 decontaminated eval-holdout split** — deterministic 5%
+  eval sample (portable-hash membership), then every train doc
+  sharing a 3-gram shingle with the eval set is dropped (q81's
+  decontamination turned into the train/eval split it exists for);
+  per-source kept/dropped accounting.
+* **q291 mixing quality curve** — sources ordered by mean classifier
+  score: cumulative tokens and token-weighted quality at each prefix —
+  the "how much budget buys how much quality" curve data mixing
+  decisions read off.  Windows run over the |sources|-row bounded
+  frame (the q109 discipline).
+
+Reference parity: none — LLM-pipeline extensions (SURVEY §2 addenda).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+from .queries_ext import _STOP_EN_SQL
+from .queries_r10b import _Q275_SCORED_CTES, _Q275_W
+from .queries_r2 import _Q97_OVERLAP, _Q97_SIZE, _Q97_STRIDE, _Q100_BUDGET, _Q100_SHARDS
+
+# ---------------------------------------------------------------------------
+# q285 — Heaps' law fit
+# ---------------------------------------------------------------------------
+
+
+def _lower_tokens(col: str = "text"):
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(col))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+_Q285_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "x -> x <> '')"
+)
+
+
+@register(
+    "q285_heaps_law_fit",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_Q285_TOKS_SQL} AS toks FROM documents
+    ), docs AS (
+        SELECT doc_id, len(toks) AS n_toks FROM d
+    ), tok AS (
+        SELECT doc_id, unnest(toks) AS t FROM d
+    ), first AS (
+        SELECT t, min(doc_id) AS doc_id FROM tok GROUP BY t
+    ), newc AS (
+        SELECT doc_id, count(*) AS new_toks FROM first GROUP BY doc_id
+    ), pts AS (
+        SELECT docs.doc_id, docs.n_toks,
+               coalesce(newc.new_toks, 0) AS new_toks
+        FROM docs LEFT JOIN newc USING (doc_id)
+    ), cum AS (
+        SELECT doc_id,
+               sum(n_toks) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_n_toks,
+               sum(new_toks) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_new_toks
+        FROM pts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(cum_new_toks), ln(cum_n_toks)), 6)
+               AS heaps_beta,
+           round(regr_intercept(ln(cum_new_toks), ln(cum_n_toks)), 6)
+               AS heaps_ln_k
+    FROM cum WHERE cum_n_toks > 0 AND cum_new_toks > 0
+    """,
+    doc=(
+        "Heaps'-law vocabulary-growth fit V(n) ≈ K·n^β: per-token "
+        "first-occurrence doc (one groupBy-min over the exploded "
+        "corpus), new-vocabulary count per doc, inclusive cumulative "
+        "token/vocab sums via the two-phase distributed prefix sum "
+        "(rankstats.prefix_sums_by_value — one range exchange, no "
+        "single-partition window), then log-log OLS as mergeable "
+        "regr_* aggregates (the q233 Zipf discipline).  β near 0.5 is "
+        "healthy natural text; β collapsing toward 0 flags a "
+        "templated corpus.  Scale: two token-keyed shuffles + a "
+        "range exchange — everything else is narrow"
+    ),
+)
+def q285(spark, sf_dir):
+    from ..operators.rankstats import prefix_sums_by_value
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _lower_tokens().alias("toks")
+    )
+    docs = d.select("doc_id", F.size("toks").alias("n_toks"))
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    first = tok.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+    newc = first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("new_toks")
+    )
+    pts = docs.join(newc, "doc_id", "left").fillna(0, ["new_toks"])
+    cum = prefix_sums_by_value(pts, "doc_id", ["n_toks", "new_toks"])
+    pts2 = cum.filter(
+        (F.col("cum_n_toks") > 0) & (F.col("cum_new_toks") > 0)
+    )
+    y = F.log(F.col("cum_new_toks").cast("double"))
+    x = F.log(F.col("cum_n_toks").cast("double"))
+    return pts2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.regr_slope(y, x), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(y, x), 6).alias("heaps_ln_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q286 — DoReMi-style domain reweighting step
+# ---------------------------------------------------------------------------
+
+_Q286_ETA = 1.0
+
+
+@register(
+    "q286_doremi_domain_reweight",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest({_Q285_TOKS_SQL}) AS t
+        FROM documents
+    ), tot AS (
+        SELECT count(*) AS n FROM tok
+    ), freq AS (
+        SELECT t, count(*) AS cnt FROM tok GROUP BY t
+    ), doc_loss AS (
+        SELECT doc_id, source,
+               -sum(ln(freq.cnt * 1.0 / tot.n)) / count(*) AS ld
+        FROM tok JOIN freq USING (t) CROSS JOIN tot
+        GROUP BY doc_id, source
+    ), src AS (
+        SELECT source, avg(ld) AS loss FROM doc_loss GROUP BY source
+    ), share AS (
+        SELECT source, count(*) AS n_s FROM tok GROUP BY source
+    ), j AS (
+        SELECT s.source, s.loss, sh.n_s * 1.0 / tot.n AS u,
+               s.loss - min(s.loss) OVER () AS excess
+        FROM src s JOIN share sh USING (source) CROSS JOIN tot
+    ), w AS (
+        SELECT source, u, loss, excess,
+               u * exp({_Q286_ETA} * excess) AS w_raw
+        FROM j
+    )
+    SELECT source,
+           round(u, 6) AS baseline_share,
+           round(loss, 6) AS xent_loss,
+           round(excess, 6) AS excess_loss,
+           round(w_raw / sum(w_raw) OVER (), 6) AS new_weight
+    FROM w ORDER BY source
+    """,
+    doc=(
+        "one DoReMi-style multiplicative-weights step over sources "
+        "(Xie 2023's domain-reweighting shape, deterministic loss "
+        "proxy): per-source unigram cross-entropy against the corpus "
+        "LM (explode + one vocab aggregate + one join), excess over "
+        "the best source, w ∝ token-share·exp(η·excess) renormalized. "
+        "The windows at the end run over the |sources|-row bounded "
+        "frame (q109 discipline).  Scale: one token-keyed shuffle "
+        "builds the LM, one join scores — the reweight itself is "
+        "|sources| rows of driver-free arithmetic"
+    ),
+)
+def q286(spark, sf_dir):
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.explode(_lower_tokens()).alias("t")
+        )
+    )
+    from ..cache import track_persist
+
+    tok = track_persist(tok)
+    n = tok.count()  # bounded: one scalar (the corpus token count)
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_loss = (
+        tok.join(freq, "t")
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                -F.sum(F.log(F.col("cnt") * 1.0 / F.lit(n)))
+                / F.count(F.lit(1))
+            ).alias("ld")
+        )
+    )
+    src = doc_loss.groupBy("source").agg(F.avg("ld").alias("loss"))
+    share = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    from pyspark.sql import Window
+
+    # bounded frame (one row per source): pseudo-partition on a
+    # column-derived always-zero hash — the q109 discipline (a literal
+    # would be constant-folded out of the window partition spec and
+    # the plan audit would read a global window)
+    bucket = F.pmod(F.xxhash64(F.col("source")), F.lit(1))
+    w_all = Window.partitionBy(bucket)
+    j = (
+        src.join(share, "source")
+        .withColumn("u", F.col("n_s") * 1.0 / F.lit(n))
+        .withColumn(
+            "excess", F.col("loss") - F.min("loss").over(w_all)
+        )
+    )
+    w = j.withColumn(
+        "w_raw", F.col("u") * F.exp(F.lit(_Q286_ETA) * F.col("excess"))
+    )
+    return (
+        w.select(
+            "source",
+            F.round("u", 6).alias("baseline_share"),
+            F.round("loss", 6).alias("xent_loss"),
+            F.round("excess", 6).alias("excess_loss"),
+            F.round(
+                F.col("w_raw") / F.sum("w_raw").over(w_all), 6
+            ).alias("new_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q287 — cross-lingual template prefixes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q287_cross_lingual_templates",
+    f"""
+    WITH p AS (
+        SELECT doc_id, lang,
+               array_to_string(
+                   list_slice({_Q285_TOKS_SQL}, 1, 8), ' ') AS prefix
+        FROM documents
+    )
+    SELECT prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           min(doc_id) AS first_doc
+    FROM p GROUP BY prefix HAVING count(DISTINCT lang) > 1
+    ORDER BY prefix
+    """,
+    doc=(
+        "cross-lingual template detection: normalized 8-token "
+        "prefixes appearing under MORE than one language — the "
+        "translation-template / injected-boilerplate signal full-text "
+        "exact dedup cannot see (the tails differ).  One groupBy on "
+        "the prefix (a narrow projection feeds it), distinct-language "
+        "count as the gate; langs listed sorted for a deterministic "
+        "row.  Scale: one prefix-keyed shuffle of ~40-byte keys"
+    ),
+)
+def q287(spark, sf_dir):
+    p = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_join(F.slice(_lower_tokens(), 1, 8), " ").alias(
+            "prefix"
+        ),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.array_join(
+                F.sort_array(F.collect_set("lang")), ","
+            ).alias("langs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_langs") > 1)
+        .orderBy("prefix")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q288 — pack-efficiency audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q288_pack_efficiency_audit",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, t, unnest(
+            [i for i in generate_series(
+                1, greatest(len(t) - {_Q97_OVERLAP}, 1), {_Q97_STRIDE})]
+        ) AS chunk_start
+        FROM toks WHERE len(t) > 0
+    ), sized AS (
+        SELECT doc_id,
+               CAST((chunk_start - 1) / {_Q97_STRIDE} AS INT) AS chunk_idx,
+               CAST(len(t[chunk_start:chunk_start + {_Q97_SIZE} - 1]) AS INT)
+                   AS chunk_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+                   % {_Q100_SHARDS} AS shard
+        FROM chunks
+    ), packed AS (
+        SELECT shard,
+               CAST(floor(coalesce(sum(chunk_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_Q100_BUDGET}) AS BIGINT) AS pack_id,
+               chunk_tokens
+        FROM sized
+    ), manifest AS (
+        SELECT shard, pack_id,
+               CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
+        FROM packed GROUP BY shard, pack_id
+    ), lastp AS (
+        SELECT shard, max(pack_id) AS last_pack FROM manifest
+        GROUP BY shard
+    )
+    SELECT m.shard,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(m.n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(CASE WHEN m.pack_id < l.last_pack
+                          THEN m.n_tokens * 1.0 / {_Q100_BUDGET} END), 6)
+               AS avg_full_util,
+           round(min(CASE WHEN m.pack_id < l.last_pack
+                          THEN m.n_tokens * 1.0 / {_Q100_BUDGET} END), 6)
+               AS min_full_util
+    FROM manifest m JOIN lastp l USING (shard)
+    GROUP BY m.shard ORDER BY m.shard
+    """,
+    doc=(
+        "loader-side QA of the q97/q100 chunk→pack chain: per shard, "
+        "pack count, total tokens, and the fill rate of every "
+        "NON-FINAL pack (the final pack is legitimately underfull). "
+        "Sequence packing that drifts below ~1.0 average utilization "
+        "wastes training compute — this is the number a curator "
+        "watches after changing chunk/budget settings.  Oracle "
+        "replays the exact chunk/pack math (q100's CTEs) + the "
+        "rollup; the engine reuses operators/chunking+packing, so "
+        "the hash certifies the OPERATORS"
+    ),
+)
+def q288(spark, sf_dir):
+    from ..operators.chunking import chunk_documents
+    from ..operators.packing import pack_chunks, pack_manifest
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_size=_Q97_SIZE,
+        overlap=_Q97_OVERLAP,
+    )
+    packed = pack_chunks(
+        chunks, budget=_Q100_BUDGET, num_shards=_Q100_SHARDS
+    )
+    m = pack_manifest(packed).select("shard", "pack_id", "n_tokens")
+    lastp = m.groupBy("shard").agg(F.max("pack_id").alias("last_pack"))
+    util = F.when(
+        F.col("pack_id") < F.col("last_pack"),
+        F.col("n_tokens") * 1.0 / F.lit(_Q100_BUDGET),
+    )
+    return (
+        m.join(F.broadcast(lastp), "shard")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg(util), 6).alias("avg_full_util"),
+            F.round(F.min(util), 6).alias("min_full_util"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q289 — quality-score calibration deciles
+# ---------------------------------------------------------------------------
+
+_Q289_PS = [i / 10.0 for i in range(1, 10)]
+
+# q275's scored CTE rebuilt over raw documents (the shared block in
+# queries_r10b keys on doc_id/source; reused verbatim) + the q59 rule
+# gate's feature predicates inlined over the same rows.
+_Q289_GATE_SQL = f"""
+        (text IS NOT NULL
+         AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+         AND (CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS DOUBLE) / length(text) ELSE 0.0 END) >= 0.5
+         AND (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+              THEN CAST(len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       t -> list_contains({_STOP_EN_SQL}, t)))
+                   AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+'))
+              ELSE 0.0 END) <= 0.7)
+"""
+
+
+@register(
+    "q289_quality_calibration",
+    f"""
+    WITH {_Q275_SCORED_CTES}, gate AS (
+        SELECT doc_id, {_Q289_GATE_SQL} AS rule_pass FROM documents
+    ), cuts AS (
+        SELECT quantile_cont(z, {_Q289_PS}) AS c FROM scored
+    ), bucketed AS (
+        SELECT s.doc_id, s.z, g.rule_pass,
+               len(list_filter(cuts.c, x -> s.z >= x)) AS decile
+        FROM scored s JOIN gate g USING (doc_id) CROSS JOIN cuts
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rule_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rule_pass,
+           round(sum(CASE WHEN rule_pass THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS rule_pass_rate,
+           round(avg(z), 6) AS avg_z
+    FROM bucketed GROUP BY decile ORDER BY decile
+    """,
+    doc=(
+        "reliability table for the q275 classifier against the q59 "
+        "rule gate: classifier scores cut into GLOBAL deciles (q271's "
+        "cut arithmetic — one 9-value broadcast, no per-row rank "
+        "window), per-decile rule-gate pass rate.  A monotone table "
+        "says the model ORDER agrees with the rules and a threshold "
+        "can be picked per compute budget (the FineWeb-Edu "
+        "threshold-sweep readout); inversions localize where model "
+        "and rules disagree.  Scale: the q275 scorer's scan + two "
+        "combines, one broadcast of the cuts"
+    ),
+)
+def q289(spark, sf_dir):
+    from ..operators import text as TXT
+    from ..operators.quality_model import linear_score, quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    z = linear_score(_Q275_W)
+    scored = quality_features(d, "text", "doc_id").select(
+        "doc_id", z.alias("z")
+    )
+    feats = TXT.quality_features("text")
+    gate = d.select(
+        "doc_id",
+        (
+            F.col("text").isNotNull()
+            & (feats["n_tokens"] >= 5)
+            & (feats["alpha_ratio"] >= 0.5)
+            & (feats["stopword_ratio"] <= 0.7)
+        ).alias("rule_pass"),
+    )
+    cuts = scored.agg(
+        F.array(
+            *[F.percentile("z", F.lit(p)) for p in _Q289_PS]
+        ).alias("c")
+    )
+    bucketed = (
+        scored.join(gate, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("decile", F.expr("size(filter(c, x -> z >= x))"))
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("rule_pass").cast("int"))
+            .cast("long")
+            .alias("n_rule_pass"),
+            F.round(
+                F.sum(F.col("rule_pass").cast("int")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rule_pass_rate"),
+            F.round(F.avg("z"), 6).alias("avg_z"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q290 — decontaminated eval-holdout split
+# ---------------------------------------------------------------------------
+
+_Q290_MOD = 20  # 1-in-20 docs → the eval split
+
+
+@register(
+    "q290_eval_holdout_split",
+    f"""
+    WITH marked AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('hold' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % {_Q290_MOD} = 0
+                   AS is_eval
+        FROM documents
+    ), toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+        FROM documents WHERE length(trim(text)) > 0
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(words) - 2),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                   AS shingle
+        FROM toks WHERE len(words) >= 3
+    ), eval_sh AS (
+        SELECT DISTINCT shingle FROM sh
+        JOIN marked USING (doc_id) WHERE marked.is_eval
+    ), contaminated AS (
+        SELECT DISTINCT s.doc_id FROM sh s
+        JOIN marked m USING (doc_id)
+        JOIN eval_sh e USING (shingle)
+        WHERE NOT m.is_eval
+    )
+    SELECT m.source,
+           CAST(sum(CASE WHEN m.is_eval THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eval,
+           CAST(sum(CASE WHEN NOT m.is_eval AND c.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train_kept,
+           CAST(sum(CASE WHEN NOT m.is_eval AND c.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train_dropped
+    FROM marked m LEFT JOIN contaminated c USING (doc_id)
+    GROUP BY m.source ORDER BY m.source
+    """,
+    doc=(
+        "the train/eval split a curator actually ships: a "
+        f"deterministic 1-in-{_Q290_MOD} eval sample (portable md5 "
+        "membership — the q19 sampling discipline), then every train "
+        "doc sharing ANY word 3-gram with the eval split is dropped "
+        "(q81's decontamination as the split guard), per-source "
+        "accounting of eval/kept/dropped.  Plan: the shingle table "
+        "builds once and feeds both branches through a persist "
+        "barrier; the eval shingle set is the small side of a "
+        "broadcast semi-join.  At 100 TB: one corpus-wide shingle "
+        "explode + an eval-sized broadcast — never train×train work"
+    ),
+)
+def q290(spark, sf_dir):
+    from ..cache import track
+    from ..operators.dedup_docs import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    marked = d.select(
+        "doc_id",
+        "source",
+        (
+            F.pmod(
+                portable_hash60(
+                    F.col("doc_id").cast("string"), "hold"
+                ),
+                F.lit(_Q290_MOD),
+            )
+            == 0
+        ).alias("is_eval"),
+    )
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("words"),
+        )
+        .filter(F.size("words") >= 3)
+    )
+    sh = track(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.get("words", i - 1),
+                        F.get("words", i),
+                        F.get("words", i + 1),
+                    ),
+                )
+            ).alias("shingle"),
+        ).persist()
+    )
+    eval_sh = (
+        sh.join(marked.filter("is_eval"), "doc_id")
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        sh.join(marked.filter("NOT is_eval").select("doc_id"), "doc_id")
+        .join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        marked.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("is_eval").cast("int"))
+            .cast("long")
+            .alias("n_eval"),
+            F.sum(
+                (
+                    ~F.col("is_eval")
+                    & F.col("is_dropped").isNull()
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_train_kept"),
+            F.sum(
+                (
+                    ~F.col("is_eval")
+                    & F.col("is_dropped").isNotNull()
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_train_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q291 — mixing quality curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q291_mixing_quality_curve",
+    f"""
+    WITH {_Q275_SCORED_CTES}, src AS (
+        SELECT source,
+               CAST(sum(n_toks) AS BIGINT) AS src_tokens,
+               round(avg(z), 6) AS src_quality,
+               sum(z * n_toks) AS zw
+        FROM scored GROUP BY source
+    ), tot AS (
+        SELECT sum(src_tokens) AS t FROM src
+    ), curve AS (
+        SELECT source, src_quality, src_tokens,
+               sum(src_tokens) OVER (
+                   ORDER BY src_quality DESC, source ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+               sum(zw) OVER (
+                   ORDER BY src_quality DESC, source ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum_zw
+        FROM src
+    )
+    SELECT source, src_quality, src_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           round(cum_tokens * 1.0 / tot.t, 6) AS cum_share,
+           round(cum_zw / cum_tokens, 6) AS cum_quality
+    FROM curve CROSS JOIN tot
+    ORDER BY src_quality DESC, source
+    """,
+    doc=(
+        "the data-mixing budget curve: sources ranked by mean q275 "
+        "classifier score (rounded BEFORE ordering — the float "
+        "discipline), cumulative token count/share and token-weighted "
+        "mean quality at each prefix — how much budget buys how much "
+        "quality when admitting sources best-first.  The windows run "
+        "over the |sources|-row bounded frame (q109's pseudo-"
+        "partition discipline on the Spark side).  Scale: the q275 "
+        "scorer aggregates per source; the curve itself is |sources| "
+        "rows"
+    ),
+)
+def q291(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.quality_model import linear_score, quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    z = linear_score(_Q275_W)
+    scored = quality_features(d, "text", "doc_id").select(
+        F.col("doc_id"),
+        F.col("n").cast("long").alias("n_toks"),
+        z.alias("z"),
+    ).join(d.select("doc_id", "source"), "doc_id")
+    src = scored.groupBy("source").agg(
+        F.sum("n_toks").cast("long").alias("src_tokens"),
+        F.round(F.avg("z"), 6).alias("src_quality"),
+        F.sum(F.col("z") * F.col("n_toks")).alias("zw"),
+    )
+    bucket = F.pmod(F.xxhash64(F.col("source")), F.lit(1))
+    w_cum = (
+        Window.partitionBy(bucket)
+        .orderBy(F.col("src_quality").desc(), F.col("source").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(bucket)
+    return (
+        src.select(
+            "source",
+            "src_quality",
+            "src_tokens",
+            F.sum("src_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+            F.round(
+                F.sum("src_tokens").over(w_cum)
+                * 1.0
+                / F.sum("src_tokens").over(w_all),
+                6,
+            ).alias("cum_share"),
+            F.round(
+                F.sum("zw").over(w_cum)
+                / F.sum("src_tokens").over(w_cum),
+                6,
+            ).alias("cum_quality"),
+        )
+        .orderBy(F.col("src_quality").desc(), "source")
+    )
