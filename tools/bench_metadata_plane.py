@@ -205,6 +205,42 @@ def measure_point(spark, path: str, n_files: int, **synth_kw) -> dict:
     return out
 
 
+# The 10M-file decade, measured once on the round-11 box (2026-08-16,
+# this exact tool: `python tools/bench_metadata_plane.py 10000000`;
+# 1821 s wall, dominated by synthesis + the dict-path verbs that the
+# 1M point already proved dead).  bench.py rides this row on the
+# file_count_curve with provenance instead of paying 30 min per round;
+# SPARK_GRAFT_META10M=1 re-measures it live.  The verdicts it pins:
+# columnar cold count/prune stay LINEAR one decade past 1M (0.2→2.0 s,
+# 0.26→2.6 s), the O(delta) re-checkpoint is O(n) sidecar IO + O(delta)
+# compute (1.7→37 s — ~36 MB/s over the 674 MB sidecar ×2, the same
+# regime as Delta's checkpoint rewrite), and the warm incremental
+# extend stays O(delta) (5.0 s after one 1-file commit).
+MEASURED_10M = {
+    "n_files": 10_000_000,
+    "n_commits": 201,
+    "cold_replay_sec": 292.9986,
+    "checkpoint_write_sec": 345.3252,
+    "checkpoint_bytes": 673_616_445,
+    "cold_snapshot_from_checkpoint_sec": 367.4655,
+    "warm_snapshot_sec": 0.0005,
+    "cold_tx_count_sec": 1.9929,
+    "cold_prune_filelist_sec": 2.5864,
+    "prune_filelist_sec": 11.3113,
+    "pruned_scan_sec": 12.7701,
+    "optimize_decision_sec": 1.4732,
+    "incremental_extend_sec": 5.0162,
+    "checkpoint_incremental_write_sec": 37.2126,
+    "total_wall_sec": 1821.5,
+    "measured": (
+        "one-time round-11 run of this tool (not the per-round bench "
+        "loop; 30.4 min wall) — reproduce with `python "
+        "tools/bench_metadata_plane.py 10000000` or "
+        "SPARK_GRAFT_META10M=1"
+    ),
+}
+
+
 def run_curve(
     spark, points=(1_000, 10_000, 100_000, 1_000_000)
 ) -> list[dict]:
@@ -233,5 +269,10 @@ if __name__ == "__main__":
     from cars_bids_data_pipeline_v0__spark.session import get_session
 
     spark = get_session(master="local[8]", shuffle_partitions=8)
-    curve = run_curve(spark)
+    pts = (
+        tuple(int(a) for a in sys.argv[1:])
+        if len(sys.argv) > 1
+        else (1_000, 10_000, 100_000, 1_000_000)
+    )
+    curve = run_curve(spark, points=pts)
     print(json.dumps({"file_count_curve": curve}, indent=2))
