@@ -250,6 +250,12 @@ SF1_QUERIES = [
     # integer combines + a keyed join back; the release capstone runs
     # this shape over every candidate when model_gate=True
     "q275_quality_classifier",
+    # round-11: the two heaviest new shapes on the curve — Heaps' fit
+    # (token explode + prefix-sum range exchange) and the holdout
+    # split (shingle explode + eval-broadcast semi-join; q81's join
+    # shape under a 20× bigger probe side)
+    "q285_heaps_law_fit",
+    "q290_eval_holdout_split",
 ]
 SF1_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf1")
 SF5_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf5")

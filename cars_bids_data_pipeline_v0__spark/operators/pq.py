@@ -105,13 +105,24 @@ def pq_encode(
     codebooks: Codebooks,
     vec_col: str = "embedding",
     code_col: str = "pq_codes",
+    center: Column | None = None,
 ) -> DataFrame:
     """Append ``code_col``: array<int> of length M, ``codes[m]`` = index of
     the codeword nearest (squared L2) to subvector m, ties to the lowest
-    index.  Pure expression work — a narrow map over the scan."""
+    index.  Pure expression work — a narrow map over the scan.
+
+    ``center`` (optional, an array<double> Column of the same dim)
+    switches to RESIDUAL encoding: the codes quantize ``vec − center``
+    instead of the raw vector — the FAISS IVFPQ layout, where each
+    cell's residuals cluster near the origin so a shared codebook
+    covers them far more densely than it covers raw vectors.  Still a
+    pure function of (vec, center, codebooks): batch and streaming
+    encodes agree bit-for-bit."""
     m, k, ds = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
     cb = _codebook_lit(codebooks)
     v = as_double(vec_col)
+    if center is not None:
+        v = F.zip_with(v, center, lambda a, b: a - b)
 
     def nearest(sub_and_cb: Column) -> Column:
         sub = sub_and_cb["sub"]
@@ -239,6 +250,101 @@ def pq_topk_adc(
     return _adc_rank(joined, codebooks, k, q_id, c_id, code_col)
 
 
+def _residual_tables(
+    centroids: list[list[float]], codebooks: Codebooks
+) -> tuple[list[float], list[list[list[float]]]]:
+    """Driver-side norm tables for residual ADC:
+
+    * ``cnorm2[cell]``  = ‖centroid_cell‖²
+    * ``cross[cell][m][k]`` = 2·⟨centroid_cell,m, codeword_mk⟩ +
+      ‖codeword_mk‖²
+
+    so that ``‖centroid_cell + decode(codes)‖² = cnorm2[cell] +
+    Σ_m cross[cell][m][codes[m]]`` — M lookups per row, no D-length
+    math.  Table size is nlist·M·K floats (2k at the q95 setting);
+    ship it as a broadcast join side instead of a literal if a config
+    ever pushes nlist·M·K past ~10⁵."""
+    m, ds = len(codebooks), len(codebooks[0][0])
+    cnorm2 = [float(sum(x * x for x in c)) for c in centroids]
+    cross = []
+    for cent in centroids:
+        subs = [cent[mi * ds:(mi + 1) * ds] for mi in range(m)]
+        cross.append(
+            [
+                [
+                    float(
+                        2.0 * sum(a * b for a, b in zip(subs[mi], code))
+                        + sum(b * b for b in code)
+                    )
+                    for code in codebooks[mi]
+                ]
+                for mi in range(m)
+            ]
+        )
+    return cnorm2, cross
+
+
+def _adc_rank_residual(
+    joined: DataFrame,
+    codebooks: Codebooks,
+    centroids: list[list[float]],
+    k: int,
+    q_id: str,
+    c_id: str,
+    code_col: str,
+) -> DataFrame:
+    """Residual-ADC scoring + per-query top-k.  ``joined`` rows carry
+    ``(__qid, __qtab, __qnorm, __qcdot, cell, c_id, code_col)``;
+    the reconstruction is ``centroid_cell + decode(codes)``, so
+
+        cos ≈ (⟨q, centroid⟩ + Σ_m qtab[m][code_m])
+              / (‖q‖ · √(cnorm2[cell] + Σ_m cross[cell][m][code_m]))
+    """
+    cnorm2, cross = _residual_tables(centroids, codebooks)
+    cn_lit = F.array(*[F.lit(x) for x in cnorm2])
+    cross_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(x) for x in row])
+                    for row in cell_tab
+                ]
+            )
+            for cell_tab in cross
+        ]
+    )
+    codes = F.col(code_col)
+    num = F.col("__qcdot") + F.aggregate(
+        F.zip_with(
+            codes, F.col("__qtab"), lambda c, tab: F.element_at(tab, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rnorm2 = F.element_at(cn_lit, F.col("cell") + 1) + F.aggregate(
+        F.zip_with(
+            codes,
+            F.element_at(cross_lit, F.col("cell") + 1),
+            lambda c, tab: F.element_at(tab, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        F.col("__qid").alias(q_id),
+        F.col(c_id),
+        F.round(
+            num / (F.col("__qnorm") * F.sqrt(rnorm2)), 6
+        ).alias("adc_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("adc_sim").desc(), F.col(c_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     dim: int,
@@ -323,17 +429,27 @@ def ivf_pq_topk(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: coarse centroid cells prune the candidate set, PQ-ADC
     scores the survivors — the standard billion-scale ANN shape (one
     scan assigns cells + codes; the probe join moves only
     |corpus|·nprobe/nlist rows of M-byte codes, never raw floats).
 
-    This is the no-residual variant (codes quantize the raw vectors, not
-    cell residuals): recall equals plain ADC restricted to the probed
-    cells, and ``nprobe == nlist`` is EXACTLY :func:`pq_topk_adc` —
-    pinned in tests, so the cell plumbing sits under the same contract.
-    Output schema matches ``pq_topk_adc``.
+    ``residual=False`` (default) quantizes raw vectors: recall equals
+    plain ADC restricted to the probed cells, and ``nprobe == nlist``
+    is EXACTLY :func:`pq_topk_adc` — pinned in tests, so the cell
+    plumbing sits under the same contract.
+
+    ``residual=True`` is the FAISS IVFPQ layout: codes quantize
+    ``vec − centroid[cell]`` — residuals cluster near the origin, so
+    the same codebook budget covers them much more densely (lower
+    reconstruction error, higher recall; pinned in
+    tests/test_pq_residual.py).  Scoring reconstructs through the
+    driver-side norm tables of :func:`_residual_tables` — per row the
+    work is still M lookups.  Codes stay a pure function of
+    (vec, frozen centroids+codebooks), so streaming and batch encodes
+    agree bit-for-bit.  Output schema matches ``pq_topk_adc``.
     """
     from .similarity import kmeans_centroids, nearest_centroid_ids
 
@@ -341,22 +457,67 @@ def ivf_pq_topk(
         centroids = kmeans_centroids(
             corpus, nlist=nlist, id_col=c_id, vec_col=c_vec
         )
-    coded = pq_encode(corpus, codebooks, vec_col=c_vec).select(
-        c_id,
-        "pq_codes",
-        nearest_centroid_ids(as_double(c_vec), centroids, 1)[0].alias("cell"),
+    with_cell = corpus.withColumn(
+        "cell",
+        nearest_centroid_ids(as_double(c_vec), centroids, 1)[0],
     )
+    if residual:
+        cent_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in centroids
+            ]
+        )
+        coded = pq_encode(
+            with_cell,
+            codebooks,
+            vec_col=c_vec,
+            center=F.element_at(cent_lit, F.col("cell") + 1),
+        ).select(c_id, "pq_codes", "cell")
+    else:
+        coded = pq_encode(with_cell, codebooks, vec_col=c_vec).select(
+            c_id, "pq_codes", "cell"
+        )
     # per-query ADC table once, THEN fan out over probed cells — and no
     # dedup after the join: each corpus row lives in exactly one cell and
     # a query's probed cells are distinct, so (q, c) pairs are already
     # unique (a dropDuplicates here would add a full extra shuffle of the
     # candidate set for no behavioral effect)
     q = _query_side(queries.select(q_id, q_vec), codebooks, q_id, q_vec)
-    probed_q = queries.select(
+    probe_cols = [
         F.col(q_id).alias("__jqid"),
         F.explode(
             nearest_centroid_ids(as_double(q_vec), centroids, nprobe)
         ).alias("cell"),
-    ).join(q, F.col("__jqid") == F.col("__qid")).drop("__jqid")
+    ]
+    if residual:
+        cent_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in centroids
+            ]
+        )
+        probed_q = (
+            queries.select(*probe_cols, as_double(q_vec).alias("__qv"))
+            .withColumn(
+                "__qcdot",
+                dot(
+                    F.col("__qv"),
+                    F.element_at(cent_lit, F.col("cell") + 1),
+                ),
+            )
+            .drop("__qv")
+            .join(q, F.col("__jqid") == F.col("__qid"))
+            .drop("__jqid")
+        )
+        joined = coded.join(F.broadcast(probed_q), on="cell")
+        return _adc_rank_residual(
+            joined, codebooks, centroids, k, q_id, c_id, "pq_codes"
+        )
+    probed_q = (
+        queries.select(*probe_cols)
+        .join(q, F.col("__jqid") == F.col("__qid"))
+        .drop("__jqid")
+    )
     joined = coded.join(F.broadcast(probed_q), on="cell")
     return _adc_rank(joined, codebooks, k, q_id, c_id, "pq_codes")

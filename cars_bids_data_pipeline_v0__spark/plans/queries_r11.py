@@ -557,9 +557,10 @@ _Q290_MOD = 20  # 1-in-20 docs → the eval split
         "(q81's decontamination as the split guard), per-source "
         "accounting of eval/kept/dropped.  Plan: the shingle table "
         "builds once and feeds both branches through a persist "
-        "barrier; the eval shingle set is the small side of a "
-        "broadcast semi-join.  At 100 TB: one corpus-wide shingle "
-        "explode + an eval-sized broadcast — never train×train work"
+        "barrier; the eval shingle set joins un-hinted, so AQE "
+        "broadcasts it when it fits and shuffles the semi-join when "
+        "an eval split of a 100 TB corpus doesn't.  Either way the "
+        "work is train×eval — never train×train"
     ),
 )
 def q290(spark, sf_dir):
@@ -611,7 +612,11 @@ def q290(spark, sf_dir):
     )
     contaminated = (
         sh.join(marked.filter("NOT is_eval").select("doc_id"), "doc_id")
-        .join(F.broadcast(eval_sh), "shingle")
+        # no broadcast HINT: the eval split is ~5% of the corpus, so
+        # its shingle set is broadcastable at test scale but not at
+        # 100 TB — AQE picks broadcast when the built side fits and a
+        # shuffled semi-join when it doesn't
+        .join(eval_sh, "shingle")
         .select("doc_id")
         .distinct()
         .withColumn("is_dropped", F.lit(True))
@@ -732,4 +737,235 @@ def q291(spark, sf_dir):
             ).alias("cum_quality"),
         )
         .orderBy(F.col("src_quality").desc(), "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q292 — residual IVF-PQ ADC top-k (FAISS IVFPQ layout, round-11)
+# ---------------------------------------------------------------------------
+
+_Q292_DIM, _Q292_M, _Q292_K = 64, 4, 8
+_Q292_NLIST, _Q292_NPROBE, _Q292_TOPK = 4, 2, 5
+_Q292_SALT = "q292pq"
+
+
+def _q292_cents() -> list[list[float]]:
+    from ..operators.pq import pq_codebooks_random
+
+    return pq_codebooks_random(
+        _Q292_DIM, 1, _Q292_NLIST, salt=_Q292_SALT + "cent"
+    )[0]
+
+
+def _q292_cbs():
+    from ..operators.pq import pq_codebooks_random
+
+    return pq_codebooks_random(
+        _Q292_DIM, _Q292_M, _Q292_K, salt=_Q292_SALT
+    )
+
+
+def _q292_oracle() -> str:
+    """DuckDB re-derives the ENTIRE residual-IVFPQ pipeline from the
+    same deterministic floats: cosine cell assignment (struct-sort, tie
+    → low id), residual = v − centroid[cell], per-subspace argmin
+    codes, and the residual-ADC cosine through the SAME
+    `_residual_tables` norm constants (computed once in Python,
+    inlined as identical literals in both engines).  Float chains are
+    sequenced exactly like the Spark folds (leading 0.0, left-assoc),
+    so the hash gate certifies the operator's algebra."""
+    from ..operators.pq import _residual_tables
+
+    cents = _q292_cents()
+    cbs = _q292_cbs()
+    cnorm2, cross = _residual_tables(cents, cbs)
+    ds = _Q292_DIM // _Q292_M
+    nl, m_, k_ = _Q292_NLIST, _Q292_M, _Q292_K
+
+    def dlist(fl):
+        return (
+            "CAST(["
+            + ", ".join(repr(float(x)) for x in fl)
+            + "] AS DOUBLE[])"
+        )
+
+    # per-cell negative cosine columns (the assignment keys)
+    nc_cols = ",\n               ".join(
+        f"-(list_dot_product(v, {dlist(cents[j])})"
+        f" / (sqrt(list_dot_product(v, v))"
+        f" * sqrt(list_dot_product({dlist(cents[j])}, {dlist(cents[j])}))))"
+        f" AS nc{j}"
+        for j in range(nl)
+    )
+    sort_list = (
+        "["
+        + ", ".join(f"{{'n': nc{j}, 'i': {j}}}" for j in range(nl))
+        + "]"
+    )
+
+    def cent_case(cell_expr: str) -> str:
+        whens = " ".join(
+            f"WHEN {j} THEN {dlist(cents[j])}" for j in range(nl)
+        )
+        return f"(CASE {cell_expr} {whens} END)"
+
+    # residual subvectors of the corpus side
+    sub_cols = ", ".join(
+        f"r[{mi * ds + 1}:{(mi + 1) * ds}] AS s{mi}" for mi in range(m_)
+    )
+    diff_cols = ",\n               ".join(
+        f"[s{mi}[i] - ({dlist(cbs[mi][ki])})[i]"
+        f" for i in generate_series(1, {ds})] AS f_{mi}_{ki}"
+        for mi in range(m_)
+        for ki in range(k_)
+    )
+    d2_cols = ",\n               ".join(
+        f"list_dot_product(f_{mi}_{ki}, f_{mi}_{ki}) AS d_{mi}_{ki}"
+        for mi in range(m_)
+        for ki in range(k_)
+    )
+
+    def code_col(mi):
+        dsl = "[" + ", ".join(f"d_{mi}_{ki}" for ki in range(k_)) + "]"
+        return f"list_position({dsl}, list_min({dsl})) - 1 AS c{mi}"
+
+    code_cols = ",\n               ".join(code_col(mi) for mi in range(m_))
+
+    def cb_case(mi, code_expr):
+        whens = " ".join(
+            f"WHEN {ki} THEN {dlist(cbs[mi][ki])}" for ki in range(k_)
+        )
+        return f"(CASE {code_expr} {whens} END)"
+
+    # numerator: qcdot + (0.0 + Σ_m qtab[m][code_m]) — the Spark fold's
+    # exact sequencing
+    num_terms = " + ".join(
+        f"list_dot_product(q.qv[{mi * ds + 1}:{(mi + 1) * ds}],"
+        f" {cb_case(mi, f'c.c{mi}')})"
+        for mi in range(m_)
+    )
+
+    def cross_case(mi):
+        whens = " ".join(
+            f"WHEN {j} THEN {dlist(cross[j][mi])}" for j in range(nl)
+        )
+        return f"(CASE c.cell {whens} END)[c.c{mi} + 1]"
+
+    rnorm_terms = " + ".join(cross_case(mi) for mi in range(m_))
+    cn_case = (
+        "(CASE c.cell "
+        + " ".join(f"WHEN {j} THEN {cnorm2[j]!r}" for j in range(nl))
+        + " END)"
+    )
+    qc_case_terms = " ".join(
+        f"WHEN {j} THEN list_dot_product(qv, {dlist(cents[j])})"
+        for j in range(nl)
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), celld AS (
+        SELECT vec_id, v,
+               {nc_cols}
+        FROM base
+    ), cells AS (
+        SELECT vec_id, v,
+               list_sort({sort_list})[1].i AS cell
+        FROM celld
+    ), res AS (
+        SELECT vec_id, cell,
+               [v[i] - {cent_case("cell")}[i]
+                for i in generate_series(1, {_Q292_DIM})] AS r
+        FROM cells
+    ), subs AS (
+        SELECT vec_id, cell, {sub_cols} FROM res
+    ), diffs AS (
+        SELECT vec_id, cell,
+               {diff_cols}
+        FROM subs
+    ), d2 AS (
+        SELECT vec_id, cell,
+               {d2_cols}
+        FROM diffs
+    ), codes AS (
+        SELECT vec_id, cell,
+               {code_cols}
+        FROM d2
+    ), qprobe AS (
+        SELECT vec_id AS q_id, v AS qv,
+               unnest(list_transform(
+                   list_sort({sort_list})[1:{_Q292_NPROBE}],
+                   s -> s.i)) AS cell
+        FROM celld WHERE vec_id % 97 = 0
+    ), qside AS (
+        SELECT q_id, qv, cell,
+               (CASE cell {qc_case_terms} END) AS qcdot,
+               sqrt(list_dot_product(qv, qv)) AS qnorm
+        FROM qprobe
+    ), scored AS (
+        SELECT q.q_id, c.vec_id,
+               round((q.qcdot + (CAST(0.0 AS DOUBLE) + {num_terms}))
+                     / (q.qnorm
+                        * sqrt({cn_case}
+                               + (CAST(0.0 AS DOUBLE) + {rnorm_terms}))),
+                     6) AS adc_sim
+        FROM qside q JOIN codes c ON c.cell = q.cell
+    )
+    SELECT q_id, vec_id, adc_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT q_id, vec_id, adc_sim,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY adc_sim DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_Q292_TOPK}
+    ORDER BY q_id, rank
+    """
+
+
+@register(
+    "q292_ivf_pq_residual_topk",
+    _q292_oracle(),
+    doc=(
+        "residual IVF-PQ ADC top-k — the FAISS IVFPQ layout "
+        "(operators/pq.py::ivf_pq_topk(residual=True)): cosine "
+        "nearest-centroid cells, codes quantizing vec − "
+        "centroid[cell] (residuals cluster near the origin, so the "
+        "same codebook budget reconstructs far more densely — "
+        "reconstruction-error and recall gains pinned in "
+        "tests/test_pq_residual.py), scoring through driver-side "
+        "cross/norm tables so every corpus row still costs M array "
+        "lookups.  The oracle re-derives assignment, residual "
+        "encoding and the full norm algebra from the same "
+        "deterministic floats.  Scale: one corpus scan encodes; the "
+        "probe join moves nprobe/nlist of the code table; codes are a "
+        "pure function of the vector so streaming appends agree with "
+        "batch bit-for-bit"
+    ),
+)
+def q292(spark, sf_dir):
+    from ..operators.pq import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    return (
+        ivf_pq_topk(
+            queries,
+            e,
+            _q292_cbs(),
+            k=_Q292_TOPK,
+            nlist=_Q292_NLIST,
+            nprobe=_Q292_NPROBE,
+            centroids=_q292_cents(),
+            residual=True,
+        )
+        .select(
+            "q_id", "vec_id", "adc_sim", F.col("rank").cast("int").alias("rank")
+        )
+        .orderBy("q_id", "rank")
     )

@@ -187,12 +187,18 @@ def ivf_pq_index_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
+    residual: bool = False,
 ):
     """Exactly-once sink storing PQ CODES per cell — the billion-scale
     layout: an arriving D-float vector becomes M small ints before it
     touches disk (~16× smaller at the q95 setting), and the raw vector
     never enters the index table at all.  Codebooks are frozen with the
-    coarse centroids (retrain offline → reindex)."""
+    coarse centroids (retrain offline → reindex).
+
+    ``residual=True`` stores FAISS-style residual codes (quantize
+    ``vec − centroid[cell]``) — still a pure function of the vector
+    under the frozen codebook pair, so replays and batch re-encodes
+    stay bit-identical; probes must pass the same flag."""
     from ..operators.pq import pq_encode
     from ..sources.txlog import checkpoint_epoch_app_id
 
@@ -203,10 +209,18 @@ def ivf_pq_index_sink(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        with_cell = assign_cells(batch_df, centroids, vec_col)
+        center = None
+        if residual:
+            cent_lit = F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in c])
+                    for c in centroids
+                ]
+            )
+            center = F.element_at(cent_lit, F.col(CELL_COL) + 1)
         coded = pq_encode(
-            assign_cells(batch_df, centroids, vec_col),
-            codebooks,
-            vec_col=vec_col,
+            with_cell, codebooks, vec_col=vec_col, center=center
         ).select(id_col, "pq_codes", CELL_COL)
         tx_append_partitioned(
             batch_df.sparkSession,
@@ -231,16 +245,23 @@ def ivf_pq_index_probe(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     version: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """ADC top-k over the accumulated code index, probed cells only.
 
     Identical to batch ``ivf_pq_topk`` over the accumulated corpus with
-    the same frozen centroids + codebooks (no-residual PQ: codes are a
-    pure function of the vector, so streaming and batch encodings agree
-    bit-for-bit)."""
+    the same frozen centroids + codebooks (codes — raw or residual —
+    are a pure function of the vector under the frozen pair, so
+    streaming and batch encodings agree bit-for-bit).  ``residual``
+    must match the sink that built the index."""
     import os
 
-    from ..operators.pq import _adc_rank, _query_side
+    from ..operators.pq import (
+        _adc_rank,
+        _adc_rank_residual,
+        _query_side,
+    )
+    from ..operators.similarity import dot
 
     log = TransactionLog(index_path)
     cells = probed_cells(queries, centroids, nprobe, q_vec=q_vec)
@@ -263,6 +284,37 @@ def ivf_pq_index_probe(
     else:
         coded = spark.read.parquet(*wanted)
     q = _query_side(queries.select(q_id, q_vec), codebooks, q_id, q_vec)
+    if residual:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        probed_q = (
+            queries.select(
+                F.col(q_id).alias("__jqid"),
+                F.explode(
+                    nearest_centroid_ids(
+                        as_double(q_vec), centroids, nprobe
+                    )
+                ).alias(CELL_COL),
+                as_double(q_vec).alias("__qv"),
+            )
+            .withColumn(
+                "__qcdot",
+                dot(
+                    F.col("__qv"),
+                    F.element_at(cent_lit, F.col(CELL_COL) + 1),
+                ),
+            )
+            .drop("__qv")
+            .join(q, F.col("__jqid") == F.col("__qid"))
+            .drop("__jqid")
+        )
+        joined = coded.join(
+            F.broadcast(probed_q), on=CELL_COL
+        ).withColumnRenamed(CELL_COL, "cell")
+        return _adc_rank_residual(
+            joined, codebooks, centroids, k, q_id, c_id, "pq_codes"
+        )
     probed_q = queries.select(
         F.col(q_id).alias("__jqid"),
         F.explode(
