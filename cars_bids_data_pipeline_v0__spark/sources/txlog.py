@@ -4160,6 +4160,139 @@ def tx_read_delta_export(spark: SparkSession, export_root: str) -> DataFrame:
     return df
 
 
+def tx_import_delta_log(
+    spark: SparkSession, delta_root: str, table_path: str
+) -> int:
+    """Create a NEW txlog table from a Delta Lake table's ``_delta_log``
+    — the inverse of :func:`tx_export_delta_log`, closing the interop
+    loop both ways (txlog → Delta → txlog round-trips; tested).
+
+    Replays every versioned JSON commit in order (add/remove
+    reconciliation, last metaData/protocol win), copies the live
+    parquet files into the table's ``data/`` dir, and commits ONE
+    import version whose add actions carry ``rows`` from the Delta
+    per-file ``stats.numRecords`` (footer fallback) — so metadata-only
+    ``tx_count`` works immediately.  Tables exported under Delta
+    columnMapping ``name`` mode re-declare their renames and drops
+    through the txlog's own metadata commits, so logical names read
+    back identically.
+
+    Scope (each refusal is loud, never silent):
+
+    * reader protocol ≤ 2 (plain parquet or columnMapping) — feature
+      tables (DVs, defaults) refuse;
+    * parquet-checkpointed Delta logs refuse (JSON commits only — the
+      shape this engine's own exports produce);
+    * hive-partitioned adds (non-empty ``partitionValues``) refuse:
+      the txlog layout keeps partition values IN the data, and Delta
+      partition directories keep them OUT of the files, so a copy
+      would silently drop a column.
+
+    Returns the number of files imported.
+    """
+    import shutil as _shutil
+
+    log_dir = os.path.join(delta_root, "_delta_log")
+    names = sorted(
+        n for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    if not names:
+        raise ValueError(f"no JSON commits under {log_dir}")
+    if any(".checkpoint" in n for n in os.listdir(log_dir)):
+        raise ValueError(
+            "parquet-checkpointed Delta logs are not supported — "
+            "replay needs every JSON commit"
+        )
+    protocol: dict | None = None
+    meta: dict | None = None
+    adds: dict[str, dict] = {}
+    for name in names:
+        with open(os.path.join(log_dir, name)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    a = action["add"]
+                    if a.get("partitionValues"):
+                        raise ValueError(
+                            "hive-partitioned Delta tables are not "
+                            "importable: partition values live in the "
+                            "directory layout, not the files "
+                            f"({a['path']!r})"
+                        )
+                    adds[a["path"]] = a
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+    if protocol is None or meta is None:
+        raise ValueError("protocol/metaData missing from the Delta log")
+    if protocol.get("minReaderVersion", 99) > 2:
+        raise ValueError(
+            f"reader version {protocol['minReaderVersion']} needs "
+            "table features this import does not implement"
+        )
+    if not adds:
+        raise ValueError("Delta snapshot reconstructed empty")
+
+    log = TransactionLog(table_path)
+    if log.version() >= 0:
+        raise ValueError(
+            f"{table_path} already has commits — import only creates "
+            "fresh tables"
+        )
+    os.makedirs(os.path.join(table_path, _DATA_DIR), exist_ok=True)
+    actions: list[dict] = []
+    for p in sorted(adds):
+        a = adds[p]
+        if p.startswith("file://"):
+            src = urllib.parse.unquote(p[len("file://"):])
+        else:
+            src = os.path.join(delta_root, urllib.parse.unquote(p))
+        rel = f"{_DATA_DIR}/{uuid.uuid4().hex}.parquet"
+        _shutil.copy2(src, os.path.join(table_path, rel))
+        dst = os.path.join(table_path, rel)
+        rows = None
+        if isinstance(a.get("stats"), str):
+            try:
+                rows = int(json.loads(a["stats"])["numRecords"])
+            except (ValueError, KeyError, TypeError):
+                rows = None
+        cols, footer_rows = _footer_meta(dst)
+        actions.append(
+            {
+                "path": rel,
+                "bytes": os.path.getsize(dst),
+                "rows": rows if rows is not None else footer_rows,
+                "cols": dict(cols),
+            }
+        )
+    assert log.try_commit(
+        0, actions, [], op="import",
+        meta={"source": os.path.abspath(delta_root)},
+    )
+
+    # re-declare column mapping: the schemaString's logical names win
+    cfg = (meta.get("configuration") or {})
+    if cfg.get("delta.columnMapping.mode") == "name":
+        fields = json.loads(meta["schemaString"])["fields"]
+        logical_by_phys = {
+            f["metadata"]["delta.columnMapping.physicalName"]: f["name"]
+            for f in fields
+        }
+        phys_in_files = set(actions[0]["cols"])
+        for phys in sorted(phys_in_files - set(logical_by_phys)):
+            tx_drop_column(spark, table_path, phys)
+        for phys, logical in sorted(logical_by_phys.items()):
+            if phys != logical:
+                tx_rename_column(spark, table_path, phys, logical)
+    return len(actions)
+
+
 def tx_register_view(
     spark: SparkSession,
     table_path: str,

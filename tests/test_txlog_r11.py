@@ -316,3 +316,166 @@ def test_delta_spark_readback_if_installed(spark, tmp_path):
     root = tx_export_delta_log(t)
     got = spark.read.format("delta").load(root)
     assert got.count() == tx_read(spark, t).count()
+
+
+# ---------------------------------------------------------------------------
+# Delta IMPORT — the inverse direction (round-11)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_import_round_trip_plain(spark, tmp_path):
+    """txlog → Delta export → tx_import_delta_log → txlog: the second
+    table must read back identical rows and answer metadata-only
+    counts."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_count,
+        tx_import_delta_log,
+    )
+
+    a = str(tmp_path / "a")
+    _seed(spark, a)
+    root = tx_export_delta_log(a)
+    b = str(tmp_path / "b")
+    n = tx_import_delta_log(spark, root, b)
+    assert n > 0
+    want = sorted(
+        (r["k"], r["p"], r["body"], r["score"])
+        for r in tx_read(spark, a).collect()
+    )
+    got = sorted(
+        (r["k"], r["p"], r["body"], r["score"])
+        for r in tx_read(spark, b).collect()
+    )
+    assert got == want
+    assert tx_count(b) == 64
+
+
+def test_delta_import_round_trip_column_mapping(spark, tmp_path):
+    """A renamed+dropped table round-trips THROUGH the Delta format:
+    the import re-declares the mapping via txlog metadata commits, so
+    logical names and values match the source table."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_import_delta_log,
+    )
+
+    a = str(tmp_path / "a_cm")
+    _seed(spark, a)
+    tx_rename_column(spark, a, "body", "text")
+    tx_drop_column(spark, a, "score")
+    root = tx_export_delta_log(a)
+    b = str(tmp_path / "b_cm")
+    tx_import_delta_log(spark, root, b)
+    got_df = tx_read(spark, b)
+    assert sorted(got_df.columns) == ["k", "p", "text"]
+    want = sorted(
+        (r["k"], r["p"], r["text"])
+        for r in tx_read(spark, a).select("k", "p", "text").collect()
+    )
+    got = sorted(
+        (r["k"], r["p"], r["text"]) for r in got_df.collect()
+    )
+    assert got == want
+
+
+def test_delta_import_multi_version_log(spark, tmp_path):
+    """A hand-written two-version Delta log (v0: two adds; v1: one
+    remove + one add) imports to exactly the live set."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_import_delta_log,
+    )
+
+    delta = tmp_path / "ext_delta"
+    logd = delta / "_delta_log"
+    logd.mkdir(parents=True)
+    for name, lo in (("f0.parquet", 0), ("f1.parquet", 10), ("f2.parquet", 20)):
+        pq.write_table(
+            pa.table({"k": list(range(lo, lo + 5))}), str(delta / name)
+        )
+    meta = {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True,
+                     "metadata": {}},
+                ],
+            }
+        ),
+        "partitionColumns": [], "configuration": {},
+    }
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta},
+        {"add": {"path": "f0.parquet", "partitionValues": {},
+                 "size": (delta / "f0.parquet").stat().st_size,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": (delta / "f1.parquet").stat().st_size,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    v1 = [
+        {"remove": {"path": "f0.parquet", "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {},
+                 "size": (delta / "f2.parquet").stat().st_size,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    (logd / f"{0:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in v0) + "\n"
+    )
+    (logd / f"{1:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in v1) + "\n"
+    )
+    b = str(tmp_path / "b_mv")
+    n = tx_import_delta_log(spark, str(delta), b)
+    assert n == 2
+    got = sorted(r["k"] for r in tx_read(spark, b).collect())
+    assert got == list(range(10, 15)) + list(range(20, 25))
+
+
+def test_delta_import_refuses_hive_partitioned(spark, tmp_path):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_import_delta_log,
+    )
+
+    delta = tmp_path / "hive_delta"
+    logd = delta / "_delta_log"
+    logd.mkdir(parents=True)
+    (delta / "p=1").mkdir()
+    pq.write_table(pa.table({"k": [1]}), str(delta / "p=1" / "f.parquet"))
+    meta = {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": _json.dumps(
+            {"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}}]}
+        ),
+        "partitionColumns": ["p"], "configuration": {},
+    }
+    (logd / f"{0:020d}.json").write_text(
+        "\n".join(
+            _json.dumps(a)
+            for a in [
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}},
+                {"metaData": meta},
+                {"add": {"path": "p=1/f.parquet",
+                         "partitionValues": {"p": "1"},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+            ]
+        )
+        + "\n"
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        tx_import_delta_log(spark, str(delta), str(tmp_path / "b_h"))
