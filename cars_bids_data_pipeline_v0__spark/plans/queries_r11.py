@@ -589,17 +589,25 @@ def q290(spark, sf_dir):
         )
         .filter(F.size("words") >= 3)
     )
+    # shingles join as xxhash64 keys, not 40-byte strings — the q140
+    # discipline: the query only tests shingle EQUALITY, so an 8-byte
+    # key shrinks the persisted table and both joins (collision odds at
+    # 64 bits are ~n²/2⁶⁵ — immaterial next to the float tolerances
+    # every engine accepts); the ORACLE keeps raw strings, so the hash
+    # gate still certifies the semantics
     sh = track(
         toks.select(
             "doc_id",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("words") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.get("words", i - 1),
-                        F.get("words", i),
-                        F.get("words", i + 1),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.get("words", i - 1),
+                            F.get("words", i),
+                            F.get("words", i + 1),
+                        )
                     ),
                 )
             ).alias("shingle"),
