@@ -977,3 +977,154 @@ def q292(spark, sf_dir):
         )
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q293 — language-ID confusion matrix (the eval harness for q51)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q293_lang_id_confusion",
+    None,  # placeholder, replaced below via late import of _LANG_SQL
+    doc="",  # set below
+)
+def q293(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    guessed = d.select(
+        F.col("lang").alias("labeled_lang"),
+        TXT.lang_id("text").alias("lang_guess"),
+    )
+    cells = guessed.groupBy("labeled_lang", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    bucket = F.pmod(F.xxhash64(F.col("labeled_lang")), F.lit(1))
+    w_label = Window.partitionBy("labeled_lang")
+    w_all = Window.partitionBy(bucket)
+    return (
+        cells.select(
+            "labeled_lang",
+            "lang_guess",
+            "n_docs",
+            F.round(
+                F.col("n_docs") * 1.0 / F.sum("n_docs").over(w_label), 6
+            ).alias("row_frac"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("labeled_lang") == F.col("lang_guess"),
+                        F.col("n_docs"),
+                    ).otherwise(F.lit(0))
+                ).over(w_all)
+                * 1.0
+                / F.sum("n_docs").over(w_all),
+                6,
+            ).alias("overall_accuracy"),
+        )
+        .orderBy("labeled_lang", "lang_guess")
+    )
+
+
+def _q293_finalize():
+    """Compose the oracle on q51's shared _LANG_SQL block (late import
+    avoids a circular module-load order dependency)."""
+    from .queries import REGISTRY
+    from .queries_ext import _LANG_SQL
+
+    spec = REGISTRY["q293_lang_id_confusion"]
+    oracle = f"""
+    WITH guessed AS ({_LANG_SQL}), cells AS (
+        SELECT labeled_lang, lang_guess,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM guessed GROUP BY labeled_lang, lang_guess
+    )
+    SELECT labeled_lang, lang_guess, n_docs,
+           round(n_docs * 1.0 / sum(n_docs) OVER (
+               PARTITION BY labeled_lang), 6) AS row_frac,
+           round(sum(CASE WHEN labeled_lang = lang_guess
+                          THEN n_docs ELSE 0 END) OVER ()
+                 * 1.0 / sum(n_docs) OVER (), 6) AS overall_accuracy
+    FROM cells ORDER BY labeled_lang, lang_guess
+    """
+    doc = (
+        "language-ID confusion matrix — the eval harness for the q51 "
+        "heuristic: per (labeled, guessed) cell count, within-label "
+        "fraction, and overall accuracy, all over the |langs|²-bounded "
+        "cell frame (windows follow the q109 pseudo-partition "
+        "discipline).  A curator reads this before trusting lang-based "
+        "mixture weights.  Scale: one groupBy of ≤|langs|² cells ends "
+        "the data-sized work"
+    )
+    REGISTRY["q293_lang_id_confusion"] = type(spec)(
+        spec.builder, oracle, doc
+    )
+
+
+_q293_finalize()
+
+
+# ---------------------------------------------------------------------------
+# q294 — embedding-norm outlier audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q294_embedding_norm_outliers",
+    """
+    WITH norms AS (
+        SELECT vec_id, label,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[])))
+                   AS nrm
+        FROM embeddings
+    ), stats AS (
+        SELECT avg(nrm) AS mu,
+               stddev_samp(nrm) AS sd,
+               count(*) AS n
+        FROM norms
+    )
+    SELECT vec_id, label,
+           round(nrm, 6) AS nrm,
+           round((nrm - mu) / sd, 4) AS z
+    FROM norms CROSS JOIN stats
+    WHERE abs((nrm - mu) / sd) > 2.0
+    ORDER BY vec_id
+    """,
+    doc=(
+        "embedding QA: L2-norm z-score outliers (|z| > 2) — the cheap "
+        "detector for truncated/corrupt/wrong-model vectors before "
+        "they poison ANN indexes or semantic dedup (un-normalized "
+        "norms vary smoothly; a failed encode shows up as a norm "
+        "spike or near-zero).  One scan computes norms, one 3-value "
+        "aggregate broadcasts back — embarrassingly parallel at any "
+        "scale.  Spark's stddev_samp and DuckDB's are the same "
+        "merge-able moments formula; z rounded to 4 before the "
+        "driver hash"
+    ),
+)
+def q294(spark, sf_dir):
+    from ..operators.similarity import as_double, l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id",
+        "label",
+        l2_norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    stats = norms.agg(
+        F.avg("nrm").alias("mu"),
+        F.stddev_samp("nrm").alias("sd"),
+    )
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .withColumn("z", F.round((F.col("nrm") - F.col("mu")) / F.col("sd"), 4))
+        .filter(F.abs((F.col("nrm") - F.col("mu")) / F.col("sd")) > 2.0)
+        .select(
+            "vec_id", "label", F.round("nrm", 6).alias("nrm"), "z"
+        )
+        .orderBy("vec_id")
+    )
