@@ -1128,3 +1128,184 @@ def q294(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q295 — LSH band-sweep S-curve (the b×r tuning readout)
+# ---------------------------------------------------------------------------
+
+_Q295_K = 16
+_Q295_CONFIGS = (2, 4, 8, 16)  # band counts; rows/band = K/bands
+
+
+def _q295_oracle() -> str:
+    from .queries_r2 import _Q90_MH
+
+    def detected(nb: int) -> str:
+        r = _Q295_K // nb
+        bands = []
+        for b in range(nb):
+            comps = " AND ".join(
+                f"sa.mh{b * r + k} = sb.mh{b * r + k}" for k in range(r)
+            )
+            bands.append(f"({comps})")
+        return "(" + " OR ".join(bands) + ")"
+
+    unioned = "\n        UNION ALL\n".join(
+        f"""SELECT {nb} AS bands, jband,
+               CASE WHEN {detected(nb)} THEN 1 ELSE 0 END AS det
+        FROM pairs JOIN sig sa ON sa.id = id_a
+                   JOIN sig sb ON sb.id = id_b"""
+        for nb in _Q295_CONFIGS
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       '\\s+') AS t
+            FROM documents
+        )
+    ), inv AS (
+        SELECT id, unnest(s) AS shingle FROM sh
+    ), sig AS (
+        SELECT id,
+               {_Q90_MH}
+        FROM inv GROUP BY id
+    ), cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM inv x JOIN inv y USING (shingle)
+        WHERE x.id < y.id
+    ), pairs AS (
+        SELECT id_a, id_b,
+               least(4, CAST(floor(
+                   round(len(list_intersect(sha.s, shb.s)) * 1.0
+                         / len(list_distinct(list_concat(sha.s, shb.s))),
+                         6) * 5) AS INT)) AS jband
+        FROM cand
+        JOIN sh sha ON sha.id = id_a
+        JOIN sh shb ON shb.id = id_b
+    ), swept AS (
+        {unioned}
+    )
+    SELECT bands, jband,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(det) AS BIGINT) AS n_detected,
+           round(sum(det) * 1.0 / count(*), 6) AS detect_rate
+    FROM swept GROUP BY bands, jband
+    ORDER BY bands, jband
+    """
+
+
+@register(
+    "q295_lsh_band_sweep",
+    _q295_oracle(),
+    doc=(
+        "the LSH S-curve, measured: for every band layout b×r over the "
+        f"{_Q295_K}-component MinHash signature "
+        f"(b ∈ {list(_Q295_CONFIGS)}), the fraction of "
+        "shingle-sharing pairs DETECTED as candidates, bucketed by "
+        "exact Jaccard (5 bands of 0.2) — the 1-(1-j^r)^b curve as "
+        "data, which is how b and r are actually chosen before a "
+        "production dedup run (more bands → catches lower-j pairs → "
+        "more verify work; this table shows the trade).  Detection is "
+        "a per-pair expression over the shared signature columns — "
+        "the sweep re-uses ONE signature table and never re-bands the "
+        "corpus; the shingle table is persisted once and feeds "
+        "signatures, the pair index and the exact verify.  Portable "
+        "md5 hashes make every stage DuckDB-reproducible.  At 100 TB "
+        "the pair index would carry q53's df-cap; the sweep itself "
+        "adds only per-pair flag math"
+    ),
+)
+def q295(spark, sf_dir):
+    from ..cache import track_persist
+    from ..operators.dedup_docs import minhash_signatures, shingle_table
+
+    d = _t(spark, sf_dir, "documents")
+    sh = track_persist(shingle_table(d, "text", "doc_id", 3))
+    sigs = minhash_signatures(
+        d, num_hashes=_Q295_K, shingles=sh, portable=True
+    )
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    cand = (
+        inv.alias("x")
+        .join(inv.alias("y"), "shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+        )
+        .distinct()
+    )
+    sha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.least(
+                F.lit(4),
+                F.floor(
+                    F.round(
+                        F.size(F.array_intersect("sh_a", "sh_b")) * 1.0
+                        / F.size(F.array_union("sh_a", "sh_b")),
+                        6,
+                    )
+                    * 5
+                ).cast("int"),
+            ).alias("jband"),
+        )
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(_Q295_K)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(_Q295_K)],
+    )
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+
+    def detected(nb: int):
+        r = _Q295_K // nb
+        expr = None
+        for b in range(nb):
+            band = None
+            for k in range(r):
+                c = F.col(f"a{b * r + k}") == F.col(f"b{b * r + k}")
+                band = c if band is None else band & c
+            expr = band if expr is None else expr | band
+        return expr
+
+    swept = joined.select(
+        "jband",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nb).alias("bands"),
+                        detected(nb).cast("int").alias("det"),
+                    )
+                    for nb in _Q295_CONFIGS
+                ]
+            )
+        ).alias("cfg"),
+    ).select("jband", "cfg.bands", "cfg.det")
+    return (
+        swept.groupBy("bands", "jband")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("det").cast("long").alias("n_detected"),
+            F.round(
+                F.sum("det") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("detect_rate"),
+        )
+        .orderBy("bands", "jband")
+    )

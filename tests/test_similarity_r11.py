@@ -148,3 +148,34 @@ def test_batched_sq_dist_consistent_with_geometry(spark):
         c = centers[idx]
         true_d2 = min(_dist(c[3], p[3]) ** 2 for p in prior)
         assert c[2] == pytest.approx(true_d2, rel=1e-9, abs=1e-9)
+
+
+def test_batched_invariants_hold_on_random_geometries(spark):
+    """Property check over random-but-deterministic geometries: for a
+    grid of (batch, alpha) settings the separation invariant (every
+    center pair ≥ alpha·R apart) and the k-distinct contract must hold
+    — the deterministic analogue of a hypothesis sweep (seeded math,
+    no RNG state, so failures replay exactly)."""
+    import math as _m
+
+    for seed in (3, 11):
+        pts = [
+            (
+                7.0 * _m.sin(0.7 * i + seed) + 2.0 * _m.cos(2.3 * i),
+                7.0 * _m.cos(1.1 * i - seed) + 2.0 * _m.sin(3.7 * i),
+                0.5 * _m.sin(5.0 * i + 2 * seed),
+            )
+            for i in range(60)
+        ]
+        e = _frame(spark, pts)
+        for batch, alpha in ((2, 0.5), (5, 0.5), (4, 0.3)):
+            centers = S.kcenter_traverse(e, 10, batch=batch, alpha=alpha)
+            ids = [c[1] for c in centers]
+            assert len(set(ids)) == 10, (seed, batch, alpha)
+            r = _radius(pts, centers)
+            for i in range(len(centers)):
+                for j in range(i + 1, len(centers)):
+                    d = _dist(centers[i][3], centers[j][3])
+                    assert d >= alpha * r - 1e-9, (
+                        seed, batch, alpha, i, j, d, r,
+                    )
