@@ -1309,3 +1309,95 @@ def q295(spark, sf_dir):
         )
         .orderBy("bands", "jband")
     )
+
+
+# ---------------------------------------------------------------------------
+# q296 — vocabulary coverage curve (tokenizer sizing readout)
+# ---------------------------------------------------------------------------
+
+_Q296_KS = (100, 1000, 10000)
+
+
+@register(
+    "q296_vocab_coverage_curve",
+    f"""
+    WITH tok AS (
+        SELECT unnest({_Q285_TOKS_SQL}) AS t FROM documents
+    ), freq AS (
+        SELECT t, count(*) AS cnt FROM tok GROUP BY t
+    ), tot AS (
+        SELECT sum(cnt) AS n, count(*) AS v FROM freq
+    ), ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, t ASC) AS rnk
+        FROM freq
+    ), cum AS (
+        SELECT rnk, sum(cnt) OVER (ORDER BY rnk
+                   ROWS UNBOUNDED PRECEDING) AS cum_cnt
+        FROM ranked
+    )
+    SELECT k.k AS vocab_size,
+           CAST(tot.v AS BIGINT) AS distinct_tokens,
+           round(coalesce(
+               (SELECT max(cum_cnt) FROM cum WHERE rnk <= k.k),
+               0) * 1.0 / tot.n, 6) AS coverage
+    FROM (SELECT unnest({list(_Q296_KS)}) AS k) k CROSS JOIN tot
+    ORDER BY vocab_size
+    """,
+    doc=(
+        "vocabulary coverage curve — the tokenizer-sizing readout: the "
+        "fraction of all token INSTANCES covered by the k most "
+        "frequent types, for k ∈ "
+        f"{list(_Q296_KS)} (how BPE vocab budgets and UNK rates are "
+        "actually estimated before a q266-style train).  Ranks are "
+        "assigned on the top-k survivors only (TakeOrdered + the "
+        "bounded single-range assigner — no global rank window over "
+        "the full vocabulary); coverage sums are exact integers until "
+        "the final division.  Scale: one token-keyed aggregate, then "
+        "k-bounded work"
+    ),
+)
+def q296(spark, sf_dir):
+    from ..operators.keys import with_surrogate_key
+
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(_lower_tokens()).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = freq.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    kmax = max(_Q296_KS)
+    top = freq.orderBy(F.col("cnt").desc(), F.col("t").asc()).limit(kmax)
+    ranked = with_surrogate_key(
+        top.withColumn("neg_cnt", -F.col("cnt")),
+        ["neg_cnt", "t"],
+        id_col="rnk",
+        num_partitions=1,
+    )
+    per_k = ranked.select(
+        "cnt",
+        F.explode(
+            F.array(*[F.lit(k) for k in _Q296_KS])
+        ).alias("vocab_size"),
+    ).filter(F.col("rnk") <= F.col("vocab_size"))
+    cov = per_k.groupBy("vocab_size").agg(
+        F.sum("cnt").alias("cum_cnt")
+    )
+    ks = _t(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(k,) for k in _Q296_KS], "vocab_size int"
+    )
+    return (
+        ks.join(cov, "vocab_size", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "vocab_size",
+            F.col("v").cast("long").alias("distinct_tokens"),
+            F.round(
+                F.coalesce(F.col("cum_cnt"), F.lit(0)) * 1.0
+                / F.col("n"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
