@@ -1401,3 +1401,159 @@ def q296(spark, sf_dir):
         )
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q297 — rule-gate vs model-gate agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q297_gate_agreement_kappa",
+    f"""
+    WITH {_Q275_SCORED_CTES}, gate AS (
+        SELECT doc_id, {_Q289_GATE_SQL} AS rule_pass FROM documents
+    ), both_v AS (
+        SELECT g.rule_pass, s.z > 0 AS model_pass
+        FROM gate g JOIN scored s USING (doc_id)
+    ), cnt AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN rule_pass AND model_pass THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN rule_pass AND NOT model_pass THEN 1 ELSE 0 END) AS fn,
+               sum(CASE WHEN NOT rule_pass AND model_pass THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN NOT rule_pass AND NOT model_pass THEN 1 ELSE 0 END) AS tn
+        FROM both_v
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(tp AS BIGINT) AS both_pass,
+           CAST(tn AS BIGINT) AS both_cut,
+           CAST(fn AS BIGINT) AS rule_only,
+           CAST(fp AS BIGINT) AS model_only,
+           round((tp + tn) * 1.0 / n, 6) AS observed_agreement,
+           round(
+               ((tp + tn) * 1.0 / n
+                - ((tp + fn) * 1.0 / n * ((tp + fp) * 1.0 / n)
+                   + (tn + fp) * 1.0 / n * ((tn + fn) * 1.0 / n)))
+               / (1.0
+                  - ((tp + fn) * 1.0 / n * ((tp + fp) * 1.0 / n)
+                     + (tn + fp) * 1.0 / n * ((tn + fn) * 1.0 / n))),
+               6) AS cohens_kappa
+    FROM cnt
+    """,
+    doc=(
+        "Cohen's kappa between the q59 rule gate and the q275 model "
+        "gate — the single-number agreement readout next to q289's "
+        "per-decile calibration: kappa near 0 says the classifier "
+        "adds an independent signal, near 1 says it re-implements the "
+        "rules and one of the two is redundant; the 2×2 cell counts "
+        "localize the disagreement.  One scan through the shared "
+        "scorer CTEs + one 5-value aggregate; the kappa float chain "
+        "is written identically in both engines over exact integer "
+        "cells"
+    ),
+)
+def q297(spark, sf_dir):
+    from ..operators import text as TXT
+    from ..operators.quality_model import linear_score, quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    z = linear_score(_Q275_W)
+    scored = quality_features(d, "text", "doc_id").select(
+        "doc_id", (z > 0).alias("model_pass")
+    )
+    feats = TXT.quality_features("text")
+    gate = d.select(
+        "doc_id",
+        (
+            F.col("text").isNotNull()
+            & (feats["n_tokens"] >= 5)
+            & (feats["alpha_ratio"] >= 0.5)
+            & (feats["stopword_ratio"] <= 0.7)
+        ).alias("rule_pass"),
+    )
+    b = gate.join(scored, "doc_id")
+    cnt = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("rule_pass") & F.col("model_pass")).cast("int")).alias("tp"),
+        F.sum((F.col("rule_pass") & ~F.col("model_pass")).cast("int")).alias("fn"),
+        F.sum((~F.col("rule_pass") & F.col("model_pass")).cast("int")).alias("fp"),
+        F.sum((~F.col("rule_pass") & ~F.col("model_pass")).cast("int")).alias("tn"),
+    )
+    n, tp, fn, fp, tn = (F.col(c) for c in ("n", "tp", "fn", "fp", "tn"))
+    po = (tp + tn) * 1.0 / n
+    pe = (
+        (tp + fn) * 1.0 / n * ((tp + fp) * 1.0 / n)
+        + (tn + fp) * 1.0 / n * ((tn + fn) * 1.0 / n)
+    )
+    return cnt.select(
+        n.cast("long").alias("n_docs"),
+        tp.cast("long").alias("both_pass"),
+        tn.cast("long").alias("both_cut"),
+        fn.cast("long").alias("rule_only"),
+        fp.cast("long").alias("model_only"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("cohens_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q298 — duplicate-family size histogram
+# ---------------------------------------------------------------------------
+
+
+from .queries_ext import _DUPED_SQL as _Q298_DUPED  # noqa: E402
+
+
+@register(
+    "q298_dup_family_histogram",
+    f"""
+    WITH fam AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS h,
+               count(*) AS family_size
+        FROM ({_Q298_DUPED}) GROUP BY h
+    )
+    SELECT CAST(family_size AS INT) AS family_size,
+           CAST(count(*) AS BIGINT) AS n_families,
+           CAST(count(*) * family_size AS BIGINT) AS n_docs,
+           CAST(count(*) * (family_size - 1) AS BIGINT) AS n_redundant
+    FROM fam GROUP BY family_size
+    ORDER BY family_size
+    """,
+    doc=(
+        "exact-duplicate family-size histogram — the dedup REPORT next "
+        "to q52's survivor list: how many normalized-content families "
+        "exist at each multiplicity, how many docs they hold, and how "
+        "many are redundant (family_size − 1 each) — the number a "
+        "curator quotes as 'dedup would remove N%'.  Two aggregates, "
+        "both partial-merging; the second groups |distinct sizes| "
+        "rows.  Normalization matches q52/q59 (lower + whitespace "
+        "collapse + md5)"
+    ),
+)
+def q298(spark, sf_dir):
+    from .queries_ext import _duped_docs
+
+    d = _duped_docs(spark, sf_dir)
+    fam = d.groupBy(
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+            )
+        ).alias("h")
+    ).agg(F.count(F.lit(1)).alias("family_size"))
+    return (
+        fam.groupBy("family_size")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .select(
+            F.col("family_size").cast("int").alias("family_size"),
+            F.col("nf").cast("long").alias("n_families"),
+            (F.col("nf") * F.col("family_size"))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("nf") * (F.col("family_size") - 1))
+            .cast("long")
+            .alias("n_redundant"),
+        )
+        .orderBy("family_size")
+    )
