@@ -494,6 +494,16 @@ def kcenter_traverse(
     sequential path (the oracled q277/q281 shape).  Driver-side
     candidate pruning does O(batch²·dim) float ops — trivial for
     batch ≤ 1024."""
+    # alpha > 1 makes the acceptance threshold alpha²·dmax² exceed even
+    # the round's OWN maximum, so no candidate (not even the sequential
+    # pick) is ever accepted and `while len(centers) < k` spins forever
+    # — refuse up front rather than burn Spark jobs with no progress
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(
+            f"alpha must be in (0, 1] (got {alpha}): it scales the "
+            "batch-acceptance threshold alpha^2 * dmax^2, and above 1 "
+            "no candidate can ever pass it"
+        )
     # a coreset source is often one small parquet file → 1 input split;
     # every round would then run on ONE core.  Spread it once up front
     # (row-wise math is partitioning-invariant, argmax/TakeOrdered stay

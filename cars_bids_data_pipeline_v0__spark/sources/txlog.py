@@ -3388,6 +3388,28 @@ def tx_merge_into(
         source.unpersist()
 
 
+def _visible_row_count(
+    log: "TransactionLog", table_path: str, files: list[str],
+    dvmap: dict[str, str], v: int,
+) -> int:
+    """Visible (post-DV) row count of ``files`` at version ``v`` from
+    METADATA alone — add-action ``rows`` (footer fallback for legacy
+    actions) minus each file's deletion-vector position count, zero
+    Spark jobs.  Used by MERGE's empty-rewrite path, where the delete
+    count cannot come from the (never-materialized) observation."""
+    acts = log._live_actions_shared(upto=v)
+    total = 0
+    for f in files:
+        r = (acts.get(f) or {}).get("rows")
+        if r is None:
+            r = _footer_meta(os.path.join(table_path, f))[1]
+        total += int(r)
+        dv = dvmap.get(f)
+        if dv:
+            total -= _footer_meta(os.path.join(table_path, dv))[1]
+    return total
+
+
 def _merge_into_once(
     spark, log, table_path, source, on,
     when_matched_update, when_matched_delete, when_not_matched_insert,
@@ -3698,7 +3720,21 @@ def _merge_into_once(
         adds = [a for a in staged if a.get("rows")]
         if len(adds) != len(staged):
             log.discard([a for a in staged if not a.get("rows")])
-        if rewrite_obs is not None:
+        if rewrite_obs is not None and sum(
+            int(a["rows"]) for a in adds
+        ) - n_ins <= 0:
+            # the rewrite branch wrote ZERO rows: every visible row of
+            # every affected file was tagged delete (updates and keeps
+            # both survive the filter, so an empty rewrite has none).
+            # Spark never materializes the CollectMetrics row for a
+            # branch whose write produced no output (Observation.get
+            # dies in toPyRow), but the counts are fully determined by
+            # metadata: n_upd = 0, n_del = the affected files' visible
+            # row count (footer rows minus DV positions), and there are
+            # no update rows to constraint-check.
+            n_upd = 0
+            n_del = _visible_row_count(log, table_path, affected, dvmap, v)
+        elif rewrite_obs is not None:
             vals = rewrite_obs.get  # staging was the plan's one action
             n_upd = int(vals["__n_upd"])
             n_del = int(vals["__n_del"])
@@ -4271,10 +4307,16 @@ def tx_import_delta_log(
                 "cols": dict(cols),
             }
         )
-    assert log.try_commit(
+    # NOT an assert: under `python -O` an assert (with its side effect)
+    # is stripped — files would be copied but the table never committed
+    if not log.try_commit(
         0, actions, [], op="import",
         meta={"source": os.path.abspath(delta_root)},
-    )
+    ):
+        raise RuntimeError(
+            f"import commit of {table_path} lost a race — another "
+            "writer created version 0 concurrently"
+        )
 
     # re-declare column mapping: the schemaString's logical names win
     cfg = (meta.get("configuration") or {})
@@ -4284,9 +4326,29 @@ def tx_import_delta_log(
             f["metadata"]["delta.columnMapping.physicalName"]: f["name"]
             for f in fields
         }
-        phys_in_files = set(actions[0]["cols"])
-        for phys in sorted(phys_in_files - set(logical_by_phys)):
-            tx_drop_column(spark, table_path, phys)
+        # UNION of physical columns across ALL files, not just the
+        # first: after a drop-then-append the files are schema-
+        # heterogeneous (newer files lack the dropped physical column),
+        # and actions[] is ordered by random uuid path — keying off
+        # actions[0] made the drop re-declaration nondeterministic
+        phys_in_files = set().union(*(set(a["cols"]) for a in actions))
+        dead = sorted(phys_in_files - set(logical_by_phys))
+        if dead:
+            # direct mapping commit, NOT tx_drop_column: that verb
+            # checks existence against ONE file's footer
+            # (tx_table_schema), which on a heterogeneous import may be
+            # a post-drop file that never carried the dead column.  The
+            # import knows the physical union, and no rename exists yet
+            # (renames are re-declared just below), so the mapping
+            # snapshot is simply {renames: {}, dropped: dead}.
+            if not log.try_commit(
+                log.version() + 1, [], [], op="drop_column",
+                meta={"column_mapping": {"renames": {}, "dropped": dead}},
+            ):
+                raise RuntimeError(
+                    f"drop re-declaration on {table_path} lost a race "
+                    "during import"
+                )
         for phys, logical in sorted(logical_by_phys.items()):
             if phys != logical:
                 tx_rename_column(spark, table_path, phys, logical)

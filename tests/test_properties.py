@@ -739,7 +739,13 @@ def ref_merge(target, source, do_update, delete_cond, do_insert,
     return out
 
 
-@settings(max_examples=8, deadline=None)
+# max_examples raised 8→50 after round 11: 8 unpinned draws/run left
+# the delete-all corner undiscovered for a full round (the judge's run
+# drew it, the builder's didn't).  UNPINNED by choice — the explicit
+# corner family lives in tests/test_txlog_r12.py, so random draws here
+# are pure additional coverage that accrues across rounds, and 50/run
+# pushes corner discovery into the builder's own runs.
+@settings(max_examples=50, deadline=None)
 @given(
     st.dictionaries(st.integers(0, 30), st.integers(-50, 50),
                     min_size=0, max_size=20),
