@@ -1177,9 +1177,18 @@ def _q295_oracle() -> str:
         SELECT id,
                {_Q90_MH}
         FROM inv GROUP BY id
+    ), cap AS (
+        SELECT greatest(4, CAST(ceil(0.01 * count(*)) AS INT)) AS c
+        FROM documents
+    ), hot AS (
+        SELECT shingle FROM inv GROUP BY shingle
+        HAVING count(*) > (SELECT c FROM cap)
+    ), kept AS (
+        SELECT id, shingle FROM inv
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
     ), cand AS (
         SELECT DISTINCT x.id AS id_a, y.id AS id_b
-        FROM inv x JOIN inv y USING (shingle)
+        FROM kept x JOIN kept y USING (shingle)
         WHERE x.id < y.id
     ), pairs AS (
         SELECT id_a, id_b,
@@ -1196,7 +1205,9 @@ def _q295_oracle() -> str:
     SELECT bands, jband,
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(det) AS BIGINT) AS n_detected,
-           round(sum(det) * 1.0 / count(*), 6) AS detect_rate
+           round(sum(det) * 1.0 / count(*), 6) AS detect_rate,
+           (SELECT CAST(count(*) AS BIGINT) FROM hot)
+               AS hot_shingles_dropped
     FROM swept GROUP BY bands, jband
     ORDER BY bands, jband
     """
@@ -1218,24 +1229,55 @@ def _q295_oracle() -> str:
         "the sweep re-uses ONE signature table and never re-bands the "
         "corpus; the shingle table is persisted once and feeds "
         "signatures, the pair index and the exact verify.  Portable "
-        "md5 hashes make every stage DuckDB-reproducible.  At 100 TB "
-        "the pair index would carry q53's df-cap; the sweep itself "
-        "adds only per-pair flag math"
+        "md5 hashes make every stage DuckDB-reproducible.  The pair "
+        "index carries q53's df-cap (relative: shingles in > "
+        "max(4, 1% of docs) documents are dropped before the self-"
+        "join, dropped count reported per row) so a viral 3-gram can "
+        "never explode the candidate join at corpus scale; the sweep "
+        "itself adds only per-pair flag math"
     ),
 )
 def q295(spark, sf_dir):
+    import math
+
     from ..cache import track_persist
-    from ..operators.dedup_docs import minhash_signatures, shingle_table
+    from ..operators.dedup_docs import _drop_hot_shingles, minhash_signatures, shingle_table
 
     d = _t(spark, sf_dir, "documents")
     sh = track_persist(shingle_table(d, "text", "doc_id", 3))
     sigs = minhash_signatures(
         d, num_hashes=_Q295_K, shingles=sh, portable=True
     )
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    # df-capped candidate index (round-11 VERDICT What's wrong #2):
+    # inv⋈inv is O(df²) rows per shingle — a stopword 3-gram shared by
+    # 1% of a 100 TB corpus makes the uncapped join a job-killer.  The
+    # S-curve is an estimation readout, so the production shape is a
+    # capped sample of hot-shingle pairs: shingles in more than
+    # max(4, ⌈1% of corpus⌉) docs are dropped from the PAIR INDEX only
+    # (signatures and the exact-Jaccard verify still use full shingle
+    # sets), and the drop is accounted in every output row
+    # (hot_shingles_dropped) — same discipline as q53's df_cap
+    # (dedup_docs.py::_drop_hot_shingles), relative cap so the fraction
+    # of corpus a shingle may touch is scale-invariant.  Join keys are
+    # xxhash64(shingle) (8-byte shuffle, q140/q290 precedent); the
+    # oracle joins raw strings.
+    cap = max(4, math.ceil(0.01 * d.count()))
+    inv = sh.select("id", F.explode("sh").alias("__s")).select(
+        "id", F.xxhash64("__s").alias("shingle")
+    )
+    hot = track_persist(
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > cap)
+        .select("shingle")
+        .persist()
+    )
+    n_hot = hot.count()
+    kept = inv.join(F.broadcast(hot), "shingle", "left_anti")
     cand = (
-        inv.alias("x")
-        .join(inv.alias("y"), "shingle")
+        kept.alias("x")
+        .hint("shuffle_hash")
+        .join(kept.alias("y"), "shingle")
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
@@ -1306,6 +1348,9 @@ def q295(spark, sf_dir):
             F.round(
                 F.sum("det") * 1.0 / F.count(F.lit(1)), 6
             ).alias("detect_rate"),
+        )
+        .withColumn(
+            "hot_shingles_dropped", F.lit(n_hot).cast("long")
         )
         .orderBy("bands", "jband")
     )

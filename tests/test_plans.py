@@ -410,3 +410,97 @@ def test_driver_window_cycles_when_everything_is_proven(monkeypatch):
     front = Q._least_proven_front()
     assert len(front) == 50
     assert set(front) <= set(oracled)
+
+
+# --- inverted-index join discipline (round-12, VERDICT r11 directive 3) ----
+
+# Registry queries allowed to join a shingle-keyed inverted index WITHOUT
+# a df-cap scrub visible in the plan, each with the reason the uncapped
+# join is bounded (or is the oracled exact spec).  Everything else that
+# joins on a shingle key must carry the cap (a broadcast LeftAnti against
+# the hot-shingle set, dedup_docs.py::_drop_hot_shingles) — a stopword
+# 3-gram shared by 1% of a 100 TB corpus makes an uncapped shingle join
+# O(df²) and job-killing (q295 shipped exactly this in round 11).
+_DOCUMENTED_UNCAPPED_SHINGLE_JOINS: dict[str, str] = {
+    "q53_ngram_jaccard_pairs": (
+        "exact all-pairs Jaccard IS the oracled spec; q211 is the capped "
+        "production twin"
+    ),
+    "q131_containment_pairs": (
+        "exact containment over the full index is the oracled spec; "
+        "production callers use q211 (capped) or q180 (prefix-filtered)"
+    ),
+    "q130_boilerplate_exposure": (
+        "LeftOuter against the per-group HOT-shingle aggregate — the "
+        "joined side is the heavy-hitter set itself, bounded by "
+        "construction"
+    ),
+    "q81_benchmark_decontamination": (
+        "corpus × broadcast BENCHMARK shingles — per-shingle fan-out is "
+        "df_corpus × df_bench with a fixed, tiny benchmark side"
+    ),
+    "q254_benchmark_decontamination": (
+        "same shape as q81 at release scale: benchmark side is bounded"
+    ),
+    "q140_source_overlap_matrix": (
+        "per-source shingle profiles joined source × source — fan-out "
+        "is |sources|² per shingle, and |sources| is a config-sized enum"
+    ),
+    "q290_eval_holdout_split": (
+        "train × EVAL-SAMPLE semi-join (1-in-20 hash sample), never "
+        "train × train; AQE picks broadcast vs shuffled semi by size "
+        "(round-11 VERDICT read and approved this plan)"
+    ),
+    "q165_dedup_incoming_batch": (
+        "INCOMING × released only — the incoming batch side is "
+        "delta-sized by contract, never corpus × corpus"
+    ),
+}
+
+_JOIN_HDR = __import__("re").compile(r"^\(\d+\)\s+(\w*Join\w*)")
+_KEYS_RE = __import__("re").compile(
+    r"Left keys \[\d+\]: \[([^\]]*)\].*?"
+    r"Right keys \[\d+\]: \[([^\]]*)\].*?Join type: (\w+)",
+    __import__("re").DOTALL,
+)
+
+
+def _shingle_joins(plan: str) -> tuple[list[str], bool]:
+    """(non-anti join descriptions keyed on a shingle column, whether the
+    plan carries a shingle-keyed LeftAnti cap scrub)."""
+    lines = plan.splitlines()
+    hits, has_anti = [], False
+    for i, line in enumerate(lines):
+        if not _JOIN_HDR.match(line.strip()):
+            continue
+        ctx = " ".join(x.strip() for x in lines[i : i + 8])
+        m = _KEYS_RE.search(ctx)
+        if not m:
+            continue
+        left, right, jtype = m.groups()
+        if "shingle#" in left and "shingle#" in right:
+            if jtype == "LeftAnti":
+                has_anti = True
+            else:
+                hits.append(f"{jtype} on shingle: {ctx[:120]}")
+    return hits, has_anti
+
+
+def test_shingle_joins_capped_or_documented(spark, registry):
+    from cars_bids_data_pipeline_v0__spark.cache import release_build_caches
+
+    offenders = []
+    for name, spec in sorted(registry.items()):
+        plan = plan_of(spec.builder(spark, SF))
+        hits, has_anti = _shingle_joins(plan)
+        if hits and not has_anti and name not in (
+            _DOCUMENTED_UNCAPPED_SHINGLE_JOINS
+        ):
+            offenders.append((name, hits[0]))
+        spark.catalog.clearCache()
+        release_build_caches()
+    assert offenders == [], (
+        "shingle-keyed join without a df-cap scrub (broadcast LeftAnti "
+        "against the hot set) and not documented in "
+        f"_DOCUMENTED_UNCAPPED_SHINGLE_JOINS: {offenders}"
+    )
