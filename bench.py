@@ -539,6 +539,12 @@ def sweep_sf1(spark) -> dict:
         dsir_target="source = 'src0'",
         dsir_token_budget=500_000,
     )
+    # the capstone with k-center CORESET selection ON (round-12,
+    # VERDICT r11 directive 7): id-keyed embedding join + batched
+    # farthest-point traversal (k=64, batch=16) after the Q-Q gate
+    out["corpus_release_coreset_50k_docs"] = bench_corpus_release(
+        spark, coreset_k=64,
+    )
     out.update(bench_ann_index(spark))
     out["kcenter_k32_20k_vecs"] = bench_kcenter(spark)
     corpus = Path(SF1_DIR, "_GENERATED")
@@ -585,6 +591,34 @@ def bench_corpus_release(
         tmp = tempfile.mkdtemp(prefix="bench_release_")
         try:
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            if release_kw.get("coreset_k") is not None and (
+                "embeddings" not in release_kw
+            ):
+                # deterministic 16-d pseudo-embeddings keyed by doc_id:
+                # the derived sf1/sf5 corpora have no embedding rows for
+                # their suffixed copies, and the coreset leg measures
+                # the JOIN + traversal cost, not vector semantics
+                release_kw = dict(
+                    release_kw,
+                    embeddings=docs.select(
+                        "doc_id",
+                        F.array(
+                            *[
+                                (
+                                    F.pmod(
+                                        F.xxhash64(
+                                            F.col("doc_id") + F.lit(i)
+                                        ),
+                                        F.lit(1000),
+                                    )
+                                    / 500.0
+                                    - 1.0
+                                ).cast("double")
+                                for i in range(16)
+                            ]
+                        ).alias("embedding"),
+                    ),
+                )
             tbl, shards = f"{tmp}/released", f"{tmp}/shards"
             release_corpus(
                 spark, docs.filter(F.col("doc_id") % 2 == 0), tbl, shards,

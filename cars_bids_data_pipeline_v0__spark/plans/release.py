@@ -9,6 +9,10 @@ an accumulated/ingested corpus into a versioned training artifact
     distributions — and record the Q-Q-normalized score)  →
     optional DSIR selection (q267/q269's operator: importance-score vs
     a target domain, Gumbel-max resample to a token budget)  →
+    optional k-center CORESET selection (q277/q281's operator:
+    farthest-point traversal over the kept docs' embeddings keeps the
+    ``coreset_k`` most diverse — distribution-matching DSIR and
+    diversity-maximizing coreset compose, DSIR first)  →
     chunk → pack → `write_training_shards` (loader manifest)  →
     fenced append of the released docs to the ACID release table so the
     NEXT release dedups against them.
@@ -122,6 +126,8 @@ def release_corpus(
     budget: int = 256,
     num_shards: int = 8,
     txn: dict | None = None,
+    coreset_k: int | None = None,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """One incremental release run (see module docstring for the chain).
     Each increment writes its shards under
@@ -224,6 +230,49 @@ def release_corpus(
                 id_col=id_col,
             ).drop("dsir_w", "race_key")
         )
+    # k-center coreset selection (Sener 2018, the q277/q281 operator as
+    # a release stage — round-11 VERDICT directive 7): after every
+    # gate (and after DSIR when both are on — coreset then diversifies
+    # the budgeted slice), keep the ``coreset_k`` docs a farthest-point
+    # traversal over their embeddings selects.  Diversity-maximizing
+    # where DSIR is distribution-matching: the coreset covers the
+    # increment's embedding space with k representatives (every kept
+    # doc is within the traversal radius of a released one — audit the
+    # coverage with q281's Voronoi assignment over the released
+    # embeddings).  Deterministic (lowest-id seed, argmax tiebreak on
+    # vec_id), so crash-retries select identically — the exactly-once
+    # contract.  Scale: the join is id-keyed; the traversal is the
+    # measured batched operator (bounded TakeOrdered per round, never
+    # a pairwise matrix).  Docs with no embedding row cannot be placed
+    # and are dropped from the increment (the join is inner —
+    # embed-before-release is the pipeline contract this stage assumes).
+    if coreset_k is not None:
+        if embeddings is None:
+            raise ValueError("coreset_k needs embeddings= (id ↔ vector)")
+        from ..operators.similarity import as_double, kcenter_traverse
+
+        pts = track_persist(
+            kept.select(id_col)
+            .join(
+                embeddings.select(
+                    F.col(id_col),
+                    as_double(F.col("embedding")).alias("v"),
+                ),
+                id_col,
+            )
+            .select(F.col(id_col).alias("vec_id"), "v")
+        )
+        n_pts = pts.count()
+        if n_pts:
+            centers = kcenter_traverse(
+                pts, k=min(coreset_k, n_pts), batch=16
+            )
+            sel = sorted(int(vid) for _, vid, _, _ in centers)
+            # k is a selection budget (bounded), so the id list is a
+            # broadcast-sized literal filter, not a join
+            kept = kept.filter(F.col(id_col).isin(sel))
+        else:
+            kept = kept.limit(0)
     # empty increment (an all-dup re-release): write nothing, append
     # nothing — the manifest read from the shard dir still reports the
     # PREVIOUS release's artifact untouched

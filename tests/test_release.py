@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import pytest
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -415,3 +416,88 @@ def test_release_full_stack_stage_order_and_interaction(
     assert toks is not None and toks <= kw["dsir_token_budget"]
     # the increment still produced a loader manifest
     assert manifest.collect()
+
+
+def test_release_coreset_stage(spark, tmp_path, monkeypatch):
+    """k-center coreset selection as a release stage (round-12, VERDICT
+    r11 directive 7): with ``coreset_k``/``embeddings`` on, the
+    increment releases exactly the k docs the farthest-point traversal
+    selects (the q277 operator — its input/output captured here), the
+    stage runs AFTER the Q-Q gate, and a re-release composes with
+    incremental dedup (released docs never re-selected)."""
+    import cars_bids_data_pipeline_v0__spark.operators.similarity as sim_mod
+    import cars_bids_data_pipeline_v0__spark.plans.release as rel_mod
+
+    calls: list[str] = []
+    captured: dict = {}
+    real_kc = sim_mod.kcenter_traverse
+
+    def traced_kc(pts, k, **kw):
+        calls.append("coreset")
+        out = real_kc(pts, k, **kw)
+        captured["n_in"] = pts.count()
+        captured["centers"] = out
+        return out
+
+    monkeypatch.setattr(sim_mod, "kcenter_traverse", traced_kc)
+    real_qq = rel_mod.quantile_release_gate
+
+    def traced_qq(*a, **k):
+        calls.append("qq")
+        return real_qq(*a, **k)
+
+    monkeypatch.setattr(rel_mod, "quantile_release_gate", traced_qq)
+
+    # 20 docs on a 2-d grid of embeddings: corners are the diverse picks
+    docs = [(i, _text(i, 20 + i % 5), "web") for i in range(20)]
+    corpus = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i % 5) * 10.0, float(i // 5) * 10.0])
+            for i in range(20)
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    release_tbl = str(tmp_path / "rel_cs")
+    shards = str(tmp_path / "shards_cs")
+    manifest = release_corpus(
+        spark, corpus, release_tbl, shards,
+        coreset_k=4, embeddings=emb,
+        chunk_size=16, overlap=4, budget=32, num_shards=2,
+    )
+    # coreset ran, and AFTER the Q-Q gate
+    assert calls.index("qq") < calls.index("coreset")
+    released = tx_read(spark, release_tbl)
+    rel_ids = sorted(r["doc_id"] for r in released.collect())
+    assert len(rel_ids) == 4
+    # the released increment IS the traversal's selection (the stage
+    # filters to the operator's centers, nothing more or less)
+    want = sorted(int(vid) for _, vid, _, _ in captured["centers"])
+    assert rel_ids == want
+    # the traversal saw only GATE SURVIVORS with an embedding row
+    assert captured["n_in"] < 20
+    assert manifest.collect()
+    # re-release of the same candidates: the 4 released docs dedup away
+    # and the others re-compete — the next coreset is 4 FRESH docs
+    release_corpus(
+        spark, corpus, release_tbl, shards,
+        coreset_k=4, embeddings=emb,
+        chunk_size=16, overlap=4, budget=32, num_shards=2,
+    )
+    rel2 = sorted(
+        r["doc_id"] for r in tx_read(spark, release_tbl).collect()
+    )
+    assert len(rel2) == 8 and set(rel_ids) < set(rel2)
+
+
+def test_release_coreset_requires_embeddings(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [(1, _text(1, 30), "web")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="embeddings"):
+        release_corpus(
+            spark, corpus, str(tmp_path / "t"), str(tmp_path / "s"),
+            coreset_k=4,
+        )
