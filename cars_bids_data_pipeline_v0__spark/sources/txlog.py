@@ -214,6 +214,123 @@ def _build_live_cols(
     return cols, flags
 
 
+_SIDECAR_PARALLEL_MIN = 2_000_000  # rows before forking pays for itself
+_SIDECAR_WORKERS = 8
+_SIDECAR_LIVE: list | None = None  # fork-shared input (COW, never pickled)
+
+
+def _sidecar_chunk_worker(bounds: tuple[int, int]) -> tuple[bytes, dict]:
+    """One fork worker of `_build_live_table`: build the sidecar columns
+    for ``_SIDECAR_LIVE[lo:hi]`` and ship them back as arrow IPC bytes
+    (C-speed both ways) plus the chunk's qualification flags.  The
+    chunk table is built exactly like the serial path (pa.table over
+    the python lists), so values are bit-identical; only the TYPE of a
+    zmin/zmax column can differ per chunk (int64 vs float64 by what the
+    chunk saw) — the parent reconciles types from the MERGED flags."""
+    import pyarrow as _pa
+    import pyarrow.ipc as _ipc
+
+    lo, hi = bounds
+    cols, flags = _build_live_cols(_SIDECAR_LIVE[lo:hi])
+    table = _pa.table(cols)
+    sink = _pa.BufferOutputStream()
+    with _ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes(), flags
+
+
+def _build_live_table(
+    live: list[dict],
+) -> tuple["object", dict[str, tuple[bool, bool, bool]]]:
+    """``(pyarrow.Table restricted to the keep columns, flags)`` for a
+    FULL sidecar build.  Small tables run the serial `_build_live_cols`
+    path; past ``_SIDECAR_PARALLEL_MIN`` rows the build forks
+    ``_SIDECAR_WORKERS`` processes (round-12: the 10M-file full build
+    measured 120 s of json.dumps + 64 s of list→arrow, both pure-CPU
+    python the GIL serializes — the parquet WRITE was 6 s.  Fork shares
+    the action dicts copy-on-write, workers return arrow IPC buffers,
+    and the parent only concatenates).  Any worker failure falls back
+    to the serial build — the parallel path is an optimization, never
+    a correctness dependency."""
+    import pyarrow as _pa
+
+    def _serial():
+        cols, flags = _build_live_cols(live)
+        keep = _sidecar_keep_cols(flags)
+        return _pa.table({k: cols[k] for k in keep}), flags
+
+    if len(live) < _SIDECAR_PARALLEL_MIN:
+        return _serial()
+    global _SIDECAR_LIVE
+    import multiprocessing as _mp
+
+    try:
+        ctx = _mp.get_context("fork")
+    except ValueError:
+        return _serial()
+    n = len(live)
+    step = -(-n // _SIDECAR_WORKERS)
+    bounds = [(i, min(i + step, n)) for i in range(0, n, step)]
+    _SIDECAR_LIVE = live
+    try:
+        with ctx.Pool(len(bounds)) as pool:
+            parts = pool.map(_sidecar_chunk_worker, bounds)
+    except Exception:
+        return _serial()
+    finally:
+        _SIDECAR_LIVE = None
+
+    import pyarrow.ipc as _ipc
+
+    tables = [
+        _ipc.open_stream(_pa.BufferReader(buf)).read_all()
+        for buf, _ in parts
+    ]
+    flags: dict[str, tuple[bool, bool, bool]] = {}
+    for _, f in parts:
+        for c, (ok, hf, hb) in f.items():
+            if c in flags:
+                p0 = flags[c]
+                flags[c] = (p0[0] and ok, p0[1] or hf, p0[2] or hb)
+            else:
+                flags[c] = (ok, hf, hb)
+    keep = _sidecar_keep_cols(flags)
+    aligned = []
+    for t in tables:
+        arrays = []
+        for name in keep:
+            if name in ("path", "rest_json", "zpartition"):
+                ztype = _pa.string()
+            elif name == "zrows":
+                ztype = _pa.int64()
+            else:
+                c = name.split(":", 1)[1]
+                ztype = _pa.float64() if flags[c][1] else _pa.int64()
+            if name in t.column_names:
+                col = t.column(name)
+                arrays.append(
+                    col if col.type == ztype else col.cast(ztype)
+                )
+            else:
+                # a chunk whose slice never saw this stats column (or
+                # whose chunk-local ok was false): all-null, exactly
+                # what the serial build would have put in those rows
+                arrays.append(_pa.nulls(t.num_rows, ztype))
+        aligned.append(
+            _pa.Table.from_arrays(arrays, names=keep)
+        )
+    return _pa.concat_tables(aligned), flags
+
+
+def _sidecar_keep_cols(
+    flags: dict[str, tuple[bool, bool, bool]]
+) -> list[str]:
+    zone_cols = _qualified_zone_cols(flags)
+    return ["path", "rest_json", "zrows", "zpartition"] + [
+        f"z{m}:{c}" for c in zone_cols for m in ("min", "max")
+    ]
+
+
 def _qualified_zone_cols(
     flags: dict[str, tuple[bool, bool, bool]]
 ) -> list[str]:
@@ -979,16 +1096,11 @@ class TransactionLog:
                 except Exception:
                     table = flags = None
             if table is None:
-                cols, flags = _build_live_cols(live)
-                zone_cols = _qualified_zone_cols(flags)
-                import pyarrow as _pa
-
-                keep = ["path", "rest_json", "zrows", "zpartition"] + [
-                    f"z{m}:{c}" for c in zone_cols for m in ("min", "max")
-                ]
-                table = _pa.table({k: cols[k] for k in keep})
-            else:
-                zone_cols = _qualified_zone_cols(flags)
+                # full build: forks past _SIDECAR_PARALLEL_MIN rows
+                # (the 10M-file constant was ~190 s of GIL-serialized
+                # json.dumps + list→arrow; the write is ~6 s)
+                table, flags = _build_live_table(live)
+            zone_cols = _qualified_zone_cols(flags)
             _pqw.write_table(table, side_tmp)
             os.replace(side_tmp, os.path.join(self.log_dir, side))
             body["live_parquet"] = side
