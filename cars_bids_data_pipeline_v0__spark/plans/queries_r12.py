@@ -859,3 +859,280 @@ def q306(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q307 — event-type transition matrix (first-order Markov over sessions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q307_event_transition_matrix",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM ordered WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), tot AS (
+        SELECT cur, sum(n) AS t FROM pairs GROUP BY cur
+    )
+    SELECT p.cur, p.nxt, p.n,
+           round(p.n * 1.0 / tot.t, 6) AS p_next
+    FROM pairs p JOIN tot ON tot.cur = p.cur
+    ORDER BY p.cur, p.nxt
+    """,
+    doc=(
+        "first-order Markov transition matrix over each user's event "
+        "stream: P(next event type | current), from ONE lead() window "
+        "per user (keyed partition, never a global window) + a "
+        "|types|²-bounded count.  The behavioral-model readout session "
+        "analytics builds funnels and anomaly baselines from (a "
+        "transition that drifts week-over-week is the alert).  At "
+        "100 TB the window shuffles once on user_id and every "
+        "aggregate after is |types|²-sized"
+    ),
+)
+def q307(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = ordered.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("p_next"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q308 — inter-event gap quantiles per event type
+# ---------------------------------------------------------------------------
+
+_Q308_PS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "q308_interevent_gap_quantiles",
+    f"""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1000000, 4) AS p50_sec,
+           round(quantile_cont(gap_us, 0.9) / 1000000, 4) AS p90_sec,
+           round(quantile_cont(gap_us, 0.99) / 1000000, 4) AS p99_sec
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "inter-arrival gap quantiles (p50/p90/p99) per event type: the "
+        "gap from each user's PREVIOUS event (any type) to this one, "
+        "grouped by the arriving type — the latency/engagement readout "
+        "that sizes session timeouts (q42's 30-min window) and "
+        "watermarks (§2.10's late-data bound) from data instead of "
+        "folklore.  Gaps are integer MICROSECONDS (unix_micros/"
+        "epoch_us — no float timestamp drift between engines); one "
+        "keyed lag() window + exact percentile aggregates"
+    ),
+)
+def q308(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; the cast offset (session tz) cancels in
+    # the lag difference, so gaps are exact integer microseconds
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = e.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    qs = [
+        F.round(
+            F.percentile("gap_us", F.lit(p)) / 1000000, 4
+        ).alias(f"p{int(p * 100)}_sec")
+        for p in _Q308_PS
+    ]
+    return (
+        gaps.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"), *qs)
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q309 — language-mix entropy per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q309_lang_mix_entropy",
+    """
+    WITH cnt AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT source, sum(n) AS t, max(n) AS top_n FROM cnt
+        GROUP BY source
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(-sum((c.n * 1.0 / t.t) * log2(c.n * 1.0 / t.t)), 6)
+               AS lang_entropy,
+           round(max(t.top_n) * 1.0 / max(t.t), 6) AS top_lang_share
+    FROM cnt c JOIN tot t ON t.source = c.source
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+    doc=(
+        "language-mix purity per source: Shannon entropy of the lang "
+        "distribution plus the majority share — the audit that "
+        "separates a monolingual source (entropy ≈ 0) from a crawl "
+        "bucket that needs per-lang routing before mixing (q51 labels "
+        "docs; THIS says whether a source is a mix at all).  "
+        "|sources|×|langs|-bounded counts, everything after is "
+        "arithmetic on the bounded frame"
+    ),
+)
+def q309(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("n").alias("t"), F.max("n").alias("top_n")
+    )
+    p = F.col("n") * 1.0 / F.col("t")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("lang_entropy"),
+            F.round(
+                F.max("top_n") * 1.0 / F.max("t"), 6
+            ).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q310 — int8/int4 quantization-error sweep over embeddings
+# ---------------------------------------------------------------------------
+
+_Q310_QMAX = (127.0, 7.0)  # int8, int4 symmetric
+
+
+@register(
+    "q310_quant_error_sweep",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), prep AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) AS amax
+        FROM e
+    ), sweep AS (
+        SELECT label, qmax,
+               round(
+                 list_sum(list_transform(v,
+                     x -> pow(x - round(x / (amax / qmax))
+                                  * (amax / qmax), 2)))
+                 / list_sum(list_transform(v, x -> x * x)), 9)
+                   AS rel_err
+        FROM prep CROSS JOIN (
+            SELECT CAST(unnest([{", ".join(repr(q) for q in _Q310_QMAX)}])
+                        AS DOUBLE) AS qmax
+        )
+        WHERE amax > 0
+    )
+    SELECT label, qmax,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(rel_err), 6) AS mean_rel_err,
+           round(max(rel_err), 6) AS max_rel_err
+    FROM sweep GROUP BY label, qmax ORDER BY label, qmax
+    """,
+    doc=(
+        "symmetric per-vector int8 vs int4 quantization error over the "
+        "embedding table, per label: scale = amax/qmax, relative MSE "
+        "of the dequantized vector — the storage-sizing readout that "
+        "says whether an ANN index can drop to 4-bit codes for THIS "
+        "corpus (the q58/q292 PQ family's scalar-quant sibling).  The "
+        "scale is computed ONCE as a column and referenced inside the "
+        "fold as an attribute (inlining amax re-evaluates the "
+        "array_max per element — the lambda tax); per-vector error is "
+        "rounded to 9 before the label aggregate so the cross-engine "
+        "float-fold order cannot surface"
+    ),
+)
+def q310(spark, sf_dir):
+    from ..operators.similarity import as_double
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    prep = e.select(
+        "label",
+        "v",
+        F.array_max(F.transform("v", lambda x: F.abs(x))).alias("amax"),
+    ).filter(F.col("amax") > 0)
+    sweep = prep.select(
+        "label",
+        F.explode(
+            F.array(*[F.lit(q) for q in _Q310_QMAX])
+        ).alias("qmax"),
+        "v",
+        (F.col("amax") / F.col("qmax")).alias("scale"),
+    ).select(
+        "label",
+        "qmax",
+        F.round(
+            F.aggregate(
+                "v",
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.pow(
+                    x - F.round(x / F.col("scale"), 0) * F.col("scale"),
+                    F.lit(2.0),
+                ),
+            )
+            / F.aggregate(
+                "v", F.lit(0.0), lambda acc, x: acc + x * x
+            ),
+            9,
+        ).alias("rel_err"),
+    )
+    return (
+        sweep.groupBy("label", "qmax")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("rel_err"), 6).alias("mean_rel_err"),
+            F.round(F.max("rel_err"), 6).alias("max_rel_err"),
+        )
+        .orderBy("label", "qmax")
+    )

@@ -219,6 +219,33 @@ _SIDECAR_WORKERS = 8
 _SIDECAR_LIVE: list | None = None  # fork-shared input (COW, never pickled)
 
 
+def _sidecar_fork_init() -> None:
+    """Fork-child initializer: neuter the inherited py4j plumbing.
+
+    A forked worker shares the parent's interpreter state, including
+    any live SparkSession's py4j JavaObject proxies.  The worker never
+    USES them, but child-exit finalization runs their ``__del__``,
+    which sends DEL commands to the (shared-port) JVM gateway — freeing
+    objects the PARENT still owns.  No-op the send paths and disable
+    the cycle collector so the child can only compute and exit."""
+    import gc
+
+    gc.disable()
+    for mod, cls in (
+        ("py4j.java_gateway", "GatewayClient"),
+        ("py4j.clientserver", "JavaClient"),
+    ):
+        try:
+            import importlib
+
+            m = importlib.import_module(mod)
+            setattr(
+                getattr(m, cls), "send_command", lambda *a, **k: ""
+            )
+        except Exception:
+            pass
+
+
 def _sidecar_chunk_worker(bounds: tuple[int, int]) -> tuple[bytes, dict]:
     """One fork worker of `_build_live_table`: build the sidecar columns
     for ``_SIDECAR_LIVE[lo:hi]`` and ship them back as arrow IPC bytes
@@ -273,9 +300,20 @@ def _build_live_table(
     bounds = [(i, min(i + step, n)) for i in range(0, n, step)]
     _SIDECAR_LIVE = live
     try:
-        with ctx.Pool(len(bounds)) as pool:
+        with ctx.Pool(
+            len(bounds), initializer=_sidecar_fork_init
+        ) as pool:
             parts = pool.map(_sidecar_chunk_worker, bounds)
-    except Exception:
+    except Exception as ex:
+        # loud fallback: a silently-serialized 10M build reads as a
+        # regression with no cause attached
+        import sys
+
+        print(
+            f"txlog: parallel sidecar build fell back to serial "
+            f"({type(ex).__name__}: {ex})",
+            file=sys.stderr,
+        )
         return _serial()
     finally:
         _SIDECAR_LIVE = None

@@ -393,3 +393,30 @@ def test_parallel_sidecar_build_matches_serial(monkeypatch):
     assert par.equals(serial)
     # flags disqualified the string column, kept the numeric ones
     assert fp["s"][0] is False and fp["id"][0] is True
+
+
+def test_parallel_sidecar_build_fork_safe_with_live_session(
+    spark, monkeypatch
+):
+    """The forked workers inherit the driver's py4j state; without the
+    child initializer (gc off + no-op'd send paths), child-exit
+    finalization would send DEL commands to the SHARED JVM gateway and
+    free objects the parent still owns.  Build in parallel while the
+    session holds live JVM objects, then prove the parent's JVM state
+    still works."""
+    from cars_bids_data_pipeline_v0__spark.sources import txlog as TX
+
+    df = spark.range(100).toDF("id").persist()
+    assert df.count() == 100  # live JavaObject proxies in the parent
+    monkeypatch.setattr(TX, "_SIDECAR_PARALLEL_MIN", 100)
+    monkeypatch.setattr(TX, "_SIDECAR_WORKERS", 4)
+    live = [
+        {"path": f"data/{i}.parquet", "partition": None, "bytes": 1,
+         "cols": {"id": "int64"}, "rows": 1, "stats": {"id": [i, i]}}
+        for i in range(5000)
+    ]
+    t, _ = TX._build_live_table(live)
+    assert t.num_rows == 5000
+    assert df.count() == 100
+    assert spark.range(7).count() == 7
+    df.unpersist()
