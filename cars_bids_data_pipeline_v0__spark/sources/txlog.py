@@ -269,20 +269,32 @@ def _sidecar_chunk_worker(bounds: tuple[int, int]) -> tuple[bytes, dict]:
 def _build_live_table(
     live: list[dict],
 ) -> tuple["object", dict[str, tuple[bool, bool, bool]]]:
-    """``(pyarrow.Table restricted to the keep columns, flags)`` for a
-    FULL sidecar build.  Small tables run the serial `_build_live_cols`
-    path; past ``_SIDECAR_PARALLEL_MIN`` rows the build forks
+    """``(pyarrow.Table restricted to the keep columns, SORTED by path,
+    flags)`` for a FULL sidecar build — input order free.  Small tables
+    run the serial `_build_live_cols` path; past
+    ``_SIDECAR_PARALLEL_MIN`` rows the build forks
     ``_SIDECAR_WORKERS`` processes (round-12: the 10M-file full build
     measured 120 s of json.dumps + 64 s of list→arrow, both pure-CPU
     python the GIL serializes — the parquet WRITE was 6 s.  Fork shares
     the action dicts copy-on-write, workers return arrow IPC buffers,
-    and the parent only concatenates).  Any worker failure falls back
-    to the serial build — the parallel path is an optimization, never
-    a correctness dependency."""
+    and the parent concatenates and sorts).  Any worker failure falls
+    back to the serial build — the parallel path is an optimization,
+    never a correctness dependency.
+
+    Chunking is by the GIVEN (allocation) order, NOT path order, and
+    the path sort happens once on the finished arrow table: the action
+    dicts were born in commit-replay order, so a path-sorted input
+    hands every worker a slice SCATTERED uniformly over the whole
+    multi-GB heap — each child's refcount writes then COW-copy
+    essentially every page, 8× over (measured: 205 s on the real 10M
+    log vs 45 s on an allocation-ordered list).  Allocation-ordered
+    slices keep each child's faults to its own contiguous ~1/8th; the
+    arrow sort is C-speed."""
     import pyarrow as _pa
 
     def _serial():
-        cols, flags = _build_live_cols(live)
+        ordered = sorted(live, key=lambda a: a["path"])
+        cols, flags = _build_live_cols(ordered)
         keep = _sidecar_keep_cols(flags)
         return _pa.table({k: cols[k] for k in keep}), flags
 
@@ -357,7 +369,8 @@ def _build_live_table(
         aligned.append(
             _pa.Table.from_arrays(arrays, names=keep)
         )
-    return _pa.concat_tables(aligned), flags
+    out = _pa.concat_tables(aligned)
+    return out.sort_by([("path", "ascending")]), flags
 
 
 def _sidecar_keep_cols(
@@ -1079,7 +1092,12 @@ class TransactionLog:
         # metadata survives log truncation and pruners can start replay
         # from the checkpoint like live_files does
         acts = self._live_actions_shared(upto=v)
-        live = [acts[p] for p in sorted(acts)]
+        # ALLOCATION order, not path order: the parquet path sorts
+        # the finished arrow table (C-speed), and path-ordered
+        # slices would scatter the fork workers' COW faults over
+        # the whole heap (see _build_live_table); the JSON path
+        # sorts its small list below
+        live = list(acts.values())
         # SetTransaction-style compaction of idempotence tokens: the
         # per-app LATEST batch id (batch ids per app are monotone — the
         # Structured Streaming per-checkpoint guarantee), so txn_seen
@@ -1153,7 +1171,7 @@ class TransactionLog:
                 c: [bool(x) for x in f] for c, f in flags.items()
             }
         else:
-            body["live"] = live
+            body["live"] = sorted(live, key=lambda a: a["path"])
         cons = self.constraints(upto=v)
         if cons:
             body["constraints"] = cons

@@ -378,8 +378,12 @@ def test_parallel_sidecar_build_matches_serial(monkeypatch):
         if i % 13 == 0:
             del a["stats"]  # rows with no stats at all
         live.append(a)
+    # deterministic jumble: _build_live_table's contract is input-order
+    # FREE (chunking is allocation-ordered, output sorted by path)
+    live = [live[(i * 2654435761) % 4000] for i in range(4000)]
+    assert len({a["path"] for a in live}) == 4000  # a true permutation
 
-    cols, fs = TX._build_live_cols(live)
+    cols, fs = TX._build_live_cols(sorted(live, key=lambda a: a["path"]))
     keep = TX._sidecar_keep_cols(fs)
     serial = pa.table({k: cols[k] for k in keep})
 

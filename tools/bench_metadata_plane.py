@@ -220,11 +220,18 @@ MEASURED_10M = {
     "n_files": 10_000_000,
     "n_commits": 201,
     "cold_replay_sec": 292.9986,
-    "checkpoint_write_sec": 345.3252,
+    # round-12: the FULL sidecar build forks 8 workers past 2M rows
+    # (allocation-ordered chunks, arrow-IPC results, final C-speed
+    # path sort) — re-measured on the real 10M log, quiet box,
+    # 2026-08-16: 76.8 s (r11 serial build: 345.3 s).  Intermediate
+    # finding recorded for the next optimizer: path-SORTED input made
+    # every fork worker's slice scatter over the whole heap and COW-
+    # copy ~every page (261.5 s); allocation-ordered slices fixed it.
+    "checkpoint_write_sec": 76.8,
     "checkpoint_bytes": 673_616_445,
-    "cold_snapshot_from_checkpoint_sec": 367.4655,
+    "cold_snapshot_from_checkpoint_sec": 194.4,  # r12 re-measure
     "warm_snapshot_sec": 0.0005,
-    "cold_tx_count_sec": 1.9929,
+    "cold_tx_count_sec": 1.24,  # r12 re-measure (1B rows, columnar)
     "cold_prune_filelist_sec": 2.5864,
     "prune_filelist_sec": 11.3113,
     "pruned_scan_sec": 12.7701,
@@ -233,9 +240,11 @@ MEASURED_10M = {
     "checkpoint_incremental_write_sec": 37.2126,
     "total_wall_sec": 1821.5,
     "measured": (
-        "one-time round-11 run of this tool (not the per-round bench "
-        "loop; 30.4 min wall) — reproduce with `python "
-        "tools/bench_metadata_plane.py 10000000` or "
+        "round-11 full run of this tool, with checkpoint_write_sec / "
+        "cold_snapshot_from_checkpoint_sec / cold_tx_count_sec "
+        "re-measured 2026-08-16 (round 12) on a real synthesized 10M "
+        "log after the parallel sidecar build landed — reproduce with "
+        "`python tools/bench_metadata_plane.py 10000000` or "
         "SPARK_GRAFT_META10M=1"
     ),
 }
