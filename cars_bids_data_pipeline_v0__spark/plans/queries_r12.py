@@ -1136,3 +1136,221 @@ def q310(spark, sf_dir):
         )
         .orderBy("label", "qmax")
     )
+
+
+# ---------------------------------------------------------------------------
+# q311 — weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q311_retention_cohorts",
+    """
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(min(date_trunc('week', ts)) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM first_seen GROUP BY cohort
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               CAST(date_diff('day', f.cohort,
+                    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+                   AS week_n
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT a.cohort, a.week_n,
+           CAST(count(*) AS BIGINT) AS n_active,
+           s.cohort_users,
+           round(count(*) * 1.0 / s.cohort_users, 6) AS retention
+    FROM activity a JOIN sizes s ON s.cohort = a.cohort
+    GROUP BY a.cohort, a.week_n, s.cohort_users
+    ORDER BY a.cohort, a.week_n
+    """,
+    doc=(
+        "weekly retention triangle: users bucketed into their "
+        "first-seen ISO-week cohort, then the fraction of each cohort "
+        "active in each later week — the canonical product-analytics "
+        "readout (q263's funnel says WHAT users do; this says whether "
+        "they come back).  Week arithmetic is date_trunc + an exact "
+        "integer day-difference // 7 (week-truncated dates differ by "
+        "multiples of 7 — no float time math), so both engines bucket "
+        "identically.  Two user-keyed aggregates + one distinct per "
+        "(user, week) — shuffles on user_id, output bounded by "
+        "|cohorts|² weeks"
+    ),
+)
+def q311(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = e.groupBy("user_id").agg(
+        F.min(wk).cast("date").alias("cohort")
+    )
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(wk.cast("date"), F.col("cohort"))
+                / F.lit(7)
+            ).cast("int").alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort", "week_n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_n",
+            "n_active",
+            "cohort_users",
+            F.round(
+                F.col("n_active") * 1.0 / F.col("cohort_users"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "week_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q312 — hourly-volume anomalies via median absolute deviation
+# ---------------------------------------------------------------------------
+
+_Q312_K = 1.4826  # normal-consistency constant
+_Q312_CUT = 3.0
+
+
+@register(
+    "q312_hourly_anomaly_mad",
+    f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), med AS (
+        SELECT quantile_cont(c, 0.5) AS m FROM hourly
+    ), dev AS (
+        SELECT h, c, abs(c - med.m) AS d FROM hourly CROSS JOIN med
+    ), mad AS (
+        SELECT quantile_cont(d, 0.5) AS md FROM dev
+    )
+    SELECT dev.h AS hour, dev.c AS n_events,
+           round(dev.d / ({_Q312_K!r} * mad.md), 4) AS robust_z
+    FROM dev CROSS JOIN mad
+    WHERE dev.d > {_Q312_CUT!r} * {_Q312_K!r} * mad.md
+    ORDER BY hour
+    """,
+    doc=(
+        "robust volume-anomaly detection on the hourly event series: "
+        "median + MAD (×1.4826 normal-consistency) instead of "
+        "mean/stddev, so the detector's own baseline is immune to the "
+        "anomalies it hunts — the ops alert q152's EWMA and q283's "
+        "Holt forecast complement with a distribution-free flag.  Two "
+        "exact-percentile aggregates broadcast as single-row frames; "
+        "the hourly rollup is the only corpus-sized shuffle"
+    ),
+)
+def q312(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    med = hourly.agg(F.percentile("c", F.lit(0.5)).alias("m"))
+    dev = hourly.crossJoin(F.broadcast(med)).select(
+        "h", "c", F.abs(F.col("c") - F.col("m")).alias("d")
+    )
+    mad = dev.agg(F.percentile("d", F.lit(0.5)).alias("md"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(
+            F.col("d") > F.lit(_Q312_CUT) * F.lit(_Q312_K) * F.col("md")
+        )
+        .select(
+            F.col("h").alias("hour"),
+            F.col("c").alias("n_events"),
+            F.round(
+                F.col("d") / (F.lit(_Q312_K) * F.col("md")), 4
+            ).alias("robust_z"),
+        )
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q313 — positional token entropy (template-rigidity profile)
+# ---------------------------------------------------------------------------
+
+_Q313_POSITIONS = 8
+
+
+@register(
+    "q313_positional_token_entropy",
+    f"""
+    WITH toks AS (
+        SELECT list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+        SELECT i AS position, t[i] AS tok
+        FROM toks, unnest(generate_series(1, {_Q313_POSITIONS})) AS u(i)
+        WHERE len(t) >= i
+    ), cnt AS (
+        SELECT position, tok, CAST(count(*) AS BIGINT) AS c
+        FROM pos GROUP BY position, tok
+    ), tot AS (
+        SELECT position, sum(c) AS n FROM cnt GROUP BY position
+    )
+    SELECT c.position,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum((c.c * 1.0 / t.n) * log2(c.c * 1.0 / t.n)), 6)
+               AS entropy
+    FROM cnt c JOIN tot t ON t.position = c.position
+    GROUP BY c.position
+    ORDER BY c.position
+    """,
+    doc=(
+        "token entropy BY POSITION over the first 8 tokens: a rigid "
+        "template pins early positions to near-zero entropy (every doc "
+        "starts the same way) while natural text stays high from "
+        "position one — the rigidity PROFILE behind q287's shared-"
+        "prefix detector (q287 finds the templates; this measures how "
+        "templated the corpus is overall, one number per position).  "
+        "Positional counts are vocab-bounded aggregates; the entropy "
+        "fold is |positions|-bounded arithmetic"
+    ),
+)
+def q313(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim("text")) > 0).select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        ).alias("t")
+    )
+    pos = toks.select(
+        F.posexplode(
+            F.slice(F.col("t"), 1, _Q313_POSITIONS)
+        ).alias("p0", "tok")
+    ).select((F.col("p0") + 1).alias("position"), "tok")
+    cnt = pos.groupBy("position", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("position").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        cnt.join(F.broadcast(tot), "position")
+        .groupBy("position")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+        )
+        .orderBy("position")
+    )
