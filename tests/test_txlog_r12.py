@@ -424,3 +424,36 @@ def test_parallel_sidecar_build_fork_safe_with_live_session(
     assert df.count() == 100
     assert spark.range(7).count() == 7
     df.unpersist()
+
+
+def test_merge_into_all_dv_deleted_target(spark, tmp_path):
+    """Every target row is DV-deleted when the merge arrives: the source
+    key matches NO visible row, so it must INSERT (not resurrect the
+    dead row or crash on the empty visible set)."""
+    t = str(tmp_path / "t")
+    _mk(spark, t, [(1, 0, 0)])
+    assert tx_delete_where(spark, t, "val = 0", mode="dv") == 1
+    r = tx_merge_into(
+        spark, t, _src(spark, [(1, 5, 0)]), on=["id"],
+        when_matched_update={"val": "s.val"},
+        when_not_matched_insert=True, partition_by="p",
+    )
+    assert r["inserted"] == 1 and r["updated"] == 0 and r["deleted"] == 0
+    got = {(r2["id"], r2["val"]) for r2 in tx_read(spark, t).collect()}
+    assert got == {(1, 5)}
+
+
+def test_merge_gate_false_keeps_everything(spark, tmp_path):
+    """matched_condition false for every match: the rewrite is ALL
+    keeps — zero counts, bytes rewritten but no row lost (the inverse
+    corner of the delete-all family)."""
+    t = str(tmp_path / "t")
+    _mk(spark, t, [(1, 0, 0), (2, 0, 1), (3, 0, 1)])
+    r = tx_merge_into(
+        spark, t, _src(spark, [(1, -1, 0)]), on=["id"],
+        when_matched_delete="s.val < 0",
+        matched_condition="t.val > 100",
+        when_not_matched_insert=False, partition_by="p",
+    )
+    assert r["deleted"] == 0 and r["updated"] == 0 and r["inserted"] == 0
+    assert _ids(spark, t) == [1, 2, 3]
