@@ -256,6 +256,13 @@ SF1_QUERIES = [
     # shape under a 20× bigger probe side)
     "q285_heaps_law_fit",
     "q290_eval_holdout_split",
+    # round-12: the two heaviest new shapes on the curve — the dedup
+    # cascade (fingerprint groupBy + capped pair join + attribution
+    # joins; 15.5 s at introduction, its 22 s sf0.01 reading was ~12 s
+    # fixed overhead) and the held-out LM (bigram/unigram count tables
+    # + a 4-way postings join over the 10% eval slice; 4.2 s)
+    "q299_dedup_cascade_audit",
+    "q302_heldout_lm_perplexity",
 ]
 SF1_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf1")
 SF5_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf5")
