@@ -103,31 +103,479 @@ def _load_json_cached(path: str, cache: dict[tuple, dict]) -> dict:
 _PARQUET_CKPT_MIN = 10_000
 
 
-def _read_live_sidecar(path: str) -> list[dict]:
-    """Rebuild the live add-action list from a checkpoint's parquet
-    sidecar.  Field-exact by construction: each row is (path, the rest
-    of the action as JSON), so reconstruction is byte-faithful to what
-    the inline list would have carried.  Any read/parse failure is
-    normalized to ValueError so `_latest_checkpoint_body`'s
-    torn-checkpoint fallback treats the whole checkpoint as unreadable."""
+def _read_live_sidecar(path: str) -> "_SidecarBase":
+    """Open a checkpoint's parquet live-list sidecar as a LAZY columnar
+    base (`_SidecarBase`) — round-13: the eager arrow→list[dict]
+    conversion this used to do was the metadata plane's last O(n)
+    driver cost (10M live files: ~60 s of json parse + ~80 s of
+    `_copy_tree` per cold `live_actions`, 194–248 s measured), and
+    most verbs never need the full dict list (count/prune/scan
+    planning read the typed sidecar columns; MERGE touches only its
+    candidate files).  The parquet READ stays eager so a torn/missing
+    sidecar still surfaces here, normalized to ValueError for
+    `_latest_checkpoint_body`'s torn-checkpoint fallback; the
+    arrow→dict materialization happens per-row (point lookups) or in
+    chunked batches (full iteration), only when a verb asks."""
     import pyarrow.parquet as _pq
 
     try:
         t = _pq.read_table(path)
-        paths = t.column("path").to_pylist()
-        rests = t.column("rest_json").to_pylist()
+        return _SidecarBase(t)
     except Exception as exc:  # torn/missing sidecar = torn checkpoint
         raise ValueError(f"unreadable checkpoint sidecar {path}") from exc
-    # ONE json parse of the assembled array, not one per row: 100k
-    # small json.loads calls cost ~1.2 s of per-call overhead where the
-    # single big parse costs ~0.3 s (measured on the 100k-file curve)
-    try:
-        actions = json.loads("[" + ",".join(rests) + "]")
-    except (TypeError, json.JSONDecodeError) as exc:
-        raise ValueError(f"corrupt checkpoint sidecar {path}") from exc
-    for p, a in zip(paths, actions):
-        a["path"] = p
-    return actions
+
+
+#: rows per chunk for batched sidecar parsing — one json.loads per
+#: chunk, not per row (100k per-row loads measured ~1.2 s vs ~0.3 s
+#: for the assembled-array parse; 64k rows keeps the assembled string
+#: ~20 MB)
+_SIDECAR_PARSE_CHUNK = 65536
+
+
+class _SidecarBase:
+    """Columnar view of one checkpoint sidecar's live add-actions.
+
+    Holds the arrow columns (``path``, ``rest_json``, ``zpartition``)
+    and materializes python objects lazily, each cached after first
+    use:
+
+    * ``paths()`` / ``partitions()`` — pylist of one column (C-speed).
+    * ``find(p)`` — row index by binary search (the sidecar is written
+      path-sorted by both build paths; verified C-side once, with a
+      dict-index fallback if an external writer broke the order).
+    * ``action_at(i, fresh=True)`` — ONE row parsed to a dict.  Fresh
+      dicts are private to the caller by construction (parsed from the
+      immutable arrow strings), which is what lets the public
+      `live_actions` hand out safe copies without `_copy_tree`.
+    * ``iter_parsed(fresh=...)`` — all rows, chunk-batched json parse.
+      With ``fresh=False`` the parsed list is built once and cached
+      (today's shared-snapshot regime: verbs that genuinely iterate
+      every action — optimize policy, zorder stats, clone, export —
+      pay the parse once per checkpoint, then dict-speed), and the
+      CONTRACT is the `_live_actions_shared` one: treat the dicts as
+      immutable, they are shared.
+
+    Field-exact by construction: each ``rest_json`` row is the action
+    minus ``path``, so reconstruction is byte-faithful to what the
+    inline checkpoint list would have carried."""
+
+    __slots__ = (
+        "_table", "_path_col", "_rest_col", "_part_col", "_n",
+        "_paths", "_parts", "_sorted", "_index", "_acts",
+    )
+
+    def __init__(self, table):
+        names = table.column_names
+        if "path" not in names or "rest_json" not in names:
+            raise ValueError("checkpoint sidecar missing required columns")
+        self._table = table
+        self._path_col = table.column("path")
+        self._rest_col = table.column("rest_json")
+        self._part_col = (
+            table.column("zpartition") if "zpartition" in names else None
+        )
+        self._n = table.num_rows
+        self._paths: list | None = None
+        self._parts: list | None = None
+        self._sorted: bool | None = None
+        self._index: dict | None = None
+        self._acts: list | None = None
+
+    def __len__(self) -> int:
+        return self._n
+
+    def table(self):
+        """The full sidecar arrow table (typed zone/size columns
+        included) — for verbs that can answer columnarly."""
+        return self._table
+
+    def paths(self) -> list:
+        if self._paths is None:
+            self._paths = self._path_col.to_pylist()
+        return self._paths
+
+    def partitions(self) -> list:
+        if self._parts is None:
+            if self._part_col is None:
+                # pre-zpartition sidecar (never written by this engine,
+                # defensive): fall back to the parsed actions
+                self._parts = [
+                    a.get("partition") for a in self.iter_actions()
+                ]
+            else:
+                self._parts = self._part_col.to_pylist()
+        return self._parts
+
+    def _check_sorted(self) -> bool:
+        if self._sorted is None:
+            import pyarrow.compute as _pc
+
+            ca = self._path_col.combine_chunks()
+            if len(ca) <= 1:
+                self._sorted = True
+            else:
+                self._sorted = bool(
+                    _pc.all(
+                        _pc.greater_equal(
+                            ca.slice(1), ca.slice(0, len(ca) - 1)
+                        )
+                    ).as_py()
+                )
+        return self._sorted
+
+    def find(self, p) -> int:
+        """Row index of path ``p``, or -1."""
+        if not isinstance(p, str) or self._n == 0:
+            return -1
+        if self._check_sorted():
+            import bisect
+
+            paths = self.paths()
+            i = bisect.bisect_left(paths, p)
+            return i if i < self._n and paths[i] == p else -1
+        if self._index is None:
+            self._index = {p: i for i, p in enumerate(self.paths())}
+        return self._index.get(p, -1)
+
+    def action_at(self, i: int, fresh: bool = True) -> dict:
+        if not fresh and self._acts is not None:
+            return self._acts[i]
+        a = json.loads(self._rest_col[i].as_py())
+        a["path"] = self.paths()[i]
+        return a
+
+    def _ensure_acts(self) -> list:
+        """Parse EVERY row once and cache the list (shared-immutable
+        contract) — the old eager-snapshot regime, now paid only by the
+        first verb that iterates the full action set."""
+        if self._acts is None:
+            acts: list = []
+            paths = self.paths()
+            rest = self._rest_col
+            for lo in range(0, self._n, _SIDECAR_PARSE_CHUNK):
+                chunk = rest.slice(lo, _SIDECAR_PARSE_CHUNK).to_pylist()
+                try:
+                    parsed = json.loads("[" + ",".join(chunk) + "]")
+                except (TypeError, json.JSONDecodeError) as exc:
+                    raise ValueError(
+                        "corrupt checkpoint sidecar rest_json"
+                    ) from exc
+                for k, a in enumerate(parsed):
+                    a["path"] = paths[lo + k]
+                acts.extend(parsed)
+            self._acts = acts
+        return self._acts
+
+    def iter_parsed(self, fresh: bool = True):
+        """Yield ``(path, action dict)`` in row order.  ``fresh=True``
+        parses private dicts per call; ``fresh=False`` serves the
+        shared cached list (building it on first use)."""
+        if not fresh:
+            acts = self._ensure_acts()
+            yield from zip(self.paths(), acts)
+            return
+        paths = self.paths()
+        rest = self._rest_col
+        for lo in range(0, self._n, _SIDECAR_PARSE_CHUNK):
+            chunk = rest.slice(lo, _SIDECAR_PARSE_CHUNK).to_pylist()
+            try:
+                parsed = json.loads("[" + ",".join(chunk) + "]")
+            except (TypeError, json.JSONDecodeError) as exc:
+                raise ValueError(
+                    "corrupt checkpoint sidecar rest_json"
+                ) from exc
+            for k, a in enumerate(parsed):
+                p = paths[lo + k]
+                a["path"] = p
+                yield p, a
+
+    def iter_actions(self):
+        """Iterate the SHARED action dicts (``body["live"]``-compat for
+        the sites that still consume the checkpoint live list as an
+        iterable of dicts)."""
+        for _p, a in self.iter_parsed(fresh=False):
+            yield a
+
+    __iter__ = iter_actions
+
+
+class _LazyLiveView:
+    """items()/values() view over `_LazyLive` — iterable + sized, which
+    is all the snapshot consumers use (no set algebra)."""
+
+    __slots__ = ("_m", "_values")
+
+    def __init__(self, m: "_LazyLive", values: bool):
+        self._m = m
+        self._values = values
+
+    def __len__(self) -> int:
+        return len(self._m)
+
+    def __iter__(self):
+        it = self._m._iter_items()
+        if self._values:
+            return (a for _p, a in it)
+        return it
+
+
+class _LazyLive:
+    """The live snapshot ``{path: add-action dict}`` of a
+    sidecar-checkpointed table, materialized lazily — `_SidecarBase`
+    rows plus a small mutable overlay for the post-checkpoint commit
+    tail (adds/removes/re-adds), which is exactly the shape
+    `_live_actions_shared`'s replay produces.
+
+    Mapping-compatible for every snapshot consumer in this module
+    (read-only: items()/values()/get()/``in``/len/iteration/sorted);
+    the replay mutations go through __setitem__/discard.  Invariants:
+    ``_removed`` ⊆ base paths, disjoint from ``_overlay``; ``_shadow``
+    = overlay keys that also exist in base (their base row is
+    superseded).  len = base − removed + overlay − shadow.
+
+    ``fresh`` selects the materialization contract: the INTERNAL
+    shared snapshot (fresh=False) serves base dicts from the base's
+    cached full parse when a verb has forced it — the immutable-shared
+    `_live_actions_shared` contract at dict speed; a `live_actions`
+    handout (fresh=True) always parses private dicts so caller
+    mutations can never reach the module caches."""
+
+    __slots__ = ("_base", "_overlay", "_removed", "_shadow", "_fresh")
+
+    def __init__(
+        self,
+        base: _SidecarBase,
+        overlay: dict | None = None,
+        removed: set | None = None,
+        shadow: set | None = None,
+        fresh: bool = False,
+    ):
+        self._base = base
+        self._overlay = overlay if overlay is not None else {}
+        self._removed = removed if removed is not None else set()
+        self._shadow = shadow if shadow is not None else set()
+        self._fresh = fresh
+
+    # -- size / membership -------------------------------------------------
+
+    def __len__(self) -> int:
+        return (
+            len(self._base)
+            - len(self._removed)
+            + len(self._overlay)
+            - len(self._shadow)
+        )
+
+    def __contains__(self, p) -> bool:
+        if p in self._overlay:
+            return True
+        if p in self._removed:
+            return False
+        return self._base.find(p) >= 0
+
+    # -- reads -------------------------------------------------------------
+
+    def __getitem__(self, p) -> dict:
+        a = self._overlay.get(p)
+        if a is not None:
+            return a
+        if p in self._removed:
+            raise KeyError(p)
+        i = self._base.find(p)
+        if i < 0:
+            raise KeyError(p)
+        return self._base.action_at(i, fresh=self._fresh)
+
+    def get(self, p, default=None):
+        try:
+            return self[p]
+        except KeyError:
+            return default
+
+    def __iter__(self):
+        removed, shadow = self._removed, self._shadow
+        if removed or shadow:
+            for p in self._base.paths():
+                if p not in removed:
+                    yield p
+            for p in self._overlay:
+                if p not in shadow:
+                    yield p
+        else:
+            yield from self._base.paths()
+            yield from self._overlay
+
+    def keys(self):
+        return iter(self)
+
+    def _iter_items(self, fresh: bool | None = None):
+        if fresh is None:
+            fresh = self._fresh
+        overlay, removed, shadow = (
+            self._overlay, self._removed, self._shadow,
+        )
+        for p, a in self._base.iter_parsed(fresh=fresh):
+            if p in removed:
+                continue
+            if p in shadow:
+                yield p, overlay[p]
+                continue
+            yield p, a
+        for p, a in overlay.items():
+            if p not in shadow:
+                yield p, a
+
+    def items(self):
+        return _LazyLiveView(self, values=False)
+
+    def values(self):
+        return _LazyLiveView(self, values=True)
+
+    def small_file_counts(self, small_file_bytes: int) -> dict | None:
+        """``{partition: count of live files under small_file_bytes}``
+        (unrecorded size counts as small, matching the dict path) —
+        computed arrow-side off the sidecar's ``zbytes``/``zpartition``
+        columns plus the python overlay.  Returns None when the sidecar
+        predates the zbytes column (pre-r13 format, or an incremental
+        extension of one): the dict path decides."""
+        t = self._base.table()
+        if "zbytes" not in t.column_names:
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        zb = t.column("zbytes")
+        zp = t.column("zpartition")
+        if pa.types.is_null(zb.type):
+            mask = pa.chunked_array([[True] * len(t)], pa.bool_())
+        else:
+            mask = pc.or_kleene(
+                pc.is_null(zb), pc.less(zb, small_file_bytes)
+            )
+        excl = self._removed | self._shadow
+        if excl:
+            mask = pc.and_(
+                mask,
+                pc.invert(
+                    pc.is_in(
+                        t.column("path"),
+                        value_set=pa.array(sorted(excl), pa.string()),
+                    )
+                ),
+            )
+        by_part: dict = {}
+        if pa.types.is_null(zp.type):
+            n = pc.sum(mask).as_py() or 0
+            if n:
+                by_part[None] = n
+        else:
+            kept = pc.filter(zp, mask)
+            for row in pc.value_counts(
+                kept.combine_chunks()
+            ).to_pylist():
+                if row["values"] is not None and row["counts"]:
+                    by_part[row["values"]] = row["counts"]
+            n_null = (
+                pc.sum(pc.and_(mask, pc.is_null(zp))).as_py() or 0
+            )
+            if n_null:
+                by_part[None] = by_part.get(None, 0) + n_null
+        for a in self._overlay.values():
+            size = a.get("bytes")
+            if size is None or size < small_file_bytes:
+                p = a.get("partition")
+                by_part[p] = by_part.get(p, 0) + 1
+        return by_part
+
+    def files(self) -> dict:
+        """``{path: partition or None}`` — the `live_files` projection,
+        built from the cached path/zpartition pylists (never parses
+        rest_json)."""
+        d = dict(zip(self._base.paths(), self._base.partitions()))
+        for p in self._removed:
+            d.pop(p, None)
+        for p, a in self._overlay.items():
+            d[p] = a.get("partition")
+        return d
+
+    # -- replay mutations (internal) ---------------------------------------
+
+    def __setitem__(self, p, a) -> None:
+        self._removed.discard(p)
+        self._overlay[p] = a
+        if self._base.find(p) >= 0:
+            self._shadow.add(p)
+
+    def discard(self, p) -> None:
+        """Remove ``p`` if present, never parsing its value (the replay
+        loop's ``pop(r, None)`` without the wasted materialization)."""
+        if p in self._overlay:
+            del self._overlay[p]
+            if p in self._shadow:
+                self._shadow.discard(p)
+                self._removed.add(p)
+        elif p not in self._removed and self._base.find(p) >= 0:
+            self._removed.add(p)
+
+    def pop(self, p, *default):
+        try:
+            v = self[p]
+        except KeyError:
+            if default:
+                return default[0]
+            raise
+        self.discard(p)
+        return v
+
+    # -- copies ------------------------------------------------------------
+
+    def copy_shallow(self) -> "_LazyLive":
+        """Independent overlay state over the shared base — what the
+        incremental snapshot extension mutates (the `dict(snap)` of the
+        plain path, minus the 10M-entry copy)."""
+        return _LazyLive(
+            self._base,
+            dict(self._overlay),
+            set(self._removed),
+            set(self._shadow),
+            fresh=self._fresh,
+        )
+
+    def copy_out(self) -> "_LazyLive":
+        """The `live_actions` handout: base rows parse fresh per access
+        (private by construction), overlay dicts — shared with the
+        commit-body cache — are deep-copied.  Caller mutations of the
+        mapping or any dict it hands out can never reach the module
+        caches."""
+        return _LazyLive(
+            self._base,
+            {p: _copy_tree(a) for p, a in self._overlay.items()},
+            set(self._removed),
+            set(self._shadow),
+            fresh=True,
+        )
+
+    def __eq__(self, other):
+        if isinstance(other, _LazyLive):
+            if (
+                self._base is other._base
+                and self._overlay == other._overlay
+                and self._removed == other._removed
+            ):
+                return True
+            other = dict(other._iter_items())
+        if not isinstance(other, dict):
+            return NotImplemented
+        if len(self) != len(other):
+            return False
+        for p, a in self._iter_items():
+            if other.get(p) != a:
+                return False
+        return True
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return eq if eq is NotImplemented else not eq
 
 
 def _load_checkpoint_cached(path: str) -> dict:
@@ -182,6 +630,10 @@ def _build_live_cols(
         ],
         "zrows": [a.get("rows") for a in live],
         "zpartition": [a.get("partition") for a in live],
+        # typed size column (round-13) so the small-file OPTIMIZE
+        # policy reads columnarly — a null means "size unrecorded",
+        # which the policy already counts as small (conservative)
+        "zbytes": [a.get("bytes") for a in live],
     }
     flags: dict[str, tuple[bool, bool, bool]] = {}
     stat_keys = {k for a in live for k in (a.get("stats") or {})}
@@ -351,7 +803,7 @@ def _build_live_table(
         for name in keep:
             if name in ("path", "rest_json", "zpartition"):
                 ztype = _pa.string()
-            elif name == "zrows":
+            elif name in ("zrows", "zbytes"):
                 ztype = _pa.int64()
             else:
                 c = name.split(":", 1)[1]
@@ -377,7 +829,7 @@ def _sidecar_keep_cols(
     flags: dict[str, tuple[bool, bool, bool]]
 ) -> list[str]:
     zone_cols = _qualified_zone_cols(flags)
-    return ["path", "rest_json", "zrows", "zpartition"] + [
+    return ["path", "rest_json", "zrows", "zpartition", "zbytes"] + [
         f"z{m}:{c}" for c in zone_cols for m in ("min", "max")
     ]
 
@@ -427,6 +879,22 @@ def _load_checkpoint_meta(path: str) -> dict:
                 _CHECKPOINT_META_CACHE.clear()
             _CHECKPOINT_META_CACHE[key] = body
     return body
+
+
+def _replay_into(live, acts) -> None:
+    """Apply commit bodies to a snapshot under assembly — identical
+    last-writer-wins semantics for the plain-dict and `_LazyLive`
+    shapes (the lazy path's `discard` skips the value materialization
+    `pop(r, None)` would force)."""
+    lazy = isinstance(live, _LazyLive)
+    for act in acts:
+        for a in act.get("add", []):
+            live[a["path"]] = a
+        for r in act.get("remove", []):
+            if lazy:
+                live.discard(r)
+            else:
+                live.pop(r, None)
 
 
 def _copy_tree(v):
@@ -511,10 +979,12 @@ class TransactionLog:
         """``{relative file path: partition value or None}`` at a version
         — a cheap projection of the shared snapshot (see
         `_live_actions_shared` for the replay/caching contract)."""
-        return {
-            f: a.get("partition")
-            for f, a in self._live_actions_shared(upto).items()
-        }
+        snap = self._live_actions_shared(upto)
+        if isinstance(snap, _LazyLive):
+            # columnar projection: path/zpartition pylists + overlay —
+            # never parses a rest_json row
+            return snap.files()
+        return {f: a.get("partition") for f, a in snap.items()}
 
     def _commit_sig(self, v: int) -> tuple | None:
         """File identity of one commit — the staleness key snapshots
@@ -541,7 +1011,10 @@ class TransactionLog:
         caches and with every other caller.  All internal metadata verbs
         (count, pruning, OPTIMIZE policy, checkpoint, restore, clone,
         export, read planning) consume this; the public `live_actions`
-        deep-copies on handout.  Measured at 100k live files this turns
+        deep-copies on handout.  For a sidecar-checkpointed table the
+        returned mapping is a `_LazyLive` (round-13): same Mapping
+        surface, but action dicts materialize per-verb instead of all
+        at cold-snapshot time.  Measured at 100k live files this turns
         every verb after the first from ~1.2 s of JSON replay + copy
         into a dict lookup (tools/bench_metadata_plane.py)."""
         v = self.version() if upto is None else upto
@@ -553,7 +1026,10 @@ class TransactionLog:
             ckpt = self._latest_checkpoint_body(None)
             if ckpt is None:
                 return {}
-            return {a["path"]: a for a in ckpt[1].get("live", [])}
+            base = ckpt[1].get("live", [])
+            if isinstance(base, _SidecarBase):
+                return _LazyLive(base)
+            return {a["path"]: a for a in base}
         key = os.path.abspath(self.path)
         ent = _SNAPSHOT_CACHE.get(key)
         if ent is not None:
@@ -561,12 +1037,12 @@ class TransactionLog:
             if cv <= v and self._commit_sig(cv) == sig:
                 if cv == v:
                     return snap
-                live = dict(snap)
-                for act in self.actions(v, since=cv):
-                    for a in act.get("add", []):
-                        live[a["path"]] = a
-                    for r in act.get("remove", []):
-                        live.pop(r, None)
+                live = (
+                    snap.copy_shallow()
+                    if isinstance(snap, _LazyLive)
+                    else dict(snap)
+                )
+                _replay_into(live, self.actions(v, since=cv))
                 self._snapshot_store(key, v, live)
                 return live
         start = -1
@@ -574,7 +1050,12 @@ class TransactionLog:
         ckpt = self._latest_checkpoint_body(v)
         if ckpt is not None:
             start = ckpt[0]
-            live = {a["path"]: a for a in ckpt[1].get("live", [])}
+            base = ckpt[1].get("live", [])
+            live = (
+                _LazyLive(base)
+                if isinstance(base, _SidecarBase)
+                else {a["path"]: a for a in base}
+            )
         else:
             # fail-loud time travel below a truncated log's horizon: no
             # checkpoint at or below v AND the retained commits do not
@@ -592,11 +1073,7 @@ class TransactionLog:
                     f"{vs[0] if vs else 'all retained commits'} and no "
                     f"checkpoint exists at or below {v}"
                 )
-        for act in self.actions(v, since=start):
-            for a in act.get("add", []):
-                live[a["path"]] = a
-            for r in act.get("remove", []):
-                live.pop(r, None)
+        _replay_into(live, self.actions(v, since=start))
         self._snapshot_store(key, v, live)
         return live
 
@@ -621,11 +1098,15 @@ class TransactionLog:
         along).  DEEP copies: the snapshot's action dicts are shared via
         the module caches, so handing out the cached dict (or its nested
         cols/stats/bloom sub-dicts) would let any caller mutation
-        silently corrupt every later snapshot."""
-        return {
-            f: _copy_tree(a)
-            for f, a in self._live_actions_shared(upto).items()
-        }
+        silently corrupt every later snapshot.  A sidecar-backed
+        snapshot hands out a `_LazyLive` copy instead: base rows parse
+        FRESH per access (private by construction — no `_copy_tree`
+        needed, the round-13 cold-read fix), overlay dicts are
+        deep-copied."""
+        snap = self._live_actions_shared(upto)
+        if isinstance(snap, _LazyLive):
+            return snap.copy_out()
+        return {f: _copy_tree(a) for f, a in snap.items()}
 
     def constraints(self, upto: int | None = None) -> dict[str, str]:
         """``{constraint name: SQL boolean predicate}`` in force at a
@@ -964,9 +1445,10 @@ class TransactionLog:
         if found is None:
             return None
         v, body = found
-        return v, {
-            a["path"]: a.get("partition") for a in body.get("live", [])
-        }
+        base = body.get("live", [])
+        if isinstance(base, _SidecarBase):
+            return v, dict(zip(base.paths(), base.partitions()))
+        return v, {a["path"]: a.get("partition") for a in base}
 
     def _extend_live_sidecar(
         self, prev_ck: tuple[int, dict], acts: dict[str, dict], v: int
@@ -1021,7 +1503,10 @@ class TransactionLog:
             )
         else:
             reused = prev_t
-        delta = [acts[p] for p in sorted(p for p in acts if p in touched)]
+        # O(|touched| log n): touched is the commit delta, so probe it
+        # against the snapshot instead of scanning every live path
+        # (same set, same sorted order — acts ∩ touched)
+        delta = [acts[p] for p in sorted(touched) if p in acts]
         if reused.num_rows + len(delta) != len(acts):
             # a reused path no longer live (impossible unless the prev
             # sidecar disagrees with the log) — refuse, full build
@@ -1052,14 +1537,20 @@ class TransactionLog:
             )
             return ra, da
 
-        names = ["path", "rest_json", "zrows", "zpartition"] + [
+        # zbytes only when the PREVIOUS sidecar carries it: fabricating
+        # nulls for reused rows would make the small-file policy read
+        # every pre-r13 file as "size unrecorded" = small.  Omitting
+        # the column keeps the policy on the exact dict path instead.
+        names = ["path", "rest_json", "zrows", "zpartition"] + (
+            ["zbytes"] if "zbytes" in prev_names else []
+        ) + [
             f"z{m}:{c}" for c in zone_cols for m in ("min", "max")
         ]
         r_arrays, d_arrays = [], []
         for name in names:
             if name in ("path", "rest_json", "zpartition"):
                 ztype = _pa.string()
-            elif name == "zrows":
+            elif name in ("zrows", "zbytes"):
                 ztype = _pa.int64()
             else:
                 c = name.split(":", 1)[1]
@@ -1092,12 +1583,20 @@ class TransactionLog:
         # metadata survives log truncation and pruners can start replay
         # from the checkpoint like live_files does
         acts = self._live_actions_shared(upto=v)
-        # ALLOCATION order, not path order: the parquet path sorts
-        # the finished arrow table (C-speed), and path-ordered
-        # slices would scatter the fork workers' COW faults over
-        # the whole heap (see _build_live_table); the JSON path
-        # sorts its small list below
-        live = list(acts.values())
+
+        # full action list, materialized ONLY by the branches that need
+        # every action (the inline-JSON body and the full sidecar
+        # rebuild) — the O(delta) sidecar extension reads just the
+        # touched paths, which keeps re-checkpointing a lazy
+        # (sidecar-backed) snapshot free of the 10M-row parse.
+        # ALLOCATION order, not path order: the parquet path sorts the
+        # finished arrow table (C-speed), and path-ordered slices would
+        # scatter the fork workers' COW faults over the whole heap (see
+        # _build_live_table); the JSON path sorts its small list below.
+        def _full_live() -> list[dict]:
+            if isinstance(acts, _LazyLive):
+                return [a for _f, a in acts._iter_items(fresh=False)]
+            return list(acts.values())
         # SetTransaction-style compaction of idempotence tokens: the
         # per-app LATEST batch id (batch ids per app are monotone — the
         # Structured Streaming per-checkpoint guarantee), so txn_seen
@@ -1118,7 +1617,7 @@ class TransactionLog:
                 )
         tmp = self._checkpoint_path(v) + f".tmp-{uuid.uuid4().hex}"
         body = {"version": v, "txns": txns}
-        if len(live) >= _PARQUET_CKPT_MIN:
+        if len(acts) >= _PARQUET_CKPT_MIN:
             # Delta's checkpoint format choice: the live list (the only
             # table-sized part of the body) goes to a parquet sidecar,
             # written BEFORE the JSON rename — readers only consult a
@@ -1155,7 +1654,7 @@ class TransactionLog:
                 # full build: forks past _SIDECAR_PARALLEL_MIN rows
                 # (the 10M-file constant was ~190 s of GIL-serialized
                 # json.dumps + list→arrow; the write is ~6 s)
-                table, flags = _build_live_table(live)
+                table, flags = _build_live_table(_full_live())
             zone_cols = _qualified_zone_cols(flags)
             _pqw.write_table(table, side_tmp)
             os.replace(side_tmp, os.path.join(self.log_dir, side))
@@ -1171,7 +1670,7 @@ class TransactionLog:
                 c: [bool(x) for x in f] for c, f in flags.items()
             }
         else:
-            body["live"] = sorted(live, key=lambda a: a["path"])
+            body["live"] = sorted(_full_live(), key=lambda a: a["path"])
         cons = self.constraints(upto=v)
         if cons:
             body["constraints"] = cons
@@ -1478,7 +1977,11 @@ class TransactionLog:
                 cbody = _load_checkpoint_cached(self._checkpoint_path(cv))
             except (OSError, json.JSONDecodeError, ValueError):
                 continue
-            ever |= {a["path"] for a in cbody.get("live", [])}
+            cbase = cbody.get("live", [])
+            if isinstance(cbase, _SidecarBase):
+                ever |= set(cbase.paths())  # columnar, no action parse
+            else:
+                ever |= {a["path"] for a in cbase}
             ever_dv |= set(cbody.get("dvs", {}).values())
         retained = retention_hours is not None
         for act in self.actions():
@@ -2235,12 +2738,19 @@ def tx_optimize_auto(
     v = log.version()
     if v < 0:
         return []
-    by_part: dict[str | None, int] = {}
-    for act in log._live_actions_shared(upto=v).values():
-        size = act.get("bytes")
-        if size is None or size < small_file_bytes:
-            p = act.get("partition")
-            by_part[p] = by_part.get(p, 0) + 1
+    snap = log._live_actions_shared(upto=v)
+    by_part: dict[str | None, int] | None = None
+    if isinstance(snap, _LazyLive):
+        # columnar policy read (round-13): zbytes/zpartition off the
+        # sidecar + the overlay tail — never parses an action dict
+        by_part = snap.small_file_counts(small_file_bytes)
+    if by_part is None:
+        by_part = {}
+        for act in snap.values():
+            size = act.get("bytes")
+            if size is None or size < small_file_bytes:
+                p = act.get("partition")
+                by_part[p] = by_part.get(p, 0) + 1
     picked = sorted(
         (p for p, n in by_part.items() if p is not None
          and n >= min_small_files),
@@ -2718,8 +3228,10 @@ def tx_prunable_files_bloom(
     log = TransactionLog(table_path)
     live = log._live_actions_shared(upto=version)
     keep, pruned = [], 0
-    for rel in sorted(live):
-        b = (live[rel].get("bloom") or {}).get(col)
+    # items(), not per-key lookups: a _LazyLive snapshot batch-parses
+    # one pass this way instead of a bisect+parse per path
+    for rel, act in sorted(live.items()):
+        b = (act.get("bloom") or {}).get(col)
         if b is None:
             keep.append(rel)
             continue
@@ -2842,8 +3354,16 @@ def _sidecar_prunable(
     if v < 0:
         return None
     ent = _SNAPSHOT_CACHE.get(os.path.abspath(log.path))
-    if ent is not None and ent[0] <= v and log._commit_sig(ent[0]) == ent[1]:
-        return None  # warm snapshot: the dict path is a lookup + tail
+    if (
+        ent is not None
+        and not isinstance(ent[2], _LazyLive)
+        and ent[0] <= v
+        and log._commit_sig(ent[0]) == ent[1]
+    ):
+        # warm PLAIN-DICT snapshot: the dict path is a lookup + tail.
+        # A warm _LazyLive stays columnar — its dict path would parse
+        # rest_json rows this fast path never needs (round-13).
+        return None
     found = log._latest_checkpoint_meta(v)
     if found is None:
         return None
@@ -2921,8 +3441,13 @@ def _sidecar_files_in_partitions(
     if v < 0:
         return None
     ent = _SNAPSHOT_CACHE.get(os.path.abspath(log.path))
-    if ent is not None and ent[0] <= v and log._commit_sig(ent[0]) == ent[1]:
-        return None
+    if (
+        ent is not None
+        and not isinstance(ent[2], _LazyLive)
+        and ent[0] <= v
+        and log._commit_sig(ent[0]) == ent[1]
+    ):
+        return None  # warm plain-dict snapshot; a _LazyLive stays columnar
     found = log._latest_checkpoint_meta(v)
     if found is None:
         return None
@@ -3023,8 +3548,8 @@ def tx_prunable_files(
         return fast
     live = log._live_actions_shared(upto=version)
     keep, pruned = [], 0
-    for f in sorted(live):
-        mm = (live[f].get("stats") or {}).get(col)
+    for f, act in sorted(live.items()):
+        mm = (act.get("stats") or {}).get(col)
         if mm is None:
             keep.append(f)
             continue
@@ -4850,9 +5375,14 @@ def tx_fsck(table_path: str) -> dict:
         found = log._latest_checkpoint_body()
         if found is not None:
             start = found[0]
-            for a in found[1].get("live", []):
-                live[a["path"]] = a.get("partition")
-                ever_added.add(a["path"])
+            fbase = found[1].get("live", [])
+            if isinstance(fbase, _SidecarBase):
+                live.update(zip(fbase.paths(), fbase.partitions()))
+                ever_added.update(fbase.paths())
+            else:
+                for a in fbase:
+                    live[a["path"]] = a.get("partition")
+                    ever_added.add(a["path"])
             for app, b in (found[1].get("txns") or {}).items():
                 last_batch[app] = int(b)
     for v in versions:
@@ -5823,8 +6353,8 @@ def tx_clone(
         raise ValueError(f"clone target {clone_path} already exists")
     acts = src._live_actions_shared(upto=version)
     adds = []
-    for rel in sorted(acts):
-        a = dict(acts[rel])
+    for rel, act in sorted(acts.items()):
+        a = dict(act)
         a["path"] = os.path.abspath(os.path.join(source_path, rel))
         adds.append(a)
     missing = [a["path"] for a in adds if not os.path.isfile(a["path"])]
@@ -5987,8 +6517,13 @@ def _sidecar_count(log: TransactionLog, upto: int | None, footer_rows):
     if v < 0:
         return None
     ent = _SNAPSHOT_CACHE.get(os.path.abspath(log.path))
-    if ent is not None and ent[0] <= v and log._commit_sig(ent[0]) == ent[1]:
-        return None
+    if (
+        ent is not None
+        and not isinstance(ent[2], _LazyLive)
+        and ent[0] <= v
+        and log._commit_sig(ent[0]) == ent[1]
+    ):
+        return None  # warm plain-dict snapshot; a _LazyLive stays columnar
     found = log._latest_checkpoint_meta(v)
     if found is None:
         return None
