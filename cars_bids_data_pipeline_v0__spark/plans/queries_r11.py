@@ -1260,17 +1260,27 @@ def q295(spark, sf_dir):
     # (dedup_docs.py::_drop_hot_shingles), relative cap so the fraction
     # of corpus a shingle may touch is scale-invariant.  Join keys are
     # xxhash64(shingle) (8-byte shuffle, q140/q290 precedent); the
-    # oracle joins raw strings.
+    # oracle joins raw strings.  ACCEPTED COLLISION RISK (round-12
+    # ADVICE): unlike q140/q290, the hashed key here feeds an
+    # oracle-compared count (n_pairs) — a 64-bit collision could merge
+    # two shingles' df counts or fabricate a candidate pair.  The
+    # exposure is ~d²/2^65 per shingle pair (<<1e-9 at any bench SF),
+    # and a fabricated candidate still has its EXACT Jaccard recomputed
+    # from full shingle sets below, so only the (already heuristic)
+    # df-cap boundary could shift.  Documented as accepted rather than
+    # re-verified against raw strings, which would re-shuffle the full
+    # string shingles and defeat the 8-byte-key point.
     cap = max(4, math.ceil(0.01 * d.count()))
     inv = sh.select("id", F.explode("sh").alias("__s")).select(
         "id", F.xxhash64("__s").alias("shingle")
     )
+    # NOTE: track_persist persists — no inner .persist() (the
+    # double-persist cache.py::track warns about, round-12 ADVICE)
     hot = track_persist(
         inv.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") > cap)
         .select("shingle")
-        .persist()
     )
     n_hot = hot.count()
     kept = inv.join(F.broadcast(hot), "shingle", "left_anti")

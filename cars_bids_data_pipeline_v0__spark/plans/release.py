@@ -251,6 +251,7 @@ def release_corpus(
             raise ValueError("coreset_k needs embeddings= (id ↔ vector)")
         from ..operators.similarity import as_double, kcenter_traverse
 
+        n_gated = kept.count()
         pts = track_persist(
             kept.select(id_col)
             .join(
@@ -263,6 +264,21 @@ def release_corpus(
             .select(F.col(id_col).alias("vec_id"), "v")
         )
         n_pts = pts.count()
+        if n_pts < n_gated:
+            # LOUD partial-coverage signal (round-12 ADVICE): the inner
+            # join drops every gated doc without an embedding row, and
+            # with zero coverage the whole increment silently empties —
+            # surface the broken embed-before-release contract instead
+            # (the txlog parallel-build fallback discipline)
+            import sys
+
+            print(
+                f"release_corpus: coreset embeddings cover {n_pts} of "
+                f"{n_gated} gated docs — {n_gated - n_pts} dropped for "
+                "missing embedding rows (embed-before-release contract "
+                "violated upstream)",
+                file=sys.stderr,
+            )
         if n_pts:
             centers = kcenter_traverse(
                 pts, k=min(coreset_k, n_pts), batch=16

@@ -763,11 +763,23 @@ def _build_live_table(
     step = -(-n // _SIDECAR_WORKERS)
     bounds = [(i, min(i + step, n)) for i in range(0, n, step)]
     _SIDECAR_LIVE = live
+    # Timeout = a generous multiple of the expected whole-build time
+    # (~8 s/M rows of json.dumps+arrow per worker at the measured 10M
+    # constant), floor 120 s: forking from a driver with live JVM/py4j
+    # background threads can deadlock a child (a lock held by another
+    # thread at fork, the worker then importing pyarrow), and a plain
+    # pool.map would hang the checkpoint forever with no fallback —
+    # map_async + get(timeout) turns that into the loud serial path
+    # (round-12 ADVICE).
+    timeout_s = max(120.0, len(live) * 1e-6 * 40.0)
+    pool = None
     try:
-        with ctx.Pool(
-            len(bounds), initializer=_sidecar_fork_init
-        ) as pool:
-            parts = pool.map(_sidecar_chunk_worker, bounds)
+        pool = ctx.Pool(len(bounds), initializer=_sidecar_fork_init)
+        parts = pool.map_async(_sidecar_chunk_worker, bounds).get(
+            timeout=timeout_s
+        )
+        pool.close()
+        pool.join()
     except Exception as ex:
         # loud fallback: a silently-serialized 10M build reads as a
         # regression with no cause attached
@@ -778,6 +790,9 @@ def _build_live_table(
             f"({type(ex).__name__}: {ex})",
             file=sys.stderr,
         )
+        if pool is not None:
+            pool.terminate()
+            pool.join()
         return _serial()
     finally:
         _SIDECAR_LIVE = None

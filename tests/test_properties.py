@@ -168,7 +168,9 @@ def test_keep_latest_keeps_max_date_per_key(spark, rows):
     ),
     st.sampled_from([(16, 4), (32, 8), (8, 0)]),
 )
-@settings(max_examples=12, deadline=None)
+# 24 examples per the round-11/12 precedent (corner discovery belongs in
+# the builder's runs, not the judge's) — raised from 12 in round 13
+@settings(max_examples=24, deadline=None)
 def test_chunking_partition_property(spark, doc_lens, size_overlap):
     from cars_bids_data_pipeline_v0__spark.operators.chunking import (
         chunk_documents,
@@ -209,7 +211,7 @@ def test_chunking_partition_property(spark, doc_lens, size_overlap):
 
 
 @given(st.lists(st.integers(1, 60), min_size=1, max_size=40))
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=24, deadline=None)  # raised from 8, round-13 directive
 def test_packing_partition_property(spark, doc_lens):
     from cars_bids_data_pipeline_v0__spark.operators.chunking import (
         chunk_documents,

@@ -492,6 +492,38 @@ def test_release_coreset_stage(spark, tmp_path, monkeypatch):
     assert len(rel2) == 8 and set(rel_ids) < set(rel2)
 
 
+def test_release_coreset_partial_embedding_coverage_is_loud(
+    spark, tmp_path, capfd
+):
+    """Round-12 ADVICE: gated docs with no embedding row are dropped by
+    the coreset's inner join — the stage must SAY so (stderr), not
+    shrink the release silently; the covered docs still release."""
+    docs = [(i, _text(i, 25), "web") for i in range(12)]
+    corpus = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    # embeddings for only half the ids
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(0, 12, 2)],
+        "doc_id long, embedding array<double>",
+    )
+    release_tbl = str(tmp_path / "rel_pc")
+    manifest = release_corpus(
+        spark, corpus, release_tbl, str(tmp_path / "shards_pc"),
+        coreset_k=3, embeddings=emb,
+        chunk_size=16, overlap=4, budget=32, num_shards=2,
+    )
+    err = capfd.readouterr().err
+    assert "coreset embeddings cover" in err
+    assert "embed-before-release" in err
+    released = sorted(
+        r["doc_id"] for r in tx_read(spark, release_tbl).collect()
+    )
+    assert len(released) == 3
+    assert all(i % 2 == 0 for i in released)  # only covered ids placed
+    assert manifest.collect()
+
+
 def test_release_coreset_requires_embeddings(spark, tmp_path):
     corpus = spark.createDataFrame(
         [(1, _text(1, 30), "web")], "doc_id long, text string, source string"

@@ -145,13 +145,26 @@ def main():
     ap.add_argument("--only", default=None)
     ap.add_argument("--first", type=int, default=None,
                     help="check only the first N queries (driver window)")
+    ap.add_argument("--ansi", action="store_true",
+                    help="run with spark.sql.ansi.enabled=true (the "
+                         "session.py ANSI-safety claim, enforced)")
+    ap.add_argument("--ansi-window", type=int, default=None, metavar="N",
+                    help="with --ansi: check a ROTATING window of N "
+                         "queries keyed on the round number (count of "
+                         "CORRECTNESS_r*.json), and write ANSI_SWEEP.json "
+                         "so an ANSI regression in an OLD query cannot "
+                         "land silently (round-12 VERDICT directive 3)")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
     from cars_bids_data_pipeline_v0__spark.cache import release_build_caches
     from cars_bids_data_pipeline_v0__spark.session import get_session
 
-    spark = get_session(app_name="oracle-check")
+    extra = {"spark.sql.ansi.enabled": "true"} if args.ansi else None
+    spark = get_session(app_name="oracle-check", extra_conf=extra)
+    if args.ansi:
+        # getOrCreate may have reused a live session: force the claim
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -160,6 +173,18 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    ansi_round = None
+    if args.ansi_window:
+        # deterministic rotation: round r covers names[r*N % M :][:N]
+        # (wrapping), over the SORTED registry — every query is re-swept
+        # under ANSI at least once every ceil(M/N) rounds
+        repo = Path(__file__).resolve().parent.parent
+        ansi_round = len(list(repo.glob("CORRECTNESS_r*.json")))
+        names = sorted(qs)
+        n, m = args.ansi_window, len(names)
+        start = (ansi_round * n) % m
+        window = (names[start:] + names[:start])[:n]
+        qs = {w: qs[w] for w in window}
     if args.first:
         qs = dict(list(qs.items())[: args.first])
     if args.only:
@@ -222,6 +247,21 @@ def main():
                 print(f"    {m}")
     print(f"\n{len(qs) - len(failures) - len(skipped)} ok, "
           f"{len(failures)} failed, {len(skipped)} rows-only")
+    if args.ansi_window:
+        import json as _json
+
+        artifact = Path(__file__).resolve().parent.parent / "ANSI_SWEEP.json"
+        artifact.write_text(_json.dumps({
+            "round": ansi_round,
+            "window_size": args.ansi_window,
+            "sf": args.sf,
+            "queries": sorted(qs),
+            "ok": len(qs) - len(failures) - len(skipped),
+            "rows_only": sorted(skipped),
+            "failed": sorted(failures),
+        }, indent=1) + "\n")
+        print(f"ANSI_SWEEP.json written (round {ansi_round}, "
+              f"{len(qs)} queries)")
     if failures:
         print("FAILED:", ", ".join(failures))
         sys.exit(1)
