@@ -498,6 +498,22 @@ class _LazyLive:
             d[p] = a.get("partition")
         return d
 
+    def rows_map(self) -> dict:
+        """``{path: recorded row count or None}`` — columnar off the
+        sidecar's ``zrows`` + the overlay (the Delta export's stats
+        input; never parses rest_json)."""
+        t = self._base.table()
+        if "zrows" in t.column_names:
+            zr = t.column("zrows").to_pylist()
+        else:  # pre-zrows sidecar (never written by this engine)
+            zr = [a.get("rows") for a in self._base.iter_actions()]
+        d = dict(zip(self._base.paths(), zr))
+        for p in self._removed:
+            d.pop(p, None)
+        for p, a in self._overlay.items():
+            d[p] = a.get("rows")
+        return d
+
     # -- replay mutations (internal) ---------------------------------------
 
     def __setitem__(self, p, a) -> None:
@@ -4651,6 +4667,70 @@ def tx_read_manifest(spark: SparkSession, manifest_root: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+#: live-file count past which the Delta export forks its per-file pass
+#: (footer schema check + stat + NDJSON build — the same pure-python
+#: serialization shape the sidecar build forks; json.dumps alone
+#: measured ~120 s/10M on the write side)
+_EXPORT_PARALLEL_MIN = _SIDECAR_PARALLEL_MIN
+
+#: fork-shared (COW) input for `_delta_export_worker`:
+#: (table root, [(rel path, rows or None)], arrow schema IPC bytes)
+_EXPORT_SHARED: tuple | None = None
+
+
+class _ExportDivergence(Exception):
+    """Internal: a fork worker found a schema-divergent live file."""
+
+    def __init__(self, rel: str):
+        self.rel = rel
+        super().__init__(rel)
+
+
+def _delta_export_worker(bounds: tuple[int, int]) -> tuple:
+    """One fork worker of the Delta export's per-file pass: for its
+    slice of live files, verify the parquet footer schema against the
+    reference (the serial divergence check, parallelized), resolve the
+    row count (action-carried, footer fallback) and build the NDJSON
+    ``add`` lines.  Returns ``(first divergent rel or None, ndjson
+    bytes)`` — divergence aborts the whole export in the parent."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    lo, hi = bounds
+    table_path, items, ref_bytes = _EXPORT_SHARED
+    ref_schema = _pa.ipc.read_schema(_pa.BufferReader(ref_bytes))
+    lines: list[str] = []
+    for rel, n_rows in items[lo:hi]:
+        abspath = os.path.abspath(os.path.join(table_path, rel))
+        sch = _pq.read_schema(abspath)
+        if not sch.equals(ref_schema):
+            return rel, b""
+        if n_rows is None:
+            n_rows = _footer_meta(abspath)[1]
+        lines.append(_delta_add_line(abspath, n_rows))
+    return None, ("\n".join(lines)).encode()
+
+
+def _delta_add_line(abspath: str, n_rows) -> str:
+    """One Delta ``add`` action as a JSON line — shared by the serial
+    and forked export paths so their outputs are byte-identical."""
+    return json.dumps(
+        {
+            "add": {
+                "path": "file://"
+                + urllib.parse.quote(abspath, safe="/"),
+                "partitionValues": {},
+                "size": os.path.getsize(abspath),
+                "modificationTime": int(
+                    os.path.getmtime(abspath) * 1000
+                ),
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": int(n_rows)}),
+            }
+        }
+    )
+
+
 def tx_export_delta_log(
     table_path: str,
     version: int | None = None,
@@ -4737,15 +4817,19 @@ def tx_export_delta_log(
     # if live files' footers ever diverged (schema evolution across
     # commits) a real Delta reader would mis-decode some of them — fail
     # loudly at export time instead.  Footer reads are metadata-only
-    # (O(files) driver-side, no data IO).
-    for rel in live[1:]:
-        other = pq.read_schema(os.path.join(table_path, rel))
-        if not other.equals(arrow_schema):
-            raise ValueError(
-                "schema divergence across live files: "
-                f"{live[0]} vs {rel} — the txlog Delta export requires "
-                "one uniform schema per snapshot (no schema evolution)"
-            )
+    # (O(files) driver-side, no data IO).  Past _EXPORT_PARALLEL_MIN
+    # files this check is folded into the forked per-file pass below;
+    # here it runs serially for the small case.
+    forked = len(live) >= _EXPORT_PARALLEL_MIN
+    if not forked:
+        for rel in live[1:]:
+            other = pq.read_schema(os.path.join(table_path, rel))
+            if not other.equals(arrow_schema):
+                raise ValueError(
+                    "schema divergence across live files: "
+                    f"{live[0]} vs {rel} — the txlog Delta export requires "
+                    "one uniform schema per snapshot (no schema evolution)"
+                )
     # Prefer the exact Spark schema Spark itself embedded in the footer
     # (``org.apache.spark.sql.parquet.row.metadata``): the Arrow view of
     # the footer cannot distinguish timestamp (stored INT96/adjusted) from
@@ -4821,39 +4905,88 @@ def tx_export_delta_log(
             }
         ),
     ]
+    # Delta per-file statistics (spec: a JSON STRING under add.stats) —
+    # numRecords from the stage-time row count the action carries
+    # (memoized footer fallback for pre-field actions); real Delta
+    # readers use it for metadata-only COUNT(*) exactly like tx_count
+    # does.  Row counts resolve COLUMNARLY for a lazy (sidecar-backed)
+    # snapshot — zrows + overlay, never an action parse.
     acts = log._live_actions_shared(upto=v)
-    for rel in live:
-        abspath = os.path.abspath(os.path.join(table_path, rel))
-        # Delta per-file statistics (spec: a JSON STRING under add.stats)
-        # — numRecords from the stage-time row count the action carries
-        # (memoized footer fallback for pre-field actions); real Delta
-        # readers use it for metadata-only COUNT(*) exactly like
-        # tx_count does
-        n_rows = acts.get(rel, {}).get("rows")
-        if n_rows is None:
-            n_rows = _footer_meta(abspath)[1]
-        lines.append(
-            json.dumps(
-                {
-                    "add": {
-                        "path": "file://"
-                        + urllib.parse.quote(abspath, safe="/"),
-                        "partitionValues": {},
-                        "size": os.path.getsize(abspath),
-                        "modificationTime": int(
-                            os.path.getmtime(abspath) * 1000
-                        ),
-                        "dataChange": True,
-                        "stats": json.dumps({"numRecords": int(n_rows)}),
-                    }
-                }
-            )
+    if isinstance(acts, _LazyLive):
+        rows_by = acts.rows_map()
+    else:
+        rows_by = {f: a.get("rows") for f, a in acts.items()}
+    items = [(rel, rows_by.get(rel)) for rel in live]
+
+    blobs: list[bytes] | None = None
+    if forked:
+        # per-file pass (footer check + stat + json.dumps) forks 8
+        # workers — the same GIL-bound shape as the sidecar build,
+        # measured ~120 s/10M for the json.dumps alone.  Chunks are
+        # slices of the path-sorted list, concatenated in order, so
+        # the output is byte-identical to the serial path.  Loud
+        # serial fallback on any worker failure.
+        global _EXPORT_SHARED
+        n = len(items)
+        step = -(-n // _SIDECAR_WORKERS)
+        bounds = [(i, min(i + step, n)) for i in range(0, n, step)]
+        _EXPORT_SHARED = (
+            table_path, items, arrow_schema.serialize().to_pybytes(),
         )
+        try:
+            parts = _fork_pool_map(
+                _delta_export_worker, bounds,
+                timeout_s=max(120.0, n * 1e-6 * 60.0),
+            )
+            for bad, _b in parts:
+                if bad is not None:
+                    raise _ExportDivergence(bad)
+            blobs = [b for _bad, b in parts]
+        except _ExportDivergence as dv:
+            raise ValueError(
+                "schema divergence across live files: "
+                f"{live[0]} vs {dv.rel} — the txlog Delta export "
+                "requires one uniform schema per snapshot (no schema "
+                "evolution)"
+            ) from None
+        except Exception as ex:
+            import sys
+
+            print(
+                f"txlog: parallel delta export fell back to serial "
+                f"({type(ex).__name__}: {ex})",
+                file=sys.stderr,
+            )
+            ref = arrow_schema
+            for rel in live[1:]:
+                other = pq.read_schema(os.path.join(table_path, rel))
+                if not other.equals(ref):
+                    raise ValueError(
+                        "schema divergence across live files: "
+                        f"{live[0]} vs {rel} — the txlog Delta export "
+                        "requires one uniform schema per snapshot (no "
+                        "schema evolution)"
+                    )
+            blobs = None
+        finally:
+            _EXPORT_SHARED = None
+    if blobs is None:
+        for rel, n_rows in items:
+            abspath = os.path.abspath(os.path.join(table_path, rel))
+            if n_rows is None:
+                n_rows = _footer_meta(abspath)[1]
+            lines.append(_delta_add_line(abspath, n_rows))
 
     os.makedirs(log_dir, exist_ok=True)
     tmp = commit + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write("\n".join(lines) + "\n")
+    with open(tmp, "wb") as f:
+        f.write("\n".join(lines).encode())
+        if blobs is not None:
+            for b in blobs:
+                if b:
+                    f.write(b"\n")
+                    f.write(b)
+        f.write(b"\n")
     os.replace(tmp, commit)
     return root
 
@@ -5324,6 +5457,181 @@ def tx_append_partitioned(
     raise RuntimeError(f"append gave up after {max_retries} commit conflicts")
 
 
+def _fork_pool_map(worker, items, timeout_s: float) -> list:
+    """``fork``-context Pool.map with the engine's fork-safety
+    discipline (see `_build_live_table`): children run
+    `_sidecar_fork_init` (gc off, py4j send paths no-op'd), map_async +
+    timeout so a fork-with-threads deadlock cannot hang the verb
+    forever, and ANY failure raises so the caller can take its loud
+    serial fallback."""
+    import multiprocessing as _mp
+
+    ctx = _mp.get_context("fork")
+    pool = None
+    try:
+        pool = ctx.Pool(
+            min(len(items), _SIDECAR_WORKERS),
+            initializer=_sidecar_fork_init,
+        )
+        out = pool.map_async(worker, items).get(timeout=timeout_s)
+        pool.close()
+        pool.join()
+        return out
+    except Exception:
+        if pool is not None:
+            pool.terminate()
+            pool.join()
+        raise
+
+
+#: commit-log bytes past which fsck forks its raw-commit parse (the
+#: 10M-file log is ~2 GB of commit JSON — GIL-serialized json.load
+#: measured ~90 s; 8 fork workers parse their own chunks of FILES, so
+#: there is no COW-heavy shared input at all)
+_FSCK_PARALLEL_MIN_BYTES = 256 * 1024 * 1024
+#: live-path count past which fsck forks the per-file existence scan
+_FSCK_PARALLEL_MIN_FILES = 2_000_000
+#: report lists are capped here (counts stay exact in *_total keys):
+#: a 10M-missing-file report must not be a 10M-element python list
+_FSCK_REPORT_CAP = 10_000
+
+_FSCK_SCAN_PATHS: list | None = None  # fork-shared (COW) isfile input
+_FSCK_SCAN_ROOT: str | None = None
+
+
+def _fsck_parse_worker(items: list[tuple[int, str]]) -> bytes:
+    """Parse one chunk of commit files to the compact replay shape
+    ``(version, [(add path, partition)], [removes], txn)`` — the
+    expensive json.load happens here, in parallel; the order-dependent
+    replay stays serial in the parent.  Returns pickle bytes (C-speed
+    both ways)."""
+    import pickle
+
+    out = []
+    for v, p in items:
+        with open(p) as f:
+            act = json.load(f)
+        out.append((
+            v,
+            [(a["path"], a.get("partition")) for a in act.get("add", [])],
+            list(act.get("remove", [])),
+            act.get("txn"),
+        ))
+    return pickle.dumps(out, protocol=5)
+
+
+def _fsck_scan_worker(bounds: tuple[int, int]) -> tuple[int, list]:
+    """Existence-check one slice of the fork-shared live path list;
+    returns (exact missing count, first ``_FSCK_REPORT_CAP`` missing)."""
+    lo, hi = bounds
+    root = _FSCK_SCAN_ROOT
+    n = 0
+    first: list = []
+    isfile, join = os.path.isfile, os.path.join
+    for p in _FSCK_SCAN_PATHS[lo:hi]:
+        if not isfile(join(root, p)):
+            n += 1
+            if len(first) < _FSCK_REPORT_CAP:
+                first.append(p)
+    return n, first
+
+
+def _fsck_parsed_commits(
+    log: "TransactionLog", versions: list[int], start: int
+) -> list[tuple]:
+    """Commit bodies after ``start`` in replay order, compacted for
+    fsck's raw replay — forked past `_FSCK_PARALLEL_MIN_BYTES` of
+    commit JSON, loud serial fallback."""
+    todo = [(v, log._commit_path(v)) for v in versions if v > start]
+    if not todo:
+        return []
+    try:
+        total_b = sum(os.path.getsize(p) for _v, p in todo)
+    except OSError:
+        total_b = 0
+    if total_b >= _FSCK_PARALLEL_MIN_BYTES and len(todo) > 1:
+        import pickle
+
+        step = -(-len(todo) // _SIDECAR_WORKERS)
+        chunks = [
+            todo[i:i + step] for i in range(0, len(todo), step)
+        ]
+        try:
+            parts = _fork_pool_map(
+                _fsck_parse_worker,
+                chunks,
+                timeout_s=max(120.0, total_b * 1e-6 * 0.5),
+            )
+            out: list[tuple] = []
+            for buf in parts:
+                out.extend(pickle.loads(buf))
+            return out
+        except Exception as ex:
+            import sys
+
+            print(
+                f"txlog: parallel fsck commit parse fell back to "
+                f"serial ({type(ex).__name__}: {ex})",
+                file=sys.stderr,
+            )
+    out = []
+    for v, p in todo:
+        with open(p) as f:
+            act = json.load(f)
+        out.append((
+            v,
+            [(a["path"], a.get("partition")) for a in act.get("add", [])],
+            list(act.get("remove", [])),
+            act.get("txn"),
+        ))
+    return out
+
+
+def _fsck_missing_files(
+    table_path: str, live_paths: list[str]
+) -> tuple[int, list]:
+    """(exact count, first-cap list) of live paths missing on disk —
+    forked past `_FSCK_PARALLEL_MIN_FILES` paths (stat syscalls release
+    the GIL but their python loop overhead doesn't), loud fallback."""
+    global _FSCK_SCAN_PATHS, _FSCK_SCAN_ROOT
+    if len(live_paths) >= _FSCK_PARALLEL_MIN_FILES:
+        n = len(live_paths)
+        step = -(-n // _SIDECAR_WORKERS)
+        bounds = [(i, min(i + step, n)) for i in range(0, n, step)]
+        _FSCK_SCAN_PATHS = live_paths
+        _FSCK_SCAN_ROOT = table_path
+        try:
+            parts = _fork_pool_map(
+                _fsck_scan_worker, bounds,
+                timeout_s=max(120.0, n * 1e-6 * 30.0),
+            )
+            total = sum(c for c, _f in parts)
+            first: list = []
+            for _c, f in parts:
+                if len(first) < _FSCK_REPORT_CAP:
+                    first.extend(f[:_FSCK_REPORT_CAP - len(first)])
+            return total, first
+        except Exception as ex:
+            import sys
+
+            print(
+                f"txlog: parallel fsck file scan fell back to serial "
+                f"({type(ex).__name__}: {ex})",
+                file=sys.stderr,
+            )
+        finally:
+            _FSCK_SCAN_PATHS = None
+            _FSCK_SCAN_ROOT = None
+    n = 0
+    first = []
+    for p in live_paths:
+        if not os.path.isfile(os.path.join(table_path, p)):
+            n += 1
+            if len(first) < _FSCK_REPORT_CAP:
+                first.append(p)
+    return n, first
+
+
 def tx_fsck(table_path: str) -> dict:
     """Offline integrity check of a commit-log table; returns a report.
 
@@ -5351,6 +5659,13 @@ def tx_fsck(table_path: str) -> dict:
 
     ``ok`` is True iff everything except ``orphan_files`` and
     ``dv_dead_files`` is clean.
+
+    Scale (round-13): the raw-commit parse forks 8 workers past
+    ~256 MB of commit JSON and the per-file existence scan forks past
+    2M live paths (both with the sidecar build's loud serial
+    fallback); report lists cap at ``_FSCK_REPORT_CAP`` entries with
+    exact ``<key>_total`` counts when truncated — ``ok`` always uses
+    the exact totals.
     """
     log = TransactionLog(table_path)
     report: dict = {
@@ -5400,21 +5715,26 @@ def tx_fsck(table_path: str) -> dict:
                     ever_added.add(a["path"])
             for app, b in (found[1].get("txns") or {}).items():
                 last_batch[app] = int(b)
-    for v in versions:
-        if v <= start:
-            continue
-        with open(log._commit_path(v)) as f:
-            act = json.load(f)
-        for a in act.get("add", []):
-            if a["path"] in live:
-                report["double_adds"].append((v, a["path"]))
-            live[a["path"]] = a.get("partition")
-            ever_added.add(a["path"])
-        for r in act.get("remove", []):
+    # commit parse forks past _FSCK_PARALLEL_MIN_BYTES (round-13: the
+    # 10M-file walk was ~90 s of GIL-serialized json.load); the
+    # ORDER-DEPENDENT replay below stays serial over the compact shape
+    n_double = n_dangling = 0
+    for v, adds, removes, txn in _fsck_parsed_commits(
+        log, versions, start
+    ):
+        for p, part in adds:
+            if p in live:
+                n_double += 1
+                if len(report["double_adds"]) < _FSCK_REPORT_CAP:
+                    report["double_adds"].append((v, p))
+            live[p] = part
+            ever_added.add(p)
+        for r in removes:
             if r not in ever_added:
-                report["dangling_removes"].append((v, r))
+                n_dangling += 1
+                if len(report["dangling_removes"]) < _FSCK_REPORT_CAP:
+                    report["dangling_removes"].append((v, r))
             live.pop(r, None)
-        txn = act.get("txn")
         if txn:
             prev = last_batch.get(txn["app"])
             if prev is not None and txn["batch"] <= prev:
@@ -5431,18 +5751,20 @@ def tx_fsck(table_path: str) -> dict:
         # checkpoint): the strongest possible divergence signal
         report["checkpoint_divergence"] = True
 
-    for path in sorted(live):
-        full = os.path.join(table_path, path)
-        if not os.path.isfile(full):
-            report["missing_files"].append(path)
+    n_missing, report["missing_files"] = _fsck_missing_files(
+        table_path, sorted(live)
+    )
 
+    n_orphans = 0
     if os.path.isdir(log.data_dir):
         on_disk = {
             f"{_DATA_DIR}/{n}"
             for n in os.listdir(log.data_dir)
             if n.endswith(".parquet")
         }
-        report["orphan_files"] = sorted(on_disk - ever_added)
+        orphans = sorted(on_disk - ever_added)
+        n_orphans = len(orphans)
+        report["orphan_files"] = orphans[:_FSCK_REPORT_CAP]
 
     raw_dv = log.dv_state_raw()
     in_force = log.dvs()
@@ -5452,11 +5774,23 @@ def tx_fsck(table_path: str) -> dict:
     )
     report["dv_dead_files"] = sorted(set(raw_dv) - set(live))
 
+    # exact totals (lists above are capped at _FSCK_REPORT_CAP entries
+    # so a 10M-missing-file report is not a 10M-element list); the
+    # *_total keys appear only when a list was actually truncated
+    for key, total in (
+        ("missing_files", n_missing),
+        ("double_adds", n_double),
+        ("dangling_removes", n_dangling),
+        ("orphan_files", n_orphans),
+    ):
+        if total > len(report[key]):
+            report[f"{key}_total"] = total
+
     report["ok"] = (
         report["contiguous_versions"]
-        and not report["missing_files"]
-        and not report["dangling_removes"]
-        and not report["double_adds"]
+        and not n_missing
+        and not n_dangling
+        and not n_double
         and not report["checkpoint_divergence"]
         and not report["txn_regressions"]
         and not report["missing_dv_files"]

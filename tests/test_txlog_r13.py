@@ -302,6 +302,119 @@ def test_checkpoint_full_rebuild_from_lazy_snapshot(lazy_table, monkeypatch):
     assert dict(got.items()) == _replay_expect(log)
 
 
+def test_fsck_forked_parse_and_scan_match_serial(tmp_path, monkeypatch):
+    """The forked commit-parse and existence-scan must produce the
+    exact serial report — planted double-add, dangling remove, missing
+    files and all."""
+    t = str(tmp_path / "tbl")
+    log = TX.TransactionLog(t)
+    adds = [_add(i) for i in range(40)]
+    assert log.try_commit(0, adds[:20], [], op="append")
+    # double-add adds[3]; dangling remove of a never-added path
+    assert log.try_commit(
+        1, adds[20:] + [adds[3]], ["data/never-added.parquet"], op="upsert"
+    )
+    # one REAL file so the missing list isn't everything
+    os.makedirs(os.path.join(t, "data"), exist_ok=True)
+    real = adds[5]["path"]
+    with open(os.path.join(t, real), "wb") as f:
+        f.write(b"x")
+    serial = TX.tx_fsck(t)
+    monkeypatch.setattr(TX, "_FSCK_PARALLEL_MIN_BYTES", 0)
+    monkeypatch.setattr(TX, "_FSCK_PARALLEL_MIN_FILES", 1)
+    forked = TX.tx_fsck(t)
+    assert forked == serial
+    assert forked["double_adds"] == [(1, adds[3]["path"])]
+    assert forked["dangling_removes"] == [(1, "data/never-added.parquet")]
+    assert real not in forked["missing_files"]
+    assert len(forked["missing_files"]) == 39
+    assert forked["ok"] is False
+
+
+def test_fsck_report_lists_are_capped_with_exact_totals(
+    tmp_path, monkeypatch
+):
+    t = str(tmp_path / "tbl")
+    log = TX.TransactionLog(t)
+    adds = [_add(i) for i in range(9)]
+    assert log.try_commit(0, adds, [], op="append")
+    monkeypatch.setattr(TX, "_FSCK_REPORT_CAP", 3)
+    rep = TX.tx_fsck(t)
+    assert len(rep["missing_files"]) == 3
+    assert rep["missing_files_total"] == 9
+    assert rep["ok"] is False
+    # under the cap: no *_total key appears (report shape unchanged)
+    assert "double_adds_total" not in rep
+
+
+def test_delta_export_forked_is_byte_identical(
+    spark, tmp_path, monkeypatch
+):
+    """The forked per-file export pass (footer check + stat + NDJSON)
+    must write byte-identical output to the serial path."""
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned, tx_export_delta_log,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 60).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id % 5 AS STRING) AS p"
+    ).repartition(6)
+    tx_append_partitioned(spark, df, t, partition_by="p")
+    out_a = str(tmp_path / "exp_serial")
+    out_b = str(tmp_path / "exp_forked")
+    tx_export_delta_log(t, out_dir=out_a)
+    monkeypatch.setattr(TX, "_EXPORT_PARALLEL_MIN", 1)
+    tx_export_delta_log(t, out_dir=out_b)
+
+    def read_log(root):
+        p = os.path.join(root, "_delta_log", f"{0:020d}.json")
+        return open(p, "rb").read()
+
+    a, b = read_log(out_a), read_log(out_b)
+    # commitInfo carries a wall-clock timestamp: normalize it (and the
+    # matching metaData createdTime) before comparing
+    import re
+
+    def norm(s):
+        s = re.sub(rb'"timestamp": \d+', b'"timestamp": 0', s)
+        return re.sub(rb'"createdTime": \d+', b'"createdTime": 0', s)
+
+    assert norm(a) == norm(b)
+    # and the export still round-trips through the replay reader
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_read, tx_read_delta_export,
+    )
+
+    got = tx_read_delta_export(spark, out_b)
+    assert sorted(r["id"] for r in got.collect()) == list(range(60))
+    assert got.count() == tx_read(spark, t).count()
+
+
+def test_delta_export_forked_detects_schema_divergence(
+    spark, tmp_path, monkeypatch
+):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import (
+        tx_append_partitioned, tx_export_delta_log,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 30).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id % 3 AS STRING) AS p"
+    ).repartition(3)
+    tx_append_partitioned(spark, df, t, partition_by="p")
+    live = sorted(TX.TransactionLog(t).live_files())
+    # rewrite the LAST live file with a divergent schema
+    victim = os.path.join(t, live[-1])
+    pq.write_table(pa.table({"other": [1, 2]}), victim)
+    monkeypatch.setattr(TX, "_EXPORT_PARALLEL_MIN", 1)
+    with pytest.raises(ValueError, match="schema divergence"):
+        tx_export_delta_log(t, out_dir=str(tmp_path / "exp"))
+
+
 def test_lazy_snapshot_survives_log_truncation(lazy_table):
     t, log, adds, readd, new = lazy_table
     expect = _replay_expect(log)

@@ -166,6 +166,22 @@ def measure_point(spark, path: str, n_files: int, **synth_kw) -> dict:
     out["optimize_decision_sec"] = round(time.perf_counter() - t0, 4)
     assert picked == []
 
+    # fsck full-log walk (round-13: forked commit parse + capped,
+    # forked existence scan).  On this synthetic log all fabricated
+    # files are missing by construction, so the scan leg exercises its
+    # worst case (every stat fails, the report cap engages) — the
+    # honest shape for "fsck a 10M-file table".
+    from cars_bids_data_pipeline_v0__spark.sources.txlog import tx_fsck
+
+    _clear_metadata_caches()
+    t0 = time.perf_counter()
+    rep = tx_fsck(path)
+    out["fsck_sec"] = round(time.perf_counter() - t0, 4)
+    assert rep.get("missing_files_total", len(rep["missing_files"])) == (
+        n_files - info["n_real"]
+    )
+    assert not rep["double_adds"] and not rep["dangling_removes"]
+
     # incremental extension: one more commit on a hot snapshot must cost
     # O(delta), not O(live files) — the long-lived-driver (streaming)
     # path (measured LAST: it changes the live count)
