@@ -1388,6 +1388,7 @@ def _load_extensions() -> None:
     from . import queries_r10b  # noqa: F401
     from . import queries_r11  # noqa: F401
     from . import queries_r12  # noqa: F401
+    from . import queries_r13  # noqa: F401
 
 
 # Driver-sampling rotation.  The correctness driver hash-checks the FIRST 50
