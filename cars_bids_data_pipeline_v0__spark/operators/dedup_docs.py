@@ -338,6 +338,135 @@ def dedup_incoming(
     return stage1.join(dup_ids, on=id_col, how="left_anti")
 
 
+def build_dedup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The PERSISTENT dedup-index rows for a document batch:
+    ``(doc_id, fp, sh, sh_size)`` with ``fp`` the exact-dup md5
+    fingerprint and ``sh`` the xxhash64'd word-``n``-gram shingle set
+    (8 bytes/shingle — the q140/q290 hashed-key discipline; hashing
+    inside the array ≡ hashing after explode, so joins against it are
+    bit-identical to the text-derived index).
+
+    Round-13 multi-release depth: `dedup_incoming` re-derives
+    fingerprints AND shingles from the full released corpus TEXT on
+    every release — O(corpus) regex/shingle work per increment,
+    forever.  Persisting these rows once per released doc turns the
+    steady-state release into O(incoming) compute: the corpus side of
+    the dedup join reads four columnar fields and never touches text
+    again.  `release_corpus(dedup_index_table=...)` maintains the
+    index and self-heals any gap (crash between the release append and
+    the index append, or a pre-index table) by rebuilding exactly the
+    missing docs' rows."""
+    from .text import fingerprint_md5
+
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            fingerprint_md5(text_col).alias("fp"),
+            word_shingles(text_col, n).alias("__sh_raw"),
+        )
+        .select(
+            "doc_id",
+            "fp",
+            F.transform(
+                "__sh_raw", lambda s: F.xxhash64(s)
+            ).alias("sh"),
+            F.size("__sh_raw").alias("sh_size"),
+            # layout key for the ACID index table (tx_append_partitioned
+            # wants one); 16 hash buckets keep append parallelism and
+            # file counts sane at any corpus size.  Readers ignore it.
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16))
+            .cast("string")
+            .alias("bucket"),
+        )
+    )
+
+
+def dedup_incoming_indexed(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """`dedup_incoming` with the corpus side supplied as a PERSISTED
+    index (`build_dedup_index` rows) instead of raw text — result-
+    identical by construction (test-pinned), but the corpus cost is a
+    columnar read of (fp, sh, sh_size): no text normalization, no
+    shingle regex, no md5 over already-released documents.
+
+    Same two stages: exact-fingerprint anti-join, then the hashed-
+    shingle inverted-index join with document frequency measured on
+    the CORPUS side when ``df_cap`` is set (both sides scrubbed with
+    the same hot set, sizes rescored — `_drop_hot_shingles`)."""
+    from .text import fingerprint_md5
+
+    # stage 1: exact fingerprint anti-join against the index's fp set
+    corpus_fp = index_df.select(
+        F.col("fp").alias("__fp")
+    ).distinct()
+    stage1 = (
+        new_df.withColumn("__fp", fingerprint_md5(text_col))
+        .join(corpus_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+    # stage 2: incoming text-derived index × persisted corpus index
+    sh = track(
+        fan_out(stage1)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, n).alias("sh"),
+        )
+        .withColumn("sh_size", F.size("sh"))
+        .persist()
+    )
+    inv_new = sh.select(
+        "id", "sh_size", F.explode("sh").alias("__s")
+    ).select("id", "sh_size", F.xxhash64("__s").alias("shingle"))
+    inv_old = index_df.select(
+        F.col("doc_id").alias("id"),
+        "sh_size",
+        F.explode("sh").alias("shingle"),
+    )
+    if df_cap is not None:
+        hot = (
+            inv_old.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > df_cap)
+            .select("shingle")
+        )
+        inv_new = _drop_hot_shingles(inv_new, hot=hot)
+        inv_old = _drop_hot_shingles(inv_old, hot=hot)
+    dup_ids = (
+        inv_new.alias("a")
+        .hint("shuffle_hash")
+        .join(inv_old.alias("b"), on="shingle")
+        .groupBy(
+            F.col("a.id").alias("__nid"),
+            F.col("b.id").alias("__oid"),
+            F.col("a.sh_size").alias("__sa"),
+            F.col("b.sh_size").alias("__sb"),
+        )
+        .agg(F.count("*").alias("__inter"))
+        .filter(
+            F.col("__inter")
+            / (F.col("__sa") + F.col("__sb") - F.col("__inter"))
+            >= threshold
+        )
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    return stage1.join(dup_ids, on=id_col, how="left_anti")
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

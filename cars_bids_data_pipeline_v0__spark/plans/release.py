@@ -95,8 +95,16 @@ def quantile_release_gate(
         .filter(F.col("__bucket") >= min_decile)
         .withColumn(
             norm_col,
+            # clamp to [1, 9]: bucket 0 rows exist when min_decile=0
+            # (keep-everything mode) and element_at is 1-indexed —
+            # without the greatest() they crash INVALID_INDEX_OF_ZERO
+            # (round-13 fix); their normalized score is the p10 cut,
+            # consistent with the least() cap on the top end
             F.element_at(
-                "__global_cuts", F.least(F.col("__bucket"), F.lit(9))
+                "__global_cuts",
+                F.greatest(
+                    F.least(F.col("__bucket"), F.lit(9)), F.lit(1)
+                ),
             ),
         )
         .drop("__src_cuts", "__global_cuts", "__bucket")
@@ -128,6 +136,7 @@ def release_corpus(
     txn: dict | None = None,
     coreset_k: int | None = None,
     embeddings: DataFrame | None = None,
+    dedup_index_table: str | None = None,
 ) -> DataFrame:
     """One incremental release run (see module docstring for the chain).
     Each increment writes its shards under
@@ -187,8 +196,53 @@ def release_corpus(
     # (dedup_incoming only guards against the already-RELEASED corpus)
     gated = dedup_exact(gated, text_col=text_col, id_col=id_col)
     prev = tx_read(spark, release_table)
-    fresh = (
-        dedup_incoming(
+    # multi-release chain compaction (round-13): with a
+    # ``dedup_index_table``, the corpus side of the incremental dedup
+    # is a PERSISTED (fp, hashed-shingle set, size) index instead of
+    # the released corpus TEXT — the text path re-pays normalization +
+    # shingling over every released doc on every release, forever;
+    # the index path reads four columnar fields and is result-
+    # identical (test-pinned).  The index self-heals: any released doc
+    # missing from it (pre-index table, or a crash between the release
+    # append and the index append below) gets its rows rebuilt here
+    # before the dedup join, so the corpus side is always exactly the
+    # released set.
+    idx = None
+    if dedup_index_table is not None and prev is not None:
+        from ..operators.dedup_docs import (
+            build_dedup_index, dedup_incoming_indexed,
+        )
+
+        idx = tx_read(spark, dedup_index_table)
+        gap = prev.select(id_col, text_col)
+        if idx is not None:
+            gap = gap.join(
+                idx.select(F.col("doc_id").alias(id_col)),
+                id_col,
+                "left_anti",
+            )
+        gap_rows = build_dedup_index(
+            gap, text_col=text_col, id_col=id_col
+        )
+        if not gap_rows.isEmpty():
+            tx_append_partitioned(
+                spark, gap_rows, dedup_index_table,
+                partition_by="bucket",
+            )
+        idx = tx_read(spark, dedup_index_table)
+    if prev is None:
+        fresh = gated
+    elif idx is not None:
+        fresh = dedup_incoming_indexed(
+            gated,
+            idx,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=near_dup_threshold,
+            df_cap=dedup_df_cap,
+        )
+    else:
+        fresh = dedup_incoming(
             gated,
             prev.select(id_col, text_col),
             text_col=text_col,
@@ -200,9 +254,6 @@ def release_corpus(
             # join up quadratically — measured 53.6 s -> ~8 s at sf1
             df_cap=dedup_df_cap,
         )
-        if prev is not None
-        else gated
-    )
     kept = track_persist(
         quantile_release_gate(
             fresh, "n_chars", source_col,
@@ -314,6 +365,24 @@ def release_corpus(
     tx_append_partitioned(
         spark, kept, release_table, partition_by=source_col, txn=txn
     )
+    if dedup_index_table is not None:
+        # index rows for THIS increment's released docs, appended AFTER
+        # the release commit: a crash in between leaves release ⊇ index
+        # and the next run's self-heal pass rebuilds exactly the gap
+        # (never the reverse order — an index row without its released
+        # doc would dedup future increments against a ghost)
+        from ..operators.dedup_docs import build_dedup_index
+
+        tx_append_partitioned(
+            spark,
+            build_dedup_index(
+                kept.select(id_col, text_col),
+                text_col=text_col,
+                id_col=id_col,
+            ),
+            dedup_index_table,
+            partition_by="bucket",
+        )
     return manifest
 
 

@@ -533,3 +533,155 @@ def test_release_coreset_requires_embeddings(spark, tmp_path):
             spark, corpus, str(tmp_path / "t"), str(tmp_path / "s"),
             coreset_k=4,
         )
+
+
+# ---------------------------------------------------------------------------
+# round-13: the persistent dedup index (multi-release chain compaction)
+# ---------------------------------------------------------------------------
+
+
+def _near_dup_of(text: str) -> str:
+    """Append one token: large shingle overlap, Jaccard just under 1."""
+    return text + " zz_tail"
+
+
+def test_dedup_incoming_indexed_matches_text_path(spark):
+    from cars_bids_data_pipeline_v0__spark.operators.dedup_docs import (
+        build_dedup_index,
+        dedup_incoming,
+        dedup_incoming_indexed,
+    )
+
+    corpus_rows = [(i, _text(i, 30), "web") for i in range(10)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, source string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, corpus_rows[0][1], "web"),          # exact dup
+            (101, _near_dup_of(corpus_rows[1][1]), "web"),  # near dup
+            (102, _text(50, 30), "web"),              # fresh
+            (103, _text(51, 12), "web"),              # fresh short
+        ],
+        "doc_id long, text string, source string",
+    )
+    for cap in (None, 4):
+        want = sorted(
+            r["doc_id"]
+            for r in dedup_incoming(
+                incoming, corpus, threshold=0.5, df_cap=cap
+            ).collect()
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in dedup_incoming_indexed(
+                incoming,
+                build_dedup_index(corpus),
+                threshold=0.5,
+                df_cap=cap,
+            ).collect()
+        )
+        assert got == want, (cap, got, want)
+        assert 100 not in got and 101 not in got
+        assert {102, 103} <= set(got)
+
+
+def test_release_chain_with_index_matches_without(spark, tmp_path):
+    """Three increments released through the persistent dedup index
+    must match the text-path chain doc-for-doc, and the index table
+    must hold exactly the released ids."""
+    batches = [
+        [(100 + i, _text(i, 20 + i), "web") for i in range(8)],
+        # batch 2: two dups of batch 1 + fresh
+        [
+            (200, _text(0, 20), "web"),            # exact dup of 100
+            (201, _near_dup_of(_text(1, 21)), "web"),  # near dup of 101
+            (202, _text(60, 25), "web"),
+            (203, _text(61, 26), "web"),
+        ],
+        # batch 3: dup of batch 2's release + fresh
+        [
+            (300, _text(60, 25), "web"),           # exact dup of 202
+            (301, _text(70, 24), "web"),
+        ],
+    ]
+    kw = dict(min_tokens=2, min_alpha_ratio=0.0, max_stopword_ratio=1.0,
+              near_dup_threshold=0.5, min_decile=0,
+              chunk_size=16, overlap=4, budget=64, num_shards=2)
+    chains = {}
+    for mode in ("text", "indexed"):
+        rel = str(tmp_path / f"rel_{mode}")
+        shards = str(tmp_path / f"shards_{mode}")
+        idx = str(tmp_path / "didx") if mode == "indexed" else None
+        per_incr = []
+        for b in batches:
+            df = spark.createDataFrame(
+                b, "doc_id long, text string, source string"
+            )
+            release_corpus(
+                spark, df, rel, shards, dedup_index_table=idx, **kw
+            )
+            per_incr.append(
+                sorted(
+                    r["doc_id"]
+                    for r in tx_read(spark, rel).collect()
+                )
+            )
+        chains[mode] = per_incr
+    assert chains["indexed"] == chains["text"]
+    # the index holds exactly the released ids
+    idx_df = tx_read(spark, str(tmp_path / "didx"))
+    assert sorted(r["doc_id"] for r in idx_df.collect()) == \
+        chains["indexed"][-1]
+    # duplicate candidates were really dropped across increments
+    final = set(chains["indexed"][-1])
+    assert 200 not in final and 201 not in final and 300 not in final
+    assert {202, 203, 301} <= final
+
+
+def test_release_index_self_heals_gap_and_migration(spark, tmp_path):
+    """(a) A release table that predates the index (migration) and
+    (b) a destroyed index (the crash-between-appends gap) both rebuild
+    exactly the released docs' rows before the next dedup join."""
+    import shutil
+
+    kw = dict(min_tokens=2, min_alpha_ratio=0.0, max_stopword_ratio=1.0,
+              near_dup_threshold=0.5, min_decile=0,
+              chunk_size=16, overlap=4, budget=64, num_shards=2)
+    rel = str(tmp_path / "rel")
+    shards = str(tmp_path / "shards")
+    idx = str(tmp_path / "didx")
+    b1 = spark.createDataFrame(
+        [(100 + i, _text(i, 20 + i), "web") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    # migration: first release WITHOUT an index table
+    release_corpus(spark, b1, rel, shards, **kw)
+    assert not os.path.exists(idx)
+    # second release WITH the index: self-heal builds rows for every
+    # already-released doc, and the dup of a release-1 doc still drops
+    b2 = spark.createDataFrame(
+        [(200, _text(0, 20), "web"), (201, _text(80, 22), "web")],
+        "doc_id long, text string, source string",
+    )
+    release_corpus(spark, b2, rel, shards, dedup_index_table=idx, **kw)
+    released = sorted(r["doc_id"] for r in tx_read(spark, rel).collect())
+    assert 200 not in released and 201 in released
+    idx_ids = sorted(
+        r["doc_id"] for r in tx_read(spark, idx).collect()
+    )
+    assert idx_ids == released
+    # crash gap: destroy the index entirely; the next release heals it
+    shutil.rmtree(idx)
+    b3 = spark.createDataFrame(
+        [(300, _text(80, 22), "web"), (301, _text(90, 23), "web")],
+        "doc_id long, text string, source string",
+    )
+    release_corpus(spark, b3, rel, shards, dedup_index_table=idx, **kw)
+    released3 = sorted(
+        r["doc_id"] for r in tx_read(spark, rel).collect()
+    )
+    assert 300 not in released3 and 301 in released3
+    assert sorted(
+        r["doc_id"] for r in tx_read(spark, idx).collect()
+    ) == released3
