@@ -423,3 +423,54 @@ def test_lazy_snapshot_survives_log_truncation(lazy_table):
     _clear()
     got = TX.TransactionLog(t)._live_actions_shared()
     assert dict(got.items()) == expect
+
+
+def test_dml_rewrites_over_lazy_snapshot(spark, tmp_path, monkeypatch):
+    """Rewrite verbs (DELETE/UPDATE/MERGE) and compaction must work
+    unchanged when the snapshot is a _LazyLive (sidecar-backed) — the
+    round-13 lazy read path feeds the same action dicts the eager path
+    did."""
+    monkeypatch.setattr(TX, "_PARQUET_CKPT_MIN", 3)
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS p", "id * 2 AS v"
+    ).repartition(4)
+    TX.tx_append_partitioned(spark, df, t, partition_by="p",
+                             stats_cols=["id"])
+    log = TX.TransactionLog(t)
+    log.checkpoint()
+    _clear()
+    snap = TX.TransactionLog(t)._live_actions_shared()
+    assert isinstance(snap, TX._LazyLive)
+    n_del = TX.tx_delete_where(spark, t, "id < 10")
+    assert n_del == 10
+    n_upd = TX.tx_update_where(spark, t, {"v": "v + 1"}, "id >= 90")
+    assert n_upd == 10
+    src = spark.range(95, 105).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS p", "id * 100 AS v"
+    )
+    res = TX.tx_merge_into(
+        spark, t, src, on=["id"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=True,
+    )
+    assert res["updated"] == 5 and res["inserted"] == 5
+    got = {
+        r["id"]: r["v"] for r in TX.tx_read(spark, t).collect()
+    }
+    assert len(got) == 95                      # 100 - 10 del + 5 ins
+    assert got[5] if 5 in got else True
+    assert 0 not in got and 9 not in got
+    assert got[90] == 90 * 2 + 1               # update applied
+    assert got[95] == 95 * 100                 # merge overwrote update
+    assert got[89] == 89 * 2                   # untouched
+    assert got[104] == 104 * 100               # inserted
+    # compact over the lazy snapshot, checkpoint again, replay parity
+    TX.tx_compact(spark, t, partition_by="p")
+    log2 = TX.TransactionLog(t)
+    log2.checkpoint()
+    _clear()
+    got2 = {
+        r["id"]: r["v"] for r in TX.tx_read(spark, t).collect()
+    }
+    assert got2 == got
