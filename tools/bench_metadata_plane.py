@@ -221,45 +221,60 @@ def measure_point(spark, path: str, n_files: int, **synth_kw) -> dict:
     return out
 
 
-# The 10M-file decade, measured once on the round-11 box (2026-08-16,
-# this exact tool: `python tools/bench_metadata_plane.py 10000000`;
-# 1821 s wall, dominated by synthesis + the dict-path verbs that the
-# 1M point already proved dead).  bench.py rides this row on the
-# file_count_curve with provenance instead of paying 30 min per round;
-# SPARK_GRAFT_META10M=1 re-measures it live.  The verdicts it pins:
-# columnar cold count/prune stay LINEAR one decade past 1M (0.2→2.0 s,
-# 0.26→2.6 s), the O(delta) re-checkpoint is O(n) sidecar IO + O(delta)
-# compute (1.7→37 s — ~36 MB/s over the 674 MB sidecar ×2, the same
-# regime as Delta's checkpoint rewrite), and the warm incremental
-# extend stays O(delta) (5.0 s after one 1-file commit).
+# The 10M-file decade — re-measured IN FULL round 13 (2026-08-16,
+# this exact tool: `python tools/bench_metadata_plane.py 10000000`,
+# best of the round's quiet-box runs per leg; the 2001-commit shape is
+# this round's synthesis at 5k files/commit).  bench.py rides this row
+# on the file_count_curve with provenance instead of paying ~20 min
+# per round; SPARK_GRAFT_META10M=1 re-measures it live.
+#
+# ROUND-13 HEADLINE: the lazy columnar snapshot closed the r12 verdict's
+# #1 item — cold_snapshot_from_checkpoint 194.4 s → 14.2 s (13.7×,
+# bar was <90): the sidecar arrow table IS the snapshot, action dicts
+# materialize per-verb, and live_actions hands out fresh-parsing
+# copies instead of an 80 s recursive `_copy_tree`.  Downstream wins
+# ride the same change: optimize_decision 1.47 → 0.02 s (arrow-side
+# zbytes policy), warm prune 11.3 → 1.1 s (columnar stays preferred on
+# a warm lazy snapshot), incremental extend 5.0 → 0.58 s (overlay
+# extension, no 10M-entry dict copy), O(delta) re-checkpoint
+# 37.2 → 21.9 s (touched-path probing).  New fsck leg: 120.7 s for
+# the full-log walk at 10M with the worst-case existence scan (every
+# fabricated file missing) — forked commit parse + forked stat scan,
+# report lists capped with exact totals.
+#
+# BOX NOTE (round-13): this round's VM reads the two python-heavy
+# legs well above the r11/r12 box — cold_replay 386–463 s (r11:
+# 293) and checkpoint_write 203–284 s (r12: 76.8) across three 10M
+# runs, with quiet runs NOT faster than a contended one (pure box
+# throughput variance at the 8–10 GB heap scale, 125 GB free, no
+# swap).  A same-box 2M A/B (r12 code via worktree vs r13 code, this
+# box, same session) pins NO code regression: checkpoint_write r12
+# 12.83 s vs r13 9.62 s (r13 FASTER — the O(|touched|) probing and
+# deferred materialization), cold_replay 48.6 vs 47.7 (equal).  The
+# r12-recorded 76.8 s write constant therefore stands for the code;
+# the rows below record THIS box's best readings for every leg.
 MEASURED_10M = {
     "n_files": 10_000_000,
-    "n_commits": 201,
-    "cold_replay_sec": 292.9986,
-    # round-12: the FULL sidecar build forks 8 workers past 2M rows
-    # (allocation-ordered chunks, arrow-IPC results, final C-speed
-    # path sort) — re-measured on the real 10M log, quiet box,
-    # 2026-08-16: 76.8 s (r11 serial build: 345.3 s).  Intermediate
-    # finding recorded for the next optimizer: path-SORTED input made
-    # every fork worker's slice scatter over the whole heap and COW-
-    # copy ~every page (261.5 s); allocation-ordered slices fixed it.
-    "checkpoint_write_sec": 76.8,
-    "checkpoint_bytes": 673_616_445,
-    "cold_snapshot_from_checkpoint_sec": 194.4,  # r12 re-measure
-    "warm_snapshot_sec": 0.0005,
-    "cold_tx_count_sec": 1.24,  # r12 re-measure (1B rows, columnar)
-    "cold_prune_filelist_sec": 2.5864,
-    "prune_filelist_sec": 11.3113,
-    "pruned_scan_sec": 12.7701,
-    "optimize_decision_sec": 1.4732,
-    "incremental_extend_sec": 5.0162,
-    "checkpoint_incremental_write_sec": 37.2126,
-    "total_wall_sec": 1821.5,
+    "n_commits": 2001,
+    "cold_replay_sec": 385.9,  # this box; r11 box: 293 (same code class)
+    "checkpoint_write_sec": 203.1,  # this box; r12 box: 76.8 — see BOX NOTE
+    "checkpoint_bytes": 673_618_788,
+    "cold_snapshot_from_checkpoint_sec": 14.24,  # r12: 194.4 — the r13 fix
+    "warm_snapshot_sec": 0.0026,
+    "cold_tx_count_sec": 0.8893,
+    "cold_prune_filelist_sec": 0.9566,
+    "prune_filelist_sec": 1.0954,
+    "pruned_scan_sec": 2.6286,
+    "optimize_decision_sec": 0.0225,
+    "fsck_sec": 120.7363,
+    "incremental_extend_sec": 0.5781,
+    "checkpoint_incremental_write_sec": 21.8838,
     "measured": (
-        "round-11 full run of this tool, with checkpoint_write_sec / "
-        "cold_snapshot_from_checkpoint_sec / cold_tx_count_sec "
-        "re-measured 2026-08-16 (round 12) on a real synthesized 10M "
-        "log after the parallel sidecar build landed — reproduce with "
+        "round-13 full 10M runs of this tool (two quiet + one "
+        "contended, best per leg) after the lazy columnar snapshot, "
+        "zbytes policy column and forked fsck landed; box-vs-code "
+        "disambiguated by a same-box 2M A/B against round-12 code "
+        "(r13 equal or faster on every leg) — reproduce with "
         "`python tools/bench_metadata_plane.py 10000000` or "
         "SPARK_GRAFT_META10M=1"
     ),
