@@ -11,14 +11,18 @@ pyarrow, commits them in 5k-file batches, then times the export with
 the fork path enabled (default) or forced serial (--serial), printing
 one JSON line.
 
-MEASURED (quiet box, 2026-08-16, round 13, this tool at 100k):
-serial 17.8 s / forked 4.9 s -> 3.6x; per-file ~178 us serial,
-~49 us forked.  The pass is per-file footer read + 2 stats +
+MEASURED (quiet box, 2026-08-16, round 13, this tool at 100k real
+files): serial 10.24 s / forked 2.51 s -> 4.1x; per-file 102.3 us
+serial, 25.1 us forked.  The pass is per-file footer read + 2 stats +
 json.dumps, all embarrassingly parallel across fork workers, so the
-constant extrapolates linearly: a 10M-file export projects to ~30 min
-serial vs ~8 min forked on this box's filesystem — the remaining cost
-is the mandated per-file syscalls, not GIL-serialized python (the
-round-12 write-side concern), and it forks 8-wide.
+constant extrapolates linearly: a 10M-file export projects to ~17 min
+serial vs ~4.2 min forked on this box's filesystem — the remaining
+cost is the spec-mandated per-real-file syscalls (size +
+modificationTime per add, plus the divergence footer check), not
+GIL-serialized python (the round-12 write-side concern), and it forks
+8-wide.  A full 10M measurement would need 10M real files on disk
+(the fabricated-log harness cannot stat them), hence the documented
+linear extrapolation.
 """
 
 from __future__ import annotations

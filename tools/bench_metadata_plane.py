@@ -257,21 +257,21 @@ MEASURED_10M = {
     "n_files": 10_000_000,
     "n_commits": 2001,
     "cold_replay_sec": 385.9,  # this box; r11 box: 293 (same code class)
-    "checkpoint_write_sec": 203.1,  # this box; r12 box: 76.8 — see BOX NOTE
+    "checkpoint_write_sec": 156.6,  # this box; r12 box: 76.8 — see BOX NOTE
     "checkpoint_bytes": 673_618_788,
-    "cold_snapshot_from_checkpoint_sec": 14.24,  # r12: 194.4 — the r13 fix
-    "warm_snapshot_sec": 0.0026,
-    "cold_tx_count_sec": 0.8893,
-    "cold_prune_filelist_sec": 0.9566,
-    "prune_filelist_sec": 1.0954,
-    "pruned_scan_sec": 2.6286,
+    "cold_snapshot_from_checkpoint_sec": 11.23,  # r12: 194.4 — the r13 fix
+    "warm_snapshot_sec": 0.0022,
+    "cold_tx_count_sec": 0.889,
+    "cold_prune_filelist_sec": 0.822,
+    "prune_filelist_sec": 0.775,
+    "pruned_scan_sec": 2.363,
     "optimize_decision_sec": 0.0225,
-    "fsck_sec": 120.7363,
-    "incremental_extend_sec": 0.5781,
-    "checkpoint_incremental_write_sec": 21.8838,
+    "fsck_sec": 102.27,
+    "incremental_extend_sec": 0.571,
+    "checkpoint_incremental_write_sec": 14.31,
     "measured": (
-        "round-13 full 10M runs of this tool (two quiet + one "
-        "contended, best per leg) after the lazy columnar snapshot, "
+        "round-13: best per leg of THREE full 10M runs of this tool "
+        "(write leg swung 156.6-283.7 s across them — box noise) after the lazy columnar snapshot, "
         "zbytes policy column and forked fsck landed; box-vs-code "
         "disambiguated by a same-box 2M A/B against round-12 code "
         "(r13 equal or faster on every leg) — reproduce with "
