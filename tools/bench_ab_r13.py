@@ -29,8 +29,11 @@ def main() -> None:
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     import bench as B
+    from cars_bids_data_pipeline_v0__spark.plans import queries as Q
+    from cars_bids_data_pipeline_v0__spark.session import get_session
 
-    spark = B.get_session()
+    spark = get_session(app_name="bench-ab-r13")
+    Q._load_extensions()
     B.ensure_sf1(spark)
     legs = {
         "corpus_release_plain": lambda: B.bench_corpus_release(spark),
