@@ -33,6 +33,9 @@ embedding-space audits.
 * **q323 props JSON field stats** — per-type stats of the ``k``
   payload field extracted with the same guarded regexp in both
   engines (ANSI-safe try_cast).
+* **q324 dedup-index audit** — the round-13 persistent dedup index's
+  rows (fingerprint + shingle-set size) recomputed from scratch by
+  the SQL oracle: the index build itself under the value-hash gate.
 
 Reference parity: none — LLM-pipeline/event-analytics extensions
 (SURVEY §2 addenda).
@@ -842,4 +845,69 @@ def q323(spark, sf_dir):
             ).alias("p90_k"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q324 — dedup-index audit (the round-13 persistent index, oracled)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q324_dedup_index_audit",
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   AS norm
+        FROM documents
+    ), t AS (
+        SELECT doc_id, source, norm,
+               string_split(norm, ' ') AS tk
+        FROM d
+    ), g AS (
+        SELECT doc_id, source,
+               md5(norm) AS fp,
+               len(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 2, 1) + 1),
+                   i -> array_to_string(tk[i:i+2], ' ')))) AS sh_size
+        FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+           round(avg(sh_size), 4) AS avg_sh_size,
+           CAST(max(sh_size) AS BIGINT) AS max_sh_size
+    FROM g GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "per-source audit of the round-13 PERSISTENT dedup index "
+        "(operators.dedup_docs.build_dedup_index — the rows "
+        "release_corpus(dedup_index_table=) maintains): doc count, "
+        "distinct exact-dup fingerprints, and the shingle-set size "
+        "profile.  The oracle recomputes the md5-of-normalized-text "
+        "fingerprint AND the distinct word-3-gram count (with the "
+        "<3-token whole-text rule) from scratch in SQL, so the index "
+        "build itself sits under the value-hash gate — the proof that "
+        "what the multi-release chain dedups against is exactly the "
+        "text-derived state"
+    ),
+)
+def q324(spark, sf_dir):
+    from ..operators.dedup_docs import build_dedup_index
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    idx = build_dedup_index(d)
+    return (
+        idx.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+            F.round(F.avg("sh_size"), 4).alias("avg_sh_size"),
+            F.max("sh_size").cast("long").alias("max_sh_size"),
+        )
+        .orderBy("source")
     )
