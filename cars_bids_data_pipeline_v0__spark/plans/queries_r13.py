@@ -36,6 +36,11 @@ embedding-space audits.
 * **q324 dedup-index audit** — the round-13 persistent dedup index's
   rows (fingerprint + shingle-set size) recomputed from scratch by
   the SQL oracle: the index build itself under the value-hash gate.
+* **q325 revenue concentration** — Lorenz-by-decile over per-customer
+  revenue in integer cents (exact-percentile 9-cut broadcast, never a
+  global rank window).
+* **q326 weekly activity profile** — per-type (dow × hour) heatmap
+  peak + share + 168-cell entropy (human rhythm vs machine traffic).
 
 Reference parity: none — LLM-pipeline/event-analytics extensions
 (SURVEY §2 addenda).
@@ -910,4 +915,182 @@ def q324(spark, sf_dir):
             F.max("sh_size").cast("long").alias("max_sh_size"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q325 — customer revenue concentration (Lorenz by decile)
+# ---------------------------------------------------------------------------
+
+_Q325_PS = tuple((i + 1) / 10 for i in range(9))
+
+
+@register(
+    "q325_revenue_concentration",
+    f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY o_custkey
+    ), cuts AS (
+        SELECT quantile_cont(rev_c, {list(_Q325_PS)}) AS c FROM cust
+    ), marked AS (
+        SELECT cust.o_custkey, cust.rev_c,
+               len(list_filter(cuts.c, x -> cust.rev_c >= x)) AS decile
+        FROM cust CROSS JOIN cuts
+    ), tot AS (
+        SELECT CAST(sum(rev_c) AS DOUBLE) AS t,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM cust
+    )
+    SELECT m.decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m.rev_c) AS BIGINT) AS revenue_cents,
+           round(sum(m.rev_c) / tot.t, 6) AS revenue_share,
+           round(count(*) / tot.n, 6) AS customer_share
+    FROM marked m CROSS JOIN tot
+    GROUP BY m.decile, tot.t, tot.n
+    ORDER BY m.decile
+    """,
+    doc=(
+        "customer revenue concentration — the Lorenz-curve readout by "
+        "revenue decile (what share of revenue the top decile of "
+        "customers carries): per-customer revenue in integer CENTS "
+        "(the money discipline), deciles via one exact-percentile "
+        "9-value broadcast (q289/q304 — never a global rank window), "
+        "two bounded aggregates.  The 80/20 audit every account team "
+        "asks for, shaped to survive 100 TB"
+    ),
+)
+def q325(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("rev_c")
+    )
+    cuts = cust.agg(
+        F.array(
+            *[F.percentile("rev_c", F.lit(p)) for p in _Q325_PS]
+        ).alias("c")
+    )
+    tot = cust.agg(
+        F.sum("rev_c").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    marked = cust.crossJoin(F.broadcast(cuts)).select(
+        "rev_c",
+        F.expr("size(filter(c, x -> rev_c >= x))").alias("decile"),
+    )
+    return (
+        marked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev_c").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_cents",
+            F.round(F.col("revenue_cents") / F.col("t"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(F.col("n_customers") / F.col("n"), 6).alias(
+                "customer_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q326 — weekly activity profile per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q326_weekly_activity_profile",
+    """
+    WITH cells AS (
+        SELECT event_type,
+               dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, dayofweek(ts), hour(ts)
+    ), tot AS (
+        SELECT event_type, sum(n) AS t FROM cells GROUP BY event_type
+    ), peak AS (
+        SELECT event_type,
+               min(dow * 100 + hod) FILTER (
+                   WHERE n = mx
+               ) AS peak_cell
+        FROM (
+            SELECT c.*, max(n) OVER (PARTITION BY event_type) AS mx
+            FROM cells c
+        ) GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(count(*) AS BIGINT) AS n_active_cells,
+           CAST(max(p.peak_cell) // 100 AS BIGINT) AS peak_dow,
+           CAST(max(p.peak_cell) % 100 AS BIGINT) AS peak_hour,
+           round(max(c.n) * 1.0 / max(t.t), 6) AS peak_share,
+           round(-sum((c.n * 1.0 / t.t) * log2(c.n * 1.0 / t.t)), 6)
+               AS cell_entropy
+    FROM cells c
+    JOIN tot t ON t.event_type = c.event_type
+    JOIN peak p ON p.event_type = c.event_type
+    GROUP BY c.event_type ORDER BY c.event_type
+    """,
+    doc=(
+        "weekly activity heatmap profile per event type: active "
+        "(dow × hour) cells, the deterministic peak cell (max count, "
+        "smallest dow*100+hod tiebreak), its traffic share, and the "
+        "Shannon entropy of the 168-cell distribution — flat entropy "
+        "= machine traffic, low entropy = human/weekly rhythm.  The "
+        "per-type window is over the ≤168-cell frame (the q109 "
+        "bounded-frame discipline), everything else is keyed "
+        "aggregates"
+    ),
+)
+def q326(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.groupBy("event_type").agg(F.sum("n").alias("t"))
+    w = Window.partitionBy("event_type")
+    peak = (
+        cells.withColumn("mx", F.max("n").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("n") == F.col("mx"),
+                    F.col("dow") * 100 + F.col("hod"),
+                )
+            ).alias("peak_cell")
+        )
+    )
+    p = F.col("n") * 1.0 / F.col("t")
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(peak), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active_cells"),
+            F.floor(F.max("peak_cell") / 100)
+            .cast("long")
+            .alias("peak_dow"),
+            (F.max("peak_cell") % 100).cast("long").alias("peak_hour"),
+            F.round(
+                F.max("n") * 1.0 / F.max("t"), 6
+            ).alias("peak_share"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("cell_entropy"),
+        )
+        .orderBy("event_type")
     )
