@@ -263,6 +263,13 @@ SF1_QUERIES = [
     # + a 4-way postings join over the 10% eval slice; 4.2 s)
     "q299_dedup_cascade_audit",
     "q302_heldout_lm_perplexity",
+    # round-13: the two heaviest new shapes on the curve — the
+    # per-source KL (one corpus word pass + broadcast top-100 grid)
+    # and the dedup-index audit (the persistent-index build's shingle
+    # materialization — the cost a release pays ONCE per released doc
+    # instead of every increment)
+    "q316_source_kl_divergence",
+    "q324_dedup_index_audit",
 ]
 SF1_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf1")
 SF5_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sf5")
