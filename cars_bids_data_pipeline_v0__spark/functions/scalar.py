@@ -165,15 +165,31 @@ def reserve_met(status: Column | str) -> Column:
 def clean_bids(c: Column | str) -> Column:
     """C11 — each ``"$12,345"`` → long; **any element failing (or a null
     input) empties the whole list** (the try/except wraps the full list
-    comprehension, transform_lambda/main.py:192-198)."""
+    comprehension, transform_lambda/main.py:192-198).
+
+    The parsed array is LET-BOUND through a single-element ``transform``
+    (the `word_shingles` discipline): referencing ``cleaned`` twice in
+    one CASE makes CollapseProject inline it into BOTH branches, so the
+    regex + try_cast ran 2× per element (visible as two ``transform``
+    copies in q28's physical plan — round-13 optimization pass)."""
     col = _col(c)
-    cleaned = F.transform(
-        col, lambda x: F.regexp_replace(x, r"[$,]", "").try_cast("long")
+    empty = F.array().cast(T.ArrayType(T.LongType()))
+    bound = F.element_at(
+        F.transform(
+            F.array(
+                F.transform(
+                    col,
+                    lambda x: F.regexp_replace(x, r"[$,]", "")
+                    .try_cast("long"),
+                )
+            ),
+            lambda cleaned: F.when(
+                F.exists(cleaned, lambda x: x.isNull()), empty
+            ).otherwise(cleaned),
+        ),
+        1,
     )
-    return F.when(
-        col.isNull() | F.exists(cleaned, lambda x: x.isNull()),
-        F.array().cast(T.ArrayType(T.LongType())),
-    ).otherwise(cleaned)
+    return F.when(col.isNull(), empty).otherwise(bound)
 
 
 # ---------------------------------------------------------------------------
@@ -292,15 +308,26 @@ def bid_features(c: Column | str) -> dict[str, Column]:
     b = _col(c)
     n = F.size(b)
     guard = b.isNotNull() & (n >= 2)
-    srt = F.array_sort(b)
     mx = F.array_max(b)
     mn = F.array_min(b)
     total = F.aggregate(b, F.lit(0).cast("long"), lambda acc, x: acc + x)
     mid = (n / 2).cast("int")  # 0-based upper-middle index
-    median = F.when(
-        n % 2 == 1, F.element_at(srt, mid + 1).cast("double")
-    ).otherwise(
-        (F.element_at(srt, mid) + F.element_at(srt, mid + 1)) / F.lit(2.0)
+    # array_sort is LET-BOUND through a single-element ``transform`` (the
+    # `word_shingles` discipline): the median CASE references the sorted
+    # array up to 3× and CollapseProject inlines each reference, so the
+    # full sort ran 3× per row (visible in q28's physical plan —
+    # round-13 optimization pass).
+    median = F.element_at(
+        F.transform(
+            F.array(F.array_sort(b)),
+            lambda srt: F.when(
+                n % 2 == 1, F.element_at(srt, mid + 1).cast("double")
+            ).otherwise(
+                (F.element_at(srt, mid) + F.element_at(srt, mid + 1))
+                / F.lit(2.0)
+            ),
+        ),
+        1,
     )
     return {
         "max_bid": F.when(guard, mx),

@@ -26,7 +26,7 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..cache import track
+from ..cache import track, track_persist
 from .text import normalize_text, tokenize
 
 
@@ -214,7 +214,14 @@ def ngram_jaccard_pairs(
         "id", "sh_size", F.explode("sh").alias("__s")
     ).select("id", "sh_size", F.xxhash64("__s").alias("shingle"))
     if df_cap is not None:
-        inv = _drop_hot_shingles(inv, df_cap)
+        # persist the CAPPED index: the self-join below references it on
+        # both sides, and without a barrier the whole scrub subtree —
+        # hot-shingle aggregate, broadcast anti-join, and the per-doc
+        # size-recompute window (a full shuffle of the index) — executed
+        # once PER SIDE (two duplicate Window+Exchange subtrees in q211's
+        # physical plan, round-13 optimization pass).  Size class is the
+        # already-persisted shingle table's, so no new memory hazard.
+        inv = track_persist(_drop_hot_shingles(inv, df_cap))
     pairs = (
         inv.alias("a")
         .hint("shuffle_hash")
@@ -496,7 +503,9 @@ def containment_pairs(
         "id", "sh_size", F.explode("sh").alias("__s")
     ).select("id", "sh_size", F.xxhash64("__s").alias("shingle"))
     if df_cap is not None:
-        inv = _drop_hot_shingles(inv, df_cap)
+        # same self-join-reads-it-twice barrier as ngram_jaccard_pairs
+        # (round-13 optimization pass)
+        inv = track_persist(_drop_hot_shingles(inv, df_cap))
     pairs = (
         inv.alias("a")
         .hint("shuffle_hash")
@@ -710,6 +719,15 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # The bucket join references ``banded`` on BOTH sides (and the
+    # bucket_cap path a third time, for the size table); Catalyst does
+    # not reuse non-identical subtree exchanges, so without a persist
+    # barrier the whole signature aggregation (shingle explode + k mins,
+    # the dominant scan) ran once PER SIDE — visible as two duplicate
+    # Generate→HashAggregate→Exchange subtrees in q56's physical plan
+    # (round-13 optimization pass).  |docs|×bands rows of (id, band,
+    # bucket) — 3 longs each — so the block is tiny at any scale.
+    banded = track_persist(banded)
     if bucket_cap is None:
         return (
             banded.alias("x")

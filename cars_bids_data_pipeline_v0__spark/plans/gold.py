@@ -43,7 +43,13 @@ class GoldStore:
         p = self.path(name)
         if not os.path.exists(p):
             return None
-        return self.spark.read.parquet(p)
+        # memoize the reader frame: every spark.read.parquet builds a fresh
+        # file index + footer schema read on the driver (~0.2 s each, and
+        # the star build re-reads several dims 2-3x); append/overwrite
+        # already invalidate via _cache.pop (round-13 optimization pass)
+        df = self.spark.read.parquet(p)
+        self._cache[name] = df
+        return df
 
     def append(self, name: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path(name))
@@ -104,6 +110,22 @@ def build_star_schema(store: GoldStore, staging: DataFrame) -> dict[str, DataFra
     before the fan-out so the parallel jobs read the cache rather than
     racing to compute it.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..session import size_coalesced_shuffle
+
+    # Every statement below is window/anti-join/write-shaped with tiny
+    # (dimension-sized) or batch-sized shuffles; size-first AQE coalescing
+    # collapses their no-op post-shuffle tasks (round-13 optimization pass
+    # — see size_coalesced_shuffle's docstring for the measurement and the
+    # scale argument).
+    with size_coalesced_shuffle(staging.sparkSession):
+        return _build_star_schema_inner(store, staging)
+
+
+def _build_star_schema_inner(
+    store: GoldStore, staging: DataFrame
+) -> dict[str, DataFrame]:
     from concurrent.futures import ThreadPoolExecutor
 
     staging = staging.cache()

@@ -116,12 +116,22 @@ def q02(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    # Join ORDER is the optimization (round-13 pass, guide §3): the ASIA
+    # region filter keeps ~1/5 of nations → customers → orders, so it is
+    # applied THROUGH the dimension chain BEFORE lineitem joins in.  The
+    # original shape (li⋈o first, filter last) shuffled every joined
+    # lineitem row a second time on o_custkey and only then dropped 80%;
+    # here the fact table's one orderkey shuffle meets an already-
+    # filtered orders side (inner joins commute — result identical).
+    o_asia = o.join(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
-              n.n_regionkey == r.r_regionkey)
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name"),
+        o.o_custkey == F.col("c_custkey"),
+    )
+    return (
+        li.join(o_asia, li.l_orderkey == o_asia.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(

@@ -20,10 +20,60 @@ every operator in the engine uses ANSI-safe expressions (``try_cast`` /
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+@contextmanager
+def size_coalesced_shuffle(spark: SparkSession, advisory: str = "64m"):
+    """Scope AQE's SIZE-based partition coalescing to a statement block.
+
+    ``spark.sql.adaptive.coalescePartitions.parallelismFirst`` defaults to
+    true, which keeps every post-shuffle stage at >= the cluster's default
+    parallelism even when the shuffle carries a few KB — each tiny window /
+    distinct / merge stage then pays (cores) no-op task launches plus an
+    AQE re-plan (measured on the round-13 box: a 100-row window+write job
+    is 0.50 s with 32 post-shuffle tasks vs 0.25 s coalesced).  Flipping to
+    size-first is exactly Spark's documented recommendation for it, and at
+    production volume it is the SCALE-CORRECT behavior as well: partition
+    counts derive from bytes (advisory 64m), not from whatever core count
+    the session happens to have — which also keeps the bench's
+    lower-core-count scaling runs honest (nothing is tuned to local[32]).
+
+    It is a CONTEXT, not a session default, because parallelism-first is
+    the right call for CPU-heavy small-byte stages (q28's per-group array
+    stats, q53's shingle join at bench SFs lose 2x when serialized onto
+    size-derived partition counts).  The ETL pipeline paths (silver merge
+    sink, gold star build) are window/join/write-shaped with per-row costs
+    already paid on the scan side, so they take the coalesced shape.
+
+    Session-level conf is thread-global: the gold build's own worker pool
+    inheriting the setting is intended; callers must not run unrelated
+    CPU-bound queries concurrently with the block (the engine's harnesses
+    drive statements sequentially).
+    """
+    keys = {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory,
+    }
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def get_session(

@@ -40,6 +40,27 @@ def merge_write_partitioned(
     ``table_path``; returns the partition values written (the reference
     returns the list of touched S3 keys, transform_lambda/main.py:397-399).
     """
+    from ..session import size_coalesced_shuffle
+
+    # size-first AQE coalescing for the whole merge: the dedup windows and
+    # the partition-clustering exchange are byte-light at any batch size
+    # relative to core count, and the coalesced shape also writes sanely
+    # sized files (round-13 optimization pass — measurement and scale
+    # argument in size_coalesced_shuffle's docstring)
+    with size_coalesced_shuffle(spark):
+        return _merge_write_partitioned_inner(
+            spark, new_df, table_path, key, order_by, partition_src
+        )
+
+
+def _merge_write_partitioned_inner(
+    spark: SparkSession,
+    new_df: DataFrame,
+    table_path: str,
+    key: str,
+    order_by: str,
+    partition_src: str,
+) -> list[str]:
     batch = new_df.withColumn(PARTITION_COL, F.to_date(F.col(partition_src)))
     batch = keep_latest(batch, key, order_by=order_by).persist()
     try:
