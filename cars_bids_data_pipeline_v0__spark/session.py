@@ -28,6 +28,29 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 @contextmanager
+def scoped_conf(spark: SparkSession, keys: dict[str, str]):
+    """Set session confs for a statement block, restoring prior values
+    (or unsetting back to defaults) on exit.  Session conf is
+    thread-global — callers own the no-concurrent-conflicting-queries
+    discipline (the engine's harnesses drive statements sequentially)."""
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@contextmanager
 def size_coalesced_shuffle(spark: SparkSession, advisory: str = "64m"):
     """Scope AQE's SIZE-based partition coalescing to a statement block.
 
@@ -55,25 +78,14 @@ def size_coalesced_shuffle(spark: SparkSession, advisory: str = "64m"):
     CPU-bound queries concurrently with the block (the engine's harnesses
     drive statements sequentially).
     """
-    keys = {
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory,
-    }
-    old: dict[str, str | None] = {}
-    for k, v in keys.items():
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-        spark.conf.set(k, v)
-    try:
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory,
+        },
+    ):
         yield
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def get_session(

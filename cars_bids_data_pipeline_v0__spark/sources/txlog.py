@@ -958,6 +958,21 @@ def _normalize_column_mapping(cm: dict | None) -> dict | None:
     return {"renames": renames, "dropped": dropped}
 
 
+def _has_map_type(dt) -> bool:
+    """True when a DataType contains a MapType at any nesting depth —
+    map columns are not hashable by xxhash64 and must be skipped from
+    content-hash keys (same rule as operators.merge._dedup_source)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_map_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_has_map_type(f.dataType) for f in dt.fields)
+    return False
+
+
 class TransactionLog:
     """The filesystem-level commit log for one table path."""
 
@@ -1741,6 +1756,7 @@ class TransactionLog:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 1024,
         bloom_hashes: int = 5,
+        expected_rows: int | None = None,
     ) -> list[dict]:
         """Write ``df``'s files into ``data/`` under unique names and return
         uncommitted add-actions.  With ``partition_by``, one file set per
@@ -1825,12 +1841,53 @@ class TransactionLog:
             if partition_by is None:
                 df.write.parquet(tmp)
             else:
-                (
-                    df.withColumn("__p", F.col(partition_by).cast("string"))
-                    .repartition("__p")
-                    .write.partitionBy("__p")
-                    .parquet(tmp)
+                # Write parallelism (round-13 optimization pass): plain
+                # repartition(col) caps the write at the number of
+                # DISTINCT partition values — a 3-valued column
+                # serialized a 6M-row staged write through 3 parquet
+                # encode tasks (measured 7.5-10 s at sf1; encode is the
+                # CPU-heavy step).  When the caller can bound the row
+                # count from LOG METADATA (``expected_rows`` — the merge
+                # path knows affected-file rows + inserts exactly), rows
+                # are sub-split by a deterministic content hash into
+                # ~1M-row encode chunks, capped at the session
+                # parallelism.  Only fires past 2M rows, so small tables
+                # and every test keep their exact one-file-per-value
+                # layout; large tables trade a bounded number of extra
+                # files (k per value) which auto-OPTIMIZE compacts.
+                # The hash key is the row content (all hashable
+                # columns), never rand() — retried tasks must reproduce
+                # the same row-to-partition assignment (SPARK-38388).
+                pdf = df.withColumn(
+                    "__p", F.col(partition_by).cast("string")
                 )
+                k = 0
+                if expected_rows is not None and expected_rows > 2_000_000:
+                    sp = int(
+                        df.sparkSession.conf.get(
+                            "spark.sql.shuffle.partitions"
+                        )
+                    )
+                    k = max(1, min((expected_rows + 999_999) // 1_000_000,
+                                   sp))
+                hashable = [
+                    f.name for f in pdf.schema.fields
+                    if not _has_map_type(f.dataType)
+                ]
+                if k > 1 and hashable:
+                    pdf = (
+                        pdf.withColumn(
+                            "__sub",
+                            F.pmod(
+                                F.xxhash64(*hashable), F.lit(k)
+                            ),
+                        )
+                        .repartition("__p", "__sub")
+                        .drop("__sub")
+                    )
+                else:
+                    pdf = pdf.hint("rebalance", "__p")
+                pdf.write.partitionBy("__p").parquet(tmp)
             adds: list[dict] = []
             for root, _dirs, files in os.walk(tmp):
                 part = None
@@ -2525,9 +2582,28 @@ def tx_merge_partitioned(
     (default: the ``order_by`` column) so `tx_scan` time-range reads
     skip files without opening them.
     """
+    from ..session import size_coalesced_shuffle
+
     log = TransactionLog(table_path)
     if txn is not None and log.txn_seen(txn["app"], txn["batch"]):
         return []
+    # size-first AQE coalescing for the whole merge, same rationale as
+    # sinks.merge_write_partitioned (the single-writer twin): the dedup /
+    # merge windows and the partition-clustering exchange are byte-light
+    # relative to core count at any batch size, and parallelism-first
+    # scheduled (cores) no-op tasks per stage (round-13 optimization pass
+    # — measurement in session.size_coalesced_shuffle's docstring)
+    with size_coalesced_shuffle(spark):
+        return _tx_merge_partitioned_inner(
+            spark, new_df, table_path, key, order_by, partition_src,
+            max_retries, txn, stats_cols, log,
+        )
+
+
+def _tx_merge_partitioned_inner(
+    spark, new_df, table_path, key, order_by, partition_src,
+    max_retries, txn, stats_cols, log,
+):
     batch = new_df.withColumn(PARTITION_COL, F.to_date(F.col(partition_src)))
     batch = tx_apply_generated(batch, table_path)
     tx_check_constraints(batch, table_path)  # reject bad data pre-stage
@@ -4091,8 +4167,21 @@ def tx_merge_into(
         raise ValueError(f"source lacks ON key column(s): {missing_keys}")
     source = source.persist()
     try:
+        # ONE delta-sized aggregate yields both the broadcast decision
+        # (row count) and whether the cardinality probe is even needed:
+        # count(*) > count_distinct(keys) iff some key tuple repeats
+        # (NULL-keyed rows inflate the left side, which only sends us
+        # down the probe path — where they can never match a target row,
+        # exactly as before).  Was two separate jobs over the persisted
+        # source — the count and a groupBy/filter/limit probe — each
+        # paying the full job floor (round-13 optimization pass).
+        stats = source.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(*[F.col(k) for k in on]).alias("__nd"),
+        ).collect()[0]
         if broadcast_source is None:
-            broadcast_source = source.count() <= 2_000_000
+            broadcast_source = int(stats["__n"]) <= 2_000_000
+        may_have_dup_keys = int(stats["__n"]) > int(stats["__nd"])
         for attempt in range(max_retries):
             v = log.version()
             live = log.live_files(upto=v) if v >= 0 else {}
@@ -4101,7 +4190,7 @@ def tx_merge_into(
                 when_matched_update, when_matched_delete,
                 when_not_matched_insert, matched_condition,
                 insert_condition, v, live, partition_by, txn,
-                broadcast_source,
+                broadcast_source, may_have_dup_keys,
             )
             if result is not None:
                 return result
@@ -4138,7 +4227,7 @@ def _merge_into_once(
     spark, log, table_path, source, on,
     when_matched_update, when_matched_delete, when_not_matched_insert,
     matched_condition, insert_condition, v, live, partition_by, txn,
-    broadcast_source=False,
+    broadcast_source=False, may_have_dup_keys=True,
 ):
     """One optimistic attempt of `tx_merge_into`; None = commit conflict,
     caller retries against the fresh snapshot."""
@@ -4188,16 +4277,17 @@ def _merge_into_once(
 
     # Delta cardinality rule: a key appearing twice in the source only
     # aborts if it MATCHES a target row (duplicate pure inserts are the
-    # caller's business, exactly like Delta).  The dup frame is one
-    # delta-sized aggregation; a dup-free source (the common case)
-    # short-circuits WITHOUT ever joining the target — the probe
-    # semi-join runs only when duplicate keys actually exist.
-    dup_keys = (
-        source.groupBy(*[F.col(k) for k in on])
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") > 1)
-    )
-    if dup_keys.limit(1).count():
+    # caller's business, exactly like Delta).  A dup-free source (the
+    # common case) short-circuits WITHOUT any extra job at all — the
+    # caller's single source-stats aggregate already proved every key
+    # tuple unique (round-13: was a separate groupBy/limit probe job);
+    # the semi-join probe below runs only when duplicates exist.
+    if may_have_dup_keys:
+        dup_keys = (
+            source.groupBy(*[F.col(k) for k in on])
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > 1)
+        )
         dup = (
             dup_keys.alias("s")
             .join(target.alias("t"), cond, "left_semi")
@@ -4438,7 +4528,19 @@ def _merge_into_once(
         # observation with a partial limit-1 pass); an all-delete
         # rewrite surfaces as zero-row footers, discarded here
         if (partitioned or not affected) and pcol is not None:
-            staged = log.stage_dataframe(out, partition_by=pcol)
+            # metadata-exact upper bound on the staged row count
+            # (affected files' visible rows + inserts) lets the staging
+            # write sub-split large partitions into parallel encode
+            # tasks — see stage_dataframe (round-13 optimization pass)
+            exp = (
+                _visible_row_count(log, table_path, affected, dvmap, v)
+                + n_ins
+                if affected
+                else n_ins
+            )
+            staged = log.stage_dataframe(
+                out, partition_by=pcol, expected_rows=exp
+            )
         else:
             staged = log.stage_dataframe(out)
         adds = [a for a in staged if a.get("rows")]
