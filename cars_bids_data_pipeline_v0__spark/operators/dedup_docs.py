@@ -908,6 +908,11 @@ def simhash_near_dup_pairs(
             )
         ).alias("bc"),
     ).select("id", "sig", "bc.blk", "bc.chunk")
+    # same self-join barrier as minhash_lsh_candidates' banded frame:
+    # without it the whole signature aggregation (token explode + 64
+    # per-bit sums) executed once per join side (round-13 optimization
+    # pass); |docs|×blocks rows of 4 longs — tiny at any scale
+    chunks = track_persist(chunks)
     return (
         chunks.alias("x")
         .join(chunks.alias("y"), on=["blk", "chunk"])
