@@ -92,8 +92,11 @@ def test_tx_stage_writes_are_distributed_no_collect(spark, tmp_path):
     #   6 generated-column validation counts (one agg row)
     #   7 set_constraint born-valid probe (one agg row)
     #   8 add-column type/default validation probe (one literal row)
+    #   9 merge fused source-stats probe (ONE count/count_distinct agg row
+    #     over the persisted source — replaced the separate source.count()
+    #     job + unconditional dup-key groupBy probe in round 13)
     # (round 10 removed the separate merge action-count collect: the
     # update/delete counts now ride the staging write as CollectMetrics
     # — see tx_merge's single-pass rewrite.)
-    assert src.count(".collect()") == 8
+    assert src.count(".collect()") == 9
     assert ".toPandas()" not in src and ".toLocalIterator()" not in src
