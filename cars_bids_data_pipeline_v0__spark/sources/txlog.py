@@ -1852,9 +1852,12 @@ class TransactionLog:
                 # are sub-split by a deterministic content hash into
                 # ~1M-row encode chunks, capped at the session
                 # parallelism.  Only fires past 2M rows, so small tables
-                # and every test keep their exact one-file-per-value
-                # layout; large tables trade a bounded number of extra
-                # files (k per value) which auto-OPTIMIZE compacts.
+                # keep a compact near-one-file-per-value layout (the
+                # rebalance fallback below MAY split a skewed value into
+                # a few files — readers resolve files via add actions,
+                # never by assuming one file per value); large tables
+                # trade a bounded number of extra files (k per value)
+                # which auto-OPTIMIZE compacts.
                 # The hash key is the row content (all hashable
                 # columns), never rand() — retried tasks must reproduce
                 # the same row-to-partition assignment (SPARK-38388).
@@ -4422,6 +4425,13 @@ def _merge_into_once(
                 spark, table_path, affected,
                 {f: dvmap[f] for f in affected if f in dvmap},
             ).select(*on)
+            # round 14 examined a keys-only semi-then-anti reduction
+            # here (shrink affected keys to the matched set with a
+            # broadcast semi-join so the anti-join broadcasts too):
+            # measured SLOWER at sf1 (1.97 s vs 1.12 s interleaved) —
+            # it re-scans the affected keys and pays two broadcast
+            # builds, while this plain anti-join's sort-merge is
+            # already volume-proportional and AQE-handled.  Left as is.
         else:
             anti_keys = target.select(*on).limit(0)
         unmatched = source.alias("s").join(
@@ -5444,6 +5454,44 @@ def _check_schema(
         )
 
 
+def _scan_exact_rows(df: DataFrame) -> int | None:
+    """Row count of a pure (projected) parquet scan, summed from the
+    source files' footers at the driver — ZERO Spark jobs.  Returns
+    None for any other plan shape (a filter/join/aggregate would make
+    footer rows an overcount) or on any metadata hiccup, so callers
+    degrade to the no-estimate path.
+
+    This is the cheap pre-write row bound the staged write's encode
+    sub-split needs on the APPEND path (the merge path derives its
+    bound from log metadata): bulk loads — frames read straight off
+    parquet, optionally projected — are exactly the shape whose row
+    count already IS footer metadata, while post-shuffle/filtered
+    micro-batches (stream sinks) correctly return None and keep their
+    compact small-write layout."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        nodes = [
+            ln.lstrip(" :+-")
+            for ln in plan.splitlines()
+            if ln.strip(" :+-")
+        ]
+        if not nodes or not all(
+            n.startswith(("Project", "Relation")) for n in nodes
+        ):
+            return None
+        if not any("parquet" in n for n in nodes if n.startswith("Relation")):
+            return None
+        files = [
+            f[len("file:"):] if f.startswith("file:") else f
+            for f in df.inputFiles()
+        ]
+        if not files or len(files) > 4096:
+            return None
+        return sum(_footer_meta(f)[1] for f in files)
+    except Exception:
+        return None
+
+
 def tx_append_partitioned(
     spark: SparkSession,
     new_df: DataFrame,
@@ -5454,6 +5502,7 @@ def tx_append_partitioned(
     stats_cols: list[str] | None = None,
     assign_row_ids: bool = False,
     schema_mode: str = "none",
+    expected_rows: int | None = None,
 ) -> int:
     """Fenced APPEND-ONLY commit partitioned by an arbitrary column.
 
@@ -5485,6 +5534,14 @@ def tx_append_partitioned(
     (`tx_set_partition_spec`) — the partition-evolution contract: spec
     changes are metadata commits, writers need no code change, and every
     file records which column it was actually laid out by.
+
+    ``expected_rows`` (optional) bounds the batch's row count so the
+    staged write can sub-split its parquet encodes past 2M rows (see
+    `stage_dataframe`); when omitted it is derived for free from the
+    source files' footers whenever the batch is a pure (projected)
+    parquet scan — the bulk-load shape — and left unknown otherwise,
+    so small/streamed appends pay nothing and keep their compact
+    layout.
     """
     from ..operators.keys import with_surrogate_key
 
@@ -5504,6 +5561,8 @@ def tx_append_partitioned(
     new_df = tx_apply_generated(new_df, table_path)
     _check_schema(new_df, table_path, schema_mode)
     tx_check_constraints(new_df, table_path)
+    if expected_rows is None:
+        expected_rows = _scan_exact_rows(new_df)
     hwm = log.row_id_hwm()
     tracking = assign_row_ids or hwm > 0
     if tracking and ROW_ID_COL in new_df.columns:
@@ -5530,7 +5589,10 @@ def tx_append_partitioned(
                 start_at=mark,
             )
         return log.stage_dataframe(
-            df, partition_by=partition_by, stats_cols=stats_cols
+            df,
+            partition_by=partition_by,
+            stats_cols=stats_cols,
+            expected_rows=expected_rows,
         )
 
     adds = stage(hwm)
