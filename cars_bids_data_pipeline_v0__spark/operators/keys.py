@@ -55,6 +55,25 @@ def with_surrogate_key(
     sort_cols = [F.col(c).asc_nulls_last() for c in order_by]
     cols = new_rows.columns
 
+    if num_partitions == 1:
+        # Single-partition path: a range exchange into ONE partition is
+        # just "ship every row to one task" — coalesce(1) reaches the
+        # same single task WITHOUT a second exchange, fusing the id
+        # assignment into the upstream shuffle's read side (dim inputs
+        # are distinct()/join/limit outputs — see the docstring's
+        # bounded-cardinality contract; a global limit is already
+        # single-partition, making this a no-op there).  The window's
+        # own sort orders the partition, so ids still equal the global
+        # sort order; every offset is 0 — phase 2 skipped.  One fewer
+        # exchange + AQE re-plan per dimension chain (round 14,
+        # q13-class job floor).
+        part = new_rows.coalesce(1).withColumn(_PID, F.spark_partition_id())
+        w_one = Window.partitionBy(_PID).orderBy(*sort_cols)
+        return part.withColumn(
+            id_col,
+            (F.row_number().over(w_one) + F.lit(start_at - 1)).cast("long"),
+        ).select(*cols, id_col)
+
     # Phase 1: range-partition on the order columns; local row numbers.
     # spark_partition_id() is non-deterministic-tagged, so Catalyst cannot
     # push it below the exchange — it reads the *post-shuffle* pid, which
@@ -66,15 +85,6 @@ def with_surrogate_key(
     )
     part = repart.withColumn(_PID, F.spark_partition_id())
     w_local = Window.partitionBy(_PID).orderBy(*sort_cols)
-
-    if num_partitions == 1:
-        # Single range partition: every offset is 0 — skip phase 2.  The
-        # window partitions on the materialized pid column, so the plan
-        # keeps an explicit (single-valued) partition spec.
-        return part.withColumn(
-            id_col,
-            (F.row_number().over(w_local) + F.lit(start_at - 1)).cast("long"),
-        ).select(*cols, id_col)
 
     # Phase 2: per-partition counts → cumulative offsets.  The prefix sum
     # is a triangular left self-join over the counts frame (≤ one row per

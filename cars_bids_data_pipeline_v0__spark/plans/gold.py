@@ -26,13 +26,30 @@ from ..operators.merge import insert_if_absent, upsert_overwrite
 
 class GoldStore:
     """Parquet-backed gold tables (Delta-ready interface: swap read/write
-    for ``MERGE INTO`` when a transactional format is available)."""
+    for ``MERGE INTO`` when a transactional format is available).
+
+    SINGLE-WRITER-INSTANCE invariant: ``read`` memoizes reader frames and
+    only this instance's ``append``/``overwrite`` invalidate them — a
+    second GoldStore over the same root, or any external writer, can
+    leave this instance serving a stale file index.  One store instance
+    owns a root for the duration of a build (the engine's pipelines
+    already work this way); call ``invalidate()`` after any out-of-band
+    write."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._cache: dict[str, DataFrame] = {}
+
+    def invalidate(self, name: str | None = None) -> None:
+        """Drop memoized reader frames (all of them, or one table's)
+        after an out-of-band write to this root — see the class
+        docstring's single-writer-instance invariant."""
+        if name is None:
+            self._cache.clear()
+        else:
+            self._cache.pop(name, None)
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)

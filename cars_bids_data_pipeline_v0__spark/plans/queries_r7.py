@@ -1402,7 +1402,11 @@ def q241(spark, sf_dir):
         # corpus has no c_custkey %150 <> %100 row, so the merge's
         # insert slice is legitimately empty — round-13 latent-mismatch
         # fix, pre-existing on the untouched round-12 tree; at sf0.01+
-        # every slice is non-empty and the output is bit-identical)
+        # every slice is non-empty and the output is bit-identical).
+        # FULL outer, not right: an engine-produced slice OUTSIDE the
+        # grid (a CDF divergence — e.g. an unexpected delete) must
+        # surface as an extra row and fail the oracle diff instead of
+        # silently vanishing (round-13 ADVICE)
         .join(
             ch.sparkSession.createDataFrame(
                 [
@@ -1416,7 +1420,7 @@ def q241(spark, sf_dir):
                 "commit_version int, change_type string",
             ),
             ["commit_version", "change_type"],
-            "right",
+            "full_outer",
         )
         .select(
             "commit_version",
