@@ -2180,8 +2180,11 @@ class TransactionLog:
 def _file_base_col():
     """The basename of ``_metadata.file_path`` as a Column — staged file
     names are uuid4 hex, so the basename is collision-free and needs no
-    percent-decoding."""
-    return F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    percent-decoding.  ``substring_index`` rather than split+element_at:
+    this runs per ROW on every DV'd-file scan, and the split's array
+    allocation measured +40% on the merge-on-read anti-join at sf1
+    (round 14: DV read-back 3.59 -> 2.14 s interleaved min)."""
+    return F.substring_index(F.col("_metadata.file_path"), "/", -1)
 
 
 def _map_to_logical(
